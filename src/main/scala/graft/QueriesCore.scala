@@ -1,0 +1,356 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator coverage (joins / aggregations / windows /
+  * set-ops / scalar functions) over the driver's TPC-H-ish tables.
+  *
+  * The reference DAG is linear with no joins or aggregations (SURVEY.md §2
+  * "absent categories"), but capability parity requires exposing Spark's
+  * built-ins and proving them against the DuckDB oracle.
+  *
+  * Determinism contract (driver hash-compares values):
+  *  - double aggregates go through [[exactSum]]: cast to DECIMAL at the
+  *    value's true scale → exact order-independent sum → cast back to
+  *    DOUBLE. Bit-identical on both engines; no rounding heuristics.
+  *  - every result ends in ORDER BY over a unique key.
+  *  - int-typed Spark functions (length, weekofyear, ...) cast to long to
+  *    match DuckDB's BIGINT.
+  */
+object QueriesCore {
+
+  /** Exact sum of a double column whose true values have `scale` decimal
+    * digits: DECIMAL sum is exact and order-independent, the final DOUBLE
+    * cast is deterministic, so Spark and DuckDB agree bit-for-bit. */
+  private def exactSum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Q1: full-scan aggregation (TPC-H Q1 shape) -------------------
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"), // integral-valued: exact in double
+          exactSum($"l_extendedprice", 2).as("sum_base_price"),
+          exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
+          (exactSum($"l_quantity", 0) / count(lit(1))).as("avg_qty"),
+          (exactSum($"l_extendedprice", 2) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // ---- filter + projection (predicate pushdown to parquet) ----------
+    "q2_filter_project" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-02-01").cast("timestamp") &&
+          $"l_discount" >= 0.05 && $"l_quantity" < 24)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice", $"l_discount")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // ---- 3-way broadcast join over the dimension chain ----------------
+    "q3_join_broadcast" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          exactSum($"c_acctbal", 2).as("sum_acctbal"))
+        .orderBy($"r_name")
+    }),
+
+    // ---- fact-fact shuffle join + aggregation -------------------------
+    "q4_join_agg" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ---- top-k: join + agg + order + limit ----------------------------
+    "q5_topk" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy($"c_custkey", $"c_name")
+        .agg(exactSum($"o_totalprice", 2).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"total_spend".desc, $"c_custkey")
+        .limit(10)
+    }),
+
+    // ---- window functions: row_number / rank / lag / running sum ------
+    "q6_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir)
+        .filter($"o_custkey" < 100)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .withColumn("running_spend",
+          sum($"o_totalprice".cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice",
+          $"rn", $"prev_price", $"running_spend")
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    // ---- left semi: customers having high-value orders ----------------
+    "q7_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val big = Tables.orders(s, dir).filter($"o_totalprice" > 300000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // ---- left anti: the sensor's new-file set-difference, relationally
+    // (SURVEY.md S3, /root/reference/ingest_example/sensors.py:53) ------
+    "q8_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
+    // ---- set operations: union all / intersect / except ---------------
+    "q9_setops" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val a = o.filter($"o_totalprice" > 200000).select($"o_custkey")
+      val b = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      val u = a.union(b).distinct().withColumn("op", lit("union"))
+      val i = a.intersect(b).withColumn("op", lit("intersect"))
+      val e = a.except(b).withColumn("op", lit("except"))
+      u.union(i).union(e)
+        .groupBy($"op").agg(count(lit(1)).as("n"), sum($"o_custkey").as("key_sum"))
+        .orderBy($"op")
+    }),
+
+    // ---- scalar string/date kitchen-sink ------------------------------
+    "q10_scalar_fns" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .filter($"c_custkey" <= 200)
+        .select(
+          $"c_custkey",
+          length($"c_name").cast("long").as("name_len"),
+          upper($"c_name").as("name_upper"),
+          substring($"c_name", 1, 8).as("name_prefix"),
+          concat($"c_mktsegment", lit("#"), $"c_name").as("seg_name"),
+          reverse($"c_name").as("name_rev"))
+        .orderBy($"c_custkey")
+    }),
+
+    // ---- distinct aggregation -----------------------------------------
+    "q11_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_orderkey").as("n_orders"),
+          countDistinct($"l_suppkey").as("n_suppliers"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ---- conditional aggregation (CASE WHEN inside agg) ---------------
+    "q12_case_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"),
+          exactSum(when($"o_totalprice" > 150000, $"o_totalprice").otherwise(lit(0.0)), 2)
+            .as("big_total"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // ---- events: date_trunc bucketing + JSON extraction ---------------
+    "q13_events_daily" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          exactSum($"value", 6).as("sum_value"),
+          sum(get_json_object($"props", "$.k").cast("long")).as("sum_k"))
+        .orderBy($"day", $"event_type")
+    }),
+
+    // ---- window-derived filter: orders above their customer average ---
+    "q14_above_avg" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+      Tables.orders(s, dir)
+        .withColumn("cust_avg",
+          (sum($"o_totalprice".cast(DecimalType(18, 2))).over(w).cast("double")
+            / count(lit(1)).over(w)))
+        .filter($"o_totalprice" > $"cust_avg" * 1.5)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- rollup (multi-level aggregation) ------------------------------
+    "q15_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // ---- min/max/avg profile across joined dims ------------------------
+    "q16_supplier_profile" -> ((s, dir) => {
+      import s.implicits._
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy($"n_name")
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          min($"s_acctbal").as("min_bal"),
+          max($"s_acctbal").as("max_bal"),
+          (exactSum($"s_acctbal", 2) / count(lit(1))).as("avg_bal"))
+        .orderBy($"n_name")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q4_join_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_topk" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin,
+    "q6_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q7_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q8_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_setops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+        |     b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |     all_ops AS (
+        |       SELECT 'union' AS op, o_custkey FROM (SELECT DISTINCT o_custkey FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+        |       UNION ALL SELECT 'intersect' AS op, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |       UNION ALL SELECT 'except' AS op, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        |SELECT op, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+        |FROM all_ops GROUP BY op ORDER BY op""".stripMargin,
+    "q10_scalar_fns" ->
+      """SELECT c_custkey,
+        |  LENGTH(c_name) AS name_len,
+        |  UPPER(c_name) AS name_upper,
+        |  SUBSTR(c_name, 1, 8) AS name_prefix,
+        |  c_mktsegment || '#' || c_name AS seg_name,
+        |  REVERSE(c_name) AS name_rev
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+    "q11_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q12_case_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(SUM(CAST(CASE WHEN o_totalprice > 150000 THEN o_totalprice ELSE 0.0 END
+        |       AS DECIMAL(18,2))) AS DOUBLE) AS big_total,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q13_events_daily" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q14_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        |  FROM orders)
+        |WHERE o_totalprice > cust_avg * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+    "q15_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q16_supplier_profile" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+        |  MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+  )
+}
