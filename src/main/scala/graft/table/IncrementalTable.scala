@@ -1,0 +1,283 @@
+package graft.table
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.StructType
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/** One atomic commit of an [[IncrementalTable]].
+  *
+  * This is the Delta-log stand-in (no Delta jars in the image; SURVEY.md
+  * §7.4): a table is a hive-partitioned parquet directory plus an ordered
+  * log of these records under `_graft_log/`. Readers replay the log —
+  * they never trust directory listings — so half-moved files from a
+  * crashed writer are invisible.
+  *
+  * Unlike the reference, which records the watermark in an event-log DB
+  * *separately* from the Delta write (assets/processed.py:62 vs
+  * delta_io.py:112 — crash between them double-processes), [[Commit.meta]]
+  * carries watermark/cursor state in the *same* atomic commit as the data.
+  */
+final case class Commit(
+    version: Long,
+    action: String, // "append" | "replace" | "meta"
+    add: Seq[String], // table-root-relative parquet paths
+    remove: Seq[String], // paths logically deleted by this commit
+    partitionFilter: Map[String, String], // for "replace": scope replaced
+    partitionBy: Seq[String], // physical partition column order
+    schemaJson: String, // full schema incl. partition columns
+    meta: Map[String, String], // state committed atomically with the data
+    batchId: Option[Long], // streaming idempotence token
+    ts: Long)
+
+/** Transactional, hive-partitioned parquet table with a minimal JSON
+  * commit log. Provides the three Delta behaviors the reference actually
+  * uses — append (delta_io.py:91,112-116), partition-scoped overwrite
+  * (delta_io.py:92-93,104-107), pruned snapshot read (delta_io.py:118-129)
+  * — plus atomic metadata commit.
+  *
+  * Scale design:
+  *  - All file ops go through the Hadoop FileSystem API, so the same code
+  *    runs on HDFS / S3A object stores, not just local disk.
+  *  - Readers get an explicit pruned file list (log-level partition
+  *    pruning, like Delta's), so a 100k-partition table never pays a
+  *    recursive directory listing; Catalyst then prunes row groups.
+  *  - The log self-compacts: every [[IncrementalTable.checkpointInterval]]
+  *    commits a checkpoint record snapshots the live set, so replay cost
+  *    is O(interval), not O(total commits).
+  *  - Single-writer per table (matches the reference's one-sensor
+  *    workload). Concurrent writers race on the atomic rename of the next
+  *    version file; the loser gets a clean failure, not corruption.
+  */
+final class IncrementalTable(spark: SparkSession, val root: String) {
+  import IncrementalTable._
+  private implicit val fmts: Formats = DefaultFormats
+
+  private val rootPath = new Path(root)
+  private val logPath = new Path(rootPath, "_graft_log")
+  private val stagingPath = new Path(rootPath, "_staging")
+  private def fs: FileSystem = rootPath.getFileSystem(hadoopConf(spark))
+
+  // ------------------------------------------------------------------ log
+
+  /** All commits in version order (from latest checkpoint forward). */
+  def commits(): Seq[Commit] = {
+    if (!fs.exists(logPath)) return Seq.empty
+    val files = fs.listStatus(logPath).map(_.getPath.getName)
+      .filter(_.endsWith(".json")).sorted
+    val (ckpts, deltas) = files.partition(_.endsWith(".checkpoint.json"))
+    val fromVersion = ckpts.lastOption.map(_.takeWhile(_.isDigit).toLong).getOrElse(-1L)
+    val relevant = ckpts.lastOption.toSeq ++
+      deltas.filter(_.takeWhile(_.isDigit).toLong > fromVersion)
+    relevant.sorted.map { name =>
+      val in = fs.open(new Path(logPath, name))
+      try Serialization.read[Commit](new java.io.InputStreamReader(in, "UTF-8"))
+      finally in.close()
+    }.toSeq
+  }
+
+  def exists: Boolean = commits().nonEmpty
+
+  def latestVersion: Long = commits().lastOption.map(_.version).getOrElse(-1L)
+
+  /** Latest committed value for a metadata key (watermarks, cursors). */
+  def latestMeta(key: String): Option[String] =
+    commits().reverse.iterator.flatMap(_.meta.get(key)).nextOption()
+
+  /** Has a streaming micro-batch already been committed? (exactly-once
+    * replay guard for foreachBatch sinks). */
+  def hasBatch(batchId: Long): Boolean =
+    commits().exists(_.batchId.contains(batchId))
+
+  // ----------------------------------------------------------------- read
+
+  /** Live data files after log replay, pruned to partitions matching
+    * `filters` (subset match on `col=value` path segments). */
+  def liveFiles(filters: Map[String, String] = Map.empty): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    commits().foreach { c => live --= c.remove; live ++= c.add }
+    live.toSeq.filter(f => matchesPartition(f, filters))
+  }
+
+  /** Pruned snapshot read (reference W7, delta_io.py:118-129). Explicit
+    * committed-file list + basePath keeps partition columns AND ignores
+    * any uncommitted garbage in the directory tree. */
+  def read(filters: Map[String, String] = Map.empty): DataFrame = {
+    // string-typed partition columns for layout parity with the reference
+    // (delta_io.py:108-110 injects strings); without this Spark would
+    // re-infer year=2024 as int.
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val files = liveFiles(filters)
+    // The committed schema is authoritative: partition-dir values (always
+    // strings on disk) are cast back to their declared types, and a
+    // partition column that is also a data column (e.g. word_length)
+    // keeps its original type and position.
+    val stored = commits().reverse.iterator.map(_.schemaJson)
+      .find(_.nonEmpty).map(StructType.fromDDL)
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        stored.getOrElse(new StructType()))
+    } else {
+      val reader = spark.read.option("basePath", root)
+      stored.foreach(reader.schema)
+      val df = reader.parquet(files.map(f => new Path(rootPath, f).toString): _*)
+      stored.map(s => df.select(s.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+        .getOrElse(df)
+    }
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** Append-commit (reference W4). Injects `partitionValues` as literal
+    * string columns (W3), partitions by `partitionBy`, and atomically
+    * commits data + `meta`. Empty input elides the data write (W6) but
+    * still commits `meta` if present, matching the reference where the
+    * watermark metadata is recorded even when handle_output short-circuits
+    * (delta_io.py:85-86 vs assets/processed.py:62). */
+  def append(df: DataFrame, partitionBy: Seq[String],
+      partitionValues: Map[String, String] = Map.empty,
+      meta: Map[String, String] = Map.empty,
+      batchId: Option[Long] = None): Option[Commit] =
+    write(df, "append", partitionBy, partitionValues, Map.empty, meta, batchId)
+
+  /** Partition-scoped overwrite (reference W5 `replaceWhere`): replaces
+    * exactly the live files whose path matches `partitionFilter`. */
+  def replaceWhere(df: DataFrame, partitionBy: Seq[String],
+      partitionValues: Map[String, String],
+      partitionFilter: Map[String, String],
+      meta: Map[String, String] = Map.empty,
+      batchId: Option[Long] = None): Option[Commit] =
+    write(df, "replace", partitionBy, partitionValues, partitionFilter, meta, batchId)
+
+  /** Metadata-only commit (cursor/watermark advance with no data). */
+  def commitMeta(meta: Map[String, String], batchId: Option[Long] = None): Commit = {
+    val schema = commits().lastOption.map(_.schemaJson).getOrElse("")
+    commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil, schema, meta, batchId, now()))
+  }
+
+  private def write(df: DataFrame, action: String, partitionBy: Seq[String],
+      partitionValues: Map[String, String], partitionFilter: Map[String, String],
+      meta: Map[String, String], batchId: Option[Long]): Option[Commit] = {
+    if (batchId.exists(hasBatch)) return None // idempotent replay
+    val withParts = partitionValues.foldLeft(df) { case (d, (k, v)) =>
+      d.withColumn(k, lit(v))
+    }
+    if (df.isEmpty) { // W6 empty-write elision
+      if (meta.nonEmpty) Some(commitMeta(meta, batchId)) else None
+    } else {
+      // 1. stage: write into a unique dir so added files are exactly known
+      val stage = new Path(stagingPath, UUID.randomUUID().toString)
+      val writer = withParts.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(stage.toString)
+      // 2. promote: rename staged files into the final hive layout.
+      //    A crash here leaves orphans that no commit references —
+      //    invisible to readers, reclaimed by vacuum().
+      val staged = listParquet(fs, stage).map(p => relativize(stage, p))
+      val added = staged.map { rel =>
+        val from = new Path(stage, rel)
+        val to = new Path(rootPath, rel)
+        fs.mkdirs(to.getParent)
+        if (!fs.rename(from, to))
+          throw new java.io.IOException(s"rename failed: $from -> $to")
+        rel
+      }
+      fs.delete(stage, true)
+      // 3. removal set for replace
+      val removed =
+        if (action == "replace") liveFiles(partitionFilter) else Seq.empty
+      val schemaDdl = withParts.schema.toDDL
+      Some(commit(Commit(0, action, added, removed, partitionFilter,
+        partitionBy, schemaDdl, meta, batchId, now())))
+    }
+  }
+
+  private def commit(c: Commit): Commit = {
+    fs.mkdirs(logPath)
+    var version = latestVersion + 1
+    var done = false
+    var res = c
+    while (!done) {
+      res = c.copy(version = version)
+      val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(Serialization.write(res).getBytes("UTF-8")) finally out.close()
+      val dest = new Path(logPath, f"$version%010d.json")
+      if (fs.rename(tmp, dest)) done = true // atomic publish; loser retries
+      else { fs.delete(tmp, false); version += 1 }
+    }
+    maybeCheckpoint(res.version)
+    res
+  }
+
+  /** Snapshot the live set so replay cost stays O(checkpointInterval). */
+  private def maybeCheckpoint(version: Long): Unit =
+    if (version > 0 && version % checkpointInterval == 0) {
+      val last = commits().last
+      val snap = Commit(version, "checkpoint", liveFiles(), Nil, Map.empty,
+        last.partitionBy, last.schemaJson,
+        commits().foldLeft(Map.empty[String, String])(_ ++ _.meta), None, now())
+      val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(Serialization.write(snap).getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, new Path(logPath, f"$version%010d.checkpoint.json"))
+    }
+
+  /** Delete data files no commit references (crash orphans, replaced
+    * partitions). Safe under the single-writer assumption. */
+  def vacuum(): Seq[String] = {
+    val live = liveFiles().toSet
+    val all = listParquet(fs, rootPath)
+      .map(p => relativize(rootPath, p))
+      .filterNot(_.startsWith("_"))
+    val orphans = all.filterNot(live)
+    orphans.foreach(rel => fs.delete(new Path(rootPath, rel), false))
+    fs.delete(stagingPath, true)
+    orphans
+  }
+}
+
+object IncrementalTable {
+  val checkpointInterval = 100
+
+  def hadoopConf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  def apply(spark: SparkSession, root: String): IncrementalTable =
+    new IncrementalTable(spark, root)
+
+  private def listParquet(fs: FileSystem, dir: Path): Seq[String] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toString
+    }
+    out.result()
+  }
+
+  private def relativize(base: Path, full: String): String = {
+    val b = base.toUri.getPath.stripSuffix("/")
+    val f = new Path(full).toUri.getPath
+    f.stripPrefix(b).stripPrefix("/")
+  }
+
+  /** Does a root-relative file path live in a partition matching all
+    * `filters`? Parses hive `k=v` segments from the path. */
+  private[table] def matchesPartition(relPath: String, filters: Map[String, String]): Boolean = {
+    if (filters.isEmpty) return true
+    val segs = relPath.split("/").iterator.flatMap { s =>
+      val i = s.indexOf('=')
+      if (i > 0) Some(s.substring(0, i) -> s.substring(i + 1)) else None
+    }.toMap
+    filters.forall { case (k, v) => segs.get(k).contains(v) }
+  }
+
+  private def now(): Long = System.currentTimeMillis()
+}

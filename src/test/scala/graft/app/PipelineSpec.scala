@@ -1,0 +1,139 @@
+package graft.app
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+
+/** End-to-end pipeline parity on a copy of the reference's fixture corpus
+  * (/root/reference/files_to_ingest/: 51 files day=2024-03-26, 2 files
+  * day=2024-03-27, 4 seq-prefixed files day=2024-03-29; FIXTURES.md §A). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtureSrc = Paths.get("/root/reference/files_to_ingest")
+
+  private def copyFixture(dst: Path, days: Set[String] = Set.empty,
+      limitPerDay: Int = Int.MaxValue): Unit = {
+    Files.walk(fixtureSrc).iterator().asScala
+      .filter(p => p.toString.endsWith(".txt"))
+      .toSeq.sortBy(_.toString)
+      .groupBy(_.getParent.getFileName.toString)
+      .foreach { case (dayDir, files) =>
+        val day = dayDir.stripPrefix("day=")
+        if (days.isEmpty || days.contains(day)) {
+          val d = dst.resolve(dayDir)
+          Files.createDirectories(d)
+          files.take(limitPerDay).foreach(f =>
+            Files.copy(f, d.resolve(f.getFileName.toString),
+              StandardCopyOption.REPLACE_EXISTING))
+        }
+      }
+  }
+
+  private def expectedWords(ingest: Path, day: String): Map[String, String] = {
+    val d = ingest.resolve(s"day=$day")
+    if (!Files.isDirectory(d)) Map.empty
+    else Files.list(d).iterator().asScala
+      .filter(_.toString.endsWith(".txt"))
+      .map(p => p.getFileName.toString -> new String(Files.readAllBytes(p), "UTF-8"))
+      .toMap
+  }
+
+  test("backfill materializes the full reference corpus with parity layout") {
+    val root = Paths.get(tmpDir("pipe"))
+    val ingest = root.resolve("files_to_ingest")
+    copyFixture(ingest)
+    val pipe = new Pipeline(spark, ingest.toString, root.resolve("tables").toString)
+
+    val days = pipe.tickAndIngest(scanAllDays = true)
+    assert(days.sorted == Seq("2024-03-26", "2024-03-27", "2024-03-29"))
+    days.foreach(pipe.runAll(_))
+
+    val processed = pipe.processed.read()
+    assert(processed.count() == 57)
+    // contents match the files exactly (P3-P5)
+    val got = processed.select($"filename", $"word", $"word_length")
+      .as[(String, String, Long)].collect()
+    val expected = days.flatMap(d => expectedWords(ingest, d)).toMap
+    got.foreach { case (f, w, l) =>
+      assert(expected(f) == w, s"word mismatch for $f")
+      assert(l == w.length)
+    }
+    // physical layout parity: year=2024/month=03/day=26/word_length=N
+    val d26 = root.resolve("tables/processed/v1/year=2024/month=03/day=26")
+    assert(Files.isDirectory(d26))
+    assert(Files.list(d26).iterator().asScala.exists(
+      _.getFileName.toString.startsWith("word_length=")))
+
+    // backwards: reversed words, partitioned by year/month/day only
+    pipe.backwards.read().select($"filename", $"word").as[(String, String)]
+      .collect().foreach { case (f, w) => assert(w == expected(f).reverse) }
+    assert(Files.isDirectory(root.resolve("tables/backwards/v1/year=2024/month=03/day=26")))
+    assert(!Files.list(root.resolve("tables/backwards/v1/year=2024/month=03/day=26"))
+      .iterator().asScala.exists(_.getFileName.toString.startsWith("word_length=")))
+  }
+
+  test("incremental ticks: new files only, no dup no loss, watermark advances") {
+    val root = Paths.get(tmpDir("pipe"))
+    val ingest = root.resolve("files_to_ingest")
+    copyFixture(ingest, days = Set("2024-03-26"), limitPerDay = 10)
+    val pipe = new Pipeline(spark, ingest.toString, root.resolve("tables").toString)
+    val day = "2024-03-26"
+
+    pipe.tickAndIngest(scanAllDays = true)
+    pipe.runAll(day)
+    assert(pipe.processed.read().count() == 10)
+    assert(pipe.processed.latestMeta(s"watermark/$day").contains("10"))
+
+    // late arrivals: 5 more files drop in
+    copyFixture(ingest, days = Set("2024-03-26"), limitPerDay = 15)
+    pipe.tickAndIngest(scanAllDays = true)
+    pipe.runAll(day)
+    val processed = pipe.processed.read()
+    assert(processed.count() == 15)
+    assert(processed.select($"filename").distinct().count() == 15) // no dup
+    assert(pipe.processed.latestMeta(s"watermark/$day").contains("15"))
+
+    // idle tick: nothing new -> no data commit, watermark stable
+    val before = pipe.processed.latestVersion
+    pipe.tickAndIngest(scanAllDays = true)
+    pipe.runProcessed(day)
+    assert(pipe.processed.read().count() == 15)
+
+    // backwards rerun after growth does NOT duplicate (fix of readme.md:13)
+    pipe.runBackwards(day)
+    pipe.runBackwards(day)
+    assert(pipe.backwards.read().count() == 15)
+  }
+
+  test("refresh is a partition-scoped overwrite and idempotent (§3.3)") {
+    val root = Paths.get(tmpDir("pipe"))
+    val ingest = root.resolve("files_to_ingest")
+    copyFixture(ingest, days = Set("2024-03-26", "2024-03-27"))
+    val pipe = new Pipeline(spark, ingest.toString, root.resolve("tables").toString)
+    pipe.tickAndIngest(scanAllDays = true)
+    Seq("2024-03-26", "2024-03-27").foreach(pipe.runAll(_))
+    assert(pipe.processed.read().count() == 53)
+
+    // refresh day 26 twice: contents unchanged, day 27 untouched
+    pipe.runAll("2024-03-26", refresh = true)
+    pipe.runAll("2024-03-26", refresh = true)
+    assert(pipe.processed.read().count() == 53)
+    assert(pipe.processed.read(Map("day" -> "27")).count() == 2)
+    assert(pipe.backwards.read().count() == 53)
+  }
+
+  test("missing/gap day partitions default to empty, not failure (L3/W6)") {
+    val root = Paths.get(tmpDir("pipe"))
+    val ingest = root.resolve("files_to_ingest")
+    copyFixture(ingest, days = Set("2024-03-26"))
+    val pipe = new Pipeline(spark, ingest.toString, root.resolve("tables").toString)
+    pipe.tickAndIngest(scanAllDays = true)
+    // 2024-03-28 never existed (the corpus gap day)
+    pipe.runAll("2024-03-28")
+    assert(pipe.processed.read(Map("day" -> "28")).count() == 0)
+    // no empty partition dirs created (W6 elision)
+    assert(!Files.isDirectory(root.resolve("tables/processed/v1/year=2024/month=03/day=28")))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.table
+
+import graft.SparkSpec
+
+class IncrementalTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append + pruned read round-trips with partition columns") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t1")
+    val df = Seq(("a.txt", "story", 5L), ("b.txt", "go", 2L))
+      .toDF("filename", "word", "word_length")
+    t.append(df, Seq("year", "month", "day", "word_length"),
+      Map("year" -> "2024", "month" -> "03", "day" -> "26"))
+
+    val back = t.read()
+    assert(back.columns.toSeq ==
+      Seq("filename", "word", "word_length", "year", "month", "day"))
+    assert(back.schema("word_length").dataType.typeName == "long")
+    assert(back.schema("month").dataType.typeName == "string")
+    assert(back.count() == 2)
+
+    val pruned = t.read(Map("word_length" -> "5"))
+    assert(pruned.select("filename").as[String].collect().toSeq == Seq("a.txt"))
+  }
+
+  test("second append accumulates; reads see only committed files") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t2")
+    val p = Seq("year", "month", "day")
+    val v = Map("year" -> "2024", "month" -> "03", "day" -> "26")
+    t.append(Seq(("a", 1L)).toDF("k", "n"), p, v)
+    t.append(Seq(("b", 2L)).toDF("k", "n"), p, v)
+    assert(t.read().count() == 2)
+    assert(t.commits().map(_.action) == Seq("append", "append"))
+  }
+
+  test("replaceWhere swaps only the matching partition (delta_io.py:104-107)") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t3")
+    val p = Seq("year", "month", "day")
+    def v(day: String) = Map("year" -> "2024", "month" -> "03", "day" -> day)
+    t.append(Seq(("old26", 1L)).toDF("k", "n"), p, v("26"))
+    t.append(Seq(("keep27", 1L)).toDF("k", "n"), p, v("27"))
+    t.replaceWhere(Seq(("new26a", 2L), ("new26b", 3L)).toDF("k", "n"),
+      p, v("26"), partitionFilter = v("26"))
+
+    val all = t.read().select($"k").as[String].collect().toSet
+    assert(all == Set("new26a", "new26b", "keep27"))
+    // physical file of old26 still on disk but unreferenced until vacuum
+    val orphans = t.vacuum()
+    assert(orphans.nonEmpty)
+    assert(t.read().select($"k").as[String].collect().toSet ==
+      Set("new26a", "new26b", "keep27"))
+  }
+
+  test("empty write elides data but commits watermark meta atomically (W6+P6)") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t4")
+    val empty = Seq.empty[(String, Long)].toDF("k", "n")
+    val c = t.append(empty, Seq("day"), Map("day" -> "2024-03-28"),
+      meta = Map("watermark/2024-03-28" -> "7"))
+    assert(c.exists(_.action == "meta"))
+    assert(t.latestMeta("watermark/2024-03-28").contains("7"))
+    assert(t.liveFiles().isEmpty)
+  }
+
+  test("batchId replay is a no-op (exactly-once foreachBatch guard)") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t5")
+    val df = Seq(("a", 1L)).toDF("k", "n")
+    assert(t.append(df, Seq("day"), Map("day" -> "d"), batchId = Some(7L)).isDefined)
+    assert(t.append(df, Seq("day"), Map("day" -> "d"), batchId = Some(7L)).isEmpty)
+    assert(t.read().count() == 1)
+  }
+
+  test("uncommitted staging files are invisible to readers") {
+    val root = tmpDir("itab") + "/t6"
+    val t = IncrementalTable(spark, root)
+    t.append(Seq(("a", 1L)).toDF("k", "n"), Seq("day"), Map("day" -> "d"))
+    // simulate a crashed writer: parquet file in the tree, no commit
+    val rogue = new java.io.File(s"$root/day=d/part-rogue.parquet")
+    java.nio.file.Files.write(rogue.toPath, Array[Byte](1, 2, 3))
+    assert(t.read().count() == 1)
+    t.vacuum()
+    assert(!rogue.exists())
+  }
+
+  test("meta survives checkpoint compaction") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t7")
+    (1 to IncrementalTable.checkpointInterval + 3).foreach { i =>
+      t.commitMeta(Map("wm" -> i.toString))
+    }
+    assert(t.latestMeta("wm").contains((IncrementalTable.checkpointInterval + 3).toString))
+    // replay starts from the checkpoint, not version 0
+    assert(t.commits().head.action == "checkpoint")
+  }
+}
