@@ -1,10 +1,151 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
 
-/** Text-analysis operators for training-data pipelines (language ID,
-  * quality scoring, token counting, fingerprinting) over `documents`. */
+/** Text-analysis operators for training-data pipelines (token counting,
+  * quality scoring, language ID, fingerprinting) over `documents`.
+  *
+  * All four are narrow per-row projections built from codegen'd built-in
+  * expressions (no UDFs, no shuffle except the final presentation sort),
+  * so at 100 TB they run as a single embarrassingly-parallel scan stage
+  * with full parquet column pruning (only `doc_id`/`text`/`lang` read).
+  *
+  * Determinism contract with the DuckDB oracle: all emitted doubles are
+  * single IEEE divisions of exact integers (`k / n`), identical in both
+  * engines without rounding; strings are md5 hex; ints are cast to long
+  * to match DuckDB BIGINT.
+  */
 object QueriesText {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- token counting + surface statistics --------------------------
+    "q17_text_stats" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      Tables.documents(s, dir)
+        .select(
+          $"doc_id",
+          length($"text").cast("long").as("n_chars"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_types"),
+          (length(replace($"text", lit(" "), lit(""))).cast("long")
+            / size(toks).cast("long")).as("avg_token_len"),
+          (size(array_distinct(toks)).cast("long")
+            / size(toks).cast("long")).as("type_token_ratio"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- quality scoring (length window + stopword + short-token mix) -
+    "q18_text_quality" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val nTok = size(toks).cast("long")
+      val stopRatio = TextOps.tokensIn(toks, TextOps.stopwords) / nTok
+      val shortRatio = size(filter(toks, t => length(t) <= 2)).cast("long") / nTok
+      val lenOk = when(length($"text").between(100, 450), 1L).otherwise(0L)
+      Tables.documents(s, dir)
+        .select(
+          $"doc_id",
+          lenOk.as("len_ok"),
+          stopRatio.as("stop_ratio"),
+          shortRatio.as("short_ratio"),
+          (lenOk * lit(0.5) + stopRatio * lit(2.0)
+            + (lit(1.0) - shortRatio) * lit(0.25)).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- language-ID heuristic: argmax of per-language marker hits ----
+    // (tie-break de < en < es < fr, the CASE order). The corpus text is
+    // synthetic shared-vocab word salad, so the heuristic's value is its
+    // determinism and plumbing, not its accuracy; the declared `lang`
+    // column rides along for a confusion-matrix readout.
+    "q19_text_langid" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val score = TextOps.langMarkers.map { case (l, ws) =>
+        l -> TextOps.tokensIn(toks, ws)
+      }.toMap
+      val pred = when(score("de") >= greatest(score("en"), score("es"), score("fr")), "de")
+        .when(score("en") >= greatest(score("es"), score("fr")), "en")
+        .when(score("es") >= score("fr"), "es")
+        .otherwise("fr")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", pred.as("pred_lang"),
+          score("de").as("s_de"), score("en").as("s_en"),
+          score("es").as("s_es"), score("fr").as("s_fr"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- document fingerprinting: md5 + min-shingle sketch ------------
+    // The min-of-shingle-hashes column is a 1-permutation MinHash: equal
+    // sketches => likely-overlapping shingle sets. Engine-neutral because
+    // the hash is md5 hex and min is lexicographic.
+    "q20_text_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val sh = TextOps.wordShingles($"text", 3)
+      Tables.documents(s, dir)
+        .select(
+          $"doc_id",
+          TextOps.fingerprint($"text").as("fp"),
+          substring(TextOps.fingerprint($"text"), 1, 16).as("fp_prefix"),
+          size(sh).cast("long").as("n_shingles"),
+          TextOps.minShingleFingerprint(sh).as("min_shingle_fp"))
+        .orderBy($"doc_id")
+    }),
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
+  private def inSetSql(set: Seq[String]): String = {
+    val lits = set.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($toksSql, t -> list_contains([$lits], t)))"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q17_text_stats" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len($toksSql) AS n_tokens,
+         |  len(list_distinct($toksSql)) AS n_types,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($toksSql) AS avg_token_len,
+         |  CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql) AS type_token_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q18_text_quality" ->
+      s"""SELECT doc_id, len_ok, stop_ratio, short_ratio,
+         |  CAST(len_ok AS DOUBLE) * CAST(0.5 AS DOUBLE)
+         |    + stop_ratio * CAST(2.0 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - short_ratio) * CAST(0.25 AS DOUBLE) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(text) BETWEEN 100 AND 450 THEN 1 ELSE 0 END AS BIGINT) AS len_ok,
+         |    CAST(${inSetSql(TextOps.stopwords)} AS DOUBLE) / len($toksSql) AS stop_ratio,
+         |    CAST(len(list_filter($toksSql, t -> length(t) <= 2)) AS DOUBLE) / len($toksSql) AS short_ratio
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q19_text_langid" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+         |       WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang,
+         |  s_de, s_en, s_es, s_fr
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    ${TextOps.langMarkers.map { case (l, ws) => s"${inSetSql(ws)} AS s_$l" }.mkString(",\n    ")}
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q20_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(text) AS fp,
+         |  substr(md5(text), 1, 16) AS fp_prefix,
+         |  len(sh) AS n_shingles,
+         |  list_min(list_transform(sh, s -> md5(s))) AS min_shingle_fp
+         |FROM (
+         |  SELECT doc_id, text,
+         |    list_distinct(list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         |  FROM (SELECT doc_id, text, $toksSql AS w FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis building blocks for the large-scale
+  * training-data operators (dedup, language-ID, quality scoring,
+  * fingerprinting) over the `documents` table.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` only —
+  * higher-order array functions and built-in scalar expressions, all
+  * whole-stage-codegen friendly. No UDFs: a Scala UDF would break codegen
+  * and serialize per-row; these stay inside Catalyst.
+  *
+  * Cross-engine determinism notes (the driver hash-compares against
+  * DuckDB):
+  *  - integer-ratio doubles (`k / n`) are IEEE-exact and order-free, so
+  *    they match DuckDB bit-for-bit without rounding;
+  *  - `md5` hex strings are engine-independent;
+  *  - `xxhash64` is Spark-specific and only ever used *inside* operators
+  *    whose final output is verified by exact, engine-neutral math
+  *    (MinHash/SimHash candidates are re-checked with exact Jaccard).
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties dropped (leading/double spaces in the
+    * corpus would otherwise produce "" tokens). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Distinct word n-gram shingles ("w-shingling"); the unit of the
+    * near-dup Jaccard measure. Docs shorter than n words have no shingle.
+    * Char n-grams are useless on this corpus (shared vocab pushes all
+    * pairwise char-3-gram Jaccards above 0.5); word shingles separate the
+    * planted near-dup pairs (J >= 0.9) from background (J < 0.03). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of tokens that appear in `set` (exact membership). */
+  def tokensIn(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(set))).cast("long")
+
+  /** English-ish stopword list used by quality scoring. Kept tiny and
+    * mirrored verbatim in the DuckDB oracle SQL. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Per-language stopword marker sets for the n-gram-free language-ID
+    * heuristic (argmax of marker hits, ties broken de<en<es<fr). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+  )
+
+  /** MD5 hex fingerprint of a string column (engine-neutral). */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Lexicographic min of the shingle MD5s — a 1-permutation MinHash
+    * usable as a cheap locality-sensitive doc sketch, and deterministic
+    * across engines (hex-string compare). Null when no shingles. */
+  def minShingleFingerprint(shingles: Column): Column =
+    array_min(transform(shingles, s => md5(s.cast("binary"))))
+}
