@@ -1,24 +1,63 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: every SparkEntry query on SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (VERDICT r1 "what's wrong" #6):
+  *  - one untimed warmup pass over the full query set (JVM/JIT/codegen
+  *    caches, parquet footer reads) so the first query isn't billed ~4s
+  *    of session warmup;
+  *  - median of 3 timed runs per query;
+  *  - results materialize through the `noop` datasource sink — full
+  *    computation of every output column on the executors, no driver
+  *    collect; a bare `.count()` would let Catalyst drop sorts and prune
+  *    all columns, understating real work.
+  *
+  * Output: ONE machine-parseable JSON line on stdout (build.sbt routes
+  * forked stdout through unlogged, so no sbt `[info]` prefix) and the
+  * same JSON at bench_result.json.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2)
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n => // warmup, untimed
+      try runOnce(SparkEntry.queries(n)) catch { case _: Throwable => () }
+    }
+    val results = names.map { n =>
+      val ts = (1 to iters).flatMap { _ =>
+        try Some(runOnce(SparkEntry.queries(n)))
+        catch { case _: Throwable => None }
+      }
+      n -> (if (ts.isEmpty) -1.0 else median(ts))
+    }
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":1}"""
+    Files.writeString(Paths.get("bench_result.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }
