@@ -1,10 +1,82 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, TextOps}
 
-/** Deduplication operators (exact, MinHash+LSH, SimHash, n-gram Jaccard,
-  * embedding near-dup) over `documents`/`embeddings`. */
+/** Deduplication operators for training-data pipelines over `documents`:
+  * exact (hash groupBy), exact n-gram Jaccard (inverted-index join),
+  * MinHash+LSH (banded buckets), SimHash (chunk buckets). See
+  * [[graft.functions.Dedup]] for the shuffle-first scale design.
+  *
+  * q22/q23/q24 share one output contract — near-dup pairs `(a_id, b_id,
+  * jaccard)` at word-3-gram Jaccard >= 0.5 — and therefore one DuckDB
+  * oracle (all-pairs exact Jaccard; fine at sf0.01). The corpus plants
+  * 25 near-dup pairs at J >= 0.9 with the next pair below J = 0.03, so
+  * the probabilistic candidate stages (MinHash bands, SimHash chunks)
+  * have astronomically-safe recall margins, and the exact verify stage
+  * makes precision exact.
+  */
 object QueriesDedup {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private val N = 3      // word-shingle width
+  private val Tau = 0.5  // near-dup Jaccard threshold
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup: content-hash groups, keep-first ------------------
+    "q21_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.exactGroups(Tables.documents(s, dir), $"doc_id", $"text")
+        .orderBy($"fp")
+    }),
+
+    // ---- exact near-dup: inverted-index candidates + exact Jaccard ----
+    "q22_dedup_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), $"doc_id", $"text", N, Tau)
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // ---- MinHash+LSH near-dup: banded signature buckets + verify ------
+    "q23_dedup_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashLshPairs(Tables.documents(s, dir), $"doc_id", $"text", N, Tau)
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // ---- SimHash near-dup: 8x8-bit chunk buckets + Hamming + verify ---
+    "q24_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashPairs(Tables.documents(s, dir), $"doc_id", $"text", N, Tau)
+        .orderBy($"a_id", $"b_id")
+    }),
+  )
+
+  /** All-pairs exact word-3-gram Jaccard at tau — the engine-neutral
+    * ground truth all three near-dup methods must reproduce. */
+  private val pairsSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS w
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM w),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS li,
+       |    CAST(len(a.sh) AS BIGINT) AS na, CAST(len(b.sh) AS BIGINT) AS nb
+       |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(li AS DOUBLE) / (na + nb - li) AS jaccard
+       |FROM p WHERE CAST(li AS DOUBLE) / (na + nb - li) >= $Tau
+       |ORDER BY a_id, b_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q21_dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+    "q22_dedup_ngram_jaccard" -> pairsSql,
+    "q23_dedup_minhash_lsh" -> pairsSql,
+    "q24_dedup_simhash" -> pairsSql,
+  )
 }
