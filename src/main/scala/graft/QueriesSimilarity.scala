@@ -1,10 +1,111 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+import graft.functions.Vectors.Scored
 
-/** Similarity search over the `embeddings` table: brute-force cosine
-  * top-k baseline + LSH/IVF-bucketed scale path. */
+/** Similarity search over `embeddings` (`vec_id`, `embedding:
+  * array<float>[64]`, `label`):
+  *
+  *  - q25: embedding-cosine near-dup pairs, blocked by the coarse
+  *    `label` column (IVF-style bucketing: pairs are only scored within
+  *    a block, never across the full cross product);
+  *  - q26: brute-force cosine top-k via the bounded [[Vectors.TopK]]
+  *    typed Aggregator (map-side partial top-k, shuffle carries only
+  *    partitions×k rows);
+  *  - q27: sign-LSH bucketed ANN variant of q26 — approximate by
+  *    design (the corpus is near-uniform random, so no ANN structure
+  *    reaches recall 1), hence no SQL oracle: the driver records a
+  *    rows-only check and `AnnSpec` pins its deterministic output.
+  *
+  * Raw cosine scores are intentionally not emitted: Spark folds in
+  * double, DuckDB's `list_cosine_similarity` in float32 (~3e-8 apart),
+  * and the corpus's smallest membership margins (7.6e-3 at the 0.42
+  * threshold, 1.9e-5 at the rank-5/6 boundary) make *membership and
+  * rank* engine-stable while raw floats are not.
+  */
 object QueriesSimilarity {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private val NearDupTau = 0.42
+  private val K = 5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- near-dup pairs within label blocks ---------------------------
+    "q25_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val a = e.select($"label", $"vec_id".as("a_id"), $"embedding".as("ea"))
+      val b = e.select($"label", $"vec_id".as("b_id"), $"embedding".as("eb"))
+      a.join(b, Seq("label")).filter($"a_id" < $"b_id")
+        .filter(Vectors.cosine($"ea", $"eb") >= NearDupTau)
+        .select($"a_id", $"b_id", $"label")
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // ---- brute-force cosine top-k (typed TopK Aggregator) -------------
+    "q26_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("nid"),
+          Vectors.cosine($"qe", $"embedding").as("sim"))
+        .as[Scored]
+      val top = new Vectors.TopK(K).toColumn
+      scored.groupByKey(_.qid).agg(top.name("top"))
+        .flatMap { case (qid, tops) =>
+          tops.zipWithIndex.map { case ((_, nid), i) => (qid, (i + 1).toLong, nid) }
+        }
+        .toDF("q_id", "rnk", "n_id")
+        .orderBy($"q_id", $"rnk")
+    }),
+
+    // ---- ANN: sign-LSH bucket probe + exact rerank within bucket ------
+    "q27_cosine_topk_ann" -> ((s, dir) => {
+      import s.implicits._
+      val planes = Vectors.hyperplanes(nPlanes = 6, dim = 64)
+      val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", Vectors.signLshBucket($"embedding", planes))
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bucket")
+      // probe = the query's own bucket; production would multi-probe
+      // neighboring buckets to trade recall for cost
+      val scored = e.join(q, Seq("bucket"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("nid"),
+          Vectors.cosine($"qe", $"embedding").as("sim"))
+        .as[Scored]
+      val top = new Vectors.TopK(K).toColumn
+      scored.groupByKey(_.qid).agg(top.name("top"))
+        .flatMap { case (qid, tops) =>
+          tops.zipWithIndex.map { case ((_, nid), i) => (qid, (i + 1).toLong, nid) }
+        }
+        .toDF("q_id", "rnk", "n_id")
+        .orderBy($"q_id", $"rnk")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q25_embed_neardup" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= $NearDupTau
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q26_cosine_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |s AS (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |    list_cosine_similarity(qe, e.embedding) AS sim
+         |  FROM q, embeddings e WHERE e.vec_id <> q_id),
+         |r AS (
+         |  SELECT q_id, n_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT q_id, rnk, n_id FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+  )
 }

