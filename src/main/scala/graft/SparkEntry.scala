@@ -25,12 +25,13 @@ object SparkEntry {
     * large-scale training-data operators). Grouped in Queries*.scala. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesPipeline.queries ++ QueriesText.queries ++
-      QueriesDedup.queries ++ QueriesSimilarity.queries
+      QueriesDedup.queries ++ QueriesSimilarity.queries ++
+      QueriesMultimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesPipeline.oracleSql ++
       QueriesText.oracleSql ++ QueriesDedup.oracleSql ++
-      QueriesSimilarity.oracleSql
+      QueriesSimilarity.oracleSql ++ QueriesMultimodal.oracleSql
 }
