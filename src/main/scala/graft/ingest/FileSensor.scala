@@ -1,12 +1,13 @@
 package graft.ingest
 
-import java.time.LocalDate
+import java.time.{LocalDate, ZoneOffset}
 import java.time.format.DateTimeFormatter
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-import graft.state.{Cursor, CursorStore, JsonStore}
+import graft.state.{JsonStore, SensorClock}
 
 /** One sensor dispatch: a day-partition with newly arrived files, each
   * tagged with its monotone arrival sequence number (the reference passes
@@ -22,25 +23,36 @@ final case class RunRequest(day: String, newFiles: Seq[(Long, String)])
   *  - S2 candidate-day pruning: only today + the previous tick's day (a
   *    ~1-day allowed-lateness bound, sensors.py:40-42); `scanAllDays`
   *    covers backfill (listing.py:19-28)
-  *  - S3 new-file detection: listed − cursor.seen (sensors.py:53)
-  *  - S4 cursor persistence: atomic JSON doc (sensors.py:31-37,72-79)
+  *  - S3 new-file detection: `left_anti` join of the listed files against
+  *    the downstream listing table (sensors.py:53's set difference,
+  *    relationally)
+  *  - S4 cursor state: the listing table IS the cursor. The reference
+  *    (and round-1's JSON seen-set) kept "seen" in a second store written
+  *    before the listing append — a crash between the two dropped files
+  *    forever (ADVICE r1 #1). Deriving seen-ness from the listing itself
+  *    makes detect→append atomic by construction: a crash before the
+  *    append just re-detects the same files next tick. Only the tick
+  *    clock (for the S2 day window) persists separately, and losing it
+  *    merely widens the rescan window.
   *  - S5 run-request fan-out: one RunRequest per day with news
   *
-  * Scale: per-day file sets live in one JSON doc — right for the
-  * reference's arrival rates (1 file/30-60s, generate.py:34). At
-  * millions of files/day the cursor becomes an IncrementalTable keyed by
-  * (day, filename) and S3 becomes a left_anti join; the streaming path
-  * (StreamIngest) already gets exactly that from the file-source
-  * checkpoint, which is why it is the steady-state recommendation.
+  * Scale: the per-day `listStatus` is driver-side (bounded by one day's
+  * arrivals — the same contract as a streaming file source's discovery),
+  * but the seen-diff is a distributed anti-join against the listing
+  * table, so no all-history file set ever lives in driver memory. The
+  * steady-state recommendation remains [[StreamIngest]], where discovery
+  * and dedup both live in the streaming checkpoint.
   */
 final class FileSensor(
     spark: SparkSession,
     ingestRoot: String,
     stateDir: String,
+    seenSource: String => DataFrame, // day -> DataFrame(seq: long, filename)
     name: String = "ingest",
     suffix: String = ".txt") {
 
-  private val store: JsonStore[Cursor] = CursorStore(spark, stateDir, name)
+  private val clockStore: JsonStore[SensorClock] =
+    new JsonStore[SensorClock](spark, stateDir, s"clock_$name")
   private def fs = new Path(ingestRoot)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -55,37 +67,46 @@ final class FileSensor(
     else fs.listStatus(new Path(ingestRoot)).map(_.getPath.getName)
       .filter(_.startsWith("day=")).map(_.stripPrefix("day=")).sorted.toSeq
 
-  /** One sensor tick. Returns run requests for days with new files and
-    * atomically advances the cursor. */
-  def tick(now: LocalDate = LocalDate.now(), scanAllDays: Boolean = false): Seq[RunRequest] = {
-    val cursor = store.load().getOrElse(Cursor.empty)
+  /** One sensor tick. Returns run requests for days with new files. The
+    * caller materializes them into the listing table; nothing is marked
+    * seen until that append commits. */
+  def tick(now: LocalDate = LocalDate.now(ZoneOffset.UTC),
+      scanAllDays: Boolean = false): Seq[RunRequest] = {
+    import spark.implicits._
+    val clock = clockStore.load().getOrElse(SensorClock(None))
     val fmt = DateTimeFormatter.ISO_LOCAL_DATE
     val days: Seq[String] =
       if (scanAllDays) allDays()
       else {
-        val prevDay = cursor.lastTickMillis.map(ms =>
+        // today and the previous tick's day derive from the SAME UTC
+        // clock (ADVICE r1: mixing system-zone `now` with a UTC
+        // lastTick dropped the previous day near midnight)
+        val prevDay = clock.lastTickMillis.map(ms =>
           java.time.Instant.ofEpochMilli(ms)
-            .atZone(java.time.ZoneOffset.UTC).toLocalDate.format(fmt))
+            .atZone(ZoneOffset.UTC).toLocalDate.format(fmt))
         (Set(now.format(fmt)) ++ prevDay).toSeq.sorted
       }
 
-    var seen = cursor.seen
-    var seqs = cursor.seq
     val requests = days.flatMap { day =>
       val listed = listDay(day)
-      val prev = seen.getOrElse(day, Set.empty)
-      // sorted for intra-tick determinism; across ticks order = arrival
-      val news = listed.filterNot(prev).sorted
-      if (news.isEmpty) None
+      if (listed.isEmpty) None
       else {
-        val start = seqs.getOrElse(day, 0L)
-        val numbered = news.zipWithIndex.map { case (f, i) => (start + i, f) }
-        seen = seen.updated(day, prev ++ news)
-        seqs = seqs.updated(day, start + news.length)
-        Some(RunRequest(day, numbered))
+        val prior = seenSource(day)
+        // S3 as a distributed anti-join; only genuinely-new names return
+        // to the driver (bounded by this tick's arrivals)
+        val news = listed.toDF("filename")
+          .join(prior.select($"filename"), Seq("filename"), "left_anti")
+          .as[String].collect().sorted
+        if (news.isEmpty) None
+        else {
+          val start = prior.agg(coalesce(max($"seq") + 1, lit(0L)))
+            .as[Long].head()
+          val numbered = news.zipWithIndex.map { case (f, i) => (start + i, f) }
+          Some(RunRequest(day, numbered.toSeq))
+        }
       }
     }
-    store.save(Cursor(seen, seqs, Some(System.currentTimeMillis())))
+    clockStore.save(SensorClock(Some(System.currentTimeMillis())))
     requests
   }
 }

@@ -58,8 +58,20 @@ final case class PartitionSpec(entries: Seq[String]) {
       case "$time$expand" =>
         partitionBy ++= timeCols
         val parts = key.split("-")
+        val weekly = timeCols.contains("week")
         timeValues = timeCols.zipWithIndex.map { case (name, i) =>
-          name -> (if (name == "week") PartitionSpec.isoWeek(key) else parts(i))
+          val v = name match {
+            case "week" => PartitionSpec.isoWeek(key)
+            // Weekly grain: year must be the ISO week-BASED year, or
+            // year-boundary dates collide (2024-12-30 is ISO 2025-W01;
+            // the calendar year would file it under year=2024/week=01
+            // with 2024-01-01). The reference has this bug
+            // (delta_io.py:38-43 + split('-')[0]); we fix rather than
+            // reproduce it (ADVICE r1 #3).
+            case "year" if weekly => PartitionSpec.isoWeekYear(key)
+            case _ => parts(i)
+          }
+          name -> v
         }.toMap
       case attr =>
         partitionBy += attr
@@ -74,6 +86,13 @@ object PartitionSpec {
     val week = LocalDate.parse(key.take(10))
       .get(WeekFields.ISO.weekOfWeekBasedYear())
     f"$week%02d"
+  }
+
+  /** ISO-8601 week-based year of a `YYYY-MM-DD[...]` key. */
+  def isoWeekYear(key: String): String = {
+    val y = LocalDate.parse(key.take(10))
+      .get(WeekFields.ISO.weekBasedYear())
+    f"$y%04d"
   }
 
   val timeExpand: PartitionSpec = PartitionSpec(Seq("$time$expand"))

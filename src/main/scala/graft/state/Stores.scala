@@ -7,29 +7,21 @@ import org.apache.spark.sql.SparkSession
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
-/** Sensor cursor: which files have been seen per day-partition, plus the
-  * last tick time — the reference's `Cursor = dict[str, set[str]]` +
-  * timestamp, JSON-persisted across ticks
-  * (/root/reference/ingest_example/sensors.py:18,31-37,72-79).
-  *
-  * `seq` additionally records a monotone per-day arrival counter, fixing
-  * the reference's listdir-order nondeterminism (sensors.py:49,
-  * assets/listing.py:26): the watermark keys on an explicit sequence, so
-  * a reordered listing can never skip or double-process files
-  * (SURVEY.md §7.4 hard part 3).
-  */
-final case class Cursor(
-    seen: Map[String, Set[String]], // day -> filenames already ingested
-    seq: Map[String, Long], // day -> next arrival sequence number
-    lastTickMillis: Option[Long])
-
-object Cursor { val empty: Cursor = Cursor(Map.empty, Map.empty, None) }
+/** Sensor tick clock — the only sensor state that lives outside the
+  * listing table. The reference persisted the full seen-file map here
+  * too (`Cursor = dict[str, set[str]]`,
+  * /root/reference/ingest_example/sensors.py:18,31-37,72-79), which is
+  * O(all files) driver memory AND races with the listing write (a crash
+  * between cursor-save and listing-append dropped files forever —
+  * ADVICE r1 #1). Seen-ness now derives from the listing table itself
+  * (see [[graft.ingest.FileSensor]]); losing this clock only widens the
+  * next tick's candidate-day rescan window, never loses or dups data. */
+final case class SensorClock(lastTickMillis: Option[Long])
 
 /** Tiny atomic JSON document store (Hadoop FS API: works on HDFS/S3A).
-  * Used for sensor cursors; table-coupled state (watermarks) instead
-  * rides in IncrementalTable commit metadata so it is atomic with the
-  * data write. Single-writer, last-write-wins; version counter guards
-  * against torn reads. */
+  * Used for the sensor clock; table-coupled state (watermarks, seen
+  * files) instead rides in IncrementalTable commits so it is atomic
+  * with the data. Single-writer, last-write-wins. */
 final class JsonStore[T <: AnyRef](spark: SparkSession, dir: String, name: String)(
     implicit mf: Manifest[T]) {
   private implicit val fmts: Formats = DefaultFormats
@@ -50,15 +42,10 @@ final class JsonStore[T <: AnyRef](spark: SparkSession, dir: String, name: Strin
     val out = fs.create(tmp, false)
     try out.write(Serialization.write(value).getBytes("UTF-8")) finally out.close()
     // overwriting atomic publish: delete-then-rename is fine for the
-    // single-writer sensor; a crash between them loses no data (next
-    // tick full-rescans the bounded candidate-day window).
+    // single-writer sensor; a crash between them loses only the tick
+    // clock, which self-heals (window widens one tick).
     if (fs.exists(doc)) fs.delete(doc, false)
     if (!fs.rename(tmp, doc))
-      throw new java.io.IOException(s"cursor publish failed: $doc")
+      throw new java.io.IOException(s"state publish failed: $doc")
   }
-}
-
-object CursorStore {
-  def apply(spark: SparkSession, dir: String, sensorName: String): JsonStore[Cursor] =
-    new JsonStore[Cursor](spark, dir, s"cursor_$sensorName")
 }

@@ -25,7 +25,7 @@ import org.json4s.jackson.Serialization
   */
 final case class Commit(
     version: Long,
-    action: String, // "append" | "replace" | "meta"
+    action: String, // "append" | "replace" | "meta" | "checkpoint"
     add: Seq[String], // table-root-relative parquet paths
     remove: Seq[String], // paths logically deleted by this commit
     partitionFilter: Map[String, String], // for "replace": scope replaced
@@ -33,7 +33,12 @@ final case class Commit(
     schemaJson: String, // full schema incl. partition columns
     meta: Map[String, String], // state committed atomically with the data
     batchId: Option[Long], // streaming idempotence token
-    ts: Long)
+    ts: Long,
+    // Checkpoints carry the max batchId folded over the truncated history
+    // so the exactly-once replay guard survives log compaction (streaming
+    // batchIds are monotone per query, so "<= max" == "already seen").
+    // Defaults keep pre-existing logs readable.
+    maxBatchId: Option[Long] = None)
 
 /** Transactional, hive-partitioned parquet table with a minimal JSON
   * commit log. Provides the three Delta behaviors the reference actually
@@ -65,8 +70,27 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------------------ log
 
+  // Replayed-snapshot cache: one append used to cost ~5 full log replays
+  // (latestVersion + hasBatch + liveFiles + write + checkpoint each
+  // re-listed and re-parsed the log — hundreds of GETs per write on an
+  // object store). Valid under the table's single-writer contract; an
+  // external writer requires refresh().
+  @volatile private var commitCache: Seq[Commit] = null
+
+  /** Drop the cached log snapshot (needed only if another process wrote
+    * this table after we read it). */
+  def refresh(): Unit = commitCache = null
+
   /** All commits in version order (from latest checkpoint forward). */
   def commits(): Seq[Commit] = {
+    val cached = commitCache
+    if (cached != null) return cached
+    val replayed = replayLog()
+    commitCache = replayed
+    replayed
+  }
+
+  private def replayLog(): Seq[Commit] = {
     if (!fs.exists(logPath)) return Seq.empty
     val files = fs.listStatus(logPath).map(_.getPath.getName)
       .filter(_.endsWith(".json")).sorted
@@ -90,9 +114,11 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     commits().reverse.iterator.flatMap(_.meta.get(key)).nextOption()
 
   /** Has a streaming micro-batch already been committed? (exactly-once
-    * replay guard for foreachBatch sinks). */
+    * replay guard for foreachBatch sinks). Checkpoints fold the truncated
+    * history's max batchId, so the guard holds past log compaction. */
   def hasBatch(batchId: Long): Boolean =
-    commits().exists(_.batchId.contains(batchId))
+    commits().exists(c => c.batchId.contains(batchId) ||
+      c.maxBatchId.exists(_ >= batchId))
 
   // ----------------------------------------------------------------- read
 
@@ -108,10 +134,6 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     * committed-file list + basePath keeps partition columns AND ignores
     * any uncommitted garbage in the directory tree. */
   def read(filters: Map[String, String] = Map.empty): DataFrame = {
-    // string-typed partition columns for layout parity with the reference
-    // (delta_io.py:108-110 injects strings); without this Spark would
-    // re-infer year=2024 as int.
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     val files = liveFiles(filters)
     // The committed schema is authoritative: partition-dir values (always
     // strings on disk) are cast back to their declared types, and a
@@ -123,9 +145,23 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         stored.getOrElse(new StructType()))
     } else {
+      // The committed schema makes partition-column type inference moot
+      // (string-typed partition values for reference layout parity,
+      // delta_io.py:108-110) — no session-wide conf mutation needed. The
+      // save/restore below only guards the no-schema fallback, reachable
+      // for logs written before schemas were recorded.
       val reader = spark.read.option("basePath", root)
       stored.foreach(reader.schema)
-      val df = reader.parquet(files.map(f => new Path(rootPath, f).toString): _*)
+      val df =
+        if (stored.nonEmpty) reader.parquet(files.map(f => new Path(rootPath, f).toString): _*)
+        else {
+          val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+          val old = spark.conf.get(key)
+          spark.conf.set(key, "false")
+          // schema resolves eagerly inside this call, restore is safe after
+          try reader.parquet(files.map(f => new Path(rootPath, f).toString): _*)
+          finally spark.conf.set(key, old)
+        }
       stored.map(s => df.select(s.fieldNames.map(org.apache.spark.sql.functions.col): _*))
         .getOrElse(df)
     }
@@ -167,18 +203,27 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     val withParts = partitionValues.foldLeft(df) { case (d, (k, v)) =>
       d.withColumn(k, lit(v))
     }
-    if (df.isEmpty) { // W6 empty-write elision
+    // 1. stage: write into a unique dir so added files are exactly known.
+    //    Staging FIRST (not probing df.isEmpty) means the input lineage
+    //    computes exactly once; a partitioned write of zero rows stages
+    //    no files, which IS the W6 empty-write signal.
+    val stage = new Path(stagingPath, UUID.randomUUID().toString)
+    val writer = withParts.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(stage.toString)
+    val staged = listParquet(fs, stage).map(p => relativize(stage, p))
+    // partitioned zero-row writes stage no files; non-partitioned ones
+    // stage one schema-only file — detect via footer counts (no job)
+    if (staged.isEmpty ||
+        (partitionBy.isEmpty && stagedRowCount(stage, staged) == 0)) {
+      // W6 empty-write elision: no data files enter the log, no empty
+      // partition dirs appear; metadata still commits if present
+      fs.delete(stage, true)
       if (meta.nonEmpty) Some(commitMeta(meta, batchId)) else None
     } else {
-      // 1. stage: write into a unique dir so added files are exactly known
-      val stage = new Path(stagingPath, UUID.randomUUID().toString)
-      val writer = withParts.write.mode("overwrite")
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-        .parquet(stage.toString)
       // 2. promote: rename staged files into the final hive layout.
       //    A crash here leaves orphans that no commit references —
       //    invisible to readers, reclaimed by vacuum().
-      val staged = listParquet(fs, stage).map(p => relativize(stage, p))
       val added = staged.map { rel =>
         val from = new Path(stage, rel)
         val to = new Path(rootPath, rel)
@@ -197,6 +242,16 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     }
   }
 
+  /** Total row count of staged parquet files from their footers — a
+    * driver-side metadata read, not a Spark job. */
+  private def stagedRowCount(stage: Path, rels: Seq[String]): Long =
+    rels.map { rel =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(stage, rel), hadoopConf(spark)))
+      try rd.getRecordCount finally rd.close()
+    }.sum
+
   private def commit(c: Commit): Commit = {
     fs.mkdirs(logPath)
     var version = latestVersion + 1
@@ -211,6 +266,9 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       if (fs.rename(tmp, dest)) done = true // atomic publish; loser retries
       else { fs.delete(tmp, false); version += 1 }
     }
+    // extend the cached snapshot in place instead of re-replaying the log
+    val cached = commitCache
+    commitCache = if (cached != null) cached :+ res else null
     maybeCheckpoint(res.version)
     res
   }
@@ -218,14 +276,21 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
   /** Snapshot the live set so replay cost stays O(checkpointInterval). */
   private def maybeCheckpoint(version: Long): Unit =
     if (version > 0 && version % checkpointInterval == 0) {
-      val last = commits().last
+      val cs = commits()
+      val last = cs.last
+      // fold the replay horizon's batchIds into the checkpoint so the
+      // exactly-once guard (hasBatch) survives compaction
+      val maxBatch = (cs.flatMap(_.batchId) ++ cs.flatMap(_.maxBatchId))
+        .maxOption
       val snap = Commit(version, "checkpoint", liveFiles(), Nil, Map.empty,
         last.partitionBy, last.schemaJson,
-        commits().foldLeft(Map.empty[String, String])(_ ++ _.meta), None, now())
+        cs.foldLeft(Map.empty[String, String])(_ ++ _.meta), None, now(),
+        maxBatchId = maxBatch)
       val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
       try out.write(Serialization.write(snap).getBytes("UTF-8")) finally out.close()
       fs.rename(tmp, new Path(logPath, f"$version%010d.checkpoint.json"))
+      commitCache = null // next read replays from the new checkpoint
     }
 
   /** Delete data files no commit references (crash orphans, replaced

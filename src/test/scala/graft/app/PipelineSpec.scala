@@ -124,6 +124,54 @@ class PipelineSpec extends SparkSpec {
     assert(pipe.backwards.read().count() == 53)
   }
 
+  test("distributed read path (maxDriverPaths=0) matches the driver-path results") {
+    val root = Paths.get(tmpDir("pipe"))
+    val ingest = root.resolve("files_to_ingest")
+    copyFixture(ingest, days = Set("2024-03-26"))
+    // force every slice through the scan-day-dir + left_semi join branch
+    val pipe = new Pipeline(spark, ingest.toString,
+      root.resolve("tables").toString, maxDriverPaths = 0)
+    val day = "2024-03-26"
+    pipe.tickAndIngest(scanAllDays = true)
+    pipe.runAll(day)
+    val got = pipe.processed.read()
+      .select($"filename", $"word", $"word_length")
+      .as[(String, String, Long)].collect()
+      .map { case (f, w, l) => f -> ((w, l)) }.toMap
+    val expected = expectedWords(ingest, day)
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (f, (w, l)) =>
+      assert(expected(f) == w && l == w.length)
+    }
+    // incremental tick through the distributed branch: no dup, no loss
+    copyFixture(ingest, days = Set("2024-03-26")) // no-op copy, no new files
+    pipe.tickAndIngest(scanAllDays = true)
+    pipe.runProcessed(day)
+    assert(pipe.processed.read().count() == expected.size)
+  }
+
+  test("crash between detect and listing-append loses nothing (ADVICE r1 #1)") {
+    val root = Paths.get(tmpDir("pipe"))
+    val ingest = root.resolve("files_to_ingest")
+    copyFixture(ingest, days = Set("2024-03-26"), limitPerDay = 5)
+    val pipe = new Pipeline(spark, ingest.toString, root.resolve("tables").toString)
+
+    // simulate the crash: the sensor ticks (detecting 5 files) but the
+    // process dies before any listing append happens
+    val dropped = pipe.sensor.tick(scanAllDays = true)
+    assert(dropped.map(_.newFiles.size).sum == 5)
+
+    // next tick re-detects the same files — seen-ness derives from the
+    // listing table, which never saw them
+    val again = pipe.tickAndIngest(scanAllDays = true)
+    assert(again == Seq("2024-03-26"))
+    pipe.runAll("2024-03-26")
+    assert(pipe.processed.read().count() == 5)
+
+    // and a tick after successful append detects nothing new
+    assert(pipe.sensor.tick(scanAllDays = true).isEmpty)
+  }
+
   test("missing/gap day partitions default to empty, not failure (L3/W6)") {
     val root = Paths.get(tmpDir("pipe"))
     val ingest = root.resolve("files_to_ingest")

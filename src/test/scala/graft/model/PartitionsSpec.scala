@@ -31,6 +31,19 @@ class PartitionsSpec extends AnyFunSuite {
     assert(values == Map("year" -> "2024", "week" -> "01"))
   }
 
+  test("weekly year is the ISO week-based year at year boundaries (ADVICE r1 #3)") {
+    // 2024-12-30 belongs to ISO 2025-W01: it must NOT share a partition
+    // with 2024-01-01 (2024-W01), which the reference's calendar-year
+    // split would cause (delta_io.py:38-43 + split('-')[0])
+    val (_, boundary) = PartitionSpec(Seq("$time$expand")).resolve(Weekly, "2024-12-30")
+    assert(boundary == Map("year" -> "2025", "week" -> "01"))
+    val (_, early) = PartitionSpec(Seq("$time$expand")).resolve(Weekly, "2024-01-01")
+    assert(early == Map("year" -> "2024", "week" -> "01"))
+    // and the other direction: 2021-01-01 is ISO 2020-W53
+    val (_, prev) = PartitionSpec(Seq("$time$expand")).resolve(Weekly, "2021-01-01")
+    assert(prev == Map("year" -> "2020", "week" -> "53"))
+  }
+
   test("monthly / hourly grains expand per the grain table (delta_io.py:22-34)") {
     assert(PartitionSpec(Seq("$time$expand")).resolve(Monthly, "2024-03")._1 ==
       Seq("year", "month"))

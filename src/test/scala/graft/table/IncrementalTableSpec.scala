@@ -90,4 +90,36 @@ class IncrementalTableSpec extends SparkSpec {
     // replay starts from the checkpoint, not version 0
     assert(t.commits().head.action == "checkpoint")
   }
+
+  test("batchId guard survives checkpoint compaction (ADVICE r1 #2)") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t8")
+    val df = Seq(("a", 1L)).toDF("k", "n")
+    assert(t.append(df, Seq("day"), Map("day" -> "d"), batchId = Some(5L)).isDefined)
+    // push a full checkpoint interval of commits past the batch commit
+    (1 to IncrementalTable.checkpointInterval + 1).foreach { i =>
+      t.commitMeta(Map("wm" -> i.toString))
+    }
+    assert(t.commits().head.action == "checkpoint")
+    // the original batchId commit is compacted away, but the checkpoint
+    // carries the max batchId horizon: replay must still be a no-op
+    assert(t.hasBatch(5L))
+    assert(t.append(df, Seq("day"), Map("day" -> "d"), batchId = Some(5L)).isEmpty)
+    assert(t.read().count() == 1)
+  }
+
+  test("cached log snapshot matches a fresh replay; refresh sees external writes") {
+    val root = tmpDir("itab") + "/t9"
+    val t = IncrementalTable(spark, root)
+    t.append(Seq(("a", 1L)).toDF("k", "n"), Seq("day"), Map("day" -> "d"))
+    t.append(Seq(("b", 2L)).toDF("k", "n"), Seq("day"), Map("day" -> "d"))
+    assert(t.commits().map(_.version) == Seq(0L, 1L))
+    // a second handle (external writer under the single-writer contract's
+    // hand-off) appends; the stale handle must refresh() to observe it
+    val t2 = IncrementalTable(spark, root)
+    t2.append(Seq(("c", 3L)).toDF("k", "n"), Seq("day"), Map("day" -> "d"))
+    assert(t.commits().size == 2) // cached snapshot, by design
+    t.refresh()
+    assert(t.commits().size == 3)
+    assert(t.read().count() == 3)
+  }
 }
