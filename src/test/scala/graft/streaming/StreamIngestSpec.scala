@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.table.IncrementalTable
+
+/** Exactly-once streaming ingest over a copy of the reference fixture
+  * corpus: resume-from-checkpoint picks up only new files; a replayed
+  * micro-batch (crash between table commit and checkpoint ack) is a
+  * no-op. */
+class StreamIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtureSrc = Paths.get("/root/reference/files_to_ingest")
+
+  private def copyDay(dst: Path, day: String, limit: Int): Int = {
+    val srcDir = fixtureSrc.resolve(s"day=$day")
+    val d = dst.resolve(s"day=$day")
+    Files.createDirectories(d)
+    val files = Files.list(srcDir).iterator().asScala
+      .filter(_.toString.endsWith(".txt")).toSeq.sortBy(_.toString).take(limit)
+    files.foreach(f => Files.copy(f, d.resolve(f.getFileName.toString),
+      StandardCopyOption.REPLACE_EXISTING))
+    files.size
+  }
+
+  test("stream ingest: kill-and-resume is exactly-once, replays are no-ops") {
+    val root = Paths.get(tmpDir("stream"))
+    val ingest = root.resolve("files_to_ingest")
+    val table = IncrementalTable(spark, root.resolve("tables/processed/v1").toString)
+    val si = new StreamIngest(spark, ingest.toString, table,
+      root.resolve("checkpoint").toString)
+
+    // phase 1: 10 files, drain with AvailableNow (query stops = the kill)
+    val n1 = copyDay(ingest, "2024-03-26", 10)
+    si.start().awaitTermination()
+    assert(table.read().count() == n1)
+
+    // phase 2: 5 more files + a second day; a NEW query on the same
+    // checkpoint must process only the new files
+    copyDay(ingest, "2024-03-26", 15)
+    val n2 = copyDay(ingest, "2024-03-27", 2)
+    si.start().awaitTermination()
+    val all = table.read()
+    assert(all.count() == 15 + n2)
+    assert(all.select($"filename").distinct().count() == 15 + n2) // no dups
+
+    // layout parity: partition columns derived from the day= dirs
+    assert(all.filter($"day" === "27").count() == n2)
+    assert(Files.isDirectory(
+      root.resolve("tables/processed/v1/year=2024/month=03/day=27")))
+
+    // contents parity with the source files
+    val words = all.select($"filename", $"word").as[(String, String)]
+      .collect().toMap
+    Files.list(ingest.resolve("day=2024-03-27")).iterator().asScala.foreach { f =>
+      assert(words(f.getFileName.toString) ==
+        new String(Files.readAllBytes(f), "UTF-8"))
+    }
+
+    // phase 3: crash-window replay — re-deliver the LAST batch with its
+    // original batchId (the engine's restart contract); must be a no-op
+    val lastBatch = table.commits().flatMap(_.batchId).max
+    val replay = spark.read.option("wholetext", "true")
+      .text(ingest.resolve("day=2024-03-27").toString + "/*.txt")
+    si.ingestBatch(replay, lastBatch)
+    assert(table.read().count() == 15 + n2)
+
+    // a genuinely new batch id DOES commit (the guard is per-batch)
+    si.ingestBatch(replay, lastBatch + 100)
+    assert(table.read().count() == 15 + n2 + n2)
+  }
+}
