@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.table.IncrementalTable
+
+/** Multimodal columns: image/audio/video payloads ride through the
+  * engine as opaque `binary` columns with typed metadata, exactly like
+  * any other column — partitionable, commit-logged, prunable.
+  *
+  * The decode step is a DETERMINISTIC STUB (this container ships no
+  * image/audio codecs): [[FakeCodec]] derives plausible-shaped metadata
+  * and features purely from the bytes. Everything around it — the
+  * `binaryFile` source, the schema, the per-partition batch shape
+  * (iterator-to-iterator `mapPartitions`, codec initialized once per
+  * partition, the Scala analogue of a Pandas-UDF batch), the
+  * IncrementalTable commit — is real and tested, so swapping in a real
+  * codec is a one-function change.
+  *
+  * Scale notes: `binaryFile` packs files into tasks by
+  * `spark.sql.files.maxPartitionBytes` and streams content per row; the
+  * 2 GB single-file limit of `binary` columns applies. Feature rows are
+  * small; the heavy payload column is dropped before the feature table
+  * write, so downstream scans never read the blobs (column pruning at
+  * the parquet level does the same for mixed tables).
+  */
+object Multimodal {
+
+  /** One ingested media file (payload + typed metadata). */
+  final case class MediaFile(
+      filename: String,
+      mediaType: String, // file-extension-derived: "png" | "wav" | ...
+      nBytes: Long,
+      content: Array[Byte])
+
+  /** Stub-decoded features: deterministic functions of the payload. */
+  final case class MediaFeatures(
+      filename: String,
+      mediaType: String,
+      nBytes: Long,
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      byteHistogram: Array[Long], // 16 coarse bins over byte values
+      sampleBytes: Array[Byte]) // stride-sampled "frame" preview
+
+  /** Deterministic stand-in for an image/audio codec. A real
+    * implementation would replace decode() with e.g. javax.imageio /
+    * ffmpeg bindings; nothing else in the pipeline changes. */
+  object FakeCodec {
+    /** STUB: derive (width, height, nFrames) from a stable byte hash —
+      * NOT a real decode. */
+    def decode(content: Array[Byte]): (Int, Int, Int) = {
+      val h = java.util.Arrays.hashCode(content)
+      val w = 16 + math.floorMod(h, 1024)
+      val ht = 16 + math.floorMod(h >> 10, 1024)
+      val frames = 1 + math.floorMod(h >> 20, 64)
+      (w, ht, frames)
+    }
+
+    def byteHistogram(content: Array[Byte], bins: Int = 16): Array[Long] = {
+      val hist = new Array[Long](bins)
+      var i = 0
+      while (i < content.length) {
+        hist((content(i) & 0xff) * bins / 256) += 1
+        i += 1
+      }
+      hist
+    }
+
+    /** "Frame sample": every `stride`-th byte, capped at `max`. */
+    def sample(content: Array[Byte], stride: Int = 64, max: Int = 32): Array[Byte] =
+      content.indices.by(stride).take(max).map(content).toArray
+  }
+
+  /** Ingest a directory of binary payloads via the `binaryFile` source.
+    * Filters/projections on the result push into the scan (length/path
+    * are read from file status, content only when selected). */
+  def ingestDir(spark: SparkSession, dir: String, glob: String = "*"): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("filename"),
+        lower(element_at(split(col("path"), "\\."), -1)).as("mediaType"),
+        col("length").as("nBytes"),
+        col("content"))
+      .as[MediaFile]
+  }
+
+  /** Feature extraction with per-partition codec init and
+    * iterator-to-iterator flow — the batch shape a real decoder needs
+    * (codec setup once per task, rows streamed, no per-row setup cost). */
+  def extractFeatures(files: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { rows =>
+      val codec = FakeCodec // real impl: open codec/context once per task
+      rows.map { f =>
+        val (w, h, frames) = codec.decode(f.content)
+        MediaFeatures(f.filename, f.mediaType, f.nBytes, w, h, frames,
+          codec.byteHistogram(f.content), codec.sample(f.content))
+      }
+    }
+  }
+
+  /** Commit extracted features (payload column dropped) to a table,
+    * partitioned by media type. */
+  def commitFeatures(table: IncrementalTable, feats: Dataset[MediaFeatures],
+      batchId: Option[Long] = None): Unit = {
+    table.append(feats.toDF().drop("sampleBytes").withColumnRenamed("mediaType", "media_type"),
+      partitionBy = Seq("media_type"), batchId = batchId)
+    ()
+  }
+}
