@@ -34,11 +34,17 @@ object QueriesSimilarity {
     // ---- near-dup pairs within label blocks ---------------------------
     "q25_embed_neardup" -> ((s, dir) => {
       import s.implicits._
+      // norms are hoisted to a per-VECTOR projection before the pair
+      // join (computing cosine whole per pair triples the interpreted
+      // higher-order-function work: 2 of its 3 array folds depend on
+      // one side only)
       val e = Tables.embeddings(s, dir)
-      val a = e.select($"label", $"vec_id".as("a_id"), $"embedding".as("ea"))
-      val b = e.select($"label", $"vec_id".as("b_id"), $"embedding".as("eb"))
+        .select($"label", $"vec_id", $"embedding",
+          sqrt(Vectors.norm2($"embedding")).as("nrm"))
+      val a = e.select($"label", $"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"))
+      val b = e.select($"label", $"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb"))
       a.join(b, Seq("label")).filter($"a_id" < $"b_id")
-        .filter(Vectors.cosine($"ea", $"eb") >= NearDupTau)
+        .filter(Vectors.dot($"ea", $"eb") / ($"na" * $"nb") >= NearDupTau)
         .select($"a_id", $"b_id", $"label")
         .orderBy($"a_id", $"b_id")
     }),

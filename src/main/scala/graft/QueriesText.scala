@@ -82,16 +82,27 @@ object QueriesText {
     // The min-of-shingle-hashes column is a 1-permutation MinHash: equal
     // sketches => likely-overlapping shingle sets. Engine-neutral because
     // the hash is md5 hex and min is lexicographic.
+    //
+    // Shape: explode + aggregate rather than per-row array expressions —
+    // projection collapse re-evaluates a shared higher-order shingle
+    // expression once PER referencing column (interpreted, non-codegen),
+    // which made this the slowest text query; the aggregation computes
+    // shingles once and partially aggregates map-side.
     "q20_text_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      val sh = TextOps.wordShingles($"text", 3)
-      Tables.documents(s, dir)
-        .select(
+      val docs = Tables.documents(s, dir)
+      val sketch = docs
+        .select($"doc_id",
+          explode_outer(TextOps.wordShingles($"text", 3)).as("sh"))
+        .groupBy($"doc_id")
+        .agg(
+          count($"sh").as("n_shingles"),
+          min(md5($"sh".cast("binary"))).as("min_shingle_fp"))
+      docs.select(
           $"doc_id",
           TextOps.fingerprint($"text").as("fp"),
-          substring(TextOps.fingerprint($"text"), 1, 16).as("fp_prefix"),
-          size(sh).cast("long").as("n_shingles"),
-          TextOps.minShingleFingerprint(sh).as("min_shingle_fp"))
+          substring(TextOps.fingerprint($"text"), 1, 16).as("fp_prefix"))
+        .join(sketch, "doc_id")
         .orderBy($"doc_id")
     }),
   )

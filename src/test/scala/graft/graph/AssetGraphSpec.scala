@@ -1,0 +1,100 @@
+package graft.graph
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.model.{PartitionGrain, PartitionSpec}
+
+class AssetGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val day = "2024-03-26"
+  private val today = LocalDate.parse("2024-03-26")
+  private val parts = PartitionsDef(PartitionGrain.Daily, LocalDate.parse("2024-03-20"))
+
+  // a mutable "source" the numbers asset reads — simulates file arrivals
+  private var source: Seq[(Long, Long)] = Seq.empty // (seq, value)
+
+  private def graph(root: String): AssetGraph = {
+    val numbers = Asset("numbers", parts, PartitionSpec.timeExpand,
+      WriteMode.IncrementalAppend) { (s, _, _) =>
+      import s.implicits._
+      source.toDF("seq", "value")
+    }
+    val squares = Asset("squares", parts, PartitionSpec.timeExpand,
+      WriteMode.PartitionReplace, deps = Seq("numbers")) { (s, _, inputs) =>
+      import s.implicits._
+      inputs("numbers").select($"seq", ($"value" * $"value").as("sq"))
+    }
+    new AssetGraph(spark, root, Seq(numbers, squares))
+  }
+
+  test("partition validation enforces start_date and the open end_offset horizon") {
+    assert(parts.validate("2024-03-19", today).isLeft) // predates start
+    assert(parts.validate("2024-03-26", today).isRight) // today is open (end_offset=1)
+    assert(parts.validate("2024-03-27", today).isLeft) // beyond horizon
+    assert(parts.validate("garbage", today).isLeft)
+    assert(parts.keys(today) == (20 to 26).map(d => s"2024-03-$d"))
+  }
+
+  test("topological materialization, incremental append, derived replace") {
+    val root = tmpDir("graph")
+    val g = graph(root)
+    assert(g.topo("squares") == Seq("numbers", "squares"))
+
+    source = Seq((0L, 2L), (1L, 3L), (2L, 4L))
+    assert(g.materializeAll("squares", day, today = today) == Seq("numbers", "squares"))
+    assert(g.tableFor("numbers").read().count() == 3)
+    assert(g.tableFor("squares").read().select($"sq").as[Long].collect().toSet ==
+      Set(4L, 9L, 16L))
+
+    // source grows; numbers appends ONLY the suffix past the watermark,
+    // squares recomputes its partition without duplicating
+    source = source ++ Seq((3L, 5L), (4L, 6L))
+    g.materializeAll("squares", day, today = today)
+    val nums = g.tableFor("numbers").read()
+    assert(nums.count() == 5)
+    assert(nums.select($"seq").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(g.tableFor("squares").read().count() == 5)
+
+    // idle re-run: no new rows, no duplicates (replay-safe)
+    g.materializeAll("squares", day, today = today)
+    assert(g.tableFor("numbers").read().count() == 5)
+    assert(g.tableFor("squares").read().count() == 5)
+  }
+
+  test("refresh is a planner decision, invisible to compute (fixes readme.md:15-19)") {
+    val root = tmpDir("graph")
+    val g = graph(root)
+    source = Seq((0L, 7L), (1L, 8L))
+    g.materializeAll("squares", day, today = today)
+    g.materializeAll("squares", day, refresh = true, today = today)
+    g.materializeAll("squares", day, refresh = true, today = today)
+    assert(g.tableFor("numbers").read().count() == 2)
+    assert(g.tableFor("squares").read().select($"sq").as[Long].collect().toSet ==
+      Set(49L, 64L))
+  }
+
+  test("unknown deps and cycles are rejected at construction/traversal") {
+    val a = Asset("a", parts, PartitionSpec.timeExpand,
+      WriteMode.PartitionReplace, deps = Seq("missing")) { (_, _, _) => spark.emptyDataFrame }
+    intercept[IllegalArgumentException] {
+      new AssetGraph(spark, tmpDir("graph"), Seq(a))
+    }
+    val x = Asset("x", parts, PartitionSpec.timeExpand,
+      WriteMode.PartitionReplace, deps = Seq("y")) { (_, _, _) => spark.emptyDataFrame }
+    val y = Asset("y", parts, PartitionSpec.timeExpand,
+      WriteMode.PartitionReplace, deps = Seq("x")) { (_, _, _) => spark.emptyDataFrame }
+    val g = new AssetGraph(spark, tmpDir("graph"), Seq(x, y))
+    intercept[IllegalArgumentException] { g.topo("x") }
+  }
+
+  test("materializing an out-of-range partition fails fast") {
+    val g = graph(tmpDir("graph"))
+    intercept[IllegalArgumentException] {
+      g.materialize("numbers", "2024-03-01", today = today)
+    }
+  }
+}
