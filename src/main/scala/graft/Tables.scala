@@ -22,12 +22,21 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
     * read as a timestamp. Read nanos as long (legacy conf) and convert to
-    * a microsecond timestamp — lossy below 1µs, irrelevant for bucketing. */
+    * a microsecond timestamp — lossy below 1µs, irrelevant for bucketing.
+    * The conf is restored right after the (eager) schema resolution, so
+    * concurrent readers of other nanos tables are unaffected (ADVICE r1
+    * #4: no permanent session-conf mutations inside readers); the plan
+    * captures the setting at analysis time — verified safe to restore
+    * before actions run. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val old = try spark.conf.get(key) catch { case _: Throwable => "false" }
+    spark.conf.set(key, "true")
+    val df =
+      try apply(spark, dir, "events")
+      finally spark.conf.set(key, old)
+    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
