@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream batch operators over `events`: gap-based sessionization
+  * (the batch twin of streaming session windows — see
+  * StreamingWindowsSpec for the event-time/watermark path) and exact
+  * interpolated quantiles.
+  *
+  * Timestamps: `events.ts` is parquet TIMESTAMP(NANOS); both engines
+  * truncate to microseconds (Spark via `ts div 1000`, DuckDB via its
+  * TIMESTAMP read), and the queries compare on epoch-micros longs so no
+  * engine-specific timestamp rendering is hashed.
+  */
+object QueriesEvents {
+
+  private val SessionGapUs = 30L * 60 * 1000000 // 30 min in micros
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- gap-based sessionization (lag + cumulative-sum pattern) ------
+    // Scale: both windows partition by user_id — the natural shuffle key
+    // with millions of users; no global ordering anywhere.
+    "q33_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val e = Tables.events(s, dir)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"us", 1).over(byUser))
+        .withColumn("is_new",
+          when($"prev_us".isNull || $"us" - $"prev_us" > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy($"user_id", $"session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min($"us").as("start_us"),
+          max($"us").as("end_us"),
+          sum($"value".cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .orderBy($"user_id", $"session_id")
+    }),
+
+    // ---- exact interpolated quantiles (percentile / quantile_cont) ----
+    "q34_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          min($"o_totalprice").as("min_price"),
+          percentile($"o_totalprice", lit(0.5)).as("median_price"),
+          percentile($"o_totalprice", lit(0.9)).as("p90_price"),
+          max($"o_totalprice").as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q33_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events),
+         |flagged AS (
+         |  SELECT user_id, event_id, value, us,
+         |    CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM (SELECT *, lag(us) OVER w AS prev_us FROM e
+         |        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))),
+         |sessions AS (
+         |  SELECT user_id, event_id, value, us,
+         |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(us) AS start_us, MAX(us) AS end_us,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM sessions GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    "q34_quantiles" ->
+      """SELECT o_orderpriority,
+        |  MIN(o_totalprice) AS min_price,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}

@@ -26,12 +26,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesPipeline.queries ++ QueriesText.queries ++
       QueriesDedup.queries ++ QueriesSimilarity.queries ++
-      QueriesMultimodal.queries
+      QueriesMultimodal.queries ++ QueriesEvents.queries ++
+      QueriesCuration.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesPipeline.oracleSql ++
       QueriesText.oracleSql ++ QueriesDedup.oracleSql ++
-      QueriesSimilarity.oracleSql ++ QueriesMultimodal.oracleSql
+      QueriesSimilarity.oracleSql ++ QueriesMultimodal.oracleSql ++
+      QueriesEvents.oracleSql ++ QueriesCuration.oracleSql
 }

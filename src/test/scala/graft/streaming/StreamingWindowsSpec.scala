@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.SparkSpec
+
+/** Structured-Streaming analytics coverage: event-time tumbling windows
+  * with watermark-driven late-data drop, gap-based session windows, and
+  * custom per-key state via mapGroupsWithState — the streaming
+  * counterparts of q13 (time bucketing) and q33 (sessionization).
+  */
+class StreamingWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-03-26 10:$minute%02d:00")
+  private def ts11(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-03-26 11:$minute%02d:00")
+
+  test("tumbling event-time windows drop data later than the watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = in.toDF().toDF("ts", "key", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"key")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: two windows' worth of events, watermark advances to 10:30
+    in.addData((ts(1), "a", 1.0), (ts(3), "a", 2.0), (ts(7), "a", 4.0), (ts(40), "a", 8.0))
+    q.processAllAvailable()
+    // batch 2: a late event at 10:02 — 28 min behind the 10:40 max, past
+    // the 10-minute allowed lateness -> silently dropped; plus an on-time
+    // event keeping the stream moving
+    in.addData((ts(2), "a", 100.0), (ts(55), "a", 16.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win")
+      .select(col("window.start").cast("string"), $"n", $"sv")
+      .as[(String, Long, Double)].collect()
+      .map { case (w, n, sv) => w -> ((n, sv)) }.toMap
+    // the 10:00 window emitted once the watermark passed; the late 100.0
+    // never entered it
+    assert(rows("2024-03-26 10:00:00") == ((2L, 3.0)))
+    assert(rows("2024-03-26 10:05:00") == ((1L, 4.0)))
+    assert(!rows.values.exists(_._2 == 103.0))
+  }
+
+  test("session windows close after the gap (streaming twin of q33)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "user")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window($"ts", "10 minutes").as("sw"), $"user")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+
+    // one burst (3 events inside 10-min gaps), silence, then a second
+    // burst far enough ahead to close and emit the first session
+    in.addData((ts(0), "u"), (ts(4), "u"), (ts(8), "u"))
+    q.processAllAvailable()
+    in.addData((ts(45), "u"))
+    q.processAllAvailable()
+    in.addData((ts11(30), "u")) // advance watermark past session 2's close (10:55)
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sess")
+      .select(col("sw.start").cast("string"), $"n").as[(String, Long)]
+      .collect().toMap
+    assert(sessions("2024-03-26 10:00:00") == 3L) // merged burst
+    assert(sessions("2024-03-26 10:45:00") == 1L)
+  }
+
+  test("mapGroupsWithState maintains custom running per-key state") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    def update(key: String, rows: Iterator[(String, Long)],
+        state: GroupState[Long]): (String, Long) = {
+      val total = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+      state.update(total)
+      key -> total
+    }
+    val q = in.toDS().groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+      .toDF("key", "running")
+      .writeStream.format("memory").queryName("state")
+      .outputMode(OutputMode.Update()).start()
+
+    in.addData(("a", 1L), ("a", 2L), ("b", 10L))
+    q.processAllAvailable()
+    in.addData(("a", 4L))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("state").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last("a") == 7L && last("b") == 10L)
+  }
+}
