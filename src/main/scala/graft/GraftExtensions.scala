@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.VectorDot
+
+/** Session extensions registering this engine's native expressions —
+  * wire up with `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`). Currently:
+  *
+  *  - `vec_dot(array<float>, array<float>) -> double`: codegen'd dot
+  *    product (see [[graft.functions.VectorDot]]); usable from SQL and
+  *    via `functions.call_function("vec_dot", a, b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorDot(children.head, children(1))))
+  }
+}

@@ -40,11 +40,11 @@ object QueriesSimilarity {
       // one side only)
       val e = Tables.embeddings(s, dir)
         .select($"label", $"vec_id", $"embedding",
-          sqrt(Vectors.norm2($"embedding")).as("nrm"))
+          sqrt(Vectors.dotNative($"embedding", $"embedding")).as("nrm"))
       val a = e.select($"label", $"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"))
       val b = e.select($"label", $"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb"))
       a.join(b, Seq("label")).filter($"a_id" < $"b_id")
-        .filter(Vectors.dot($"ea", $"eb") / ($"na" * $"nb") >= NearDupTau)
+        .filter(Vectors.dotNative($"ea", $"eb") / ($"na" * $"nb") >= NearDupTau)
         .select($"a_id", $"b_id", $"label")
         .orderBy($"a_id", $"b_id")
     }),
@@ -58,7 +58,7 @@ object QueriesSimilarity {
       val scored = e.crossJoin(broadcast(q))
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("nid"),
-          Vectors.cosine($"qe", $"embedding").as("sim"))
+          Vectors.cosineNative($"qe", $"embedding").as("sim"))
         .as[Scored]
       val top = new Vectors.TopK(K).toColumn
       scored.groupByKey(_.qid).agg(top.name("top"))
@@ -82,7 +82,7 @@ object QueriesSimilarity {
       val scored = e.join(q, Seq("bucket"))
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("nid"),
-          Vectors.cosine($"qe", $"embedding").as("sim"))
+          Vectors.cosineNative($"qe", $"embedding").as("sim"))
         .as[Scored]
       val top = new Vectors.TopK(K).toColumn
       scored.groupByKey(_.qid).agg(top.name("top"))

@@ -17,10 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Dot product in double precision, element order preserved. */
+  /** Dot product in double precision, element order preserved.
+    * Interpreted (higher-order functions skip codegen) — prefer
+    * [[dotNative]] when the session registers [[graft.GraftExtensions]];
+    * both produce bit-identical doubles. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Codegen'd dot product via the `vec_dot` native expression
+    * ([[graft.functions.VectorDot]]); requires
+    * `spark.sql.extensions=graft.GraftExtensions`. */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
 
   /** Squared L2 norm in double precision. */
   def norm2(a: Column): Column =
@@ -29,6 +38,10 @@ object Vectors {
   /** Cosine similarity of two embedding columns. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Codegen'd cosine (same math/order as [[cosine]], bit-identical). */
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
 
   /** Random-hyperplane (sign) LSH bucket id: bit i is the sign of the
     * projection onto plane i. `planes` must be generated deterministically
