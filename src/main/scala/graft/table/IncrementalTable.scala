@@ -123,23 +123,47 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
   // ----------------------------------------------------------------- read
 
   /** Live data files after log replay, pruned to partitions matching
-    * `filters` (subset match on `col=value` path segments). */
-  def liveFiles(filters: Map[String, String] = Map.empty): Seq[String] = {
+    * `filters` (subset match on `col=value` path segments). With `asOf`,
+    * replays only commits up to that version (time travel) — available
+    * back to the newest checkpoint (older history is compacted away). */
+  def liveFiles(filters: Map[String, String] = Map.empty,
+      asOf: Option[Long] = None): Seq[String] = {
+    val cs = commitsAsOf(asOf)
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    commits().foreach { c => live --= c.remove; live ++= c.add }
+    cs.foreach { c => live --= c.remove; live ++= c.add }
     live.toSeq.filter(f => matchesPartition(f, filters))
   }
+
+  private def commitsAsOf(asOf: Option[Long]): Seq[Commit] = asOf match {
+    case None => commits()
+    case Some(v) =>
+      val cs = commits()
+      require(cs.headOption.forall(_.version <= v),
+        s"version $v predates the replay horizon " +
+          s"(history before checkpoint ${cs.headOption.map(_.version).getOrElse(-1L)} is compacted)")
+      require(v <= cs.lastOption.map(_.version).getOrElse(-1L),
+        s"version $v does not exist yet (latest: $latestVersion)")
+      cs.filter(_.version <= v)
+  }
+
+  /** Snapshot read as of an older commit version (Delta-style time
+    * travel, bounded by checkpoint compaction). */
+  def readAt(version: Long, filters: Map[String, String] = Map.empty): DataFrame =
+    readInternal(filters, Some(version))
 
   /** Pruned snapshot read (reference W7, delta_io.py:118-129). Explicit
     * committed-file list + basePath keeps partition columns AND ignores
     * any uncommitted garbage in the directory tree. */
-  def read(filters: Map[String, String] = Map.empty): DataFrame = {
-    val files = liveFiles(filters)
+  def read(filters: Map[String, String] = Map.empty): DataFrame =
+    readInternal(filters, None)
+
+  private def readInternal(filters: Map[String, String], asOf: Option[Long]): DataFrame = {
+    val files = liveFiles(filters, asOf)
     // The committed schema is authoritative: partition-dir values (always
     // strings on disk) are cast back to their declared types, and a
     // partition column that is also a data column (e.g. word_length)
     // keeps its original type and position.
-    val stored = commits().reverse.iterator.map(_.schemaJson)
+    val stored = commitsAsOf(asOf).reverse.iterator.map(_.schemaJson)
       .find(_.nonEmpty).map(StructType.fromDDL)
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -292,6 +316,20 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       fs.rename(tmp, new Path(logPath, f"$version%010d.checkpoint.json"))
       commitCache = null // next read replays from the new checkpoint
     }
+
+  /** Compact a partition's small files into `targetFiles` per physical
+    * partition (streaming ingest accumulates one file per micro-batch;
+    * at scale, scan cost is dominated by file count). A plain
+    * read-repartition-replace through the normal commit path: atomic,
+    * time-travel-visible, old files reclaimed by vacuum(). */
+  def compact(partitionFilter: Map[String, String] = Map.empty,
+      targetFiles: Int = 1): Option[Commit] = {
+    val partitionBy = commits().reverse.iterator
+      .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+    val df = read(partitionFilter).repartition(targetFiles)
+    write(df, "replace", partitionBy, Map.empty, partitionFilter,
+      Map.empty, None)
+  }
 
   /** Delete data files no commit references (crash orphans, replaced
     * partitions). Safe under the single-writer assumption. */

@@ -107,6 +107,32 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.read().count() == 1)
   }
 
+  test("time travel reads older snapshots; compaction shrinks file count losslessly") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t10")
+    val p = Seq("day")
+    val v = Map("day" -> "d")
+    t.append(Seq(("a", 1L)).toDF("k", "n"), p, v) // version 0
+    t.append(Seq(("b", 2L)).toDF("k", "n"), p, v) // version 1
+    t.replaceWhere(Seq(("c", 3L)).toDF("k", "n"), p, v, v) // version 2
+    assert(t.readAt(0).select($"k").as[String].collect().toSeq == Seq("a"))
+    assert(t.readAt(1).select($"k").as[String].collect().toSet == Set("a", "b"))
+    assert(t.read().select($"k").as[String].collect().toSet == Set("c"))
+    intercept[IllegalArgumentException] { t.readAt(99) }
+
+    val t2 = IncrementalTable(spark, tmpDir("itab") + "/t11")
+    (1 to 5).foreach(i => t2.append(Seq((s"x$i", i.toLong)).toDF("k", "n"), p, v))
+    assert(t2.liveFiles().size == 5)
+    t2.compact(v)
+    assert(t2.liveFiles().size == 1)
+    assert(t2.read().count() == 5)
+    assert(t2.read().select($"k").as[String].collect().toSet ==
+      (1 to 5).map(i => s"x$i").toSet)
+    // pre-compaction snapshot still readable; orphaned files reclaimed
+    assert(t2.readAt(4).count() == 5)
+    assert(t2.vacuum().size == 5)
+    assert(t2.read().count() == 5)
+  }
+
   test("cached log snapshot matches a fresh replay; refresh sees external writes") {
     val root = tmpDir("itab") + "/t9"
     val t = IncrementalTable(spark, root)
