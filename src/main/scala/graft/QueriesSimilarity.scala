@@ -69,16 +69,22 @@ object QueriesSimilarity {
         .orderBy($"q_id", $"rnk")
     }),
 
-    // ---- ANN: sign-LSH bucket probe + exact rerank within bucket ------
+    // ---- ANN: sign-LSH multi-probe + exact rerank within buckets ------
     "q27_cosine_topk_ann" -> ((s, dir) => {
       import s.implicits._
-      val planes = Vectors.hyperplanes(nPlanes = 6, dim = 64)
+      val nPlanes = 6
+      val planes = Vectors.hyperplanes(nPlanes = nPlanes, dim = 64)
       val e = Tables.embeddings(s, dir)
         .withColumn("bucket", Vectors.signLshBucket($"embedding", planes))
+      // multi-probe: each query probes its own bucket plus every
+      // Hamming-distance-1 neighbor (one sign flipped) — the standard
+      // recall/cost dial; candidate volume stays ~(nPlanes+1)/2^nPlanes
+      // of the corpus per query instead of a full scan
+      val probes = array(($"bucket" +: (0 until nPlanes).map(i =>
+        $"bucket".bitwiseXOR(lit(1 << i)))): _*)
       val q = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bucket")
-      // probe = the query's own bucket; production would multi-probe
-      // neighboring buckets to trade recall for cost
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          explode(probes).as("bucket"))
       val scored = e.join(q, Seq("bucket"))
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("nid"),

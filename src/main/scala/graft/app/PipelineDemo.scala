@@ -49,6 +49,16 @@ object PipelineDemo {
     // an idle tick dispatches nothing
     val idle = pipe.tickAndIngest(scanAllDays = true)
     println(s"[demo] idle tick dispatched: ${idle.size} days")
+
+    // live arrivals: the G1 generator drops files (rate limit off for the
+    // demo); the next tick picks up exactly those
+    val gen = new graft.ingest.Generator(ingest.toString, baseIntervalMillis = 0)
+    val day = java.time.LocalDate.parse("2024-03-30")
+    gen.drop(3, day)
+    val live = pipe.tickAndIngest(now = day, scanAllDays = true)
+    println(s"[demo] generator tick dispatched days: ${live.mkString(", ")}")
+    live.foreach(pipe.runAll(_))
+    println(s"[demo] processed rows now: ${pipe.processed.read().count()}")
     spark.stop()
   }
 }
