@@ -1,6 +1,8 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark main: every SparkEntry query on SPARK_GRAFT_SF_DIR.
   *
@@ -32,6 +34,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-query shuffle-write bytes + peak task execution memory, for
+    // the BASELINE.md living baseline (runs are sequential, so simple
+    // counters reset between queries suffice)
+    val shuffleBytes = new AtomicLong(0)
+    val peakMem = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          peakMem.updateAndGet(math.max(_, m.peakExecutionMemory))
+        }
+      }
+    })
+
     def runOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -47,16 +64,21 @@ object Bench {
       try runOnce(SparkEntry.queries(n)) catch { case _: Throwable => () }
     }
     val results = names.map { n =>
+      shuffleBytes.set(0); peakMem.set(0)
       val ts = (1 to iters).flatMap { _ =>
         try Some(runOnce(SparkEntry.queries(n)))
         catch { case _: Throwable => None }
       }
-      n -> (if (ts.isEmpty) -1.0 else median(ts))
+      Thread.sleep(100) // let the async listener bus drain
+      val perIter = if (ts.isEmpty) 0L else shuffleBytes.get / ts.size
+      (n, if (ts.isEmpty) -1.0 else median(ts), perIter, peakMem.get)
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val shuf = results.map { case (k, _, b, _) => s""""$k":$b""" }.mkString("{", ",", "}")
+    val peak = results.map { case (k, _, _, p) => s""""$k":$p""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":1}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":1,"shuffle_bytes":$shuf,"peak_task_mem":$peak}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
     spark.stop()

@@ -8,10 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.SparkSpec
 
-/** Structured-Streaming analytics coverage: event-time tumbling windows
-  * with watermark-driven late-data drop, gap-based session windows, and
-  * custom per-key state via mapGroupsWithState — the streaming
-  * counterparts of q13 (time bucketing) and q33 (sessionization).
+/** Structured-Streaming analytics coverage: event-time tumbling and
+  * sliding windows with watermark-driven late-data drop, gap-based
+  * session windows, and custom per-key state via mapGroupsWithState /
+  * flatMapGroupsWithState — the streaming counterparts of q13 (time
+  * bucketing) and q33 (sessionization).
   */
 class StreamingWindowsSpec extends SparkSpec {
   import spark.implicits._
@@ -77,6 +78,64 @@ class StreamingWindowsSpec extends SparkSpec {
       .collect().toMap
     assert(sessions("2024-03-26 10:00:00") == 3L) // merged burst
     assert(sessions("2024-03-26 10:45:00") == 1L)
+  }
+
+  test("sliding windows assign each event to every overlapping window") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes", "5 minutes")) // 2× overlap
+      .agg(sum($"v").as("sv"))
+    val q = agg.writeStream.format("memory").queryName("slide")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData((ts(2), 1.0), (ts(7), 2.0), (ts(12), 4.0))
+    q.processAllAvailable()
+    in.addData((ts(55), 0.0)) // advance watermark so all 3 windows emit
+    q.processAllAvailable()
+    q.stop()
+
+    val sums = spark.table("slide")
+      .select(col("window.start").cast("string"), $"sv")
+      .as[(String, Double)].collect().toMap
+    // 10:02 -> [09:55,10:05) and [10:00,10:10); 10:07 -> [10:00,10:10)
+    // and [10:05,10:15); 10:12 -> [10:05,10:15) and [10:10,10:20)
+    assert(sums("2024-03-26 09:55:00") == 1.0)
+    assert(sums("2024-03-26 10:00:00") == 3.0)
+    assert(sums("2024-03-26 10:05:00") == 6.0)
+    assert(sums("2024-03-26 10:10:00") == 4.0)
+  }
+
+  test("flatMapGroupsWithState emits alerts on threshold crossings only") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    // running per-key total; emit a row only when it crosses a multiple
+    // of 10 — the 0..N-rows-per-group shape mapGroupsWithState can't do
+    def update(key: String, rows: Iterator[(String, Long)],
+        state: GroupState[Long]): Iterator[(String, Long)] = {
+      val prev = state.getOption.getOrElse(0L)
+      val total = prev + rows.map(_._2).sum
+      state.update(total)
+      if (total / 10 > prev / 10) Iterator(key -> total) else Iterator.empty
+    }
+    val q = in.toDS().groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+      .toDF("key", "total_at_alert")
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData(("a", 4L), ("b", 3L))
+    q.processAllAvailable() // a=4, b=3: no crossing, no rows
+    in.addData(("a", 7L))
+    q.processAllAvailable() // a=11: crossed 10 -> alert
+    in.addData(("a", 2L), ("b", 5L))
+    q.processAllAvailable() // a=13, b=8: no crossing
+    q.stop()
+
+    val alerts = spark.table("alerts").as[(String, Long)].collect().toSeq
+    assert(alerts == Seq("a" -> 11L))
   }
 
   test("mapGroupsWithState maintains custom running per-key state") {
