@@ -17,7 +17,11 @@ import graft.functions.Vectors.Scored
   *  - q27: sign-LSH bucketed ANN variant of q26 — approximate by
   *    design (the corpus is near-uniform random, so no ANN structure
   *    reaches recall 1), hence no SQL oracle: the driver records a
-  *    rows-only check and `AnnSpec` pins its deterministic output.
+  *    rows-only check and `AnnSpec` pins its deterministic output;
+  *  - q36: IVF ANN variant — coarse centroid codebook (stride-sampled,
+  *    driver-collected, broadcast as literals), data vectors live in
+  *    their nearest cell, queries probe their 3 nearest cells. Same
+  *    approximate-by-design caveat as q27.
   *
   * Raw cosine scores are intentionally not emitted: Spark folds in
   * double, DuckDB's `list_cosine_similarity` in float32 (~3e-8 apart),
@@ -55,18 +59,7 @@ object QueriesSimilarity {
       val e = Tables.embeddings(s, dir)
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qe"))
-      val scored = e.crossJoin(broadcast(q))
-        .filter($"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id".as("nid"),
-          Vectors.cosineNative($"qe", $"embedding").as("sim"))
-        .as[Scored]
-      val top = new Vectors.TopK(K).toColumn
-      scored.groupByKey(_.qid).agg(top.name("top"))
-        .flatMap { case (qid, tops) =>
-          tops.zipWithIndex.map { case ((_, nid), i) => (qid, (i + 1).toLong, nid) }
-        }
-        .toDF("q_id", "rnk", "n_id")
-        .orderBy($"q_id", $"rnk")
+      topkTail(s, e.crossJoin(broadcast(q)))
     }),
 
     // ---- ANN: sign-LSH multi-probe + exact rerank within buckets ------
@@ -86,19 +79,46 @@ object QueriesSimilarity {
         .select($"vec_id".as("qid"), $"embedding".as("qe"),
           explode(probes).as("bucket"))
       val scored = e.join(q, Seq("bucket"))
-        .filter($"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id".as("nid"),
-          Vectors.cosineNative($"qe", $"embedding").as("sim"))
-        .as[Scored]
-      val top = new Vectors.TopK(K).toColumn
-      scored.groupByKey(_.qid).agg(top.name("top"))
-        .flatMap { case (qid, tops) =>
-          tops.zipWithIndex.map { case ((_, nid), i) => (qid, (i + 1).toLong, nid) }
-        }
-        .toDF("q_id", "rnk", "n_id")
-        .orderBy($"q_id", $"rnk")
+      topkTail(s, scored)
+    }),
+
+    // ---- ANN: IVF coarse quantizer + exact rerank within cells -------
+    "q36_cosine_topk_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      // coarse codebook: 8 stride-sampled seed vectors, collected once
+      // on the driver (C×dim doubles — broadcastable at any corpus
+      // size; a k-means refinement would only move cell boundaries)
+      val cents = e.filter($"vec_id" % 61 === 13).orderBy($"vec_id").limit(8)
+        .select($"embedding").as[Array[Float]].collect()
+        .map(_.map(_.toDouble).toSeq).toSeq
+      val assigned = e.withColumn("cell",
+        element_at(Vectors.nearestCentroids($"embedding", cents, 1), 1))
+      val q = assigned.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          explode(Vectors.nearestCentroids($"embedding", cents, 3)).as("cell"))
+      val scored = assigned.join(q, Seq("cell"))
+      topkTail(s, scored)
     }),
   )
+
+  /** Shared ANN tail: score candidate (query, neighbor) rows with the
+    * codegen'd cosine, then bounded map-side top-k per query. */
+  private def topkTail(s: SparkSession, cands: DataFrame): DataFrame = {
+    import s.implicits._
+    val scored = cands
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        Vectors.cosineNative($"qe", $"embedding").as("sim"))
+      .as[Scored]
+    val top = new Vectors.TopK(K).toColumn
+    scored.groupByKey(_.qid).agg(top.name("top"))
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case ((_, nid), i) => (qid, (i + 1).toLong, nid) }
+      }
+      .toDF("q_id", "rnk", "n_id")
+      .orderBy($"q_id", $"rnk")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q25_embed_neardup" ->

@@ -57,6 +57,25 @@ object Vectors {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** IVF coarse quantizer: per-row array of the `nprobe` centroid ids
+    * nearest by cosine, best first (deterministic index tie-break).
+    *
+    * `centroids` is the broadcast-side coarse codebook — tiny by
+    * construction (C × dim doubles), collected once on the driver and
+    * shipped as literals, so assignment is a narrow map over the corpus:
+    * no shuffle, full codegen, scales linearly in rows. Centroids are
+    * pre-normalized here so per-row cosine argmax reduces to dot. */
+  def nearestCentroids(v: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column = {
+    val unit = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    val scored = array(unit.zipWithIndex.map { case (c, i) =>
+      struct(dot(v, typedLit(c)).as("s"), lit(i).as("cid"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, nprobe), _.getField("cid"))
+  }
+
   /** One scored candidate row for top-k aggregation. */
   case class Scored(qid: Long, nid: Long, sim: Double)
 

@@ -32,4 +32,23 @@ class AnnSpec extends SparkSpec {
     // assert pins a floor so probing regressions surface
     assert(overlap >= 2, s"ANN/exact overlap collapsed: $overlap")
   }
+
+  test("IVF ANN (centroid cells, nprobe=3) is deterministic and overlaps exact top-k") {
+    val ivf = SparkEntry.queries("q36_cosine_topk_ivf")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val again = SparkEntry.queries("q36_cosine_topk_ivf")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ivf == again) // stride-sampled codebook -> stable output
+    assert(ivf.nonEmpty && ivf.forall { case (q, r, n) =>
+      q >= 0 && q < 10 && r >= 1 && r <= 5 && n != q })
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size))
+    }
+
+    val exact = SparkEntry.queries("q26_cosine_topk")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val overlap = ivf.count { case (q, _, n) => exact(q).contains(n) }
+    assert(overlap >= 2, s"IVF/exact overlap collapsed: $overlap")
+  }
 }
