@@ -1,18 +1,24 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, TextOps}
+import graft.functions.{Dedup, TextOps, Vectors}
 
 /** End-to-end corpus curation: the composite a real training-data
   * pipeline runs — near-dup removal (keep the lowest doc_id of each
-  * near-dup pair) followed by a quality gate, reported per language.
-  * Exercises operator COMPOSITION: the dedup pair producer, the text
-  * quality metrics, and anti-join semantics all feed one result.
+  * near-dup pair) followed by a quality gate, reported per language
+  * (q35); and a cross-modal selection joining text-side quality signals
+  * with embedding-side relevance (q37). Exercises operator COMPOSITION:
+  * the dedup pair producer, the text quality metrics, anti-join
+  * semantics, and vector scoring all feed one result.
   *
   * Scale shape: pair generation is the banded/inverted-index path (never
   * all-pairs), the drop-set is tiny (near-dups), the anti-join
-  * broadcasts it, and the stats are one hash aggregation.
+  * broadcasts it, and the stats are one hash aggregation. q37's rank
+  * window partitions by `label` (bounded groups), and raw cosine floats
+  * are never emitted — rank membership/order is engine-stable (min
+  * corpus gap 1.7e-4 vs ~3e-8 float-vs-double accumulation noise).
   */
 object QueriesCuration {
 
@@ -39,6 +45,28 @@ object QueriesCuration {
           sum($"n_tokens").as("n_tokens"),
           min($"doc_id").as("first_doc"))
         .orderBy($"lang")
+    }),
+
+    // ---- cross-modal relevance selection ------------------------------
+    // For each embedding label, the 3 quality-gated documents most
+    // similar to a reference vector: text table supplies the gate
+    // (n_chars), embeddings the relevance, joined 1:1 on doc_id=vec_id.
+    "q37_crossmodal_rank" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val d = Tables.documents(s, dir)
+      // reference vector: one row collected driver-side (any scale)
+      val ref = e.filter($"vec_id" === 0).select($"embedding")
+        .as[Array[Float]].head().toSeq
+      val w = Window.partitionBy($"label").orderBy($"sim".desc, $"vec_id")
+      e.filter($"vec_id" =!= 0)
+        .join(d.filter($"n_chars" >= 100), $"doc_id" === $"vec_id")
+        .select($"label".cast("long").as("label"), $"vec_id", $"lang", $"n_chars",
+          Vectors.cosineNative($"embedding", typedLit(ref)).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"label", $"rnk", $"vec_id".as("doc_id"), $"lang", $"n_chars")
+        .orderBy($"label", $"rnk")
     }),
   )
 
@@ -70,5 +98,19 @@ object QueriesCuration {
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
         |  MIN(doc_id) AS first_doc
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+    "q37_crossmodal_rank" ->
+      """WITH ref AS (
+        |  SELECT embedding AS re FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT CAST(e.label AS BIGINT) AS label, e.vec_id, d.lang, d.n_chars,
+        |    list_cosine_similarity(e.embedding, (SELECT re FROM ref)) AS sim
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |  WHERE e.vec_id <> 0 AND d.n_chars >= 100),
+        |r AS (
+        |  SELECT label, vec_id, lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT label, rnk, vec_id AS doc_id, lang, n_chars
+        |FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
   )
 }

@@ -138,6 +138,35 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(alerts == Seq("a" -> 11L))
   }
 
+  test("stream-stream interval join pairs events within the time bound only") {
+    implicit val sq = spark.sqlContext
+    val imp = MemoryStream[(Timestamp, String)]
+    val clk = MemoryStream[(Timestamp, String)]
+    val impDf = imp.toDF().toDF("imp_ts", "ad")
+      .withWatermark("imp_ts", "10 minutes")
+    val clkDf = clk.toDF().toDF("clk_ts", "c_ad")
+      .withWatermark("clk_ts", "10 minutes")
+    // click attributes to an impression of the same ad within 15 minutes
+    // after it — both sides watermarked so Spark can bound join state
+    val joined = impDf.join(clkDf, expr(
+      "ad = c_ad AND clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 15 minutes"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+
+    imp.addData((ts(0), "a"), (ts(5), "b"))
+    clk.addData((ts(10), "a")) // 10 min after a's impression: attributed
+    q.processAllAvailable()
+    clk.addData((ts(30), "b")) // 25 min after b's impression: outside bound
+    clk.addData((ts11(0), "a")) // 60 min after: outside bound
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attrib")
+      .select($"ad", col("imp_ts").cast("string"), col("clk_ts").cast("string"))
+      .as[(String, String, String)].collect().toSet
+    assert(rows == Set(("a", "2024-03-26 10:00:00", "2024-03-26 10:10:00")))
+  }
+
   test("mapGroupsWithState maintains custom running per-key state") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Long)]
