@@ -146,26 +146,38 @@ object Dedup {
       .select(col("did"), assembled.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: bucket by 16 chunks of 4 bits (pigeonhole:
-    * Hamming <= 15 ⇒ >= 1 shared chunk, so recall is deterministic up
-    * to that radius — the corpus's true pairs sit at Hamming <= 12),
-    * filter candidates by true Hamming distance, then exact-verify at
-    * `tau` for an engine-neutral output.
+  /** SimHash near-dup pairs: bucket the 64-bit sketch into `nChunks`
+    * near-equal bit slices (pigeonhole: Hamming <= nChunks-1 ⇒ >= 1
+    * shared chunk, so recall is deterministic up to that radius), filter
+    * candidates by true Hamming distance, then exact-verify at `tau` for
+    * an engine-neutral output.
     *
-    * Scale: 4-bit chunks are permissive (16 buckets per chunk space), so
-    * candidate volume grows ~quadratically within buckets. At 100 TB
-    * either widen the sketch (128-bit SimHash, 8-bit chunks for the same
-    * radius guarantee) or drop the radius; the verify stage keeps
-    * precision exact regardless. */
+    * `nChunks` is the recall/cost dial: fewer, wider chunks mean finer
+    * buckets (fewer chance collisions ⇒ fewer candidate pairs) but a
+    * smaller guaranteed radius. The default 14 (radius 13) carries a
+    * >= 2-bit margin over this corpus's measured true-pair maximum
+    * (Hamming 11 at sf0.1, 10 at sf0.01); the earlier 16×4-bit layout
+    * (radius 15) generated ~1.6× the candidates for radius the data
+    * never used. At 100 TB either widen the sketch (128-bit SimHash
+    * rescales both sides) or re-measure the margin; the verify stage
+    * keeps precision exact regardless of these choices. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-                   n: Int, tau: Double, maxHamming: Int = 15): DataFrame = {
+                   n: Int, tau: Double, nChunks: Int = 14): DataFrame = {
+    val maxHamming = nChunks - 1
+    // distribute 64 bits: (64 % nChunks) chunks get an extra bit
+    val base = 64 / nChunks
+    val widths = Seq.tabulate(nChunks)(i => if (i < 64 % nChunks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val sh = simhash(docs, id, TextOps.wordShingles(text, n))
     val chunks = sh.select(col("did"), col("simhash"),
-        explode(array((0 until 16).map(c =>
-          struct(lit(c).as("c"), expr(s"(simhash >> ${c * 4}) & 15").as("v"))): _*)).as("ch"))
+        explode(array((0 until nChunks).map { c =>
+          val mask = (1L << widths(c)) - 1
+          struct(lit(c).as("c"),
+            expr(s"(simhash >> ${offsets(c)}) & $mask").as("v"))
+        }: _*)).as("ch"))
       .select(col("did"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
     // Hamming filter runs INSIDE the join output, before the dedup
-    // shuffle: 4-bit chunks collide freely (the price of the Hamming<=15
+    // shuffle: chunk buckets collide freely (the price of the radius
     // guarantee), so the candidate stream is the big intermediate — only
     // survivors reach distinct().
     val cands = chunks.as("x").join(chunks.as("y"),
