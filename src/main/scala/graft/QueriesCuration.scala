@@ -14,8 +14,9 @@ import graft.functions.{Dedup, TextOps, Vectors}
   * semantics, and vector scoring all feed one result.
   *
   * Scale shape: pair generation is the banded/inverted-index path (never
-  * all-pairs), the drop-set is tiny (near-dups), the anti-join
-  * broadcasts it, and the stats are one hash aggregation. q37's rank
+  * all-pairs), the drop-set join strategy is left to AQE (broadcast
+  * when small, shuffle when not), and the stats are one hash
+  * aggregation. q37's rank
   * window partitions by `label` (bounded groups), and raw cosine floats
   * are never emitted — rank membership/order is engine-stable (min
   * corpus gap 1.7e-4 vs ~3e-8 float-vs-double accumulation noise).
@@ -27,7 +28,10 @@ object QueriesCuration {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       // b-side of every near-dup pair drops; pair clusters in this corpus
-      // are cliques, so min-id survivors are exactly the non-b docs
+      // are cliques, so min-id survivors are exactly the non-b docs.
+      // No broadcast hint: the drop-set size is data-dependent (a
+      // high-dup corpus makes it huge), so the strategy is left to
+      // AQE, which broadcasts it whenever it is actually small.
       val dropDup = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", 3, 0.5)
         .select($"b_id".as("doc_id")).distinct()
       val toks = TextOps.tokens($"text")
@@ -37,7 +41,7 @@ object QueriesCuration {
         .withColumn("stop_ratio", TextOps.tokensIn(toks, TextOps.stopwords) / nTok)
         .withColumn("len_ok", length($"text").between(100, 450))
       val kept = scored
-        .join(broadcast(dropDup), Seq("doc_id"), "left_anti")
+        .join(dropDup, Seq("doc_id"), "left_anti")
         .filter($"len_ok" && $"stop_ratio" >= 0.05)
       kept.groupBy($"lang")
         .agg(
