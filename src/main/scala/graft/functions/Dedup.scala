@@ -49,17 +49,43 @@ object Dedup {
     * join: pairs sharing >= 1 shingle get their intersection size from a
     * (shingle)-keyed self-join + count, so only co-occurring pairs are
     * ever materialized. A pair with J >= tau > 0 shares a shingle by
-    * definition, so recall is exact. */
+    * definition, so recall is exact.
+    *
+    * `dfCap` is the skew kill-switch for the 100 TB case: a shingle
+    * appearing in k documents contributes k² candidate rows, so one
+    * stop-shingle (df in the millions) can dominate the whole join.
+    * With a cap set, shingles above it are excluded from CANDIDATE
+    * GENERATION only, and the surviving pairs are scored through the
+    * exact array-intersection verify path — reported Jaccard values
+    * stay exact, and the per-key join fan-out is hard-bounded at cap².
+    * The trade is recall: a pair whose shared shingles are ALL high-df
+    * is missed. On real corpora near-dup pairs share discriminative
+    * (low-df) shingles, so output is typically unchanged — which
+    * DedupSpec pins on this corpus. Off by default because the exact
+    * oracle demands unconditional recall. */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
-                        n: Int, tau: Double): DataFrame = {
+                        n: Int, tau: Double, dfCap: Option[Long] = None): DataFrame = {
     val e = edges(docs, id, TextOps.wordShingles(text, n))
-    val sizes = e.groupBy(col("did")).agg(count(lit(1)).as("nsh"))
-    val inter = e.as("x").join(e.as("y"), col("x.sh") === col("y.sh") &&
-        col("x.did") < col("y.did"))
-      .groupBy(col("x.did").as("a_id"), col("y.did").as("b_id"))
-      .agg(count(lit(1)).as("li"))
-    withJaccard(inter, sizes).filter(col("jaccard") >= tau)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    dfCap match {
+      case None =>
+        // one-pass: the co-occurrence join IS the intersection count
+        val sizes = e.groupBy(col("did")).agg(count(lit(1)).as("nsh"))
+        val inter = e.as("x").join(e.as("y"), col("x.sh") === col("y.sh") &&
+            col("x.did") < col("y.did"))
+          .groupBy(col("x.did").as("a_id"), col("y.did").as("b_id"))
+          .agg(count(lit(1)).as("li"))
+        withJaccard(inter, sizes).filter(col("jaccard") >= tau)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+      case Some(cap) =>
+        val rare = e.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("sh"))
+        val cand = e.join(rare, "sh")
+        val pairs = cand.as("x").join(cand.as("y"), col("x.sh") === col("y.sh") &&
+            col("x.did") < col("y.did"))
+          .select(col("x.did").as("a_id"), col("y.did").as("b_id"))
+          .distinct()
+        verify(pairs, docs, id, text, n, tau)
+    }
   }
 
   /** jaccard = |A∩B| / (|A| + |B| - |A∩B|) from a pair frame carrying
