@@ -17,8 +17,11 @@ import java.util.concurrent.atomic.AtomicLong
   *    all columns, understating real work.
   *
   * Output: ONE machine-parseable JSON line on stdout (build.sbt routes
-  * forked stdout through unlogged, so no sbt `[info]` prefix) and the
-  * same JSON at bench_result.json.
+  * forked stdout through unlogged, so no sbt `[info]` prefix). The
+  * driver keeps only the LAST ~2000 chars of the run's output, so the
+  * stdout line is deliberately COMPACT — metric/value/queries/sf with
+  * 3-decimal times. The full detail (shuffle bytes, peak task memory
+  * per query) goes to bench_result.json only.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,26 +64,34 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n => // warmup, untimed
-      try runOnce(SparkEntry.queries(n)) catch { case _: Throwable => () }
+      try runOnce(SparkEntry.queries(n))
+      catch { case e: Throwable => System.err.println(s"BENCH WARMUP FAIL $n: ${e.getClass.getName}: ${e.getMessage}") }
     }
     val results = names.map { n =>
       shuffleBytes.set(0); peakMem.set(0)
       val ts = (1 to iters).flatMap { _ =>
         try Some(runOnce(SparkEntry.queries(n)))
-        catch { case _: Throwable => None }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $n: ${e.getClass.getName}: ${e.getMessage}")
+            None
+        }
       }
       Thread.sleep(100) // let the async listener bus drain
       val perIter = if (ts.isEmpty) 0L else shuffleBytes.get / ts.size
       (n, if (ts.isEmpty) -1.0 else median(ts), perIter, peakMem.get)
     }
-    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _, _) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val shuf = results.map { case (k, _, b, _) => s""""$k":$b""" }.mkString("{", ",", "}")
     val peak = results.map { case (k, _, _, p) => s""""$k":$p""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":1,"shuffle_bytes":$shuf,"peak_task_mem":$peak}"""
-    Files.writeString(Paths.get("bench_result.json"), json + "\n")
-    println(json)
+    Files.writeString(Paths.get("bench_result.json"), full + "\n")
+    println(compact)
     spark.stop()
   }
 }

@@ -237,6 +237,25 @@ object QueriesCore {
           (exactSum($"s_acctbal", 2) / count(lit(1))).as("avg_bal"))
         .orderBy($"n_name")
     }),
+
+    // ---- salted skew join under the oracle gate ------------------------
+    // Exercises functions.Skew.saltedJoin (VERDICT r2 next #6): the fact
+    // side gets a deterministic row-hash salt, the dim is replicated
+    // salts×, and the join keys on (key, salt) so a hot fact key spreads
+    // over `salts` reducers instead of stranding one. By construction the
+    // result set equals the plain inner join — which is exactly what the
+    // DuckDB oracle runs — so the salted plan is hash-checked against the
+    // unsalted semantics.
+    "q39_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val fact = Tables.lineitem(s, dir).select($"l_partkey", $"l_quantity")
+      val dim = Tables.part(s, dir)
+        .select($"p_partkey".as("l_partkey"), $"p_brand")
+      graft.functions.Skew.saltedJoin(fact, dim, Seq("l_partkey"), salts = 8)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+        .orderBy($"p_brand")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -352,5 +371,9 @@ object QueriesCore {
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q39_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }

@@ -89,13 +89,33 @@ object Vectors {
     * unlike `Window.partitionBy(qid)`, which funnels every scored row
     * through #queries reducers. */
   class TopK(k: Int) extends Aggregator[Scored, Seq[(Double, Long)], Seq[(Double, Long)]] {
-    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      s.sortBy { case (sim, nid) => (-sim, nid) }.take(k)
+    // (sim desc, nid asc): e ranks strictly before x
+    private def before(e: (Double, Long), x: (Double, Long)): Boolean =
+      e._1 > x._1 || (e._1 == x._1 && e._2 < x._2)
+    // The buffer invariant: always ordered best-first, size <= k. Most
+    // rows fail the `last` check and return the buffer untouched — O(1)
+    // on the hot path, O(k) insertion otherwise; never a per-row sort.
     def zero: Seq[(Double, Long)] = Nil
-    def reduce(b: Seq[(Double, Long)], a: Scored): Seq[(Double, Long)] =
-      trim(b :+ (a.sim, a.nid))
-    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      trim(x ++ y)
+    def reduce(b: Seq[(Double, Long)], a: Scored): Seq[(Double, Long)] = {
+      val e = (a.sim, a.nid)
+      if (b.size >= k && !before(e, b.last)) b
+      else {
+        val i = b.indexWhere(x => before(e, x))
+        val out = if (i < 0) b :+ e
+        else { val (pre, post) = b.splitAt(i); (pre :+ e) ++ post }
+        if (out.size > k) out.take(k) else out
+      }
+    }
+    // linear merge of two ordered buffers
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      var (i, j) = (0, 0)
+      while (out.size < k && (i < x.size || j < y.size)) {
+        if (j >= y.size || (i < x.size && !before(y(j), x(i)))) { out += x(i); i += 1 }
+        else { out += y(j); j += 1 }
+      }
+      out.toSeq
+    }
     def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
     def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()

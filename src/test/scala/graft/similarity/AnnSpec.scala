@@ -28,9 +28,12 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     val overlap = ann.count { case (q, _, n) => exact(q).contains(n) }
-    // measured overlap on this corpus (deterministic data + planes); the
-    // assert pins a floor so probing regressions surface
-    assert(overlap >= 2, s"ANN/exact overlap collapsed: $overlap")
+    // Measured recall@5 on this corpus (deterministic data + planes,
+    // Hamming<=2 multi-probe): 24/50 = 0.48. The floor sits ~10 points
+    // under measured so a probing/bucketing regression that costs more
+    // than noise fails the suite (VERDICT r2 next #2); it replaces the
+    // old >=2/50 pin that near-garbage output could satisfy.
+    assert(overlap >= 19, s"sign-LSH recall@5 regressed: $overlap/50 (measured 24/50)")
   }
 
   test("IVF ANN (centroid cells, nprobe=3) is deterministic and overlaps exact top-k") {
@@ -49,6 +52,8 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     val overlap = ivf.count { case (q, _, n) => exact(q).contains(n) }
-    assert(overlap >= 2, s"IVF/exact overlap collapsed: $overlap")
+    // Measured recall@5: 32/50 = 0.64 (8 cells, nprobe=3). Floor ~10
+    // points under measured — fails on a real nprobe/codebook regression.
+    assert(overlap >= 27, s"IVF recall@5 regressed: $overlap/50 (measured 32/50)")
   }
 }
