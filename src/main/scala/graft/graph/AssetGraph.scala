@@ -69,15 +69,32 @@ object WriteMode {
 
 /** One node in the dataflow DAG. `compute` is a pure transform from the
   * partition-pruned upstream frames; it never sees refresh/watermark
-  * machinery. */
+  * machinery.
+  *
+  * `inputs` always includes the asset's OWN current partition under its
+  * own name — the reference's self-union pattern (listing loads its own
+  * previous materialization, assets/listing.py:30-41); computes that
+  * don't need it never force the read (DataFrames are lazy).
+  *
+  * `incrementalDep` names the upstream whose monotone `seq` column
+  * drives this asset's watermark (P1/P2): the planner slices THAT INPUT
+  * to `seq >= watermark` before calling `compute`, so an incremental run
+  * touches only new upstream rows — slicing the *output* instead would
+  * recompute everything and discard (the q28 lesson at table scale).
+  * Without it, an IncrementalAppend asset's own output is sliced by its
+  * `seq` column when present (source assets that re-emit full state). */
 final case class Asset(
     name: String,
     partitions: PartitionsDef,
     spec: PartitionSpec,
     writeMode: WriteMode,
     deps: Seq[String] = Nil,
+    incrementalDep: Option[String] = None,
     version: String = "v1")(
-    val compute: (SparkSession, String, Map[String, DataFrame]) => DataFrame)
+    val compute: (SparkSession, String, Map[String, DataFrame]) => DataFrame) {
+  incrementalDep.foreach(d => require(deps.contains(d),
+    s"incrementalDep $d of asset $name is not among its deps"))
+}
 
 final class AssetGraph(spark: SparkSession, tablesRoot: String, assets: Seq[Asset]) {
 
@@ -87,10 +104,15 @@ final class AssetGraph(spark: SparkSession, tablesRoot: String, assets: Seq[Asse
     require(byName.contains(d), s"asset ${a.name} depends on unknown asset $d")))
 
   /** Table handle for an asset (path convention mirrors the reference's
-    * delta_path metadata, W8). */
+    * delta_path metadata, W8). Memoized: every reader/writer in this
+    * graph shares ONE handle per table, so the commit-log snapshot cache
+    * stays coherent under the single-writer contract (two handles on the
+    * same path would let one cache go stale after the other writes). */
+  private val tableCache = scala.collection.mutable.HashMap.empty[String, IncrementalTable]
   def tableFor(name: String): IncrementalTable = {
     val a = byName(name)
-    IncrementalTable(spark, s"$tablesRoot/${a.name}/${a.version}")
+    tableCache.getOrElseUpdate(a.name,
+      IncrementalTable(spark, s"$tablesRoot/${a.name}/${a.version}"))
   }
 
   /** Dependency-closure topological order ending at `name`. */
@@ -111,14 +133,18 @@ final class AssetGraph(spark: SparkSession, tablesRoot: String, assets: Seq[Asse
 
   /** Materialize one asset for one partition key (deps must already be
     * materialized — use [[materializeAll]] for the closure). The planner
-    * decides the physical write:
+    * decides the physical write; `compute` never sees refresh/watermark
+    * machinery:
     *
     *  - IncrementalAppend + no refresh → process rows past the stored
-    *    watermark (P1/P2 semantics generalized: `compute` receives the
-    *    full upstream, the planner slices by the `seq` column when the
-    *    asset declares one via its upstream contract) and append;
-    *  - refresh OR PartitionReplace → recompute + replaceWhere, scoped
-    *    to this time partition (W5).
+    *    watermark (P1/P2): with an `incrementalDep`, the planner slices
+    *    that INPUT to `seq >= wm` before compute runs — only new
+    *    upstream rows are ever read (the slice predicate pushes into the
+    *    upstream scan); otherwise the asset's own output is sliced by
+    *    its `seq` column when present. Then append, committing the new
+    *    watermark atomically with the data.
+    *  - refresh OR PartitionReplace → full recompute + replaceWhere,
+    *    scoped to this time partition (W5).
     */
   def materialize(name: String, key: String, refresh: Boolean = false,
       today: LocalDate = LocalDate.now(ZoneOffset.UTC)): Unit = {
@@ -128,26 +154,49 @@ final class AssetGraph(spark: SparkSession, tablesRoot: String, assets: Seq[Asse
       case Right(_) => ()
     }
     val (partitionBy, timeValues) = asset.spec.resolve(asset.partitions.grain, key)
+    // deps pruned to this key (W7) + the self-union input (L2)
     val inputs: Map[String, DataFrame] = asset.deps.map { d =>
       val dep = byName(d)
       val (_, depValues) = dep.spec.resolve(dep.partitions.grain, key)
-      d -> tableFor(d).read(depValues) // W7 pruned upstream read
-    }.toMap
-    val out = asset.compute(spark, key, inputs)
+      d -> tableFor(d).read(depValues)
+    }.toMap + (asset.name -> tableFor(asset.name).read(timeValues))
     val table = tableFor(name)
 
     asset.writeMode match {
       case WriteMode.PartitionReplace =>
-        table.replaceWhere(out, partitionBy, timeValues, timeValues)
-      case WriteMode.IncrementalAppend if refresh =>
-        table.replaceWhere(out, partitionBy, timeValues, timeValues,
-          meta = Map(watermarkKey(key) -> rowHighWater(out).toString))
+        table.replaceWhere(asset.compute(spark, key, inputs),
+          partitionBy, timeValues, timeValues)
       case WriteMode.IncrementalAppend =>
-        val wm = table.latestMeta(watermarkKey(key)).map(_.toLong).getOrElse(0L)
-        val sliced =
-          if (out.columns.contains("seq")) out.filter(out("seq") >= wm) else out
-        table.append(sliced, partitionBy, timeValues,
-          meta = Map(watermarkKey(key) -> math.max(wm, rowHighWater(out)).toString))
+        val stored = table.latestMeta(watermarkKey(key)).map(_.toLong).getOrElse(0L)
+        val wm = if (refresh) 0L else stored
+        asset.incrementalDep match {
+          case Some(d) =>
+            val full = inputs(d)
+            // watermark derives from the FULL upstream ("length of the
+            // listing", assets/processed.py:62), the slice feeds compute
+            val newWm = rowHighWater(full)
+            val sliced =
+              if (full.columns.contains("seq")) full.filter(full("seq") >= wm) else full
+            val out = asset.compute(spark, key, inputs + (d -> sliced))
+            if (refresh)
+              table.replaceWhere(out, partitionBy, timeValues, timeValues,
+                meta = Map(watermarkKey(key) -> newWm.toString))
+            else
+              table.append(out, partitionBy, timeValues,
+                meta = Map(watermarkKey(key) -> math.max(stored, newWm).toString))
+          case None =>
+            val out = asset.compute(spark, key, inputs)
+            val newWm = rowHighWater(out)
+            if (refresh)
+              table.replaceWhere(out, partitionBy, timeValues, timeValues,
+                meta = Map(watermarkKey(key) -> newWm.toString))
+            else {
+              val sliced =
+                if (out.columns.contains("seq")) out.filter(out("seq") >= wm) else out
+              table.append(sliced, partitionBy, timeValues,
+                meta = Map(watermarkKey(key) -> math.max(stored, newWm).toString))
+            }
+        }
     }
     ()
   }

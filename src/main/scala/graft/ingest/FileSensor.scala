@@ -67,12 +67,45 @@ final class FileSensor(
     else fs.listStatus(new Path(ingestRoot)).map(_.getPath.getName)
       .filter(_.startsWith("day=")).map(_.stripPrefix("day=")).sorted.toSeq
 
+  /** S1+S3 for one day: list the partition dir and anti-join against the
+    * listing table; genuinely-new names come back numbered from the
+    * prior max seq (arrival order made explicit). Shared by the tick
+    * path and the graph-driven L1 backfill (listing's Asset compute). */
+  def detect(day: String): Option[RunRequest] = {
+    import spark.implicits._
+    val listed = listDay(day)
+    if (listed.isEmpty) None
+    else {
+      val prior = seenSource(day)
+      // S3 as a distributed anti-join; only genuinely-new names return
+      // to the driver (bounded by this tick's arrivals)
+      val news = listed.toDF("filename")
+        .join(prior.select($"filename"), Seq("filename"), "left_anti")
+        .as[String].collect().sorted
+      if (news.isEmpty) None
+      else {
+        val start = prior.agg(coalesce(max($"seq") + 1, lit(0L)))
+          .as[Long].head()
+        val numbered = news.zipWithIndex.map { case (f, i) => (start + i, f) }
+        Some(RunRequest(day, numbered.toSeq))
+      }
+    }
+  }
+
+  // tick time awaiting commitClock() — captured at scan START so files
+  // arriving mid-scan stay inside the next tick's candidate window
+  @volatile private var pendingTickMillis: Option[Long] = None
+
   /** One sensor tick. Returns run requests for days with new files. The
     * caller materializes them into the listing table; nothing is marked
-    * seen until that append commits. */
+    * seen until that append commits, and the tick clock only advances
+    * when the caller confirms via [[commitClock]] — a crash between
+    * detect and append leaves the candidate-day window untouched, so the
+    * same files are re-detected next tick instead of falling outside the
+    * narrowed window until a manual backfill (ADVICE r2 #1). */
   def tick(now: LocalDate = LocalDate.now(ZoneOffset.UTC),
       scanAllDays: Boolean = false): Seq[RunRequest] = {
-    import spark.implicits._
+    val tickStart = System.currentTimeMillis()
     val clock = clockStore.load().getOrElse(SensorClock(None))
     val fmt = DateTimeFormatter.ISO_LOCAL_DATE
     val days: Seq[String] =
@@ -87,26 +120,17 @@ final class FileSensor(
         (Set(now.format(fmt)) ++ prevDay).toSeq.sorted
       }
 
-    val requests = days.flatMap { day =>
-      val listed = listDay(day)
-      if (listed.isEmpty) None
-      else {
-        val prior = seenSource(day)
-        // S3 as a distributed anti-join; only genuinely-new names return
-        // to the driver (bounded by this tick's arrivals)
-        val news = listed.toDF("filename")
-          .join(prior.select($"filename"), Seq("filename"), "left_anti")
-          .as[String].collect().sorted
-        if (news.isEmpty) None
-        else {
-          val start = prior.agg(coalesce(max($"seq") + 1, lit(0L)))
-            .as[Long].head()
-          val numbered = news.zipWithIndex.map { case (f, i) => (start + i, f) }
-          Some(RunRequest(day, numbered.toSeq))
-        }
-      }
-    }
-    clockStore.save(SensorClock(Some(System.currentTimeMillis())))
+    val requests = days.flatMap(detect(_))
+    pendingTickMillis = Some(tickStart)
     requests
+  }
+
+  /** Advance the persisted tick clock — call ONLY after this tick's run
+    * requests have been materialized into the listing table. Losing the
+    * clock (crash before this) merely widens the next rescan window;
+    * advancing it early could orphan detected-but-unappended files. */
+  def commitClock(): Unit = pendingTickMillis.foreach { t =>
+    clockStore.save(SensorClock(Some(t)))
+    pendingTickMillis = None
   }
 }

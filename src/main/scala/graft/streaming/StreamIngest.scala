@@ -55,9 +55,14 @@ final class StreamIngest(
         substring($"day_key", 9, 2).as("day"))
   }
 
-  /** Idempotent micro-batch commit (exposed for replay tests). */
+  /** Idempotent micro-batch commit (exposed for replay tests). The
+    * checkpoint dir is the stream's writer identity (batchIds are
+    * monotone within one checkpoint): scoping the replay guard to it
+    * means a restart from a FRESH checkpoint — batchIds reset to 0 — is
+    * never swallowed by the previous stream's batch horizon. */
   private[streaming] def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
-    table.append(transform(batch), partitionCols, batchId = Some(batchId))
+    table.append(transform(batch), partitionCols, batchId = Some(batchId),
+      appId = Some(checkpointDir))
     ()
   }
 

@@ -38,7 +38,15 @@ final case class Commit(
     // so the exactly-once replay guard survives log compaction (streaming
     // batchIds are monotone per query, so "<= max" == "already seen").
     // Defaults keep pre-existing logs readable.
-    maxBatchId: Option[Long] = None)
+    maxBatchId: Option[Long] = None,
+    // Writer identity for the batchId guard — Delta's txn appId analog
+    // (ADVICE r2 #2). Without it, a stream restarted from a FRESH
+    // checkpoint dir resets batchIds to 0 and the global maxBatchId
+    // horizon silently swallows its first batches. With an appId, the
+    // guard is scoped per writer identity; checkpoints fold the per-app
+    // max into `appBatches`.
+    appId: Option[String] = None,
+    appBatches: Map[String, Long] = Map.empty)
 
 /** Transactional, hive-partitioned parquet table with a minimal JSON
   * commit log. Provides the three Delta behaviors the reference actually
@@ -115,10 +123,23 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
 
   /** Has a streaming micro-batch already been committed? (exactly-once
     * replay guard for foreachBatch sinks). Checkpoints fold the truncated
-    * history's max batchId, so the guard holds past log compaction. */
-  def hasBatch(batchId: Long): Boolean =
-    commits().exists(c => c.batchId.contains(batchId) ||
-      c.maxBatchId.exists(_ >= batchId))
+    * history's max batchId, so the guard holds past log compaction.
+    *
+    * With an `appId` (the stream's checkpoint identity), the guard is
+    * scoped to that writer — batchIds are monotone per checkpoint, so
+    * "an equal-or-later batch of MINE committed" means seen, while a new
+    * stream identity starting over at batch 0 is never suppressed by an
+    * older stream's horizon (Delta txn/appId semantics, ADVICE r2 #2).
+    * Without an appId, the legacy table-global check applies. */
+  def hasBatch(batchId: Long, appId: Option[String] = None): Boolean = appId match {
+    case Some(id) =>
+      commits().exists(c =>
+        (c.appId.contains(id) && c.batchId.exists(_ >= batchId)) ||
+          c.appBatches.get(id).exists(_ >= batchId))
+    case None =>
+      commits().exists(c => c.batchId.contains(batchId) ||
+        c.maxBatchId.exists(_ >= batchId))
+  }
 
   // ----------------------------------------------------------------- read
 
@@ -202,8 +223,9 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
   def append(df: DataFrame, partitionBy: Seq[String],
       partitionValues: Map[String, String] = Map.empty,
       meta: Map[String, String] = Map.empty,
-      batchId: Option[Long] = None): Option[Commit] =
-    write(df, "append", partitionBy, partitionValues, Map.empty, meta, batchId)
+      batchId: Option[Long] = None,
+      appId: Option[String] = None): Option[Commit] =
+    write(df, "append", partitionBy, partitionValues, Map.empty, meta, batchId, appId)
 
   /** Partition-scoped overwrite (reference W5 `replaceWhere`): replaces
     * exactly the live files whose path matches `partitionFilter`. */
@@ -211,19 +233,23 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       partitionValues: Map[String, String],
       partitionFilter: Map[String, String],
       meta: Map[String, String] = Map.empty,
-      batchId: Option[Long] = None): Option[Commit] =
-    write(df, "replace", partitionBy, partitionValues, partitionFilter, meta, batchId)
+      batchId: Option[Long] = None,
+      appId: Option[String] = None): Option[Commit] =
+    write(df, "replace", partitionBy, partitionValues, partitionFilter, meta, batchId, appId)
 
   /** Metadata-only commit (cursor/watermark advance with no data). */
-  def commitMeta(meta: Map[String, String], batchId: Option[Long] = None): Commit = {
+  def commitMeta(meta: Map[String, String], batchId: Option[Long] = None,
+      appId: Option[String] = None): Commit = {
     val schema = commits().lastOption.map(_.schemaJson).getOrElse("")
-    commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil, schema, meta, batchId, now()))
+    commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil, schema, meta, batchId, now(),
+      appId = appId))
   }
 
   private def write(df: DataFrame, action: String, partitionBy: Seq[String],
       partitionValues: Map[String, String], partitionFilter: Map[String, String],
-      meta: Map[String, String], batchId: Option[Long]): Option[Commit] = {
-    if (batchId.exists(hasBatch)) return None // idempotent replay
+      meta: Map[String, String], batchId: Option[Long],
+      appId: Option[String] = None): Option[Commit] = {
+    if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
     val withParts = partitionValues.foldLeft(df) { case (d, (k, v)) =>
       d.withColumn(k, lit(v))
     }
@@ -243,7 +269,7 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       // W6 empty-write elision: no data files enter the log, no empty
       // partition dirs appear; metadata still commits if present
       fs.delete(stage, true)
-      if (meta.nonEmpty) Some(commitMeta(meta, batchId)) else None
+      if (meta.nonEmpty) Some(commitMeta(meta, batchId, appId)) else None
     } else {
       // 2. promote: rename staged files into the final hive layout.
       //    A crash here leaves orphans that no commit references —
@@ -262,7 +288,7 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
         if (action == "replace") liveFiles(partitionFilter) else Seq.empty
       val schemaDdl = withParts.schema.toDDL
       Some(commit(Commit(0, action, added, removed, partitionFilter,
-        partitionBy, schemaDdl, meta, batchId, now())))
+        partitionBy, schemaDdl, meta, batchId, now(), appId = appId)))
     }
   }
 
@@ -303,13 +329,19 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       val cs = commits()
       val last = cs.last
       // fold the replay horizon's batchIds into the checkpoint so the
-      // exactly-once guard (hasBatch) survives compaction
-      val maxBatch = (cs.flatMap(_.batchId) ++ cs.flatMap(_.maxBatchId))
-        .maxOption
+      // exactly-once guard (hasBatch) survives compaction: table-global
+      // max for appId-less commits, per-appId max for identified writers
+      // (a new writer identity must never be suppressed by another's
+      // horizon)
+      val maxBatch = (cs.filter(_.appId.isEmpty).flatMap(_.batchId) ++
+        cs.flatMap(_.maxBatchId)).maxOption
+      val perApp = cs.flatMap(c =>
+          c.appId.flatMap(id => c.batchId.map(id -> _)).toSeq ++ c.appBatches.toSeq)
+        .groupMapReduce(_._1)(_._2)(math.max)
       val snap = Commit(version, "checkpoint", liveFiles(), Nil, Map.empty,
         last.partitionBy, last.schemaJson,
         cs.foldLeft(Map.empty[String, String])(_ ++ _.meta), None, now(),
-        maxBatchId = maxBatch)
+        maxBatchId = maxBatch, appBatches = perApp)
       val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
       try out.write(Serialization.write(snap).getBytes("UTF-8")) finally out.close()

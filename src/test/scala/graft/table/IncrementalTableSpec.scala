@@ -107,6 +107,36 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.read().count() == 1)
   }
 
+  test("per-appId batch guard: fresh stream identity is never suppressed (ADVICE r2 #2)") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t12")
+    val df = Seq(("a", 1L)).toDF("k", "n")
+    // stream A commits batches 0..5
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(5L), appId = Some("ckpt-A")).isDefined)
+    // replay of A's batch 5 and any earlier A batch: no-op (monotone per app)
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(5L), appId = Some("ckpt-A")).isEmpty)
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(3L), appId = Some("ckpt-A")).isEmpty)
+    // stream restarted with a FRESH checkpoint: batchId resets to 0 —
+    // must commit (the global-maxBatchId design would swallow it)
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(0L), appId = Some("ckpt-B")).isDefined)
+    assert(t.read().count() == 2)
+
+    // the per-app horizon survives log compaction via the checkpoint
+    (1 to IncrementalTable.checkpointInterval + 1).foreach { i =>
+      t.commitMeta(Map("wm" -> i.toString))
+    }
+    assert(t.commits().head.action == "checkpoint")
+    assert(t.hasBatch(5L, Some("ckpt-A")) && t.hasBatch(0L, Some("ckpt-B")))
+    assert(!t.hasBatch(1L, Some("ckpt-B")) && !t.hasBatch(0L, Some("ckpt-C")))
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(4L), appId = Some("ckpt-A")).isEmpty)
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(1L), appId = Some("ckpt-B")).isDefined)
+  }
+
   test("time travel reads older snapshots; compaction shrinks file count losslessly") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t10")
     val p = Seq("day")
