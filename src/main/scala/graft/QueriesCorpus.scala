@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextOps
+
+/** Corpus-preparation operators for training-data pipelines — the steps
+  * between "raw documents" and "training shards" that a 100 TB run
+  * needs beyond dedup/quality (SURVEY.md §2b K/E rows):
+  *
+  *  - q40 deterministic stratified sampling: keep a document iff the md5
+  *    of a salted key falls under a per-stratum threshold. No RNG state,
+  *    no coordination — any worker, any partitioning, any engine decides
+  *    membership identically (the property `df.sample` does NOT have),
+  *    and re-runs/backfills pick the exact same subset. Thresholds are
+  *    hex-prefix compares (first byte of md5 ~ U[0,256)): 'en' keeps
+  *    26/256 ≈ 10%, others 77/256 ≈ 30%.
+  *  - q41 token-budget sharding: contiguous ~1000-token shards per
+  *    language stratum via a windowed running sum. Sharding is
+  *    *contiguous by construction* (docs stay in doc_id order), so the
+  *    window partitions by the stratum — the scale dial is the stratum
+  *    key: at 100 TB partition by (lang, day) or hash-bucket so no
+  *    single stratum funnels through one reducer; round-robin hashing
+  *    would parallelize fully but loses contiguity.
+  *  - q42 cleaning + truncation: drop short tokens, cap at 50 tokens —
+  *    a narrow per-row projection (single scan stage, full codegen).
+  *  - q43 sliding-window chunking: 32-token chunks at stride 24 (8-token
+  *    overlap) — the RAG/pretraining chunker. One explode per chunk, no
+  *    shuffle except the presentation sort; output rows ≈ n_tokens/24.
+  *
+  * All four are DuckDB-oracle-checked (md5 and token math are
+  * engine-neutral; see QueriesText's determinism contract).
+  */
+object QueriesCorpus {
+
+  private val SampleSalt = "graft-sample-42:"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- deterministic stratified sampling ----------------------------
+    "q40_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val h = md5(concat(lit(SampleSalt), $"doc_id".cast("string")).cast("binary"))
+      val thr = when($"lang" === "en", lit("1a")).otherwise(lit("4d"))
+      Tables.documents(s, dir)
+        .withColumn("h", h)
+        .filter(substring($"h", 1, 2) < thr)
+        .select($"doc_id", $"lang", $"n_chars", $"h".as("sample_key"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- token-budget sharding (contiguous, per-stratum) --------------
+    "q41_token_shards" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .withColumn("shard", floor(($"cum" - $"n_tokens") / 1000.0).cast("long"))
+        .groupBy($"lang", $"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("shard_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"lang", $"shard")
+    }),
+
+    // ---- cleaning + truncation ----------------------------------------
+    "q42_clean_truncate" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      val kept = filter(toks, t => length(t) > 2)
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          size(toks).cast("long").as("n_tokens"),
+          size(kept).cast("long").as("n_kept"),
+          array_join(slice(kept, 1, 50), " ").as("clean_text"),
+          least(size(kept), lit(50)).cast("long").as("n_out"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- sliding-window token chunking --------------------------------
+    "q43_token_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val chunkLen = 32
+      val stride = 24
+      Tables.documents(s, dir)
+        .select($"doc_id", TextOps.tokens($"text").as("w"))
+        .filter(size($"w") > 0)
+        .withColumn("n_tokens", size($"w").cast("long"))
+        .select($"doc_id", $"n_tokens",
+          posexplode(transform(
+            sequence(lit(0), size($"w") - 1, lit(stride)),
+            st => array_join(slice($"w", st + 1, lit(chunkLen)), " "))))
+        .select($"doc_id",
+          $"pos".cast("long").as("chunk_idx"),
+          $"col".as("chunk_text"),
+          least(lit(chunkLen.toLong),
+            $"n_tokens" - lit(stride.toLong) * $"pos").as("n_chunk_tokens"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q40_sample_stratified" ->
+      s"""SELECT doc_id, lang, n_chars, h AS sample_key FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |    md5('$SampleSalt' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents)
+         |WHERE substr(h,1,2) < (CASE WHEN lang='en' THEN '1a' ELSE '4d' END)
+         |ORDER BY doc_id""".stripMargin,
+    "q41_token_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, len($toksSql) AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT lang, CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS shard,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1,2 ORDER BY lang, shard""".stripMargin,
+    "q42_clean_truncate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS w,
+         |    list_filter(string_split(text,' '), t -> length(t) > 2) AS kept
+         |  FROM documents)
+         |SELECT doc_id, len(w) AS n_tokens, len(kept) AS n_kept,
+         |  array_to_string(kept[1:50], ' ') AS clean_text,
+         |  least(len(kept), 50) AS n_out
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q43_token_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS w FROM documents)
+         |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_idx,
+         |  array_to_string(w[st+1 : st+32], ' ') AS chunk_text,
+         |  least(32, len(w) - st) AS n_chunk_tokens
+         |FROM t, UNNEST(generate_series(0, len(w)-1, 24)) AS u(st)
+         |WHERE len(w) > 0
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+  )
+}

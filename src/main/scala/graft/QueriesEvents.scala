@@ -79,6 +79,22 @@ object QueriesEvents {
           count(lit(1)).as("n"))
         .orderBy($"o_orderpriority")
     }),
+
+    // ---- approximate distinct count (HLL++ sketch) --------------------
+    // The 100 TB cardinality path: `approx_count_distinct` is a
+    // constant-memory, map-side-mergeable sketch, vs exact COUNT(DISTINCT)
+    // whose per-group distinct set must be shuffled and held. Sketch
+    // estimates are engine-specific (Spark HLL++ vs DuckDB's HLL) →
+    // rows-only contract like q27/q36/q38; QuantilesSpec pins <5%
+    // relative error against the exact distinct count.
+    "q44_cardinality_approx" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id").as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(

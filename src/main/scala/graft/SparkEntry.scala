@@ -27,7 +27,7 @@ object SparkEntry {
     QueriesCore.queries ++ QueriesPipeline.queries ++ QueriesText.queries ++
       QueriesDedup.queries ++ QueriesSimilarity.queries ++
       QueriesMultimodal.queries ++ QueriesEvents.queries ++
-      QueriesCuration.queries
+      QueriesCuration.queries ++ QueriesCorpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,6 @@ object SparkEntry {
     QueriesCore.oracleSql ++ QueriesPipeline.oracleSql ++
       QueriesText.oracleSql ++ QueriesDedup.oracleSql ++
       QueriesSimilarity.oracleSql ++ QueriesMultimodal.oracleSql ++
-      QueriesEvents.oracleSql ++ QueriesCuration.oracleSql
+      QueriesEvents.oracleSql ++ QueriesCuration.oracleSql ++
+      QueriesCorpus.oracleSql
 }

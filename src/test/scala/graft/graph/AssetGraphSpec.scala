@@ -65,6 +65,51 @@ class AssetGraphSpec extends SparkSpec {
     assert(g.tableFor("squares").read().count() == 5)
   }
 
+  test("incrementalDep: compute receives only the sliced upstream (P1/P2 in the planner)") {
+    val root = tmpDir("graph")
+    var computeSaw: Seq[Long] = Nil
+    val src = Asset("src", parts, PartitionSpec.timeExpand,
+      WriteMode.IncrementalAppend) { (s, _, _) =>
+      import s.implicits._
+      source.toDF("seq", "value")
+    }
+    val dst = Asset("dst", parts, PartitionSpec.timeExpand,
+      WriteMode.IncrementalAppend, deps = Seq("src"),
+      incrementalDep = Some("src")) { (s, _, inputs) =>
+      import s.implicits._
+      val in = inputs("src")
+      computeSaw =
+        if (in.schema.isEmpty) Nil
+        else in.select($"seq").as[Long].collect().toSeq.sorted
+      if (in.schema.isEmpty) s.emptyDataFrame
+      else in.select($"seq", ($"value" * 10).as("v10"))
+    }
+    val g = new AssetGraph(spark, root, Seq(src, dst))
+
+    source = Seq((0L, 2L), (1L, 3L), (2L, 4L))
+    g.materializeAll("dst", day, today = today)
+    assert(computeSaw == Seq(0L, 1L, 2L)) // first run: everything is new
+    assert(g.tableFor("dst").read().count() == 3)
+
+    // upstream grows: compute must see ONLY the suffix past the watermark
+    source = source ++ Seq((3L, 5L), (4L, 6L))
+    g.materializeAll("dst", day, today = today)
+    assert(computeSaw == Seq(3L, 4L))
+    assert(g.tableFor("dst").read().count() == 5)
+
+    // idle re-run: empty slice, no new rows, no duplicates
+    g.materializeAll("dst", day, today = today)
+    assert(computeSaw.isEmpty)
+    assert(g.tableFor("dst").read().count() == 5)
+
+    // refresh: full recompute (wm=0), partition replaced, no duplicates
+    g.materializeAll("dst", day, refresh = true, today = today)
+    assert(computeSaw == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(g.tableFor("dst").read().count() == 5)
+    assert(g.tableFor("dst").read().select($"v10").as[Long].collect().toSet ==
+      Set(20L, 30L, 40L, 50L, 60L))
+  }
+
   test("refresh is a planner decision, invisible to compute (fixes readme.md:15-19)") {
     val root = tmpDir("graph")
     val g = graph(root)
