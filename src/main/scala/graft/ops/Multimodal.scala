@@ -105,6 +105,38 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a media payload. */
+  final case class MediaFrame(
+      filename: String,
+      mediaType: String,
+      frameIdx: Int, // index within the decoded frame sequence
+      offset: Long, // byte offset the stub window starts at
+      frameBytes: Array[Byte])
+
+  /** Frame sampling: explode each payload into every `every`-th frame
+    * row (video keyframe extraction shape). With the stub codec a
+    * "frame" is a `frameSize`-byte window at a deterministic offset; a
+    * real decoder would seek+decode instead — the plumbing (one input
+    * row fanning out to nFrames/every output rows, payload sliced per
+    * frame, order carried by frameIdx, blobs dropped by downstream
+    * column pruning) is the real thing. Flat-map, no shuffle: scales as
+    * a single scan stage like every other decode step here. */
+  def sampleFrames(files: Dataset[MediaFile], every: Int = 8,
+      frameSize: Int = 64): Dataset[MediaFrame] = {
+    import files.sparkSession.implicits._
+    require(every > 0 && frameSize > 0)
+    files.flatMap { f =>
+      val codec = FakeCodec
+      val (_, _, nFrames) = codec.decode(f.content)
+      val len = f.content.length
+      (0 until nFrames by every).map { i =>
+        val off = if (len == 0) 0 else (i.toLong * frameSize) % len
+        MediaFrame(f.filename, f.mediaType, i, off,
+          f.content.slice(off.toInt, math.min(len, off.toInt + frameSize)))
+      }
+    }
+  }
+
   /** Commit extracted features (payload column dropped) to a table,
     * partitioned by media type. */
   def commitFeatures(table: IncrementalTable, feats: Dataset[MediaFeatures],

@@ -54,4 +54,31 @@ class MultimodalSpec extends SparkSpec {
     assert(!back.columns.contains("content"))
     assert(table.read(Map("media_type" -> "png")).count() == 2)
   }
+
+  test("frame sampling: deterministic fan-out, slices match the payload") {
+    val root = tmpDir("mm")
+    val fixtures = writeFixtures(s"$root/media")
+    val media = Multimodal.ingestDir(spark, s"$root/media", glob = "*.{png,wav,mp4}")
+
+    val frames = Multimodal.sampleFrames(media, every = 8, frameSize = 64).collect()
+    val again = Multimodal.sampleFrames(media, every = 8, frameSize = 64).collect()
+    assert(frames.map(f => (f.filename, f.frameIdx)).sorted.toSeq ==
+      again.map(f => (f.filename, f.frameIdx)).sorted.toSeq)
+
+    // fan-out count: ceil(nFrames/every) per file, frameIdx stepped by `every`
+    val feats = Multimodal.extractFeatures(media).collect().map(x => x.filename -> x).toMap
+    frames.groupBy(_.filename).foreach { case (name, fs) =>
+      val expected = (feats(name).nFrames + 7) / 8
+      assert(fs.length == expected, s"$name: ${fs.length} frames vs expected $expected")
+      assert(fs.map(_.frameIdx).sorted.toSeq == (0 until feats(name).nFrames by 8).toSeq)
+    }
+
+    // each frame's bytes are exactly the payload window at its offset
+    frames.foreach { f =>
+      val content = fixtures(f.filename)
+      val off = f.offset.toInt
+      val want = content.slice(off, math.min(content.length, off + 64))
+      assert(f.frameBytes.sameElements(want), s"${f.filename}#${f.frameIdx}")
+    }
+  }
 }
