@@ -237,6 +237,27 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       appId: Option[String] = None): Option[Commit] =
     write(df, "replace", partitionBy, partitionValues, partitionFilter, meta, batchId, appId)
 
+  /** Dynamic partition overwrite (Spark's
+    * `partitionOverwriteMode=dynamic` / Delta `replaceWhere`-per-touched-
+    * partition, in ONE atomic commit): replaces exactly the physical
+    * partitions the input writes to, leaving every other partition
+    * untouched. The touched set derives from the staged files' hive
+    * paths, so it is precisely "partitions present in df" — no caller-
+    * supplied filter to get wrong, and a multi-partition micro-batch
+    * (e.g. several streaming windows updated at once) replaces all of
+    * them under one batchId, keeping the exactly-once replay guard sound
+    * where a loop of per-partition replaceWhere commits would mark the
+    * batch seen after the first partition. */
+  def dynamicReplace(df: DataFrame, partitionBy: Seq[String],
+      partitionValues: Map[String, String] = Map.empty,
+      meta: Map[String, String] = Map.empty,
+      batchId: Option[Long] = None,
+      appId: Option[String] = None): Option[Commit] = {
+    require(partitionBy.nonEmpty, "dynamicReplace needs partition columns")
+    write(df, "replace", partitionBy, partitionValues, Map.empty, meta,
+      batchId, appId, dynamic = true)
+  }
+
   /** Metadata-only commit (cursor/watermark advance with no data). */
   def commitMeta(meta: Map[String, String], batchId: Option[Long] = None,
       appId: Option[String] = None): Commit = {
@@ -248,7 +269,7 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
   private def write(df: DataFrame, action: String, partitionBy: Seq[String],
       partitionValues: Map[String, String], partitionFilter: Map[String, String],
       meta: Map[String, String], batchId: Option[Long],
-      appId: Option[String] = None): Option[Commit] = {
+      appId: Option[String] = None, dynamic: Boolean = false): Option[Commit] = {
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
     val withParts = partitionValues.foldLeft(df) { case (d, (k, v)) =>
       d.withColumn(k, lit(v))
@@ -283,9 +304,14 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
         rel
       }
       fs.delete(stage, true)
-      // 3. removal set for replace
+      // 3. removal set for replace: filter-scoped, or (dynamic) exactly
+      //    the partition dirs the staged files landed in
       val removed =
-        if (action == "replace") liveFiles(partitionFilter) else Seq.empty
+        if (action != "replace") Seq.empty
+        else if (dynamic) {
+          val touched = added.map(parentDir).toSet
+          liveFiles().filter(f => touched.contains(parentDir(f)))
+        } else liveFiles(partitionFilter)
       val schemaDdl = withParts.schema.toDDL
       Some(commit(Commit(0, action, added, removed, partitionFilter,
         partitionBy, schemaDdl, meta, batchId, now(), appId = appId)))
@@ -396,6 +422,10 @@ object IncrementalTable {
     }
     out.result()
   }
+
+  /** Root-relative partition dir of a root-relative file path. */
+  private def parentDir(rel: String): String =
+    rel.split("/").dropRight(1).mkString("/")
 
   private def relativize(base: Path, full: String): String = {
     val b = base.toUri.getPath.stripSuffix("/")

@@ -51,6 +51,24 @@ class IncrementalTableSpec extends SparkSpec {
       Set("new26a", "new26b", "keep27"))
   }
 
+  test("dynamicReplace overwrites exactly the partitions present in the input") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t13")
+    val p = Seq("day", "kind")
+    def row(day: String, kind: String, v: Long) =
+      Seq((v, day, kind)).toDF("v", "day", "kind")
+    t.append(row("26", "a", 1L), p)
+    t.append(row("26", "b", 2L), p)
+    t.append(row("27", "a", 3L), p)
+
+    // one commit touching (26,a) and (27,a): both replaced, (26,b) kept
+    val batch = Seq((10L, "26", "a"), (30L, "27", "a")).toDF("v", "day", "kind")
+    val c = t.dynamicReplace(batch, p)
+    assert(c.exists(_.action == "replace"))
+    assert(t.read().select($"v").as[Long].collect().toSet == Set(10L, 2L, 30L))
+    // untouched partition still readable via pruning
+    assert(t.read(Map("day" -> "26", "kind" -> "b")).count() == 1)
+  }
+
   test("empty write elides data but commits watermark meta atomically (W6+P6)") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t4")
     val empty = Seq.empty[(String, Long)].toDF("k", "n")
