@@ -218,4 +218,18 @@ final class AssetGraph(spark: SparkSession, tablesRoot: String, assets: Seq[Asse
     order.foreach(materialize(_, key, refresh, today))
     order
   }
+
+  /** Partition backfill (the reference's backfill flow, SURVEY.md §3.3):
+    * materialize the dependency closure for every materializable key in
+    * `[from, to]`, oldest first. Keys outside the asset's valid horizon
+    * are skipped rather than failed — a backfill over a range containing
+    * the gap before start_date or beyond today is the normal case.
+    * Returns the keys actually materialized. */
+  def backfill(name: String, from: String, to: String, refresh: Boolean = false,
+      today: LocalDate = LocalDate.now(ZoneOffset.UTC)): Seq[String] = {
+    val asset = byName(name)
+    val keys = asset.partitions.keys(today).filter(k => k >= from && k <= to)
+    keys.foreach(materializeAll(name, _, refresh, today))
+    keys
+  }
 }

@@ -136,6 +136,18 @@ class AssetGraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] { g.topo("x") }
   }
 
+  test("backfill materializes the closure for every key in range, skipping invalid ones") {
+    val root = tmpDir("graph")
+    val g = graph(root)
+    source = Seq((0L, 2L), (1L, 3L))
+    // range reaches before start_date and to the open horizon: only
+    // valid keys run (2024-03-20..26), oldest first
+    val done = g.backfill("squares", "2024-03-01", "2024-03-26", today = today)
+    assert(done == (20 to 26).map(d => s"2024-03-$d"))
+    assert(g.tableFor("squares").read().count() == 7 * 2) // 2 rows per day
+    assert(g.tableFor("squares").read(Map("day" -> "25")).count() == 2)
+  }
+
   test("materializing an out-of-range partition fails fast") {
     val g = graph(tmpDir("graph"))
     intercept[IllegalArgumentException] {
