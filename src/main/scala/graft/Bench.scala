@@ -81,7 +81,10 @@ object Bench {
       val perIter = if (ts.isEmpty) 0L else shuffleBytes.get / ts.size
       (n, if (ts.isEmpty) -1.0 else median(ts), perIter, peakMem.get)
     }
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which on
+    // comma-decimal JVMs (de_DE etc.) would emit 0,760 — invalid JSON
+    def r3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _, _) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val shuf = results.map { case (k, _, b, _) => s""""$k":$b""" }.mkString("{", ",", "}")
     val peak = results.map { case (k, _, _, p) => s""""$k":$p""" }.mkString("{", ",", "}")

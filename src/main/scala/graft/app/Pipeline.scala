@@ -67,13 +67,19 @@ final class Pipeline(spark: SparkSession, ingestRoot: String, tablesRoot: String
 
   private val listingAsset =
     Asset("listing", partsDef, PartitionSpec(Seq("$time")),
-        WriteMode.IncrementalAppend) { (_, day, _) =>
-      // L1 full-rescan branch (no sensor config): list the whole day dir
-      // and keep only names the listing hasn't seen, numbered from the
-      // prior max seq — the same detect used by the sensor tick, so a
-      // graph materialization after sensor ticks never duplicates
-      sensor.detect(day).map(_.newFiles).getOrElse(Seq.empty)
+        WriteMode.IncrementalAppend) { (_, day, inputs) =>
+      // L1+L2: the FULL current listing — the previous materialization
+      // (the planner's self-union input, reference assets/listing.py:
+      // 30-41) plus newly detected files numbered from the prior max
+      // (the same detect the sensor tick uses, so the two paths never
+      // duplicate). Full state is the planner contract for source
+      // assets: append slices the output to seq >= watermark, refresh
+      // replaces the partition with the whole recomputed state — a
+      // delta-only compute would TRUNCATE the partition on refresh.
+      val prev = normalizeListing(inputs("listing"))
+      val news = sensor.detect(day).map(_.newFiles).getOrElse(Seq.empty)
         .toDF("seq", "filename")
+      prev.unionByName(news)
     }
 
   private val processedAsset =
@@ -123,9 +129,16 @@ final class Pipeline(spark: SparkSession, ingestRoot: String, tablesRoot: String
     * assets/listing.py:30-41; the previous materialization is already in
     * the table, so append == prev ++ new). */
   def runListing(req: RunRequest): Unit = {
+    if (req.newFiles.isEmpty) return
     val df = req.newFiles.toDF("seq", "filename")
+    // the listing's own watermark meta rides in the same commit, so a
+    // later graph materialization of `listing` (full-state compute)
+    // slices to exactly the not-yet-appended suffix — sensor appends
+    // and planner appends stay mutually duplicate-free
+    val highWater = req.newFiles.map(_._1).max + 1
     listing.append(df, partitionBy = Seq("day"),
-      partitionValues = Map("day" -> req.day))
+      partitionValues = Map("day" -> req.day),
+      meta = Map(s"watermark/${req.day}" -> highWater.toString))
   }
 
   /** Current listing for a day, in arrival order (typed-empty when

@@ -169,34 +169,28 @@ final class AssetGraph(spark: SparkSession, tablesRoot: String, assets: Seq[Asse
       case WriteMode.IncrementalAppend =>
         val stored = table.latestMeta(watermarkKey(key)).map(_.toLong).getOrElse(0L)
         val wm = if (refresh) 0L else stored
-        asset.incrementalDep match {
+        // seqs are nonnegative by contract, so slicing at wm=0 (refresh)
+        // is the identity — refresh sees the full input/output
+        def slice(df: DataFrame): DataFrame =
+          if (df.columns.contains("seq")) df.filter(df("seq") >= wm) else df
+        // watermark derives from the FULL upstream/output ("length of
+        // the listing", assets/processed.py:62); the slice feeds compute
+        // (incrementalDep: only new upstream rows are ever read) or
+        // trims a full-state source output before the append
+        val (out, newWm) = asset.incrementalDep match {
           case Some(d) =>
             val full = inputs(d)
-            // watermark derives from the FULL upstream ("length of the
-            // listing", assets/processed.py:62), the slice feeds compute
-            val newWm = rowHighWater(full)
-            val sliced =
-              if (full.columns.contains("seq")) full.filter(full("seq") >= wm) else full
-            val out = asset.compute(spark, key, inputs + (d -> sliced))
-            if (refresh)
-              table.replaceWhere(out, partitionBy, timeValues, timeValues,
-                meta = Map(watermarkKey(key) -> newWm.toString))
-            else
-              table.append(out, partitionBy, timeValues,
-                meta = Map(watermarkKey(key) -> math.max(stored, newWm).toString))
+            (asset.compute(spark, key, inputs + (d -> slice(full))), rowHighWater(full))
           case None =>
-            val out = asset.compute(spark, key, inputs)
-            val newWm = rowHighWater(out)
-            if (refresh)
-              table.replaceWhere(out, partitionBy, timeValues, timeValues,
-                meta = Map(watermarkKey(key) -> newWm.toString))
-            else {
-              val sliced =
-                if (out.columns.contains("seq")) out.filter(out("seq") >= wm) else out
-              table.append(sliced, partitionBy, timeValues,
-                meta = Map(watermarkKey(key) -> math.max(stored, newWm).toString))
-            }
+            val o = asset.compute(spark, key, inputs)
+            (slice(o), rowHighWater(o))
         }
+        if (refresh)
+          table.replaceWhere(out, partitionBy, timeValues, timeValues,
+            meta = Map(watermarkKey(key) -> newWm.toString))
+        else
+          table.append(out, partitionBy, timeValues,
+            meta = Map(watermarkKey(key) -> math.max(stored, newWm).toString))
     }
     ()
   }

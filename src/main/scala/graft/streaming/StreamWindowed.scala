@@ -51,7 +51,12 @@ final class StreamWindowedCounts(
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(
-        date_format(col("window.start"), "yyyy-MM-dd-HHmm").as("window_start"),
+        // second granularity: the partition string must distinguish every
+        // window the duration can produce — a coarser format would merge
+        // sub-minute windows into one partition and dynamicReplace would
+        // wipe siblings (replacement unit must CONTAIN the re-emission
+        // unit). Colon-free for directory-safe hive values.
+        date_format(col("window.start"), "yyyy-MM-dd-HHmmss").as("window_start"),
         col("event_type"),
         col("n_events"))
 

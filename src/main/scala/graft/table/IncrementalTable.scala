@@ -135,7 +135,16 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     case Some(id) =>
       commits().exists(c =>
         (c.appId.contains(id) && c.batchId.exists(_ >= batchId)) ||
-          c.appBatches.get(id).exists(_ >= batchId))
+          c.appBatches.get(id).exists(_ >= batchId) ||
+          // upgrade boundary: a commit written by pre-appId code carries
+          // the batchId with no writer identity. An EXACT match still
+          // counts as seen, so a stream that crashed mid-upgrade cannot
+          // double-commit its replayed batch. Exact (not >=) and never
+          // via the global maxBatchId horizon, so a genuinely new stream
+          // identity is suppressed only for batchIds the legacy history
+          // literally recorded — start such a stream on a fresh table
+          // version (or after compaction folds the legacy ids away).
+          (c.appId.isEmpty && c.batchId.contains(batchId)))
     case None =>
       commits().exists(c => c.batchId.contains(batchId) ||
         c.maxBatchId.exists(_ >= batchId))
@@ -287,10 +296,23 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     // stage one schema-only file — detect via footer counts (no job)
     if (staged.isEmpty ||
         (partitionBy.isEmpty && stagedRowCount(stage, staged) == 0)) {
+      fs.delete(stage, true)
+      // A filter-scoped replace that recomputed to ZERO rows must still
+      // delete the partition's old data — "refresh produced nothing" is
+      // a result, not a no-op (the reference elides even here,
+      // delta_io.py:85-86, leaving stale rows after an empty refresh;
+      // a defect we fix rather than reproduce). Dynamic replace with an
+      // empty batch genuinely touches no partitions and stays elided.
+      val removed = if (action == "replace" && !dynamic) liveFiles(partitionFilter)
+        else Seq.empty
+      if (removed.nonEmpty) {
+        val schema = commits().lastOption.map(_.schemaJson).getOrElse("")
+        Some(commit(Commit(0, "replace", Nil, removed, partitionFilter,
+          partitionBy, schema, meta, batchId, now(), appId = appId)))
+      }
       // W6 empty-write elision: no data files enter the log, no empty
       // partition dirs appear; metadata still commits if present
-      fs.delete(stage, true)
-      if (meta.nonEmpty) Some(commitMeta(meta, batchId, appId)) else None
+      else if (meta.nonEmpty) Some(commitMeta(meta, batchId, appId)) else None
     } else {
       // 2. promote: rename staged files into the final hive layout.
       //    A crash here leaves orphans that no commit references —

@@ -172,6 +172,38 @@ class PipelineSpec extends SparkSpec {
     assert(pipe.sensor.tick(scanAllDays = true).isEmpty)
   }
 
+  test("graph refresh of the full closure preserves the listing (full-state contract)") {
+    val root = Paths.get(tmpDir("pipe"))
+    val ingest = root.resolve("files_to_ingest")
+    copyFixture(ingest, days = Set("2024-03-26"), limitPerDay = 10)
+    val pipe = new Pipeline(spark, ingest.toString, root.resolve("tables").toString)
+    val day = "2024-03-26"
+
+    pipe.tickAndIngest(scanAllDays = true)
+    pipe.runAll(day)
+    assert(pipe.processed.read().count() == 10)
+
+    // refresh the WHOLE closure through the planner: listing's compute
+    // must re-emit full state, not just the (empty) delta — a delta-only
+    // compute would truncate the partition here and cascade the loss
+    pipe.graph.materializeAll("backwards", day, refresh = true)
+    assert(pipe.listing.read(Map("day" -> day)).count() == 10)
+    assert(pipe.processed.read().count() == 10)
+    assert(pipe.backwards.read().count() == 10)
+
+    // incremental graph materialization after sensor ticks: no dup
+    pipe.graph.materializeAll("backwards", day)
+    assert(pipe.listing.read(Map("day" -> day)).count() == 10)
+    assert(pipe.processed.read().count() == 10)
+
+    // and new files flow through the graph path too
+    copyFixture(ingest, days = Set("2024-03-26"), limitPerDay = 12)
+    pipe.graph.materializeAll("backwards", day)
+    assert(pipe.listing.read(Map("day" -> day)).count() == 12)
+    assert(pipe.processed.read().count() == 12)
+    assert(pipe.processed.read().select($"filename").distinct().count() == 12)
+  }
+
   test("missing/gap day partitions default to empty, not failure (L3/W6)") {
     val root = Paths.get(tmpDir("pipe"))
     val ingest = root.resolve("files_to_ingest")

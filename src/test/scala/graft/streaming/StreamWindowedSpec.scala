@@ -36,9 +36,9 @@ class StreamWindowedSpec extends SparkSpec {
       (ts(12), "a"), (ts(13), "a"))
     sink.start(events).awaitTermination()
     assert(snapshot(table) == Set(
-      ("2024-03-26-0000", "a", 3L),
-      ("2024-03-26-0000", "b", 1L),
-      ("2024-03-26-0010", "a", 2L)))
+      ("2024-03-26-000000", "a", 3L),
+      ("2024-03-26-000000", "b", 1L),
+      ("2024-03-26-001000", "a", 2L)))
 
     // late event for the 00:00 window, inside the 5-min watermark
     // (max event time 00:13 -> watermark 00:08 < window end 00:10):
@@ -47,23 +47,23 @@ class StreamWindowedSpec extends SparkSpec {
     ms.addData((ts(4), "a"))
     sink.start(events).awaitTermination()
     assert(snapshot(table) == Set(
-      ("2024-03-26-0000", "a", 4L),
-      ("2024-03-26-0000", "b", 1L),
-      ("2024-03-26-0010", "a", 2L)))
+      ("2024-03-26-000000", "a", 4L),
+      ("2024-03-26-000000", "b", 1L),
+      ("2024-03-26-001000", "a", 2L)))
 
     // crash-replay contract: re-delivering the last batch with its
     // original batchId must be a no-op (single multi-partition commit)
     val lastBatch = table.commits().flatMap(_.batchId).max
-    val fake = Seq(("2024-03-26-0000", "a", 999L), ("2024-03-26-0010", "a", 999L))
+    val fake = Seq(("2024-03-26-000000", "a", 999L), ("2024-03-26-001000", "a", 999L))
       .toDF("window_start", "event_type", "n_events")
     sink.commitBatch(fake, lastBatch)
-    assert(snapshot(table).contains(("2024-03-26-0000", "a", 4L)))
+    assert(snapshot(table).contains(("2024-03-26-000000", "a", 4L)))
 
     // but a genuinely new batch replaces exactly its touched partitions
     sink.commitBatch(fake, lastBatch + 100)
     assert(snapshot(table) == Set(
-      ("2024-03-26-0000", "a", 999L),
-      ("2024-03-26-0000", "b", 1L),
-      ("2024-03-26-0010", "a", 999L)))
+      ("2024-03-26-000000", "a", 999L),
+      ("2024-03-26-000000", "b", 1L),
+      ("2024-03-26-001000", "a", 999L)))
   }
 }

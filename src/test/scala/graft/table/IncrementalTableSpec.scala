@@ -69,6 +69,42 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.read(Map("day" -> "26", "kind" -> "b")).count() == 1)
   }
 
+  test("replaceWhere with an empty recompute deletes the partition's old data") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t14")
+    val p = Seq("day")
+    def v(day: String) = Map("day" -> day)
+    t.append(Seq(("a", 1L)).toDF("k", "n"), p, v("26"))
+    t.append(Seq(("keep", 2L)).toDF("k", "n"), p, v("27"))
+    // refresh recomputed day 26 to ZERO rows: that's a result, not a
+    // no-op — the old rows must go; day 27 untouched
+    val empty = Seq.empty[(String, Long)].toDF("k", "n")
+    val c = t.replaceWhere(empty, p, v("26"), partitionFilter = v("26"),
+      meta = Map("watermark/26" -> "0"))
+    assert(c.exists(_.action == "replace"))
+    assert(t.read().select($"k").as[String].collect().toSeq == Seq("keep"))
+    assert(t.latestMeta("watermark/26").contains("0"))
+    // but a dynamic replace with an empty batch touches nothing
+    // (dynamic carries its partition cols as data columns)
+    val emptyDyn = Seq.empty[(String, Long, String)].toDF("k", "n", "day")
+    assert(t.dynamicReplace(emptyDyn, p).isEmpty)
+    assert(t.read().count() == 1)
+  }
+
+  test("appId guard honors legacy (pre-appId) commits across the upgrade boundary") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t15")
+    val df = Seq(("a", 1L)).toDF("k", "n")
+    // pre-upgrade history: batchId recorded with no writer identity
+    assert(t.append(df, Seq("day"), Map("day" -> "d"), batchId = Some(7L)).isDefined)
+    // post-upgrade replay of the same batch, now carrying an appId:
+    // must still be recognized as seen (no double-commit)
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(7L), appId = Some("ckpt-X")).isEmpty)
+    // but batches the legacy history never recorded commit normally
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(8L), appId = Some("ckpt-X")).isDefined)
+    assert(t.read().count() == 2)
+  }
+
   test("empty write elides data but commits watermark meta atomically (W6+P6)") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t4")
     val empty = Seq.empty[(String, Long)].toDF("k", "n")
