@@ -99,8 +99,31 @@ object QueriesCorpus {
             $"n_tokens" - lit(stride.toLong) * $"pos").as("n_chunk_tokens"))
         .orderBy($"doc_id", $"chunk_idx")
     }),
+
+    // ---- weighted corpus mixing ---------------------------------------
+    // The training-mixture knob: sources are grouped into quality buckets
+    // and sampled at per-bucket rates (curated 100%, balanced ~50%, web
+    // ~12.5%) with the same salted-md5 membership as q40 — so the mixed
+    // corpus is reproducible across runs, engines, and partitionings,
+    // and re-weighting = changing thresholds, not reshuffling data.
+    "q46_corpus_mix" -> ((s, dir) => {
+      import s.implicits._
+      val srcNum = regexp_extract($"source", "([0-9]+)", 1).cast("int")
+      val bucket = when(srcNum < 5, "curated")
+        .when(srcNum < 10, "balanced").otherwise("web")
+      val thr = when(srcNum < 5, lit("zz")) // keep-all: above every hex pair
+        .when(srcNum < 10, lit("80")).otherwise(lit("20"))
+      val h = md5(concat(lit(MixSalt), $"doc_id".cast("string")).cast("binary"))
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .filter(substring(h, 1, 2) < thr)
+        .groupBy($"bucket", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars_kept"))
+        .orderBy($"bucket", $"source")
+    }),
   )
 
+  private val MixSalt = "graft-mix-7:"
   private val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
 
   def oracleSql: Map[String, String] = Map(
@@ -141,5 +164,22 @@ object QueriesCorpus {
          |FROM t, UNNEST(generate_series(0, len(w)-1, 24)) AS u(st)
          |WHERE len(w) > 0
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q46_corpus_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS sn,
+         |    md5('$MixSalt' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |b AS (
+         |  SELECT *,
+         |    CASE WHEN sn < 5 THEN 'curated'
+         |         WHEN sn < 10 THEN 'balanced' ELSE 'web' END AS bucket,
+         |    CASE WHEN sn < 5 THEN 'zz'
+         |         WHEN sn < 10 THEN '80' ELSE '20' END AS thr
+         |  FROM t)
+         |SELECT bucket, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_kept
+         |FROM b WHERE substr(h,1,2) < thr
+         |GROUP BY 1,2 ORDER BY bucket, source""".stripMargin,
   )
 }
