@@ -72,4 +72,29 @@ class StreamIngestSpec extends SparkSpec {
     si.ingestBatch(replay, lastBatch + 100)
     assert(table.read().count() == 15 + n2 + n2)
   }
+
+  test("fresh checkpoint = new writer identity: batch 0 commits, never suppressed") {
+    val root = Paths.get(tmpDir("stream"))
+    val ingest = root.resolve("files_to_ingest")
+    val table = IncrementalTable(spark, root.resolve("tables/processed/v1").toString)
+    val n = copyDay(ingest, "2024-03-26", 5)
+
+    // stream A drains everything; its batch horizon covers batchId 0
+    val a = new StreamIngest(spark, ingest.toString, table,
+      root.resolve("ckpt-a").toString)
+    a.start().awaitTermination()
+    assert(table.read().count() == n)
+    assert(table.commits().exists(_.batchId.contains(0L)))
+
+    // operator rebuilds with a FRESH checkpoint (deliberate reprocess):
+    // stream B's batchIds restart at 0. Under the old table-global
+    // maxBatchId guard its first batches would be silently swallowed —
+    // partial, corrupt-looking output; with per-appId txns the batches
+    // commit (a full reprocess is what a fresh checkpoint MEANS; dedup
+    // is the operator's choice, e.g. a fresh table version or refresh)
+    val b = new StreamIngest(spark, ingest.toString, table,
+      root.resolve("ckpt-b").toString)
+    b.start().awaitTermination()
+    assert(table.read().count() == 2L * n)
+  }
 }
