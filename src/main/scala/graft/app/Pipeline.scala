@@ -116,7 +116,7 @@ final class Pipeline(spark: SparkSession, ingestRoot: String, tablesRoot: String
     * crash in between leaves the candidate-day window untouched, so the
     * same files re-detect next tick instead of being orphaned). Returns
     * the days that received new files. */
-  def tickAndIngest(now: LocalDate = LocalDate.now(),
+  def tickAndIngest(now: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC),
       scanAllDays: Boolean = false): Seq[String] = {
     val reqs = sensor.tick(now, scanAllDays)
     reqs.foreach(runListing)

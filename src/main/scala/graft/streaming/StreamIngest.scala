@@ -62,7 +62,7 @@ final class StreamIngest(
     * never swallowed by the previous stream's batch horizon. */
   private[streaming] def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
     table.append(transform(batch), partitionCols, batchId = Some(batchId),
-      appId = Some(checkpointDir))
+      appId = Some(CheckpointId(spark, checkpointDir)))
     ()
   }
 

@@ -51,19 +51,23 @@ final class StreamWindowedCounts(
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(
-        // second granularity: the partition string must distinguish every
-        // window the duration can produce — a coarser format would merge
-        // sub-minute windows into one partition and dynamicReplace would
-        // wipe siblings (replacement unit must CONTAIN the re-emission
-        // unit). Colon-free for directory-safe hive values.
-        date_format(col("window.start"), "yyyy-MM-dd-HHmmss").as("window_start"),
+        // Epoch seconds: the partition value must distinguish every
+        // window the duration can produce AND be stable across session
+        // time zones — a date_format rendering depends on
+        // spark.sql.session.timeZone, where a DST fall-back hour maps
+        // two distinct windows to one partition string (dynamicReplace
+        // would then wipe a sibling window), and a TZ change across
+        // restarts renames every partition. A timestamp→long cast is
+        // TZ-free, second-granular, and directory-safe.
+        col("window.start").cast("long").as("window_start"),
         col("event_type"),
         col("n_events"))
 
   /** Idempotent micro-batch commit (exposed for replay tests). */
   private[streaming] def commitBatch(batch: DataFrame, batchId: Long): Unit = {
     table.dynamicReplace(batch, partitionBy = Seq("window_start", "event_type"),
-      batchId = Some(batchId), appId = Some(checkpointDir))
+      batchId = Some(batchId),
+      appId = Some(CheckpointId(batch.sparkSession, checkpointDir)))
     ()
   }
 

@@ -144,6 +144,13 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
           // identity is suppressed only for batchIds the legacy history
           // literally recorded — start such a stream on a fresh table
           // version (or after compaction folds the legacy ids away).
+          // Horizon caveat: this protection spans the replay window only
+          // — replays arrive at restart, immediately after the crash,
+          // and under the single-writer contract no other writer can
+          // push checkpointInterval commits in between; once compaction
+          // DOES fold the legacy commit away (into maxBatchId, which
+          // this branch ignores by design), the exact-match guard ends.
+          // Same horizon applies to a rollback to pre-appId code.
           (c.appId.isEmpty && c.batchId.contains(batchId)))
     case None =>
       commits().exists(c => c.batchId.contains(batchId) ||

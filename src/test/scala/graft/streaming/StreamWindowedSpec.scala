@@ -17,9 +17,13 @@ class StreamWindowedSpec extends SparkSpec {
   private def ts(min: Int): Timestamp = // fixed base instant, UTC session
     Timestamp.valueOf(java.time.LocalDateTime.of(2024, 3, 26, 0, min, 0))
 
-  private def snapshot(table: IncrementalTable): Set[(String, String, Long)] =
+  // expected epoch-seconds window start (10-min tumbling aligns to epoch),
+  // derived from the same Timestamp the event carries — TZ-robust
+  private def win(min: Int): Long = ts(min).getTime / 1000 / 600 * 600
+
+  private def snapshot(table: IncrementalTable): Set[(Long, String, Long)] =
     table.read().select($"window_start", $"event_type", $"n_events")
-      .as[(String, String, Long)].collect().toSet
+      .as[(Long, String, Long)].collect().toSet
 
   test("windowed upsert sink: per-group replace, late revision, exactly-once replay") {
     val root = tmpDir("swin")
@@ -36,9 +40,9 @@ class StreamWindowedSpec extends SparkSpec {
       (ts(12), "a"), (ts(13), "a"))
     sink.start(events).awaitTermination()
     assert(snapshot(table) == Set(
-      ("2024-03-26-000000", "a", 3L),
-      ("2024-03-26-000000", "b", 1L),
-      ("2024-03-26-001000", "a", 2L)))
+      (win(1), "a", 3L),
+      (win(2), "b", 1L),
+      (win(12), "a", 2L)))
 
     // late event for the 00:00 window, inside the 5-min watermark
     // (max event time 00:13 -> watermark 00:08 < window end 00:10):
@@ -47,23 +51,23 @@ class StreamWindowedSpec extends SparkSpec {
     ms.addData((ts(4), "a"))
     sink.start(events).awaitTermination()
     assert(snapshot(table) == Set(
-      ("2024-03-26-000000", "a", 4L),
-      ("2024-03-26-000000", "b", 1L),
-      ("2024-03-26-001000", "a", 2L)))
+      (win(1), "a", 4L),
+      (win(2), "b", 1L),
+      (win(12), "a", 2L)))
 
     // crash-replay contract: re-delivering the last batch with its
     // original batchId must be a no-op (single multi-partition commit)
     val lastBatch = table.commits().flatMap(_.batchId).max
-    val fake = Seq(("2024-03-26-000000", "a", 999L), ("2024-03-26-001000", "a", 999L))
+    val fake = Seq((win(1), "a", 999L), (win(12), "a", 999L))
       .toDF("window_start", "event_type", "n_events")
     sink.commitBatch(fake, lastBatch)
-    assert(snapshot(table).contains(("2024-03-26-000000", "a", 4L)))
+    assert(snapshot(table).contains((win(1), "a", 4L)))
 
     // but a genuinely new batch replaces exactly its touched partitions
     sink.commitBatch(fake, lastBatch + 100)
     assert(snapshot(table) == Set(
-      ("2024-03-26-000000", "a", 999L),
-      ("2024-03-26-000000", "b", 1L),
-      ("2024-03-26-001000", "a", 999L)))
+      (win(1), "a", 999L),
+      (win(2), "b", 1L),
+      (win(12), "a", 999L)))
   }
 }
