@@ -44,10 +44,17 @@ object QueriesDedup {
         .orderBy($"a_id", $"b_id")
     }),
 
-    // ---- SimHash near-dup: 8x8-bit chunk buckets + Hamming + verify ---
+    // ---- SimHash near-dup: 14-chunk buckets + Hamming + verify --------
     "q24_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       Dedup.simhashPairs(Tables.documents(s, dir), $"doc_id", $"text", N, Tau)
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // ---- 128-bit SimHash: the wide-sketch scale dial, same oracle -----
+    "q47_dedup_simhash128" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhash128Pairs(Tables.documents(s, dir), $"doc_id", $"text", N, Tau)
         .orderBy($"a_id", $"b_id")
     }),
   )
@@ -78,5 +85,6 @@ object QueriesDedup {
     "q22_dedup_ngram_jaccard" -> pairsSql,
     "q23_dedup_minhash_lsh" -> pairsSql,
     "q24_dedup_simhash" -> pairsSql,
+    "q47_dedup_simhash128" -> pairsSql,
   )
 }

@@ -172,6 +172,16 @@ object Dedup {
       .select(col("did"), assembled.as("simhash"))
   }
 
+  /** Near-equal bit-slice layout of a `bits`-wide sketch: `(offset,
+    * width)` per chunk, the first `bits % nChunks` chunks one bit
+    * wider. Shared by the 64- and 128-bit pair generators and their
+    * cost-measurement specs. */
+  private[graft] def chunkLayout(bits: Int, nChunks: Int): Seq[(Int, Int)] = {
+    val base = bits / nChunks
+    val widths = Seq.tabulate(nChunks)(i => if (i < bits % nChunks) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
   /** SimHash near-dup pairs: bucket the 64-bit sketch into `nChunks`
     * near-equal bit slices (pigeonhole: Hamming <= nChunks-1 ⇒ >= 1
     * shared chunk, so recall is deterministic up to that radius), filter
@@ -184,22 +194,18 @@ object Dedup {
     * >= 2-bit margin over this corpus's measured true-pair maximum
     * (Hamming 11 at sf0.1, 10 at sf0.01); the earlier 16×4-bit layout
     * (radius 15) generated ~1.6× the candidates for radius the data
-    * never used. At 100 TB either widen the sketch (128-bit SimHash
-    * rescales both sides) or re-measure the margin; the verify stage
-    * keeps precision exact regardless of these choices. */
+    * never used. At 100 TB widen the sketch instead —
+    * [[simhash128Pairs]] is that dial implemented — or re-measure the
+    * margin; the verify stage keeps precision exact regardless. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
                    n: Int, tau: Double, nChunks: Int = 14): DataFrame = {
     val maxHamming = nChunks - 1
-    // distribute 64 bits: (64 % nChunks) chunks get an extra bit
-    val base = 64 / nChunks
-    val widths = Seq.tabulate(nChunks)(i => if (i < 64 % nChunks) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _)
+    val layout = chunkLayout(64, nChunks)
     val sh = simhash(docs, id, TextOps.wordShingles(text, n))
     val chunks = sh.select(col("did"), col("simhash"),
-        explode(array((0 until nChunks).map { c =>
-          val mask = (1L << widths(c)) - 1
-          struct(lit(c).as("c"),
-            expr(s"(simhash >> ${offsets(c)}) & $mask").as("v"))
+        explode(array(layout.zipWithIndex.map { case ((off, w), c) =>
+          val mask = (1L << w) - 1
+          struct(lit(c).as("c"), expr(s"(simhash >> $off) & $mask").as("v"))
         }: _*)).as("ch"))
       .select(col("did"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
     // Hamming filter runs INSIDE the join output, before the dedup
@@ -210,6 +216,60 @@ object Dedup {
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.did") < col("y.did"))
       .filter(bit_count(expr("x.simhash ^ y.simhash")) <= maxHamming)
+      .select(col("x.did").as("a_id"), col("y.did").as("b_id"))
+      .distinct()
+    verify(cands, docs, id, text, n, tau)
+  }
+
+  /** 128-bit SimHash as two 64-bit words, still ONE aggregation pass
+    * (128 wide conditional sums; the second word's feature hash is
+    * salted). Returns (did, sh0, sh1). */
+  def simhash128(docs: DataFrame, id: Column, features: Column): DataFrame = {
+    val toks = docs.select(id.as("did"), explode(features).as("tok"))
+      .withColumn("h0", xxhash64(col("tok")))
+      .withColumn("h1", xxhash64(col("tok"), lit(0x9E3779B97F4A7C15L)))
+    val bitSums = (0 until 128).map { j =>
+      val w = if (j < 64) "h0" else "h1"
+      sum(when(expr(s"($w >> ${j % 64}) & 1") === 1, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    def word(lo: Int): Column = (lo until lo + 64).map(j =>
+      when(col(s"s$j") > 0, lit(1L << (j - lo))).otherwise(lit(0L))).reduce(_ + _)
+    toks.groupBy(col("did")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("did"), word(0).as("sh0"), word(64).as("sh1"))
+  }
+
+  /** The documented 100 TB dial of [[simhashPairs]], implemented: a
+    * 128-bit sketch with `nChunks` slices split evenly across the two
+    * words. At fixed corpus size, doubling sketch width grows per-chunk
+    * bit width (~64/14≈4.6 → ~128/24≈5.3 bits ⇒ more bucket values ⇒
+    * fewer chance collisions per chunk) while true-pair Hamming scales
+    * linearly with width — so the radius margin and the candidate
+    * volume BOTH improve as the corpus grows; locally the two layouts
+    * cost about the same (Simhash128Spec measures it). Pigeonhole
+    * guarantee: combined Hamming <= nChunks-1 ⇒ >= 1 shared chunk. */
+  def simhash128Pairs(docs: DataFrame, id: Column, text: Column,
+                      n: Int, tau: Double, nChunks: Int = 24): DataFrame = {
+    require(nChunks % 2 == 0, "chunks split evenly across the two sketch words")
+    val maxHamming = nChunks - 1
+    val perWord = chunkLayout(64, nChunks / 2)
+    val sh = simhash128(docs, id, TextOps.wordShingles(text, n))
+    val chunkCols = for {
+      (wordCol, wi) <- Seq("sh0", "sh1").zipWithIndex
+      ((off, w), ci) <- perWord.zipWithIndex
+    } yield {
+      val mask = (1L << w) - 1
+      struct(lit(wi * perWord.size + ci).as("c"),
+        expr(s"($wordCol >> $off) & $mask").as("v"))
+    }
+    val chunks = sh.select(col("did"), col("sh0"), col("sh1"),
+        explode(array(chunkCols: _*)).as("ch"))
+      .select(col("did"), col("sh0"), col("sh1"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
+    val cands = chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.did") < col("y.did"))
+      .filter((bit_count(expr("x.sh0 ^ y.sh0"))
+        + bit_count(expr("x.sh1 ^ y.sh1"))) <= maxHamming)
       .select(col("x.did").as("a_id"), col("y.did").as("b_id"))
       .distinct()
     verify(cands, docs, id, text, n, tau)
