@@ -238,6 +238,32 @@ object QueriesCore {
         .orderBy($"n_name")
     }),
 
+    // ---- pivot (wide conditional aggregation) --------------------------
+    // Explicit value list => no extra distinct-values job (the 2-pass
+    // auto-pivot is the scale trap); the pivot compiles to one
+    // conditional aggregate per cell, map-side combinable like any agg.
+    "q48_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum($"l_quantity"))
+        .withColumnsRenamed(Map("A" -> "qty_A", "N" -> "qty_N", "R" -> "qty_R"))
+        .orderBy($"l_linestatus")
+    }),
+
+    // ---- unpivot / melt (wide→long reshape) ----------------------------
+    "q49_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .filter($"p_partkey" <= 50)
+        .select($"p_partkey", $"p_size".cast("double").as("size"),
+          $"p_retailprice".as("retailprice"))
+        .unpivot(Array($"p_partkey"), Array($"size", $"retailprice"),
+          "metric", "value")
+        .orderBy($"p_partkey", $"metric")
+    }),
+
     // ---- salted skew join under the oracle gate ------------------------
     // Exercises functions.Skew.saltedJoin (VERDICT r2 next #6): the fact
     // side gets a deterministic row-hash salt, the dim is replicated
@@ -375,5 +401,18 @@ object QueriesCore {
       """SELECT p_brand, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q48_pivot" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN l_returnflag='A' THEN l_quantity END) AS qty_A,
+        |  SUM(CASE WHEN l_returnflag='N' THEN l_quantity END) AS qty_N,
+        |  SUM(CASE WHEN l_returnflag='R' THEN l_quantity END) AS qty_R
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+    "q49_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part)
+        |WHERE p_partkey <= 50
+        |ORDER BY p_partkey, metric""".stripMargin,
   )
 }
