@@ -70,6 +70,41 @@ object QueriesPipeline {
         .orderBy($"seq")
     }),
 
+    // ---- two-hop chained streaming DAG (end-to-end, oracle-checked) --
+    // The reference's central tension (readme.md:13: re-running the
+    // derived asset after the upstream grew silently duplicates),
+    // closed in the streaming regime: documents arrive in three
+    // micro-batches into an upstream IncrementalTable; a DerivedStream
+    // maintains the downstream digest table from the upstream COMMIT
+    // LOG — each upstream commit's added files are one derived
+    // micro-batch, the consumed version rides each hop commit
+    // atomically (the downstream table IS the checkpoint). An upstream
+    // partition refresh exercises the non-incremental replace path.
+    // The final downstream state must equal the batch transform of the
+    // whole input — exactly what the oracle computes.
+    "q50_stream_twohop" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q50_").toString
+      val up = graft.table.IncrementalTable(s, s"$tmp/docs/v1")
+      val down = graft.table.IncrementalTable(s, s"$tmp/digests/v1")
+      val hop = new graft.streaming.DerivedStream(up, down, Seq("source"),
+        df => df.select($"doc_id", $"source", md5($"text").as("digest"),
+          length($"text").cast("long").as("len_chars")),
+        name = "docs", replayScope = Seq("source"))
+      val docs = Tables.documents(s, dir)
+      (0 until 3).foreach { chunk =>
+        up.append(docs.filter(pmod($"doc_id", lit(3)) === chunk), Seq("source"))
+        hop.drain()
+      }
+      // refresh one upstream partition (same logical rows): the derived
+      // table must converge, not duplicate
+      val f = Map("source" -> "src0")
+      up.replaceWhere(up.read(f), Seq("source"), f, partitionFilter = f)
+      hop.drain()
+      down.read().select($"doc_id", $"source", $"digest", $"len_chars")
+        .orderBy($"doc_id")
+    }),
+
     // ---- logical→physical partition mapping + prune ------------------
     "q31_partition_prune" -> ((s, dir) => {
       import s.implicits._
@@ -101,6 +136,10 @@ object QueriesPipeline {
         |  SELECT 'file-' || p_partkey AS filename, p_partkey AS seq
         |  FROM part WHERE p_partkey BETWEEN 100 AND 220)
         |GROUP BY filename ORDER BY seq""".stripMargin,
+    "q50_stream_twohop" ->
+      """SELECT doc_id, source, md5(text) AS digest,
+        |  length(text) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q31_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y') AS year,
         |  strftime(o_orderdate, '%m') AS month,

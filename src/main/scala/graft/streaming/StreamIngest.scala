@@ -34,7 +34,12 @@ final class StreamIngest(
     spark: SparkSession,
     ingestRoot: String,
     table: IncrementalTable,
-    checkpointDir: String) {
+    checkpointDir: String,
+    // downstream hops drained after every micro-batch commit — the
+    // multi-hop chained-stream DAG (SURVEY §3.4 decision (a)). Each hop
+    // checkpoints in its own table, so a crash between hop 1's commit
+    // and hop 2's drain just leaves work pending for the next drain.
+    chained: Seq[DerivedStream] = Nil) {
 
   private val partitionCols = Seq("year", "month", "day", "word_length")
 
@@ -63,7 +68,7 @@ final class StreamIngest(
   private[streaming] def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
     table.append(transform(batch), partitionCols, batchId = Some(batchId),
       appId = Some(CheckpointId(spark, checkpointDir)))
-    ()
+    chained.foreach(_.drain())
   }
 
   /** Start the ingest stream. `availableNow = true` drains everything

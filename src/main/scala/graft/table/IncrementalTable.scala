@@ -234,6 +234,21 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
   def read(filters: Map[String, String] = Map.empty): DataFrame =
     readInternal(filters, None)
 
+  /** The change set of one commit — exactly its added files, read with
+    * the schema committed as of that version. This is the changefeed
+    * read backing [[graft.streaming.DerivedStream]] (the analog of
+    * streaming FROM a Delta table): an append's `add` files ARE the
+    * delta, so a derived consumer processes each upstream commit as one
+    * micro-batch without rescanning the table. Bounded by the replay
+    * horizon like [[readAt]]. */
+  def readCommit(version: Long): DataFrame = {
+    val cs = commitsAsOf(Some(version))
+    val c = cs.last
+    require(c.version == version, s"no commit at version $version (nearest: ${c.version})")
+    filesDf(c.add, cs.reverse.iterator.map(_.schemaJson).find(_.nonEmpty)
+      .map(StructType.fromDDL))
+  }
+
   private def readInternal(filters: Map[String, String], asOf: Option[Long]): DataFrame = {
     val files = liveFiles(filters, asOf)
     // The committed schema is authoritative: partition-dir values (always
@@ -242,6 +257,10 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     // keeps its original type and position.
     val stored = commitsAsOf(asOf).reverse.iterator.map(_.schemaJson)
       .find(_.nonEmpty).map(StructType.fromDDL)
+    filesDf(files, stored)
+  }
+
+  private def filesDf(files: Seq[String], stored: Option[StructType]): DataFrame = {
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         stored.getOrElse(new StructType()))
@@ -512,6 +531,13 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       else {
         fs.delete(tmp, false)
         refresh()
+        // a concurrent writer with the SAME identity may have committed
+        // this very batch while we raced — re-check the replay guard so
+        // the duplicate fails instead of double-committing
+        if (c.batchId.exists(b => hasBatch(b, c.appId)))
+          throw new ConcurrentWriteException(
+            s"table $root: batch ${c.batchId.get} (app ${c.appId}) was " +
+              "committed by a concurrent writer")
         val winners = commits().filter(w =>
           w.version > base && w.action != "checkpoint")
         winners.find(conflicts(c, _)).foreach { w =>
