@@ -77,8 +77,8 @@ final class Pipeline(spark: SparkSession, ingestRoot: String, tablesRoot: String
       // replaces the partition with the whole recomputed state — a
       // delta-only compute would TRUNCATE the partition on refresh.
       val prev = normalizeListing(inputs("listing"))
-      val news = sensor.detect(day).map(_.newFiles).getOrElse(Seq.empty)
-        .toDF("seq", "filename")
+      val news = sensor.detect(day).map(_.files(spark))
+        .getOrElse(emptyFrame("seq BIGINT, filename STRING"))
       prev.unionByName(news)
     }
 
@@ -108,7 +108,8 @@ final class Pipeline(spark: SparkSession, ingestRoot: String, tablesRoot: String
   val backwards: IncrementalTable = graph.tableFor("backwards")
   // the listing table doubles as the sensor's seen-files cursor: detect →
   // append is atomic by construction (ADVICE r1 #1, VERDICT r1 wrong #2)
-  val sensor = new FileSensor(spark, ingestRoot, s"$tablesRoot/_state", listingFor)
+  val sensor = new FileSensor(spark, ingestRoot, s"$tablesRoot/_state", listingFor,
+    maxDriverPaths = maxDriverPaths)
 
   /** Sensor tick + listing materialization for each run request
     * (reference steady-state path, SURVEY.md §3.1). The tick clock
@@ -129,16 +130,25 @@ final class Pipeline(spark: SparkSession, ingestRoot: String, tablesRoot: String
     * assets/listing.py:30-41; the previous materialization is already in
     * the table, so append == prev ++ new). */
   def runListing(req: RunRequest): Unit = {
-    if (req.newFiles.isEmpty) return
-    val df = req.newFiles.toDF("seq", "filename")
+    if (req.isEmpty) return
     // the listing's own watermark meta rides in the same commit, so a
     // later graph materialization of `listing` (full-state compute)
     // slices to exactly the not-yet-appended suffix — sensor appends
     // and planner appends stay mutually duplicate-free
-    val highWater = req.newFiles.map(_._1).max + 1
-    listing.append(df, partitionBy = Seq("day"),
-      partitionValues = Map("day" -> req.day),
-      meta = Map(s"watermark/${req.day}" -> highWater.toString))
+    req.bulk match {
+      case Some(df) =>
+        // bulk backfill (distributed detect): the high-water rides the
+        // commit via footer stats; the file set never touches the driver
+        listing.append(df, partitionBy = Seq("day"),
+          partitionValues = Map("day" -> req.day),
+          statMeta = Seq(graft.table.StatMeta(s"watermark/${req.day}", "seq")))
+      case None =>
+        val df = req.newFiles.toDF("seq", "filename")
+        val highWater = req.newFiles.map(_._1).max + 1
+        listing.append(df, partitionBy = Seq("day"),
+          partitionValues = Map("day" -> req.day),
+          meta = Map(s"watermark/${req.day}" -> highWater.toString))
+    }
   }
 
   /** Current listing for a day, in arrival order (typed-empty when

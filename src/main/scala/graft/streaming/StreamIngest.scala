@@ -39,7 +39,16 @@ final class StreamIngest(
     // multi-hop chained-stream DAG (SURVEY §3.4 decision (a)). Each hop
     // checkpoints in its own table, so a crash between hop 1's commit
     // and hop 2's drain just leaves work pending for the next drain.
-    chained: Seq[DerivedStream] = Nil) {
+    chained: Seq[DerivedStream] = Nil,
+    // Streaming ingest accumulates ~one file per partition per
+    // micro-batch, and at scale scan cost is dominated by file count —
+    // compact any partition exceeding this many live files back to one.
+    // The check is a driver-side metadata scan per batch; the compaction
+    // itself is a partition-scoped replace commit (atomic, time-travel
+    // visible, derived consumers converge). Default 8: at the default
+    // 128 MB scan split, 8 micro-batch files under ~16 MB each collapse
+    // into one split-sized read instead of 8 task launches.
+    autoCompactMaxFiles: Option[Int] = Some(8)) {
 
   private val partitionCols = Seq("year", "month", "day", "word_length")
 
@@ -68,7 +77,8 @@ final class StreamIngest(
   private[streaming] def ingestBatch(batch: DataFrame, batchId: Long): Unit = {
     table.append(transform(batch), partitionCols, batchId = Some(batchId),
       appId = Some(CheckpointId(spark, checkpointDir)))
-    chained.foreach(_.drain())
+    chained.foreach(_.drain()) // consume the append incrementally first
+    autoCompactMaxFiles.foreach(table.compactIfNeeded(_))
   }
 
   /** Start the ingest stream. `availableNow = true` drains everything

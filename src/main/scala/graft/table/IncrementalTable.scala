@@ -613,6 +613,33 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       Map.empty, None)
   }
 
+  /** Auto-compaction policy: compact every physical partition (within
+    * `filters`) whose live file count exceeds `maxFiles`. A driver-side
+    * metadata scan over the committed file list (no Spark job unless a
+    * partition actually compacts), so streaming sinks can call it after
+    * every micro-batch — steady-state cost is one map over live paths.
+    * Returns the partition filters that were compacted.
+    *
+    * Each compaction is a partition-scoped replace commit: downstream
+    * [[graft.streaming.DerivedStream]] consumers observe it and
+    * re-derive that partition (same logical rows — converges), and
+    * OCC fails it cleanly if a concurrent writer touches the same
+    * partition first. */
+  def compactIfNeeded(maxFiles: Int, targetFiles: Int = 1,
+      filters: Map[String, String] = Map.empty): Seq[Map[String, String]] = {
+    require(maxFiles >= targetFiles && maxFiles > 0)
+    val oversized = liveFiles(filters).groupBy(parentDir)
+      .filter(_._2.size > maxFiles).keys.toSeq.sorted
+    val scopes = oversized.map { dir =>
+      dir.split("/").iterator.flatMap { s =>
+        val i = s.indexOf('=')
+        if (i > 0) Some(s.substring(0, i) -> s.substring(i + 1)) else None
+      }.toMap
+    }
+    scopes.foreach(compact(_, targetFiles))
+    scopes
+  }
+
   /** Delete data files no commit references (crash orphans, replaced
     * partitions). Safe under the single-writer assumption. */
   def vacuum(): Seq[String] = {

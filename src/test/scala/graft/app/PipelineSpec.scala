@@ -150,6 +150,53 @@ class PipelineSpec extends SparkSpec {
     assert(pipe.processed.read().count() == expected.size)
   }
 
+  test("huge first scan takes the distributed bulk sensor path (VERDICT r3 wrong #3)") {
+    val root = Paths.get(tmpDir("pipe"))
+    val ingest = root.resolve("files_to_ingest")
+    copyFixture(ingest, days = Set("2024-03-26")) // 51 files >> threshold
+    val pipe = new Pipeline(spark, ingest.toString,
+      root.resolve("tables").toString, maxDriverPaths = 10)
+    val day = "2024-03-26"
+
+    // first scan overflows: the request carries a distributed frame,
+    // never a driver-side name list
+    val reqs = pipe.sensor.tick(scanAllDays = true)
+    assert(reqs.size == 1 && reqs.head.bulk.nonEmpty && reqs.head.newFiles.isEmpty)
+    reqs.foreach(pipe.runListing)
+    pipe.sensor.commitClock()
+
+    val l = pipe.listing.read(Map("day" -> day))
+      .select($"seq", $"filename").as[(Long, String)].collect().sortBy(_._1)
+    assert(l.length == 51)
+    assert(l.map(_._1).toSeq == (0L until 51L)) // dense arrival seq
+    assert(l.map(_._2).toSeq == l.map(_._2).sorted.toSeq) // filename order
+    // the watermark high-water rode the bulk commit via footer stats
+    assert(pipe.listing.latestMeta(s"watermark/$day").contains("51"))
+
+    // idle tick over the huge day: distributed diff finds nothing
+    assert(pipe.sensor.tick(scanAllDays = true).isEmpty)
+
+    // a single late arrival on the huge day yields a normal SMALL
+    // request numbered past the bulk set
+    Files.writeString(ingest.resolve("day=2024-03-26/zz-late.txt"), "late")
+    val r2 = pipe.sensor.tick(scanAllDays = true)
+    assert(r2.size == 1 && r2.head.bulk.isEmpty &&
+      r2.head.newFiles == Seq((51L, "zz-late.txt")))
+    r2.foreach(pipe.runListing)
+    pipe.sensor.commitClock()
+    assert(pipe.listing.latestMeta(s"watermark/$day").contains("52"))
+
+    // downstream materialization over the bulk listing (distributed
+    // readWords branch since maxDriverPaths=10): full parity
+    pipe.runAll(day)
+    val processed = pipe.processed.read()
+    assert(processed.count() == 52)
+    assert(processed.select($"filename").distinct().count() == 52)
+    val expected = expectedWords(ingest, day)
+    processed.select($"filename", $"word").as[(String, String)].collect()
+      .foreach { case (f, w) => assert(expected(f) == w) }
+  }
+
   test("crash between detect and listing-append loses nothing (ADVICE r1 #1)") {
     val root = Paths.get(tmpDir("pipe"))
     val ingest = root.resolve("files_to_ingest")

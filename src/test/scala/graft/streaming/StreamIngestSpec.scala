@@ -73,6 +73,33 @@ class StreamIngestSpec extends SparkSpec {
     assert(table.read().count() == 15 + n2 + n2)
   }
 
+  test("auto-compaction bounds live file count; reads and replay guard unchanged") {
+    val root = Paths.get(tmpDir("stream"))
+    val ingest = root.resolve("files_to_ingest")
+    val table = IncrementalTable(spark, root.resolve("tables/processed/v1").toString)
+    val n = copyDay(ingest, "2024-03-26", 12)
+    // one file per micro-batch -> 12 commits; most land in the same few
+    // word_length partitions, so without compaction file count == batch
+    // count in the hot partitions
+    val si = new StreamIngest(spark, ingest.toString, table,
+      root.resolve("checkpoint").toString, autoCompactMaxFiles = Some(2))
+    si.start(maxFilesPerTrigger = Some(1)).awaitTermination()
+
+    assert(table.read().count() == n)
+    assert(table.read().select($"filename").distinct().count() == n)
+    // ceiling: no physical partition holds more than maxFiles(2) + 1
+    // in-flight file; compacted partitions are back to 1
+    val perDir = table.liveFiles().groupBy(f => f.split("/").dropRight(1).mkString("/"))
+    assert(perDir.values.forall(_.size <= 3),
+      s"oversized partition: ${perDir.maxBy(_._2.size)}")
+    // a replayed micro-batch is still a no-op after compactions
+    val lastBatch = table.commits().flatMap(_.batchId).max
+    val replay = spark.read.option("wholetext", "true")
+      .text(ingest.resolve("day=2024-03-26").toString + "/*.txt")
+    si.ingestBatch(replay, lastBatch)
+    assert(table.read().count() == n)
+  }
+
   test("fresh checkpoint = new writer identity: batch 0 commits, never suppressed") {
     val root = Paths.get(tmpDir("stream"))
     val ingest = root.resolve("files_to_ingest")
