@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *  - q45: fixed-stride frame sampling — a 64-unit window every 128
   *    units, md5-fingerprinted per frame. One Generate per payload, no
   *    shuffle except the presentation sort (the same fan-out shape as
-  *    [[graft.ops.Multimodal.sampleFrames]]'s flatMap).
+  *    [[graft.ops.Multimodal.sampleFrames]]'s flatMap);
+  *  - q51: the REAL codec path — encode/decode round-trip through
+  *    [[graft.ops.Wav]] with arithmetically-reproducible features.
   */
 object QueriesMultimodal {
 
@@ -50,9 +52,52 @@ object QueriesMultimodal {
           least(lit(frameLen), $"n" - lit(stride) * $"pos").as("frame_bytes"))
         .orderBy($"doc_id", $"frame_idx")
     }),
+    // ---- REAL codec round-trip under the oracle gate ------------------
+    // Synthesize a PCM-16 WAV per document (header fields and clipped
+    // ramp samples derived deterministically from the row), decode with
+    // the real chunk-walking parser (graft.ops.Wav — the de-stubbed M2
+    // path), and emit features the oracle reproduces arithmetically: a
+    // header-math bug in either direction, a sample misparse
+    // (endianness, interleave), or a chunk-walk slip all surface as a
+    // hash mismatch. peak_amp requires actually decoding the data
+    // chunk: samples are min(i, 32767), so peak = min(total-1, 32767).
+    "q51_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", length($"text").cast("int").as("n"))
+        .as[(Long, Int)]
+      val media = docs.map { case (docId, n) =>
+        val channels = 1 + (docId % 2).toInt
+        val rate = 8000 + 4000 * (docId % 3).toInt
+        val samples = Array.tabulate(n * channels)(i => math.min(i, 32767).toShort)
+        val bytes = graft.ops.Wav.encodePcm16(samples, channels, rate)
+        graft.ops.Multimodal.MediaFile(s"doc_$docId.wav", "wav",
+          bytes.length.toLong, bytes)
+      }
+      graft.ops.Multimodal.decodeWav(media).toDF()
+        .select(
+          regexp_extract($"filename", "doc_(\\d+)", 1).cast("long").as("doc_id"),
+          $"channels".cast("long").as("channels"),
+          $"sampleRate".cast("long").as("sample_rate"),
+          $"dataBytes".as("data_bytes"),
+          $"nFrames".as("n_frames"),
+          $"durationMs".as("duration_ms"),
+          $"peakAmp".cast("long").as("peak_amp"))
+        .orderBy($"doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q51_wav_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(8000 + 4000 * (doc_id % 3) AS BIGINT) AS sample_rate,
+        |  CAST(length(text) * (1 + doc_id % 2) * 2 AS BIGINT) AS data_bytes,
+        |  CAST(length(text) AS BIGINT) AS n_frames,
+        |  CAST((length(text) * 1000) // (8000 + 4000 * (doc_id % 3)) AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN length(text) * (1 + doc_id % 2) = 0 THEN 0
+        |       ELSE least(length(text) * (1 + doc_id % 2) - 1, 32767) END AS BIGINT) AS peak_amp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q32_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -9,14 +9,17 @@ import graft.table.IncrementalTable
   * engine as opaque `binary` columns with typed metadata, exactly like
   * any other column — partitionable, commit-logged, prunable.
   *
-  * The decode step is a DETERMINISTIC STUB (this container ships no
-  * image/audio codecs): [[FakeCodec]] derives plausible-shaped metadata
-  * and features purely from the bytes. Everything around it — the
-  * `binaryFile` source, the schema, the per-partition batch shape
-  * (iterator-to-iterator `mapPartitions`, codec initialized once per
-  * partition, the Scala analogue of a Pandas-UDF batch), the
-  * IncrementalTable commit — is real and tested, so swapping in a real
-  * codec is a one-function change.
+  * Audio decode is REAL: [[decodeWav]] parses RIFF/WAVE PCM payloads
+  * with the jar-free [[Wav]] codec (header walk + sample decode),
+  * oracle-checked end-to-end by q51. Image/video decode remains a
+  * DETERMINISTIC STUB (this container ships no codec jars for those):
+  * [[FakeCodec]] derives plausible-shaped metadata and features purely
+  * from the bytes. Everything around both — the `binaryFile` source,
+  * the schema, the per-partition batch shape (iterator-to-iterator
+  * `mapPartitions`, codec initialized once per partition, the Scala
+  * analogue of a Pandas-UDF batch), the IncrementalTable commit — is
+  * identical, so swapping a real image codec in is a one-function
+  * change on the [[decodeWav]] template.
   *
   * Scale notes: `binaryFile` packs files into tasks by
   * `spark.sql.files.maxPartitionBytes` and streams content per row; the
@@ -101,6 +104,35 @@ object Multimodal {
         val (w, h, frames) = codec.decode(f.content)
         MediaFeatures(f.filename, f.mediaType, f.nBytes, w, h, frames,
           codec.byteHistogram(f.content), codec.sample(f.content))
+      }
+    }
+  }
+
+  /** Real-decoded WAV features (see [[Wav.WavMeta]]). */
+  final case class WavFeatures(
+      filename: String,
+      nBytes: Long,
+      channels: Int,
+      sampleRate: Int,
+      bitsPerSample: Int,
+      dataBytes: Long,
+      nFrames: Long,
+      durationMs: Long,
+      peakAmp: Int)
+
+  /** REAL audio decode (M2 de-stubbed): parse each payload as RIFF/WAVE
+    * PCM with [[Wav.decode]] — same per-partition iterator-to-iterator
+    * shape as [[extractFeatures]], so decode state (for codecs that
+    * need it) initializes once per task and rows stream through.
+    * Malformed payloads fail the task loudly; pre-filter on `mediaType`
+    * if the input mixes formats. */
+  def decodeWav(files: Dataset[MediaFile]): Dataset[WavFeatures] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { rows =>
+      rows.map { f =>
+        val m = Wav.decode(f.content)
+        WavFeatures(f.filename, f.nBytes, m.channels, m.sampleRate,
+          m.bitsPerSample, m.dataBytes, m.nFrames, m.durationMs, m.peakAmp)
       }
     }
   }

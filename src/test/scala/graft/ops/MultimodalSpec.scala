@@ -55,6 +55,46 @@ class MultimodalSpec extends SparkSpec {
     assert(table.read(Map("media_type" -> "png")).count() == 2)
   }
 
+  test("WAV codec: real encode/decode round-trip, chunk skipping, loud failures") {
+    // round-trip: header fields and sample-derived peak survive
+    val samples = Array.tabulate(480)(i => ((i * 131) % 20000 - 10000).toShort)
+    val bytes = Wav.encodePcm16(samples, channels = 2, sampleRate = 16000)
+    val m = Wav.decode(bytes)
+    assert(m.channels == 2 && m.sampleRate == 16000 && m.bitsPerSample == 16)
+    assert(m.dataBytes == 960 && m.nFrames == 240)
+    assert(m.durationMs == 240L * 1000 / 16000)
+    assert(m.peakAmp == samples.map(s => math.abs(s.toInt)).max)
+
+    // foreign layout: odd-size unknown chunk before fmt — the decoder
+    // must honor RIFF's even-offset padding rule to find fmt/data
+    val inner = Wav.encodePcm16(Array[Short](1, -5, 3), 1, 8000)
+    val fmtAndData = inner.drop(12).filterNot(_ => false) // chunks after RIFF hdr
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 3, 0, 0, 0, 9, 9, 9, 0 /*pad*/ )
+    val bb = java.nio.ByteBuffer.allocate(12 + junk.length + fmtAndData.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + junk.length + fmtAndData.length)
+      .put("WAVE".getBytes("US-ASCII")).put(junk).put(fmtAndData)
+    val m2 = Wav.decode(bb.array())
+    assert(m2.nFrames == 3 && m2.peakAmp == 5)
+
+    // malformed payloads fail loudly, never emit garbage features
+    intercept[IllegalArgumentException](Wav.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      Wav.decode("RIFFxxxxJUNK".getBytes("US-ASCII")))
+    val nonPcm = bytes.clone()
+    nonPcm(20) = 3 // audioFormat = IEEE float
+    intercept[IllegalArgumentException](Wav.decode(nonPcm))
+
+    // distributed decode through the MediaFile path (per-partition shape)
+    val files = Seq(
+      Multimodal.MediaFile("a.wav", "wav", bytes.length.toLong, bytes),
+      Multimodal.MediaFile("b.wav", "wav", inner.length.toLong, inner)).toDS()
+    val feats = Multimodal.decodeWav(files).collect().map(f => f.filename -> f).toMap
+    assert(feats("a.wav").nFrames == 240 && feats("a.wav").channels == 2)
+    assert(feats("b.wav").nFrames == 3 && feats("b.wav").sampleRate == 8000)
+  }
+
   test("frame sampling: deterministic fan-out, slices match the payload") {
     val root = tmpDir("mm")
     val fixtures = writeFixtures(s"$root/media")
