@@ -18,10 +18,11 @@ import graft.functions.Vectors.Scored
   *    design (the corpus is near-uniform random, so no ANN structure
   *    reaches recall 1), hence no SQL oracle: the driver records a
   *    rows-only check and `AnnSpec` pins its deterministic output;
-  *  - q36: IVF ANN variant — coarse centroid codebook (stride-sampled,
-  *    driver-collected, broadcast as literals), data vectors live in
-  *    their nearest cell, queries probe their 3 nearest cells. Same
-  *    approximate-by-design caveat as q27.
+  *  - q36: IVF ANN variant — 32-cell coarse codebook (stride seeds +
+  *    3 spherical k-means rounds on a bounded sample, driver-collected,
+  *    broadcast as literals), data vectors live in their nearest cell,
+  *    queries probe their 10 nearest cells (recall@5 0.86 at ~0.31×
+  *    brute-force volume). Same approximate-by-design caveat as q27.
   *
   * Raw cosine scores are intentionally not emitted: Spark folds in
   * double, DuckDB's `list_cosine_similarity` in float32 (~3e-8 apart),
@@ -89,20 +90,23 @@ object QueriesSimilarity {
     }),
 
     // ---- ANN: IVF coarse quantizer + exact rerank within cells -------
+    // Codebook: 32 stride-sampled seeds refined by 3 spherical k-means
+    // rounds over a bounded deterministic train sample
+    // (Vectors.ivfCodebook), still C×dim doubles — broadcastable at any
+    // corpus size. nprobe=10 of 32 cells: measured recall@5 = 0.86
+    // (sf0.01) / 0.82 (sf0.1) at ~0.31× the brute-force candidate
+    // volume (pinned by AnnSpec). The old 8-cell/nprobe-3 unrefined
+    // codebook sat at 0.64 recall for ~0.38× volume — refinement plus
+    // finer cells buys +0.2 recall AND less work per query.
     "q36_cosine_topk_ivf" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
-      // coarse codebook: 8 stride-sampled seed vectors, collected once
-      // on the driver (C×dim doubles — broadcastable at any corpus
-      // size; a k-means refinement would only move cell boundaries)
-      val cents = e.filter($"vec_id" % 61 === 13).orderBy($"vec_id").limit(8)
-        .select($"embedding").as[Array[Float]].collect()
-        .map(_.map(_.toDouble).toSeq).toSeq
+      val cents = Vectors.ivfCodebook(e.select($"vec_id", $"embedding"))
       val assigned = e.withColumn("cell",
         element_at(Vectors.nearestCentroids($"embedding", cents, 1), 1))
       val q = assigned.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qe"),
-          explode(Vectors.nearestCentroids($"embedding", cents, 3)).as("cell"))
+          explode(Vectors.nearestCentroids($"embedding", cents, 10)).as("cell"))
       val scored = assigned.join(q, Seq("cell"))
       topkTail(s, scored)
     }),

@@ -76,6 +76,65 @@ object Vectors {
     transform(slice(reverse(array_sort(scored)), 1, nprobe), _.getField("cid"))
   }
 
+  /** Train an IVF coarse codebook: stride-sampled seeds refined by
+    * `iters` rounds of spherical k-means (assign by cosine, new
+    * centroid = normalized mean of its members' unit vectors, empty
+    * cells keep their previous centroid). Returns `cells` centroids as
+    * driver-side vectors for [[nearestCentroids]] literals.
+    *
+    * Scale design: training runs on a DETERMINISTIC bounded sample
+    * (first `maxTrain` by `vec_id` — standard IVF practice: the
+    * codebook needs a representative sample, not the corpus), so each
+    * Lloyd round is one bounded aggregation regardless of corpus size;
+    * only the final cell ASSIGNMENT ever touches all rows, as a narrow
+    * broadcast map. Per-dimension means accumulate in DECIMAL, so the
+    * centroids are bit-stable under any partitioning or row order —
+    * double summation would make bucket boundaries (and thus ANN
+    * output) run-dependent at the last bit. */
+  def ivfCodebook(e: org.apache.spark.sql.DataFrame, cells: Int = 32,
+      iters: Int = 3, maxTrain: Int = 4096): Seq[Seq[Double]] = {
+    val s = e.sparkSession
+    import s.implicits._
+    val n = e.count()
+    val stride = math.max(1L, n / cells)
+    val seeds = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(cells)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble).toSeq).toSeq
+    var cents = seeds.map { c =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / nrm)
+    }
+    if (iters > 0) {
+      val unit = e.orderBy(col("vec_id")).limit(maxTrain)
+        .select(transform(col("embedding"),
+          x => x.cast("double") / sqrt(dot(col("embedding"), col("embedding")))).as("u"))
+        .cache()
+      try {
+        for (_ <- 0 until iters) {
+          val assigned = unit.withColumn("cell",
+            element_at(nearestCentroids($"u", cents, 1), 1))
+          val sums = assigned.select($"cell", posexplode($"u"))
+            .groupBy($"cell", $"pos")
+            .agg(sum($"col".cast("decimal(28,14)")).as("s"), count(lit(1)).as("cnt"))
+            .select($"cell", $"pos", $"s".cast("double").as("s"), $"cnt")
+            .as[(Int, Int, Double, Long)].collect()
+          val byCell = sums.groupBy(_._1)
+          cents = cents.zipWithIndex.map { case (old, ci) =>
+            byCell.get(ci) match {
+              case None => old // empty cell keeps its centroid
+              case Some(rows) =>
+                val mean = rows.sortBy(_._2).map(r => r._3 / r._4)
+                val nrm = math.sqrt(mean.map(x => x * x).sum)
+                mean.map(_ / nrm).toSeq
+            }
+          }
+        }
+      } finally { unit.unpersist(); () }
+    }
+    cents
+  }
+
   /** One scored candidate row for top-k aggregation. */
   case class Scored(qid: Long, nid: Long, sim: Double)
 

