@@ -57,6 +57,54 @@ object Vectors {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** `nTables` independent sign-LSH tables drawn from ONE seeded stream
+    * (table l = planes `[l*nPlanes, (l+1)*nPlanes)`). Independent tables
+    * decorrelate misses: a true neighbor split from its query by one
+    * table's planes usually collides in another, which is what lifts
+    * recall on corpora whose neighbors sit far (~65°) from their query
+    * — extra probing within ONE table saturates long before that. */
+  def lshTables(nTables: Int, nPlanes: Int, dim: Int,
+      seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nTables)(Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Codegen'd sign-LSH bucket: [[signLshBucket]] through `vec_dot`
+    * with float32 plane literals — the corpus-scan path (L×n dots per
+    * row inside WholeStageCodegen). Sign flips vs the double path are
+    * confined to |projection| ≲ 1e-5 rows — both sides of every join
+    * use the same computation, so bucketing stays consistent. */
+  def signLshBucketNative(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotNative(v, typedLit(p.map(_.toFloat))) > 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+
+  /** Query-directed multi-probe patterns (Lv et al., VLDB'07 shape):
+    * the `nProbes` flip-sets over MARGIN-RANK positions (0 = the plane
+    * with the smallest |projection| for that query), enumerated
+    * best-first by pseudo-cost Σ(rank+1) with at most `maxFlips` flips.
+    * Rank positions make the pattern list a compile-time constant shared
+    * by every query row — per-row adaptivity comes only from each row's
+    * own margin argsort, so probing stays inside codegen (no per-row
+    * probe planning). At equal probe count this beats the fixed
+    * Hamming-ball: low-margin planes are exactly the likely flips. */
+  def rankPatterns(nPlanes: Int, nProbes: Int, maxFlips: Int): Seq[Seq[Int]] = {
+    import scala.math.Ordering.Implicits._
+    // min-heap on (cost, chosen ranks asc-lex, next) — deterministic
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Int, Vector[Int], Int)](
+      Ordering[(Int, Vector[Int], Int)].reverse)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    pq.enqueue((0, Vector.empty, 0))
+    while (pq.nonEmpty && out.size < nProbes) {
+      val (cost, chosen, next) = pq.dequeue()
+      out += chosen
+      if (chosen.size < maxFlips)
+        for (j <- next until nPlanes)
+          pq.enqueue((cost + j + 1, chosen :+ j, j + 1))
+    }
+    out.toSeq
+  }
+
   /** IVF coarse quantizer: per-row array of the `nprobe` centroid ids
     * nearest by cosine, best first (deterministic index tie-break).
     *
@@ -185,10 +233,16 @@ object Vectors {
     // The buffer invariant: always ordered best-first, size <= k. Most
     // rows fail the `last` check and return the buffer untouched — O(1)
     // on the hot path, O(k) insertion otherwise; never a per-row sort.
+    // Buffers dedup by nid: multi-table LSH candidates (q27) legitimately
+    // present the same (query, neighbor) pair once per colliding table,
+    // with bit-identical scores (the score is a pure function of the two
+    // vectors) — keeping the first occurrence is exact, and saves the
+    // shuffle a per-query `distinct` pre-pass would cost.
     def zero: Seq[(Double, Long)] = Nil
     def reduce(b: Seq[(Double, Long)], a: Scored): Seq[(Double, Long)] = {
       val e = (a.sim, a.nid)
       if (b.size >= k && !before(e, b.last)) b
+      else if (b.exists(_._2 == a.nid)) b
       else {
         val i = b.indexWhere(x => before(e, x))
         val out = if (i < 0) b :+ e
@@ -196,13 +250,15 @@ object Vectors {
         if (out.size > k) out.take(k) else out
       }
     }
-    // linear merge of two ordered buffers
+    // linear merge of two ordered buffers, skipping already-taken nids
     def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
       var (i, j) = (0, 0)
       while (out.size < k && (i < x.size || j < y.size)) {
-        if (j >= y.size || (i < x.size && !before(y(j), x(i)))) { out += x(i); i += 1 }
-        else { out += y(j); j += 1 }
+        val e = if (j >= y.size || (i < x.size && !before(y(j), x(i)))) {
+          val v = x(i); i += 1; v
+        } else { val v = y(j); j += 1; v }
+        if (!out.exists(_._2 == e._2)) out += e
       }
       out.toSeq
     }
