@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   *    units, md5-fingerprinted per frame. One Generate per payload, no
   *    shuffle except the presentation sort (the same fan-out shape as
   *    [[graft.ops.Multimodal.sampleFrames]]'s flatMap);
-  *  - q51: the REAL codec path — encode/decode round-trip through
-  *    [[graft.ops.Wav]] with arithmetically-reproducible features.
+  *  - q51: the REAL audio codec path — encode/decode round-trip
+  *    through [[graft.ops.Wav]] with arithmetically-reproducible
+  *    features;
+  *  - q52: the REAL image codec path — encode/decode round-trip
+  *    through [[graft.ops.Ppm]], features reproduced by the oracle's
+  *    own modular-arithmetic raster.
   */
 object QueriesMultimodal {
 
@@ -85,6 +89,49 @@ object QueriesMultimodal {
           $"peakAmp".cast("long").as("peak_amp"))
         .orderBy($"doc_id")
     }),
+
+    // ---- REAL image codec round-trip under the oracle gate ------------
+    // Synthesize a P6 PPM per document (dimensions/maxval from the row,
+    // raster channels by modular arithmetic over the pixel index — SQL-
+    // expressible), decode with the real netpbm parser (graft.ops.Ppm),
+    // and emit exact integer channel folds: a header-parse bug, an RGB
+    // interleave slip, or a short raster read all change the sums. The
+    // raster is capped at 768 pixels to bound the oracle's per-pixel
+    // UNNEST; the Spark side decodes the real bytes either way.
+    "q52_ppm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", length($"text").cast("int").as("n"))
+        .as[(Long, Int)]
+      val media = docs.map { case (docId, n) =>
+        val w = (8 + docId % 5).toInt
+        val h = math.max(1, math.min(n, 768) / w)
+        val m = (199 + (docId % 7) * 8).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          rgb(3 * i) = ((docId + 3L * i) % (m + 1)).toByte
+          rgb(3 * i + 1) = ((docId + 5L * i) % (m + 1)).toByte
+          rgb(3 * i + 2) = ((docId + 7L * i) % (m + 1)).toByte
+          i += 1
+        }
+        val bytes = graft.ops.Ppm.encodeP6(w, h, m, rgb)
+        graft.ops.Multimodal.MediaFile(s"doc_$docId.ppm", "ppm",
+          bytes.length.toLong, bytes)
+      }
+      graft.ops.Multimodal.decodePpm(media).toDF()
+        .select(
+          regexp_extract($"filename", "doc_(\\d+)", 1).cast("long").as("doc_id"),
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"maxVal".cast("long").as("max_val"),
+          $"nPixels".as("n_pixels"),
+          $"sumR".as("sum_r"),
+          $"sumG".as("sum_g"),
+          $"sumB".as("sum_b"),
+          $"maxChannel".cast("long").as("max_channel"))
+        .orderBy($"doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -98,6 +145,28 @@ object QueriesMultimodal {
         |  CAST(CASE WHEN length(text) * (1 + doc_id % 2) = 0 THEN 0
         |       ELSE least(length(text) * (1 + doc_id % 2) - 1, 32767) END AS BIGINT) AS peak_amp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q52_ppm_decode" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 5 AS w,
+        |    greatest(1, least(length(text), 768) // (8 + doc_id % 5)) AS h,
+        |    199 + (doc_id % 7) * 8 AS m
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, h, m, w * h AS npix FROM t)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(m AS BIGINT) AS max_val,
+        |  CAST(npix AS BIGINT) AS n_pixels,
+        |  CAST(sum((doc_id + 3 * i) % (m + 1)) AS BIGINT) AS sum_r,
+        |  CAST(sum((doc_id + 5 * i) % (m + 1)) AS BIGINT) AS sum_g,
+        |  CAST(sum((doc_id + 7 * i) % (m + 1)) AS BIGINT) AS sum_b,
+        |  CAST(greatest(max((doc_id + 3 * i) % (m + 1)),
+        |                max((doc_id + 5 * i) % (m + 1)),
+        |                max((doc_id + 7 * i) % (m + 1))) AS BIGINT) AS max_channel
+        |FROM p, UNNEST(generate_series(0, npix - 1)) AS u(i)
+        |GROUP BY doc_id, w, h, m, npix
+        |ORDER BY doc_id""".stripMargin,
     "q32_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

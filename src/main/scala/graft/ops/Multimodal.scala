@@ -11,10 +11,13 @@ import graft.table.IncrementalTable
   *
   * Audio decode is REAL: [[decodeWav]] parses RIFF/WAVE PCM payloads
   * with the jar-free [[Wav]] codec (header walk + sample decode),
-  * oracle-checked end-to-end by q51. Image/video decode remains a
-  * DETERMINISTIC STUB (this container ships no codec jars for those):
-  * [[FakeCodec]] derives plausible-shaped metadata and features purely
-  * from the bytes. Everything around both — the `binaryFile` source,
+  * oracle-checked end-to-end by q51. Image decode is REAL too:
+  * [[decodePpm]] parses binary PPM (P6) with the jar-free [[Ppm]]
+  * codec (netpbm header + raster folds), oracle-checked by q52. Video
+  * decode remains a DETERMINISTIC STUB (no container codec jars can
+  * read real video): [[FakeCodec]] derives plausible-shaped metadata
+  * and features purely from the bytes. Everything around all three —
+  * the `binaryFile` source,
   * the schema, the per-partition batch shape (iterator-to-iterator
   * `mapPartitions`, codec initialized once per partition, the Scala
   * analogue of a Pandas-UDF batch), the IncrementalTable commit — is
@@ -133,6 +136,35 @@ object Multimodal {
         val m = Wav.decode(f.content)
         WavFeatures(f.filename, f.nBytes, m.channels, m.sampleRate,
           m.bitsPerSample, m.dataBytes, m.nFrames, m.durationMs, m.peakAmp)
+      }
+    }
+  }
+
+  /** Real-decoded PPM features (see [[Ppm.PpmMeta]]). */
+  final case class PpmFeatures(
+      filename: String,
+      nBytes: Long,
+      width: Int,
+      height: Int,
+      maxVal: Int,
+      nPixels: Long,
+      sumR: Long,
+      sumG: Long,
+      sumB: Long,
+      maxChannel: Int)
+
+  /** REAL image decode (M2 image path de-stubbed): parse each payload
+    * as binary PPM with [[Ppm.decode]] — same per-partition
+    * iterator-to-iterator shape as [[decodeWav]]. Malformed payloads
+    * fail the task loudly; pre-filter on `mediaType` if the input
+    * mixes formats. */
+  def decodePpm(files: Dataset[MediaFile]): Dataset[PpmFeatures] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { rows =>
+      rows.map { f =>
+        val m = Ppm.decode(f.content)
+        PpmFeatures(f.filename, f.nBytes, m.width, m.height, m.maxVal,
+          m.nPixels, m.sumR, m.sumG, m.sumB, m.maxChannel)
       }
     }
   }

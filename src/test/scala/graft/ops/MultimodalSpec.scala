@@ -95,6 +95,49 @@ class MultimodalSpec extends SparkSpec {
     assert(feats("b.wav").nFrames == 3 && feats("b.wav").sampleRate == 8000)
   }
 
+  test("PPM codec: real encode/decode round-trip, header variants, loud failures") {
+    // round-trip: header fields and exact raster folds survive
+    val (w, h, m) = (5, 4, 255)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37) % 256).toByte)
+    val bytes = Ppm.encodeP6(w, h, m, rgb)
+    val meta = Ppm.decode(bytes)
+    assert(meta.width == 5 && meta.height == 4 && meta.maxVal == 255)
+    assert(meta.nPixels == 20)
+    val chans = rgb.map(_ & 0xff)
+    assert(meta.sumR == chans.indices.collect { case i if i % 3 == 0 => chans(i) }.sum)
+    assert(meta.sumG == chans.indices.collect { case i if i % 3 == 1 => chans(i) }.sum)
+    assert(meta.sumB == chans.indices.collect { case i if i % 3 == 2 => chans(i) }.sum)
+    assert(meta.maxChannel == chans.max)
+
+    // foreign-writer header: comments and mixed whitespace between
+    // every token, CRLF, multiple comment lines
+    val raster = Array.tabulate(6)(i => (10 * (i + 1)).toByte)
+    val weird = ("P6 # magic comment\n#another\n\t 2\r\n#c\n 1 \n200\n"
+      .getBytes("US-ASCII")) ++ raster
+    val wm = Ppm.decode(weird)
+    assert(wm.width == 2 && wm.height == 1 && wm.maxVal == 200)
+    assert(wm.sumR == 10 + 40 && wm.sumG == 20 + 50 && wm.sumB == 30 + 60)
+    assert(wm.maxChannel == 60)
+
+    // malformed payloads fail loudly, never emit garbage features
+    intercept[IllegalArgumentException](Ppm.decode("P5\n1 1\n255\n!".getBytes))
+    intercept[IllegalArgumentException](Ppm.decode(Ppm.encodeP6(2, 2, 255,
+      new Array[Byte](12)).dropRight(1))) // truncated raster
+    intercept[IllegalArgumentException](Ppm.decode("P6\n1 1\n70000\n".getBytes
+      ++ new Array[Byte](6))) // 2-byte channels unsupported
+    intercept[IllegalArgumentException](Ppm.decode("P6\n-1 1\n255\n".getBytes
+      ++ new Array[Byte](3))) // negative width is non-numeric per netpbm
+    intercept[IllegalArgumentException](Ppm.encodeP6(2, 2, 255, new Array[Byte](3)))
+
+    // distributed decode through the MediaFile path (per-partition shape)
+    val files = Seq(
+      Multimodal.MediaFile("a.ppm", "ppm", bytes.length.toLong, bytes),
+      Multimodal.MediaFile("b.ppm", "ppm", weird.length.toLong, weird)).toDS()
+    val feats = Multimodal.decodePpm(files).collect().map(f => f.filename -> f).toMap
+    assert(feats("a.ppm").nPixels == 20 && feats("a.ppm").maxVal == 255)
+    assert(feats("b.ppm").width == 2 && feats("b.ppm").sumB == 90)
+  }
+
   test("frame sampling: deterministic fan-out, slices match the payload") {
     val root = tmpDir("mm")
     val fixtures = writeFixtures(s"$root/media")
