@@ -1,0 +1,114 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.types._
+
+/** Extracts conservative per-column integer bounds from a predicate,
+  * for file-level data skipping against the commit log's [[ColStat]]
+  * index (Delta-style: prune before Spark even enumerates the files;
+  * the full predicate still runs over whatever survives, so extraction
+  * only ever needs to be SOUND, never complete).
+  *
+  * The predicate is RESOLVED first — analyzed as a `filter` over an
+  * empty frame with the table's committed schema (public API only; no
+  * analysis job touches data). That buys exact column-name resolution
+  * and normalizes literals through the analyzer's implicit casts.
+  *
+  * Supported shapes: `col <op> literal` / `literal <op> col` for
+  * =, <, <=, >, >= over integral columns and literals, combined with
+  * AND. Any other conjunct (OR, functions, non-integral types) simply
+  * contributes no bound — those files are read and filtered normally.
+  * Strict comparisons tighten to inclusive bounds by ±1, exact in the
+  * integral domain the stats index covers. */
+object DataSkipping {
+
+  /** Inclusive bounds a row must satisfy for column `col` ([lower,
+    * upper]; None = unbounded on that side). */
+  final case class Bounds(lower: Option[Long] = None, upper: Option[Long] = None)
+
+  /** Per-column bounds implied by `predicate` against `schema`
+    * (empty = nothing extractable, no pruning). */
+  def bounds(spark: SparkSession, schema: StructType, predicate: Column): Map[String, Bounds] = {
+    val empty = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    empty.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: logical.Filter => extract(f.condition)
+    }.getOrElse(Map.empty)
+  }
+
+  /** Does a file whose rows span `[stat.min, stat.max]` possibly hold a
+    * row inside `b`? */
+  def overlaps(b: Bounds, stat: ColStat): Boolean =
+    b.lower.forall(_ <= stat.max) && b.upper.forall(_ >= stat.min)
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** The attribute under value-preserving integral widening only — the
+    * shape the analyzer makes when comparing an int column to a long
+    * literal. Non-widening or non-integral casts are never unwrapped
+    * (they would change comparison semantics). */
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference if integral(a.dataType) => Some(a.name)
+    case Cast(a: AttributeReference, dt, _, _)
+        if integral(a.dataType) && integral(dt) &&
+          dt.defaultSize >= a.dataType.defaultSize => Some(a.name)
+    case _ => None
+  }
+
+  private def litLong(e: Expression): Option[Long] = e match {
+    case Literal(null, _) => None
+    case l @ Literal(_, dt) if integral(dt) => asLong(l.value)
+    case c: Cast if c.foldable && integral(c.dataType) =>
+      Option(c.eval(null)).flatMap(asLong)
+    case _ => None
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  // intersection: both conjuncts must hold, so keep the TIGHTER bound
+  private def merge(a: Map[String, Bounds], b: Map[String, Bounds]): Map[String, Bounds] =
+    (a.keySet ++ b.keySet).iterator.map { k =>
+      val (x, y) = (a.getOrElse(k, Bounds()), b.getOrElse(k, Bounds()))
+      k -> Bounds(
+        (x.lower.toSeq ++ y.lower.toSeq).maxOption,
+        (x.upper.toSeq ++ y.upper.toSeq).minOption)
+    }.toMap
+
+  private def one(col: Option[String], b: Bounds): Map[String, Bounds] =
+    col.map(_ -> b).toMap
+
+  private def extract(e: Expression): Map[String, Bounds] = e match {
+    case And(l, r) => merge(extract(l), extract(r))
+    case EqualTo(a, v) if litLong(v).nonEmpty =>
+      one(attrName(a), Bounds(litLong(v), litLong(v)))
+    case EqualTo(v, a) if litLong(v).nonEmpty =>
+      one(attrName(a), Bounds(litLong(v), litLong(v)))
+    case GreaterThan(a, v) if litLong(v).nonEmpty => // a > v
+      one(attrName(a), Bounds(lower = litLong(v).filter(_ != Long.MaxValue).map(_ + 1)))
+    case GreaterThan(v, a) if litLong(v).nonEmpty => // v > a  ==  a < v
+      one(attrName(a), Bounds(upper = litLong(v).filter(_ != Long.MinValue).map(_ - 1)))
+    case GreaterThanOrEqual(a, v) if litLong(v).nonEmpty =>
+      one(attrName(a), Bounds(lower = litLong(v)))
+    case GreaterThanOrEqual(v, a) if litLong(v).nonEmpty =>
+      one(attrName(a), Bounds(upper = litLong(v)))
+    case LessThan(a, v) if litLong(v).nonEmpty => // a < v
+      one(attrName(a), Bounds(upper = litLong(v).filter(_ != Long.MinValue).map(_ - 1)))
+    case LessThan(v, a) if litLong(v).nonEmpty => // v < a  ==  a > v
+      one(attrName(a), Bounds(lower = litLong(v).filter(_ != Long.MaxValue).map(_ + 1)))
+    case LessThanOrEqual(a, v) if litLong(v).nonEmpty =>
+      one(attrName(a), Bounds(upper = litLong(v)))
+    case LessThanOrEqual(v, a) if litLong(v).nonEmpty =>
+      one(attrName(a), Bounds(lower = litLong(v)))
+    case _ => Map.empty // sound: unextractable conjuncts prune nothing
+  }
+}

@@ -46,7 +46,17 @@ final case class Commit(
     // guard is scoped per writer identity; checkpoints fold the per-app
     // max into `appBatches`.
     appId: Option[String] = None,
-    appBatches: Map[String, Long] = Map.empty)
+    appBatches: Map[String, Long] = Map.empty,
+    // Per-added-file column min/max (data-skipping index, Delta-style):
+    // rel path -> column -> [min,max], harvested from the staged parquet
+    // footers in the same driver-side pass that sizes the commit — never
+    // a Spark job. Only columns the writer asked to index (statsColumns)
+    // appear. Checkpoints fold the live files' stats forward so skipping
+    // survives log compaction. Defaults keep pre-existing logs readable.
+    fileStats: Map[String, Map[String, ColStat]] = Map.empty)
+
+/** Per-file column statistics entry ([min,max] over the file's rows). */
+final case class ColStat(min: Long, max: Long)
 
 /** A metadata entry whose value derives from the staged files' parquet
   * footer column statistics at commit time: the committed value is
@@ -223,6 +233,54 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       cs.filter(_.version <= v)
   }
 
+  /** Committed data-skipping index of the live set: rel path → column →
+    * [min,max], folded over the log like [[liveFiles]] (checkpoints
+    * carry it forward). Files written without `statsColumns` are absent. */
+  def liveFileStats(asOf: Option[Long] = None): Map[String, Map[String, ColStat]] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, ColStat]]
+    commitsAsOf(asOf).foreach { c => c.remove.foreach(m.remove); m ++= c.fileStats }
+    m.toMap
+  }
+
+  /** [[liveFiles]] additionally pruned by the data-skipping index: a
+    * file is dropped when the bounds [[DataSkipping]] extracts from
+    * `predicate` cannot intersect its committed [min,max]. Files
+    * without stats for a bounded column are conservatively kept. */
+  def liveFilesWhere(predicate: org.apache.spark.sql.Column,
+      filters: Map[String, String] = Map.empty,
+      asOf: Option[Long] = None): Seq[String] = {
+    val b = commitsAsOf(asOf).reverse.iterator.map(_.schemaJson)
+      .find(_.nonEmpty).map(StructType.fromDDL) match {
+      case Some(schema) => DataSkipping.bounds(spark, schema, predicate)
+      case None => Map.empty[String, DataSkipping.Bounds] // no schema: no pruning
+    }
+    if (b.isEmpty) liveFiles(filters, asOf)
+    else {
+      val stats = liveFileStats(asOf)
+      liveFiles(filters, asOf).filter { f =>
+        stats.get(f).forall(fs => b.forall { case (col, bd) =>
+          fs.get(col).forall(DataSkipping.overlaps(bd, _))
+        })
+      }
+    }
+  }
+
+  /** Data-skipping read: semantically `read(filters).filter(predicate)`,
+    * but the file list is pruned against the commit log's per-file
+    * [min,max] index BEFORE Spark enumerates it — on a clustered table
+    * (see [[compact]] `clusterBy`) a narrow range predicate touches a
+    * handful of files out of millions, and the log-level prune costs a
+    * driver-side map over live paths, no listing, no footer reads.
+    * Extraction is conservative, and `predicate` is still applied in
+    * full, so results are always exact. */
+  def readWhere(predicate: org.apache.spark.sql.Column,
+      filters: Map[String, String] = Map.empty): DataFrame = {
+    val files = liveFilesWhere(predicate, filters)
+    val stored = commits().reverse.iterator.map(_.schemaJson)
+      .find(_.nonEmpty).map(StructType.fromDDL)
+    filesDf(files, stored).filter(predicate)
+  }
+
   /** Snapshot read as of an older commit version (Delta-style time
     * travel, bounded by checkpoint compaction). */
   def readAt(version: Long, filters: Map[String, String] = Map.empty): DataFrame =
@@ -300,9 +358,10 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       meta: Map[String, String] = Map.empty,
       batchId: Option[Long] = None,
       appId: Option[String] = None,
-      statMeta: Seq[StatMeta] = Nil): Option[Commit] =
+      statMeta: Seq[StatMeta] = Nil,
+      statsColumns: Seq[String] = Nil): Option[Commit] =
     write(df, "append", partitionBy, partitionValues, Map.empty, meta, batchId, appId,
-      statMeta = statMeta)
+      statMeta = statMeta, statsColumns = statsColumns)
 
   /** Partition-scoped overwrite (reference W5 `replaceWhere`): replaces
     * exactly the live files whose path matches `partitionFilter`. */
@@ -312,9 +371,10 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       meta: Map[String, String] = Map.empty,
       batchId: Option[Long] = None,
       appId: Option[String] = None,
-      statMeta: Seq[StatMeta] = Nil): Option[Commit] =
+      statMeta: Seq[StatMeta] = Nil,
+      statsColumns: Seq[String] = Nil): Option[Commit] =
     write(df, "replace", partitionBy, partitionValues, partitionFilter, meta, batchId, appId,
-      statMeta = statMeta)
+      statMeta = statMeta, statsColumns = statsColumns)
 
   /** Dynamic partition overwrite (Spark's
     * `partitionOverwriteMode=dynamic` / Delta `replaceWhere`-per-touched-
@@ -349,7 +409,8 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       partitionValues: Map[String, String], partitionFilter: Map[String, String],
       meta: Map[String, String], batchId: Option[Long],
       appId: Option[String] = None, dynamic: Boolean = false,
-      statMeta: Seq[StatMeta] = Nil): Option[Commit] = {
+      statMeta: Seq[StatMeta] = Nil,
+      statsColumns: Seq[String] = Nil): Option[Commit] = {
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
     val withParts = partitionValues.foldLeft(df) { case (d, (k, v)) =>
       d.withColumn(k, lit(v))
@@ -365,11 +426,20 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     val staged = listParquet(fs, stage).map(p => relativize(stage, p))
     // partitioned zero-row writes stage no files; non-partitioned ones
     // stage one schema-only file — detect via footer counts (no job).
-    // The same footer pass yields per-column max statistics for statMeta.
-    val (stagedRows, stagedMax) = stagedFooterStats(stage, staged,
-      statMeta.map(_.column).toSet, needRows = partitionBy.isEmpty)
+    // The same footer pass yields per-file column [min,max]: the global
+    // max feeds statMeta watermarks, the per-file entries become the
+    // commit's data-skipping index (statsColumns).
+    val (stagedRows, perFile) = stagedFooterStats(stage, staged,
+      statMeta.map(_.column).toSet ++ statsColumns, needRows = partitionBy.isEmpty)
+    val stagedMax = perFile.valuesIterator.flatten.toSeq
+      .groupMapReduce(_._1)(_._2.max)(math.max)
     val allMeta = meta ++ statMeta.map(sm => sm.key ->
       math.max(sm.floor, stagedMax.get(sm.column).map(_ + 1).getOrElse(sm.floor)).toString)
+    val statsIdx = statsColumns.toSet
+    val fileStats =
+      if (statsIdx.isEmpty) Map.empty[String, Map[String, ColStat]]
+      else perFile.view.mapValues(_.view.filterKeys(statsIdx).toMap)
+        .filter(_._2.nonEmpty).toMap
     if (staged.isEmpty || (partitionBy.isEmpty && stagedRows == 0)) {
       fs.delete(stage, true)
       // A filter-scoped replace that recomputed to ZERO rows must still
@@ -411,7 +481,8 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
         } else liveFiles(partitionFilter)
       val schemaDdl = mergedSchema(withParts.schema).toDDL
       Some(commit(Commit(0, action, added, removed, partitionFilter,
-        partitionBy, schemaDdl, allMeta, batchId, now(), appId = appId)))
+        partitionBy, schemaDdl, allMeta, batchId, now(), appId = appId,
+        fileStats = fileStats)))
     }
   }
 
@@ -442,22 +513,24 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
               .map(_.copy(nullable = true)))
     }
 
-  /** Row count and per-column integer max statistics of the staged
-    * parquet files, read from footers driver-side — not a Spark job.
-    * A requested column absent from the staged schema yields no entry
-    * (the caller's floor applies); present with missing statistics
-    * fails loudly rather than silently stalling a watermark. */
+  /** Row count and per-FILE per-column integer [min,max] statistics of
+    * the staged parquet files, read from footers driver-side — not a
+    * Spark job. A requested column absent from the staged schema yields
+    * no entry (for stat-meta, the caller's floor applies; for skipping,
+    * the file is never pruned); present with missing statistics fails
+    * loudly rather than silently stalling a watermark or over-pruning. */
   private def stagedFooterStats(stage: Path, rels: Seq[String],
-      cols: Set[String], needRows: Boolean): (Long, Map[String, Long]) = {
+      cols: Set[String], needRows: Boolean): (Long, Map[String, Map[String, ColStat]]) = {
     if (rels.isEmpty || (cols.isEmpty && !needRows)) return (0L, Map.empty)
     var rows = 0L
-    val maxes = scala.collection.mutable.HashMap.empty[String, Long]
+    val perFile = Map.newBuilder[String, Map[String, ColStat]]
     rels.foreach { rel =>
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new Path(stage, rel), hadoopConf(spark)))
       try {
         rows += rd.getRecordCount
+        val stats = scala.collection.mutable.HashMap.empty[String, ColStat]
         if (cols.nonEmpty) rd.getFooter.getBlocks.forEach { block =>
           block.getColumns.forEach { cc =>
             val name = cc.getPath.toDotString
@@ -465,22 +538,25 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
               val st = cc.getStatistics
               if (st == null || st.isEmpty)
                 throw new IllegalStateException(
-                  s"staged parquet footer lacks statistics for stat-meta column '$name'")
+                  s"staged parquet footer lacks statistics for stats column '$name'")
               if (st.hasNonNullValue) {
-                val mx = st.genericGetMax match {
+                def asLong(o: Any): Long = o match {
                   case l: java.lang.Long => l.longValue()
                   case i: java.lang.Integer => i.longValue()
                   case o => throw new IllegalStateException(
-                    s"stat-meta column '$name' is not integral: ${o.getClass.getName}")
+                    s"stats column '$name' is not integral: ${o.getClass.getName}")
                 }
-                maxes.update(name, maxes.get(name).fold(mx)(math.max(_, mx)))
+                val (mn, mx) = (asLong(st.genericGetMin), asLong(st.genericGetMax))
+                stats.update(name, stats.get(name).fold(ColStat(mn, mx))(p =>
+                  ColStat(math.min(p.min, mn), math.max(p.max, mx))))
               }
             }
           }
         }
+        if (stats.nonEmpty) perFile += rel -> stats.toMap
       } finally rd.close()
     }
-    (rows, maxes.toMap)
+    (rows, perFile.result())
   }
 
   /** Atomic publish of a fully-written tmp file as `dest`, failing (not
@@ -585,10 +661,14 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       val perApp = cs.flatMap(c =>
           c.appId.flatMap(id => c.batchId.map(id -> _)).toSeq ++ c.appBatches.toSeq)
         .groupMapReduce(_._1)(_._2)(math.max)
-      val snap = Commit(version, "checkpoint", liveFiles(), Nil, Map.empty,
+      val live = liveFiles()
+      // fold the live files' data-skipping stats into the checkpoint so
+      // pruning survives compaction of the commits that recorded them
+      val liveStats = liveFileStats().view.filterKeys(live.toSet).toMap
+      val snap = Commit(version, "checkpoint", live, Nil, Map.empty,
         last.partitionBy, last.schemaJson,
         cs.foldLeft(Map.empty[String, String])(_ ++ _.meta), None, now(),
-        maxBatchId = maxBatch, appBatches = perApp)
+        maxBatchId = maxBatch, appBatches = perApp, fileStats = liveStats)
       val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
       try out.write(Serialization.write(snap).getBytes("UTF-8")) finally out.close()
@@ -603,14 +683,27 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     * partition (streaming ingest accumulates one file per micro-batch;
     * at scale, scan cost is dominated by file count). A plain
     * read-repartition-replace through the normal commit path: atomic,
-    * time-travel-visible, old files reclaimed by vacuum(). */
+    * time-travel-visible, old files reclaimed by vacuum().
+    *
+    * With `clusterBy`, compaction CLUSTERS instead of hashing: rows are
+    * range-partitioned and sorted on the given columns, so each output
+    * file covers a narrow disjoint [min,max] slice — this is what makes
+    * the `statsColumns` data-skipping index selective (the OPTIMIZE-
+    * with-clustering shape; a 1-D Z-ORDER). Pass the same columns as
+    * `statsColumns` to index the clustered files. */
   def compact(partitionFilter: Map[String, String] = Map.empty,
-      targetFiles: Int = 1): Option[Commit] = {
+      targetFiles: Int = 1, clusterBy: Seq[String] = Nil,
+      statsColumns: Seq[String] = Nil): Option[Commit] = {
     val partitionBy = commits().reverse.iterator
       .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
-    val df = read(partitionFilter).repartition(targetFiles)
+    val base = read(partitionFilter)
+    val df =
+      if (clusterBy.isEmpty) base.repartition(targetFiles)
+      else base
+        .repartitionByRange(targetFiles, clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
     write(df, "replace", partitionBy, Map.empty, partitionFilter,
-      Map.empty, None)
+      Map.empty, None, statsColumns = statsColumns)
   }
 
   /** Auto-compaction policy: compact every physical partition (within

@@ -1,6 +1,7 @@
 package graft.table
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{length, lit}
 
 class IncrementalTableSpec extends SparkSpec {
   import spark.implicits._
@@ -298,6 +299,57 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.commits().map(_.version) == (0L until 12L))
     assert(t.read().count() == 12)
     assert(t.read().select($"k").as[String].collect().toSet.size == 12)
+  }
+
+  test("data skipping: clustered compact + stats index prunes files, results exact") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t23")
+    val p = Seq("day")
+    // 4 unclustered appends, ids interleaved so every file spans ~the
+    // full id range: a range predicate can prune nothing yet
+    (0 until 4).foreach { i =>
+      t.append((i until 1000 by 4).map(id => (id.toLong, s"r$id")).toDF("id", "s")
+        .repartition(1), p, Map("day" -> "d1"), statsColumns = Seq("id"))
+    }
+    val interleaved = t.liveFilesWhere($"id" >= 900)
+    assert(interleaved.size == 4, "interleaved files all overlap the range")
+
+    // clustered compaction: each output file now covers a narrow id slice
+    t.compact(Map("day" -> "d1"), targetFiles = 4, clusterBy = Seq("id"),
+      statsColumns = Seq("id"))
+    assert(t.liveFiles().size == 4)
+    // range-partition boundaries are sampled, so a split can land inside
+    // the probe range: assert the prune is real (≤2 of 4), not exact
+    val pruned = t.liveFilesWhere($"id" >= 900)
+    assert(pruned.size <= 2, s"expected <=2 surviving files, got ${pruned.size}")
+    // conjunctions tighten; literal-on-the-left and int-vs-long casts work
+    assert(t.liveFilesWhere($"id" >= 200 && lit(400) > $"id").size <= 2)
+    // equality pins a point; unextractable conjuncts prune nothing extra
+    assert(t.liveFilesWhere($"id" === 999 && $"s".startsWith("r")).size == 1)
+
+    // skipping is an optimization, never a semantics change
+    val expect = (900 until 1000).map(_.toLong).toSet
+    assert(t.readWhere($"id" >= 900).select($"id").as[Long].collect().toSet == expect)
+    assert(t.readWhere($"id" >= 900).count() ==
+      t.read().filter($"id" >= 900).count())
+    // a column with no stats (never indexed) keeps every file
+    assert(t.liveFilesWhere(length($"s") > 2).size == 4)
+  }
+
+  test("data skipping survives checkpoint compaction of the recording commits") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t24")
+    t.append((0 until 100).map(i => (i.toLong, "a")).toDF("id", "s")
+      .repartition(1), Seq("day"), Map("day" -> "d"), statsColumns = Seq("id"))
+    t.append((100 until 200).map(i => (i.toLong, "b")).toDF("id", "s")
+      .repartition(1), Seq("day"), Map("day" -> "d"), statsColumns = Seq("id"))
+    assert(t.liveFilesWhere($"id" < 100).size == 1)
+    // drive the log across a checkpoint with cheap metadata commits
+    val until = IncrementalTable.checkpointInterval + 2
+    (t.latestVersion until until).foreach(i => t.commitMeta(Map("tick" -> i.toString)))
+    val t2 = IncrementalTable(spark, t.root) // fresh handle: replays from checkpoint
+    assert(t2.commits().head.action == "checkpoint")
+    assert(t2.liveFilesWhere($"id" < 100).size == 1,
+      "checkpoint must carry the data-skipping index forward")
+    assert(t2.readWhere($"id" < 100).count() == 100)
   }
 
   test("schema evolution: add-column append null-backfills old files on read") {
