@@ -105,6 +105,32 @@ object QueriesPipeline {
         .orderBy($"doc_id")
     }),
 
+    // ---- MERGE (upsert) through the commit log under the oracle ------
+    // Seed a table from `customer`, merge a source that UPDATES every
+    // 5th key (uppercased name) and INSERTS a shifted key range into a
+    // brand-new partition, then read the final state. The oracle
+    // replays the same upsert relationally (base minus matched keys,
+    // union source), so a wrong removal set, a lost insert, or a
+    // double-applied update all break the hash. The merge itself is
+    // copy-on-write at file granularity (IncrementalTable.merge).
+    "q53_merge_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q53_").toString
+      val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      val base = Tables.customer(s, dir).select(
+        $"c_custkey".as("cust_key"), $"c_name".as("name"),
+        $"c_mktsegment".as("segment"))
+      t.append(base, Seq("segment"))
+      val upd = base.filter($"cust_key" % 5 === 0)
+        .withColumn("name", upper($"name"))
+        .unionByName(base.filter($"cust_key" % 7 === 0).select(
+          ($"cust_key" + 1000000L).as("cust_key"),
+          concat(lit("new_"), $"cust_key").as("name"),
+          lit("NEWSEG").as("segment")))
+      t.merge(upd, Seq("cust_key"))
+      t.read().select($"cust_key", $"name", $"segment").orderBy($"cust_key")
+    }),
+
     // ---- logical→physical partition mapping + prune ------------------
     "q31_partition_prune" -> ((s, dir) => {
       import s.implicits._
@@ -140,6 +166,23 @@ object QueriesPipeline {
       """SELECT doc_id, source, md5(text) AS digest,
         |  length(text) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q53_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS cust_key, c_name AS name,
+        |    c_mktsegment AS segment FROM customer),
+        |upd AS (
+        |  SELECT cust_key, upper(name) AS name, segment
+        |  FROM base WHERE cust_key % 5 = 0
+        |  UNION ALL
+        |  SELECT cust_key + 1000000 AS cust_key,
+        |    'new_' || CAST(cust_key AS VARCHAR) AS name,
+        |    'NEWSEG' AS segment
+        |  FROM base WHERE cust_key % 7 = 0)
+        |SELECT cust_key, name, segment FROM base
+        |WHERE cust_key NOT IN (SELECT cust_key FROM upd)
+        |UNION ALL
+        |SELECT cust_key, name, segment FROM upd
+        |ORDER BY cust_key""".stripMargin,
     "q31_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y') AS year,
         |  strftime(o_orderdate, '%m') AS month,

@@ -397,6 +397,66 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       batchId, appId, dynamic = true)
   }
 
+  /** Delta-style MERGE (upsert), copy-on-write at file granularity:
+    * a `source` row whose `keys` match an existing row REPLACES that
+    * whole row; unmatched source rows are INSERTED. Only data files
+    * that actually contain a matched key are rewritten — at 100 TB the
+    * cost of an upsert is proportional to the files it touches (a
+    * handful, on a table clustered by the merge key), never to table
+    * size, and untouched files keep their identity (and their
+    * data-skipping stats) across the commit.
+    *
+    * Plan shape: one semi-join from the table (with its `_metadata`
+    * file paths) against the distinct source keys finds the touched
+    * file set; the rewrite reads ONLY those files, anti-joins the
+    * matched keys out, and unions the full source back in. Both joins
+    * key on `keys`, so AQE broadcasts the (typically small) source.
+    * The commit removes exactly the touched files — concurrent writers
+    * to other partitions commute under OCC; a racing writer in a
+    * touched partition fails one side cleanly.
+    *
+    * `source` must contain every table column (including partition
+    * columns — a matched row may move partitions). Sources with
+    * duplicate keys are rejected: the merged row would be
+    * order-dependent. `source` is evaluated more than once — pass a
+    * cached/checkpointed frame if it is expensive. */
+  def merge(source: DataFrame, keys: Seq[String],
+      statsColumns: Seq[String] = Nil): Option[Commit] = {
+    require(keys.nonEmpty, "merge needs key columns")
+    require(exists, s"merge target $root does not exist — seed it with append()")
+    val fn = org.apache.spark.sql.functions.col _
+    val stored = commits().reverse.iterator.map(_.schemaJson)
+      .find(_.nonEmpty).map(StructType.fromDDL)
+      .getOrElse(throw new IllegalStateException(s"table $root has no committed schema"))
+    stored.fieldNames.foreach(c => require(source.columns.contains(c),
+      s"merge source lacks table column '$c'"))
+    val src = source.select(stored.fieldNames.map(fn).toSeq: _*)
+    val partitionBy = commits().reverse.iterator
+      .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+
+    val dupKeys = src.groupBy(keys.map(fn): _*).count()
+      .filter(fn("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"merge source has duplicate keys on (${keys.mkString(", ")}) — merged rows would be order-dependent")
+
+    // touched files: live rows matching a source key, by _metadata path
+    val srcKeys = src.select(keys.map(fn): _*).distinct()
+    val touched = read()
+      .withColumn("_graft_path", fn("_metadata.file_path"))
+      .join(srcKeys, keys, "left_semi")
+      .select("_graft_path").distinct()
+      .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
+
+    if (touched.isEmpty)
+      append(src, partitionBy, statsColumns = statsColumns) // pure insert
+    else {
+      val kept = filesDf(touched, Some(stored)).join(src, keys.toSeq, "left_anti")
+      val rewritten = kept.unionByName(src)
+      write(rewritten, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
+        None, statsColumns = statsColumns, removeExact = Some(touched))
+    }
+  }
+
   /** Metadata-only commit (cursor/watermark advance with no data). */
   def commitMeta(meta: Map[String, String], batchId: Option[Long] = None,
       appId: Option[String] = None): Commit = {
@@ -410,7 +470,8 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       meta: Map[String, String], batchId: Option[Long],
       appId: Option[String] = None, dynamic: Boolean = false,
       statMeta: Seq[StatMeta] = Nil,
-      statsColumns: Seq[String] = Nil): Option[Commit] = {
+      statsColumns: Seq[String] = Nil,
+      removeExact: Option[Seq[String]] = None): Option[Commit] = {
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
     val withParts = partitionValues.foldLeft(df) { case (d, (k, v)) =>
       d.withColumn(k, lit(v))
@@ -448,8 +509,9 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       // delta_io.py:85-86, leaving stale rows after an empty refresh;
       // a defect we fix rather than reproduce). Dynamic replace with an
       // empty batch genuinely touches no partitions and stays elided.
-      val removed = if (action == "replace" && !dynamic) liveFiles(partitionFilter)
-        else Seq.empty
+      val removed = if (action == "replace" && !dynamic)
+        removeExact.getOrElse(liveFiles(partitionFilter))
+      else Seq.empty
       if (removed.nonEmpty) {
         val schema = commits().lastOption.map(_.schemaJson).getOrElse("")
         Some(commit(Commit(0, "replace", Nil, removed, partitionFilter,
@@ -475,10 +537,11 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       //    the partition dirs the staged files landed in
       val removed =
         if (action != "replace") Seq.empty
-        else if (dynamic) {
-          val touched = added.map(parentDir).toSet
-          liveFiles().filter(f => touched.contains(parentDir(f)))
-        } else liveFiles(partitionFilter)
+        else removeExact.getOrElse(
+          if (dynamic) {
+            val touched = added.map(parentDir).toSet
+            liveFiles().filter(f => touched.contains(parentDir(f)))
+          } else liveFiles(partitionFilter))
       val schemaDdl = mergedSchema(withParts.schema).toDDL
       Some(commit(Commit(0, action, added, removed, partitionFilter,
         partitionBy, schemaDdl, allMeta, batchId, now(), appId = appId,

@@ -352,6 +352,49 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t2.readWhere($"id" < 100).count() == 100)
   }
 
+  test("merge: upserts rewrite only touched files; inserts append; dup sources rejected") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t25")
+    val p = Seq("day")
+    // two partitions, one file each
+    t.append(Seq((1L, "a1", "d1"), (2L, "a2", "d1")).toDF("id", "v", "day")
+      .repartition(1), p)
+    t.append(Seq((3L, "b3", "d2"), (4L, "b4", "d2")).toDF("id", "v", "day")
+      .repartition(1), p)
+    val before = t.liveFiles().toSet
+    assert(before.size == 2)
+
+    // update id=1 (touches only d1's file), insert id=9 into d3
+    t.merge(Seq((1L, "A1", "d1"), (9L, "c9", "d3")).toDF("id", "v", "day"),
+      keys = Seq("id"))
+    val after = t.liveFiles().toSet
+    assert(t.read().select($"id", $"v").as[(Long, String)].collect().toSet ==
+      Set((1L, "A1"), (2L, "a2"), (3L, "b3"), (4L, "b4"), (9L, "c9")))
+    // d2's file was untouched — same physical file survives the commit
+    val d2file = before.find(_.startsWith("day=d2")).get
+    assert(after.contains(d2file), "untouched file must keep its identity")
+    assert(!after.exists(before.find(_.startsWith("day=d1")).toSet),
+      "touched file must be rewritten")
+
+    // a matched row may move partitions: id=2 goes d1 -> d9
+    t.merge(Seq((2L, "A2", "d9")).toDF("id", "v", "day"), keys = Seq("id"))
+    assert(t.read(Map("day" -> "d9")).select($"id").as[Long].collect().toSeq == Seq(2L))
+    assert(t.read(Map("day" -> "d1")).select($"id").as[Long].collect().toSeq == Seq(1L))
+
+    // source with duplicate keys is rejected before any mutation
+    val v0 = t.latestVersion
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((5L, "x", "d1"), (5L, "y", "d1")).toDF("id", "v", "day"),
+        keys = Seq("id"))
+    }
+    assert(t.latestVersion == v0)
+
+    // a pure-insert merge (no matches) appends without touching anything
+    val filesBefore = t.liveFiles().toSet
+    t.merge(Seq((7L, "n7", "d2")).toDF("id", "v", "day"), keys = Seq("id"))
+    assert(filesBefore.subsetOf(t.liveFiles().toSet))
+    assert(t.commits().last.action == "append")
+  }
+
   test("schema evolution: add-column append null-backfills old files on read") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t19")
     val p = Seq("day")
