@@ -23,6 +23,32 @@ object QueriesEvents {
     // ---- gap-based sessionization (lag + cumulative-sum pattern) ------
     // Scale: both windows partition by user_id — the natural shuffle key
     // with millions of users; no global ordering anywhere.
+    // ---- as-of (temporal) join ----------------------------------------
+    // Each purchase event picks up the same user's latest view event
+    // at-or-before it (operators/AsOfJoin: union + one hash shuffle +
+    // carry-forward window — never a per-row range probe). Views are
+    // pre-deduped to one per (user, microsecond) with max(event_id) so
+    // the as-of match is deterministic; both engines compare time in
+    // MICROseconds (events.ts is nanos on disk; the Spark reader
+    // truncates to micros, so the oracle must too — comparing at nanos
+    // would flip sub-microsecond ties). DuckDB's native ASOF JOIN is
+    // the oracle.
+    "q54_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val views = e.filter($"event_type" === "view")
+        .groupBy($"user_id", unix_micros($"ts").as("tus"))
+        .agg(max($"event_id").as("view_event_id"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tus"))
+      graft.operators.AsOfJoin.asOf(purchases, views,
+          keys = Seq("user_id"), leftTime = "tus", rightTime = "tus")
+        .filter($"view_event_id".isNotNull) // inner as-of
+        .select($"event_id", $"user_id", $"tus", $"view_event_id",
+          ($"tus" - $"right_tus").as("lag_us"))
+        .orderBy($"event_id")
+    }),
+
     "q33_sessionize" -> ((s, dir) => {
       import s.implicits._
       val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
@@ -98,6 +124,18 @@ object QueriesEvents {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q54_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+        |    max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.tus, v.view_event_id,
+        |  p.tus - v.tus AS lag_us
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.tus >= v.tus
+        |ORDER BY p.event_id""".stripMargin,
     "q33_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, value,
