@@ -62,7 +62,15 @@ object Bench {
       s(s.size / 2)
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=q27,q54 restricts to matching prefixes —
+    // a dev profiling hook; the driver never sets it
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) =>
+        val pats = only.split(",").map(_.trim).filter(_.nonEmpty)
+        SparkEntry.queries.keys.toSeq.sorted
+          .filter(n => pats.exists(n.startsWith))
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     names.foreach { n => // warmup, untimed
       try runOnce(SparkEntry.queries(n))
       catch { case e: Throwable => System.err.println(s"BENCH WARMUP FAIL $n: ${e.getClass.getName}: ${e.getMessage}") }

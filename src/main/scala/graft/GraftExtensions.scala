@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.VectorDot
+import graft.functions.{VectorDot, VectorLshBuckets, VectorMatDot}
 
 /** Session extensions registering this engine's native expressions —
   * wire up with `spark.sql.extensions=graft.GraftExtensions` (or
@@ -13,6 +13,9 @@ import graft.functions.VectorDot
   *  - `vec_dot(array<float>, array<float>) -> double`: codegen'd dot
   *    product (see [[graft.functions.VectorDot]]); usable from SQL and
   *    via `functions.call_function("vec_dot", a, b)`.
+  *  - `vec_mat_dot(array<float>, array<array<float>>) -> array<double>`:
+  *    one vector against a bank of constant vectors in a single
+  *    codegen'd nested loop (see [[graft.functions.VectorMatDot]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -21,5 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_mat_dot"),
+      new ExpressionInfo(classOf[VectorMatDot].getName, "vec_mat_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorMatDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_lsh_buckets"),
+      new ExpressionInfo(classOf[VectorLshBuckets].getName, "vec_lsh_buckets"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorLshBuckets(children.head, children(1), children(2))))
   }
 }

@@ -49,6 +49,32 @@ object QueriesEvents {
         .orderBy($"event_id")
     }),
 
+    // ---- range (interval) join ---------------------------------------
+    // Every click within one hour AFTER an error by the same user
+    // (operators/RangeJoin: time-bucketed equi-join — a point meets an
+    // interval in exactly one bucket, so the pair count is exact with
+    // no dedup; bucket width = the interval length keeps interval
+    // fan-out at ≤2 rows). The oracle is DuckDB's inequality join,
+    // which IS the semantics, just not the scalable plan.
+    "q55_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val hourUs = 3600L * 1000 * 1000
+      val e = Tables.events(s, dir)
+      val clicks = e.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id",
+          unix_micros($"ts").as("tus"))
+      val errors = e.filter($"event_type" === "error")
+        .select($"event_id".as("error_id"), $"user_id",
+          unix_micros($"ts").as("err_tus"),
+          (unix_micros($"ts") + hourUs).as("err_end"))
+      graft.operators.RangeJoin.pointInInterval(clicks, errors,
+          keys = Seq("user_id"), pointCol = "tus",
+          startCol = "err_tus", endCol = "err_end", bucketWidth = hourUs)
+        .select($"click_id", $"error_id", $"user_id",
+          ($"tus" - $"err_tus").as("lag_us"))
+        .orderBy($"click_id", $"error_id")
+    }),
+
     "q33_sessionize" -> ((s, dir) => {
       import s.implicits._
       val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
@@ -124,6 +150,18 @@ object QueriesEvents {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q55_range_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS tus
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (
+        |  SELECT event_id AS error_id, user_id, epoch_ns(ts) // 1000 AS err_tus
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.click_id, e.error_id, c.user_id,
+        |  c.tus - e.err_tus AS lag_us
+        |FROM c JOIN e ON c.user_id = e.user_id
+        |  AND c.tus >= e.err_tus AND c.tus <= e.err_tus + 3600000000
+        |ORDER BY click_id, error_id""".stripMargin,
     "q54_asof_join" ->
       """WITH v AS (
         |  SELECT user_id, epoch_ns(ts) // 1000 AS tus,

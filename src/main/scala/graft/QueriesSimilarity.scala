@@ -87,32 +87,11 @@ object QueriesSimilarity {
       import s.implicits._
       val nTables = 4; val nPlanes = 8; val nProbes = 37
       val tables = Vectors.lshTables(nTables, nPlanes, dim = 64)
-      val e = Tables.embeddings(s, dir).withColumn("buckets",
-        array(tables.map(Vectors.signLshBucketNative($"embedding", _)): _*))
+      val e = lshIndex(Tables.embeddings(s, dir), tables, nPlanes)
       val corpus = e.select($"vec_id", $"embedding", posexplode($"buckets"))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
       val patterns = Vectors.rankPatterns(nPlanes, nProbes, maxFlips = 4)
-      // per table: this query's margin-rank→plane map, then the fixed
-      // rank patterns become per-row probe masks
-      val probeStructs = tables.zipWithIndex.flatMap { case (planes, l) =>
-        val proj = planes.map(p =>
-          Vectors.dotNative($"embedding", typedLit(p.map(_.toFloat))))
-        val sortedIdx = transform(
-          array_sort(array(proj.zipWithIndex.map { case (pj, i) =>
-            struct(abs(pj).as("m"), lit(i).as("i")) }: _*)),
-          _.getField("i"))
-        val masks = patterns.map { pat =>
-          if (pat.isEmpty) lit(0)
-          else pat.map(j => call_function("shiftleft", lit(1), element_at(sortedIdx, j + 1)))
-            .reduce(_.bitwiseOR(_))
-        }
-        masks.map(m => struct(lit(l).as("tbl"),
-          element_at($"buckets", l + 1).bitwiseXOR(m).as("bucket")))
-      }
-      val q = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"embedding".as("qe"),
-          explode(array(probeStructs: _*)).as("probe"))
-        .select($"qid", $"qe", $"probe.tbl".as("tbl"), $"probe.bucket".as("bucket"))
+      val q = lshProbes(e.filter($"vec_id" < 10), tables, nPlanes, patterns)
       val scored = corpus.join(broadcast(q), Seq("tbl", "bucket"))
       topkTail(s, scored)
     }),
@@ -143,6 +122,69 @@ object QueriesSimilarity {
       topkTail(s, scored)
     }),
   )
+
+  /** Corpus-side LSH index column: per-table bucket ids from ONE
+    * native `vec_lsh_buckets` pass over the concatenated plane bank.
+    * The history here is a perf graveyard the q27 Scaladoc summarizes:
+    * 32 separate `vec_dot` calls blew the stage past Janino's method
+    * limit (interpreted fallback, ~200µs/row); `vec_mat_dot` + 32
+    * `element_at` sign terms composed into a fused Generate stage
+    * whose GENERATED code ran ~1000× slower than interpreted eval.
+    * One expression computing the bucket array directly keeps the
+    * scan at Scan→Project(1 expr)→Generate — measured fast, and the
+    * plan stays that shape at any table count. */
+  private[graft] def lshIndex(df: DataFrame,
+      tables: Seq[Seq[Seq[Double]]], nPlanes: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.withColumn("buckets",
+      Vectors.lshBucketsNative($"embedding", tables.flatten, nPlanes))
+  }
+
+  /** Query-side probe set for multi-table sign-LSH: each query row
+    * fans out to (tbl, bucket) probe rows — its own bucket per table
+    * XOR each rank-pattern mask over that table's margin argsort.
+    * Margins come from the SAME `_proj` column the buckets derive
+    * from (no second projection pass).
+    *
+    * The probe set is DATA-driven, not expression-driven: the rank
+    * patterns ship as an array-of-arrays LITERAL that the row explodes
+    * over, and the mask folds with higher-order functions. The first
+    * cut built 148 struct expressions (one per table×pattern) into a
+    * single Generate — the generated method blew Janino's 64KB limit,
+    * every job re-attempted the ~10 s compile, failed, and ran
+    * interpreted. As data, the probe count never changes the plan
+    * size; the HOF fold is interpreted but touches only query rows.
+    *
+    * `q` must carry `vec_id`, `embedding`, and `buckets` (see
+    * [[lshIndex]]); the margin projections are recomputed here — query
+    * rows are few, and the corpus scan stays projection-free. */
+  private[graft] def lshProbes(q: DataFrame, tables: Seq[Seq[Seq[Double]]],
+      nPlanes: Int, patterns: Seq[Seq[Int]]): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    val nTables = tables.size
+    val patLit = typedLit(patterns.map(_.map(_ + 1))) // 1-based rank positions
+    // per-table margin argsort: array<array<int>>, rank r -> plane idx
+    val sidx = transform(sequence(lit(0), lit(nTables - 1)), l =>
+      transform(
+        array_sort(transform(sequence(lit(0), lit(nPlanes - 1)), i =>
+          struct(abs(element_at($"_proj", l * lit(nPlanes) + i + 1)).as("m"),
+            i.as("i")))),
+        x => x.getField("i")))
+    q.withColumn("_proj", Vectors.matDotNative($"embedding", tables.flatten))
+      .withColumn("_sidx", sidx)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"buckets", $"_sidx",
+        explode(sequence(lit(0), lit(nTables - 1))).as("tbl"))
+      .select($"qid", $"qe", $"tbl", $"buckets", $"_sidx",
+        explode(patLit).as("pat"))
+      .select($"qid", $"qe", $"tbl",
+        element_at($"buckets", $"tbl" + 1).bitwiseXOR(
+          aggregate($"pat", lit(0), (acc, j) => acc.bitwiseOR(
+            call_function("shiftleft", lit(1),
+              element_at(element_at($"_sidx", $"tbl" + 1), j)))))
+          .as("bucket"))
+  }
 
   /** Shared ANN tail: score candidate (query, neighbor) rows with the
     * codegen'd cosine, then bounded map-side top-k per query. */

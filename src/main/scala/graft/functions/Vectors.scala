@@ -69,15 +69,29 @@ object Vectors {
     Seq.fill(nTables)(Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** Codegen'd sign-LSH bucket: [[signLshBucket]] through `vec_dot`
-    * with float32 plane literals — the corpus-scan path (L×n dots per
-    * row inside WholeStageCodegen). Sign flips vs the double path are
-    * confined to |projection| ≲ 1e-5 rows — both sides of every join
-    * use the same computation, so bucketing stays consistent. */
-  def signLshBucketNative(v: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dotNative(v, typedLit(p.map(_.toFloat))) > 0, 1 << i).otherwise(0)
-    }.reduce(_ + _)
+  /** Codegen'd projection of one vector onto a BANK of constant
+    * vectors (LSH plane banks, IVF codebooks): one `vec_mat_dot` call,
+    * one nested loop, one float32 2-D literal. N separate `vec_dot`
+    * calls inline N literals + N loop bodies — at 32 planes that blew
+    * past Janino's method limit and dropped the whole stage to
+    * interpreted eval (~200µs/row); this stays inside WholeStageCodegen
+    * at any bank size. Sign flips vs the double path are confined to
+    * |projection| ≲ 1e-5 — derive buckets and margins from the SAME
+    * projection column on both sides of a join and bucketing stays
+    * consistent. */
+  def matDotNative(v: Column, bank: Seq[Seq[Double]]): Column =
+    call_function("vec_mat_dot", v, typedLit(bank.map(_.map(_.toFloat))))
+
+  /** Sign-LSH bucket ids for the tables of a concatenated plane bank,
+    * as ONE native expression (`vec_lsh_buckets`): bucket l bit i =
+    * sign of projection `l*nPlanes + i`. Composing this from
+    * [[matDotNative]] + per-bit `element_at` signs measured ~1000×
+    * slower inside the fused whole-stage Generate (see
+    * [[VectorLshBuckets]]); the single expression keeps the corpus
+    * scan at the fast Scan→Project→Generate shape. */
+  def lshBucketsNative(v: Column, bank: Seq[Seq[Double]], nPlanes: Int): Column =
+    call_function("vec_lsh_buckets", v,
+      typedLit(bank.map(_.map(_.toFloat))), lit(nPlanes))
 
   /** Query-directed multi-probe patterns (Lv et al., VLDB'07 shape):
     * the `nProbes` flip-sets over MARGIN-RANK positions (0 = the plane

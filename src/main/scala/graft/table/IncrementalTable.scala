@@ -796,14 +796,21 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     scopes
   }
 
-  /** Delete data files no commit references (crash orphans, replaced
-    * partitions). Safe under the single-writer assumption. */
+  /** Delete data files NO commit in the replayable window references:
+    * crashed-writer strays and OCC race losers' promoted-but-
+    * uncommitted files reclaim immediately; files REPLACED within the
+    * window survive until a checkpoint truncates the history that
+    * names them — time travel (readAt/readCommit) is documented back
+    * to the newest checkpoint, and a live-set-only vacuum would break
+    * every pre-replace snapshot inside that horizon. The checkpoint
+    * cadence IS the retention policy (Delta's retention-hours analog,
+    * expressed in commits instead of wall time). */
   def vacuum(): Seq[String] = {
-    val live = liveFiles().toSet
+    val referenced = commits().flatMap(_.add).toSet
     val all = listParquet(fs, rootPath)
       .map(p => relativize(rootPath, p))
       .filterNot(_.startsWith("_"))
-    val orphans = all.filterNot(live)
+    val orphans = all.filterNot(referenced)
     orphans.foreach(rel => fs.delete(new Path(rootPath, rel), false))
     fs.delete(stagingPath, true)
     orphans

@@ -40,29 +40,14 @@ class AnnSpec extends SparkSpec {
     // half of brute force (measured ~0.49x sf0.01 / ~0.47x sf0.1)
     import org.apache.spark.sql.functions._
     val tables = graft.functions.Vectors.lshTables(4, 8, dim = 64)
-    val e = graft.Tables.embeddings(spark, sf).withColumn("buckets",
-      array(tables.map(graft.functions.Vectors.signLshBucketNative($"embedding", _)): _*))
+    val e = graft.QueriesSimilarity.lshIndex(
+      graft.Tables.embeddings(spark, sf), tables, nPlanes = 8)
     val corpus = e.select($"vec_id", posexplode($"buckets"))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val patterns = graft.functions.Vectors.rankPatterns(8, 37, maxFlips = 4)
-    val probeStructs = tables.zipWithIndex.flatMap { case (planes, l) =>
-      val proj = planes.map(p => graft.functions.Vectors.dotNative(
-        $"embedding", typedLit(p.map(_.toFloat))))
-      val sortedIdx = transform(
-        array_sort(array(proj.zipWithIndex.map { case (pj, i) =>
-          struct(abs(pj).as("m"), lit(i).as("i")) }: _*)),
-        _.getField("i"))
-      val masks = patterns.map { pat =>
-        if (pat.isEmpty) lit(0)
-        else pat.map(j => call_function("shiftleft", lit(1), element_at(sortedIdx, j + 1)))
-          .reduce(_.bitwiseOR(_))
-      }
-      masks.map(m => struct(lit(l).as("tbl"),
-        element_at($"buckets", l + 1).bitwiseXOR(m).as("bucket")))
-    }
-    val probes = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), explode(array(probeStructs: _*)).as("probe"))
-      .select($"qid", $"probe.tbl".as("tbl"), $"probe.bucket".as("bucket"))
+    val probes = graft.QueriesSimilarity.lshProbes(
+      e.filter($"vec_id" < 10), tables, 8, patterns)
+      .select($"qid", $"tbl", $"bucket")
     val candidates = corpus.join(probes, Seq("tbl", "bucket"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id").distinct().count()

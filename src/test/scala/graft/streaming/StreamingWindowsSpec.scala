@@ -53,6 +53,41 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(!rows.values.exists(_._2 == 103.0))
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark keeps first, state expires") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    // exactly-once-per-id within the watermark horizon: the streaming
+    // twin of q21 exact dedup — state is BOUNDED by the watermark
+    // (ids older than max(ts) - 10min are forgotten), which is what
+    // makes dedup runnable forever at scale, unlike dropDuplicates'
+    // unbounded state
+    val deduped = in.toDF().toDF("ts", "id", "v")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(3), "b", 3.0))
+    q.processAllAvailable()
+    // same-batch and cross-batch duplicates of a live id are dropped
+    in.addData((ts(4), "a", 4.0), (ts(5), "b", 5.0), (ts(6), "c", 6.0))
+    q.processAllAvailable()
+    // advance the watermark far past a's last occurrence: its state
+    // expires, so a re-arrival is treated as new (bounded-state contract)
+    in.addData((ts11(30), "x", 7.0))
+    q.processAllAvailable()
+    in.addData((ts11(31), "a", 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("dedup").select($"id", $"v")
+      .as[(String, Double)].collect().toSeq
+    assert(rows.count(_._1 == "a") == 2) // once live, once after expiry
+    assert(rows.contains(("a", 1.0)) && rows.contains(("a", 8.0)))
+    assert(rows.count(_._1 == "b") == 1 && rows.contains(("b", 3.0)))
+    assert(rows.count(_._1 == "c") == 1)
+  }
+
   test("session windows close after the gap (streaming twin of q33)") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]

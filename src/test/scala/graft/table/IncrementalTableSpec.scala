@@ -45,9 +45,10 @@ class IncrementalTableSpec extends SparkSpec {
 
     val all = t.read().select($"k").as[String].collect().toSet
     assert(all == Set("new26a", "new26b", "keep27"))
-    // physical file of old26 still on disk but unreferenced until vacuum
-    val orphans = t.vacuum()
-    assert(orphans.nonEmpty)
+    // old26's file is no longer live but stays RETAINED for time travel
+    // until a checkpoint truncates the commit that names it
+    assert(t.vacuum().isEmpty)
+    assert(t.readAt(0).select($"k").as[String].collect().toSet == Set("old26"))
     assert(t.read().select($"k").as[String].collect().toSet ==
       Set("new26a", "new26b", "keep27"))
   }
@@ -212,9 +213,11 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t2.read().count() == 5)
     assert(t2.read().select($"k").as[String].collect().toSet ==
       (1 to 5).map(i => s"x$i").toSet)
-    // pre-compaction snapshot still readable; orphaned files reclaimed
+    // pre-compaction snapshot still readable — INCLUDING after vacuum
+    // (replaced files are retained inside the replay window)
     assert(t2.readAt(4).count() == 5)
-    assert(t2.vacuum().size == 5)
+    assert(t2.vacuum().isEmpty)
+    assert(t2.readAt(4).count() == 5)
     assert(t2.read().count() == 5)
   }
 
@@ -350,6 +353,24 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t2.liveFilesWhere($"id" < 100).size == 1,
       "checkpoint must carry the data-skipping index forward")
     assert(t2.readWhere($"id" < 100).count() == 100)
+  }
+
+  test("vacuum retention: replaced files survive for time travel, reclaim after checkpoint") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t26")
+    val p = Seq("day")
+    val v = Map("day" -> "d")
+    t.append(Seq(("old", 1L)).toDF("k", "n"), p, v)
+    t.replaceWhere(Seq(("new", 2L)).toDF("k", "n"), p, v, partitionFilter = v)
+    // replaced file retained: every version in the window stays readable
+    assert(t.vacuum().isEmpty)
+    assert(t.readAt(0).select($"k").as[String].collect().toSeq == Seq("old"))
+    // checkpoint truncates the history naming the old file -> reclaimed
+    (t.latestVersion until IncrementalTable.checkpointInterval)
+      .foreach(i => t.commitMeta(Map("tick" -> i.toString)))
+    val t2 = IncrementalTable(spark, t.root)
+    assert(t2.commits().head.action == "checkpoint")
+    assert(t2.vacuum().size == 1)
+    assert(t2.read().select($"k").as[String].collect().toSeq == Seq("new"))
   }
 
   test("merge: upserts rewrite only touched files; inserts append; dup sources rejected") {
