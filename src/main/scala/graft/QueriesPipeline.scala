@@ -105,6 +105,49 @@ object QueriesPipeline {
         .orderBy($"doc_id")
     }),
 
+    // ---- incremental aggregate view maintenance under the oracle -----
+    // A daily per-type aggregate (count / long sum / min / max) is
+    // MAINTAINED, never recomputed: events arrive in three appends, an
+    // AggregateStream folds each commit's delta into the view via
+    // exactly-once MERGE, then one upstream day is refreshed (same
+    // logical rows) to exercise the scoped-recompute retraction path.
+    // The oracle computes the same aggregate directly over the whole
+    // table — a double-counted delta, a lost group, or a replayed
+    // merge all break the hash.
+    "q56_incremental_agg" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.{AggregateStream, IncAgg}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q56_").toString
+      val up = graft.table.IncrementalTable(s, s"$tmp/events/v1")
+      val view = graft.table.IncrementalTable(s, s"$tmp/daily/v1")
+      // month rides along as the physical grain (day determines it, so
+      // grouping by it too changes nothing logically): ~5 partition
+      // dirs per commit instead of ~150, and refresh scopes to a month
+      val ivm = new AggregateStream(up, view,
+        groupKeys = Seq("month", "day", "event_type"),
+        aggs = Seq(IncAgg.countAll("n"), IncAgg.sumOf($"k", "sum_k"),
+          IncAgg.minOf($"value", "min_value"),
+          IncAgg.maxOf($"value", "max_value")),
+        partitionBy = Seq("month"), name = "events", replayScope = Seq("month"))
+      val ev = Tables.events(s, dir).select(
+        date_format($"ts", "yyyy-MM").as("month"),
+        date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        $"value", $"event_id")
+      (0 until 3).foreach { chunk =>
+        up.append(ev.filter(pmod($"event_id", lit(3)) === chunk)
+          .drop("event_id"), Seq("month"))
+        ivm.drain()
+      }
+      val m0 = up.read().agg(min($"month")).head.getString(0)
+      val f = Map("month" -> m0)
+      up.replaceWhere(up.read(f), Seq("month"), f, partitionFilter = f)
+      ivm.drain()
+      view.read()
+        .select($"day", $"event_type", $"n", $"sum_k", $"min_value", $"max_value")
+        .orderBy($"day", $"event_type")
+    }),
+
     // ---- MERGE (upsert) through the commit log under the oracle ------
     // Seed a table from `customer`, merge a source that UPDATES every
     // 5th key (uppercased name) and INSERTS a shifted key range into a
@@ -166,6 +209,11 @@ object QueriesPipeline {
       """SELECT doc_id, source, md5(text) AS digest,
         |  length(text) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q56_incremental_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q53_merge_upsert" ->
       """WITH base AS (
         |  SELECT c_custkey AS cust_key, c_name AS name,

@@ -419,11 +419,20 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     * columns — a matched row may move partitions). Sources with
     * duplicate keys are rejected: the merged row would be
     * order-dependent. `source` is evaluated more than once — pass a
-    * cached/checkpointed frame if it is expensive. */
+    * cached/checkpointed frame if it is expensive.
+    *
+    * `meta`/`batchId`/`appId` ride the merge commit atomically, giving
+    * streaming upserts the same exactly-once replay guard as append:
+    * a seen (appId, batchId) short-circuits BEFORE any plan runs, so a
+    * crash replay costs a log read, not a recompute. */
   def merge(source: DataFrame, keys: Seq[String],
-      statsColumns: Seq[String] = Nil): Option[Commit] = {
+      statsColumns: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty,
+      batchId: Option[Long] = None,
+      appId: Option[String] = None): Option[Commit] = {
     require(keys.nonEmpty, "merge needs key columns")
     require(exists, s"merge target $root does not exist — seed it with append()")
+    if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
     val fn = org.apache.spark.sql.functions.col _
     val stored = commits().reverse.iterator.map(_.schemaJson)
       .find(_.nonEmpty).map(StructType.fromDDL)
@@ -448,12 +457,13 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
 
     if (touched.isEmpty)
-      append(src, partitionBy, statsColumns = statsColumns) // pure insert
+      append(src, partitionBy, meta = meta, batchId = batchId, appId = appId,
+        statsColumns = statsColumns) // pure insert
     else {
       val kept = filesDf(touched, Some(stored)).join(src, keys.toSeq, "left_anti")
       val rewritten = kept.unionByName(src)
-      write(rewritten, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
-        None, statsColumns = statsColumns, removeExact = Some(touched))
+      write(rewritten, "replace", partitionBy, Map.empty, Map.empty, meta,
+        batchId, appId, statsColumns = statsColumns, removeExact = Some(touched))
     }
   }
 

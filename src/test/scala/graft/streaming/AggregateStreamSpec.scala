@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.IncrementalTable
+
+/** Incremental view maintenance ([[AggregateStream]]): after every
+  * drain, the maintained view must EQUAL the batch recompute of the
+  * whole upstream — across appends, crash replays, upstream partition
+  * refreshes, and compaction. */
+class AggregateStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkUp(dir: String): IncrementalTable =
+    IncrementalTable(spark, dir + "/up/v1")
+
+  private val aggs = Seq(
+    IncAgg.countAll("n"),
+    IncAgg.sumOf(col("v"), "sum_v"),
+    IncAgg.minOf(col("v"), "min_v"),
+    IncAgg.maxOf(col("v"), "max_v"))
+
+  private def batchView(up: IncrementalTable): DataFrame =
+    up.read().groupBy($"day", $"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+
+  private def assertParity(up: IncrementalTable, down: IncrementalTable): Unit = {
+    val got = down.read().select($"day", $"k", $"n", $"sum_v", $"min_v", $"max_v")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    val want = batchView(up)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(down.read().count() == want.size) // no duplicate group rows
+  }
+
+  private def rows(day: String, ks: (String, Long)*): DataFrame =
+    ks.map { case (k, v) => (day, k, v) }.toDF("day", "k", "v")
+
+  test("append deltas fold into the view; equals batch recompute at every step") {
+    val dir = tmpDir("aggstream")
+    val up = mkUp(dir)
+    val down = IncrementalTable(spark, dir + "/view/v1")
+    val s = new AggregateStream(up, down, Seq("day", "k"), aggs,
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+
+    up.append(rows("d1", "a" -> 5L, "a" -> 3L, "b" -> 7L), Seq("day"))
+    assert(s.drain() == 1)
+    assertParity(up, down)
+
+    // second batch: existing keys combine (count/sum/min/max), new key inserts
+    up.append(rows("d1", "a" -> 10L, "c" -> 1L), Seq("day"))
+    up.append(rows("d2", "a" -> 2L), Seq("day")) // new partition
+    assert(s.drain() == 2)
+    assertParity(up, down)
+    val a1 = down.read().filter($"day" === "d1" && $"k" === "a")
+      .select($"n", $"sum_v", $"min_v", $"max_v")
+      .as[(Long, Long, Long, Long)].head()
+    assert(a1 == ((3L, 18L, 3L, 10L)))
+  }
+
+  test("crash replay is a no-op: re-drain with a fresh handle double-counts nothing") {
+    val dir = tmpDir("aggstream")
+    val up = mkUp(dir)
+    val down = IncrementalTable(spark, dir + "/view/v1")
+    val s = new AggregateStream(up, down, Seq("day", "k"), aggs,
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+    up.append(rows("d1", "a" -> 5L), Seq("day"))
+    up.append(rows("d1", "a" -> 7L), Seq("day"))
+    s.drain()
+    // crash-and-resume: a NEW instance over NEW table handles must see
+    // the cursor in the downstream log and apply nothing
+    val up2 = IncrementalTable(spark, up.root)
+    val down2 = IncrementalTable(spark, down.root)
+    val s2 = new AggregateStream(up2, down2, Seq("day", "k"), aggs,
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+    assert(s2.drain() == 0)
+    assertParity(up2, down2)
+
+    // a replayed MERGE batch (same appId+batchId) is also rejected by
+    // the table itself, even without the cursor: simulate by forcing a
+    // stale cursor meta — the batch guard still short-circuits
+    down2.commitMeta(Map("src_version/ev" -> "0"))
+    val s3 = new AggregateStream(up2, down2, Seq("day", "k"), aggs,
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+    assert(s3.drain() == 1) // walks commit 1 again...
+    assertParity(up2, down2) // ...but the view is unchanged
+  }
+
+  test("upstream partition refresh: scoped recompute converges, other scopes untouched") {
+    val dir = tmpDir("aggstream")
+    val up = mkUp(dir)
+    val down = IncrementalTable(spark, dir + "/view/v1")
+    val s = new AggregateStream(up, down, Seq("day", "k"), aggs,
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+    up.append(rows("d1", "a" -> 5L, "b" -> 3L), Seq("day"))
+    up.append(rows("d2", "x" -> 9L), Seq("day"))
+    s.drain()
+    val d2FilesBefore = down.liveFiles(Map("day" -> "d2")).toSet
+
+    // refresh d1 with DIFFERENT rows (drops b, changes a): deltas
+    // cannot express this — the scoped recompute path must
+    val f = Map("day" -> "d1")
+    up.replaceWhere(rows("d1", "a" -> 100L), Seq("day"), f, partitionFilter = f)
+    assert(s.drain() == 1)
+    assertParity(up, down)
+    assert(down.read().filter($"k" === "b").count() == 0) // retraction applied
+    // d2's view files were not rewritten by d1's refresh
+    assert(down.liveFiles(Map("day" -> "d2")).toSet == d2FilesBefore)
+  }
+
+  test("non-scopable keys fall back to full recompute on refresh") {
+    val dir = tmpDir("aggstream")
+    val up = mkUp(dir)
+    val down = IncrementalTable(spark, dir + "/view/v1")
+    // group keys do NOT include the day scope: per-k totals across days
+    val s = new AggregateStream(up, down, Seq("k"),
+      Seq(IncAgg.countAll("n"), IncAgg.sumOf(col("v"), "sum_v")),
+      name = "ev", replayScope = Seq("day"))
+    up.append(rows("d1", "a" -> 5L, "b" -> 3L), Seq("day"))
+    up.append(rows("d2", "a" -> 2L), Seq("day"))
+    s.drain()
+    val f = Map("day" -> "d1")
+    up.replaceWhere(rows("d1", "b" -> 1L), Seq("day"), f, partitionFilter = f)
+    s.drain()
+    val got = down.read().select($"k", $"n", $"sum_v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 2L), ("b", 1L, 1L)))
+  }
+
+  test("empty delta batch advances the cursor without touching the view") {
+    val dir = tmpDir("aggstream")
+    val up = mkUp(dir)
+    val down = IncrementalTable(spark, dir + "/view/v1")
+    // prepare filters out everything in the second batch
+    val s = new AggregateStream(up, down, Seq("day", "k"), aggs,
+      prepare = df => df.filter(col("v") < 100L),
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+    up.append(rows("d1", "a" -> 5L), Seq("day"))
+    s.drain()
+    val before = down.read().collect().toSet
+    up.append(rows("d1", "z" -> 500L), Seq("day"))
+    assert(s.drain() == 1)
+    assert(s.sourceVersion == 1L) // cursor advanced past the no-op batch
+    assert(down.read().collect().toSet == before)
+  }
+}
