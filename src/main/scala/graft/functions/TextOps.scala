@@ -33,7 +33,12 @@ object TextOps {
     * Char n-grams are useless on this corpus (shared vocab pushes all
     * pairwise char-3-gram Jaccards above 0.5); word shingles separate the
     * planted near-dup pairs (J >= 0.9) from background (J < 0.03). */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordNgrams(text, n))
+
+  /** ALL word n-gram occurrences in order (the multiset [[wordShingles]]
+    * distincts) — the unit of frequency analysis (heavy hitters). */
+  def wordNgrams(text: Column, n: Int): Column = {
     val w = tokens(text)
     // Built by zip_with over n shifted slices of the token array — NOT
     // `transform(sequence(...), i => ...w...)`: a lambda body that
@@ -42,11 +47,10 @@ object TextOps {
     // the dedup suite). zip_with's lambda touches only its element
     // variables, so tokenization runs O(n) times per ROW.
     val cnt = size(w) - (n - 1)
-    val shingled = (1 until n).foldLeft(slice(w, lit(1), cnt)) { (acc, o) =>
+    val grams = (1 until n).foldLeft(slice(w, lit(1), cnt)) { (acc, o) =>
       zip_with(acc, slice(w, lit(1 + o), cnt), (a, b) => concat(a, lit(" "), b))
     }
-    when(size(w) >= n, array_distinct(shingled))
-      .otherwise(array().cast("array<string>"))
+    when(size(w) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
   /** Count of tokens that appear in `set` (exact membership). */
