@@ -763,20 +763,50 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     * file covers a narrow disjoint [min,max] slice — this is what makes
     * the `statsColumns` data-skipping index selective (the OPTIMIZE-
     * with-clustering shape; a 1-D Z-ORDER). Pass the same columns as
-    * `statsColumns` to index the clustered files. */
+    * `statsColumns` to index the clustered files.
+    *
+    * With `zorderBy` (2-4 integral columns), rows are ordered along
+    * the Morton curve of the columns' 16-bit equi-width buckets
+    * (OPTIMIZE ZORDER BY): each file becomes a tight [min,max] BOX, so
+    * a range predicate on ANY z-column prunes files — where
+    * lexicographic `clusterBy` prunes only on the leading column. The
+    * bucket ranges come from one exact min/max aggregation over the
+    * compacted slice (a second pass over data being rewritten anyway);
+    * `zorderBy` columns are auto-indexed in the skipping stats. */
   def compact(partitionFilter: Map[String, String] = Map.empty,
       targetFiles: Int = 1, clusterBy: Seq[String] = Nil,
-      statsColumns: Seq[String] = Nil): Option[Commit] = {
+      statsColumns: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Option[Commit] = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are mutually exclusive")
+    import org.apache.spark.sql.functions.{col, min, max}
     val partitionBy = commits().reverse.iterator
       .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
     val base = read(partitionFilter)
     val df =
-      if (clusterBy.isEmpty) base.repartition(targetFiles)
+      if (zorderBy.nonEmpty) {
+        val minMax = zorderBy.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val agg = base.agg(minMax.head, minMax.tail: _*).head
+        if (agg.isNullAt(0)) base.repartition(targetFiles) // empty slice
+        else {
+          val z = graft.functions.ZOrder.interleave(
+            zorderBy.zipWithIndex.map { case (c, i) =>
+              graft.functions.ZOrder.bucket(col(c),
+                agg.getAs[Number](2 * i).longValue,
+                agg.getAs[Number](2 * i + 1).longValue)
+            })
+          base.withColumn("_graft_z", z)
+            .repartitionByRange(targetFiles, col("_graft_z"))
+            .sortWithinPartitions(col("_graft_z"))
+            .drop("_graft_z")
+        }
+      } else if (clusterBy.isEmpty) base.repartition(targetFiles)
       else base
-        .repartitionByRange(targetFiles, clusterBy.map(org.apache.spark.sql.functions.col): _*)
-        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .repartitionByRange(targetFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     write(df, "replace", partitionBy, Map.empty, partitionFilter,
-      Map.empty, None, statsColumns = statsColumns)
+      Map.empty, None,
+      statsColumns = (statsColumns ++ zorderBy).distinct)
   }
 
   /** Auto-compaction policy: compact every physical partition (within
