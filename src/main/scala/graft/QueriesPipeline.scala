@@ -174,6 +174,35 @@ object QueriesPipeline {
       t.read().select($"cust_key", $"name", $"segment").orderBy($"cust_key")
     }),
 
+    // ---- row-level change feed (CDC) under the oracle ----------------
+    // Same table construction as q53 (seed + MERGE), then read the
+    // CHANGE FEED instead of the state: v0 must surface every base row
+    // as an insert; the merge commit must surface exactly the updated
+    // rows as delete(old)+insert(new) and the new keys as inserts —
+    // with the copy-on-write rewrite's untouched rows CANCELLED
+    // (IncrementalTable.changes multiset-differences each commit's
+    // added vs removed files). The oracle replays the logical deltas
+    // relationally; a leaked rewrite row or lost cancellation breaks
+    // row counts and hash.
+    "q59_changefeed" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q59_").toString
+      val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      val base = Tables.customer(s, dir).select(
+        $"c_custkey".as("cust_key"), $"c_name".as("name"),
+        $"c_mktsegment".as("segment"))
+      t.append(base, Seq("segment"))
+      val upd = base.filter($"cust_key" % 5 === 0)
+        .withColumn("name", upper($"name"))
+        .unionByName(base.filter($"cust_key" % 7 === 0).select(
+          ($"cust_key" + 1000000L).as("cust_key"),
+          concat(lit("new_"), $"cust_key").as("name"),
+          lit("NEWSEG").as("segment")))
+      t.merge(upd, Seq("cust_key"))
+      t.changes(0)
+        .orderBy($"_commit_version", $"_change_type", $"cust_key")
+    }),
+
     // ---- logical→physical partition mapping + prune ------------------
     "q31_partition_prune" -> ((s, dir) => {
       import s.implicits._
@@ -209,6 +238,26 @@ object QueriesPipeline {
       """SELECT doc_id, source, md5(text) AS digest,
         |  length(text) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q59_changefeed" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS cust_key, c_name AS name,
+        |    c_mktsegment AS segment FROM customer),
+        |upd AS (
+        |  SELECT cust_key, upper(name) AS name, segment
+        |  FROM base WHERE cust_key % 5 = 0
+        |  UNION ALL
+        |  SELECT cust_key + 1000000 AS cust_key,
+        |    'new_' || CAST(cust_key AS VARCHAR) AS name,
+        |    'NEWSEG' AS segment
+        |  FROM base WHERE cust_key % 7 = 0)
+        |SELECT cust_key, name, segment, 'insert' AS _change_type,
+        |  CAST(0 AS BIGINT) AS _commit_version FROM base
+        |UNION ALL
+        |SELECT cust_key, name, segment, 'insert', 1 FROM upd
+        |UNION ALL
+        |SELECT cust_key, name, segment, 'delete', 1
+        |FROM base WHERE cust_key % 5 = 0
+        |ORDER BY _commit_version, _change_type, cust_key""".stripMargin,
     "q56_incremental_agg" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

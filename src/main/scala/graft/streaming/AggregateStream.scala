@@ -66,7 +66,8 @@ final class AggregateStream(
     prepare: DataFrame => DataFrame = identity,
     partitionBy: Seq[String] = Nil,
     name: String = "src",
-    replayScope: Seq[String] = Seq("year", "month", "day")) {
+    replayScope: Seq[String] = Seq("year", "month", "day"))
+    extends CommitConsumer {
   require(groupKeys.nonEmpty, "AggregateStream needs group keys")
   require(aggs.nonEmpty, "AggregateStream needs aggregate columns")
   require(partitionBy.forall(groupKeys.contains),

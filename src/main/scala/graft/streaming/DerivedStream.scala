@@ -49,7 +49,8 @@ final class DerivedStream(
     partitionBy: Seq[String],
     transform: DataFrame => DataFrame,
     name: String = "src",
-    replayScope: Seq[String] = Seq("year", "month", "day")) {
+    replayScope: Seq[String] = Seq("year", "month", "day"))
+    extends CommitConsumer {
 
   private val srcKey = s"src_version/$name"
   private val appId = s"derived:$name"

@@ -39,7 +39,7 @@ final class StreamIngest(
     // multi-hop chained-stream DAG (SURVEY §3.4 decision (a)). Each hop
     // checkpoints in its own table, so a crash between hop 1's commit
     // and hop 2's drain just leaves work pending for the next drain.
-    chained: Seq[DerivedStream] = Nil,
+    chained: Seq[CommitConsumer] = Nil,
     // Streaming ingest accumulates ~one file per partition per
     // micro-batch, and at scale scan cost is dominated by file count —
     // compact any partition exceeding this many live files back to one.

@@ -307,6 +307,41 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       .map(StructType.fromDDL))
   }
 
+  /** Row-level change feed (CDC read): every LOGICAL change between the
+    * two versions inclusive, as table rows plus `_change_type`
+    * ("insert" | "delete"; an update is its delete+insert pair) and
+    * `_commit_version`. Physical rewrites don't leak: a replace/merge
+    * commit rewrites whole files (copy-on-write), so rows present in
+    * both its removed and added files are unchanged and cancel via
+    * multiset difference — what remains is exactly the commit's logical
+    * delta. Per-commit cost is one anti-aggregation over THAT commit's
+    * files (never the table), so tailing the feed is O(change volume)
+    * at any table size. Checkpoint commits are compaction artifacts,
+    * not changes, and are skipped; the window is bounded by the replay
+    * horizon like [[readAt]], and vacuum retains every file the window
+    * references. All files read under the `toVersion` schema (older
+    * files null-fill evolved columns, same as any read). */
+  def changes(fromVersion: Long, toVersion: Long = latestVersion): DataFrame = {
+    val cs = commitsAsOf(Some(toVersion))
+    val stored = cs.reverse.iterator.map(_.schemaJson)
+      .find(_.nonEmpty).map(StructType.fromDDL)
+    val window = cs.filter(c => c.version >= fromVersion &&
+      c.action != "meta" && c.action != "checkpoint" &&
+      (c.add.nonEmpty || c.remove.nonEmpty))
+    val cdc = window.map { c =>
+      val a = filesDf(c.add, stored)
+      val r = filesDf(c.remove, stored)
+      a.exceptAll(r).withColumn("_change_type", lit("insert"))
+        .unionByName(
+          r.exceptAll(a).withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_version", lit(c.version))
+    }
+    cdc.reduceOption(_.unionByName(_)).getOrElse(
+      filesDf(Nil, stored)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L)).limit(0))
+  }
+
   private def readInternal(filters: Map[String, String], asOf: Option[Long]): DataFrame = {
     val files = liveFiles(filters, asOf)
     // The committed schema is authoritative: partition-dir values (always

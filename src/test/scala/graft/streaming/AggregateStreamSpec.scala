@@ -130,6 +130,52 @@ class AggregateStreamSpec extends SparkSpec {
     assert(got == Set(("a", 1L, 2L), ("b", 1L, 1L)))
   }
 
+  test("chained off StreamIngest: the view tracks the ingest through batches and auto-compaction") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(tmpDir("aggchain"))
+    val ingest = root.resolve("files_to_ingest")
+    val processed = IncrementalTable(spark, root.resolve("t/processed/v1").toString)
+    val view = IncrementalTable(spark, root.resolve("t/wordlens/v1").toString)
+    val ivm = new AggregateStream(processed, view,
+      groupKeys = Seq("year", "month", "day", "word_length"),
+      aggs = Seq(IncAgg.countAll("n_words")),
+      partitionBy = Seq("year", "month", "day"), name = "processed")
+    def copyDay(day: String, limit: Int): Unit = {
+      val src = Paths.get("/root/reference/files_to_ingest").resolve(s"day=$day")
+      val d = ingest.resolve(s"day=$day"); Files.createDirectories(d)
+      Files.list(src).iterator().asScala.filter(_.toString.endsWith(".txt"))
+        .toSeq.sortBy(_.toString).take(limit)
+        .foreach(f => Files.copy(f, d.resolve(f.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING))
+    }
+    def check(): Unit = {
+      val got = view.read()
+        .select($"year", $"month", $"day", $"word_length", $"n_words")
+        .as[(String, String, String, Long, Long)].collect().toSet
+      val want = processed.read()
+        .groupBy($"year", $"month", $"day", $"word_length")
+        .agg(count(lit(1)).as("n_words"))
+        .as[(String, String, String, Long, Long)].collect().toSet
+      assert(got == want)
+    }
+    // low compaction ceiling so ingest triggers replace commits the
+    // aggregate hop must recompute through (scoped retraction path)
+    copyDay("2024-03-26", 6)
+    val s1 = new StreamIngest(spark, ingest.toString, processed,
+      root.resolve("ckpt").toString, chained = Seq(ivm),
+      autoCompactMaxFiles = Some(2))
+    s1.start(availableNow = true, maxFilesPerTrigger = Some(2)).awaitTermination()
+    check()
+    // second wave, fresh StreamIngest instance (kill-and-resume)
+    copyDay("2024-03-26", 12); copyDay("2024-03-27", 2)
+    val s2 = new StreamIngest(spark, ingest.toString, processed,
+      root.resolve("ckpt").toString, chained = Seq(ivm),
+      autoCompactMaxFiles = Some(2))
+    s2.start(availableNow = true, maxFilesPerTrigger = Some(2)).awaitTermination()
+    check()
+  }
+
   test("empty delta batch advances the cursor without touching the view") {
     val dir = tmpDir("aggstream")
     val up = mkUp(dir)

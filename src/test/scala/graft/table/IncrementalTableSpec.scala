@@ -1,7 +1,7 @@
 package graft.table
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{length, lit}
+import org.apache.spark.sql.functions.{length, lit, sum, when}
 
 class IncrementalTableSpec extends SparkSpec {
   import spark.implicits._
@@ -371,6 +371,31 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t2.commits().head.action == "checkpoint")
     assert(t2.vacuum().size == 1)
     assert(t2.read().select($"k").as[String].collect().toSeq == Seq("new"))
+  }
+
+  test("changes: logical CDC rows — rewrites cancel, updates split into delete+insert") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t27")
+    val p = Seq("day")
+    t.append(Seq(("a", 1L, "d1"), ("b", 2L, "d1"), ("c", 3L, "d2"))
+      .toDF("k", "n", "day"), p)
+    // replace d1 keeping b identical, changing a: only a's old/new rows
+    // may surface — b's physical rewrite must cancel
+    val f = Map("day" -> "d1")
+    t.replaceWhere(Seq(("a", 10L, "d1"), ("b", 2L, "d1")).toDF("k", "n", "day"),
+      p, f, partitionFilter = f)
+    val ch = t.changes(0)
+      .select($"_commit_version", $"_change_type", $"k", $"n")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(ch == Set(
+      (0L, "insert", "a", 1L), (0L, "insert", "b", 2L), (0L, "insert", "c", 3L),
+      (1L, "delete", "a", 1L), (1L, "insert", "a", 10L)))
+    // windowing: only the replace commit
+    assert(t.changes(1).count() == 2)
+    // net fold of the full feed reproduces the current state
+    val net = t.changes(0).groupBy($"k", $"n")
+      .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
+      .filter($"net" > 0).select($"k", $"n").as[(String, Long)].collect().toSet
+    assert(net == t.read().select($"k", $"n").as[(String, Long)].collect().toSet)
   }
 
   test("merge: upserts rewrite only touched files; inserts append; dup sources rejected") {
