@@ -34,5 +34,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorLshBuckets].getName, "vec_lsh_buckets"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorLshBuckets(children.head, children(1), children(2))))
+    // catalyst's runtime-filter probe, surfaced for graft.operators
+    // BloomJoin (the optimizer injects it itself only inside one query;
+    // a library-built bloom needs it as a callable function)
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))))
   }
 }

@@ -223,6 +223,42 @@ object QueriesCore {
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 
+    // ---- bloom-prefiltered semi join (manual runtime filter) -----------
+    // Selective dimension (top-priced orders) against the fact table:
+    // BloomJoin hashes the dim keys into a sketch and filters lineitem
+    // with the codegen'd might_contain BEFORE the join's shuffle — the
+    // ~97% of rows that can't match never leave the scan stage. False
+    // positives are erased by the exact semi join, so the result (and
+    // the oracle) is the plain IN-subquery.
+    "q62_bloom_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val hi = Tables.orders(s, dir).filter($"o_totalprice" > 400000.0)
+        .select($"o_orderkey")
+      graft.operators.BloomJoin.semiJoin(
+          Tables.lineitem(s, dir), $"l_orderkey", hi, $"o_orderkey",
+          expectedItems = 100000L)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ---- explicit GROUPING SETS (the rollup/cube generalization) -------
+    // One aggregation pass computes all four groupings via Catalyst's
+    // Expand (each row fans out once per set, then a single hash
+    // aggregate): at scale this beats four separate scans+aggs by
+    // reading the input once. Dimensions are never null in the data, so
+    // a null key IS the subtotal marker (nulls-first sort, q15 style).
+    "q61_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq($"o_orderpriority", $"o_orderstatus"),
+            Seq($"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+          $"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"), exactSum($"o_totalprice", 2).as("sum_price"))
+        .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+    }),
+
     // ---- min/max/avg profile across joined dims ------------------------
     "q16_supplier_profile" -> ((s, dir) => {
       import s.implicits._
@@ -391,6 +427,19 @@ object QueriesCore {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q62_bloom_semi_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q61_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
     "q16_supplier_profile" ->
       """SELECT n_name, COUNT(*) AS n_suppliers,
         |  MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal,

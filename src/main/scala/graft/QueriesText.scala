@@ -106,6 +106,30 @@ object QueriesText {
         .orderBy($"doc_id")
     }),
 
+    // ---- PII redaction (corpus scrubbing) ----------------------------
+    // The synthetic corpus carries no PII, so both engines append the
+    // SAME deterministic email/phone/IP strings (derived from doc_id)
+    // before scrubbing — the oracle then pins that Spark's Java-regex
+    // and DuckDB's RE2 apply identical semantics for the shared
+    // dialect TextOps.piiPatterns is written in. One projection chain
+    // of codegen'd regexp_replace calls: scan-stage only, no shuffle.
+    "q60_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val aug = concat($"text",
+        lit(" user"), $"doc_id", lit("@mail.example.org 555-123-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+        lit(" 10.0.0."), ($"doc_id" % 256).cast("string"))
+      Tables.documents(s, dir)
+        .select($"doc_id", aug.as("aug"))
+        .select(
+          $"doc_id",
+          TextOps.piiCount($"aug", TextOps.piiPatterns(0)._1).as("n_emails"),
+          TextOps.piiCount($"aug", TextOps.piiPatterns(1)._1).as("n_phones"),
+          TextOps.piiCount($"aug", TextOps.piiPatterns(2)._1).as("n_ips"),
+          TextOps.redact($"aug").as("redacted"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- heavy hitters: exact top-k frequent bigrams -----------------
     // The boilerplate-detection primitive of corpus curation (the most
     // frequent n-grams ARE the headers/footers/licenses to strip).
@@ -160,7 +184,27 @@ object QueriesText {
        |SELECT gram, COUNT(*) AS n FROM grams
        |GROUP BY gram ORDER BY n DESC, gram LIMIT 30""".stripMargin
 
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private val ipRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
   def oracleSql: Map[String, String] = Map(
+    "q60_pii_redact" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' user' || doc_id || '@mail.example.org 555-123-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    ' 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(aug, '$emailRe')) AS n_emails,
+         |  len(regexp_extract_all(aug, '$phoneRe')) AS n_phones,
+         |  len(regexp_extract_all(aug, '$ipRe')) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g'),
+         |    '$ipRe', '<IP>', 'g') AS redacted
+         |FROM aug ORDER BY doc_id""".stripMargin,
     "q57_heavy_hitters" -> heavyHittersSql,
     "q58_heavy_hitters_2pass" -> heavyHittersSql,
     "q17_text_stats" ->

@@ -79,4 +79,28 @@ object TextOps {
     * across engines (hex-string compare). Null when no shingles. */
   def minShingleFingerprint(shingles: Column): Column =
     array_min(transform(shingles, s => md5(s.cast("binary"))))
+
+  /** PII scrub patterns, ordered (earlier patterns see the raw text).
+    * Written in the Java-regex ∩ RE2 dialect — character classes,
+    * bounded quantifiers, no backreferences/lookaround — so Spark's
+    * `regexp_replace` and the DuckDB oracle's (RE2) apply IDENTICAL
+    * semantics; the replacement markers survive later patterns. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b" -> "<PHONE>",
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+  )
+
+  /** Redact [[piiPatterns]] left to right — a single per-row projection
+    * chain of codegen'd `regexp_replace` calls (global replace in both
+    * engines): at 100 TB this is one embarrassingly-parallel scan stage,
+    * no shuffle, no UDF. */
+  def redact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, mark)) =>
+      regexp_replace(c, re, mark)
+    }
+
+  /** Count of matches of `re` in `text` (pre-redaction audit metric). */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
 }

@@ -176,6 +176,31 @@ class AggregateStreamSpec extends SparkSpec {
     check()
   }
 
+  test("HLL sketch state: approximate distinct maintained across drains and refresh") {
+    val dir = tmpDir("aggstream")
+    val up = mkUp(dir)
+    val down = IncrementalTable(spark, dir + "/view/v1")
+    val s = new AggregateStream(up, down, Seq("day"),
+      Seq(IncAgg.countAll("n"), IncAgg.approxDistinct(col("k"), "k_sketch")),
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+    up.append(rows("d1", "a" -> 1L, "b" -> 2L, "a" -> 3L), Seq("day"))
+    s.drain()
+    up.append(rows("d1", "b" -> 4L, "c" -> 5L), Seq("day")) // b dup, c new
+    up.append(rows("d2", "a" -> 6L), Seq("day"))
+    s.drain()
+    def estimates = down.read()
+      .select($"day", hll_sketch_estimate($"k_sketch").as("est"))
+      .as[(String, Long)].collect().toMap
+    // sparse-mode HLL is exact at these cardinalities
+    assert(estimates == Map("d1" -> 3L, "d2" -> 1L))
+    // refresh d1 dropping c entirely: the recompute path must rebuild
+    // the sketch (unions can't retract)
+    val f = Map("day" -> "d1")
+    up.replaceWhere(rows("d1", "a" -> 9L), Seq("day"), f, partitionFilter = f)
+    s.drain()
+    assert(estimates == Map("d1" -> 1L, "d2" -> 1L))
+  }
+
   test("empty delta batch advances the cursor without touching the view") {
     val dir = tmpDir("aggstream")
     val up = mkUp(dir)
