@@ -6,37 +6,53 @@ import org.apache.spark.sql.functions._
 import graft.table.IncrementalTable
 
 /** One incrementally-maintainable aggregate column: `delta` folds raw
-  * rows into a partial state, `combine` merges two states. `combine`
-  * must be commutative and associative with `delta`'s output as its
-  * carrier (a commutative monoid without an explicit identity — the
-  * maintenance join never combines with "nothing", it inserts), which
-  * is exactly the class of aggregates a 100 TB engine can maintain
-  * without re-reading history: count, sum, min, max, and anything
-  * built from them (avg = sum/count at read time). Non-distributive
-  * aggregates (median, distinct count) have no finite merge state and
-  * must go through the sketch twins (q38/q44) or a recompute. */
-final case class IncAgg(name: String, delta: Column,
-    combine: (Column, Column) => Column)
+  * rows into a partial state; `merge` is an AGGREGATE over a column
+  * named `name` that folds any number of states into one (applied to
+  * the union of current state and delta rows, grouped by key). `merge`
+  * must be commutative/associative over `delta`'s output carrier —
+  * exactly the class a 100 TB engine can maintain without re-reading
+  * history: count, sum, min, max, anything built from them
+  * (avg = sum/count at read time), and MERGEABLE SKETCHES (HLL for
+  * distinct counts, frequent-items for top-k) whose union IS their
+  * merge. Truly non-mergeable aggregates (exact median/distinct) have
+  * no finite state and go through recompute or the sketch twins.
+  *
+  * Expressing merge as an aggregation (not a scalar two-state fold)
+  * matches Spark's own partial-aggregation contract, so every builtin
+  * combine — `sum`, `min`, `hll_union_agg`, `approx_top_k_combine` —
+  * plugs in directly. */
+final case class IncAgg(name: String, delta: Column, merge: Column) {
+  private[streaming] def mergeAs: Column = merge.as(name)
+}
 
 object IncAgg {
   def countAll(name: String): IncAgg =
-    IncAgg(name, count(lit(1)), _ + _)
-  /** SQL SUM skips nulls, so null is the state's identity: a batch
-    * whose inputs are all null must not poison the running total. */
+    IncAgg(name, count(lit(1)), sum(col(name)))
+  /** Beware Spark's decimal sum widening: prefer long/double inputs so
+    * the state's type is a fixed point of its own merge. */
   def sumOf(c: Column, name: String): IncAgg =
-    IncAgg(name, sum(c), (a, b) => coalesce(a + b, a, b))
+    IncAgg(name, sum(c), sum(col(name)))
   def minOf(c: Column, name: String): IncAgg =
-    IncAgg(name, min(c), least(_, _))
+    IncAgg(name, min(c), min(col(name)))
   def maxOf(c: Column, name: String): IncAgg =
-    IncAgg(name, max(c), greatest(_, _))
+    IncAgg(name, max(c), max(col(name)))
   /** Approximate COUNT DISTINCT as maintainable state: the view column
-    * holds a datasketches HLL binary — `hll_union` is the combine, so
+    * holds a datasketches HLL binary — `hll_union_agg` is the merge, so
     * distinct counts (the textbook non-distributive aggregate) become
     * incrementally maintainable at fixed state size; read the estimate
     * with `hll_sketch_estimate(col)`. Exact for small cardinalities
     * (sparse mode), ~2% error at scale. */
   def approxDistinct(c: Column, name: String): IncAgg =
-    IncAgg(name, hll_sketch_agg(c), (a, b) => hll_union(a, b))
+    IncAgg(name, hll_sketch_agg(c), hll_union_agg(col(name)))
+  /** Approximate TOP-K (frequent items) as maintainable state: a
+    * datasketches frequent-items sketch struct, merged with
+    * `approx_top_k_combine`; read with
+    * `approx_top_k_estimate(col, k)`. Exact while a group's distinct
+    * item count stays under `maxItemsTracked`. */
+  def approxTopK(c: Column, name: String, maxItemsTracked: Int = 1024): IncAgg =
+    IncAgg(name,
+      call_function("approx_top_k_accumulate", c, lit(maxItemsTracked)),
+      call_function("approx_top_k_combine", col(name), lit(maxItemsTracked)))
 }
 
 /** Incremental view maintenance for a grouped aggregate — the
@@ -49,11 +65,12 @@ object IncAgg {
   * stays equal to the full recompute after every drain:
   *
   *  - `append` commit → aggregate ONLY the commit's added files (a
-  *    micro-batch-sized job), left-join the delta against the current
-  *    state of just those keys, fold with each [[IncAgg]]'s `combine`,
-  *    and MERGE — copy-on-write on the files holding touched keys, so
-  *    the write cost scales with the delta's key count, not the view
-  *    size. O(new data + touched files) at any history length.
+  *    micro-batch-sized job), union the delta with the current state
+  *    of just those keys (semi join) and re-aggregate with each
+  *    [[IncAgg]]'s `merge`, then MERGE — copy-on-write on the files
+  *    holding touched keys, so the write cost scales with the delta's
+  *    key count, not the view size. O(new data + touched files) at
+  *    any history length.
   *  - `replace`/`checkpoint` commit → deltas cannot be applied (no
   *    retraction state), so recompute: scoped to the touched replay
   *    partitions when `replayScope ⊆ groupKeys` (each output group
@@ -107,17 +124,19 @@ final class AggregateStream(
       c.action match {
         case "append" if down.exists =>
           val delta = aggOf(up.readCommit(c.version))
-          val cur = down.read().select(
-            groupKeys.map(col) ++
-              aggs.map(a => col(a.name).as(s"_cur_${a.name}")): _*)
-          // left join: the view's other keys never enter the plan;
-          // AQE broadcasts the (micro-batch-sized) delta side
-          val src = delta.join(cur, groupKeys, "left").select(
-            groupKeys.map(col) ++ aggs.map { a =>
-              val prev = col(s"_cur_${a.name}")
-              when(prev.isNull, col(a.name))
-                .otherwise(a.combine(prev, col(a.name))).as(a.name)
-            }: _*)
+          // current state of ONLY the delta's keys (semi join — the
+          // view's other keys never enter the plan; AQE broadcasts the
+          // micro-batch-sized key set), then states merge by union +
+          // re-aggregation — Spark's own partial-agg contract, which
+          // is what lets sketch combines (hll_union_agg,
+          // approx_top_k_combine) plug in as ordinary aggregates
+          val cur = down.read()
+            .join(delta.select(groupKeys.map(col): _*).distinct(),
+              groupKeys, "left_semi")
+            .select(delta.columns.map(col).toSeq: _*)
+          val src = delta.unionByName(cur)
+            .groupBy(groupKeys.map(col): _*)
+            .agg(aggs.head.mergeAs, aggs.tail.map(_.mergeAs): _*)
           down.merge(src, groupKeys, meta = cursor,
             batchId = Some(c.version), appId = Some(appId))
         case "append" => // first commit seeds the view

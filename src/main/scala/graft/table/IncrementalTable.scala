@@ -607,7 +607,12 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       case Some(prev) =>
         incoming.fields.foreach { f =>
           prev.fields.find(_.name == f.name).foreach { pf =>
-            require(pf.dataType == f.dataType,
+            // catalogString = the type modulo nullability, at every
+            // nesting level: analyzed plans and DDL-round-tripped
+            // schemas disagree on nested struct field nullability
+            // (e.g. sketch state structs), and nullability is not a
+            // type change
+            require(pf.dataType.catalogString == f.dataType.catalogString,
               s"schema evolution is add-column only: '${f.name}' would change " +
                 s"${pf.dataType.simpleString} -> ${f.dataType.simpleString}")
           }

@@ -201,6 +201,25 @@ class AggregateStreamSpec extends SparkSpec {
     assert(estimates == Map("d1" -> 1L, "d2" -> 1L))
   }
 
+  test("approx top-k sketch state: maintained frequent items match exact counts") {
+    val dir = tmpDir("aggstream")
+    val up = mkUp(dir)
+    val down = IncrementalTable(spark, dir + "/view/v1")
+    val s = new AggregateStream(up, down, Seq("day"),
+      Seq(IncAgg.approxTopK(col("k"), "top_sketch")),
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+    up.append(rows("d1", "a" -> 1L, "a" -> 2L, "b" -> 3L), Seq("day"))
+    s.drain()
+    up.append(rows("d1", "a" -> 4L, "c" -> 5L, "c" -> 6L, "c" -> 7L), Seq("day"))
+    s.drain()
+    // distinct items < maxItemsTracked => the sketch is exact
+    val top = down.read()
+      .select(expr("approx_top_k_estimate(top_sketch, 2)").as("t"))
+      .selectExpr("inline(t)")
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("c", 3L), ("a", 3L)) || top == Seq(("a", 3L), ("c", 3L)))
+  }
+
   test("empty delta batch advances the cursor without touching the view") {
     val dir = tmpDir("aggstream")
     val up = mkUp(dir)
