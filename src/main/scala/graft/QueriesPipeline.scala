@@ -174,6 +174,28 @@ object QueriesPipeline {
       t.read().select($"cust_key", $"name", $"segment").orderBy($"cust_key")
     }),
 
+    // ---- row-level DELETE + UPDATE through the commit log ------------
+    // Seed from customer, DELETE a predicate slice, UPDATE another
+    // (uppercasing names and moving them to a new segment partition),
+    // then read the final state. The oracle replays both mutations
+    // relationally — a lost rewrite row, a leaked deleted row, or an
+    // update applied to the wrong slice all break the hash. Both ops
+    // are copy-on-write: only files holding a matching row rewrite
+    // (file candidates pre-pruned by the data-skipping index).
+    "q63_delete_update" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q63_").toString
+      val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      val base = Tables.customer(s, dir).select(
+        $"c_custkey".as("cust_key"), $"c_name".as("name"),
+        $"c_mktsegment".as("segment"))
+      t.append(base, Seq("segment"))
+      t.delete($"cust_key" % 3 === 0)
+      t.update($"cust_key" % 5 === 0,
+        Map("name" -> upper($"name"), "segment" -> lit("VIP")))
+      t.read().select($"cust_key", $"name", $"segment").orderBy($"cust_key")
+    }),
+
     // ---- row-level change feed (CDC) under the oracle ----------------
     // Same table construction as q53 (seed + MERGE), then read the
     // CHANGE FEED instead of the state: v0 must surface every base row
@@ -238,6 +260,15 @@ object QueriesPipeline {
       """SELECT doc_id, source, md5(text) AS digest,
         |  length(text) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q63_delete_update" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS cust_key, c_name AS name,
+        |    c_mktsegment AS segment FROM customer),
+        |kept AS (SELECT * FROM base WHERE cust_key % 3 <> 0)
+        |SELECT cust_key,
+        |  CASE WHEN cust_key % 5 = 0 THEN upper(name) ELSE name END AS name,
+        |  CASE WHEN cust_key % 5 = 0 THEN 'VIP' ELSE segment END AS segment
+        |FROM kept ORDER BY cust_key""".stripMargin,
     "q59_changefeed" ->
       """WITH base AS (
         |  SELECT c_custkey AS cust_key, c_name AS name,

@@ -4,8 +4,8 @@ import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Options, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{lit, when}
 import org.apache.spark.sql.types.StructType
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
@@ -501,6 +501,77 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
         batchId, appId, statsColumns = statsColumns, removeExact = Some(touched))
     }
   }
+
+  /** Row-level DELETE, copy-on-write at file granularity: files with
+    * no matching row keep their identity (and data-skipping stats);
+    * files where EVERY row matches are dropped without a rewrite (the
+    * rewrite frame simply stages nothing for them); mixed files are
+    * rewritten without the matching rows. The candidate file set is
+    * pruned by the commit log's [min,max] index first, so a clustered
+    * delete touches the files the predicate can reach, not the table. */
+  def delete(predicate: Column): Option[Commit] = {
+    require(exists, s"delete target $root does not exist")
+    val fn = org.apache.spark.sql.functions.col _
+    val stored = committedSchema
+    val partitionBy = commits().reverse.iterator
+      .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+    val touched = readWhere(predicate)
+      .withColumn("_graft_path", fn("_metadata.file_path"))
+      .select("_graft_path").distinct()
+      .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
+    if (touched.isEmpty) None
+    else {
+      val kept = filesDf(touched, Some(stored)).filter(!predicate)
+      write(kept, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
+        None, removeExact = Some(touched))
+    }
+  }
+
+  /** Row-level UPDATE (`set` maps column name → new value for rows
+    * matching `predicate`), copy-on-write like [[delete]]: only files
+    * holding a matching row are rewritten; a row may move partitions
+    * if `set` touches a partition column (the rewrite re-partitions). */
+  def update(predicate: Column, set: Map[String, Column]): Option[Commit] = {
+    require(exists, s"update target $root does not exist")
+    require(set.nonEmpty, "update needs set expressions")
+    val fn = org.apache.spark.sql.functions.col _
+    val stored = committedSchema
+    set.keys.foreach(k => require(stored.fieldNames.contains(k),
+      s"update sets unknown column '$k'"))
+    val partitionBy = commits().reverse.iterator
+      .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+    val touched = readWhere(predicate)
+      .withColumn("_graft_path", fn("_metadata.file_path"))
+      .select("_graft_path").distinct()
+      .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
+    if (touched.isEmpty) None
+    else {
+      val rewritten = filesDf(touched, Some(stored)).select(
+        stored.fieldNames.toSeq.map { n =>
+          set.get(n) match {
+            case Some(v) => when(predicate, v).otherwise(fn(n)).as(n)
+            case None => fn(n)
+          }
+        }: _*)
+      write(rewritten, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
+        None, removeExact = Some(touched))
+    }
+  }
+
+  /** The commit log as a DataFrame (Delta DESCRIBE HISTORY analog):
+    * one row per commit with the action, file counts, and metadata. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    commits().map(c => (c.version, c.action, c.add.size, c.remove.size,
+      c.partitionBy.mkString(","), c.batchId, c.appId, c.meta))
+      .toDF("version", "action", "n_added", "n_removed",
+        "partition_by", "batch_id", "app_id", "meta")
+  }
+
+  private def committedSchema: StructType =
+    commits().reverse.iterator.map(_.schemaJson)
+      .find(_.nonEmpty).map(StructType.fromDDL)
+      .getOrElse(throw new IllegalStateException(s"table $root has no committed schema"))
 
   /** Metadata-only commit (cursor/watermark advance with no data). */
   def commitMeta(meta: Map[String, String], batchId: Option[Long] = None,

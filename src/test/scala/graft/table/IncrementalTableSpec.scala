@@ -373,6 +373,38 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t2.read().select($"k").as[String].collect().toSeq == Seq("new"))
   }
 
+  test("delete/update: copy-on-write touches only matching files; history records it") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t28")
+    val p = Seq("day")
+    t.append(Seq(("a", 1L, "d1"), ("b", 2L, "d1")).toDF("k", "n", "day"), p)
+    t.append(Seq(("c", 3L, "d2"), ("d", 4L, "d2")).toDF("k", "n", "day"), p)
+    val d2Files = t.liveFiles(Map("day" -> "d2")).toSet
+
+    // delete touching only d1: d2's files keep their identity
+    assert(t.delete($"k" === "a").isDefined)
+    assert(t.read().select($"k").as[String].collect().toSet == Set("b", "c", "d"))
+    assert(t.liveFiles(Map("day" -> "d2")).toSet == d2Files)
+    // no-match delete commits nothing
+    assert(t.delete($"k" === "zzz").isEmpty)
+
+    // update rewrites only d2 (predicate scoped there), can move partitions
+    assert(t.update($"k" === "c", Map("n" -> lit(30L), "day" -> lit("d3"))).isDefined)
+    val rows = t.read().select($"k", $"n", $"day")
+      .as[(String, Long, String)].collect().toSet
+    assert(rows == Set(("b", 2L, "d1"), ("c", 30L, "d3"), ("d", 4L, "d2")))
+    assert(t.update($"k" === "zzz", Map("n" -> lit(0L))).isEmpty)
+    intercept[IllegalArgumentException](t.update($"k" === "b", Map("nope" -> lit(1))))
+
+    // full-file delete drops the file without staging a rewrite
+    t.delete($"day" === "d3")
+    assert(t.read().count() == 2)
+    assert(t.liveFiles(Map("day" -> "d3")).isEmpty)
+
+    val h = t.history()
+    assert(h.count() == t.commits().size && t.commits().size >= 5)
+    assert(h.filter($"action" === "replace" && $"n_removed" > 0).count() >= 3)
+  }
+
   test("changes: logical CDC rows — rewrites cancel, updates split into delete+insert") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t27")
     val p = Seq("day")
