@@ -394,9 +394,10 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       batchId: Option[Long] = None,
       appId: Option[String] = None,
       statMeta: Seq[StatMeta] = Nil,
-      statsColumns: Seq[String] = Nil): Option[Commit] =
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Option[Commit] =
     write(df, "append", partitionBy, partitionValues, Map.empty, meta, batchId, appId,
-      statMeta = statMeta, statsColumns = statsColumns)
+      statMeta = statMeta, statsColumns = statsColumns, bloomColumns = bloomColumns)
 
   /** Partition-scoped overwrite (reference W5 `replaceWhere`): replaces
     * exactly the live files whose path matches `partitionFilter`. */
@@ -587,6 +588,7 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
       appId: Option[String] = None, dynamic: Boolean = false,
       statMeta: Seq[StatMeta] = Nil,
       statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
       removeExact: Option[Seq[String]] = None): Option[Commit] = {
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
     val withParts = partitionValues.foldLeft(df) { case (d, (k, v)) =>
@@ -597,7 +599,15 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
     //    computes exactly once; a partitioned write of zero rows stages
     //    no files, which IS the W6 empty-write signal.
     val stage = new Path(stagingPath, UUID.randomUUID().toString)
-    val writer = withParts.write.mode("overwrite")
+    // Parquet bloom filters complement the log-level [min,max] index:
+    // the log prunes FILES for range predicates, the in-file bloom
+    // prunes ROW GROUPS for point lookups on high-cardinality keys
+    // (where [min,max] spans are useless unless perfectly clustered) —
+    // both applied before any row decodes. Standard parquet metadata:
+    // any reader benefits; Spark pushes eq/IN predicates to it.
+    val writer = bloomColumns.foldLeft(withParts.write.mode("overwrite")) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(stage.toString)
     val staged = listParquet(fs, stage).map(p => relativize(stage, p))
@@ -887,7 +897,8 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
   def compact(partitionFilter: Map[String, String] = Map.empty,
       targetFiles: Int = 1, clusterBy: Seq[String] = Nil,
       statsColumns: Seq[String] = Nil,
-      zorderBy: Seq[String] = Nil): Option[Commit] = {
+      zorderBy: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Option[Commit] = {
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "clusterBy and zorderBy are mutually exclusive")
     import org.apache.spark.sql.functions.{col, min, max}
@@ -917,7 +928,8 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
         .sortWithinPartitions(clusterBy.map(col): _*)
     write(df, "replace", partitionBy, Map.empty, partitionFilter,
       Map.empty, None,
-      statsColumns = (statsColumns ++ zorderBy).distinct)
+      statsColumns = (statsColumns ++ zorderBy).distinct,
+      bloomColumns = bloomColumns)
   }
 
   /** Auto-compaction policy: compact every physical partition (within

@@ -373,6 +373,27 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t2.read().select($"k").as[String].collect().toSeq == Seq("new"))
   }
 
+  test("bloomColumns writes parquet bloom filters (point-lookup row-group skipping)") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t29")
+    val df = (1 to 2000).map(i => (s"key$i", i.toLong)).toDF("k", "n")
+    t.append(df, partitionBy = Nil, bloomColumns = Seq("k"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = new org.apache.hadoop.fs.Path(t.root, t.liveFiles().head)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      assert(cols.find(_.getPath.toDotString == "k")
+        .exists(_.getBloomFilterOffset >= 0), "bloom filter missing for k")
+      assert(cols.find(_.getPath.toDotString == "n")
+        .exists(_.getBloomFilterOffset < 0), "n should have no bloom")
+    } finally reader.close()
+    // reads with a point predicate stay exact
+    assert(t.read().filter($"k" === "key1500").count() == 1)
+  }
+
   test("delete/update: copy-on-write touches only matching files; history records it") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t28")
     val p = Seq("day")
