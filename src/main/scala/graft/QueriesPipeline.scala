@@ -174,6 +174,49 @@ object QueriesPipeline {
       t.read().select($"cust_key", $"name", $"segment").orderBy($"cust_key")
     }),
 
+    // ---- Z-order + data-skipping read under the oracle ----------------
+    // Orders land unclustered, compaction Z-ORDERS on (custkey,
+    // orderkey), then readWhere range-filters BOTH dimensions — the
+    // file list is pruned against the committed [min,max] boxes before
+    // Spark enumerates it, and the result must still be exactly the
+    // relational filter (pruning is an optimization, never semantics).
+    "q64_zorder_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q64_").toString
+      val t = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
+      t.append(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartition(8), partitionBy = Nil)
+      t.compact(targetFiles = 16, zorderBy = Seq("o_custkey", "o_orderkey"))
+      t.readWhere($"o_custkey" >= 100 && $"o_custkey" <= 400 &&
+          $"o_orderkey" >= 1000 && $"o_orderkey" <= 30000)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- time travel (snapshot isolation) under the oracle ------------
+    // Two appends then a partition refresh REWRITING history: the
+    // snapshot read AS OF the pre-refresh version must reproduce
+    // exactly the first two appends — vacuum retention guarantees the
+    // replaced files still exist inside the replay window.
+    "q65_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q65_").toString
+      val t = graft.table.IncrementalTable(s, s"$tmp/part/v1")
+      def slice(lo: Long, hi: Long) = Tables.part(s, dir)
+        .filter($"p_partkey" >= lo && $"p_partkey" <= hi)
+        .select($"p_partkey", $"p_name", $"p_brand")
+      t.append(slice(1, 100), Seq("p_brand"))
+      t.append(slice(101, 200), Seq("p_brand"))
+      val snapshot = t.latestVersion
+      // history rewrite: every brand partition replaced by a halved slice
+      t.dynamicReplace(slice(1, 50), Seq("p_brand"))
+      assert(t.read().count() < 200) // current state did move on
+      t.readAt(snapshot)
+        .select($"p_partkey", $"p_name", $"p_brand")
+        .orderBy($"p_partkey")
+    }),
+
     // ---- row-level DELETE + UPDATE through the commit log ------------
     // Seed from customer, DELETE a predicate slice, UPDATE another
     // (uppercasing names and moving them to a new segment partition),
@@ -260,6 +303,15 @@ object QueriesPipeline {
       """SELECT doc_id, source, md5(text) AS digest,
         |  length(text) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q64_zorder_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 400
+        |  AND o_orderkey BETWEEN 1000 AND 30000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q65_time_travel" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_partkey BETWEEN 1 AND 200
+        |ORDER BY p_partkey""".stripMargin,
     "q63_delete_update" ->
       """WITH base AS (
         |  SELECT c_custkey AS cust_key, c_name AS name,
