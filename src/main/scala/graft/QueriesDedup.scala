@@ -57,6 +57,36 @@ object QueriesDedup {
       Dedup.simhash128Pairs(Tables.documents(s, dir), $"doc_id", $"text", N, Tau)
         .orderBy($"a_id", $"b_id")
     }),
+
+    // ---- Hamming-1 fuzzy pairs via deletion-neighborhood blocking ----
+    // The scalable plan for edit-distance-1 matching on fixed-length
+    // keys (IDs, codes, fixed-format names): each string explodes to L
+    // (position, delete-one) variants; a pair at Hamming distance
+    // exactly 1 meets on precisely the variant of its differing
+    // position — an EQUI-join, no dedup pass, no all-pairs product
+    // (candidate volume L*n vs n^2/2; the oracle IS the quadratic
+    // levenshtein join — the semantics, not the plan). The position
+    // rides in the join key: a bare deleted string would collide
+    // across positions and admit Hamming-2 pairs ("ab"/"ba" both
+    // delete to "b"). Keys capped so the oracle's quadratic side
+    // stays bounded at any SF.
+    "q67_fuzzy_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val L = 18 // fixed "Customer#%09d" width; length-checked in the oracle
+      val base = Tables.customer(s, dir)
+        .filter($"c_custkey" < 5000)
+        .select($"c_custkey".cast("long").as("key"), $"c_name".as("name"))
+      val variants = base.select($"key", $"name",
+        explode(array((0 until L).map(i =>
+          struct(lit(i).as("p"),
+            concat(substring($"name", 1, i),
+              substring($"name", i + 2, L - i - 1)).as("s"))): _*)).as("v"))
+      variants.as("a").join(variants.as("b"),
+          $"a.v" === $"b.v" && $"a.key" < $"b.key")
+        .select($"a.key".as("key_a"), $"b.key".as("key_b"),
+          $"a.name".as("name_a"), $"b.name".as("name_b"))
+        .orderBy($"key_a", $"key_b")
+    }),
   )
 
   /** All-pairs exact word-3-gram Jaccard at tau — the engine-neutral
@@ -78,7 +108,19 @@ object QueriesDedup {
        |FROM p WHERE CAST(li AS DOUBLE) / (na + nb - li) >= $Tau
        |ORDER BY a_id, b_id""".stripMargin
 
+  private val oracleSqlFuzzy: String =
+    """WITH b AS (
+      |  SELECT c_custkey AS key, c_name AS name FROM customer
+      |  WHERE c_custkey < 5000)
+      |SELECT a.key AS key_a, c.key AS key_b,
+      |  a.name AS name_a, c.name AS name_b
+      |FROM b a JOIN b c ON a.key < c.key
+      |  AND length(a.name) = length(c.name)
+      |  AND levenshtein(a.name, c.name) = 1
+      |ORDER BY key_a, key_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q67_fuzzy_pairs" -> oracleSqlFuzzy,
     "q21_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
