@@ -164,12 +164,14 @@ object Dedup {
   def simhash(docs: DataFrame, id: Column, features: Column): DataFrame = {
     val toks = docs.select(id.as("did"), explode(features).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, 1L).otherwise(-1L)).as(s"s$j"))
-    val assembled = (0 until 64).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    toks.groupBy(col("did")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("did"), assembled.as("simhash"))
+    // One native TypedImperativeAggregate (long[64] buffer, branch-free
+    // update loop, map-side partial merge) instead of 64 declarative
+    // sum(when...) columns: past 50 buffer slots HashAggregate drops
+    // its vectorized fast map, and each row paid 64 separate expression
+    // trees. Measured at sf0.1: q24 4.24->3.49 s, q47 5.34->4.50 s
+    // (whole query incl. shingling+join; the agg stage shrank more).
+    toks.groupBy(col("did"))
+      .agg(call_function("simhash_agg", col("h")).as("simhash"))
   }
 
   /** Near-equal bit-slice layout of a `bits`-wide sketch: `(offset,
@@ -228,14 +230,10 @@ object Dedup {
     val toks = docs.select(id.as("did"), explode(features).as("tok"))
       .withColumn("h0", xxhash64(col("tok")))
       .withColumn("h1", xxhash64(col("tok"), lit(0x9E3779B97F4A7C15L)))
-    val bitSums = (0 until 128).map { j =>
-      val w = if (j < 64) "h0" else "h1"
-      sum(when(expr(s"($w >> ${j % 64}) & 1") === 1, 1L).otherwise(-1L)).as(s"s$j")
-    }
-    def word(lo: Int): Column = (lo until lo + 64).map(j =>
-      when(col(s"s$j") > 0, lit(1L << (j - lo))).otherwise(lit(0L))).reduce(_ + _)
-    toks.groupBy(col("did")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("did"), word(0).as("sh0"), word(64).as("sh1"))
+    // two native simhash_agg calls (one per word) — see [[simhash]]
+    toks.groupBy(col("did")).agg(
+      call_function("simhash_agg", col("h0")).as("sh0"),
+      call_function("simhash_agg", col("h1")).as("sh1"))
   }
 
   /** The documented 100 TB dial of [[simhashPairs]], implemented: a
