@@ -122,16 +122,22 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
                       n: Int, tau: Double, perms: Int = 64, r: Int = 4): DataFrame = {
     val e = edges(docs, id, TextOps.wordShingles(text, n))
-    // Wide one-pass signature: 64 `min(xxhash64(sh, i))` aggregates over
-    // the edge rows — partial aggregation map-side, NO perms× row
-    // explosion (the naive explode shuffles |edges|×perms rows; at sf0.1
-    // that is 96M rows for zero benefit).
-    val minCols = (0 until perms).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
-    val sig = e.groupBy(col("did")).agg(minCols.head, minCols.tail: _*)
+    // Wide one-pass signature in ONE native aggregate (long[64] buffer,
+    // map-side partial merge) — NO perms× row explosion (the naive
+    // explode shuffles |edges|×perms rows; 96M at sf0.1), and no 64
+    // separate min() buffer columns (past 50 slots HashAggregate drops
+    // its fast hash map). Permutation hashes are the 2-universal
+    // h1 + i*h2 family (Broder), so each edge row pays TWO shingle
+    // hashes + 64 adds instead of 64 seeded xxhash64 passes.
+    require(perms == 64, s"minhash_agg is fixed at 64 permutations, got $perms")
+    val sig = e.groupBy(col("did")).agg(
+      call_function("minhash_agg", xxhash64(col("sh")),
+        xxhash64(col("sh"), lit(0x9E3779B97F4A7C15L))).as("sig"))
     // one row per (doc, band); band key = md5 of its r signature slots
     val bandCol = array((0 until perms / r).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws(",", (b * r until (b + 1) * r).map(i => col(s"m$i")): _*)
+        md5(concat_ws(",", (b * r until (b + 1) * r).map(i =>
+            element_at(col("sig"), i + 1)): _*)
           .cast("binary")).as("bkey"))
     }: _*)
     val bands = sig.select(col("did"), explode(bandCol).as("bk"))
