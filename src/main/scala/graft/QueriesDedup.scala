@@ -58,6 +58,21 @@ object QueriesDedup {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // ---- dedup clusters: connected components over near-dup pairs ----
+    // Pairs alone aren't a dedup decision — transitive near-dups
+    // (A~B~C with no direct A~C pair) must collapse into one cluster
+    // with one canonical representative. Min-label propagation over
+    // the exact q22 pair graph; the oracle computes the same
+    // components via recursive transitive closure.
+    "q68_dedup_components" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir), $"doc_id", $"text", N, Tau)
+      graft.operators.ConnectedComponents.run(pairs, "a_id", "b_id")
+        .select($"id".as("doc_id"), $"component")
+        .orderBy($"doc_id")
+    }),
+
     // ---- Hamming-1 fuzzy pairs via deletion-neighborhood blocking ----
     // The scalable plan for edit-distance-1 matching on fixed-length
     // keys (IDs, codes, fixed-format names): each string explodes to L
@@ -119,7 +134,36 @@ object QueriesDedup {
       |  AND levenshtein(a.name, c.name) = 1
       |ORDER BY key_a, key_b""".stripMargin
 
+  private val componentsSql =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS w
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM w),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS li,
+       |    CAST(len(a.sh) AS BIGINT) AS na, CAST(len(b.sh) AS BIGINT) AS nb
+       |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM p
+       |  WHERE CAST(li AS DOUBLE) / (na + nb - li) >= $Tau),
+       |nodes AS (
+       |  SELECT a_id AS id FROM pairs UNION SELECT b_id FROM pairs),
+       |edges AS (
+       |  SELECT a_id AS s, b_id AS d FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s)
+       |SELECT id AS doc_id, MIN(r) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q68_dedup_components" -> componentsSql,
     "q67_fuzzy_pairs" -> oracleSqlFuzzy,
     "q21_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
