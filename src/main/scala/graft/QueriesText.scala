@@ -130,6 +130,26 @@ object QueriesText {
         .orderBy($"doc_id")
     }),
 
+    // ---- BPE-style pre-tokenization (GPT-2 pretokenizer shape) -------
+    // The OTHER half of token counting (q17 is whitespace tokens):
+    // the regex pre-tokenizer that feeds a BPE vocabulary — leading-
+    // space word/number/punctuation pieces, written in the Java-regex
+    // ∩ RE2 dialect so both engines split identically. Piece counts
+    // approximate LLM token budgets far better than whitespace counts
+    // (punctuation splits off, spaces attach to the following piece).
+    // One regexp_extract_all projection: scan stage, no shuffle.
+    "q69_bpe_pretokenize" -> ((s, dir) => {
+      import s.implicits._
+      val pieces = regexp_extract_all($"text", lit(TextOps.bpePretokenRe), lit(0))
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          size(pieces).cast("long").as("n_pieces"),
+          size(array_distinct(pieces)).cast("long").as("n_distinct_pieces"),
+          element_at(pieces, 1).as("first_piece"),
+          element_at(pieces, -1).as("last_piece"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- heavy hitters: exact top-k frequent bigrams -----------------
     // The boilerplate-detection primitive of corpus curation (the most
     // frequent n-grams ARE the headers/footers/licenses to strip).
@@ -189,6 +209,16 @@ object QueriesText {
   private val ipRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   def oracleSql: Map[String, String] = Map(
+    "q69_bpe_pretokenize" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(text, '${TextOps.bpePretokenRe}') AS pieces
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(pieces) AS BIGINT) AS n_pieces,
+         |  CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+         |  pieces[1] AS first_piece, pieces[-1] AS last_piece
+         |FROM p ORDER BY doc_id""".stripMargin,
     "q60_pii_redact" ->
       s"""WITH aug AS (
          |  SELECT doc_id,

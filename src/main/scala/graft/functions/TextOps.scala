@@ -80,6 +80,14 @@ object TextOps {
   def minShingleFingerprint(shingles: Column): Column =
     array_min(transform(shingles, s => md5(s.cast("binary"))))
 
+  /** GPT-2-style BPE pre-tokenizer pattern, simplified to the Java-regex
+    * ∩ RE2 dialect (no unicode category classes, no lookahead): pieces
+    * are a leading-space-attached letter run, digit run, or
+    * punctuation run, or a whitespace run. Piece counts track LLM
+    * token budgets far better than whitespace token counts. */
+  val bpePretokenRe: String =
+    " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
   /** PII scrub patterns, ordered (earlier patterns see the raw text).
     * Written in the Java-regex ∩ RE2 dialect — character classes,
     * bounded quantifiers, no backreferences/lookaround — so Spark's
