@@ -26,9 +26,14 @@ object ConnectedComponents {
     * in an edge; isolated nodes are the caller's to union in. */
   def run(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    // materialize the symmetrized edge list ONCE: every round joins
+    // against it (plus the convergence check), and `edges` may carry an
+    // arbitrarily expensive upstream pipeline (q68's is the whole
+    // near-dup candidate+verify cascade) that must not replay per round
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
