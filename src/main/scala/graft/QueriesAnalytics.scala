@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextOps
+
+/** Event/relational analytics operators rounding out the engine surface:
+  * funnel analysis, weekly retention cohorts, the full window-function
+  * family (lag/lead/frames/ntile/percent_rank/cume_dist), fixed-width
+  * histogram binning, blocked fuzzy record linkage, and deterministic
+  * train/val/test splitting.
+  *
+  * Scale shapes:
+  *  - Funnel and retention are one hash aggregation keyed by user (the
+  *    full-parallel axis at 100 TB); retention's week-over-week link is a
+  *    self-join on (user, week) — co-partitioned by the groupBy's own
+  *    shuffle, no extra exchange under AQE.
+  *  - The window suite partitions by order key — millions of small
+  *    partitions, no global sort (the one global ORDER BY is the
+  *    presentation sort shared by every oracle query).
+  *  - Histogram binning is arithmetic (floor division) — no per-bucket
+  *    UDF, one map-side-combined aggregation over 22 groups.
+  *  - Linkage blocks candidate pairs on an equality key (here the name's
+  *    noun; at scale a phonetic/length-band key) so the quadratic edit-
+  *    distance verify runs inside blocks only — the same
+  *    candidates-then-verify contract as the dedup suite.
+  *  - Splits are salted-md5 threshold tests (QueriesCorpus q40 contract):
+  *    any worker, any partitioning, any engine assigns each row the same
+  *    split — reshard-stable and replay-identical, which `rand()`-based
+  *    splitting is not.
+  *
+  * Determinism: everything here is exact-integer or single-division
+  * arithmetic except q77's per-bucket avg (rounded — fp sum order).
+  * Timestamps compare as epoch-micros longs (QueriesEvents contract).
+  */
+object QueriesAnalytics {
+
+  private val SplitSalt = "graft-split-7:"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- funnel: first-touch view → click → purchase per user ---------
+    "q74_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val us = unix_micros($"ts")
+      val stage = (t: String) => min(when($"event_type" === t, us))
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(stage("view").as("first_view_us"),
+          stage("click").as("first_click_us"),
+          stage("purchase").as("first_purchase_us"))
+        .withColumn("completed",
+          when($"first_view_us" < $"first_click_us" &&
+            $"first_click_us" < $"first_purchase_us", 1L).otherwise(0L))
+        .orderBy($"user_id")
+    }),
+
+    // ---- weekly retention cohorts -------------------------------------
+    // (user, week) distinct activity, self-joined one week forward; the
+    // join keys are the aggregation keys, so AQE reuses the exchange.
+    "q75_retention" -> ((s, dir) => {
+      import s.implicits._
+      val weeks = Tables.events(s, dir)
+        .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+        .distinct()
+      val next = weeks.select($"user_id", date_sub($"wk", 7).as("wk"))
+        .withColumn("ret", lit(1L))
+      weeks.join(next, Seq("user_id", "wk"), "left")
+        .groupBy($"wk")
+        .agg(count(lit(1)).as("n_active"), sum(coalesce($"ret", lit(0L))).as("n_retained"))
+        .select(date_format($"wk", "yyyy-MM-dd").as("week_start"),
+          $"n_active", $"n_retained",
+          ($"n_retained" / $"n_active").as("retention_rate"))
+        .orderBy($"week_start")
+    }),
+
+    // ---- window-function suite over per-order line sequences ----------
+    // lag/lead/running frame sums partition by l_orderkey (fully
+    // parallel); rank-family windows partition by returnflag with a
+    // unique tiebreak so ntile is deterministic. Sampled on whole orders
+    // (orderkey % 50) so frames stay intact. The synthetic lineitem has
+    // duplicate (orderkey, linenumber) rows — collapsed first so every
+    // window ORDER BY key is unique (cross-engine window determinism
+    // requires it; qty sums of ≤5 integral doubles stay exact).
+    "q76_window_suite" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.lineitem(s, dir)
+        .filter($"l_orderkey" % 50 === 0)
+        .groupBy($"l_orderkey", $"l_linenumber")
+        .agg(min($"l_returnflag").as("flag"), sum($"l_quantity").as("qty"))
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          $"flag", $"qty")
+      val seqW = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+      val runW = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ctrW = seqW.rowsBetween(-1, 1)
+      val rankW = Window.partitionBy($"flag")
+        .orderBy($"qty", $"l_orderkey", $"l_linenumber")
+      val valueW = Window.partitionBy($"flag").orderBy($"qty")
+      base.select($"l_orderkey", $"l_linenumber", $"flag", $"qty",
+          lag($"qty", 1).over(seqW).as("prev_qty"),
+          lead($"qty", 1).over(seqW).as("next_qty"),
+          sum($"qty").over(runW).as("running_qty"),
+          sum($"qty").over(ctrW).as("centered_qty"),
+          ntile(4).over(rankW).cast("long").as("qty_quartile"),
+          percent_rank().over(valueW).as("qty_pct_rank"),
+          cume_dist().over(valueW).as("qty_cume_dist"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // ---- fixed-width histogram of extended price ----------------------
+    // Bucket = floor(price / 5000): pure arithmetic, engine-identical,
+    // no data-dependent bucket bounds to precompute.
+    "q77_histogram" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select(floor($"l_extendedprice" / 5000.0).cast("long").as("bucket"),
+          $"l_extendedprice")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"),
+          round(avg($"l_extendedprice"), 2).as("avg_price"))
+        .orderBy($"bucket")
+    }),
+
+    // ---- blocked fuzzy record linkage (edit distance ≤ 3) -------------
+    // Distinct names, blocked on the noun, verified by levenshtein
+    // inside blocks; a.name < b.name halves the pair space and makes the
+    // output canonical.
+    "q78_name_linkage" -> ((s, dir) => {
+      import s.implicits._
+      val names = Tables.part(s, dir)
+        .select($"p_name".as("name"),
+          element_at(split($"p_name", " "), 2).as("noun"))
+        .distinct()
+      val a = names.select($"name".as("name_a"), $"noun")
+      val b = names.select($"name".as("name_b"), $"noun")
+      a.join(b, Seq("noun"))
+        .filter($"name_a" < $"name_b")
+        .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+        .filter($"dist" <= 3)
+        .select($"name_a", $"name_b", $"dist")
+        .orderBy($"name_a", $"name_b")
+    }),
+
+    // ---- deterministic stratified train/val/test split ----------------
+    // First md5 byte of a salted key: [0,13)→test (~5%), [13,26)→val
+    // (~5%), rest train. Reported per (source, split) for the mixture
+    // audit a training run starts with.
+    "q79_split_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val h2 = substring(md5(concat(lit(SplitSalt),
+        $"doc_id".cast("string")).cast("binary")), 1, 2)
+      val split = when(h2 < "0d", "test").when(h2 < "1a", "val")
+        .otherwise("train")
+      Tables.documents(s, dir)
+        .withColumn("split", split)
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"source", $"split")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q74_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN us END) AS first_view_us,
+        |    MIN(CASE WHEN event_type = 'click' THEN us END) AS first_click_us,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN us END) AS first_purchase_us
+        |  FROM e GROUP BY user_id)
+        |SELECT *,
+        |  CAST(CASE WHEN first_view_us < first_click_us
+        |    AND first_click_us < first_purchase_us THEN 1 ELSE 0 END AS BIGINT)
+        |    AS completed
+        |FROM f ORDER BY user_id""".stripMargin,
+    "q75_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |nxt AS (SELECT user_id, wk - 7 AS wk, 1 AS ret FROM weeks)
+        |SELECT strftime(w.wk, '%Y-%m-%d') AS week_start,
+        |  COUNT(*) AS n_active,
+        |  CAST(COALESCE(SUM(n.ret), 0) AS BIGINT) AS n_retained,
+        |  CAST(COALESCE(SUM(n.ret), 0) AS DOUBLE) / COUNT(*) AS retention_rate
+        |FROM weeks w LEFT JOIN nxt n ON w.user_id = n.user_id AND w.wk = n.wk
+        |GROUP BY w.wk ORDER BY week_start""".stripMargin,
+    "q76_window_suite" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    MIN(l_returnflag) AS flag, SUM(l_quantity) AS qty
+        |  FROM lineitem WHERE l_orderkey % 50 = 0
+        |  GROUP BY l_orderkey, l_linenumber)
+        |SELECT l_orderkey, l_linenumber, flag, qty,
+        |  lag(qty) OVER seq AS prev_qty,
+        |  lead(qty) OVER seq AS next_qty,
+        |  SUM(qty) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS running_qty,
+        |  SUM(qty) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS centered_qty,
+        |  CAST(ntile(4) OVER (PARTITION BY flag
+        |    ORDER BY qty, l_orderkey, l_linenumber) AS BIGINT)
+        |    AS qty_quartile,
+        |  percent_rank() OVER val AS qty_pct_rank,
+        |  cume_dist() OVER val AS qty_cume_dist
+        |FROM base
+        |WINDOW seq AS (PARTITION BY l_orderkey ORDER BY l_linenumber),
+        |  val AS (PARTITION BY flag ORDER BY qty)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q77_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  round(AVG(l_extendedprice), 2) AS avg_price
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q78_name_linkage" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS noun
+        |  FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q79_split_stratified" ->
+      s"""WITH d AS (
+         |  SELECT *,
+         |    CASE WHEN substr(md5('$SplitSalt' || doc_id), 1, 2) < '0d' THEN 'test'
+         |         WHEN substr(md5('$SplitSalt' || doc_id), 1, 2) < '1a' THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM documents)
+         |SELECT source, split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM d GROUP BY source, split ORDER BY source, split""".stripMargin,
+  )
+}

@@ -27,7 +27,8 @@ object SparkEntry {
     QueriesCore.queries ++ QueriesPipeline.queries ++ QueriesText.queries ++
       QueriesDedup.queries ++ QueriesSimilarity.queries ++
       QueriesMultimodal.queries ++ QueriesEvents.queries ++
-      QueriesCuration.queries ++ QueriesCorpus.queries
+      QueriesCuration.queries ++ QueriesCorpus.queries ++
+      QueriesSearch.queries ++ QueriesAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       QueriesText.oracleSql ++ QueriesDedup.oracleSql ++
       QueriesSimilarity.oracleSql ++ QueriesMultimodal.oracleSql ++
       QueriesEvents.oracleSql ++ QueriesCuration.oracleSql ++
-      QueriesCorpus.oracleSql
+      QueriesCorpus.oracleSql ++ QueriesSearch.oracleSql ++
+      QueriesAnalytics.oracleSql
 }
