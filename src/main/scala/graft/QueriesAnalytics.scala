@@ -143,6 +143,27 @@ object QueriesAnalytics {
         .orderBy($"name_a", $"name_b")
     }),
 
+    // ---- PageRank over the part↔supplier bipartite graph --------------
+    // Node ids namespace the two sides (part → 2k, supplier → 2k+1);
+    // 10 power iterations, each one join + map-side-combined hash
+    // aggregation over the once-checkpointed edge list (operator doc:
+    // operators/PageRank.scala). The oracle runs the SAME 10 iterations
+    // as unrolled CTE stages — exact-equality-checkable because the
+    // iteration count is fixed, not convergence-tested. Final ranks are
+    // rounded (per-node fp sums; ~1e6× margin at round-8).
+    "q80_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, dir)
+        .select(($"l_partkey" * 2).as("pa"), ($"l_suppkey" * 2 + 1).as("sb"))
+        .distinct()
+      graft.operators.PageRank.run(edges, "pa", "sb", iters = 10)
+        .select(
+          when($"id" % 2 === 0, "part").otherwise("supplier").as("kind"),
+          expr("id div 2").as("orig_id"),
+          round($"rank", 8).as("rank"))
+        .orderBy($"kind", $"orig_id")
+    }),
+
     // ---- deterministic stratified train/val/test split ----------------
     // First md5 byte of a salted key: [0,13)→test (~5%), [13,26)→val
     // (~5%), rest train. Reported per (source, split) for the mixture
@@ -225,6 +246,35 @@ object QueriesAnalytics {
         |FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
+    "q80_pagerank" -> {
+      val iters = 10
+      val stages = (1 to iters).map { k =>
+        s"""pr$k AS (
+           |  SELECT nd.id,
+           |    CAST(${graft.operators.PageRank.Teleport} AS DOUBLE) / nn.n
+           |      + CAST(${graft.operators.PageRank.Damping} AS DOUBLE)
+           |        * COALESCE(s.acc, CAST(0 AS DOUBLE)) AS rank
+           |  FROM nodes nd CROSS JOIN n nn LEFT JOIN (
+           |    SELECT sym.dst AS id, SUM(p.rank / d.deg) AS acc
+           |    FROM sym JOIN deg d ON sym.src = d.id
+           |    JOIN pr${k - 1} p ON sym.src = p.id
+           |    GROUP BY sym.dst) s ON nd.id = s.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |n AS (SELECT COUNT(*) AS n FROM nodes),
+         |pr0 AS (
+         |  SELECT nd.id, CAST(1.0 AS DOUBLE) / nn.n AS rank
+         |  FROM nodes nd CROSS JOIN n nn),
+         |$stages
+         |SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+         |  id // 2 AS orig_id, round(rank, 8) AS rank
+         |FROM pr$iters ORDER BY kind, orig_id""".stripMargin
+    },
     "q79_split_stratified" ->
       s"""WITH d AS (
          |  SELECT *,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank by fixed-iteration power method over an undirected
+  * (symmetrized) edge list — the influence/centrality scorer that
+  * complements [[ConnectedComponents]]' cluster labeling: components
+  * say WHICH rows group together, PageRank says which node in a group
+  * is the canonical/most-linked one (e.g. picking the representative
+  * URL of a dup cluster by link authority rather than min-id).
+  *
+  * Each iteration is one join + hash aggregation: contributions
+  * rank/degree flow along edges, partial-aggregated map-side, then
+  * teleport `(1-d)/N` is added back. The edge list and degrees are
+  * materialized ONCE (`localCheckpoint`) and every iteration shuffles
+  * by the same `dst` key, so AQE reuses the exchange layout; per-round
+  * `localCheckpoint` truncates the iterative lineage (same contract as
+  * ConnectedComponents). Fixed iteration count (not convergence-test)
+  * keeps the result a pure function of the input — replay-identical
+  * and expressible as unrolled SQL for the oracle.
+  *
+  * Symmetrized graphs have no dangling nodes (every node has degree
+  * ≥ 1), so total rank is conserved at 1 every iteration — pinned by
+  * PageRankSpec.
+  */
+object PageRank {
+
+  /** Damping/teleport as literal constants — the SAME literals appear in
+    * the SQL oracle, so both engines compute with bit-identical
+    * coefficients (0.15 written as `1 - 0.85` would differ in the last
+    * bit from the 0.15 literal). */
+  val Damping  = 0.85
+  val Teleport = 0.15
+
+  /** Rank every node of the undirected edge list. Returns (id, rank)
+    * with Σ rank = 1. Nodes appear iff they occur in an edge. */
+  def run(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int = 10): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = sym.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    var pr = nodes.withColumn("rank", lit(1.0) / lit(n.toDouble))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(deg, "src")
+        .join(pr.select(col("id").as("src"), col("rank")), "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("acc"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(Teleport) / lit(n.toDouble) +
+            lit(Damping) * coalesce(col("acc"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+}
