@@ -121,12 +121,47 @@ object QueriesCorpus {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars_kept"))
         .orderBy($"bucket", $"source")
     }),
+
+    // ---- fixed-SIZE deterministic stratified sample -------------------
+    // q40 fixes the RATE; this fixes the COUNT: exactly k docs per
+    // stratum, chosen as the k smallest salted-md5 hashes — a
+    // deterministic reservoir (same members under any partitioning or
+    // re-run; growing the corpus only ever swaps members whose hash
+    // beats an incumbent). The eval-subset builder. Plan: one shuffle
+    // by stratum + WindowGroupLimit (per-partition top-k pre-filter
+    // before the exchange — Spark's rank-pushdown keeps the shuffle
+    // O(strata·k), not O(corpus); at extreme corpus:k ratios add a
+    // q40-style rate pre-filter at ~2k/n to bound the scan output).
+    "q81_sample_fixed_k" -> ((s, dir) => {
+      import s.implicits._
+      val k = 20
+      val h = md5(concat(lit(SampleSalt), $"doc_id".cast("string")).cast("binary"))
+      val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+      Tables.documents(s, dir)
+        .withColumn("h", h)
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= k)
+        .select($"lang", $"rank".cast("long").as("rank"), $"doc_id",
+          $"h".as("sample_key"))
+        .orderBy($"lang", $"rank")
+    }),
   )
 
   private val MixSalt = "graft-mix-7:"
   private val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
 
   def oracleSql: Map[String, String] = Map(
+    "q81_sample_fixed_k" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id,
+         |    md5('$SampleSalt' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+         |  FROM h)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, h AS sample_key
+         |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
     "q40_sample_stratified" ->
       s"""SELECT doc_id, lang, n_chars, h AS sample_key FROM (
          |  SELECT doc_id, lang, n_chars,
