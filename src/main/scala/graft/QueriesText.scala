@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 
@@ -150,6 +150,54 @@ object QueriesText {
         .orderBy($"doc_id")
     }),
 
+    // ---- Gopher-style repetition filters -----------------------------
+    // (Rae et al. 2021 §A1.1 shape.) The repetition signals that catch
+    // boilerplate/spam documents: duplicate-token fraction, the
+    // character share of the single most frequent word 2-gram, and the
+    // character share of duplicated word 3-grams. The corpus is
+    // single-line word salad, so the line/paragraph variants of the
+    // rules are degenerate here; the n-gram family is the meaningful
+    // (and scale-relevant) half.
+    //
+    // Plan: two explode→two-level-aggregation chains (per-(doc,gram)
+    // count, then per-doc rollup), everything keyed by doc_id — at
+    // 100 TB both shuffles are map-side-combined hash aggregations on
+    // the natural parallel axis, and the final joins are co-partitioned
+    // by the aggregation's own exchange under AQE. The top bigram is
+    // max(struct(cnt, gram)) — one aggregate, no window sort; tie-break
+    // (max count, then max gram) matches the oracle's ORDER BY
+    // cnt DESC, gram DESC row_number.
+    "q83_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val toks = TextOps.tokens($"text")
+      def gramChars(g: Column, n: Int) = (length(g) - (n - 1)).cast("long")
+      def gramCounts(n: Int) = docs
+        .select($"doc_id", explode(TextOps.wordNgrams($"text", n)).as("gram"))
+        .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
+      val base = docs.select($"doc_id",
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"))
+      val big = gramCounts(2).groupBy($"doc_id").agg(
+        max(struct($"cnt", $"gram")).as("top"),
+        sum($"cnt" * gramChars($"gram", 2)).as("all2_chars"))
+      val tri = gramCounts(3).groupBy($"doc_id").agg(
+        sum(when($"cnt" > 1, $"cnt" * gramChars($"gram", 3)).otherwise(0L))
+          .as("dup3_chars"),
+        sum($"cnt" * gramChars($"gram", 3)).as("all3_chars"))
+      base.join(big, "doc_id").join(tri, "doc_id")
+        .select($"doc_id",
+          (($"n_tokens" - $"n_types").cast("double") / $"n_tokens")
+            .as("dup_token_frac"),
+          $"top.gram".as("top_bigram"),
+          $"top.cnt".as("top_bigram_n"),
+          (($"top.cnt" * gramChars($"top.gram", 2)).cast("double")
+            / $"all2_chars").as("top_bigram_char_frac"),
+          ($"dup3_chars".cast("double") / $"all3_chars")
+            .as("dup_trigram_char_frac"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- heavy hitters: exact top-k frequent bigrams -----------------
     // The boilerplate-detection primitive of corpus curation (the most
     // frequent n-grams ARE the headers/footers/licenses to strip).
@@ -209,6 +257,41 @@ object QueriesText {
   private val ipRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   def oracleSql: Map[String, String] = Map(
+    "q83_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |base AS (SELECT doc_id, len(w) AS n_tokens,
+         |                len(list_distinct(w)) AS n_types FROM toks),
+         |big AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+         |        FROM toks, unnest(range(1, len(w))) AS t(i)),
+         |bigc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM big
+         |         GROUP BY doc_id, gram),
+         |bigtop AS (SELECT doc_id, gram, cnt FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cnt DESC, gram DESC) AS rn FROM bigc) WHERE rn = 1),
+         |bigagg AS (SELECT doc_id,
+         |    SUM(cnt * (length(gram) - 1)) AS all2_chars FROM bigc
+         |    GROUP BY doc_id),
+         |tri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+         |        FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+         |tric AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM tri
+         |         GROUP BY doc_id, gram),
+         |triagg AS (SELECT doc_id,
+         |    SUM(CASE WHEN cnt > 1 THEN cnt * (length(gram) - 2) ELSE 0 END)
+         |      AS dup3_chars,
+         |    SUM(cnt * (length(gram) - 2)) AS all3_chars FROM tric
+         |    GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  CAST(b.n_tokens - b.n_types AS DOUBLE) / b.n_tokens
+         |    AS dup_token_frac,
+         |  t.gram AS top_bigram,
+         |  t.cnt AS top_bigram_n,
+         |  CAST(t.cnt * (length(t.gram) - 1) AS DOUBLE) / ba.all2_chars
+         |    AS top_bigram_char_frac,
+         |  CAST(ta.dup3_chars AS DOUBLE) / ta.all3_chars
+         |    AS dup_trigram_char_frac
+         |FROM base b JOIN bigtop t USING (doc_id)
+         |  JOIN bigagg ba USING (doc_id) JOIN triagg ta USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q69_bpe_pretokenize" ->
       s"""WITH p AS (
          |  SELECT doc_id,
