@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextOps
@@ -37,6 +37,15 @@ import graft.functions.TextOps
 object QueriesAnalytics {
 
   private val SplitSalt = "graft-split-7:"
+
+  /** q84 column inventory: (name, kind) where kind picks the min/max
+    * rendering and the mean rule (long/double/string/ts). */
+  private val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "long", "l_partkey" -> "long", "l_suppkey" -> "long",
+    "l_linenumber" -> "long", "l_quantity" -> "double",
+    "l_extendedprice" -> "double", "l_discount" -> "double",
+    "l_tax" -> "double", "l_returnflag" -> "string",
+    "l_linestatus" -> "string", "l_shipdate" -> "ts")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- funnel: first-touch view → click → purchase per user ---------
@@ -181,9 +190,75 @@ object QueriesAnalytics {
           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
         .orderBy($"source", $"split")
     }),
+
+    // ---- column profiling (the ANALYZE / data-quality pass) ----------
+    // One row per lineitem column: row/non-null/distinct counts, typed
+    // min/max rendered to engine-neutral strings (longs exact, doubles
+    // via DECIMAL(18,2), timestamps via date_format), and the mean for
+    // numeric columns (exactSum contract: DECIMAL-accumulated, so the
+    // value is order-independent and bit-identical to the oracle).
+    //
+    // Plan: ONE full-scan aggregation producing all 11×5 stats, then an
+    // explode of the single result row into the per-column layout — the
+    // scan is never repeated per column. The multiple exact
+    // COUNT(DISTINCT)s plan as Spark's Expand (11× row replication into
+    // one shuffle); at 100 TB the same query swaps them for
+    // approx_count_distinct (HLL++, one pass, no Expand) — the exact
+    // variant is kept here because the oracle can check it.
+    "q84_profile" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val cols = ProfileCols
+      def render(c: Column, kind: String): Column = kind match {
+        case "double" => c.cast(DecimalType(18, 2)).cast("string")
+        case "ts"     => date_format(c, "yyyy-MM-dd HH:mm:ss")
+        case _        => c.cast("string")
+      }
+      def mean(c: Column, kind: String): Column = kind match {
+        case "long"   => sum(c.cast(DecimalType(18, 0))).cast("double") / count(c)
+        case "double" => sum(c.cast(DecimalType(18, 2))).cast("double") / count(c)
+        case _        => lit(null).cast("double")
+      }
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, kind) =>
+        val c = col(n)
+        Seq(count(c).as(s"${n}__nn"), countDistinct(c).as(s"${n}__nd"),
+          render(min(c), kind).as(s"${n}__mn"),
+          render(max(c), kind).as(s"${n}__mx"),
+          mean(c, kind).as(s"${n}__av"))
+      }
+      val entries = array(cols.map { case (n, _) =>
+        struct(lit(n).as("col_name"), col(s"${n}__nn").as("n_nonnull"),
+          col(s"${n}__nd").as("n_distinct"), col(s"${n}__mn").as("min_str"),
+          col(s"${n}__mx").as("max_str"), col(s"${n}__av").as("avg_num"))
+      }: _*)
+      Tables.lineitem(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .select($"n_rows", explode(entries).as("e"))
+        .select($"e.col_name", $"n_rows", $"e.n_nonnull", $"e.n_distinct",
+          $"e.min_str", $"e.max_str", $"e.avg_num")
+        .orderBy($"col_name")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // One SELECT per profiled column, unioned — DuckDB evaluates each
+    // branch over the same view; the Spark side does it in one scan.
+    "q84_profile" -> ProfileCols.map { case (n, kind) =>
+      def render(agg: String) = kind match {
+        case "double" => s"CAST(CAST($agg($n) AS DECIMAL(18,2)) AS VARCHAR)"
+        case "ts"     => s"strftime($agg($n), '%Y-%m-%d %H:%M:%S')"
+        case _        => s"CAST($agg($n) AS VARCHAR)"
+      }
+      val av = kind match {
+        case "long"   => s"CAST(SUM(CAST($n AS DECIMAL(18,0))) AS DOUBLE) / COUNT($n)"
+        case "double" => s"CAST(SUM(CAST($n AS DECIMAL(18,2))) AS DOUBLE) / COUNT($n)"
+        case _        => "CAST(NULL AS DOUBLE)"
+      }
+      s"""SELECT '$n' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT($n) AS n_nonnull, COUNT(DISTINCT $n) AS n_distinct,
+         |  ${render("MIN")} AS min_str, ${render("MAX")} AS max_str,
+         |  $av AS avg_num FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "q74_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
