@@ -141,6 +141,59 @@ object QueriesSimilarity {
     "q82_semdedup" -> ((s, dir) =>
       semDedup(Tables.embeddings(s, dir),
         cacheKey = Some(s"$dir/embeddings"), tau = NearDupTau)),
+
+    // ---- k-means (Lloyd) as a first-class clustering operator --------
+    // Where q36/q82 use a codebook trained on a bounded SAMPLE, this is
+    // the full-corpus distributed k-means a curation pipeline runs to
+    // build that codebook at scale: k=8, stride-sampled seeds, two
+    // exact Lloyd update rounds, final assignment emitted per vector.
+    //
+    // Scale shape per round: assignment is a narrow broadcast map
+    // (centroids ride as k×dim literals — no join, no shuffle); the
+    // update is one posexplode → (cluster, dim) hash aggregation —
+    // dim×k groups, map-side combined, collected to the driver at
+    // k×dim doubles regardless of corpus size. Iterations are lazily
+    // chained plans (the PageRank pattern) with only the tiny centroid
+    // collect materializing each round.
+    //
+    // Determinism: centroid means are rounded to 6 decimals (the
+    // ivfCodebook decimal-exact-means contract — fp sum order vanishes
+    // below the grid), so both engines assign against bit-identical
+    // centroid literals; argmin margins are O(1) while cross-engine
+    // dist fp noise is ~1e-13, and ties break (d2, cid). The oracle
+    // unrolls the same two rounds as CTE stages.
+    "q85_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val k = 8
+      val stride = e.count() / k
+      val seeds = e.filter($"vec_id" % stride === 0 && $"vec_id" < k * stride)
+        .orderBy($"vec_id").collect()
+        .map(r => (r.getLong(0) / stride,
+          r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+        // d2 ordering via -2·v·c + |c|² (|v|² is cid-invariant)
+        val scored = array(cents.map { case (cid, c) =>
+          val c2 = c.map(x => x * x).sum
+          struct((Vectors.dot($"embedding", typedLit(c)) * -2 + c2).as("d2p"),
+            lit(cid).as("cid"))
+        }: _*)
+        e.withColumn("cluster",
+          element_at(array_sort(scored), 1).getField("cid"))
+      }
+      def means(a: DataFrame): Seq[(Long, Seq[Double])] =
+        a.select($"cluster", posexplode($"embedding"))
+          .groupBy($"cluster", $"pos")
+          .agg(round(avg($"col"), 6).as("m"))
+          .groupBy($"cluster")
+          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("ms"))
+          .collect().map { r =>
+            (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toSeq)
+          }.sortBy(_._1).toSeq
+      val c1 = means(assign(seeds))
+      val c2 = means(assign(c1))
+      assign(c2).select($"vec_id", $"cluster").orderBy($"vec_id")
+    }),
   )
 
   /** SemDeDup core: assign every vector to its nearest codebook cell,
@@ -255,7 +308,36 @@ object QueriesSimilarity {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** q85 oracle stages: assignment = argmin over the same
+    * -2·v·c + |c|² ordering the Spark side uses (|v|² is cid-invariant),
+    * tie (d2, cid); update = 6-decimal-rounded per-dimension means. */
+  private def kmAssignSql(cTbl: String): String =
+    s"""SELECT vec_id, cid AS cluster FROM (
+       |  SELECT e.vec_id, $cTbl.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_sum(list_transform(range(1, 65),
+       |        i -> e.v[i] * $cTbl.c[i])) * -2
+       |      + list_sum(list_transform($cTbl.c, x -> x * x)),
+       |      $cTbl.cid) AS rn
+       |  FROM e, $cTbl) WHERE rn = 1""".stripMargin
+  private def kmMeansSql(aTbl: String): String =
+    s"""SELECT cluster AS cid, list(m ORDER BY i) AS c FROM (
+       |  SELECT a.cluster, t.i, round(AVG(e.v[t.i]), 6) AS m
+       |  FROM $aTbl a JOIN e USING (vec_id), range(1, 65) AS t(i)
+       |  GROUP BY a.cluster, t.i) GROUP BY cluster""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q85_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |p AS (SELECT COUNT(*) // 8 AS stride FROM e),
+         |c0 AS (SELECT CAST(vec_id // stride AS BIGINT) AS cid, v AS c
+         |       FROM e, p WHERE vec_id % stride = 0 AND vec_id < 8 * stride),
+         |a1 AS (${kmAssignSql("c0")}),
+         |c1 AS (${kmMeansSql("a1")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmMeansSql("a2")}),
+         |a3 AS (${kmAssignSql("c2")})
+         |SELECT vec_id, cluster FROM a3 ORDER BY vec_id""".stripMargin,
     "q25_embed_neardup" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label
          |FROM embeddings a JOIN embeddings b
