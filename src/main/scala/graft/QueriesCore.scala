@@ -350,6 +350,32 @@ object QueriesCore {
             .as("revenue"))
         .orderBy($"o_orderpriority")
     }),
+
+    // ---- full outer join (both-unmatched preservation) -----------------
+    // The one join type the suite lacked. Sides are filtered so BOTH
+    // have unmatched keys (even customers only; order groups whose
+    // custkey % 3 != 0), so all three row provenances appear and are
+    // labeled. Shuffles on the join key like any big-big join; null-key
+    // skew is not a concern (keys are non-null by construction).
+    "q87_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir).filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey", $"c_mktsegment")
+      val o = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum($"o_totalprice", 2).as("total"))
+        .filter($"o_custkey" % 3 =!= 0)
+      c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          $"c_mktsegment",
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          $"total",
+          when($"c_custkey".isNull, "order_only")
+            .when($"o_custkey".isNull, "customer_only")
+            .otherwise("both").as("side"))
+        .orderBy($"custkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -501,5 +527,19 @@ object QueriesCore {
         |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q87_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+        |           WHERE c_custkey % 2 = 0),
+        |o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |          AS total
+        |      FROM orders GROUP BY o_custkey HAVING o_custkey % 3 <> 0)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment,
+        |  COALESCE(n_orders, 0) AS n_orders, total,
+        |  CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |       WHEN o_custkey IS NULL THEN 'customer_only'
+        |       ELSE 'both' END AS side
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
   )
 }
