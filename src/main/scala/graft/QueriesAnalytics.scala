@@ -198,13 +198,21 @@ object QueriesAnalytics {
     // numeric columns (exactSum contract: DECIMAL-accumulated, so the
     // value is order-independent and bit-identical to the oracle).
     //
-    // Plan: ONE full-scan aggregation producing all 11×5 stats, then an
-    // explode of the single result row into the per-column layout — the
-    // scan is never repeated per column. The multiple exact
-    // COUNT(DISTINCT)s plan as Spark's Expand (11× row replication into
-    // one shuffle); at 100 TB the same query swaps them for
-    // approx_count_distinct (HLL++, one pass, no Expand) — the exact
-    // variant is kept here because the oracle can check it.
+    // Two passes over the scan, deliberately NOT one:
+    //  - flat stats (count/min/max/mean) are a single global
+    //    aggregation — one group, no hash map, any buffer width;
+    //  - exact distincts go through stack → (col,value) dedup →
+    //    per-column count. The obvious single-agg form (11×
+    //    countDistinct + 44 regular buffers) rewrites into an Expand
+    //    whose grouped partial aggregate carries all 55 buffers past
+    //    HashAggregate's fast-map limit — measured 25.8 s at sf0.1 vs
+    //    ~1 s for this shape. Same row volume, radically different
+    //    aggregation path. The string render is injective per column
+    //    (shortest-roundtrip doubles, full-precision timestamps), so
+    //    distinct-of-rendered == distinct-of-raw, which is what the
+    //    oracle counts. At 100 TB swap in approx_count_distinct (HLL++,
+    //    one pass, no stack) — kept exact here because the oracle can
+    //    check it.
     "q84_profile" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.types.DecimalType
@@ -221,21 +229,30 @@ object QueriesAnalytics {
       }
       val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, kind) =>
         val c = col(n)
-        Seq(count(c).as(s"${n}__nn"), countDistinct(c).as(s"${n}__nd"),
+        Seq(count(c).as(s"${n}__nn"),
           render(min(c), kind).as(s"${n}__mn"),
           render(max(c), kind).as(s"${n}__mx"),
           mean(c, kind).as(s"${n}__av"))
       }
       val entries = array(cols.map { case (n, _) =>
         struct(lit(n).as("col_name"), col(s"${n}__nn").as("n_nonnull"),
-          col(s"${n}__nd").as("n_distinct"), col(s"${n}__mn").as("min_str"),
-          col(s"${n}__mx").as("max_str"), col(s"${n}__av").as("avg_num"))
+          col(s"${n}__mn").as("min_str"), col(s"${n}__mx").as("max_str"),
+          col(s"${n}__av").as("avg_num"))
       }: _*)
-      Tables.lineitem(s, dir)
+      val flat = Tables.lineitem(s, dir)
         .agg(aggs.head, aggs.tail: _*)
         .select($"n_rows", explode(entries).as("e"))
-        .select($"e.col_name", $"n_rows", $"e.n_nonnull", $"e.n_distinct",
+        .select($"e.col_name", $"n_rows", $"e.n_nonnull",
           $"e.min_str", $"e.max_str", $"e.avg_num")
+      val stackArgs = cols
+        .map { case (n, _) => s"'$n', CAST($n AS STRING)" }.mkString(", ")
+      val nd = Tables.lineitem(s, dir)
+        .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
+        .distinct()
+        .groupBy($"col_name").agg(count($"v").as("n_distinct"))
+      flat.join(nd, "col_name")
+        .select($"col_name", $"n_rows", $"n_nonnull", $"n_distinct",
+          $"min_str", $"max_str", $"avg_num")
         .orderBy($"col_name")
     }),
   )
