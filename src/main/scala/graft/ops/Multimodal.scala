@@ -169,6 +169,66 @@ object Multimodal {
     }
   }
 
+  /** Safe-decode row: exactly one of `feat`/`error` is set. `ok` is a
+    * partition-friendly discriminator so one write partitioned by it
+    * lands features and quarantine in separate directories from a
+    * single pass. */
+  final case class PpmResult(filename: String, nBytes: Long, ok: Boolean,
+      feat: Option[PpmFeatures], error: Option[String])
+  final case class WavResult(filename: String, nBytes: Long, ok: Boolean,
+      feat: Option[WavFeatures], error: Option[String])
+
+  /** Per-record error isolation for decode (the quarantine channel).
+    *
+    * [[decodePpm]]/[[decodeWav]] fail the TASK on the first malformed
+    * payload — correct for a curated corpus, fatal for a raw 100 TB
+    * crawl where some fraction of blobs is always truncated or
+    * mislabeled: one bad file would kill an hours-long job at its last
+    * stage. The safe variants decode per record, catching non-fatal
+    * decode errors into an error column instead of the driver — the
+    * dead-letter-queue shape. One pass, no shuffle; a single write
+    * partitioned by `ok` splits good features from the quarantine
+    * table, and the quarantine rows carry filename + reason for
+    * reprocessing. Fatal JVM errors (OOM etc.) still propagate —
+    * NonFatal only. */
+  def decodePpmSafe(files: Dataset[MediaFile]): Dataset[PpmResult] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { rows =>
+      rows.map { f =>
+        try {
+          val m = Ppm.decode(f.content)
+          PpmResult(f.filename, f.nBytes, ok = true,
+            Some(PpmFeatures(f.filename, f.nBytes, m.width, m.height,
+              m.maxVal, m.nPixels, m.sumR, m.sumG, m.sumB, m.maxChannel)),
+            None)
+        } catch { case scala.util.control.NonFatal(e) =>
+          PpmResult(f.filename, f.nBytes, ok = false, None,
+            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }
+    }
+  }
+
+  /** WAV twin of [[decodePpmSafe]]. */
+  def decodeWavSafe(files: Dataset[MediaFile]): Dataset[WavResult] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { rows =>
+      rows.map { f =>
+        try {
+          val m = Wav.decode(f.content)
+          WavResult(f.filename, f.nBytes, ok = true,
+            Some(WavFeatures(f.filename, f.nBytes, m.channels, m.sampleRate,
+              m.bitsPerSample, m.dataBytes, m.nFrames, m.durationMs,
+              m.peakAmp)),
+            None)
+        } catch { case scala.util.control.NonFatal(e) =>
+          WavResult(f.filename, f.nBytes, ok = false, None,
+            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      }
+    }
+  }
+
   /** One sampled frame of a media payload. */
   final case class MediaFrame(
       filename: String,

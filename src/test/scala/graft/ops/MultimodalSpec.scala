@@ -138,6 +138,47 @@ class MultimodalSpec extends SparkSpec {
     assert(feats("b.ppm").width == 2 && feats("b.ppm").sumB == 90)
   }
 
+  test("safe decode quarantines malformed payloads instead of failing the job") {
+    val good = Ppm.encodeP6(2, 2, 255,
+      Array.tabulate(12)(i => ((i * 31) % 256).toByte))
+    val truncated = good.dropRight(1) // short raster
+    val wrongMagic = "P5\n1 1\n255\n!".getBytes
+    val files = Seq(
+      Multimodal.MediaFile("ok.ppm", "ppm", good.length.toLong, good),
+      Multimodal.MediaFile("cut.ppm", "ppm", truncated.length.toLong, truncated),
+      Multimodal.MediaFile("gray.pgm", "ppm", wrongMagic.length.toLong, wrongMagic)).toDS()
+
+    // strict decode kills the job on the first bad payload...
+    intercept[org.apache.spark.SparkException](
+      Multimodal.decodePpm(files).collect())
+
+    // ...safe decode completes: features for the good file, quarantine
+    // rows (filename + reason) for the bad ones, one pass
+    val res = Multimodal.decodePpmSafe(files).collect()
+      .map(r => r.filename -> r).toMap
+    assert(res.size == 3)
+    assert(res("ok.ppm").ok && res("ok.ppm").feat.get.nPixels == 4
+      && res("ok.ppm").error.isEmpty)
+    assert(!res("cut.ppm").ok && res("cut.ppm").feat.isEmpty
+      && res("cut.ppm").error.get.contains("raster"))
+    assert(!res("gray.pgm").ok && res("gray.pgm").error.get.nonEmpty)
+    // good-path features identical to the strict decoder's
+    val strict = Multimodal.decodePpm(files.filter(_.filename == "ok.ppm"))
+      .collect().head
+    assert(res("ok.ppm").feat.get == strict)
+
+    // WAV twin: one malformed header among good files
+    val wav = graft.ops.Wav.encodePcm16(Array[Short](3, -2, 7), 1, 8000)
+    val badWav = wav.take(10)
+    val wfiles = Seq(
+      Multimodal.MediaFile("a.wav", "wav", wav.length.toLong, wav),
+      Multimodal.MediaFile("b.wav", "wav", badWav.length.toLong, badWav)).toDS()
+    val wres = Multimodal.decodeWavSafe(wfiles).collect()
+      .map(r => r.filename -> r).toMap
+    assert(wres("a.wav").ok && wres("a.wav").feat.get.nFrames == 3)
+    assert(!wres("b.wav").ok && wres("b.wav").error.get.nonEmpty)
+  }
+
   test("frame sampling: deterministic fan-out, slices match the payload") {
     val root = tmpDir("mm")
     val fixtures = writeFixtures(s"$root/media")
