@@ -376,6 +376,34 @@ object QueriesCore {
             .otherwise("both").as("side"))
         .orderBy($"custkey")
     }),
+
+    // ---- SQL front door (TPC-H Q3 shape, pure SQL text) ----------------
+    // The engine's tables registered as views and the query submitted as
+    // SQL — proving the whole surface (joins, decimal-exact aggregation,
+    // top-k) is reachable through `spark.sql` with zero DataFrame code,
+    // and that Catalyst plans SQL text identically (filters pushed to
+    // all three scans, small sides broadcast, TakeOrderedAndProject for
+    // the top-10). Same determinism contract as everywhere: DECIMAL
+    // revenue, unique (revenue DESC, l_orderkey) order.
+    "q88_sql_api" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+          o_orderpriority
+        FROM g_customer
+        JOIN g_orders ON c_custkey = o_custkey
+        JOIN g_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -541,5 +569,19 @@ object QueriesCore {
         |       ELSE 'both' END AS side
         |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+    "q88_sql_api" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
   )
 }
