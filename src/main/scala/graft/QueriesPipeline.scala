@@ -217,6 +217,25 @@ object QueriesPipeline {
         .orderBy($"p_partkey")
     }),
 
+    // ---- schema evolution under the oracle ----------------------------
+    // Add-column append: commit 1 writes (custkey, name), commit 2
+    // appends (custkey, name, segment); the merged committed schema
+    // null-backfills the old files on read — exactly the relational
+    // UNION the oracle runs. IncrementalTableSpec pins the mechanics
+    // (merge order, column drop, type-change rejection); this puts the
+    // end-to-end read under the exact-hash gate like q63/q64/q65.
+    "q89_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q89_").toString
+      val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      val base = Tables.customer(s, dir)
+      t.append(base.filter($"c_custkey" <= 500)
+        .select($"c_custkey", $"c_name"), partitionBy = Nil)
+      t.append(base.filter($"c_custkey" > 500 && $"c_custkey" <= 1000)
+        .select($"c_custkey", $"c_name", $"c_mktsegment"), partitionBy = Nil)
+      t.read().orderBy($"c_custkey")
+    }),
+
     // ---- row-level DELETE + UPDATE through the commit log ------------
     // Seed from customer, DELETE a predicate slice, UPDATE another
     // (uppercasing names and moving them to a new segment partition),
@@ -312,6 +331,13 @@ object QueriesPipeline {
       """SELECT p_partkey, p_name, p_brand FROM part
         |WHERE p_partkey BETWEEN 1 AND 200
         |ORDER BY p_partkey""".stripMargin,
+    "q89_schema_evolution" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment
+        |FROM customer WHERE c_custkey <= 500
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer WHERE c_custkey > 500 AND c_custkey <= 1000
+        |ORDER BY c_custkey""".stripMargin,
     "q63_delete_update" ->
       """WITH base AS (
         |  SELECT c_custkey AS cust_key, c_name AS name,
