@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.table.IncrementalTable
+
+/** Incremental corpus dedup: maintain an exactly-deduplicated table as
+  * the upstream grows, deduping each new batch against ALL history —
+  * the continuous form of `q21_dedup_exact`, and the op a training
+  * pipeline actually runs (the corpus arrives over months; re-deduping
+  * 100 TB from scratch per drop is not a plan).
+  *
+  * Like [[DerivedStream]], the upstream commit log IS the stream and
+  * the DOWNSTREAM TABLE is both checkpoint and dedup state: survivors
+  * are stored WITH their fingerprint column, so "seen before?" is a
+  * query against the output itself — no side state store, nothing to
+  * rebuild after a crash, and the (appId, batchId = upstream version)
+  * guard makes replays no-ops.
+  *
+  * Per append commit, survivors are:
+  *  1. within-batch dedup — one representative per fingerprint, chosen
+  *     by min `keyCol` (deterministic, partitioning-independent);
+  *  2. vs-history dedup — drop fingerprints already committed
+  *     downstream.
+  *
+  * Scale shape of step 2 (the part that touches history): the HISTORY
+  * side is never shuffled and never broadcast. The batch's fingerprint
+  * set (small — one tick's arrivals) broadcasts to a column-pruned scan
+  * of the history's `fp` column (a left_semi probe whose row-group
+  * reads the X20 parquet bloom filters can skip); only the matching
+  * fingerprints ("hits", ≤ batch size) come back, and the batch
+  * anti-joins that tiny set. Cost per drain: O(new data) shuffle +
+  * one sequential fp-column scan of history — at any table size, with
+  * no state to keep in executor memory (contrast
+  * `dropDuplicatesWithinWatermark`, which bounds state by TIME and
+  * forgets; this dedups against ALL of history by keeping the state in
+  * the table).
+  *
+  * Non-append upstream commits (replace / compaction checkpoint)
+  * invalidate incremental reasoning — dedup is a GLOBAL property, so a
+  * changed history cannot be patched per-partition. Those commits
+  * trigger a full rebuild (dedup of the upstream snapshot, full
+  * replace downstream), which is idempotent and therefore needs no
+  * batch guard. Steady-state ingest is append-only, so rebuilds are
+  * rare and explicit.
+  *
+  * @param fingerprint adds the `fp` column (e.g. md5 of normalized
+  *   text — or a MinHash band key for near-dup semantics).
+  * @param keyCol unique row key ordering within-batch representatives.
+  */
+final class DedupStream(
+    up: IncrementalTable,
+    down: IncrementalTable,
+    fingerprint: DataFrame => DataFrame,
+    keyCol: String,
+    partitionBy: Seq[String] = Nil,
+    name: String = "src")
+    extends CommitConsumer {
+
+  private val srcKey = s"src_version/$name"
+  private val appId = s"dedup:$name"
+
+  def sourceVersion: Long =
+    down.latestMeta(srcKey).map(_.toLong).getOrElse(-1L)
+
+  /** One representative per fingerprint: min keyCol wins. */
+  private def dedupWithin(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col(keyCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Batch survivors not fingerprint-matched by committed history. */
+  private def dedupAgainst(batch: DataFrame, history: DataFrame): DataFrame = {
+    val hits = history.select(col("fp"))
+      .join(broadcast(batch.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+    batch.join(broadcast(hits), Seq("fp"), "left_anti")
+  }
+
+  def drain(): Int = {
+    up.refresh()
+    val from = sourceVersion
+    val pending = up.commits().filter(c =>
+      c.version > from && c.action != "meta" &&
+        (c.add.nonEmpty || c.remove.nonEmpty))
+    pending.foreach { c =>
+      c.action match {
+        case "append" =>
+          val batch = dedupWithin(fingerprint(up.readCommit(c.version)))
+          val survivors =
+            if (down.exists) dedupAgainst(batch, down.read()) else batch
+          down.append(survivors, partitionBy,
+            meta = Map(srcKey -> c.version.toString),
+            batchId = Some(c.version), appId = Some(appId))
+        case _ =>
+          // replace | checkpoint: dedup is global — rebuild from the
+          // upstream snapshot (idempotent; no guard needed)
+          down.replaceWhere(
+            dedupWithin(fingerprint(up.readAt(c.version))), partitionBy,
+            Map.empty, partitionFilter = Map.empty,
+            meta = Map(srcKey -> c.version.toString))
+      }
+    }
+    pending.size
+  }
+}
