@@ -167,6 +167,7 @@ object QueriesSimilarity {
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       val k = 8
       val stride = e.count() / k
+      require(stride > 0, s"k-means needs at least $k vectors")
       val seeds = e.filter($"vec_id" % stride === 0 && $"vec_id" < k * stride)
         .orderBy($"vec_id").collect()
         .map(r => (r.getLong(0) / stride,

@@ -76,6 +76,27 @@ class DedupStreamSpec extends SparkSpec {
     assert(state(down2) == batchDedup(up2))
   }
 
+  test("near-dup semantics compose: a MinHash band key as the fingerprint") {
+    // the fingerprint hook takes ANY df=>df that adds `fp` — here a
+    // crude band key (sorted distinct tokens), so reordered copies of a
+    // document dedup as near-dups while genuinely new text survives
+    def bandFp(df: DataFrame): DataFrame =
+      df.withColumn("fp", md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))).cast("binary")))
+    val dir = tmpDir("dedupstream")
+    val up = IncrementalTable(spark, dir + "/docs/v1")
+    val down = IncrementalTable(spark, dir + "/deduped/v1")
+    val s = new DedupStream(up, down, bandFp, keyCol = "id", name = "docs")
+
+    up.append(docs(1L -> "the quick fox", 2L -> "slow brown dog"), Nil)
+    s.drain()
+    // 3 is a token-reordering of 1 (near-dup); 4 is new
+    up.append(docs(3L -> "fox the quick", 4L -> "entirely new text"), Nil)
+    s.drain()
+    assert(state(down) == Set(1L -> "the quick fox", 2L -> "slow brown dog",
+      4L -> "entirely new text"))
+  }
+
   test("upstream rewrite triggers a full rebuild that equals batch dedup") {
     val (up, down, s) = mk(tmpDir("dedupstream"))
     up.append(docs(1L -> "a", 2L -> "b"), Seq.empty)
