@@ -217,6 +217,33 @@ object QueriesPipeline {
         .orderBy($"p_partkey")
     }),
 
+    // ---- incremental streaming dedup under the oracle ------------------
+    // DedupStream end-to-end: documents arrive as two append commits
+    // (even doc_ids, then odd), each drained batch dedups within itself
+    // (min doc_id per fingerprint) then against all committed history.
+    // The fingerprint is the sorted distinct token set, so reordered
+    // near-dup copies collide (54/500 docs collapse at sf0.01). NOTE
+    // the semantics are ARRIVAL-ORDER dedup, not global min-id: an even
+    // representative beats a later odd doc with a smaller id — the
+    // oracle replays exactly the two-phase arrival, which is the
+    // contract an incremental pipeline actually provides.
+    "q90_dedup_stream" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q90_").toString
+      val up = graft.table.IncrementalTable(s, s"$tmp/docs/v1")
+      val down = graft.table.IncrementalTable(s, s"$tmp/deduped/v1")
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+      up.append(docs.filter($"doc_id" % 2 === 0), partitionBy = Nil)
+      up.append(docs.filter($"doc_id" % 2 === 1), partitionBy = Nil)
+      val fp = (df: org.apache.spark.sql.DataFrame) => df.withColumn("fp",
+        md5(concat_ws(" ", array_sort(array_distinct(
+          graft.functions.TextOps.tokens($"text")))).cast("binary")))
+      val stream = new graft.streaming.DedupStream(up, down, fp,
+        keyCol = "doc_id", name = "docs")
+      stream.drain()
+      down.read().select($"doc_id", $"source", $"fp").orderBy($"doc_id")
+    }),
+
     // ---- schema evolution under the oracle ----------------------------
     // Add-column append: commit 1 writes (custkey, name), commit 2
     // appends (custkey, name, segment); the merged committed schema
@@ -338,6 +365,22 @@ object QueriesPipeline {
         |SELECT c_custkey, c_name, c_mktsegment
         |FROM customer WHERE c_custkey > 500 AND c_custkey <= 1000
         |ORDER BY c_custkey""".stripMargin,
+    "q90_dedup_stream" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), t -> t != ''))), ' ')) AS fp
+        |  FROM documents),
+        |b1 AS (SELECT doc_id, source, fp FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM d WHERE doc_id % 2 = 0) WHERE rn = 1),
+        |b2 AS (SELECT doc_id, source, fp FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM d WHERE doc_id % 2 = 1) WHERE rn = 1),
+        |b2k AS (SELECT * FROM b2 WHERE fp NOT IN (SELECT fp FROM b1))
+        |SELECT doc_id, source, fp FROM b1
+        |UNION ALL SELECT doc_id, source, fp FROM b2k
+        |ORDER BY doc_id""".stripMargin,
     "q63_delete_update" ->
       """WITH base AS (
         |  SELECT c_custkey AS cust_key, c_name AS name,
