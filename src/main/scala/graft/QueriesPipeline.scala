@@ -217,6 +217,35 @@ object QueriesPipeline {
         .orderBy($"p_partkey")
     }),
 
+    // ---- CSV + JSON source/sink round-trip under the oracle ------------
+    // Source-format breadth: the same orders slice written to CSV (with
+    // header) and JSON lines, read back through DataFrameReader with
+    // the ORIGINAL schema (no inference — inference is a scan tax and a
+    // type lottery at scale), and both legs must reproduce the parquet
+    // relation exactly — doubles round-trip via shortest-decimal
+    // rendering, timestamps via Spark's symmetric default formats, and
+    // the final projection renders engine-neutrally for the oracle.
+    // Schema-explicit reads are the 100 TB contract: text formats carry
+    // no types, so the table's schema is the reader's input, not its
+    // output.
+    "q91_source_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q91_").toString
+      val slice = Tables.orders(s, dir).filter($"o_orderkey" % 100 === 0)
+      slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      slice.write.mode("overwrite").json(s"$tmp/json")
+      val fromCsv = s.read.schema(slice.schema).option("header", "true")
+        .csv(s"$tmp/csv")
+      val fromJson = s.read.schema(slice.schema).json(s"$tmp/json")
+      fromCsv.withColumn("leg", lit("csv"))
+        .unionByName(fromJson.withColumn("leg", lit("json")))
+        .select($"leg", $"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice",
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("order_date"),
+          $"o_orderpriority")
+        .orderBy($"leg", $"o_orderkey")
+    }),
+
     // ---- incremental streaming dedup under the oracle ------------------
     // DedupStream end-to-end: documents arrive as two append commits
     // (even doc_ids, then odd), each drained batch dedups within itself
@@ -365,6 +394,18 @@ object QueriesPipeline {
         |SELECT c_custkey, c_name, c_mktsegment
         |FROM customer WHERE c_custkey > 500 AND c_custkey <= 1000
         |ORDER BY c_custkey""".stripMargin,
+    "q91_source_roundtrip" ->
+      """WITH s AS (SELECT * FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT 'csv' AS leg, o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+        |    AS order_date, o_orderpriority
+        |FROM s
+        |UNION ALL
+        |SELECT 'json' AS leg, o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+        |    AS order_date, o_orderpriority
+        |FROM s
+        |ORDER BY leg, o_orderkey""".stripMargin,
     "q90_dedup_stream" ->
       """WITH d AS (
         |  SELECT doc_id, source,
