@@ -386,23 +386,29 @@ object QueriesCore {
     // the top-10). Same determinism contract as everywhere: DECIMAL
     // revenue, unique (revenue DESC, l_orderkey) order.
     "q88_sql_api" -> ((s, dir) => {
-      Tables.customer(s, dir).createOrReplaceTempView("g_customer")
-      Tables.orders(s, dir).createOrReplaceTempView("g_orders")
-      Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
-      s.sql("""
+      // per-call view names, dropped after analysis: sql() resolves
+      // temp views eagerly into the plan, so the DataFrame survives the
+      // drop and no session-global names are mutated or leaked
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      Tables.customer(s, dir).createOrReplaceTempView(s"g_customer_$tag")
+      Tables.orders(s, dir).createOrReplaceTempView(s"g_orders_$tag")
+      Tables.lineitem(s, dir).createOrReplaceTempView(s"g_lineitem_$tag")
+      try s.sql(s"""
         SELECT l_orderkey,
           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
           date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
           o_orderpriority
-        FROM g_customer
-        JOIN g_orders ON c_custkey = o_custkey
-        JOIN g_lineitem ON l_orderkey = o_orderkey
+        FROM g_customer_$tag
+        JOIN g_orders_$tag ON c_custkey = o_custkey
+        JOIN g_lineitem_$tag ON l_orderkey = o_orderkey
         WHERE c_mktsegment = 'BUILDING'
           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
           AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+      finally Seq("g_customer_", "g_orders_", "g_lineitem_")
+        .foreach(v => s.catalog.dropTempView(v + tag))
     }),
   )
 

@@ -185,7 +185,10 @@ object QueriesText {
         sum(when($"cnt" > 1, $"cnt" * gramChars($"gram", 3)).otherwise(0L))
           .as("dup3_chars"),
         sum($"cnt" * gramChars($"gram", 3)).as("all3_chars"))
-      base.join(big, "doc_id").join(tri, "doc_id")
+      // LEFT joins: a 1-token doc has no bigrams and a 2-token doc no
+      // trigrams, but a per-document filter pass must still emit a row
+      // for it (null n-gram stats), not silently drop it from scoring
+      base.join(big, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
         .select($"doc_id",
           (($"n_tokens" - $"n_types").cast("double") / $"n_tokens")
             .as("dup_token_frac"),
@@ -289,8 +292,8 @@ object QueriesText {
          |    AS top_bigram_char_frac,
          |  CAST(ta.dup3_chars AS DOUBLE) / ta.all3_chars
          |    AS dup_trigram_char_frac
-         |FROM base b JOIN bigtop t USING (doc_id)
-         |  JOIN bigagg ba USING (doc_id) JOIN triagg ta USING (doc_id)
+         |FROM base b LEFT JOIN bigtop t USING (doc_id)
+         |  LEFT JOIN bigagg ba USING (doc_id) LEFT JOIN triagg ta USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "q69_bpe_pretokenize" ->
       s"""WITH p AS (

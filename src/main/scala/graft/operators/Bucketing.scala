@@ -32,17 +32,30 @@ import org.apache.spark.sql.functions.col
   */
 object Bucketing {
 
+  // previous generation's (table, dir) — dropped at the next call so
+  // repeated invocations (bench warmup + iterations, test reruns) hold
+  // at most one spare generation in the catalog and on disk instead of
+  // accumulating one per call
+  private val lastGen =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, String)]](Nil)
+
   /** Write both sides bucketed+sorted on their join keys into a fresh
     * temp warehouse path and return the catalog-backed frames. Table
-    * names are suffixed by a per-call nonce: repeated invocations (bench
-    * iterations) never collide in the session catalog. */
+    * names are suffixed by a per-call nonce: repeated invocations never
+    * collide in the session catalog, and each call retires the previous
+    * call's tables + data. */
   def bucketedPair(spark: SparkSession,
       a: (DataFrame, String), b: (DataFrame, String),
       buckets: Int): (DataFrame, DataFrame) = {
     val base = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
     val nonce = base.replaceAll(".*_", "")
-    (writeBucketed(spark, a._1, a._2, s"b_a_$nonce", s"$base/a", buckets),
-      writeBucketed(spark, b._1, b._2, s"b_b_$nonce", s"$base/b", buckets))
+    val gen = Seq((s"b_a_$nonce", s"$base/a"), (s"b_b_$nonce", s"$base/b"))
+    lastGen.getAndSet(gen).foreach { case (tbl, dir) =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+    (writeBucketed(spark, a._1, a._2, gen(0)._1, gen(0)._2, buckets),
+      writeBucketed(spark, b._1, b._2, gen(1)._1, gen(1)._2, buckets))
   }
 
   private def writeBucketed(spark: SparkSession, df: DataFrame, key: String,

@@ -38,13 +38,23 @@ import graft.table.IncrementalTable
   * forgets; this dedups against ALL of history by keeping the state in
   * the table).
   *
-  * Non-append upstream commits (replace / compaction checkpoint)
+  * Non-append upstream commits (replace / log-compaction checkpoint)
   * invalidate incremental reasoning — dedup is a GLOBAL property, so a
   * changed history cannot be patched per-partition. Those commits
-  * trigger a full rebuild (dedup of the upstream snapshot, full
-  * replace downstream), which is idempotent and therefore needs no
-  * batch guard. Steady-state ingest is append-only, so rebuilds are
-  * rare and explicit.
+  * trigger a REPRESENTATIVE-STABLE rebuild against the upstream
+  * snapshot: a fingerprint's already-committed representative is KEPT
+  * as long as its exact row still exists upstream, fingerprints whose
+  * representative vanished re-pick min `keyCol` among survivors, new
+  * fingerprints enter by min `keyCol`, and fingerprints gone upstream
+  * drop. Stability matters because the upstream log auto-checkpoints
+  * every [[graft.table.IncrementalTable.checkpointInterval]] commits —
+  * a checkpoint shares the version of the commit it folds, so a
+  * caught-up consumer sees the checkpoint INSTEAD of that delta; a
+  * naive global re-dedup there would silently flip representatives
+  * (and churn downstream consumers) with zero upstream data change.
+  * The rebuild is idempotent, so it needs no batch guard; its cost is
+  * O(snapshot) but amortizes to O(1/checkpointInterval) per commit on
+  * append-only ingest.
   *
   * @param fingerprint adds the `fp` column (e.g. md5 of normalized
   *   text — or a MinHash band key for near-dup semantics).
@@ -95,10 +105,25 @@ final class DedupStream(
             meta = Map(srcKey -> c.version.toString),
             batchId = Some(c.version), appId = Some(appId))
         case _ =>
-          // replace | checkpoint: dedup is global — rebuild from the
-          // upstream snapshot (idempotent; no guard needed)
-          down.replaceWhere(
-            dedupWithin(fingerprint(up.readAt(c.version))), partitionBy,
+          // replace | checkpoint: representative-stable rebuild (see
+          // class doc). Idempotent; no guard needed.
+          val snap = fingerprint(up.readAt(c.version))
+          val rebuilt =
+            if (!down.exists) dedupWithin(snap)
+            else {
+              // table-scale joins (rebuilds are rare, O(snapshot) by
+              // contract): no broadcast hints — AQE decides
+              val prior = down.read()
+              // prior representatives whose exact row survived upstream
+              val kept = prior.join(
+                snap.select(col("fp"), col(keyCol)).distinct(),
+                Seq("fp", keyCol), "left_semi")
+              // fps with no surviving representative: re-pick min key
+              val fresh = dedupWithin(snap)
+                .join(kept.select(col("fp")), Seq("fp"), "left_anti")
+              kept.unionByName(fresh)
+            }
+          down.replaceWhere(rebuilt, partitionBy,
             Map.empty, partitionFilter = Map.empty,
             meta = Map(srcKey -> c.version.toString))
       }

@@ -102,7 +102,8 @@ final class ConcurrentWriteException(msg: String) extends java.io.IOException(ms
   *    stores without atomic rename need an external lock — run
   *    single-writer there, the reference's own deployment shape.
   */
-final class IncrementalTable(spark: SparkSession, val root: String) {
+final class IncrementalTable(spark: SparkSession, val root: String,
+    checkpointEvery: Int = IncrementalTable.checkpointInterval) {
   import IncrementalTable._
   private implicit val fmts: Formats = DefaultFormats
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[IncrementalTable])
@@ -842,7 +843,7 @@ final class IncrementalTable(spark: SparkSession, val root: String) {
 
   /** Snapshot the live set so replay cost stays O(checkpointInterval). */
   private def maybeCheckpoint(version: Long): Unit =
-    if (version > 0 && version % checkpointInterval == 0) {
+    if (version > 0 && version % checkpointEvery == 0) {
       val cs = commits()
       val last = cs.last
       // fold the replay horizon's batchIds into the checkpoint so the
@@ -999,6 +1000,10 @@ object IncrementalTable {
 
   def apply(spark: SparkSession, root: String): IncrementalTable =
     new IncrementalTable(spark, root)
+
+  /** Test/tuning hook: custom log-compaction cadence. */
+  def apply(spark: SparkSession, root: String, checkpointEvery: Int): IncrementalTable =
+    new IncrementalTable(spark, root, checkpointEvery)
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[String] = {
     if (!fs.exists(dir)) return Seq.empty

@@ -97,6 +97,24 @@ class DedupStreamSpec extends SparkSpec {
       4L -> "entirely new text"))
   }
 
+  test("upstream auto-checkpoint does not flip committed representatives") {
+    // the log checkpoint shares the version of the commit it folds, so
+    // a caught-up consumer sees the CHECKPOINT instead of that delta —
+    // the rebuild must keep prior representatives (here: id 10 for
+    // "same" beats the later-arriving smaller id 5), not re-dedup
+    // globally by min id
+    val dir = tmpDir("dedupstream")
+    val up = IncrementalTable(spark, dir + "/docs/v1", checkpointEvery = 2)
+    val down = IncrementalTable(spark, dir + "/deduped/v1")
+    val s = new DedupStream(up, down, fp, keyCol = "id", name = "docs")
+    up.append(docs(10L -> "same"), Nil) // v1
+    assert(s.drain() == 1)
+    up.append(docs(5L -> "same", 6L -> "other"), Nil) // v2 + checkpoint@2
+    assert(s.drain() == 1)
+    assert(state(down) == Set(10L -> "same", 6L -> "other"))
+    assert(s.drain() == 0)
+  }
+
   test("upstream rewrite triggers a full rebuild that equals batch dedup") {
     val (up, down, s) = mk(tmpDir("dedupstream"))
     up.append(docs(1L -> "a", 2L -> "b"), Seq.empty)
