@@ -343,6 +343,37 @@ object QueriesPipeline {
         .orderBy($"_commit_version", $"_change_type", $"cust_key")
     }),
 
+    // ---- incremental join view maintenance under the oracle ----------
+    // JoinStream end-to-end: orders and customers arrive interleaved as
+    // two append commits per side with drains between, each delta
+    // joined only against the OTHER side's already-incorporated cursor
+    // snapshot (ΔL ⋈ R@cursor, L@cursor ⋈ ΔR) — so every joined pair
+    // enters exactly once and the final state equals the full inner
+    // join no matter the arrival order. A pair double-counted across
+    // deltas, or a delta joined against the wrong snapshot, breaks the
+    // row count and hash.
+    "q92_join_stream" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q92_").toString
+      val l = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
+      val r = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      val d = graft.table.IncrementalTable(s, s"$tmp/joined/v1")
+      val ord = Tables.orders(s, dir).select($"o_orderkey",
+        $"o_custkey".as("cust_key"), $"o_totalprice")
+      val cust = Tables.customer(s, dir).select($"c_custkey".as("cust_key"),
+        $"c_name", $"c_mktsegment")
+      val stream = new graft.streaming.JoinStream(l, r, d, Seq("cust_key"),
+        name = "oc")
+      l.append(ord.filter($"o_orderkey" % 2 === 1), partitionBy = Nil)
+      r.append(cust.filter($"cust_key" % 2 === 0), partitionBy = Nil)
+      stream.drain()
+      l.append(ord.filter($"o_orderkey" % 2 === 0), partitionBy = Nil)
+      r.append(cust.filter($"cust_key" % 2 === 1), partitionBy = Nil)
+      stream.drain()
+      d.read().select($"o_orderkey", $"cust_key", $"o_totalprice",
+        $"c_name", $"c_mktsegment").orderBy($"o_orderkey")
+    }),
+
     // ---- logical→physical partition mapping + prune ------------------
     "q31_partition_prune" -> ((s, dir) => {
       import s.implicits._
@@ -473,6 +504,11 @@ object QueriesPipeline {
         |UNION ALL
         |SELECT cust_key, name, segment FROM upd
         |ORDER BY cust_key""".stripMargin,
+    "q92_join_stream" ->
+      """SELECT o_orderkey, o_custkey AS cust_key, o_totalprice,
+        |  c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q31_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y') AS year,
         |  strftime(o_orderdate, '%m') AS month,

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.IncrementalTable
+
+/** Incremental join maintenance ([[JoinStream]]): after every drain the
+  * maintained table must EQUAL the full inner join of both upstreams —
+  * across any interleaving of appends, crash replays, one-sided
+  * starts, and upstream rewrites. */
+class JoinStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders(rows: (Long, Long, String)*): DataFrame =
+    rows.toDF("order_id", "cust_id", "status")
+
+  private def custs(rows: (Long, String)*): DataFrame =
+    rows.toDF("cust_id", "name")
+
+  private def mk(dir: String): (IncrementalTable, IncrementalTable,
+      IncrementalTable, JoinStream) = {
+    val l = IncrementalTable(spark, dir + "/orders/v1")
+    val r = IncrementalTable(spark, dir + "/custs/v1")
+    val d = IncrementalTable(spark, dir + "/joined/v1")
+    (l, r, d, new JoinStream(l, r, d, Seq("cust_id"), name = "oc"))
+  }
+
+  /** Ground truth: full inner join of the live upstreams. */
+  private def fullJoin(l: IncrementalTable, r: IncrementalTable): Set[(Long, Long, String, String)] =
+    l.read().join(r.read(), Seq("cust_id"))
+      .select($"order_id", $"cust_id", $"status", $"name")
+      .as[(Long, Long, String, String)].collect().toSet
+
+  private def state(d: IncrementalTable): Set[(Long, Long, String, String)] =
+    d.read().select($"order_id", $"cust_id", $"status", $"name")
+      .as[(Long, Long, String, String)].collect().toSet
+
+  test("interleaved appends on both sides equal the full join at every drain") {
+    val (l, r, d, s) = mk(tmpDir("joinstream"))
+
+    // left first — right has nothing incorporated, cursor-only advance
+    // (the downstream holds just the cursor: no data, no schema yet)
+    l.append(orders((100L, 1L, "OPEN"), (101L, 2L, "OPEN")), Nil)
+    assert(s.drain() == 1)
+    assert(d.read().count() == 0)
+
+    // right arrives: ΔR joins the incorporated left -> both pairs
+    r.append(custs(1L -> "ann", 3L -> "cid"), Nil)
+    assert(s.drain() == 1)
+    assert(state(d) == fullJoin(l, r))
+    assert(state(d) == Set((100L, 1L, "OPEN", "ann")))
+
+    // both sides grow between drains; one drain applies both deltas.
+    // New left rows must meet OLD right rows (ΔL ⋈ R@cursor) and new
+    // right rows must meet ALL left rows including this drain's ΔL.
+    l.append(orders((102L, 1L, "SHIP"), (103L, 3L, "OPEN")), Nil)
+    r.append(custs(2L -> "bob"), Nil)
+    assert(s.drain() == 2)
+    assert(state(d) == fullJoin(l, r))
+    assert(state(d) == Set(
+      (100L, 1L, "OPEN", "ann"), (102L, 1L, "SHIP", "ann"),
+      (103L, 3L, "OPEN", "cid"), (101L, 2L, "OPEN", "bob")))
+
+    assert(s.drain() == 0) // nothing pending; re-drain is a no-op
+  }
+
+  test("crash replay is a no-op: a fresh consumer resumes from the table alone") {
+    val dir = tmpDir("joinstream")
+    val (l, r, d, s) = mk(dir)
+    l.append(orders((1L, 1L, "A")), Nil)
+    r.append(custs(1L -> "ann"), Nil)
+    s.drain()
+    l.append(orders((2L, 1L, "B")), Nil)
+    s.drain()
+
+    // post-crash identity: cursors recover from the downstream log
+    val (l2, r2, d2, s2) = mk(dir)
+    assert(s2.drain() == 0)
+    assert(state(d2) == fullJoin(l2, r2))
+    assert(s2.leftVersion == l2.commits().last.version)
+  }
+
+  test("upstream rewrite on either side triggers a rebuild equal to the full join") {
+    val (l, r, d, s) = mk(tmpDir("joinstream"))
+    l.append(orders((1L, 1L, "A"), (2L, 2L, "B")), Nil)
+    r.append(custs(1L -> "ann", 2L -> "bob"), Nil)
+    s.drain()
+
+    // rewrite the LEFT history (e.g. a refresh correcting statuses):
+    // appends can't patch it — the stream must rebuild
+    l.replaceWhere(orders((1L, 1L, "FIXED"), (3L, 2L, "C")), Nil,
+      Map.empty, partitionFilter = Map.empty)
+    assert(s.drain() == 1)
+    assert(state(d) == fullJoin(l, r))
+    assert(state(d) == Set((1L, 1L, "FIXED", "ann"), (3L, 2L, "C", "bob")))
+
+    // incremental consumption resumes after the rebuild
+    r.append(custs(9L -> "zed"), Nil)
+    l.append(orders((4L, 9L, "D")), Nil)
+    assert(s.drain() == 2)
+    assert(state(d) == fullJoin(l, r))
+  }
+
+  test("non-key column collision across sides is rejected") {
+    val dir = tmpDir("joinstream")
+    val l = IncrementalTable(spark, dir + "/a/v1")
+    val r = IncrementalTable(spark, dir + "/b/v1")
+    val d = IncrementalTable(spark, dir + "/j/v1")
+    val s = new JoinStream(l, r, d, Seq("cust_id"), name = "clash")
+    l.append(Seq((1L, "x")).toDF("cust_id", "name"), Nil)
+    r.append(Seq((1L, "y")).toDF("cust_id", "name"), Nil)
+    val e = intercept[IllegalArgumentException](s.drain())
+    assert(e.getMessage.contains("name"))
+  }
+}
