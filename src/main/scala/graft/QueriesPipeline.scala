@@ -374,6 +374,25 @@ object QueriesPipeline {
         $"c_name", $"c_mktsegment").orderBy($"o_orderkey")
     }),
 
+    // ---- merge-on-read deletes (deletion vectors) under the oracle ----
+    // Two overlapping vectorized deletes hide rows WITHOUT rewriting any
+    // data file (the Delta DV / Iceberg position-delete shape); the
+    // final read applies the accumulated vectors as a broadcast
+    // anti-join in the scan stage. The oracle replays both deletes
+    // relationally — a leaked deleted row, a double-hidden row, or a
+    // position misapplied to the wrong file breaks count and hash.
+    "q93_deletion_vectors" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q93_").toString
+      val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      t.append(Tables.customer(s, dir).select(
+        $"c_custkey".as("cust_key"), $"c_name".as("name"),
+        $"c_mktsegment".as("segment")), partitionBy = Seq("segment"))
+      t.deleteVectorized($"cust_key" % 3 === 0)
+      t.deleteVectorized($"cust_key" % 5 === 0) // overlaps (15,30,..): no-op rows
+      t.read().select($"cust_key", $"name", $"segment").orderBy($"cust_key")
+    }),
+
     // ---- logical→physical partition mapping + prune ------------------
     "q31_partition_prune" -> ((s, dir) => {
       import s.implicits._
@@ -509,6 +528,12 @@ object QueriesPipeline {
         |  c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q93_deletion_vectors" ->
+      """SELECT c_custkey AS cust_key, c_name AS name,
+        |  c_mktsegment AS segment
+        |FROM customer
+        |WHERE c_custkey % 3 <> 0 AND c_custkey % 5 <> 0
+        |ORDER BY cust_key""".stripMargin,
     "q31_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y') AS year,
         |  strftime(o_orderdate, '%m') AS month,

@@ -118,7 +118,7 @@ final class AggregateStream(
     val from = sourceVersion
     val pending = up.commits().filter(c =>
       c.version > from && c.action != "meta" &&
-        (c.add.nonEmpty || c.remove.nonEmpty))
+        (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty))
     pending.foreach { c =>
       val cursor = Map(srcKey -> c.version.toString)
       c.action match {
@@ -150,7 +150,7 @@ final class AggregateStream(
             groupKeys.contains(k) && partitionBy.contains(k))
           val scopes =
             if (scopable)
-              (c.add ++ c.remove).map(scopeOf).distinct.filter(_.nonEmpty)
+              (c.add ++ c.remove ++ c.dv.keys).map(scopeOf).distinct.filter(_.nonEmpty)
             else Nil
           if (scopes.isEmpty)
             down.replaceWhere(aggOf(up.readAt(c.version)), partitionBy,

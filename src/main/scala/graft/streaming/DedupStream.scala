@@ -94,7 +94,7 @@ final class DedupStream(
     val from = sourceVersion
     val pending = up.commits().filter(c =>
       c.version > from && c.action != "meta" &&
-        (c.add.nonEmpty || c.remove.nonEmpty))
+        (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty))
     pending.foreach { c =>
       c.action match {
         case "append" =>

@@ -68,7 +68,7 @@ final class DerivedStream(
     val from = sourceVersion
     val pending = up.commits().filter(c =>
       c.version > from && c.action != "meta" &&
-        (c.add.nonEmpty || c.remove.nonEmpty))
+        (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty))
     pending.foreach { c =>
       c.action match {
         case "append" =>
@@ -76,7 +76,7 @@ final class DerivedStream(
             meta = Map(srcKey -> c.version.toString),
             batchId = Some(c.version), appId = Some(appId))
         case _ => // replace | checkpoint: recompute the touched scopes
-          val scopes = (c.add ++ c.remove).map(scopeOf).distinct.filter(_.nonEmpty)
+          val scopes = (c.add ++ c.remove ++ c.dv.keys).map(scopeOf).distinct.filter(_.nonEmpty)
           if (scopes.isEmpty)
             // upstream not partitioned by the replay scope: the only
             // sound recompute unit is the whole table

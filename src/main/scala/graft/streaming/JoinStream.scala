@@ -81,7 +81,7 @@ final class JoinStream(
     up.refresh()
     up.commits().filter(c =>
       c.version > from && c.action != "meta" &&
-        (c.add.nonEmpty || c.remove.nonEmpty))
+        (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty))
   }
 
   private def joined(l: DataFrame, r: DataFrame): DataFrame = {

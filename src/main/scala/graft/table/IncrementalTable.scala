@@ -53,7 +53,17 @@ final case class Commit(
     // a Spark job. Only columns the writer asked to index (statsColumns)
     // appear. Checkpoints fold the live files' stats forward so skipping
     // survives log compaction. Defaults keep pre-existing logs readable.
-    fileStats: Map[String, Map[String, ColStat]] = Map.empty)
+    fileStats: Map[String, Map[String, ColStat]] = Map.empty,
+    // Deletion vectors (merge-on-read row-level deletes, the Delta DV /
+    // Iceberg position-delete analog): data rel path -> sidecar
+    // GENERATION ids, each a parquet directory `_graft_dv/<gen>/` of
+    // (file, pos) rows marking that file's deleted row indexes. An
+    // action="dv" commit lists only its NEW generations (Iceberg-style
+    // accumulation — multiple delete files apply to one data file), so
+    // replay unions per file; removing a file drops its entry, and
+    // checkpoints fold the live map forward. Defaults keep pre-existing
+    // logs readable.
+    dv: Map[String, Seq[String]] = Map.empty)
 
 /** Per-file column statistics entry ([min,max] over the file's rows). */
 final case class ColStat(min: Long, max: Long)
@@ -243,6 +253,22 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     m.toMap
   }
 
+  /** Committed deletion-vector state of the live set: data rel path →
+    * sidecar generation ids whose (file, pos) rows are logically
+    * deleted from it. Folded over the log like [[liveFiles]]: dv
+    * commits accumulate generations per file, removing a file drops
+    * its entry, checkpoints carry the live map forward. */
+  def liveDv(asOf: Option[Long] = None): Map[String, Seq[String]] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    commitsAsOf(asOf).foreach { c =>
+      c.remove.foreach(m.remove)
+      c.dv.foreach { case (f, gens) =>
+        m(f) = (m.getOrElse(f, Nil) ++ gens).distinct
+      }
+    }
+    m.toMap
+  }
+
   /** [[liveFiles]] additionally pruned by the data-skipping index: a
     * file is dropped when the bounds [[DataSkipping]] extracts from
     * `predicate` cannot intersect its committed [min,max]. Files
@@ -279,7 +305,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val files = liveFilesWhere(predicate, filters)
     val stored = commits().reverse.iterator.map(_.schemaJson)
       .find(_.nonEmpty).map(StructType.fromDDL)
-    filesDf(files, stored).filter(predicate)
+    filesDf(files, stored, liveDv()).filter(predicate)
   }
 
   /** Snapshot read as of an older commit version (Delta-style time
@@ -304,8 +330,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val cs = commitsAsOf(Some(version))
     val c = cs.last
     require(c.version == version, s"no commit at version $version (nearest: ${c.version})")
+    // raw change set: DVs attach at LATER versions and are separate
+    // logical changes, so the batch reads as committed (dv = empty)
     filesDf(c.add, cs.reverse.iterator.map(_.schemaJson).find(_.nonEmpty)
-      .map(StructType.fromDDL))
+      .map(StructType.fromDDL), Map.empty)
   }
 
   /** Row-level change feed (CDC read): every LOGICAL change between the
@@ -321,24 +349,61 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * not changes, and are skipped; the window is bounded by the replay
     * horizon like [[readAt]], and vacuum retains every file the window
     * references. All files read under the `toVersion` schema (older
-    * files null-fill evolved columns, same as any read). */
+    * files null-fill evolved columns, same as any read).
+    *
+    * Deletion vectors compose exactly: an action="dv" commit surfaces
+    * its NEWLY deleted positions as delete rows (its sidecars hold
+    * precisely this commit's delta — see [[deleteVectorized]]), and
+    * every other commit's added/removed file contents are evaluated
+    * under the dv state AS OF that commit — so a later compaction that
+    * materializes the deletes cancels cleanly instead of re-emitting
+    * them as spurious deletes. */
   def changes(fromVersion: Long, toVersion: Long = latestVersion): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val cs = commitsAsOf(Some(toVersion))
     val stored = cs.reverse.iterator.map(_.schemaJson)
       .find(_.nonEmpty).map(StructType.fromDDL)
-    val window = cs.filter(c => c.version >= fromVersion &&
-      c.action != "meta" && c.action != "checkpoint" &&
-      (c.add.nonEmpty || c.remove.nonEmpty))
-    val cdc = window.map { c =>
-      val a = filesDf(c.add, stored)
-      val r = filesDf(c.remove, stored)
-      a.exceptAll(r).withColumn("_change_type", lit("insert"))
-        .unionByName(
-          r.exceptAll(a).withColumn("_change_type", lit("delete")))
-        .withColumn("_commit_version", lit(c.version))
+    // dv state folds over the WHOLE walk; each window commit reads
+    // under the state as of just before / just at itself
+    var dvState = Map.empty[String, Seq[String]]
+    val cdc = cs.flatMap { c =>
+      val dvBefore = dvState
+      c.remove.foreach(f => dvState -= f)
+      c.dv.foreach { case (f, gens) =>
+        dvState += f -> (dvState.getOrElse(f, Nil) ++ gens).distinct
+      }
+      val inWindow = c.version >= fromVersion &&
+        c.action != "meta" && c.action != "checkpoint" &&
+        (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty)
+      if (!inWindow) None
+      else if (c.action == "dv") {
+        // the commit's own sidecars ARE its logical delta: join their
+        // positions back to the touched files' rows (under the PRIOR
+        // dv state — already-deleted rows can't delete again)
+        val pos = dvPositions(c.dv.values.flatten.toSeq.distinct)
+        val deleted = filesDfWithPos(c.dv.keys.toSeq, stored, dvBefore)
+          .join(broadcast(pos),
+            col("_dv_file") === pos("_dv_sc_file") &&
+              col("_dv_pos") === pos("_dv_sc_pos"))
+        val rows = stored.map(s => deleted.select(
+          s.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+          .getOrElse(dropPosCols(deleted.drop("_dv_sc_file", "_dv_sc_pos")))
+        Some(rows.withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(c.version)))
+      } else {
+        // added files are new — no dv can predate them; removed files
+        // read under the pre-commit dv state so materialized deletes
+        // cancel against the (dv-applied) rewrite
+        val a = filesDf(c.add, stored, Map.empty)
+        val r = filesDf(c.remove, stored, dvBefore)
+        Some(a.exceptAll(r).withColumn("_change_type", lit("insert"))
+          .unionByName(
+            r.exceptAll(a).withColumn("_change_type", lit("delete")))
+          .withColumn("_commit_version", lit(c.version)))
+      }
     }
     cdc.reduceOption(_.unionByName(_)).getOrElse(
-      filesDf(Nil, stored)
+      filesDf(Nil, stored, Map.empty)
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L)).limit(0))
   }
@@ -351,10 +416,58 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // keeps its original type and position.
     val stored = commitsAsOf(asOf).reverse.iterator.map(_.schemaJson)
       .find(_.nonEmpty).map(StructType.fromDDL)
-    filesDf(files, stored)
+    filesDf(files, stored, liveDv(asOf))
   }
 
-  private def filesDf(files: Seq[String], stored: Option[StructType]): DataFrame = {
+  /** Read `files` applying `dv` deletion vectors, projected to the
+    * committed schema. The DV anti-join's build side is the (small,
+    * compaction-bounded) position set and is broadcast, so the data
+    * side never shuffles — it stays in its scan stage, same as a
+    * Delta/Iceberg merge-on-read scan. Pass the dv state AS OF the
+    * read's version (empty for raw change-set reads). */
+  private def filesDf(files: Seq[String], stored: Option[StructType],
+      dv: Map[String, Seq[String]]): DataFrame = {
+    val df =
+      if (files.exists(dv.contains)) dropPosCols(filesDfWithPos(files, stored, dv))
+      else rawFilesDf(files, stored)
+    stored.map(s => df.select(s.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+      .getOrElse(df)
+  }
+
+  private val dvPrefix = "_graft_dv"
+  private def dropPosCols(df: DataFrame): DataFrame = df.drop("_dv_file", "_dv_pos")
+
+  /** Sidecar rows of the given generations: (file rel path, row pos).
+    * Stale rows naming since-removed data files are harmless — file
+    * names are write-unique, so they can never match a live row. */
+  private def dvPositions(gens: Seq[String]): DataFrame =
+    spark.read
+      .schema(new StructType().add("file", "string").add("pos", "long"))
+      .parquet(gens.map(g => new Path(rootPath, s"$dvPrefix/$g").toString): _*)
+      .select(org.apache.spark.sql.functions.col("file").as("_dv_sc_file"),
+        org.apache.spark.sql.functions.col("pos").as("_dv_sc_pos"))
+
+  /** [[rawFilesDf]] plus `_dv_file` (root-relative path, the same
+    * rendering [[relativize]] produces) and `_dv_pos` (parquet row
+    * index) columns, with `dv`'s deleted positions anti-joined out. */
+  private def filesDfWithPos(files: Seq[String], stored: Option[StructType],
+      dv: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    val prefix = rootPath.toUri.getPath.stripSuffix("/") + "/"
+    val base = rawFilesDf(files, stored)
+      .withColumn("_dv_file", substring_index(col("_metadata.file_path"), prefix, -1))
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+    val gens = files.flatMap(dv.get).flatten.distinct
+    if (gens.isEmpty) base
+    else {
+      val pos = dvPositions(gens)
+      base.join(broadcast(pos),
+        col("_dv_file") === pos("_dv_sc_file") && col("_dv_pos") === pos("_dv_sc_pos"),
+        "left_anti")
+    }
+  }
+
+  private def rawFilesDf(files: Seq[String], stored: Option[StructType]): DataFrame = {
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         stored.getOrElse(new StructType()))
@@ -376,8 +489,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           try reader.parquet(files.map(f => new Path(rootPath, f).toString): _*)
           finally spark.conf.set(key, old)
         }
-      stored.map(s => df.select(s.fieldNames.map(org.apache.spark.sql.functions.col): _*))
-        .getOrElse(df)
+      df
     }
   }
 
@@ -497,7 +609,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       append(src, partitionBy, meta = meta, batchId = batchId, appId = appId,
         statsColumns = statsColumns) // pure insert
     else {
-      val kept = filesDf(touched, Some(stored)).join(src, keys.toSeq, "left_anti")
+      val kept = filesDf(touched, Some(stored), liveDv()).join(src, keys.toSeq, "left_anti")
       val rewritten = kept.unionByName(src)
       write(rewritten, "replace", partitionBy, Map.empty, Map.empty, meta,
         batchId, appId, statsColumns = statsColumns, removeExact = Some(touched))
@@ -523,7 +635,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
     if (touched.isEmpty) None
     else {
-      val kept = filesDf(touched, Some(stored)).filter(!predicate)
+      val kept = filesDf(touched, Some(stored), liveDv()).filter(!predicate)
       write(kept, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
         None, removeExact = Some(touched))
     }
@@ -548,7 +660,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
     if (touched.isEmpty) None
     else {
-      val rewritten = filesDf(touched, Some(stored)).select(
+      val rewritten = filesDf(touched, Some(stored), liveDv()).select(
         stored.fieldNames.toSeq.map { n =>
           set.get(n) match {
             case Some(v) => when(predicate, v).otherwise(fn(n)).as(n)
@@ -557,6 +669,54 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         }: _*)
       write(rewritten, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
         None, removeExact = Some(touched))
+    }
+  }
+
+  /** Row-level DELETE as a DELETION VECTOR (merge-on-read — the Delta
+    * DV / Iceberg position-delete analog): instead of rewriting every
+    * file holding a matching row ([[delete]]'s copy-on-write), the
+    * matching rows' (file, row-index) positions are written to a
+    * parquet sidecar generation and committed as action="dv" —
+    * O(matching rows) written, NO data file rewritten, untouched rows
+    * keep their file identity and skipping stats. Reads apply live DVs
+    * as a broadcast anti-join (scan-stage cost, no data shuffle);
+    * [[compact]] MATERIALIZES them (its rewrite reads dv-applied, and
+    * a removed file's entries drop with the file), so standing DV
+    * volume is bounded by the compaction policy — the same
+    * rewrite-vs-defer economics Delta documents: frequent small
+    * deletes amortize into the next compaction instead of each paying
+    * file-scale rewrites.
+    *
+    * Each sidecar holds exactly the NEWLY deleted positions (prior DVs
+    * apply before matching), so a dv commit's sidecars are also its
+    * exact CDC delta ([[changes]]), and re-deleting already-deleted
+    * rows is a no-op (returns None). Candidate files are pre-pruned by
+    * the [min,max] skipping index like [[delete]]. */
+  def deleteVectorized(predicate: Column): Option[Commit] = {
+    require(exists, s"delete target $root does not exist")
+    val fn = org.apache.spark.sql.functions.col _
+    val stored = committedSchema
+    val candidates = liveFilesWhere(predicate)
+    if (candidates.isEmpty) return None
+    val gen = UUID.randomUUID().toString
+    val genDir = new Path(rootPath, s"$dvPrefix/$gen")
+    // a crash after this write leaves an unreferenced generation —
+    // invisible to readers, reclaimed by vacuum()
+    filesDfWithPos(candidates, Some(stored), liveDv())
+      .filter(predicate)
+      .select(fn("_dv_file").as("file"), fn("_dv_pos").as("pos"))
+      .write.parquet(genDir.toString)
+    val touched = spark.read
+      .schema(new StructType().add("file", "string").add("pos", "long"))
+      .parquet(genDir.toString)
+      .select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) { fs.delete(genDir, true); None }
+    else {
+      val partitionBy = commits().reverse.iterator
+        .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+      Some(commit(Commit(0, "dv", Nil, Nil, Map.empty, partitionBy,
+        stored.toDDL, Map.empty, None, now(),
+        dv = touched.map(_ -> Seq(gen)).toMap)))
     }
   }
 
@@ -826,20 +986,29 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     res
   }
 
-  /** OCC conflict rule: only replaces can conflict, and only with
-    * intervening commits that add or remove files inside the replaced
-    * scope (the filter for replaceWhere, the touched partition dirs for
-    * dynamic replace / compaction). */
-  private def conflicts(ours: Commit, winner: Commit): Boolean =
-    ours.action == "replace" && {
-      val winnerFiles = winner.add ++ winner.remove
-      if (ours.partitionFilter.nonEmpty)
-        winnerFiles.exists(matchesPartition(_, ours.partitionFilter))
-      else {
-        val touched = (ours.add ++ ours.remove).map(parentDir).toSet
-        winnerFiles.exists(f => touched.contains(parentDir(f)))
-      }
+  /** OCC conflict rule: replaces conflict with intervening commits
+    * that add, remove, or attach deletion vectors to files inside the
+    * replaced scope (the filter for replaceWhere, the touched
+    * partition dirs for dynamic replace / compaction). A dv commit's
+    * positions were computed against exact files, so it conflicts
+    * precisely when an intervening commit removed or rewrote one of
+    * them — blind publication would strand the delete on a dead file
+    * while its rows live on in the rewrite. */
+  private def conflicts(ours: Commit, winner: Commit): Boolean = {
+    val winnerFiles = winner.add ++ winner.remove ++ winner.dv.keys
+    ours.action match {
+      case "replace" =>
+        if (ours.partitionFilter.nonEmpty)
+          winnerFiles.exists(matchesPartition(_, ours.partitionFilter))
+        else {
+          val touched = (ours.add ++ ours.remove).map(parentDir).toSet
+          winnerFiles.exists(f => touched.contains(parentDir(f)))
+        }
+      case "dv" =>
+        (winner.remove ++ winner.dv.keys).exists(ours.dv.keySet)
+      case _ => false
     }
+  }
 
   /** Snapshot the live set so replay cost stays O(checkpointInterval). */
   private def maybeCheckpoint(version: Long): Unit =
@@ -860,10 +1029,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // fold the live files' data-skipping stats into the checkpoint so
       // pruning survives compaction of the commits that recorded them
       val liveStats = liveFileStats().view.filterKeys(live.toSet).toMap
+      // ... and the live deletion-vector map, so merge-on-read deletes
+      // survive compaction AND the referenced sidecar generations stay
+      // vacuum-protected past the truncation
+      val liveDvMap = liveDv().view.filterKeys(live.toSet).toMap
       val snap = Commit(version, "checkpoint", live, Nil, Map.empty,
         last.partitionBy, last.schemaJson,
         cs.foldLeft(Map.empty[String, String])(_ ++ _.meta), None, now(),
-        maxBatchId = maxBatch, appBatches = perApp, fileStats = liveStats)
+        maxBatchId = maxBatch, appBatches = perApp, fileStats = liveStats,
+        dv = liveDvMap)
       val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
       try out.write(Serialization.write(snap).getBytes("UTF-8")) finally out.close()
@@ -977,7 +1151,19 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val orphans = all.filterNot(referenced)
     orphans.foreach(rel => fs.delete(new Path(rootPath, rel), false))
     fs.delete(stagingPath, true)
-    orphans
+    // deletion-vector sidecar generations: reclaim dirs no commit in
+    // the replayable window references (crash strays from a dv writer,
+    // and generations whose last reference was truncated by a
+    // checkpoint — the checkpoint re-references live files' gens, so
+    // in-force DVs always survive)
+    val refGens = commits().flatMap(_.dv.values.flatten).toSet
+    val dvRoot = new Path(rootPath, dvPrefix)
+    val staleGens =
+      if (!fs.exists(dvRoot)) Seq.empty
+      else fs.listStatus(dvRoot).toSeq
+        .filterNot(st => refGens.contains(st.getPath.getName))
+    staleGens.foreach(st => fs.delete(st.getPath, true))
+    orphans ++ staleGens.map(st => s"$dvPrefix/${st.getPath.getName}")
   }
 }
 

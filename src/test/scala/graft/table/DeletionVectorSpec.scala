@@ -1,0 +1,173 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit, upper}
+
+/** Merge-on-read deletes ([[IncrementalTable.deleteVectorized]]): a dv
+  * commit hides rows WITHOUT rewriting data files; reads, time travel,
+  * CDC, compaction (materialization), mutation paths, vacuum, OCC and
+  * checkpoint folding must all observe the same logical state as the
+  * copy-on-write [[IncrementalTable.delete]] would produce. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed(dir: String, parts: Boolean = false): IncrementalTable = {
+    val t = IncrementalTable(spark, dir)
+    val df = (1L to 100L).map(i =>
+      (i, s"name_$i", if (i % 2 == 0) "EVEN" else "ODD")).toDF("id", "name", "seg")
+    t.append(df, if (parts) Seq("seg") else Nil)
+    t
+  }
+
+  private def ids(t: IncrementalTable): Set[Long] =
+    t.read().select("id").as[Long].collect().toSet
+
+  test("dv delete hides rows without touching data files") {
+    val t = seed(tmpDir("dv") + "/t1")
+    val filesBefore = t.liveFiles().toSet
+    val c = t.deleteVectorized($"id" % 10 === 0)
+    assert(c.exists(_.action == "dv"))
+    assert(t.liveFiles().toSet == filesBefore) // no rewrite, same identity
+    assert(ids(t) == (1L to 100L).filterNot(_ % 10 == 0).toSet)
+    assert(t.read().count() == 90)
+    // plan shape: the vector applies as a BROADCAST anti-join — the
+    // data side stays in its scan stage, no shuffle (the merge-on-read
+    // scan cost model; DV volume is bounded by compaction)
+    val plan = t.read().queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"))
+    assert(!plan.toLowerCase.contains("shuffleexchange"))
+    // re-deleting already-deleted rows is a no-op
+    assert(t.deleteVectorized($"id" === 10L).isEmpty)
+  }
+
+  test("dv deletes accumulate across commits (multiple gens per file)") {
+    val t = seed(tmpDir("dv") + "/t2")
+    t.deleteVectorized($"id" <= 10)
+    t.deleteVectorized($"id" % 7 === 0) // overlaps file, new positions only
+    assert(ids(t) == (1L to 100L).filter(i => i > 10 && i % 7 != 0).toSet)
+    assert(t.liveDv().values.exists(_.size == 2)) // two gens on one file
+  }
+
+  test("time travel sees pre-delete snapshots; readAt at the dv version excludes") {
+    val t = seed(tmpDir("dv") + "/t3")
+    val v0 = t.latestVersion
+    val dv = t.deleteVectorized($"id" > 50).get
+    assert(t.readAt(v0).count() == 100)
+    assert(t.readAt(dv.version).count() == 50)
+  }
+
+  test("compaction materializes DVs: same rows, clean map, fewer constructs") {
+    val t = seed(tmpDir("dv") + "/t4")
+    t.deleteVectorized($"id" % 2 === 0)
+    val logical = ids(t)
+    t.compact()
+    assert(ids(t) == logical)
+    assert(t.liveDv().isEmpty) // entries dropped with the replaced files
+    // post-materialization reads are plain scans again (no anti-join)
+    assert(t.read().queryExecution.executedPlan.toString.toLowerCase
+      .contains("anti") == false)
+  }
+
+  test("copy-on-write mutations respect DVs: deleted rows never resurrect") {
+    val t = seed(tmpDir("dv") + "/t5")
+    t.deleteVectorized($"id" <= 20)
+    // update rewrites touched files — the rewrite must drop dv'd rows
+    t.update($"id" % 5 === 0, Map("name" -> upper($"name")))
+    assert(ids(t) == (21L to 100L).toSet)
+    assert(t.read().filter($"name" === "NAME_25").count() == 1) // update applied
+    assert(t.read().filter($"name" === "NAME_10").count() == 0) // dv'd: the
+    assert(t.read().filter($"name" === "name_10").count() == 0) // rewrite of
+    // id=10's file (10 %5==0 matched it) must not bring the row back
+    // merge keyed on id must not match dv'd rows back in as updates
+    val src = Seq((10L, "back", "ODD"), (200L, "new", "EVEN"))
+      .toDF("id", "name", "seg")
+    t.merge(src, Seq("id"))
+    assert(t.read().filter($"id" === 10L).select("name").as[String].collect()
+      .toSeq == Seq("back")) // insert (old row was deleted), not a dup
+    assert(t.read().filter($"id" === 200L).count() == 1)
+  }
+
+  test("CDC: dv commit surfaces exactly the newly deleted rows; compaction cancels") {
+    val t = seed(tmpDir("dv") + "/t6")
+    val dv = t.deleteVectorized($"id" > 90).get
+    val feed = t.changes(dv.version, dv.version)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(feed == (91L to 100L).map(_ -> "delete").toSet)
+    // a second overlapping dv delete emits only ITS new positions
+    val dv2 = t.deleteVectorized($"id" > 85).get
+    val feed2 = t.changes(dv2.version, dv2.version)
+      .select("id").as[Long].collect().toSet
+    assert(feed2 == (86L to 90L).toSet)
+    // materializing compaction is a pure rewrite: zero logical changes
+    val comp = t.compact().get
+    assert(t.changes(comp.version, comp.version).count() == 0)
+    // net fold of the whole feed equals the final state
+    val net = t.changes(0)
+    val inserts = net.filter($"_change_type" === "insert")
+      .groupBy($"id").count().withColumnRenamed("count", "n_ins")
+    val deletes = net.filter($"_change_type" === "delete")
+      .groupBy($"id").count().withColumnRenamed("count", "n_del")
+    val folded = inserts.join(deletes, Seq("id"), "left")
+      .filter(col("n_del").isNull || col("n_ins") > col("n_del"))
+      .select("id").as[Long].collect().toSet
+    assert(folded == ids(t))
+  }
+
+  test("vacuum: in-force sidecars survive checkpoint truncation; stale gens reclaim") {
+    val dir = tmpDir("dv") + "/t7"
+    val t = new IncrementalTable(spark, dir, checkpointEvery = 3)
+    t.append((1L to 100L).map(i => (i, s"n_$i")).toDF("id", "name"), Nil)
+    t.deleteVectorized($"id" > 50) // v1: dv in force
+    t.append(Seq((101L, "x")).toDF("id", "name"), Nil) // v2
+    t.append(Seq((102L, "y")).toDF("id", "name"), Nil) // v3 -> checkpoint
+    assert(t.vacuum().isEmpty) // checkpoint re-references the live gen
+    assert(ids(t) == ((1L to 50L) ++ Seq(101L, 102L)).toSet)
+    // materialize, then roll the log past the horizon: gen unreferenced
+    t.compact() // v4
+    t.append(Seq((103L, "z")).toDF("id", "name"), Nil) // v5
+    t.append(Seq((104L, "w")).toDF("id", "name"), Nil) // v6 -> checkpoint
+    t.refresh()
+    val reclaimed = t.vacuum()
+    assert(reclaimed.exists(_.startsWith("_graft_dv/")))
+    assert(ids(t) == ((1L to 50L) ++ (101L to 104L)).toSet)
+  }
+
+  test("OCC: a dv loses cleanly to a concurrent rewrite of its files") {
+    val dir = tmpDir("dv") + "/t8"
+    val a = seed(dir)
+    val b = IncrementalTable(spark, dir) // second handle, shared root
+    // b compacts (rewrites every file) while a's dv is computed against
+    // the old snapshot — a's positions point at dead files: must fail
+    val stale = a // capture stale view
+    b.compact()
+    intercept[ConcurrentWriteException] {
+      // recompute positions against the stale cached log: force by NOT
+      // refreshing `stale` — deleteVectorized reads via its own commits()
+      stale.deleteVectorized($"id" <= 10)
+    }
+    b.refresh()
+    assert(b.read().count() == 100) // delete did not land
+  }
+
+  test("dv state survives checkpoint compaction of the dv commits") {
+    val dir = tmpDir("dv") + "/t9"
+    val t = new IncrementalTable(spark, dir, checkpointEvery = 2)
+    t.append((1L to 100L).map(i => (i, s"n_$i")).toDF("id", "name"), Nil)
+    t.deleteVectorized($"id" > 80) // v1
+    t.append(Seq((200L, "x")).toDF("id", "name"), Nil) // v2 -> checkpoint
+    t.append(Seq((201L, "y")).toDF("id", "name"), Nil) // v3
+    // fresh handle replays from the checkpoint only
+    val t2 = IncrementalTable(spark, dir)
+    assert(t2.commits().head.action == "checkpoint")
+    assert(ids(t2) == ((1L to 80L) ++ Seq(200L, 201L)).toSet)
+  }
+
+  test("partitioned table: dv delete in one partition leaves others untouched") {
+    val t = seed(tmpDir("dv") + "/t10", parts = true)
+    t.deleteVectorized($"seg" === "EVEN" && $"id" <= 50)
+    assert(ids(t) == (1L to 100L).filterNot(i => i % 2 == 0 && i <= 50).toSet)
+    // partition-pruned read still applies the vector
+    assert(t.read(Map("seg" -> "EVEN")).count() == 25)
+    assert(t.read(Map("seg" -> "ODD")).count() == 50)
+  }
+}
