@@ -393,6 +393,30 @@ object QueriesPipeline {
       t.read().select($"cust_key", $"name", $"segment").orderBy($"cust_key")
     }),
 
+    // ---- RESTORE (rollback-as-commit) under the oracle ----------------
+    // Seed, then two mutations (vectorized delete + append), then
+    // RESTORE to the seed version — one forward commit that swaps the
+    // live set and deletion-vector state back without copying data —
+    // then a post-restore append. The oracle is the seed plus only the
+    // post-restore rows: a leaked mutation (row still deleted, or the
+    // un-restored append surviving) breaks count and hash.
+    "q94_restore" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q94_").toString
+      val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      val base = Tables.customer(s, dir).select(
+        $"c_custkey".as("cust_key"), $"c_name".as("name"),
+        $"c_mktsegment".as("segment"))
+      t.append(base.filter($"cust_key" <= 1000), partitionBy = Nil) // v0
+      t.deleteVectorized($"cust_key" % 4 === 0)
+      t.append(base.filter($"cust_key" > 1000 && $"cust_key" <= 1100),
+        partitionBy = Nil)
+      t.restore(0)
+      t.append(base.filter($"cust_key" > 1200 && $"cust_key" <= 1300),
+        partitionBy = Nil)
+      t.read().select($"cust_key", $"name", $"segment").orderBy($"cust_key")
+    }),
+
     // ---- logical→physical partition mapping + prune ------------------
     "q31_partition_prune" -> ((s, dir) => {
       import s.implicits._
@@ -533,6 +557,13 @@ object QueriesPipeline {
         |  c_mktsegment AS segment
         |FROM customer
         |WHERE c_custkey % 3 <> 0 AND c_custkey % 5 <> 0
+        |ORDER BY cust_key""".stripMargin,
+    "q94_restore" ->
+      """SELECT c_custkey AS cust_key, c_name AS name,
+        |  c_mktsegment AS segment
+        |FROM customer
+        |WHERE c_custkey <= 1000
+        |  OR (c_custkey > 1200 AND c_custkey <= 1300)
         |ORDER BY cust_key""".stripMargin,
     "q31_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y') AS year,

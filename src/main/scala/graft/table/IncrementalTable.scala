@@ -391,10 +391,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         Some(rows.withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(c.version)))
       } else {
-        // added files are new — no dv can predate them; removed files
-        // read under the pre-commit dv state so materialized deletes
+        // added files read under the POST-commit dv state: usually a
+        // no-op (new files have no vectors), but a restore() re-adds
+        // files together with their restored vectors; removed files
+        // read under the PRE-commit state so materialized deletes
         // cancel against the (dv-applied) rewrite
-        val a = filesDf(c.add, stored, Map.empty)
+        val a = filesDf(c.add, stored, dvState)
         val r = filesDf(c.remove, stored, dvBefore)
         Some(a.exceptAll(r).withColumn("_change_type", lit("insert"))
           .unionByName(
@@ -720,6 +722,31 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** RESTORE the table to an earlier version (Delta RESTORE analog) as
+    * ONE new commit — history moves forward, never rewrites: the commit
+    * swaps the live set back to `version`'s files (re-referencing them,
+    * no data copied), restores that version's deletion-vector state,
+    * schema, and data-skipping stats, and records `restored_from`.
+    * Bounded by the replay horizon like [[readAt]]; vacuum retention
+    * makes the target files still-present by construction. Time travel
+    * still sees the undone versions (they remain in the log), and CDC
+    * surfaces the restore as exact delete+insert deltas. Consumers see
+    * a replace commit and rebuild — correct, since history changed out
+    * from under them. Returns None when already at that state. */
+  def restore(version: Long): Option[Commit] = {
+    val cs = commitsAsOf(Some(version)) // validates the horizon
+    val target = liveFiles(asOf = Some(version))
+    val cur = liveFiles()
+    val targetDv = liveDv(Some(version))
+    if (target == cur && targetDv == liveDv()) return None
+    val schemaAt = cs.reverse.iterator.map(_.schemaJson).find(_.nonEmpty).getOrElse("")
+    val partsAt = cs.reverse.iterator.map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+    val statsAt = liveFileStats(Some(version)).view.filterKeys(target.toSet).toMap
+    Some(commit(Commit(0, "replace", target, cur, Map.empty, partsAt,
+      schemaAt, Map("restored_from" -> version.toString), None, now(),
+      fileStats = statsAt, dv = targetDv)))
+  }
+
   /** The commit log as a DataFrame (Delta DESCRIBE HISTORY analog):
     * one row per commit with the action, file counts, and metadata. */
   def history(): DataFrame = {
@@ -734,6 +761,56 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     commits().reverse.iterator.map(_.schemaJson)
       .find(_.nonEmpty).map(StructType.fromDDL)
       .getOrElse(throw new IllegalStateException(s"table $root has no committed schema"))
+
+  /** Active CHECK constraints: name → boolean SQL expression. Stored
+    * as `constraint/<name>` metadata (an empty value marks a drop), so
+    * they ride the same atomic commits as everything else and survive
+    * checkpoint folding. */
+  def constraints: Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    commits().foreach(_.meta.foreach { case (k, v) =>
+      if (k.startsWith("constraint/")) {
+        val n = k.stripPrefix("constraint/")
+        if (v.isEmpty) m.remove(n) else m(n) = v
+      }
+    })
+    m.toMap
+  }
+
+  /** ADD CONSTRAINT (Delta CHECK-constraint analog; NOT NULL is
+    * `CHECK (col IS NOT NULL)`). Existing rows are validated first —
+    * one short-circuiting job — then every subsequent write enforces
+    * the check INSIDE its write scan (an `assert_true` filter: no
+    * extra pass, a violating row fails the write before anything
+    * commits). SQL semantics: NULL check results pass; only FALSE
+    * violates. */
+  def addConstraint(name: String, check: String): Commit = {
+    require(name.nonEmpty && check.nonEmpty, "constraint needs a name and an expression")
+    val e = org.apache.spark.sql.functions.expr(check)
+    if (exists)
+      require(read().filter(org.apache.spark.sql.functions.not(e)).limit(1).count() == 0,
+        s"existing rows violate CHECK constraint '$name': $check")
+    commitMeta(Map(s"constraint/$name" -> check))
+  }
+
+  /** DROP CONSTRAINT: subsequent writes stop enforcing `name`. */
+  def dropConstraint(name: String): Commit =
+    commitMeta(Map(s"constraint/$name" -> ""))
+
+  /** Enforce active constraints inside the write scan: `assert_true`
+    * wrapped in a filter is evaluated per row as the stage writes — a
+    * violation fails the job with the constraint's name before any
+    * commit publishes; zero cost beyond the row-level predicate when
+    * constraints exist, zero entirely when none do. */
+  private def constraintGuard(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
+    constraints.foldLeft(df) { case (d, (name, check)) =>
+      d.filter(coalesce(
+        assert_true(coalesce(expr(check), lit(true)),
+          lit(s"CHECK constraint '$name' violated: $check")),
+        lit(true)))
+    }
+  }
 
   /** Metadata-only commit (cursor/watermark advance with no data). */
   def commitMeta(meta: Map[String, String], batchId: Option[Long] = None,
@@ -752,9 +829,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       bloomColumns: Seq[String] = Nil,
       removeExact: Option[Seq[String]] = None): Option[Commit] = {
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
-    val withParts = partitionValues.foldLeft(df) { case (d, (k, v)) =>
-      d.withColumn(k, lit(v))
-    }
+    val withParts = constraintGuard(
+      partitionValues.foldLeft(df) { case (d, (k, v)) =>
+        d.withColumn(k, lit(v))
+      })
     // 1. stage: write into a unique dir so added files are exactly known.
     //    Staging FIRST (not probing df.isEmpty) means the input lineage
     //    computes exactly once; a partitioned write of zero rows stages
