@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
 import graft.functions.Vectors.Scored
@@ -195,6 +195,38 @@ object QueriesSimilarity {
       val c2 = means(assign(c1))
       assign(c2).select($"vec_id", $"cluster").orderBy($"vec_id")
     }),
+
+    // ---- int8 embedding quantization --------------------------------
+    // Per-vector symmetric scalar quantization — the standard memory/
+    // bandwidth dial for vector search at scale: scale = max|x|/127,
+    // q_i = round(x_i/scale), so a float32 corpus shrinks 4× and the
+    // int8 dot (scale_a·scale_b·Σ qa_i·qb_i ≈ ⟨a,b⟩) runs on quarter
+    // the bytes. Everything here is engine-exact by construction:
+    // max|x| is order-independent, x/scale + 0.5 → floor is the same
+    // IEEE-double computation in Spark and DuckDB, and the emitted
+    // stats (Σq, Σq², int8 dot against vec 0) are integer sums —
+    // no fp aggregation order to diverge. One narrow scan, all
+    // higher-order codegen'd expressions, no shuffle (the query
+    // vector rides a 1-row broadcast).
+    "q95_int8_quant" -> ((s, dir) => {
+      import s.implicits._
+      def maxAbs(c: Column): Column = aggregate(c, lit(0.0d),
+        (acc, x) => greatest(acc, abs(x.cast("double"))))
+      val base = Tables.embeddings(s, dir)
+        .withColumn("maxabs", maxAbs($"embedding"))
+        .withColumn("scale",
+          when($"maxabs" === 0.0d, lit(1.0d)).otherwise($"maxabs" / 127.0d))
+        .withColumn("q", transform($"embedding",
+          x => floor(x.cast("double") / $"scale" + lit(0.5d))))
+      val query = base.filter($"vec_id" === 0L).select($"q".as("qq"))
+      base.crossJoin(broadcast(query))
+        .select($"vec_id", $"label",
+          aggregate($"q", lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate($"q", lit(0L), (a, x) => a + x * x).as("q_norm"),
+          aggregate(zip_with($"q", $"qq", (a, b) => a * b), lit(0L),
+            (a, x) => a + x).as("q_dot"))
+        .orderBy($"vec_id")
+    }),
   )
 
   /** SemDeDup core: assign every vector to its nearest codebook cell,
@@ -357,5 +389,27 @@ object QueriesSimilarity {
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rnk
          |  FROM s)
          |SELECT q_id, rnk, n_id FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
+    "q95_int8_quant" ->
+      """WITH b AS (
+        |  SELECT vec_id, label,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+        |    embedding
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(
+        |      CAST(x AS DOUBLE) /
+        |        (CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs / 127.0 END)
+        |      + 0.5) AS BIGINT)) AS q
+        |  FROM b),
+        |qq AS (SELECT q AS qref FROM qv WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_norm,
+        |  CAST(list_dot_product(
+        |    CAST(q AS DOUBLE[]), CAST(qref AS DOUBLE[])) AS BIGINT) AS q_dot
+        |FROM qv, qq
+        |ORDER BY vec_id""".stripMargin,
   )
 }
