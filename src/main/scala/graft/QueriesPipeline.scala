@@ -417,6 +417,36 @@ object QueriesPipeline {
       t.read().select($"cust_key", $"name", $"segment").orderBy($"cust_key")
     }),
 
+    // ---- incremental LEFT OUTER join with retraction under the oracle -
+    // The hard IVM case: unmatched orders carry a null-extended row
+    // with matched=false; when their customer arrives in a later
+    // commit, the null-row is RETRACTED and the pair inserted in one
+    // atomic deleteInsert commit. Customers above 500 never arrive, so
+    // the final state keeps genuine unmatched rows. A surviving
+    // retracted null-row, a lost pair, or a half-applied retraction
+    // breaks count and hash against the relational left join.
+    "q96_outer_join_stream" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q96_").toString
+      val l = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
+      val r = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      val d = graft.table.IncrementalTable(s, s"$tmp/joined/v1")
+      val ord = Tables.orders(s, dir).select($"o_orderkey",
+        $"o_custkey".as("cust_key"), $"o_totalprice")
+      val cust = Tables.customer(s, dir).filter($"c_custkey" <= 500)
+        .select($"c_custkey".as("cust_key"), $"c_name", $"c_mktsegment")
+      val stream = new graft.streaming.JoinStream(l, r, d, Seq("cust_key"),
+        name = "oc", joinType = "left_outer")
+      r.append(cust.filter($"cust_key" <= 250), partitionBy = Nil)
+      l.append(ord.filter($"o_orderkey" % 2 === 1), partitionBy = Nil)
+      stream.drain() // odd orders for cust 251-500 get null-rows here
+      r.append(cust.filter($"cust_key" > 250), partitionBy = Nil) // retracts them
+      l.append(ord.filter($"o_orderkey" % 2 === 0), partitionBy = Nil)
+      stream.drain()
+      d.read().select($"o_orderkey", $"cust_key", $"o_totalprice",
+        $"c_name", $"c_mktsegment", $"matched").orderBy($"o_orderkey")
+    }),
+
     // ---- logical→physical partition mapping + prune ------------------
     "q31_partition_prune" -> ((s, dir) => {
       import s.implicits._
@@ -565,6 +595,12 @@ object QueriesPipeline {
         |WHERE c_custkey <= 1000
         |  OR (c_custkey > 1200 AND c_custkey <= 1300)
         |ORDER BY cust_key""".stripMargin,
+    "q96_outer_join_stream" ->
+      """SELECT o_orderkey, o_custkey AS cust_key, o_totalprice,
+        |  c_name, c_mktsegment, c_custkey IS NOT NULL AS matched
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey <= 500) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q31_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y') AS year,
         |  strftime(o_orderdate, '%m') AS month,

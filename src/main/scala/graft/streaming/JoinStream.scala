@@ -1,12 +1,13 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 
 import graft.table.IncrementalTable
 
-/** Incremental view maintenance for a two-input INNER equi-join — the
-  * binary sibling of [[DerivedStream]] (map/filter) and
-  * [[AggregateStream]] (grouped aggregates). Maintains
+/** Incremental view maintenance for a two-input equi-join — the binary
+  * sibling of [[DerivedStream]] (map/filter) and [[AggregateStream]]
+  * (grouped aggregates). Maintains
   * `prepareLeft(L) ⋈ prepareRight(R) on joinKeys` as a table that
   * equals the full recompute after every drain, while reading only
   * each side's NEW data in steady state.
@@ -22,22 +23,36 @@ import graft.table.IncrementalTable
   * A pair (l, r) is emitted exactly when the LATER of its two rows'
   * commits is applied — the earlier row is already inside the other
   * side's cursor snapshot, and never again after, because each delta
-  * only sees the other side's PAST. Inner equi-join of append-only
-  * inputs is monotone, so maintenance is pure appends: no retraction
-  * state, no MERGE. (Outer joins need delete/insert retraction pairs —
-  * the CDC changefeed is the hook — and are out of scope here.)
+  * only sees the other side's PAST.
+  *
+  * INNER mode is monotone over append-only inputs, so maintenance is
+  * pure appends: no retraction state, no MERGE.
+  *
+  * LEFT OUTER mode (`joinType = "left_outer"`) adds the classic
+  * retraction case: the view carries every left row — matched rows as
+  * pairs, unmatched ones null-extended with a `matched = false` flag —
+  * and a later ΔR that matches a previously-unmatched left row must
+  * RETRACT its null-row as it inserts the pair. Both halves ride ONE
+  * [[IncrementalTable.deleteInsert]] commit (delete the now-matched
+  * null-rows, insert the new pairs, one batchId guard), so there is no
+  * crash window with a half-applied delta; the delete's copy-on-write
+  * touches only files actually holding a retracted null-row. ΔL needs
+  * no retraction (new left rows have no prior output): matched pairs
+  * and null-extensions append together. The final state equals the
+  * full left outer join regardless of arrival order. (Right/full outer
+  * are the same construction mirrored — omitted here.)
   *
   * Scale: steady-state cost per commit is `|Δ| ⋈ other-side-state` —
   * one join whose delta side is micro-batch-sized (AQE broadcasts it),
-  * with the big side's scan pruned to the join keys' files by the
-  * table's data-skipping index where clustered. Never O(|L| ⋈ |R|)
-  * except at seed/rebuild. No rows move through the driver.
+  * plus (outer, ΔR only) a key-semi-join bounded copy-on-write over
+  * the files holding retracted null-rows. Never O(|L| ⋈ |R|) except
+  * at seed/rebuild. No rows move through the driver.
   *
-  * Non-append commits on EITHER side (replace / compaction checkpoint)
-  * invalidate the incremental reasoning — a rewritten history cannot
-  * be patched by appends — and trigger a full rebuild at the pair of
-  * head versions, committed as one idempotent replace (no batch guard
-  * needed; replaying it converges).
+  * Non-append commits on EITHER side (replace / compaction checkpoint
+  * / dv delete) invalidate the incremental reasoning — a rewritten
+  * history cannot be patched by deltas — and trigger a full rebuild at
+  * the pair of head versions, committed as one idempotent replace (no
+  * batch guard needed; replaying it converges).
   *
   * Exactly-once, same protocol as the other hops: the downstream table
   * IS the checkpoint. TWO cursors ride the commits —
@@ -56,9 +71,13 @@ final class JoinStream(
     prepareLeft: DataFrame => DataFrame = identity,
     prepareRight: DataFrame => DataFrame = identity,
     partitionBy: Seq[String] = Nil,
-    name: String = "join")
+    name: String = "join",
+    joinType: String = "inner")
     extends CommitConsumer {
   require(joinKeys.nonEmpty, "JoinStream needs join keys")
+  require(Set("inner", "left_outer")(joinType),
+    s"unsupported joinType '$joinType' (inner | left_outer)")
+  private val outer = joinType == "left_outer"
 
   private val leftKey = s"src_version/$name:left"
   private val rightKey = s"src_version/$name:right"
@@ -84,12 +103,35 @@ final class JoinStream(
         (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty))
   }
 
-  private def joined(l: DataFrame, r: DataFrame): DataFrame = {
+  private def checkCollisions(l: DataFrame, r: DataFrame): Unit = {
     val dup = (l.columns.toSet & r.columns.toSet) -- joinKeys
     require(dup.isEmpty,
       s"non-key columns collide across sides: ${dup.mkString(", ")} — " +
         "disambiguate them in prepareLeft/prepareRight")
+    if (outer) require(!l.columns.contains("matched") && !r.columns.contains("matched"),
+      "left_outer mode reserves the 'matched' column")
+  }
+
+  private def joined(l: DataFrame, r: DataFrame): DataFrame = {
+    checkCollisions(l, r)
     l.join(r, joinKeys)
+  }
+
+  /** Left outer join with an explicit `matched` flag: matched pairs
+    * plus null-extended unmatched left rows — the view's full shape,
+    * used at seed/rebuild; deltas produce the same columns. */
+  private def outerJoined(l: DataFrame, r: DataFrame): DataFrame = {
+    checkCollisions(l, r)
+    val pairs = l.join(r, joinKeys).withColumn("matched", lit(true))
+    pairs.unionByName(nullExtended(l.join(r, joinKeys, "left_anti"), r))
+  }
+
+  /** Unmatched left rows, right columns null-typed, matched = false. */
+  private def nullExtended(unmatched: DataFrame, r: DataFrame): DataFrame = {
+    val rightCols = r.schema.fields.filterNot(f => joinKeys.contains(f.name))
+    rightCols.foldLeft(unmatched) { (d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.withColumn("matched", lit(false))
   }
 
   /** Apply every pending commit on both sides; returns how many were
@@ -99,14 +141,19 @@ final class JoinStream(
     val pendL = pendingOf(upLeft, leftVersion)
     val pendR = pendingOf(upRight, rightVersion)
     if (pendL.isEmpty && pendR.isEmpty) return 0
+    // outer mode needs the right schema to null-extend unmatched left
+    // rows — left rows buffer upstream until the right table exists
+    if (outer && !upRight.exists) return 0
 
     if (pendL.exists(_.action != "append") ||
         pendR.exists(_.action != "append")) {
       // rebuild at the pair of head versions, one idempotent replace
       val vL = pendL.lastOption.map(_.version).getOrElse(leftVersion)
       val vR = pendR.lastOption.map(_.version).getOrElse(rightVersion)
+      val l = prepareLeft(upLeft.readAt(vL))
+      val r = prepareRight(upRight.readAt(vR))
       down.replaceWhere(
-        joined(prepareLeft(upLeft.readAt(vL)), prepareRight(upRight.readAt(vR))),
+        if (outer) outerJoined(l, r) else joined(l, r),
         partitionBy, Map.empty, partitionFilter = Map.empty,
         meta = Map(leftKey -> vL.toString, rightKey -> vR.toString))
       return pendL.size + pendR.size
@@ -116,34 +163,58 @@ final class JoinStream(
     // right deltas against the (now advanced) left cursor snapshot.
     // Order across sides is free — each pair still meets exactly once —
     // but must be deterministic so crash replays recompute identically.
-    pendL.foreach { c =>
-      applyDelta(c.version, leftKey, leftApp,
-        rCursor => joined(prepareLeft(upLeft.readCommit(c.version)),
-          prepareRight(upRight.readAt(rCursor))),
-        otherCursor = rightVersion)
-    }
-    pendR.foreach { c =>
-      applyDelta(c.version, rightKey, rightApp,
-        lCursor => joined(prepareLeft(upLeft.readAt(lCursor)),
-          prepareRight(upRight.readCommit(c.version))),
-        otherCursor = leftVersion)
-    }
+    pendL.foreach(c => applyLeft(c.version))
+    pendR.foreach(c => applyRight(c.version))
     pendL.size + pendR.size
   }
 
-  /** One side's delta commit: join against the OTHER side at its
-    * incorporated cursor and append, carrying this side's cursor
-    * atomically. With nothing incorporated on the other side the delta
-    * is empty by definition — advance the cursor alone (guarded: a
-    * crash replay must not stack duplicate meta commits). */
-  private def applyDelta(version: Long, cursorKey: String, appId: String,
-      delta: Long => DataFrame, otherCursor: Long): Unit = {
-    val cursor = Map(cursorKey -> version.toString)
-    if (otherCursor < 0) {
-      if (!down.hasBatch(version, Some(appId)))
-        down.commitMeta(cursor, batchId = Some(version), appId = Some(appId))
-    } else
-      down.append(delta(otherCursor), partitionBy, meta = cursor,
-        batchId = Some(version), appId = Some(appId))
+  /** Right state at the given cursor; in outer mode a negative cursor
+    * still yields the (empty) prepared frame so ΔL can null-extend. */
+  private def rightAt(cursor: Long): DataFrame =
+    if (cursor < 0) prepareRight(upRight.read().limit(0))
+    else prepareRight(upRight.readAt(cursor))
+
+  private def applyLeft(version: Long): Unit = {
+    val cursor = Map(leftKey -> version.toString)
+    val rCursor = rightVersion
+    if (!outer && rCursor < 0) {
+      // inner: nothing incorporated on the right — the delta is empty
+      // by definition; advance the cursor alone (guarded: crash
+      // replays must not stack duplicate meta commits)
+      if (!down.hasBatch(version, Some(leftApp)))
+        down.commitMeta(cursor, batchId = Some(version), appId = Some(leftApp))
+    } else {
+      val dl = prepareLeft(upLeft.readCommit(version))
+      val r = rightAt(rCursor)
+      val delta = if (outer) outerJoined(dl, r) else joined(dl, r)
+      down.append(delta, partitionBy, meta = cursor,
+        batchId = Some(version), appId = Some(leftApp))
+    }
+  }
+
+  private def applyRight(version: Long): Unit = {
+    val cursor = Map(rightKey -> version.toString)
+    val lCursor = leftVersion
+    if (lCursor < 0) {
+      if (!down.hasBatch(version, Some(rightApp)))
+        down.commitMeta(cursor, batchId = Some(version), appId = Some(rightApp))
+    } else {
+      val dr = prepareRight(upRight.readCommit(version))
+      val l = prepareLeft(upLeft.readAt(lCursor))
+      if (!outer)
+        down.append(joined(l, dr), partitionBy, meta = cursor,
+          batchId = Some(version), appId = Some(rightApp))
+      else {
+        // retraction: left rows matched for the first time by ΔR lose
+        // their null-row in the SAME commit that inserts the pairs
+        val pairs = joined(l, dr).withColumn("matched", lit(true))
+        down.deleteInsert(
+          deleteKeys = dr.select(joinKeys.map(col): _*).distinct(),
+          keys = joinKeys,
+          deleteCondition = not(coalesce(col("matched"), lit(false))),
+          inserts = pairs, partitionBy = partitionBy, meta = cursor,
+          batchId = Some(version), appId = Some(rightApp))
+      }
+    }
   }
 }

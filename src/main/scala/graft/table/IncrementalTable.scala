@@ -674,6 +674,51 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** Atomic delete-and-insert in ONE copy-on-write commit — the
+    * `MERGE WHEN MATCHED [AND cond] THEN DELETE / WHEN NOT MATCHED
+    * INSERT` shape generalized to multi-row inserts: rows whose `keys`
+    * match a `deleteKeys` row AND satisfy `deleteCondition` are
+    * removed, and every `inserts` row is added, under one commit (and
+    * one batchId guard) — the retraction primitive incremental OUTER
+    * join maintenance needs, where a crash between separate delete
+    * and insert commits would leave a half-applied delta.
+    *
+    * Copy-on-write at file granularity like [[merge]]: one semi-join
+    * finds the files holding a deletable row; only those rewrite
+    * (minus the deleted rows), everything else keeps its identity.
+    * With no deletable rows it degrades to a plain guarded append. */
+  def deleteInsert(deleteKeys: DataFrame, keys: Seq[String],
+      deleteCondition: Column, inserts: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty,
+      batchId: Option[Long] = None,
+      appId: Option[String] = None): Option[Commit] = {
+    require(keys.nonEmpty, "deleteInsert needs key columns")
+    require(exists, s"deleteInsert target $root does not exist — seed it with append()")
+    if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val fn = org.apache.spark.sql.functions.col _
+    val stored = committedSchema
+    val dk = deleteKeys.select(keys.map(fn): _*).distinct()
+    val touched = read()
+      .withColumn("_graft_path", fn("_metadata.file_path"))
+      .filter(deleteCondition)
+      .join(dk, keys, "left_semi")
+      .select("_graft_path").distinct()
+      .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
+    val ins = inserts.select(stored.fieldNames.map(fn).toSeq: _*)
+    if (touched.isEmpty)
+      append(ins, partitionBy, meta = meta, batchId = batchId, appId = appId)
+    else {
+      val kept = filesDf(touched, Some(stored), liveDv())
+        .join(dk.withColumn("_graft_m", lit(true)), keys, "left")
+        .filter(not(coalesce(fn("_graft_m"), lit(false)) && deleteCondition))
+        .select(stored.fieldNames.map(fn).toSeq: _*)
+      write(kept.unionByName(ins), "replace", partitionBy, Map.empty,
+        Map.empty, meta, batchId, appId, removeExact = Some(touched))
+    }
+  }
+
   /** Row-level DELETE as a DELETION VECTOR (merge-on-read — the Delta
     * DV / Iceberg position-delete analog): instead of rewriting every
     * file holding a matching row ([[delete]]'s copy-on-write), the

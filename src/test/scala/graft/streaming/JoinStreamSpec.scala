@@ -103,6 +103,83 @@ class JoinStreamSpec extends SparkSpec {
     assert(state(d) == fullJoin(l, r))
   }
 
+  private def mkOuter(dir: String): (IncrementalTable, IncrementalTable,
+      IncrementalTable, JoinStream) = {
+    val l = IncrementalTable(spark, dir + "/orders/v1")
+    val r = IncrementalTable(spark, dir + "/custs/v1")
+    val d = IncrementalTable(spark, dir + "/joined/v1")
+    (l, r, d, new JoinStream(l, r, d, Seq("cust_id"), name = "oc",
+      joinType = "left_outer"))
+  }
+
+  /** Ground truth: full left outer join with the matched flag. */
+  private def fullOuter(l: IncrementalTable, r: IncrementalTable): Set[(Long, Long, String, Option[String], Boolean)] =
+    l.read().join(r.read(), Seq("cust_id"), "left")
+      .select($"order_id", $"cust_id", $"status", $"name",
+        $"name".isNotNull.as("matched"))
+      .as[(Long, Long, String, Option[String], Boolean)].collect().toSet
+
+  private def outerState(d: IncrementalTable): Set[(Long, Long, String, Option[String], Boolean)] =
+    d.read().select($"order_id", $"cust_id", $"status", $"name", $"matched")
+      .as[(Long, Long, String, Option[String], Boolean)].collect().toSet
+
+  test("left outer: unmatched rows are null-extended; a late match retracts them") {
+    val (l, r, d, s) = mkOuter(tmpDir("joinstream"))
+    r.append(custs(1L -> "ann"), Nil)
+    l.append(orders((100L, 1L, "A"), (101L, 2L, "B")), Nil)
+    assert(s.drain() == 2)
+    assert(outerState(d) == fullOuter(l, r))
+    assert(outerState(d) == Set(
+      (100L, 1L, "A", Some("ann"), true),
+      (101L, 2L, "B", None, false))) // unmatched, null-extended
+
+    // the late right row must INSERT the pair and RETRACT the null-row
+    // in one commit
+    r.append(custs(2L -> "bob"), Nil)
+    assert(s.drain() == 1)
+    assert(outerState(d) == fullOuter(l, r))
+    assert(outerState(d) == Set(
+      (100L, 1L, "A", Some("ann"), true),
+      (101L, 2L, "B", Some("bob"), true)))
+
+    // still-unmatched left rows keep their null-row across drains
+    l.append(orders((102L, 9L, "C")), Nil)
+    assert(s.drain() == 1)
+    assert(outerState(d) == fullOuter(l, r))
+    assert(outerState(d).contains((102L, 9L, "C", None, false)))
+    assert(s.drain() == 0)
+  }
+
+  test("left outer: equals the full outer join under interleaving and resume") {
+    val dir = tmpDir("joinstream")
+    val (l, r, d, s) = mkOuter(dir)
+    r.append(custs(1L -> "ann", 3L -> "cid"), Nil)
+    l.append(orders((1L, 1L, "A"), (2L, 2L, "B")), Nil)
+    s.drain()
+    l.append(orders((3L, 2L, "C"), (4L, 3L, "D")), Nil) // 2 still unmatched
+    r.append(custs(2L -> "bob"), Nil) // matches BOTH null-rows for cust 2
+    assert(s.drain() == 2)
+    assert(outerState(d) == fullOuter(l, r))
+
+    // fresh consumer resumes from the downstream log alone
+    val (l2, r2, d2, s2) = mkOuter(dir)
+    assert(s2.drain() == 0)
+    assert(outerState(d2) == fullOuter(l2, r2))
+  }
+
+  test("left outer: rewrite on either side rebuilds to the exact outer join") {
+    val (l, r, d, s) = mkOuter(tmpDir("joinstream"))
+    r.append(custs(1L -> "ann"), Nil)
+    l.append(orders((1L, 1L, "A"), (2L, 5L, "B")), Nil)
+    s.drain()
+    r.replaceWhere(custs(5L -> "eve"), Nil, Map.empty,
+      partitionFilter = Map.empty) // cust 1 gone, cust 5 appears
+    assert(s.drain() == 1)
+    assert(outerState(d) == fullOuter(l, r))
+    assert(outerState(d) == Set(
+      (1L, 1L, "A", None, false), (2L, 5L, "B", Some("eve"), true)))
+  }
+
   test("non-key column collision across sides is rejected") {
     val dir = tmpDir("joinstream")
     val l = IncrementalTable(spark, dir + "/a/v1")
