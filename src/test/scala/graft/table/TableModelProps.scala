@@ -1,0 +1,141 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkSpec
+
+/** Model-based property: a RANDOM interleaving of every mutation the
+  * commit log supports — append, copy-on-write delete, DELETION-VECTOR
+  * delete, update, compact, RESTORE to a random earlier version,
+  * vacuum — must track a plain-Scala multiset model exactly:
+  *
+  *  - after every op, `read()` equals the model's current state;
+  *  - at the end, `readAt` of two random recorded versions equals the
+  *    model's remembered state at those versions (time travel composes
+  *    with every mutation, including dv and restore);
+  *  - the CDC net fold of `changes(0)` (inserts minus deletes per row)
+  *    equals the final state (rewrites cancel, dv commits emit exact
+  *    deltas, restores emit exact deltas).
+  *
+  * This is where cross-feature interaction bugs live (a restore of a
+  * dv state across a compaction, an update rewriting a dv'd file...);
+  * the scripted specs pin each feature alone, this pins their algebra.
+  * Spark jobs per case are expensive; case count is capped — the value
+  * is the random interleavings, not volume (PipelineProps contract). */
+object TableModelProps extends Properties("tablemodel") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(4).withWorkers(1)
+
+  private lazy val spark = SparkSpec.spark
+
+  private sealed trait Op
+  private case class Append(rows: List[(Long, Long)]) extends Op
+  private case class DeleteCow(m: Int, r: Int) extends Op
+  private case class DeleteDv(m: Int, r: Int) extends Op
+  private case class Update(m: Int, r: Int) extends Op
+  private case object Compact extends Op
+  private case class Restore(pick: Int) extends Op // index into history
+  private case object Vacuum extends Op
+
+  private val ops: Gen[List[Op]] = for {
+    n <- Gen.choose(3, 7)
+    // fresh-id appends interleaved with mutations; id space kept tiny
+    // via small moduli so predicates regularly hit and miss
+    list <- Gen.listOfN(n, Gen.frequency(
+      4 -> (for {
+        k <- Gen.choose(1, 4)
+        base <- Gen.choose(0, 1000)
+      } yield Append((0 until k).map(i => (base * 10L + i, base + i.toLong)).toList)),
+      2 -> (for { m <- Gen.choose(2, 4); r <- Gen.choose(0, 3) } yield DeleteCow(m, r % m)),
+      2 -> (for { m <- Gen.choose(2, 4); r <- Gen.choose(0, 3) } yield DeleteDv(m, r % m)),
+      1 -> (for { m <- Gen.choose(2, 4); r <- Gen.choose(0, 3) } yield Update(m, r % m)),
+      1 -> Gen.const(Compact),
+      1 -> Gen.choose(0, 100).map(Restore(_)),
+      1 -> Gen.const(Vacuum)))
+  } yield Append(List((1L, 1L), (2L, 2L), (3L, 3L))) :: list
+
+  private def run(script: List[Op]): Boolean = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("tablemodel").toString
+    val t = IncrementalTable(spark, dir + "/t/v1")
+
+    var state = Vector.empty[(Long, Long)] // multiset of (id, v)
+    var history = Vector.empty[(Long, Vector[(Long, Long)])] // (version, state)
+    def snap(): Unit = {
+      val v = t.latestVersion
+      if (history.isEmpty || history.last._1 != v) history :+= (v -> state)
+    }
+
+    def current(): Seq[(Long, Long)] =
+      if (!t.exists || t.read().columns.isEmpty) Seq.empty
+      else t.read().select($"id", $"v").as[(Long, Long)].collect().toSeq
+
+    val okEveryStep = script.forall { op =>
+      op match {
+        case Append(rows) =>
+          t.append(rows.toDF("id", "v"), Nil)
+          state = state ++ rows
+          snap()
+        case DeleteCow(m, r) =>
+          t.delete($"id" % m === r)
+          state = state.filterNot { case (id, _) => id % m == r }
+          snap()
+        case DeleteDv(m, r) =>
+          if (t.exists) {
+            t.deleteVectorized($"id" % m === r)
+            state = state.filterNot { case (id, _) => id % m == r }
+            snap()
+          }
+        case Update(m, r) =>
+          if (t.exists) {
+            t.update($"id" % m === r, Map("v" -> (col("v") + 100L)))
+            state = state.map { case (id, v) =>
+              if (id % m == r) (id, v + 100L) else (id, v)
+            }
+            snap()
+          }
+        case Compact =>
+          if (t.exists) { t.compact(); snap() }
+        case Restore(pick) =>
+          if (history.nonEmpty) {
+            val (ver, st) = history(pick % history.size)
+            t.restore(ver)
+            state = st
+            snap()
+          }
+        case Vacuum =>
+          if (t.exists) t.vacuum()
+      }
+      current().sorted == state.sorted.toSeq
+    }
+
+    // time travel back to two recorded versions
+    val travelOk = history.take(2).forall { case (ver, st) =>
+      t.readAt(ver).select($"id", $"v").as[(Long, Long)]
+        .collect().toSeq.sorted == st.sorted.toSeq
+    }
+
+    // CDC net fold equals the final state (multiset difference)
+    val feedOk = {
+      val net = t.changes(0).select($"id", $"v", $"_change_type")
+        .as[(Long, Long, String)].collect()
+      val counts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+      net.foreach { case (id, v, ct) =>
+        counts((id, v)) = counts.getOrElse((id, v), 0) + (if (ct == "insert") 1 else -1)
+      }
+      val folded = counts.toSeq.flatMap { case (row, n) => Seq.fill(n)(row) }
+      folded.sorted == state.sorted.toSeq
+    }
+
+    okEveryStep && travelOk && feedOk
+  }
+
+  property("random mutation interleavings track the model; time travel and CDC stay exact") =
+    forAll(ops)(run)
+}
