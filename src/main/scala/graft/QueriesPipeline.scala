@@ -447,6 +447,37 @@ object QueriesPipeline {
         $"c_name", $"c_mktsegment", $"matched").orderBy($"o_orderkey")
     }),
 
+    // ---- incremental FULL OUTER join, both retraction directions ------
+    // Interleaved arrival fires retraction BOTH ways: early customers
+    // without orders ride as side="right" placeholders until their
+    // orders arrive; early orders for late customers ride as
+    // side="left" until phase-2 customers land. Customers above 500
+    // never arrive (permanent lefts) and zero-order customers remain
+    // permanent rights — the final state must equal the relational
+    // FULL OUTER join with the side marker exactly.
+    "q98_full_outer_stream" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q98_").toString
+      val l = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
+      val r = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      val d = graft.table.IncrementalTable(s, s"$tmp/joined/v1")
+      val ord = Tables.orders(s, dir).select($"o_orderkey",
+        $"o_custkey".as("cust_key"), $"o_totalprice")
+      val cust = Tables.customer(s, dir).filter($"c_custkey" <= 500)
+        .select($"c_custkey".as("cust_key"), $"c_name", $"c_mktsegment")
+      val stream = new graft.streaming.JoinStream(l, r, d, Seq("cust_key"),
+        name = "oc", joinType = "full_outer")
+      r.append(cust.filter($"cust_key" <= 250), partitionBy = Nil)
+      l.append(ord.filter($"o_orderkey" % 2 === 1), partitionBy = Nil)
+      stream.drain()
+      r.append(cust.filter($"cust_key" > 250), partitionBy = Nil)
+      l.append(ord.filter($"o_orderkey" % 2 === 0), partitionBy = Nil)
+      stream.drain()
+      d.read().select($"o_orderkey", $"cust_key", $"o_totalprice",
+        $"c_name", $"c_mktsegment", $"side")
+        .orderBy($"cust_key", $"o_orderkey")
+    }),
+
     // ---- logical→physical partition mapping + prune ------------------
     "q31_partition_prune" -> ((s, dir) => {
       import s.implicits._
@@ -601,6 +632,16 @@ object QueriesPipeline {
         |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey <= 500) c
         |  ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q98_full_outer_stream" ->
+      """SELECT o_orderkey, COALESCE(o_custkey, c_custkey) AS cust_key,
+        |  o_totalprice, c_name, c_mktsegment,
+        |  CASE WHEN o_orderkey IS NOT NULL AND c_custkey IS NOT NULL
+        |    THEN 'both' WHEN o_orderkey IS NOT NULL THEN 'left'
+        |    ELSE 'right' END AS side
+        |FROM orders
+        |FULL OUTER JOIN (SELECT * FROM customer WHERE c_custkey <= 500) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY cust_key, o_orderkey""".stripMargin,
     "q31_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y') AS year,
         |  strftime(o_orderdate, '%m') AS month,

@@ -39,8 +39,17 @@ import graft.table.IncrementalTable
   * touches only files actually holding a retracted null-row. ΔL needs
   * no retraction (new left rows have no prior output): matched pairs
   * and null-extensions append together. The final state equals the
-  * full left outer join regardless of arrival order. (Right/full outer
-  * are the same construction mirrored — omitted here.)
+  * full left outer join regardless of arrival order.
+  *
+  * FULL OUTER mode (`joinType = "full_outer"`) mirrors the retraction
+  * in BOTH directions: unmatched rows on either side ride as
+  * null-extended placeholders tagged by a `side` column ("both" |
+  * "left" | "right"), a ΔL retracts the `side = "right"` placeholders
+  * its keys now match, a ΔR retracts the `side = "left"` ones —
+  * each, again, atomically with its inserts via one deleteInsert.
+  * Since null-extension needs the OTHER side's schema, full mode
+  * buffers until both upstreams exist (left_outer only needs the
+  * right one).
   *
   * Scale: steady-state cost per commit is `|Δ| ⋈ other-side-state` —
   * one join whose delta side is micro-batch-sized (AQE broadcasts it),
@@ -75,9 +84,10 @@ final class JoinStream(
     joinType: String = "inner")
     extends CommitConsumer {
   require(joinKeys.nonEmpty, "JoinStream needs join keys")
-  require(Set("inner", "left_outer")(joinType),
-    s"unsupported joinType '$joinType' (inner | left_outer)")
+  require(Set("inner", "left_outer", "full_outer")(joinType),
+    s"unsupported joinType '$joinType' (inner | left_outer | full_outer)")
   private val outer = joinType == "left_outer"
+  private val full = joinType == "full_outer"
 
   private val leftKey = s"src_version/$name:left"
   private val rightKey = s"src_version/$name:right"
@@ -110,6 +120,8 @@ final class JoinStream(
         "disambiguate them in prepareLeft/prepareRight")
     if (outer) require(!l.columns.contains("matched") && !r.columns.contains("matched"),
       "left_outer mode reserves the 'matched' column")
+    if (full) require(!l.columns.contains("side") && !r.columns.contains("side"),
+      "full_outer mode reserves the 'side' column")
   }
 
   private def joined(l: DataFrame, r: DataFrame): DataFrame = {
@@ -126,12 +138,27 @@ final class JoinStream(
     pairs.unionByName(nullExtended(l.join(r, joinKeys, "left_anti"), r))
   }
 
+  /** `unmatched` rows with the OTHER side's non-key columns null-typed. */
+  private def nullCols(unmatched: DataFrame, other: DataFrame): DataFrame =
+    other.schema.fields.filterNot(f => joinKeys.contains(f.name))
+      .foldLeft(unmatched) { (d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+
   /** Unmatched left rows, right columns null-typed, matched = false. */
-  private def nullExtended(unmatched: DataFrame, r: DataFrame): DataFrame = {
-    val rightCols = r.schema.fields.filterNot(f => joinKeys.contains(f.name))
-    rightCols.foldLeft(unmatched) { (d, f) =>
-      d.withColumn(f.name, lit(null).cast(f.dataType))
-    }.withColumn("matched", lit(false))
+  private def nullExtended(unmatched: DataFrame, r: DataFrame): DataFrame =
+    nullCols(unmatched, r).withColumn("matched", lit(false))
+
+  /** Full outer join with a `side` marker: matched pairs plus BOTH
+    * sides' null-extended placeholders — the view's full shape at
+    * seed/rebuild; deltas produce the same columns. */
+  private def fullJoined(l: DataFrame, r: DataFrame): DataFrame = {
+    checkCollisions(l, r)
+    l.join(r, joinKeys).withColumn("side", lit("both"))
+      .unionByName(nullCols(l.join(r, joinKeys, "left_anti"), r)
+        .withColumn("side", lit("left")))
+      .unionByName(nullCols(r.join(l, joinKeys, "left_anti"), l)
+        .withColumn("side", lit("right")))
   }
 
   /** Apply every pending commit on both sides; returns how many were
@@ -141,9 +168,10 @@ final class JoinStream(
     val pendL = pendingOf(upLeft, leftVersion)
     val pendR = pendingOf(upRight, rightVersion)
     if (pendL.isEmpty && pendR.isEmpty) return 0
-    // outer mode needs the right schema to null-extend unmatched left
-    // rows — left rows buffer upstream until the right table exists
+    // null-extension needs the OTHER side's schema — rows buffer
+    // upstream until the tables whose schema is needed exist
     if (outer && !upRight.exists) return 0
+    if (full && (!upLeft.exists || !upRight.exists)) return 0
 
     if (pendL.exists(_.action != "append") ||
         pendR.exists(_.action != "append")) {
@@ -153,7 +181,9 @@ final class JoinStream(
       val l = prepareLeft(upLeft.readAt(vL))
       val r = prepareRight(upRight.readAt(vR))
       down.replaceWhere(
-        if (outer) outerJoined(l, r) else joined(l, r),
+        if (full) fullJoined(l, r)
+        else if (outer) outerJoined(l, r)
+        else joined(l, r),
         partitionBy, Map.empty, partitionFilter = Map.empty,
         meta = Map(leftKey -> vL.toString, rightKey -> vR.toString))
       return pendL.size + pendR.size
@@ -168,16 +198,38 @@ final class JoinStream(
     pendL.size + pendR.size
   }
 
-  /** Right state at the given cursor; in outer mode a negative cursor
-    * still yields the (empty) prepared frame so ΔL can null-extend. */
+  /** Right state at the given cursor; in outer/full mode a negative
+    * cursor still yields the (empty) prepared frame so ΔL can
+    * null-extend. */
   private def rightAt(cursor: Long): DataFrame =
     if (cursor < 0) prepareRight(upRight.read().limit(0))
     else prepareRight(upRight.readAt(cursor))
 
+  /** Left state at the given cursor (full mode's mirror of rightAt). */
+  private def leftAt(cursor: Long): DataFrame =
+    if (cursor < 0) prepareLeft(upLeft.read().limit(0))
+    else prepareLeft(upLeft.readAt(cursor))
+
+  /** Retraction-and-insert in one guarded commit; degrades to a plain
+    * guarded append when the view doesn't exist yet. */
+  private def retractInsert(deltaKeys: DataFrame, retractWhen: org.apache.spark.sql.Column,
+      inserts: DataFrame, cursor: Map[String, String],
+      version: Long, app: String): Unit = {
+    if (!down.exists)
+      down.append(inserts, partitionBy, meta = cursor,
+        batchId = Some(version), appId = Some(app))
+    else
+      down.deleteInsert(
+        deleteKeys = deltaKeys.select(joinKeys.map(col): _*).distinct(),
+        keys = joinKeys, deleteCondition = retractWhen,
+        inserts = inserts, partitionBy = partitionBy, meta = cursor,
+        batchId = Some(version), appId = Some(app))
+  }
+
   private def applyLeft(version: Long): Unit = {
     val cursor = Map(leftKey -> version.toString)
     val rCursor = rightVersion
-    if (!outer && rCursor < 0) {
+    if (!outer && !full && rCursor < 0) {
       // inner: nothing incorporated on the right — the delta is empty
       // by definition; advance the cursor alone (guarded: crash
       // replays must not stack duplicate meta commits)
@@ -186,34 +238,51 @@ final class JoinStream(
     } else {
       val dl = prepareLeft(upLeft.readCommit(version))
       val r = rightAt(rCursor)
-      val delta = if (outer) outerJoined(dl, r) else joined(dl, r)
-      down.append(delta, partitionBy, meta = cursor,
-        batchId = Some(version), appId = Some(leftApp))
+      if (full) {
+        // ΔL's pairs re-carry any right rows previously emitted as
+        // side="right" placeholders — retract those in the same commit
+        checkCollisions(dl, r)
+        val delta = dl.join(r, joinKeys).withColumn("side", lit("both"))
+          .unionByName(nullCols(dl.join(r, joinKeys, "left_anti"), r)
+            .withColumn("side", lit("left")))
+        retractInsert(dl, col("side") === "right", delta, cursor, version, leftApp)
+      } else {
+        val delta = if (outer) outerJoined(dl, r) else joined(dl, r)
+        down.append(delta, partitionBy, meta = cursor,
+          batchId = Some(version), appId = Some(leftApp))
+      }
     }
   }
 
   private def applyRight(version: Long): Unit = {
     val cursor = Map(rightKey -> version.toString)
     val lCursor = leftVersion
-    if (lCursor < 0) {
+    if (!full && lCursor < 0) {
+      // inner/left_outer: with no left rows incorporated, ΔR produces
+      // no pairs and has nothing to retract — advance the cursor alone
+      // (full mode DOES emit side="right" placeholders here, and its
+      // drain gate guarantees the left schema exists to null-extend)
       if (!down.hasBatch(version, Some(rightApp)))
         down.commitMeta(cursor, batchId = Some(version), appId = Some(rightApp))
+    } else if (!outer && !full) {
+      val dr = prepareRight(upRight.readCommit(version))
+      down.append(joined(leftAt(lCursor), dr), partitionBy, meta = cursor,
+        batchId = Some(version), appId = Some(rightApp))
     } else {
       val dr = prepareRight(upRight.readCommit(version))
-      val l = prepareLeft(upLeft.readAt(lCursor))
-      if (!outer)
-        down.append(joined(l, dr), partitionBy, meta = cursor,
-          batchId = Some(version), appId = Some(rightApp))
-      else {
-        // retraction: left rows matched for the first time by ΔR lose
-        // their null-row in the SAME commit that inserts the pairs
+      val l = leftAt(lCursor)
+      if (full) {
+        checkCollisions(l, dr)
+        val delta = l.join(dr, joinKeys).withColumn("side", lit("both"))
+          .unionByName(nullCols(dr.join(l, joinKeys, "left_anti"), l)
+            .withColumn("side", lit("right")))
+        retractInsert(dr, col("side") === "left", delta, cursor, version, rightApp)
+      } else {
+        // left_outer retraction: left rows matched for the first time
+        // by ΔR lose their null-row in the SAME commit as the pairs
         val pairs = joined(l, dr).withColumn("matched", lit(true))
-        down.deleteInsert(
-          deleteKeys = dr.select(joinKeys.map(col): _*).distinct(),
-          keys = joinKeys,
-          deleteCondition = not(coalesce(col("matched"), lit(false))),
-          inserts = pairs, partitionBy = partitionBy, meta = cursor,
-          batchId = Some(version), appId = Some(rightApp))
+        retractInsert(dr, not(coalesce(col("matched"), lit(false))),
+          pairs, cursor, version, rightApp)
       }
     }
   }

@@ -41,15 +41,16 @@ object JoinStreamProps extends Properties("joinstream") {
     e.copy(rows = e.rows.map { case (rid, key) => (i * 10L + rid, key) })
   }
 
-  private def run(script: List[Ev], outer: Boolean): Boolean = {
+  private def run(script: List[Ev], mode: String): Boolean = {
+    val outer = mode == "left_outer"
+    val full = mode == "full_outer"
     val s = spark
     import s.implicits._
     val dir = Files.createTempDirectory("joinprops").toString
     val l = IncrementalTable(spark, dir + "/l/v1")
     val r = IncrementalTable(spark, dir + "/r/v1")
     val d = IncrementalTable(spark, dir + "/d/v1")
-    val stream = new JoinStream(l, r, d, Seq("k"),
-      name = "p", joinType = if (outer) "left_outer" else "inner")
+    val stream = new JoinStream(l, r, d, Seq("k"), name = "p", joinType = mode)
     script.foreach { ev =>
       val df =
         if (ev.left) ev.rows.toDF("lid", "k").select($"lid", $"k")
@@ -61,7 +62,7 @@ object JoinStreamProps extends Properties("joinstream") {
 
     val lefts = script.filter(_.left).flatMap(_.rows).toSet
     val rights = script.filterNot(_.left).flatMap(_.rows).toSet
-    if (!outer) {
+    if (!outer && !full) {
       val want: Set[(Long, Long, Long)] = for {
         (lid, k) <- lefts; (rid, k2) <- rights if k == k2
       } yield (lid, k, rid)
@@ -71,11 +72,11 @@ object JoinStreamProps extends Properties("joinstream") {
             .collect().toSet
         else Set.empty[(Long, Long, Long)]
       got == want
-    } else if (!r.exists) {
-      // documented contract: outer mode buffers left rows upstream
-      // until the right table exists (its schema null-extends them)
+    } else if (!r.exists || (full && !l.exists)) {
+      // documented contract: modes needing the other side's schema
+      // buffer rows upstream until that table exists
       !d.exists || d.read().columns.isEmpty || d.read().count() == 0
-    } else {
+    } else if (outer) {
       val want: Set[(Long, Long, Option[Long], Boolean)] = lefts.flatMap {
         case (lid, k) =>
           val ms = rights.filter(_._2 == k)
@@ -88,12 +89,32 @@ object JoinStreamProps extends Properties("joinstream") {
             .as[(Long, Long, Option[Long], Boolean)].collect().toSet
         else Set.empty[(Long, Long, Option[Long], Boolean)]
       got == want
+    } else {
+      val matchedL: Set[(Option[Long], Long, Option[Long], String)] =
+        lefts.flatMap { case (lid, k) =>
+          val ms = rights.filter(_._2 == k)
+          if (ms.isEmpty) Set((Option(lid), k, Option.empty[Long], "left"))
+          else ms.map(m => (Option(lid), k, Option(m._1), "both"))
+        }
+      val rOnly: Set[(Option[Long], Long, Option[Long], String)] =
+        rights.filter { case (_, k) => !lefts.exists(_._2 == k) }
+          .map { case (rid, k) => (Option.empty[Long], k, Option(rid), "right") }
+      val want = matchedL ++ rOnly
+      val got =
+        if (d.exists && d.read().columns.nonEmpty)
+          d.read().select($"lid", $"k", $"rid", $"side")
+            .as[(Option[Long], Long, Option[Long], String)].collect().toSet
+        else Set.empty[(Option[Long], Long, Option[Long], String)]
+      got == want
     }
   }
 
   property("inner: any interleaving converges to the full inner join") =
-    forAll(scripts)(run(_, outer = false))
+    forAll(scripts)(run(_, "inner"))
 
   property("left_outer: any interleaving converges to the outer join with exact retraction") =
-    forAll(scripts)(run(_, outer = true))
+    forAll(scripts)(run(_, "left_outer"))
+
+  property("full_outer: any interleaving converges to the full outer join, both retractions exact") =
+    forAll(scripts)(run(_, "full_outer"))
 }

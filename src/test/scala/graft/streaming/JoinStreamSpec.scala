@@ -180,6 +180,75 @@ class JoinStreamSpec extends SparkSpec {
       (1L, 1L, "A", None, false), (2L, 5L, "B", Some("eve"), true)))
   }
 
+  private def mkFull(dir: String): (IncrementalTable, IncrementalTable,
+      IncrementalTable, JoinStream) = {
+    val l = IncrementalTable(spark, dir + "/orders/v1")
+    val r = IncrementalTable(spark, dir + "/custs/v1")
+    val d = IncrementalTable(spark, dir + "/joined/v1")
+    (l, r, d, new JoinStream(l, r, d, Seq("cust_id"), name = "oc",
+      joinType = "full_outer"))
+  }
+
+  /** Ground truth: full outer join with the side marker. */
+  private def fullOuterBoth(l: IncrementalTable, r: IncrementalTable): Set[(Option[Long], Long, Option[String], Option[String], String)] =
+    l.read().join(r.read(), Seq("cust_id"), "full")
+      .select($"order_id", $"cust_id", $"status", $"name",
+        when($"order_id".isNotNull && $"name".isNotNull, "both")
+          .when($"order_id".isNotNull, "left").otherwise("right").as("side"))
+      .as[(Option[Long], Long, Option[String], Option[String], String)]
+      .collect().toSet
+
+  private def fullState(d: IncrementalTable): Set[(Option[Long], Long, Option[String], Option[String], String)] =
+    d.read().select($"order_id", $"cust_id", $"status", $"name", $"side")
+      .as[(Option[Long], Long, Option[String], Option[String], String)]
+      .collect().toSet
+
+  test("full outer: placeholders on both sides retract as their match arrives") {
+    val (l, r, d, s) = mkFull(tmpDir("joinstream"))
+    l.append(orders((100L, 1L, "A")), Nil)
+    r.append(custs(2L -> "bob"), Nil)
+    assert(s.drain() == 2)
+    assert(fullState(d) == fullOuterBoth(l, r))
+    assert(fullState(d) == Set(
+      (Some(100L), 1L, Some("A"), None, "left"),
+      (None, 2L, None, Some("bob"), "right")))
+
+    // cust 1 arrives: retracts order 100's LEFT placeholder;
+    // order for cust 2 arrives: retracts bob's RIGHT placeholder
+    r.append(custs(1L -> "ann"), Nil)
+    l.append(orders((101L, 2L, "B")), Nil)
+    assert(s.drain() == 2)
+    assert(fullState(d) == fullOuterBoth(l, r))
+    assert(fullState(d) == Set(
+      (Some(100L), 1L, Some("A"), Some("ann"), "both"),
+      (Some(101L), 2L, Some("B"), Some("bob"), "both")))
+    assert(s.drain() == 0)
+
+    // fresh consumer resumes cleanly
+    val d2 = IncrementalTable(spark, d.root)
+    val s2 = new JoinStream(l, r, d2, Seq("cust_id"), name = "oc",
+      joinType = "full_outer")
+    assert(s2.drain() == 0)
+  }
+
+  test("full outer: rebuild and continued incremental consumption") {
+    val (l, r, d, s) = mkFull(tmpDir("joinstream"))
+    l.append(orders((1L, 1L, "A"), (2L, 7L, "B")), Nil)
+    r.append(custs(1L -> "ann", 9L -> "zed"), Nil)
+    s.drain()
+    assert(fullState(d) == fullOuterBoth(l, r))
+    l.replaceWhere(orders((3L, 9L, "C")), Nil, Map.empty,
+      partitionFilter = Map.empty)
+    assert(s.drain() == 1)
+    assert(fullState(d) == fullOuterBoth(l, r))
+    assert(fullState(d) == Set(
+      (Some(3L), 9L, Some("C"), Some("zed"), "both"),
+      (None, 1L, None, Some("ann"), "right")))
+    l.append(orders((4L, 1L, "D")), Nil)
+    assert(s.drain() == 1)
+    assert(fullState(d) == fullOuterBoth(l, r))
+  }
+
   test("non-key column collision across sides is rejected") {
     val dir = tmpDir("joinstream")
     val l = IncrementalTable(spark, dir + "/a/v1")
