@@ -38,6 +38,8 @@ object TableModelProps extends Properties("tablemodel") {
   private case class DeleteCow(m: Int, r: Int) extends Op
   private case class DeleteDv(m: Int, r: Int) extends Op
   private case class Update(m: Int, r: Int) extends Op
+  private case class Merge(rows: List[(Long, Long)]) extends Op // upsert by id
+  private case class DelIns(m: Int, r: Int, rows: List[(Long, Long)]) extends Op
   private case object Compact extends Op
   private case class Restore(pick: Int) extends Op // index into history
   private case object Vacuum extends Op
@@ -54,6 +56,14 @@ object TableModelProps extends Properties("tablemodel") {
       2 -> (for { m <- Gen.choose(2, 4); r <- Gen.choose(0, 3) } yield DeleteCow(m, r % m)),
       2 -> (for { m <- Gen.choose(2, 4); r <- Gen.choose(0, 3) } yield DeleteDv(m, r % m)),
       1 -> (for { m <- Gen.choose(2, 4); r <- Gen.choose(0, 3) } yield Update(m, r % m)),
+      1 -> (for {
+        k <- Gen.choose(1, 3)
+        base <- Gen.choose(0, 40) // low id space: upserts often MATCH
+      } yield Merge((0 until k).map(i => (base + i.toLong, 9000L + base + i)).toList)),
+      1 -> (for {
+        m <- Gen.choose(2, 4); r <- Gen.choose(0, 3)
+        base <- Gen.choose(0, 1000)
+      } yield DelIns(m, r % m, List((base * 10L + 7, base + 7L)))),
       1 -> Gen.const(Compact),
       1 -> Gen.choose(0, 100).map(Restore(_)),
       1 -> Gen.const(Vacuum)))
@@ -98,6 +108,27 @@ object TableModelProps extends Properties("tablemodel") {
             state = state.map { case (id, v) =>
               if (id % m == r) (id, v + 100L) else (id, v)
             }
+            snap()
+          }
+        case Merge(rows) =>
+          if (t.exists) {
+            // model multiset semantics: ALL rows with a matched id are
+            // replaced by the single source row; unmatched ids insert.
+            // Sources with duplicate ids are rejected by merge, so the
+            // generator emits distinct ids per batch.
+            t.merge(rows.toDF("id", "v"), Seq("id"))
+            val byId = rows.toMap
+            state = state.filterNot { case (id, _) => byId.contains(id) } ++ rows
+            snap()
+          }
+        case DelIns(m, r, rows) =>
+          if (t.exists) {
+            // atomic delete-and-insert: rows whose id matches BOTH the
+            // key set and id%m==r are removed; inserts always land
+            val keys = state.map(_._1).distinct.filter(_ % m == r)
+            t.deleteInsert(keys.toDF("id"), Seq("id"),
+              col("id") % m === r, rows.toDF("id", "v"))
+            state = state.filterNot { case (id, _) => id % m == r && keys.contains(id) } ++ rows
             snap()
           }
         case Compact =>
