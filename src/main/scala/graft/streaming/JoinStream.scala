@@ -7,7 +7,11 @@ import graft.table.IncrementalTable
 
 /** Incremental view maintenance for a two-input equi-join — the binary
   * sibling of [[DerivedStream]] (map/filter) and [[AggregateStream]]
-  * (grouped aggregates). Maintains
+  * (grouped aggregates), extending the reference's central incremental
+  * tension (readme.md:13 — a derived asset silently duplicates when
+  * re-run after its upstream grew, because "incremental" stops at the
+  * first hop) to MULTI-INPUT derived assets, which the reference has
+  * no answer for at all. Maintains
   * `prepareLeft(L) ⋈ prepareRight(R) on joinKeys` as a table that
   * equals the full recompute after every drain, while reading only
   * each side's NEW data in steady state.
@@ -286,4 +290,23 @@ final class JoinStream(
       }
     }
   }
+}
+
+object JoinStream {
+  /** RIGHT OUTER is left outer with the sides swapped — same algebra,
+    * same retraction machinery, the `matched` flag marking whether a
+    * RIGHT row found a left match. Provided as a factory (not a fourth
+    * joinType) so the cursors and appIds bind to the physically-passed
+    * tables and a resumed consumer can't mix the sides up. */
+  def rightOuter(
+      upLeft: IncrementalTable,
+      upRight: IncrementalTable,
+      down: IncrementalTable,
+      joinKeys: Seq[String],
+      prepareLeft: DataFrame => DataFrame = identity,
+      prepareRight: DataFrame => DataFrame = identity,
+      partitionBy: Seq[String] = Nil,
+      name: String = "join"): JoinStream =
+    new JoinStream(upRight, upLeft, down, joinKeys, prepareRight,
+      prepareLeft, partitionBy, name, joinType = "left_outer")
 }

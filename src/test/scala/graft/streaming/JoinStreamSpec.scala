@@ -249,6 +249,32 @@ class JoinStreamSpec extends SparkSpec {
     assert(fullState(d) == fullOuterBoth(l, r))
   }
 
+  test("right outer via the factory equals the relational right outer join") {
+    val dir = tmpDir("joinstream")
+    val l = IncrementalTable(spark, dir + "/orders/v1")
+    val r = IncrementalTable(spark, dir + "/custs/v1")
+    val d = IncrementalTable(spark, dir + "/joined/v1")
+    val s = JoinStream.rightOuter(l, r, d, Seq("cust_id"), name = "oc")
+    l.append(orders((1L, 1L, "A")), Nil)
+    r.append(custs(1L -> "ann", 2L -> "bob"), Nil)
+    s.drain()
+    l.append(orders((2L, 2L, "B")), Nil) // retracts bob's unmatched row
+    s.drain()
+    val got = d.read()
+      .select($"order_id", $"cust_id", $"status", $"name", $"matched")
+      .as[(Option[Long], Long, Option[String], String, Boolean)]
+      .collect().toSet
+    val want = l.read().join(r.read(), Seq("cust_id"), "right")
+      .select($"order_id", $"cust_id", $"status", $"name",
+        $"order_id".isNotNull.as("matched"))
+      .as[(Option[Long], Long, Option[String], String, Boolean)]
+      .collect().toSet
+    assert(got == want)
+    assert(got == Set(
+      (Some(1L), 1L, Some("A"), "ann", true),
+      (Some(2L), 2L, Some("B"), "bob", true)))
+  }
+
   test("non-key column collision across sides is rejected") {
     val dir = tmpDir("joinstream")
     val l = IncrementalTable(spark, dir + "/a/v1")
