@@ -194,6 +194,28 @@ object QueriesPipeline {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- STRING data skipping under the oracle ------------------------
+    // Customers clustered by name: each file covers a narrow
+    // lexicographic slice, and the string [min,max] index prunes files
+    // for a name-range read before Spark enumerates them (sound only
+    // on ASCII bounds — non-ASCII stats drop, conservatively keeping
+    // the file). The oracle is the plain relational filter: skipping
+    // is an optimization, never semantics.
+    "q99_string_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q99_").toString
+      val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      t.append(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .repartition(8), partitionBy = Nil)
+      t.compact(targetFiles = 8, clusterBy = Seq("c_name"),
+        statsColumns = Seq("c_name"))
+      t.readWhere($"c_name" >= "Customer#000000100" &&
+          $"c_name" < "Customer#000000400")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
     // ---- time travel (snapshot isolation) under the oracle ------------
     // Two appends then a partition refresh REWRITING history: the
     // snapshot read AS OF the pre-refresh version must reproduce
@@ -518,6 +540,11 @@ object QueriesPipeline {
         |WHERE o_custkey BETWEEN 100 AND 400
         |  AND o_orderkey BETWEEN 1000 AND 30000
         |ORDER BY o_orderkey""".stripMargin,
+    "q99_string_skipping" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_name >= 'Customer#000000100'
+        |  AND c_name < 'Customer#000000400'
+        |ORDER BY c_custkey""".stripMargin,
     "q65_time_travel" ->
       """SELECT p_partkey, p_name, p_brand FROM part
         |WHERE p_partkey BETWEEN 1 AND 200

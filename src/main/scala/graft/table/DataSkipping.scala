@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.types._
 
-/** Extracts conservative per-column integer bounds from a predicate,
-  * for file-level data skipping against the commit log's [[ColStat]]
+/** Extracts conservative per-column bounds from a predicate, for
+  * file-level data skipping against the commit log's [[ColStat]]
   * index (Delta-style: prune before Spark even enumerates the files;
   * the full predicate still runs over whatever survives, so extraction
   * only ever needs to be SOUND, never complete).
@@ -17,16 +17,25 @@ import org.apache.spark.sql.types._
   * and normalizes literals through the analyzer's implicit casts.
   *
   * Supported shapes: `col <op> literal` / `literal <op> col` for
-  * =, <, <=, >, >= over integral columns and literals, combined with
-  * AND. Any other conjunct (OR, functions, non-integral types) simply
-  * contributes no bound — those files are read and filtered normally.
-  * Strict comparisons tighten to inclusive bounds by ±1, exact in the
-  * integral domain the stats index covers. */
+  * =, <, <=, >, >= over integral OR string columns and literals,
+  * combined with AND. Any other conjunct (OR, functions, other types)
+  * simply contributes no bound — those files are read and filtered
+  * normally. Integral strict comparisons tighten to inclusive bounds
+  * by ±1 (exact in that domain); string strict comparisons carry an
+  * explicit strictness flag instead (there is no "next string").
+  * String pruning only ever fires against ASCII-bounded [[ColStat]]
+  * entries (see its doc), where unsigned-byte parquet order and
+  * `String` comparison agree. */
 object DataSkipping {
 
-  /** Inclusive bounds a row must satisfy for column `col` ([lower,
-    * upper]; None = unbounded on that side). */
-  final case class Bounds(lower: Option[Long] = None, upper: Option[Long] = None)
+  /** Inclusive integral bounds and/or (possibly strict) string bounds
+    * a row must satisfy for a column; None = unbounded on that side.
+    * A predicate binds one side of the pair per column — the other
+    * stays empty and [[overlaps]] ignores it. */
+  final case class Bounds(
+      lower: Option[Long] = None, upper: Option[Long] = None,
+      lowerS: Option[String] = None, upperS: Option[String] = None,
+      lowerSStrict: Boolean = false, upperSStrict: Boolean = false)
 
   /** Per-column bounds implied by `predicate` against `schema`
     * (empty = nothing extractable, no pruning). */
@@ -37,10 +46,17 @@ object DataSkipping {
     }.getOrElse(Map.empty)
   }
 
-  /** Does a file whose rows span `[stat.min, stat.max]` possibly hold a
-    * row inside `b`? */
+  /** Does a file whose rows span the stat's [min,max] possibly hold a
+    * row inside `b`? Bounds of one kind never prune against a stat of
+    * the other (conservatively kept). */
   def overlaps(b: Bounds, stat: ColStat): Boolean =
-    b.lower.forall(_ <= stat.max) && b.upper.forall(_ >= stat.min)
+    if (stat.isString) {
+      val mx = stat.maxS.get
+      val mn = stat.minS.get
+      b.lowerS.forall(lo => if (b.lowerSStrict) mx > lo else mx >= lo) &&
+        b.upperS.forall(hi => if (b.upperSStrict) mn < hi else mn <= hi)
+    } else
+      b.lower.forall(_ <= stat.max) && b.upper.forall(_ >= stat.min)
 
   private def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -59,11 +75,26 @@ object DataSkipping {
     case _ => None
   }
 
+  /** A bare string attribute — never unwrapped from casts (a cast to
+    * or from string changes comparison semantics). */
+  private def attrNameS(e: Expression): Option[String] = e match {
+    case a: AttributeReference if a.dataType == StringType => Some(a.name)
+    case _ => None
+  }
+
   private def litLong(e: Expression): Option[Long] = e match {
     case Literal(null, _) => None
     case l @ Literal(_, dt) if integral(dt) => asLong(l.value)
     case c: Cast if c.foldable && integral(c.dataType) =>
       Option(c.eval(null)).flatMap(asLong)
+    case _ => None
+  }
+
+  /** ASCII string literals only — the stats index's sound domain. */
+  private def litStr(e: Expression): Option[String] = e match {
+    case Literal(null, _) => None
+    case Literal(v, StringType) =>
+      Option(v).map(_.toString).filter(_.forall(_ < 0x80))
     case _ => None
   }
 
@@ -75,40 +106,76 @@ object DataSkipping {
     case _ => None
   }
 
-  // intersection: both conjuncts must hold, so keep the TIGHTER bound
+  // intersection: both conjuncts must hold, so keep the TIGHTER bound;
+  // for strings, on an equal-value tie the strict variant is tighter
   private def merge(a: Map[String, Bounds], b: Map[String, Bounds]): Map[String, Bounds] =
     (a.keySet ++ b.keySet).iterator.map { k =>
       val (x, y) = (a.getOrElse(k, Bounds()), b.getOrElse(k, Bounds()))
+      val (loS, loStrict) = tighterS(x.lowerS, x.lowerSStrict, y.lowerS, y.lowerSStrict, takeMax = true)
+      val (hiS, hiStrict) = tighterS(x.upperS, x.upperSStrict, y.upperS, y.upperSStrict, takeMax = false)
       k -> Bounds(
         (x.lower.toSeq ++ y.lower.toSeq).maxOption,
-        (x.upper.toSeq ++ y.upper.toSeq).minOption)
+        (x.upper.toSeq ++ y.upper.toSeq).minOption,
+        loS, hiS, loStrict, hiStrict)
     }.toMap
+
+  private def tighterS(a: Option[String], aStrict: Boolean,
+      b: Option[String], bStrict: Boolean, takeMax: Boolean): (Option[String], Boolean) =
+    (a, b) match {
+      case (None, _) => (b, bStrict)
+      case (_, None) => (a, aStrict)
+      case (Some(x), Some(y)) =>
+        if (x == y) (a, aStrict || bStrict)
+        else if ((x > y) == takeMax) (a, aStrict) else (b, bStrict)
+    }
 
   private def one(col: Option[String], b: Bounds): Map[String, Bounds] =
     col.map(_ -> b).toMap
 
   private def extract(e: Expression): Map[String, Bounds] = e match {
     case And(l, r) => merge(extract(l), extract(r))
+    // ---- integral ----
     case EqualTo(a, v) if litLong(v).nonEmpty =>
       one(attrName(a), Bounds(litLong(v), litLong(v)))
-    case EqualTo(v, a) if litLong(v).nonEmpty =>
+    case EqualTo(v, a) if litLong(v).nonEmpty && attrName(a).nonEmpty =>
       one(attrName(a), Bounds(litLong(v), litLong(v)))
     case GreaterThan(a, v) if litLong(v).nonEmpty => // a > v
       one(attrName(a), Bounds(lower = litLong(v).filter(_ != Long.MaxValue).map(_ + 1)))
-    case GreaterThan(v, a) if litLong(v).nonEmpty => // v > a  ==  a < v
+    case GreaterThan(v, a) if litLong(v).nonEmpty && attrName(a).nonEmpty => // v > a
       one(attrName(a), Bounds(upper = litLong(v).filter(_ != Long.MinValue).map(_ - 1)))
     case GreaterThanOrEqual(a, v) if litLong(v).nonEmpty =>
       one(attrName(a), Bounds(lower = litLong(v)))
-    case GreaterThanOrEqual(v, a) if litLong(v).nonEmpty =>
+    case GreaterThanOrEqual(v, a) if litLong(v).nonEmpty && attrName(a).nonEmpty =>
       one(attrName(a), Bounds(upper = litLong(v)))
     case LessThan(a, v) if litLong(v).nonEmpty => // a < v
       one(attrName(a), Bounds(upper = litLong(v).filter(_ != Long.MinValue).map(_ - 1)))
-    case LessThan(v, a) if litLong(v).nonEmpty => // v < a  ==  a > v
+    case LessThan(v, a) if litLong(v).nonEmpty && attrName(a).nonEmpty => // v < a
       one(attrName(a), Bounds(lower = litLong(v).filter(_ != Long.MaxValue).map(_ + 1)))
     case LessThanOrEqual(a, v) if litLong(v).nonEmpty =>
       one(attrName(a), Bounds(upper = litLong(v)))
-    case LessThanOrEqual(v, a) if litLong(v).nonEmpty =>
+    case LessThanOrEqual(v, a) if litLong(v).nonEmpty && attrName(a).nonEmpty =>
       one(attrName(a), Bounds(lower = litLong(v)))
+    // ---- string ----
+    case EqualTo(a, v) if litStr(v).nonEmpty =>
+      one(attrNameS(a), Bounds(lowerS = litStr(v), upperS = litStr(v)))
+    case EqualTo(v, a) if litStr(v).nonEmpty =>
+      one(attrNameS(a), Bounds(lowerS = litStr(v), upperS = litStr(v)))
+    case GreaterThan(a, v) if litStr(v).nonEmpty => // a > v
+      one(attrNameS(a), Bounds(lowerS = litStr(v), lowerSStrict = true))
+    case GreaterThan(v, a) if litStr(v).nonEmpty => // v > a  ==  a < v
+      one(attrNameS(a), Bounds(upperS = litStr(v), upperSStrict = true))
+    case GreaterThanOrEqual(a, v) if litStr(v).nonEmpty =>
+      one(attrNameS(a), Bounds(lowerS = litStr(v)))
+    case GreaterThanOrEqual(v, a) if litStr(v).nonEmpty =>
+      one(attrNameS(a), Bounds(upperS = litStr(v)))
+    case LessThan(a, v) if litStr(v).nonEmpty => // a < v
+      one(attrNameS(a), Bounds(upperS = litStr(v), upperSStrict = true))
+    case LessThan(v, a) if litStr(v).nonEmpty => // v < a  ==  a > v
+      one(attrNameS(a), Bounds(lowerS = litStr(v), lowerSStrict = true))
+    case LessThanOrEqual(a, v) if litStr(v).nonEmpty =>
+      one(attrNameS(a), Bounds(upperS = litStr(v)))
+    case LessThanOrEqual(v, a) if litStr(v).nonEmpty =>
+      one(attrNameS(a), Bounds(lowerS = litStr(v)))
     case _ => Map.empty // sound: unextractable conjuncts prune nothing
   }
 }

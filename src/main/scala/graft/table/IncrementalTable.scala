@@ -65,8 +65,19 @@ final case class Commit(
     // logs readable.
     dv: Map[String, Seq[String]] = Map.empty)
 
-/** Per-file column statistics entry ([min,max] over the file's rows). */
-final case class ColStat(min: Long, max: Long)
+/** Per-file column statistics entry ([min,max] over the file's rows).
+  * Integral columns use `min`/`max`; string columns use `minS`/`maxS`
+  * (then `min`/`max` are 0 and ignored) — one JSON shape, old logs
+  * deserialize with the string side absent. String stats are recorded
+  * only when both bounds are pure ASCII: parquet footers order binary
+  * stats by unsigned bytes, which matches lexicographic `String`
+  * comparison exactly on ASCII but not beyond, and an unsound bound
+  * could prune a file that matches — non-ASCII bounds drop the entry,
+  * conservatively keeping the file. */
+final case class ColStat(min: Long, max: Long,
+    minS: Option[String] = None, maxS: Option[String] = None) {
+  def isString: Boolean = minS.isDefined
+}
 
 /** A metadata entry whose value derives from the staged files' parquet
   * footer column statistics at commit time: the committed value is
@@ -903,6 +914,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val (stagedRows, perFile) = stagedFooterStats(stage, staged,
       statMeta.map(_.column).toSet ++ statsColumns, needRows = partitionBy.isEmpty)
     val stagedMax = perFile.valuesIterator.flatten.toSeq
+      .filter(!_._2.isString) // watermarks are integral by contract
       .groupMapReduce(_._1)(_._2.max)(math.max)
     val allMeta = meta ++ statMeta.map(sm => sm.key ->
       math.max(sm.floor, stagedMax.get(sm.column).map(_ + 1).getOrElse(sm.floor)).toString)
@@ -1009,6 +1021,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       try {
         rows += rd.getRecordCount
         val stats = scala.collection.mutable.HashMap.empty[String, ColStat]
+        val poisoned = scala.collection.mutable.HashSet.empty[String]
         if (cols.nonEmpty) rd.getFooter.getBlocks.forEach { block =>
           block.getColumns.forEach { cc =>
             val name = cc.getPath.toDotString
@@ -1018,15 +1031,31 @@ final class IncrementalTable(spark: SparkSession, val root: String,
                 throw new IllegalStateException(
                   s"staged parquet footer lacks statistics for stats column '$name'")
               if (st.hasNonNullValue) {
-                def asLong(o: Any): Long = o match {
-                  case l: java.lang.Long => l.longValue()
-                  case i: java.lang.Integer => i.longValue()
-                  case o => throw new IllegalStateException(
-                    s"stats column '$name' is not integral: ${o.getClass.getName}")
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (bn: org.apache.parquet.io.api.Binary,
+                        bx: org.apache.parquet.io.api.Binary) =>
+                    // string column: ASCII-only (unsigned-byte footer
+                    // order == String order there; see ColStat doc) —
+                    // a non-ASCII bound poisons the whole file's entry
+                    val (mn, mx) = (bn.toStringUsingUTF8, bx.toStringUsingUTF8)
+                    def ascii(s: String) = s.forall(_ < 0x80)
+                    val prev = stats.get(name)
+                    if (ascii(mn) && ascii(mx) && !poisoned(name)) {
+                      val lo = prev.flatMap(_.minS).filter(_ <= mn).getOrElse(mn)
+                      val hi = prev.flatMap(_.maxS).filter(_ >= mx).getOrElse(mx)
+                      stats.update(name, ColStat(0, 0, Some(lo), Some(hi)))
+                    } else { poisoned += name; stats.remove(name) }
+                  case (mno, mxo) =>
+                    def asLong(o: Any): Long = o match {
+                      case l: java.lang.Long => l.longValue()
+                      case i: java.lang.Integer => i.longValue()
+                      case o => throw new IllegalStateException(
+                        s"stats column '$name' is neither integral nor string: ${o.getClass.getName}")
+                    }
+                    val (mn, mx) = (asLong(mno), asLong(mxo))
+                    stats.update(name, stats.get(name).fold(ColStat(mn, mx))(p =>
+                      ColStat(math.min(p.min, mn), math.max(p.max, mx))))
                 }
-                val (mn, mx) = (asLong(st.genericGetMin), asLong(st.genericGetMax))
-                stats.update(name, stats.get(name).fold(ColStat(mn, mx))(p =>
-                  ColStat(math.min(p.min, mn), math.max(p.max, mx))))
               }
             }
           }

@@ -338,6 +338,41 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.liveFilesWhere(length($"s") > 2).size == 4)
   }
 
+  test("data skipping on STRING columns: clustered prune, strict bounds, non-ASCII poison") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t31")
+    // keys aa..zz, written clustered so each file covers a narrow
+    // lexicographic slice
+    val keys = for (a <- 'a' to 'z'; b <- 'a' to 'z') yield s"$a$b"
+    t.append(keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+      .repartition(1), Nil, statsColumns = Seq("k"))
+    t.compact(targetFiles = 4, clusterBy = Seq("k"), statsColumns = Seq("k"))
+    assert(t.liveFiles().size == 4)
+
+    // equality pins one file; ranges prune; strict vs inclusive differ
+    assert(t.liveFilesWhere($"k" === "zz").size == 1)
+    assert(t.liveFilesWhere($"k" >= "y").size <= 2)
+    assert(t.liveFilesWhere($"k" < "c" && $"k" > "ba").size <= 2)
+    // literal-on-the-left shapes
+    assert(t.liveFilesWhere(lit("c") > $"k").size <= 2)
+
+    // never a semantics change
+    val expect = keys.filter(_ >= "y").toSet
+    assert(t.readWhere($"k" >= "y").select($"k").as[String].collect().toSet == expect)
+    assert(t.readWhere($"k" === "mm").count() == 1)
+
+    // non-ASCII data poisons the file's entry (kept conservatively),
+    // other files still prune; results stay exact
+    t.append(Seq(("żż", 9999L), ("aa", 10000L)).toDF("k", "v").repartition(1),
+      Nil, statsColumns = Seq("k"))
+    assert(t.liveFiles().size == 5)
+    val survivors = t.liveFilesWhere($"k" === "zz")
+    assert(survivors.size == 2, s"poisoned file kept + one pruned slice, got ${survivors.size}")
+    assert(t.readWhere($"k" === "zz").count() == 1)
+    assert(t.readWhere($"k" === "żż").select($"v").as[Long].collect().toSeq == Seq(9999L))
+    // non-ASCII literals extract no bound — full file set, exact result
+    assert(t.liveFilesWhere($"k" >= "ż").size == 5)
+  }
+
   test("data skipping survives checkpoint compaction of the recording commits") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t24")
     t.append((0 until 100).map(i => (i.toLong, "a")).toDF("id", "s")
