@@ -176,6 +176,49 @@ object DataSkipping {
       one(attrNameS(a), Bounds(upperS = litStr(v)))
     case LessThanOrEqual(v, a) if litStr(v).nonEmpty =>
       one(attrNameS(a), Bounds(lowerS = litStr(v)))
+    // ---- IN lists: a member must land inside [min,max] of the list ----
+    case In(a, vs) if vs.nonEmpty =>
+      val longs = vs.map(litLong)
+      val strs = vs.map(litStr)
+      if (longs.forall(_.nonEmpty))
+        one(attrName(a), Bounds(Some(longs.flatten.min), Some(longs.flatten.max)))
+      else if (strs.forall(_.nonEmpty))
+        one(attrNameS(a), Bounds(lowerS = Some(strs.flatten.min),
+          upperS = Some(strs.flatten.max)))
+      else Map.empty
+    case InSet(a, hset) if hset.nonEmpty =>
+      // the optimizer's large-IN form; values are internal types
+      val vals = hset.toSeq
+      if (vals.forall(_.isInstanceOf[java.lang.Number]) &&
+          vals.forall(v => asLong(longOf(v)).nonEmpty)) {
+        val ls = vals.map(v => asLong(longOf(v)).get)
+        one(attrName(a), Bounds(Some(ls.min), Some(ls.max)))
+      } else if (vals.forall(_.isInstanceOf[org.apache.spark.unsafe.types.UTF8String])) {
+        val ss = vals.map(_.toString)
+        if (ss.forall(_.forall(_ < 0x80)))
+          one(attrNameS(a), Bounds(lowerS = Some(ss.min), upperS = Some(ss.max)))
+        else Map.empty
+      } else Map.empty
+    // ---- prefix: col LIKE 'p%'  ==  [p, nextPrefix(p)) ----------------
+    case StartsWith(a, v) if litStr(v).exists(_.nonEmpty) =>
+      val p = litStr(v).get
+      one(attrNameS(a),
+        Bounds(lowerS = Some(p), upperS = nextPrefix(p), upperSStrict = true))
     case _ => Map.empty // sound: unextractable conjuncts prune nothing
+  }
+
+  private def longOf(v: Any): Any = v match {
+    case b: java.lang.Byte => b.longValue(): java.lang.Long
+    case s: java.lang.Short => s.longValue(): java.lang.Long
+    case o => o
+  }
+
+  /** The smallest ASCII string greater than every string with prefix
+    * `p`: increment the last non-0x7F char, dropping any trailing
+    * maximal chars first; all-maximal prefixes have no such bound. */
+  private def nextPrefix(p: String): Option[String] = {
+    val trimmed = p.reverse.dropWhile(_ == '\u007f').reverse
+    if (trimmed.isEmpty) None
+    else Some(trimmed.init + (trimmed.last + 1).toChar)
   }
 }

@@ -328,6 +328,9 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.liveFilesWhere($"id" >= 200 && lit(400) > $"id").size <= 2)
     // equality pins a point; unextractable conjuncts prune nothing extra
     assert(t.liveFilesWhere($"id" === 999 && $"s".startsWith("r")).size == 1)
+    // IN lists bound to [min,max] of the list
+    assert(t.liveFilesWhere($"id".isin(990, 995, 999)).size <= 2)
+    assert(t.readWhere($"id".isin(990, 995, 999)).count() == 3)
 
     // skipping is an optimization, never a semantics change
     val expect = (900 until 1000).map(_.toLong).toSet
@@ -354,6 +357,12 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.liveFilesWhere($"k" < "c" && $"k" > "ba").size <= 2)
     // literal-on-the-left shapes
     assert(t.liveFilesWhere(lit("c") > $"k").size <= 2)
+    // IN lists bound to [min,max] of the list
+    assert(t.liveFilesWhere($"k".isin("za", "zb", "zz")).size <= 2)
+    // prefix pruning: k LIKE 'z%' == [z, {) — one lexicographic slice
+    assert(t.liveFilesWhere($"k".startsWith("z")).size <= 2)
+    assert(t.readWhere($"k".startsWith("z")).count() == 26)
+    assert(t.readWhere($"k".isin("za", "zb", "zz")).count() == 3)
 
     // never a semantics change
     val expect = keys.filter(_ >= "y").toSet
