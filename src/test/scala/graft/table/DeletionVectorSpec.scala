@@ -149,6 +149,34 @@ class DeletionVectorSpec extends SparkSpec {
     assert(b.read().count() == 100) // delete did not land
   }
 
+  test("OCC: concurrent dv deletes on the same file — loser fails cleanly") {
+    val dir = tmpDir("dv") + "/t11"
+    val a = seed(dir)
+    val b = IncrementalTable(spark, dir)
+    // both compute positions against the same snapshot of one file;
+    // CDC exactness requires each position to appear in exactly one
+    // generation, so the loser must fail rather than double-commit
+    b.deleteVectorized($"id" <= 5)
+    intercept[ConcurrentWriteException] {
+      a.deleteVectorized($"id" <= 3) // stale snapshot, same file
+    }
+    a.refresh()
+    assert(ids(a) == (6L to 100L).toSet) // only the winner's delete
+  }
+
+  test("DVs compose with schema evolution: old-file positions apply under the merged schema") {
+    val t = IncrementalTable(spark, tmpDir("dv") + "/t12")
+    t.append((1L to 50L).map(i => (i, s"n_$i")).toDF("id", "name"), Nil)
+    t.deleteVectorized($"id" > 40)
+    // add-column append AFTER the dv: reads use the merged schema,
+    // old files null-backfill `extra` AND still hide their dv'd rows
+    t.append(Seq((100L, "x", "E")).toDF("id", "name", "extra"), Nil)
+    val rows = t.read().select($"id", $"extra").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows.keySet == ((1L to 40L) ++ Seq(100L)).toSet)
+    assert(rows(100L).contains("E") && rows(1L).isEmpty)
+  }
+
   test("dv state survives checkpoint compaction of the dv commits") {
     val dir = tmpDir("dv") + "/t9"
     val t = new IncrementalTable(spark, dir, checkpointEvery = 2)
