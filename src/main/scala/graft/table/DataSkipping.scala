@@ -63,12 +63,21 @@ object DataSkipping {
     case _ => false
   }
 
+  /** Types whose internal representation is a discretely-ordered long
+    * (so the integral [min,max] index and the ±1 strict-bound
+    * tightening are exact): integrals, dates (int32 days), and
+    * timestamps (int64 micros). */
+  private def indexable(dt: DataType): Boolean = dt match {
+    case DateType | TimestampType | TimestampNTZType => true
+    case dt => integral(dt)
+  }
+
   /** The attribute under value-preserving integral widening only — the
     * shape the analyzer makes when comparing an int column to a long
-    * literal. Non-widening or non-integral casts are never unwrapped
-    * (they would change comparison semantics). */
+    * literal. Non-widening casts (incl. date→timestamp) are never
+    * unwrapped — they would change comparison semantics. */
   private def attrName(e: Expression): Option[String] = e match {
-    case a: AttributeReference if integral(a.dataType) => Some(a.name)
+    case a: AttributeReference if indexable(a.dataType) => Some(a.name)
     case Cast(a: AttributeReference, dt, _, _)
         if integral(a.dataType) && integral(dt) &&
           dt.defaultSize >= a.dataType.defaultSize => Some(a.name)
@@ -84,8 +93,8 @@ object DataSkipping {
 
   private def litLong(e: Expression): Option[Long] = e match {
     case Literal(null, _) => None
-    case l @ Literal(_, dt) if integral(dt) => asLong(l.value)
-    case c: Cast if c.foldable && integral(c.dataType) =>
+    case l @ Literal(_, dt) if indexable(dt) => asLong(l.value)
+    case c: Cast if c.foldable && indexable(c.dataType) =>
       Option(c.eval(null)).flatMap(asLong)
     case _ => None
   }

@@ -903,8 +903,18 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val writer = bloomColumns.foldLeft(withParts.write.mode("overwrite")) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+    // INT64 micros, not the deprecated INT96 Spark still defaults to:
+    // INT96 carries no usable footer min/max (its stats were dropped
+    // from the parquet spec), so timestamp columns could never join
+    // the data-skipping index; micros IS Spark's internal precision —
+    // no value changes — and every modern reader (incl. DuckDB)
+    // prefers it
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val oldTs = spark.conf.get(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(stage.toString)
+    finally spark.conf.set(tsKey, oldTs)
     val staged = listParquet(fs, stage).map(p => relativize(stage, p))
     // partitioned zero-row writes stage no files; non-partitioned ones
     // stage one schema-only file — detect via footer counts (no job).

@@ -382,6 +382,36 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.liveFilesWhere($"k" >= "ż").size == 5)
   }
 
+  test("data skipping on DATE and TIMESTAMP columns (time-series range prune)") {
+    import java.sql.{Date, Timestamp}
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t32")
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i / 2)),
+        Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(i)))
+    }
+    t.append(rows.toDF("id", "d", "ts").repartition(1), Nil,
+      statsColumns = Seq("d", "ts"))
+    t.compact(targetFiles = 4, clusterBy = Seq("ts"), statsColumns = Seq("d", "ts"))
+    assert(t.liveFiles().size == 4)
+
+    // a narrow timestamp range touches 1-2 of 4 clustered files
+    val tsLo = Timestamp.valueOf("2024-01-15 00:00:00")
+    assert(t.liveFilesWhere($"ts" >= lit(tsLo)).size <= 2)
+    // date bounds prune too (clustering on ts orders d as well here)
+    assert(t.liveFilesWhere($"d" >= lit(Date.valueOf("2024-07-01"))).size <= 2)
+    assert(t.liveFilesWhere($"d" === lit(Date.valueOf("2024-01-05"))).size == 1)
+    // string-typed literals go through the analyzer's foldable cast
+    assert(t.liveFilesWhere($"ts" >= "2024-01-15 00:00:00").size <= 2)
+
+    // never a semantics change
+    assert(t.readWhere($"ts" >= lit(tsLo)).count() ==
+      t.read().filter($"ts" >= lit(tsLo)).count())
+    assert(t.readWhere($"d" === lit(Date.valueOf("2024-01-05"))).count() == 2)
+    // a date column compared against a TIMESTAMP literal is a cast of
+    // the COLUMN — no bound extracted, all files kept, result exact
+    assert(t.liveFilesWhere($"d" >= lit(tsLo)).size == 4)
+  }
+
   test("data skipping survives checkpoint compaction of the recording commits") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t24")
     t.append((0 until 100).map(i => (i.toLong, "a")).toDF("id", "s")
