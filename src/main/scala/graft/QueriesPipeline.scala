@@ -500,6 +500,37 @@ object QueriesPipeline {
         .orderBy($"cust_key", $"o_orderkey")
     }),
 
+    // ---- right-to-be-forgotten composite under the oracle -------------
+    // The deletion-vector marquee use case at 100 TB: forgetting a
+    // user must not rewrite a petabyte of event files. Vectorized
+    // delete hides every row of the selected users (O(their rows)
+    // written, no data file touched), the CDC feed of that one commit
+    // IS the audit record (exactly the forgotten events, per user),
+    // compaction then materializes the deletes and vacuum physically
+    // reclaims the old bytes. Output: per-user remaining-event counts
+    // beside audited forgotten counts — a row leaking back after
+    // compaction, or an audit over- or under-count, breaks the hash.
+    "q100_forget_user" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q100_").toString
+      val t = graft.table.IncrementalTable(s, s"$tmp/events/v1")
+      t.append(Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"event_type"), partitionBy = Nil)
+      val dv = t.deleteVectorized($"user_id" % 97 === 0).get
+      val audit = t.changes(dv.version, dv.version)
+        .filter($"_change_type" === "delete")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_forgotten"))
+      t.compact() // materialize the vectors
+      t.vacuum() // physically reclaim the pre-delete bytes
+      val remaining = t.read().groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"))
+      remaining.join(audit, Seq("user_id"), "full")
+        .select($"user_id",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"n_forgotten", lit(0L)).as("n_forgotten"))
+        .orderBy($"user_id")
+    }),
+
     // ---- logical→physical partition mapping + prune ------------------
     "q31_partition_prune" -> ((s, dir) => {
       import s.implicits._
@@ -545,6 +576,13 @@ object QueriesPipeline {
         |WHERE c_name >= 'Customer#000000100'
         |  AND c_name < 'Customer#000000400'
         |ORDER BY c_custkey""".stripMargin,
+    "q100_forget_user" ->
+      """SELECT user_id,
+        |  CAST(CASE WHEN user_id % 97 = 0 THEN 0 ELSE COUNT(*) END
+        |    AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN user_id % 97 = 0 THEN COUNT(*) ELSE 0 END
+        |    AS BIGINT) AS n_forgotten
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q65_time_travel" ->
       """SELECT p_partkey, p_name, p_brand FROM part
         |WHERE p_partkey BETWEEN 1 AND 200
