@@ -1305,6 +1305,45 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * every pre-replace snapshot inside that horizon. The checkpoint
     * cadence IS the retention policy (Delta's retention-hours analog,
     * expressed in commits instead of wall time). */
+  /** Export the live snapshot for EXTERNAL readers (the Delta
+    * `GENERATE symlink_format_manifest` analog): one manifest text
+    * file per physical partition under `_symlink_format_manifest/`,
+    * each line the absolute URI of a live data file. Engines that
+    * can't replay the commit log (Presto/Trino/Athena-style external
+    * tables) point a partitioned table at the manifest tree and read
+    * exactly the committed snapshot — uncommitted stragglers, replaced
+    * files, and OCC losers are invisible because the manifest is
+    * generated FROM the log, never from a directory listing.
+    *
+    * Rewritten atomically per call (stale manifests for partitions
+    * that no longer exist are removed). Tables with deletion vectors
+    * in force refuse to export: an external reader has no way to
+    * apply them — compact() first to materialize. Returns the
+    * manifest-relative partition paths written. */
+  def generateManifest(): Seq[String] = {
+    require(liveDv().isEmpty,
+      s"table $root has deletion vectors in force — external readers " +
+        "cannot apply them; compact() to materialize before exporting")
+    val dir = new Path(rootPath, "_symlink_format_manifest")
+    fs.delete(dir, true)
+    val byPartition = liveFiles().groupBy(parentDir)
+    byPartition.toSeq.sortBy(_._1).map { case (part, files) =>
+      val out = if (part.isEmpty) dir else new Path(dir, part)
+      fs.mkdirs(out)
+      val tmp = new Path(out, s".${UUID.randomUUID()}.tmp")
+      val os = fs.create(tmp, false)
+      try os.write(files.sorted.map(f =>
+        fs.makeQualified(new Path(rootPath, f)).toString).mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+      finally os.close()
+      val dest = new Path(out, "manifest")
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"manifest publish failed: $dest")
+      if (part.isEmpty) "manifest" else s"$part/manifest"
+    }
+  }
+
   def vacuum(): Seq[String] = {
     val referenced = commits().flatMap(_.add).toSet
     val all = listParquet(fs, rootPath)

@@ -412,6 +412,41 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.liveFilesWhere($"d" >= lit(tsLo)).size == 4)
   }
 
+  test("symlink manifest exports exactly the committed snapshot for external readers") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t33")
+    val p = Seq("day")
+    t.append(Seq((1L, "a")).toDF("id", "s"), p, Map("day" -> "d1"))
+    t.append(Seq((2L, "b")).toDF("id", "s"), p, Map("day" -> "d2"))
+    t.replaceWhere(Seq((3L, "c")).toDF("id", "s"), p, Map("day" -> "d1"),
+      partitionFilter = Map("day" -> "d1"))
+
+    val parts = t.generateManifest()
+    assert(parts == Seq("day=d1/manifest", "day=d2/manifest"))
+    // an external reader over the manifest paths sees the snapshot:
+    // replaced d1 files are absent, committed ones present
+    val listed = parts.flatMap { rel =>
+      val src = scala.io.Source.fromFile(
+        new java.io.File(s"${t.root}/_symlink_format_manifest/$rel"))
+      try src.getLines().toList finally src.close()
+    }
+    assert(listed.size == t.liveFiles().size)
+    val external = spark.read.option("basePath", t.root).parquet(listed: _*)
+    assert(external.select($"id").as[Long].collect().toSet == Set(2L, 3L))
+
+    // regeneration drops manifests of partitions that vanished
+    t.replaceWhere(Seq.empty[(Long, String)].toDF("id", "s"), p,
+      Map("day" -> "d2"), partitionFilter = Map("day" -> "d2"))
+    assert(t.generateManifest() == Seq("day=d1/manifest"))
+
+    // deletion vectors in force refuse to export (external readers
+    // can't apply them); materializing compaction re-enables
+    t.append(Seq((4L, "d")).toDF("id", "s"), p, Map("day" -> "d1"))
+    t.deleteVectorized($"id" === 3L)
+    intercept[IllegalArgumentException](t.generateManifest())
+    t.compact(Map("day" -> "d1"))
+    assert(t.generateManifest() == Seq("day=d1/manifest"))
+  }
+
   test("data skipping survives checkpoint compaction of the recording commits") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t24")
     t.append((0 until 100).map(i => (i.toLong, "a")).toDF("id", "s")
