@@ -53,7 +53,8 @@ object PlanSweep {
       } catch {
         case e: Throwable =>
           flagged += 1
-          println(s"[plan] $name ERROR ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
+          println(s"[plan] $name ERROR ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(120))
       }
     }
     println(s"[plan] swept ${SparkEntry.queries.size} queries, $flagged flagged")

@@ -504,27 +504,34 @@ object QueriesPipeline {
     // The deletion-vector marquee use case at 100 TB: forgetting a
     // user must not rewrite a petabyte of event files. Vectorized
     // delete hides every row of the selected users (O(their rows)
-    // written, no data file touched), the CDC feed of that one commit
-    // IS the audit record (exactly the forgotten events, per user),
-    // compaction then materializes the deletes and vacuum physically
-    // reclaims the old bytes. Output: per-user remaining-event counts
-    // beside audited forgotten counts — a row leaking back after
-    // compaction, or an audit over- or under-count, breaks the hash.
+    // written, no data file touched); the CDC feed of that one commit
+    // IS the audit record (exactly the forgotten events, per user) and
+    // is PERSISTED to its own table BEFORE history truncation — once
+    // compaction materializes the deletes and the checkpoint (cadence
+    // 2 here) truncates the log naming the old files, vacuum really
+    // reclaims the pre-delete bytes and the dv sidecar, and the
+    // pre-delete snapshot is no longer reachable by any read. Output:
+    // per-user remaining-event counts beside audited forgotten counts
+    // — a row leaking back after compaction, an audit over/under-count,
+    // or an audit lost to truncation breaks the hash.
     "q100_forget_user" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_q100_").toString
-      val t = graft.table.IncrementalTable(s, s"$tmp/events/v1")
+      val t = new graft.table.IncrementalTable(s, s"$tmp/events/v1",
+        checkpointEvery = 2)
+      val auditT = graft.table.IncrementalTable(s, s"$tmp/audit/v1")
       t.append(Tables.events(s, dir)
         .select($"event_id", $"user_id", $"event_type"), partitionBy = Nil)
       val dv = t.deleteVectorized($"user_id" % 97 === 0).get
-      val audit = t.changes(dv.version, dv.version)
+      auditT.append(t.changes(dv.version, dv.version)
         .filter($"_change_type" === "delete")
-        .groupBy($"user_id").agg(count(lit(1)).as("n_forgotten"))
-      t.compact() // materialize the vectors
-      t.vacuum() // physically reclaim the pre-delete bytes
+        .groupBy($"user_id").agg(count(lit(1)).as("n_forgotten")),
+        partitionBy = Nil)
+      t.compact() // materialize the vectors; checkpoint truncates
+      t.vacuum() // physically reclaim pre-delete bytes + dv sidecar
       val remaining = t.read().groupBy($"user_id")
         .agg(count(lit(1)).as("n_events"))
-      remaining.join(audit, Seq("user_id"), "full")
+      remaining.join(auditT.read(), Seq("user_id"), "full")
         .select($"user_id",
           coalesce($"n_events", lit(0L)).as("n_events"),
           coalesce($"n_forgotten", lit(0L)).as("n_forgotten"))

@@ -173,23 +173,39 @@ final class JoinStream(
     val pendR = pendingOf(upRight, rightVersion)
     if (pendL.isEmpty && pendR.isEmpty) return 0
     // null-extension needs the OTHER side's schema — rows buffer
-    // upstream until the tables whose schema is needed exist
-    if (outer && !upRight.exists) return 0
-    if (full && (!upLeft.exists || !upRight.exists)) return 0
+    // upstream until the tables whose schema is needed have COMMITTED
+    // one (bare existence isn't enough: a meta-only log has none)
+    def schemaReady(t: IncrementalTable) = t.commits().exists(_.schemaJson.nonEmpty)
+    if (outer && !schemaReady(upRight)) return 0
+    if (full && (!schemaReady(upLeft) || !schemaReady(upRight))) return 0
 
     if (pendL.exists(_.action != "append") ||
         pendR.exists(_.action != "append")) {
       // rebuild at the pair of head versions, one idempotent replace
       val vL = pendL.lastOption.map(_.version).getOrElse(leftVersion)
       val vR = pendR.lastOption.map(_.version).getOrElse(rightVersion)
-      val l = prepareLeft(upLeft.readAt(vL))
-      val r = prepareRight(upRight.readAt(vR))
-      down.replaceWhere(
-        if (full) fullJoined(l, r)
-        else if (outer) outerJoined(l, r)
-        else joined(l, r),
-        partitionBy, Map.empty, partitionFilter = Map.empty,
-        meta = Map(leftKey -> vL.toString, rightKey -> vR.toString))
+      val cursors = Map(leftKey -> vL.toString, rightKey -> vR.toString)
+      if (!full && !outer && (vL < 0 || vR < 0)) {
+        // inner with a side that has never produced data: the join is
+        // empty by definition, and that side has no schema to plan a
+        // join against — clear the view (if it holds rows) and advance
+        if (down.exists && down.read().columns.nonEmpty)
+          down.replaceWhere(down.read().limit(0), partitionBy,
+            Map.empty, partitionFilter = Map.empty, meta = cursors)
+        else down.commitMeta(cursors)
+      } else {
+        // leftAt/rightAt degrade a -1 cursor to an empty frame WITH
+        // the upstream's schema (the outer/full drain gates guarantee
+        // the tables exist)
+        val l = leftAt(vL)
+        val r = rightAt(vR)
+        down.replaceWhere(
+          if (full) fullJoined(l, r)
+          else if (outer) outerJoined(l, r)
+          else joined(l, r),
+          partitionBy, Map.empty, partitionFilter = Map.empty,
+          meta = cursors)
+      }
       return pendL.size + pendR.size
     }
 

@@ -709,11 +709,23 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val fn = org.apache.spark.sql.functions.col _
-    val stored = committedSchema
+    // a table with no committed schema (meta-only log) or no live data
+    // files has nothing deletable — degrade to a plain guarded append
+    // (read() there is a LocalRelation: no _metadata to path-match on)
+    val storedOpt = commits().reverse.iterator.map(_.schemaJson)
+      .find(_.nonEmpty).map(StructType.fromDDL)
+    if (storedOpt.isEmpty || liveFiles().isEmpty)
+      return append(inserts, partitionBy, meta = meta, batchId = batchId, appId = appId)
+    val stored = storedOpt.get
     val dk = deleteKeys.select(keys.map(fn): _*).distinct()
+    // SQL MERGE semantics: a NULL condition does NOT delete — only
+    // rows where it is TRUE. Mirrored between touched-file detection
+    // and the kept-rows filter, else a null-condition row co-located
+    // with a deletable one would silently vanish in the rewrite.
+    val condTrue = coalesce(deleteCondition, lit(false))
     val touched = read()
       .withColumn("_graft_path", fn("_metadata.file_path"))
-      .filter(deleteCondition)
+      .filter(condTrue)
       .join(dk, keys, "left_semi")
       .select("_graft_path").distinct()
       .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
@@ -723,7 +735,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     else {
       val kept = filesDf(touched, Some(stored), liveDv())
         .join(dk.withColumn("_graft_m", lit(true)), keys, "left")
-        .filter(not(coalesce(fn("_graft_m"), lit(false)) && deleteCondition))
+        .filter(not(coalesce(fn("_graft_m"), lit(false)) && condTrue))
         .select(stored.fieldNames.map(fn).toSeq: _*)
       write(kept.unionByName(ins), "replace", partitionBy, Map.empty,
         Map.empty, meta, batchId, appId, removeExact = Some(touched))
@@ -923,8 +935,17 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // commit's data-skipping index (statsColumns).
     val (stagedRows, perFile) = stagedFooterStats(stage, staged,
       statMeta.map(_.column).toSet ++ statsColumns, needRows = partitionBy.isEmpty)
+    // watermarks are integral by contract — fail LOUDLY if one was
+    // declared on a string column (silently pinning to the floor would
+    // make an incremental consumer rescan or skip everything, forever)
+    statMeta.foreach { sm =>
+      require(!perFile.valuesIterator.flatten.exists(kv =>
+        kv._1 == sm.column && kv._2.isString),
+        s"statMeta watermark column '${sm.column}' is a string column — " +
+          "watermark high-waters need a discretely ordered integral domain")
+    }
     val stagedMax = perFile.valuesIterator.flatten.toSeq
-      .filter(!_._2.isString) // watermarks are integral by contract
+      .filter(!_._2.isString)
       .groupMapReduce(_._1)(_._2.max)(math.max)
     val allMeta = meta ++ statMeta.map(sm => sm.key ->
       math.max(sm.floor, stagedMax.get(sm.column).map(_ + 1).getOrElse(sm.floor)).toString)
@@ -1315,19 +1336,22 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * files, and OCC losers are invisible because the manifest is
     * generated FROM the log, never from a directory listing.
     *
-    * Rewritten atomically per call (stale manifests for partitions
-    * that no longer exist are removed). Tables with deletion vectors
-    * in force refuse to export: an external reader has no way to
-    * apply them — compact() first to materialize. Returns the
-    * manifest-relative partition paths written. */
+    * Each partition's manifest publishes by tmp-write + rename, and
+    * the NEW set is written before stale partitions' manifests are
+    * pruned — a concurrent external reader always sees a complete
+    * snapshot (the previous one until its partition's rename lands),
+    * and a crash mid-call leaves the previous export intact, never an
+    * empty tree. Tables with deletion vectors in force refuse to
+    * export: an external reader has no way to apply them — compact()
+    * first to materialize. Returns the manifest-relative partition
+    * paths written. */
   def generateManifest(): Seq[String] = {
     require(liveDv().isEmpty,
       s"table $root has deletion vectors in force — external readers " +
         "cannot apply them; compact() to materialize before exporting")
     val dir = new Path(rootPath, "_symlink_format_manifest")
-    fs.delete(dir, true)
     val byPartition = liveFiles().groupBy(parentDir)
-    byPartition.toSeq.sortBy(_._1).map { case (part, files) =>
+    val written = byPartition.toSeq.sortBy(_._1).map { case (part, files) =>
       val out = if (part.isEmpty) dir else new Path(dir, part)
       fs.mkdirs(out)
       val tmp = new Path(out, s".${UUID.randomUUID()}.tmp")
@@ -1342,6 +1366,19 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         throw new java.io.IOException(s"manifest publish failed: $dest")
       if (part.isEmpty) "manifest" else s"$part/manifest"
     }
+    // prune AFTER publishing: drop manifest files of partitions that no
+    // longer exist (and any stray tmp files from crashed calls)
+    val keep = written.toSet
+    def prune(p: Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val childRel = if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}"
+        if (st.isDirectory) {
+          prune(st.getPath, childRel)
+          if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
+        } else if (!keep.contains(childRel)) fs.delete(st.getPath, false)
+      }
+    if (fs.exists(dir)) prune(dir, "")
+    written
   }
 
   def vacuum(): Seq[String] = {

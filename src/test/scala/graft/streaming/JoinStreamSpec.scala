@@ -275,6 +275,20 @@ class JoinStreamSpec extends SparkSpec {
       (Some(2L), 2L, Some("B"), "bob", true)))
   }
 
+  test("inner: a rewrite arriving before the other side ever has data clears safely") {
+    val (l, r, d, s) = mk(tmpDir("joinstream"))
+    r.append(custs(1L -> "ann"), Nil)
+    s.drain() // right cursor advances; left has never produced data
+    r.replaceWhere(custs(2L -> "bob"), Nil, Map.empty,
+      partitionFilter = Map.empty)
+    assert(s.drain() == 1) // rebuild with a -1 left cursor must not wedge
+    assert(!d.exists || d.read().columns.isEmpty || d.read().count() == 0)
+    // the stream proceeds normally once the left side appears
+    l.append(orders((1L, 2L, "A")), Nil)
+    assert(s.drain() == 1)
+    assert(state(d) == Set((1L, 2L, "A", "bob")))
+  }
+
   test("non-key column collision across sides is rejected") {
     val dir = tmpDir("joinstream")
     val l = IncrementalTable(spark, dir + "/a/v1")

@@ -447,6 +447,26 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.generateManifest() == Seq("day=d1/manifest"))
   }
 
+  test("deleteInsert: NULL conditions never delete; empty tables degrade to append") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t34")
+    // id=1 has x=null, co-located in ONE file with deletable id=2 —
+    // SQL MERGE semantics: a NULL condition must not delete, even
+    // though its file is rewritten for the sibling row
+    t.append(Seq((1L, Option.empty[Long]), (2L, Option(10L)), (3L, Option(1L)))
+      .toDF("id", "x").repartition(1), Nil)
+    t.deleteInsert(Seq(1L, 2L).toDF("id"), Seq("id"), $"x" > 5,
+      Seq((9L, Option(9L))).toDF("id", "x"))
+    assert(t.read().select("id").as[Long].collect().toSet == Set(1L, 3L, 9L))
+
+    // zero live files (everything deleted): no _metadata to probe —
+    // must degrade to a plain guarded append, not crash
+    t.delete(lit(true))
+    assert(t.liveFiles().isEmpty)
+    t.deleteInsert(Seq(1L).toDF("id"), Seq("id"), lit(true),
+      Seq((5L, Option(5L))).toDF("id", "x"))
+    assert(t.read().select("id").as[Long].collect().toSet == Set(5L))
+  }
+
   test("data skipping survives checkpoint compaction of the recording commits") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t24")
     t.append((0 until 100).map(i => (i.toLong, "a")).toDF("id", "s")
