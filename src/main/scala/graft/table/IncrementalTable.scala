@@ -815,6 +815,25 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       fileStats = statsAt, dv = targetDv)))
   }
 
+  /** One-row table summary (Delta DESCRIBE DETAIL analog): current
+    * version, live file count and bytes (a driver-side metadata pass
+    * over the committed list — no Spark job), partition columns,
+    * schema DDL, active constraint and deletion-vector counts. */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val live = liveFiles()
+    val bytes = live.map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
+    val schemaDdl = commits().reverse.iterator.map(_.schemaJson)
+      .find(_.nonEmpty).getOrElse("")
+    val parts = commits().reverse.iterator.map(_.partitionBy)
+      .find(_.nonEmpty).getOrElse(Seq.empty)
+    Seq((root, latestVersion, live.size.toLong, bytes,
+      parts.mkString(","), schemaDdl, constraints.size.toLong,
+      liveDv().size.toLong))
+      .toDF("location", "version", "num_files", "size_bytes",
+        "partition_by", "schema_ddl", "num_constraints", "num_dv_files")
+  }
+
   /** The commit log as a DataFrame (Delta DESCRIBE HISTORY analog):
     * one row per commit with the action, file counts, and metadata. */
   def history(): DataFrame = {

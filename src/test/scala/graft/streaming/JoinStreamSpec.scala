@@ -289,6 +289,51 @@ class JoinStreamSpec extends SparkSpec {
     assert(state(d) == Set((1L, 2L, "A", "bob")))
   }
 
+  test("three-way join as chained hops: A⋈B maintained into T1, T1⋈C into T2") {
+    val dir = tmpDir("joinstream")
+    val a = IncrementalTable(spark, dir + "/a/v1")
+    val b = IncrementalTable(spark, dir + "/b/v1")
+    val c = IncrementalTable(spark, dir + "/c/v1")
+    val t1 = IncrementalTable(spark, dir + "/t1/v1")
+    val t2 = IncrementalTable(spark, dir + "/t2/v1")
+    val hop1 = new JoinStream(a, b, t1, Seq("cust_id"), name = "ab")
+    val hop2 = new JoinStream(t1, c, t2, Seq("cust_id"), name = "abc")
+    def drainAll(): Unit = { hop1.drain(); hop2.drain() }
+
+    def want: Set[(Long, Long, String, String, String)] =
+      a.read().join(b.read(), Seq("cust_id")).join(c.read(), Seq("cust_id"))
+        .select($"order_id", $"cust_id", $"status", $"name", $"region")
+        .as[(Long, Long, String, String, String)].collect().toSet
+    def got: Set[(Long, Long, String, String, String)] =
+      t2.read().select($"order_id", $"cust_id", $"status", $"name", $"region")
+        .as[(Long, Long, String, String, String)].collect().toSet
+
+    // interleaved arrival across ALL THREE inputs; every drain pair
+    // keeps T2 equal to the full three-way join
+    a.append(orders((1L, 1L, "A"), (2L, 2L, "B")), Nil)
+    c.append(Seq((1L, "EU")).toDF("cust_id", "region"), Nil)
+    drainAll()
+    b.append(custs(1L -> "ann"), Nil)
+    drainAll()
+    assert(got == want)
+    assert(got == Set((1L, 1L, "A", "ann", "EU")))
+
+    b.append(custs(2L -> "bob"), Nil)
+    c.append(Seq((2L, "US")).toDF("cust_id", "region"), Nil)
+    a.append(orders((3L, 1L, "C")), Nil)
+    drainAll()
+    assert(got == want)
+    assert(got.size == 3)
+
+    // an upstream rewrite cascades: hop1 rebuilds (replace commit on
+    // T1), which hop2 sees as a non-append and rebuilds T2
+    b.replaceWhere(custs(1L -> "ANN2", 2L -> "bob"), Nil, Map.empty,
+      partitionFilter = Map.empty)
+    drainAll()
+    assert(got == want)
+    assert(got.exists(_._4 == "ANN2"))
+  }
+
   test("non-key column collision across sides is rejected") {
     val dir = tmpDir("joinstream")
     val l = IncrementalTable(spark, dir + "/a/v1")

@@ -467,6 +467,20 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.read().select("id").as[Long].collect().toSet == Set(5L))
   }
 
+  test("detail() summarizes the live snapshot from metadata alone") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t35")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Seq("s"))
+    t.addConstraint("pos_id", "id > 0")
+    t.deleteVectorized($"id" === 1L)
+    val d = t.detail().collect().head
+    assert(d.getAs[Long]("version") == t.latestVersion)
+    assert(d.getAs[Long]("num_files") == 2L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[String]("partition_by") == "s")
+    assert(d.getAs[Long]("num_constraints") == 1L)
+    assert(d.getAs[Long]("num_dv_files") == 1L)
+  }
+
   test("data skipping survives checkpoint compaction of the recording commits") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t24")
     t.append((0 until 100).map(i => (i.toLong, "a")).toDF("id", "s")
