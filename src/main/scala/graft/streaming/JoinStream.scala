@@ -185,18 +185,21 @@ final class JoinStream(
       val vL = pendL.lastOption.map(_.version).getOrElse(leftVersion)
       val vR = pendR.lastOption.map(_.version).getOrElse(rightVersion)
       val cursors = Map(leftKey -> vL.toString, rightKey -> vR.toString)
-      if (!full && !outer && (vL < 0 || vR < 0)) {
-        // inner with a side that has never produced data: the join is
-        // empty by definition, and that side has no schema to plan a
-        // join against — clear the view (if it holds rows) and advance
+      if (!full && (vL < 0 || vR < 0)) {
+        // a side that has never produced data: the inner join is empty
+        // by definition, and so is the LEFT OUTER view when that side
+        // is the left (it keeps left rows only — and a missing left
+        // also has no schema to null-extend against). Clear the view
+        // (if it holds rows) and advance. (Outer with vR<0 is
+        // unreachable: schemaReady(upRight) implies right data commits,
+        // all pending, so vR is their head. Full mode never lands
+        // here — its gate guarantees both schemas, and leftAt/rightAt
+        // degrade a -1 cursor to an empty frame WITH schema.)
         if (down.exists && down.read().columns.nonEmpty)
           down.replaceWhere(down.read().limit(0), partitionBy,
             Map.empty, partitionFilter = Map.empty, meta = cursors)
         else down.commitMeta(cursors)
       } else {
-        // leftAt/rightAt degrade a -1 cursor to an empty frame WITH
-        // the upstream's schema (the outer/full drain gates guarantee
-        // the tables exist)
         val l = leftAt(vL)
         val r = rightAt(vR)
         down.replaceWhere(

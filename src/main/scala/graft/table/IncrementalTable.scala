@@ -714,9 +714,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // (read() there is a LocalRelation: no _metadata to path-match on)
     val storedOpt = commits().reverse.iterator.map(_.schemaJson)
       .find(_.nonEmpty).map(StructType.fromDDL)
-    if (storedOpt.isEmpty || liveFiles().isEmpty)
+    if (storedOpt.isEmpty)
       return append(inserts, partitionBy, meta = meta, batchId = batchId, appId = appId)
     val stored = storedOpt.get
+    if (liveFiles().isEmpty)
+      // same projection as the non-degraded path — schema evolution
+      // must not depend on whether the table happened to be empty
+      return append(inserts.select(stored.fieldNames.map(fn).toSeq: _*),
+        partitionBy, meta = meta, batchId = batchId, appId = appId)
     val dk = deleteKeys.select(keys.map(fn): _*).distinct()
     // SQL MERGE semantics: a NULL condition does NOT delete — only
     // rows where it is TRUE. Mirrored between touched-file detection
@@ -825,8 +830,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val bytes = live.map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
     val schemaDdl = commits().reverse.iterator.map(_.schemaJson)
       .find(_.nonEmpty).getOrElse("")
-    val parts = commits().reverse.iterator.map(_.partitionBy)
-      .find(_.nonEmpty).getOrElse(Seq.empty)
+    // partitioning of the CURRENT layout: the most recent data commit's
+    // partitionBy, including a legitimately-empty one (a table fully
+    // rewritten unpartitioned must not report its old columns)
+    val parts = commits().reverse.iterator
+      .filter(c => c.add.nonEmpty || c.action == "replace")
+      .map(_.partitionBy).nextOption().getOrElse(Seq.empty)
     Seq((root, latestVersion, live.size.toLong, bytes,
       parts.mkString(","), schemaDdl, constraints.size.toLong,
       liveDv().size.toLong))
@@ -920,6 +929,23 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       partitionValues.foldLeft(df) { case (d, (k, v)) =>
         d.withColumn(k, lit(v))
       })
+    // watermarks need a discretely ordered integral domain — checked
+    // STATICALLY on the frame's schema (a footer-side check alone
+    // would silently pass when a string column's non-ASCII bounds get
+    // poisoned out of the stats, pinning the watermark to its floor)
+    statMeta.foreach { sm =>
+      withParts.schema.find(_.name == sm.column).foreach { f =>
+        val ok = f.dataType match {
+          case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => true
+          case _ => false
+        }
+        require(ok, s"statMeta watermark column '${sm.column}' must be " +
+          s"integral/date/timestamp (got ${f.dataType.simpleString})")
+      }
+    }
     // 1. stage: write into a unique dir so added files are exactly known.
     //    Staging FIRST (not probing df.isEmpty) means the input lineage
     //    computes exactly once; a partitioned write of zero rows stages
@@ -1380,9 +1406,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         .getBytes("UTF-8"))
       finally os.close()
       val dest = new Path(out, "manifest")
-      fs.delete(dest, false)
-      if (!fs.rename(tmp, dest))
-        throw new java.io.IOException(s"manifest publish failed: $dest")
+      // atomic REPLACE (FileContext Rename.OVERWRITE): no window where
+      // a partition briefly has no manifest, unlike delete-then-rename
+      logFc.rename(tmp, dest, Options.Rename.OVERWRITE)
       if (part.isEmpty) "manifest" else s"$part/manifest"
     }
     // prune AFTER publishing: drop manifest files of partitions that no

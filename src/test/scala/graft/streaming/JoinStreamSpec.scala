@@ -334,6 +334,19 @@ class JoinStreamSpec extends SparkSpec {
     assert(got.exists(_._4 == "ANN2"))
   }
 
+  test("left outer: a right rewrite before any left data clears safely") {
+    val (l, r, d, s) = mkOuter(tmpDir("joinstream"))
+    r.append(custs(1L -> "ann"), Nil)
+    s.drain() // right cursor advances; left has never produced data
+    r.replaceWhere(custs(2L -> "bob"), Nil, Map.empty,
+      partitionFilter = Map.empty)
+    assert(s.drain() == 1) // rebuild with vL=-1: view is empty, no wedge
+    assert(!d.exists || d.read().columns.isEmpty || d.read().count() == 0)
+    l.append(orders((1L, 9L, "A")), Nil) // unmatched left appears
+    assert(s.drain() == 1)
+    assert(outerState(d) == Set((1L, 9L, "A", None, false)))
+  }
+
   test("non-key column collision across sides is rejected") {
     val dir = tmpDir("joinstream")
     val l = IncrementalTable(spark, dir + "/a/v1")
