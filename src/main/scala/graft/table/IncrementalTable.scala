@@ -287,8 +287,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def liveFilesWhere(predicate: org.apache.spark.sql.Column,
       filters: Map[String, String] = Map.empty,
       asOf: Option[Long] = None): Seq[String] = {
-    val b = commitsAsOf(asOf).reverse.iterator.map(_.schemaJson)
-      .find(_.nonEmpty).map(StructType.fromDDL) match {
+    val b = committedSchemaAt(asOf) match {
       case Some(schema) => DataSkipping.bounds(spark, schema, predicate)
       case None => Map.empty[String, DataSkipping.Bounds] // no schema: no pruning
     }
@@ -314,9 +313,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def readWhere(predicate: org.apache.spark.sql.Column,
       filters: Map[String, String] = Map.empty): DataFrame = {
     val files = liveFilesWhere(predicate, filters)
-    val stored = commits().reverse.iterator.map(_.schemaJson)
-      .find(_.nonEmpty).map(StructType.fromDDL)
-    filesDf(files, stored, liveDv()).filter(predicate)
+    filesDf(files, committedSchemaAt(), liveDv()).filter(predicate)
   }
 
   /** Snapshot read as of an older commit version (Delta-style time
@@ -343,8 +340,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     require(c.version == version, s"no commit at version $version (nearest: ${c.version})")
     // raw change set: DVs attach at LATER versions and are separate
     // logical changes, so the batch reads as committed (dv = empty)
-    filesDf(c.add, cs.reverse.iterator.map(_.schemaJson).find(_.nonEmpty)
-      .map(StructType.fromDDL), Map.empty)
+    filesDf(c.add, committedSchemaAt(Some(version)), Map.empty)
   }
 
   /** Row-level change feed (CDC read): every LOGICAL change between the
@@ -372,8 +368,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def changes(fromVersion: Long, toVersion: Long = latestVersion): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val cs = commitsAsOf(Some(toVersion))
-    val stored = cs.reverse.iterator.map(_.schemaJson)
-      .find(_.nonEmpty).map(StructType.fromDDL)
+    val stored = committedSchemaAt(Some(toVersion))
     // dv state folds over the WHOLE walk; each window commit reads
     // under the state as of just before / just at itself
     var dvState = Map.empty[String, Seq[String]]
@@ -427,9 +422,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // strings on disk) are cast back to their declared types, and a
     // partition column that is also a data column (e.g. word_length)
     // keeps its original type and position.
-    val stored = commitsAsOf(asOf).reverse.iterator.map(_.schemaJson)
-      .find(_.nonEmpty).map(StructType.fromDDL)
-    filesDf(files, stored, liveDv(asOf))
+    filesDf(files, committedSchemaAt(asOf), liveDv(asOf))
   }
 
   /** Read `files` applying `dv` deletion vectors, projected to the
@@ -596,14 +589,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     require(exists, s"merge target $root does not exist — seed it with append()")
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
     val fn = org.apache.spark.sql.functions.col _
-    val stored = commits().reverse.iterator.map(_.schemaJson)
-      .find(_.nonEmpty).map(StructType.fromDDL)
-      .getOrElse(throw new IllegalStateException(s"table $root has no committed schema"))
+    val stored = committedSchema
     stored.fieldNames.foreach(c => require(source.columns.contains(c),
       s"merge source lacks table column '$c'"))
     val src = source.select(stored.fieldNames.map(fn).toSeq: _*)
-    val partitionBy = commits().reverse.iterator
-      .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+    val partitionBy = committedPartitionBy
 
     val dupKeys = src.groupBy(keys.map(fn): _*).count()
       .filter(fn("count") > 1).limit(1).count()
@@ -640,8 +630,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     require(exists, s"delete target $root does not exist")
     val fn = org.apache.spark.sql.functions.col _
     val stored = committedSchema
-    val partitionBy = commits().reverse.iterator
-      .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+    val partitionBy = committedPartitionBy
     val touched = readWhere(predicate)
       .withColumn("_graft_path", fn("_metadata.file_path"))
       .select("_graft_path").distinct()
@@ -665,8 +654,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val stored = committedSchema
     set.keys.foreach(k => require(stored.fieldNames.contains(k),
       s"update sets unknown column '$k'"))
-    val partitionBy = commits().reverse.iterator
-      .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+    val partitionBy = committedPartitionBy
     val touched = readWhere(predicate)
       .withColumn("_graft_path", fn("_metadata.file_path"))
       .select("_graft_path").distinct()
@@ -712,8 +700,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // a table with no committed schema (meta-only log) or no live data
     // files has nothing deletable — degrade to a plain guarded append
     // (read() there is a LocalRelation: no _metadata to path-match on)
-    val storedOpt = commits().reverse.iterator.map(_.schemaJson)
-      .find(_.nonEmpty).map(StructType.fromDDL)
+    val storedOpt = committedSchemaAt()
     if (storedOpt.isEmpty)
       return append(inserts, partitionBy, meta = meta, batchId = batchId, appId = appId)
     val stored = storedOpt.get
@@ -787,8 +774,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) { fs.delete(genDir, true); None }
     else {
-      val partitionBy = commits().reverse.iterator
-        .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+      val partitionBy = committedPartitionBy
       Some(commit(Commit(0, "dv", Nil, Nil, Map.empty, partitionBy,
         stored.toDDL, Map.empty, None, now(),
         dv = touched.map(_ -> Seq(gen)).toMap)))
@@ -812,8 +798,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val cur = liveFiles()
     val targetDv = liveDv(Some(version))
     if (target == cur && targetDv == liveDv()) return None
-    val schemaAt = cs.reverse.iterator.map(_.schemaJson).find(_.nonEmpty).getOrElse("")
-    val partsAt = cs.reverse.iterator.map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+    val schemaAt = schemaDdlAt(Some(version)).getOrElse("")
+    val partsAt = commitsAsOf(Some(version)).reverse.iterator
+      .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
     val statsAt = liveFileStats(Some(version)).view.filterKeys(target.toSet).toMap
     Some(commit(Commit(0, "replace", target, cur, Map.empty, partsAt,
       schemaAt, Map("restored_from" -> version.toString), None, now(),
@@ -828,8 +815,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     import spark.implicits._
     val live = liveFiles()
     val bytes = live.map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
-    val schemaDdl = commits().reverse.iterator.map(_.schemaJson)
-      .find(_.nonEmpty).getOrElse("")
+    val schemaDdl = schemaDdlAt().getOrElse("")
     // partitioning of the CURRENT layout: the most recent data commit's
     // partitionBy, including a legitimately-empty one (a table fully
     // rewritten unpartitioned must not report its old columns)
@@ -853,10 +839,23 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         "partition_by", "batch_id", "app_id", "meta")
   }
 
+  /** Latest committed schema DDL as of a version (None before any
+    * data commit) — THE single copy of the schema-resolution rule. */
+  private def schemaDdlAt(asOf: Option[Long] = None): Option[String] =
+    commitsAsOf(asOf).reverse.iterator.map(_.schemaJson).find(_.nonEmpty)
+
+  private def committedSchemaAt(asOf: Option[Long] = None): Option[StructType] =
+    schemaDdlAt(asOf).map(StructType.fromDDL)
+
   private def committedSchema: StructType =
-    commits().reverse.iterator.map(_.schemaJson)
-      .find(_.nonEmpty).map(StructType.fromDDL)
-      .getOrElse(throw new IllegalStateException(s"table $root has no committed schema"))
+    committedSchemaAt().getOrElse(throw new IllegalStateException(
+      s"table $root has no committed schema"))
+
+  /** Latest non-empty partitionBy (the write-path default: rewrites of
+    * a partitioned table keep its layout unless told otherwise). */
+  private def committedPartitionBy: Seq[String] =
+    commits().reverse.iterator
+      .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
 
   /** Active CHECK constraints: name → boolean SQL expression. Stored
     * as `constraint/<name>` metadata (an empty value marks a drop), so
@@ -1054,8 +1053,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * in the schema, forced nullable (its newer files read as null).
     * Same-name columns must keep their exact type: no type widening. */
   private def mergedSchema(incoming: StructType): StructType =
-    commits().reverse.iterator.map(_.schemaJson).find(_.nonEmpty)
-      .map(StructType.fromDDL) match {
+    committedSchemaAt() match {
       case None => incoming
       case Some(prev) =>
         incoming.fields.foreach { f =>
@@ -1305,8 +1303,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "clusterBy and zorderBy are mutually exclusive")
     import org.apache.spark.sql.functions.{col, min, max}
-    val partitionBy = commits().reverse.iterator
-      .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+    val partitionBy = committedPartitionBy
     val base = read(partitionFilter)
     val df =
       if (zorderBy.nonEmpty) {
