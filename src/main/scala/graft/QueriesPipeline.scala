@@ -84,7 +84,7 @@ object QueriesPipeline {
     // whole input — exactly what the oracle computes.
     "q50_stream_twohop" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q50_").toString
+      val tmp = graft.QueryTmp.dir("graft_q50_")
       val up = graft.table.IncrementalTable(s, s"$tmp/docs/v1")
       val down = graft.table.IncrementalTable(s, s"$tmp/digests/v1")
       val hop = new graft.streaming.DerivedStream(up, down, Seq("source"),
@@ -117,7 +117,7 @@ object QueriesPipeline {
     "q56_incremental_agg" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.{AggregateStream, IncAgg}
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q56_").toString
+      val tmp = graft.QueryTmp.dir("graft_q56_")
       val up = graft.table.IncrementalTable(s, s"$tmp/events/v1")
       val view = graft.table.IncrementalTable(s, s"$tmp/daily/v1")
       // month rides along as the physical grain (day determines it, so
@@ -158,7 +158,7 @@ object QueriesPipeline {
     // copy-on-write at file granularity (IncrementalTable.merge).
     "q53_merge_upsert" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q53_").toString
+      val tmp = graft.QueryTmp.dir("graft_q53_")
       val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
       val base = Tables.customer(s, dir).select(
         $"c_custkey".as("cust_key"), $"c_name".as("name"),
@@ -182,7 +182,7 @@ object QueriesPipeline {
     // relational filter (pruning is an optimization, never semantics).
     "q64_zorder_skipping" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q64_").toString
+      val tmp = graft.QueryTmp.dir("graft_q64_")
       val t = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
       t.append(Tables.orders(s, dir)
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
@@ -203,7 +203,7 @@ object QueriesPipeline {
     // is an optimization, never semantics.
     "q99_string_skipping" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q99_").toString
+      val tmp = graft.QueryTmp.dir("graft_q99_")
       val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
       t.append(Tables.customer(s, dir)
         .select($"c_custkey", $"c_name", $"c_mktsegment")
@@ -223,7 +223,7 @@ object QueriesPipeline {
     // replaced files still exist inside the replay window.
     "q65_time_travel" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q65_").toString
+      val tmp = graft.QueryTmp.dir("graft_q65_")
       val t = graft.table.IncrementalTable(s, s"$tmp/part/v1")
       def slice(lo: Long, hi: Long) = Tables.part(s, dir)
         .filter($"p_partkey" >= lo && $"p_partkey" <= hi)
@@ -252,7 +252,7 @@ object QueriesPipeline {
     // output.
     "q91_source_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q91_").toString
+      val tmp = graft.QueryTmp.dir("graft_q91_")
       val slice = Tables.orders(s, dir).filter($"o_orderkey" % 100 === 0)
       slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       slice.write.mode("overwrite").json(s"$tmp/json")
@@ -280,7 +280,7 @@ object QueriesPipeline {
     // contract an incremental pipeline actually provides.
     "q90_dedup_stream" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q90_").toString
+      val tmp = graft.QueryTmp.dir("graft_q90_")
       val up = graft.table.IncrementalTable(s, s"$tmp/docs/v1")
       val down = graft.table.IncrementalTable(s, s"$tmp/deduped/v1")
       val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
@@ -304,7 +304,7 @@ object QueriesPipeline {
     // end-to-end read under the exact-hash gate like q63/q64/q65.
     "q89_schema_evolution" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q89_").toString
+      val tmp = graft.QueryTmp.dir("graft_q89_")
       val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
       val base = Tables.customer(s, dir)
       t.append(base.filter($"c_custkey" <= 500)
@@ -324,7 +324,7 @@ object QueriesPipeline {
     // (file candidates pre-pruned by the data-skipping index).
     "q63_delete_update" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q63_").toString
+      val tmp = graft.QueryTmp.dir("graft_q63_")
       val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
       val base = Tables.customer(s, dir).select(
         $"c_custkey".as("cust_key"), $"c_name".as("name"),
@@ -348,7 +348,7 @@ object QueriesPipeline {
     // row counts and hash.
     "q59_changefeed" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q59_").toString
+      val tmp = graft.QueryTmp.dir("graft_q59_")
       val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
       val base = Tables.customer(s, dir).select(
         $"c_custkey".as("cust_key"), $"c_name".as("name"),
@@ -376,7 +376,7 @@ object QueriesPipeline {
     // row count and hash.
     "q92_join_stream" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q92_").toString
+      val tmp = graft.QueryTmp.dir("graft_q92_")
       val l = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
       val r = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
       val d = graft.table.IncrementalTable(s, s"$tmp/joined/v1")
@@ -405,7 +405,7 @@ object QueriesPipeline {
     // position misapplied to the wrong file breaks count and hash.
     "q93_deletion_vectors" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q93_").toString
+      val tmp = graft.QueryTmp.dir("graft_q93_")
       val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
       t.append(Tables.customer(s, dir).select(
         $"c_custkey".as("cust_key"), $"c_name".as("name"),
@@ -424,7 +424,7 @@ object QueriesPipeline {
     // un-restored append surviving) breaks count and hash.
     "q94_restore" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q94_").toString
+      val tmp = graft.QueryTmp.dir("graft_q94_")
       val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
       val base = Tables.customer(s, dir).select(
         $"c_custkey".as("cust_key"), $"c_name".as("name"),
@@ -449,7 +449,7 @@ object QueriesPipeline {
     // breaks count and hash against the relational left join.
     "q96_outer_join_stream" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q96_").toString
+      val tmp = graft.QueryTmp.dir("graft_q96_")
       val l = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
       val r = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
       val d = graft.table.IncrementalTable(s, s"$tmp/joined/v1")
@@ -479,7 +479,7 @@ object QueriesPipeline {
     // FULL OUTER join with the side marker exactly.
     "q98_full_outer_stream" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q98_").toString
+      val tmp = graft.QueryTmp.dir("graft_q98_")
       val l = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
       val r = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
       val d = graft.table.IncrementalTable(s, s"$tmp/joined/v1")
@@ -516,7 +516,7 @@ object QueriesPipeline {
     // or an audit lost to truncation breaks the hash.
     "q100_forget_user" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q100_").toString
+      val tmp = graft.QueryTmp.dir("graft_q100_")
       val t = new graft.table.IncrementalTable(s, s"$tmp/events/v1",
         checkpointEvery = 2)
       val auditT = graft.table.IncrementalTable(s, s"$tmp/audit/v1")

@@ -1,0 +1,19 @@
+package graft
+
+/** Temp roots for table-backed queries (q50/q53/.../q100 materialize
+  * whole IncrementalTables per invocation): each call retires the SAME
+  * query's previous generation, so bench warmup + timed iterations and
+  * repeated test runs hold at most one spare copy on disk instead of
+  * accumulating one per run — the [[graft.operators.Bucketing]]
+  * generation-GC contract applied to every temp-table query. */
+object QueryTmp {
+  private val last = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def dir(prefix: String): String = {
+    val fresh = java.nio.file.Files.createTempDirectory(prefix).toString
+    val prev = last.put(prefix, fresh)
+    if (prev != null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prev))
+    fresh
+  }
+}

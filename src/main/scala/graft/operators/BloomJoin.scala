@@ -31,6 +31,9 @@ object BloomJoin {
       small: DataFrame, smallKey: Column,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val hashed = small.select(xxhash64(smallKey).as("_graft_h"))
+    // the emptiness probe is LOAD-BEARING: Spark's stat.bloomFilter
+    // NPEs on a zero-row frame (BloomFilterAggregate yields null).
+    // isEmpty is a limit-1 short-circuit, not a second full scan.
     if (hashed.isEmpty) big.limit(0)
     else {
       val bloom = hashed.stat.bloomFilter("_graft_h", expectedItems, fpp)

@@ -96,8 +96,5 @@ final class DerivedStream(
 
   /** Hive `k=v` segments of a path, restricted to the replay scope. */
   private def scopeOf(rel: String): Map[String, String] =
-    rel.split("/").iterator.flatMap { s =>
-      val i = s.indexOf('=')
-      if (i > 0) Some(s.substring(0, i) -> s.substring(i + 1)) else None
-    }.toMap.view.filterKeys(replayScope.contains).toMap
+    IncrementalTable.hiveSegments(rel).view.filterKeys(replayScope.contains).toMap
 }

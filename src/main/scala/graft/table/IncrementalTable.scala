@@ -368,6 +368,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def changes(fromVersion: Long, toVersion: Long = latestVersion): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val cs = commitsAsOf(Some(toVersion))
+    // a window crossing the replay horizon would be silently PARTIAL —
+    // the checkpoint is a snapshot, not a delta, and the history it
+    // folded is gone. Fail like readAt does, never under-report.
+    cs.headOption.filter(_.action == "checkpoint").foreach { h =>
+      require(fromVersion > h.version,
+        s"changes($fromVersion, $toVersion) crosses the replay horizon: " +
+          s"history up to checkpoint ${h.version} is compacted away")
+    }
     val stored = committedSchemaAt(Some(toVersion))
     // dv state folds over the WHOLE walk; each window commit reads
     // under the state as of just before / just at itself
@@ -637,7 +645,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
     if (touched.isEmpty) None
     else {
-      val kept = filesDf(touched, Some(stored), liveDv()).filter(!predicate)
+      // SQL DELETE semantics: rows where the predicate is NULL are NOT
+      // deleted — keep everything whose predicate is not strictly TRUE
+      val kept = filesDf(touched, Some(stored), liveDv())
+        .filter(!org.apache.spark.sql.functions.coalesce(predicate,
+          org.apache.spark.sql.functions.lit(false)))
       write(kept, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
         None, removeExact = Some(touched))
     }
@@ -1349,12 +1361,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     require(maxFiles >= targetFiles && maxFiles > 0)
     val oversized = liveFiles(filters).groupBy(parentDir)
       .filter(_._2.size > maxFiles).keys.toSeq.sorted
-    val scopes = oversized.map { dir =>
-      dir.split("/").iterator.flatMap { s =>
-        val i = s.indexOf('=')
-        if (i > 0) Some(s.substring(0, i) -> s.substring(i + 1)) else None
-      }.toMap
-    }
+    val scopes = oversized.map(IncrementalTable.hiveSegments)
     scopes.foreach(compact(_, targetFiles))
     scopes
   }
@@ -1471,6 +1478,15 @@ object IncrementalTable {
   def apply(spark: SparkSession, root: String, checkpointEvery: Int): IncrementalTable =
     new IncrementalTable(spark, root, checkpointEvery)
 
+  /** Hive `k=v` path segments of a (root-relative) path — THE single
+    * copy of the parser (matchesPartition, compactIfNeeded, and the
+    * stream consumers' replay-scope extraction all use it). */
+  def hiveSegments(relPath: String): Map[String, String] =
+    relPath.split("/").iterator.flatMap { s =>
+      val i = s.indexOf('=')
+      if (i > 0) Some(s.substring(0, i) -> s.substring(i + 1)) else None
+    }.toMap
+
   private def listParquet(fs: FileSystem, dir: Path): Seq[String] = {
     if (!fs.exists(dir)) return Seq.empty
     val out = Seq.newBuilder[String]
@@ -1496,10 +1512,7 @@ object IncrementalTable {
     * `filters`? Parses hive `k=v` segments from the path. */
   private[table] def matchesPartition(relPath: String, filters: Map[String, String]): Boolean = {
     if (filters.isEmpty) return true
-    val segs = relPath.split("/").iterator.flatMap { s =>
-      val i = s.indexOf('=')
-      if (i > 0) Some(s.substring(0, i) -> s.substring(i + 1)) else None
-    }.toMap
+    val segs = IncrementalTable.hiveSegments(relPath)
     filters.forall { case (k, v) => segs.get(k).contains(v) }
   }
 

@@ -97,6 +97,20 @@ class DedupStreamSpec extends SparkSpec {
       4L -> "entirely new text"))
   }
 
+  test("a batch that is 100% duplicates still advances the cursor (no rework loop)") {
+    val (up, down, s) = mk(tmpDir("dedupstream"))
+    up.append(docs(1L -> "a", 2L -> "b"), Nil)
+    assert(s.drain() == 1)
+    // the steady-state dedup case: every arriving row already seen —
+    // the empty append elides data but its cursor meta + batch guard
+    // still commit, so the commit is consumed exactly once
+    up.append(docs(3L -> "a", 4L -> "b"), Nil)
+    assert(s.drain() == 1)
+    assert(s.sourceVersion == up.commits().last.version)
+    assert(s.drain() == 0) // nothing pending: no per-drain rework
+    assert(state(down) == Set(1L -> "a", 2L -> "b"))
+  }
+
   test("upstream auto-checkpoint does not flip committed representatives") {
     // the log checkpoint shares the version of the commit it folds, so
     // a caught-up consumer sees the CHECKPOINT instead of that delta —

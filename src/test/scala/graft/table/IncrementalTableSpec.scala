@@ -481,6 +481,28 @@ class IncrementalTableSpec extends SparkSpec {
     assert(d.getAs[Long]("num_dv_files") == 1L)
   }
 
+  test("delete with a NULL-evaluating predicate keeps the row (SQL DELETE semantics)") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t36")
+    t.append(Seq((1L, Option.empty[Long]), (2L, Option(1L)), (3L, Option(9L)))
+      .toDF("id", "x").repartition(1), Nil)
+    t.delete($"x" === 1L) // matches id=2; id=1's NULL must survive the rewrite
+    assert(t.read().select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("changes refuses a window crossing the replay horizon instead of under-reporting") {
+    val t = new IncrementalTable(spark, tmpDir("itab") + "/t37", checkpointEvery = 2)
+    t.append(Seq((1L, "a")).toDF("id", "s"), Nil) // v0
+    t.append(Seq((2L, "b")).toDF("id", "s"), Nil) // v1
+    t.append(Seq((3L, "c")).toDF("id", "s"), Nil) // v2 -> checkpoint
+    t.refresh()
+    assert(t.commits().head.action == "checkpoint")
+    intercept[IllegalArgumentException](t.changes(0)) // pre-horizon: partial feed
+    intercept[IllegalArgumentException](t.changes(2)) // the folded version itself
+    assert(t.changes(3).count() == 0) // post-horizon windows still work
+    t.append(Seq((4L, "d")).toDF("id", "s"), Nil) // v3
+    assert(t.changes(3).select("id").as[Long].collect().toSet == Set(4L))
+  }
+
   test("data skipping survives checkpoint compaction of the recording commits") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t24")
     t.append((0 until 100).map(i => (i.toLong, "a")).toDF("id", "s")
