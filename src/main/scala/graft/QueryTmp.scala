@@ -5,7 +5,17 @@ package graft
   * query's previous generation, so bench warmup + timed iterations and
   * repeated test runs hold at most one spare copy on disk instead of
   * accumulating one per run — the [[graft.operators.Bucketing]]
-  * generation-GC contract applied to every temp-table query. */
+  * generation-GC contract applied to every temp-table query.
+  *
+  * Contract (ADVICE r4 #5): SINGLE-THREADED, ONE LIVE GENERATION per
+  * prefix. `dir(p)` deletes the PREVIOUS generation's directory — so a
+  * caller that builds the same query's DataFrame twice before
+  * executing the first, or runs two invocations of one query
+  * concurrently, hands the first (lazy) plan an already-deleted path
+  * that fails at execution. The sequential bench/verify/test harness
+  * satisfies this by construction; a parallel runner must key prefixes
+  * per invocation or execute eagerly before re-invoking. Same contract
+  * on [[graft.operators.Bucketing]]'s generation GC. */
 object QueryTmp {
   private val last = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

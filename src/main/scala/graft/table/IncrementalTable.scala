@@ -461,13 +461,19 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .select(org.apache.spark.sql.functions.col("file").as("_dv_sc_file"),
         org.apache.spark.sql.functions.col("pos").as("_dv_sc_pos"))
 
-  /** [[rawFilesDf]] plus `_dv_file` (root-relative path, the same
-    * rendering [[relativize]] produces) and `_dv_pos` (parquet row
-    * index) columns, with `dv`'s deleted positions anti-joined out. */
+  /** [[rawFilesDf]] plus `_dv_file` (root-relative path in the
+    * URI-ENCODED rendering of `_metadata.file_path` — sidecar rows and
+    * this column live in encoded space together, so the position join
+    * is a plain string equality inside codegen; only the driver-side
+    * commit keys decode, via [[IncrementalTable.relativizeUri]]) and
+    * `_dv_pos` (parquet row index), with `dv`'s deleted positions
+    * anti-joined out. The prefix is the encoded root (`getRawPath`) so
+    * it matches file_path's rendering even when the root itself needs
+    * escaping (ADVICE r4 #1). */
   private def filesDfWithPos(files: Seq[String], stored: Option[StructType],
       dv: Map[String, Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
-    val prefix = rootPath.toUri.getPath.stripSuffix("/") + "/"
+    val prefix = rootPath.toUri.getRawPath.stripSuffix("/") + "/"
     val base = rawFilesDf(files, stored)
       .withColumn("_dv_file", substring_index(col("_metadata.file_path"), prefix, -1))
       .withColumn("_dv_pos", col("_metadata.row_index"))
@@ -614,7 +620,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .withColumn("_graft_path", fn("_metadata.file_path"))
       .join(srcKeys, keys, "left_semi")
       .select("_graft_path").distinct()
-      .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
+      .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
 
     if (touched.isEmpty)
       append(src, partitionBy, meta = meta, batchId = batchId, appId = appId,
@@ -642,7 +648,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val touched = readWhere(predicate)
       .withColumn("_graft_path", fn("_metadata.file_path"))
       .select("_graft_path").distinct()
-      .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
+      .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
     if (touched.isEmpty) None
     else {
       // SQL DELETE semantics: rows where the predicate is NULL are NOT
@@ -670,7 +676,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val touched = readWhere(predicate)
       .withColumn("_graft_path", fn("_metadata.file_path"))
       .select("_graft_path").distinct()
-      .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
+      .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
     if (touched.isEmpty) None
     else {
       val rewritten = filesDf(touched, Some(stored), liveDv()).select(
@@ -732,7 +738,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .filter(condTrue)
       .join(dk, keys, "left_semi")
       .select("_graft_path").distinct()
-      .collect().map(r => relativize(rootPath, r.getString(0))).toSeq
+      .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
     val ins = inserts.select(stored.fieldNames.map(fn).toSeq: _*)
     if (touched.isEmpty)
       append(ins, partitionBy, meta = meta, batchId = batchId, appId = appId)
@@ -780,10 +786,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .filter(predicate)
       .select(fn("_dv_file").as("file"), fn("_dv_pos").as("pos"))
       .write.parquet(genDir.toString)
+    // sidecar rows are in file_path's encoded rendering (see
+    // filesDfWithPos); the COMMIT keys must be in the live set's
+    // decoded rendering or liveFiles/remove folds silently miss them
     val touched = spark.read
       .schema(new StructType().add("file", "string").add("pos", "long"))
       .parquet(genDir.toString)
-      .select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
+      .select("file").distinct().collect()
+      .map(r => relativizeUri(rootPath, r.getString(0))).toSeq.sorted
     if (touched.isEmpty) { fs.delete(genDir, true); None }
     else {
       val partitionBy = committedPartitionBy
@@ -890,7 +900,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * the check INSIDE its write scan (an `assert_true` filter: no
     * extra pass, a violating row fails the write before anything
     * commits). SQL semantics: NULL check results pass; only FALSE
-    * violates. */
+    * violates.
+    *
+    * TOCTOU note (ADVICE r4 #4): validation reads a snapshot, then the
+    * constraint publishes as a meta commit — and meta commits never
+    * conflict under OCC, so a concurrent writer can land violating
+    * rows between the two, leaving standing data that violates the
+    * new CHECK. Acceptable under the documented single-writer contract
+    * (DDL is administrative); multi-writer deployments should quiesce
+    * writes around addConstraint or re-validate afterwards. */
   def addConstraint(name: String, check: String): Commit = {
     require(name.nonEmpty && check.nonEmpty, "constraint needs a name and an expression")
     val e = org.apache.spark.sql.functions.expr(check)
@@ -976,13 +994,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // from the parquet spec), so timestamp columns could never join
     // the data-skipping index; micros IS Spark's internal precision —
     // no value changes — and every modern reader (incl. DuckDB)
-    // prefers it
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val oldTs = spark.conf.get(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(stage.toString)
-    finally spark.conf.set(tsKey, oldTs)
+    // prefers it. The parquet writer has no per-write option for this
+    // (probed: `.option("outputTimestampType", …)` is ignored), so the
+    // session conf is the only lever — guarded by a refcount so
+    // concurrent writes to DIFFERENT tables of one session (only
+    // per-root locked) never restore INT96 under each other mid-stage
+    // or leave MICROS permanently set (ADVICE r4 #3).
+    withMicrosTimestamps(spark) {
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(stage.toString)
+    }
     val staged = listParquet(fs, stage).map(p => relativize(stage, p))
     // partitioned zero-row writes stage no files; non-partitioned ones
     // stage one schema-only file — detect via footer counts (no job).
@@ -1271,8 +1292,18 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // survive compaction AND the referenced sidecar generations stay
       // vacuum-protected past the truncation
       val liveDvMap = liveDv().view.filterKeys(live.toSet).toMap
+      // record the CURRENT LAYOUT's partitionBy (latest data commit's,
+      // incl. a legitimately-empty one), not whatever the interval's
+      // last commit happened to carry — a meta/dv tail commit has
+      // empty partitionBy and would make detail() report a partitioned
+      // table as unpartitioned right after compaction (ADVICE r4 #2).
+      // A prior checkpoint counts as a data commit (it folded this
+      // same rule), so the value survives repeated compactions.
+      val layoutParts = cs.reverse.iterator
+        .filter(c => c.add.nonEmpty || c.action == "replace")
+        .map(_.partitionBy).nextOption().getOrElse(last.partitionBy)
       val snap = Commit(version, "checkpoint", live, Nil, Map.empty,
-        last.partitionBy, last.schemaJson,
+        layoutParts, last.schemaJson,
         cs.foldLeft(Map.empty[String, String])(_ ++ _.meta), None, now(),
         maxBatchId = maxBatch, appBatches = perApp, fileStats = liveStats,
         dv = liveDvMap)
@@ -1468,6 +1499,32 @@ object IncrementalTable {
   private[table] def lockFor(root: String): Object =
     commitLocks.computeIfAbsent(root, _ => new Object)
 
+  // Refcounted session-conf override for staging writes: first writer
+  // in saves the old value and sets TIMESTAMP_MICROS, last writer out
+  // restores. Every table write wants the same value, so overlapping
+  // holders are always compatible; the counter ops (not the writes)
+  // serialize on the map. Identity-keyed: conf is per-SparkSession.
+  private val tsConfKey = "spark.sql.parquet.outputTimestampType"
+  private final class TsGuard { var depth = 0; var saved: String = "" }
+  private val tsGuards =
+    new java.util.IdentityHashMap[SparkSession, TsGuard]()
+  private[table] def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
+    val g = tsGuards.synchronized {
+      val g = tsGuards.computeIfAbsent(spark, _ => new TsGuard)
+      if (g.depth == 0) {
+        g.saved = spark.conf.get(tsConfKey)
+        spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
+      }
+      g.depth += 1
+      g
+    }
+    try body
+    finally tsGuards.synchronized {
+      g.depth -= 1
+      if (g.depth == 0) { spark.conf.set(tsConfKey, g.saved); tsGuards.remove(spark) }
+    }
+  }
+
   def hadoopConf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration
 
@@ -1506,6 +1563,20 @@ object IncrementalTable {
     val b = base.toUri.getPath.stripSuffix("/")
     val f = new Path(full).toUri.getPath
     f.stripPrefix(b).stripPrefix("/")
+  }
+
+  /** Root-relative path of a `_metadata.file_path` value — THE single
+    * normalizer for executor-observed paths (ADVICE r4 #1). file_path
+    * is a percent-encoded URI string (`p=a%20b/...` for an on-disk
+    * `p=a b` dir), while [[relativize]]d listings are decoded; feeding
+    * an encoded name into add/remove/dv sets would silently miss the
+    * live set (deleted rows reappear, merges duplicate). Decoding via
+    * `java.net.URI` is the exact inverse of that encoding — `Path`
+    * would re-escape the `%` instead. */
+  private[table] def relativizeUri(base: Path, uriString: String): String = {
+    val decoded = new java.net.URI(uriString).getPath
+    val b = base.toUri.getPath.stripSuffix("/")
+    decoded.stripPrefix(b).stripPrefix("/")
   }
 
   /** Does a root-relative file path live in a partition matching all

@@ -198,4 +198,44 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.read(Map("seg" -> "EVEN")).count() == 25)
     assert(t.read(Map("seg" -> "ODD")).count() == 50)
   }
+
+  test("dv delete under URI-escaped paths (partition value with a space; ADVICE r4 #1)") {
+    // `_metadata.file_path` renders `seg=has space` as `seg=has%20space`
+    // while the live set holds the decoded name — the dv commit keys
+    // must be in the live set's rendering or the read path silently
+    // skips the vector and deleted rows REAPPEAR
+    val t = IncrementalTable(spark, tmpDir("dv") + "/t13")
+    val df = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "has space" else "plain")).toDF("id", "seg")
+    t.append(df, Seq("seg"))
+    val filesBefore = t.liveFiles().toSet
+    val c = t.deleteVectorized($"id" <= 10)
+    assert(c.exists(_.action == "dv"))
+    // commit keys match the live set's decoded rendering exactly
+    assert(c.get.dv.keySet.subsetOf(filesBefore))
+    assert(c.get.dv.keys.exists(_.contains("seg=has space")))
+    assert(t.liveFiles().toSet == filesBefore)
+    assert(ids(t) == (11L to 40L).toSet) // BOTH partitions' deletes apply
+    assert(t.read(Map("seg" -> "has space")).count() == 15)
+    // compaction still materializes them (keys reach the rewrite scope)
+    t.compact()
+    assert(t.liveDv().isEmpty)
+    assert(ids(t) == (11L to 40L).toSet)
+  }
+
+  test("root dir itself URI-escaped: dv + merge + delete stay consistent") {
+    val t = IncrementalTable(spark, tmpDir("dv") + "/t 14 dir")
+    t.append((1L to 30L).map(i => (i, s"n_$i")).toDF("id", "name"), Nil)
+    t.deleteVectorized($"id" > 25)
+    assert(ids(t) == (1L to 25L).toSet)
+    // copy-on-write paths route _metadata.file_path through the same
+    // normalizer: removeExact must hit the live set, not miss it
+    t.delete($"id" <= 5)
+    assert(ids(t) == (6L to 25L).toSet)
+    t.merge(Seq((6L, "SIX"), (99L, "new")).toDF("id", "name"), Seq("id"))
+    val m = t.read().as[(Long, String)].collect().toMap
+    assert(m.keySet == ((6L to 25L) ++ Seq(99L)).toSet)
+    assert(m(6L) == "SIX" && m(99L) == "new")
+    assert(t.read().count() == 21) // no duplicate rows from a missed remove
+  }
 }

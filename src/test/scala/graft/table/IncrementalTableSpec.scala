@@ -481,6 +481,20 @@ class IncrementalTableSpec extends SparkSpec {
     assert(d.getAs[Long]("num_dv_files") == 1L)
   }
 
+  test("detail() reports partitioning right after a checkpoint whose tail was meta/dv (ADVICE r4 #2)") {
+    val dir = tmpDir("itab") + "/t35b"
+    val t = new IncrementalTable(spark, dir, checkpointEvery = 2)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Seq("s")) // v0
+    t.commitMeta(Map("wm" -> "1")) // v1
+    t.commitMeta(Map("wm" -> "2")) // v2 -> checkpoint (tail = meta, empty partitionBy)
+    val t2 = IncrementalTable(spark, dir) // replays from the checkpoint only
+    assert(t2.commits().head.action == "checkpoint")
+    assert(t2.detail().collect().head.getAs[String]("partition_by") == "s")
+    // a deliberate unpartitioned rewrite must still report empty after compaction
+    t2.compact() // replace with the committed layout... still partitioned
+    assert(t2.detail().collect().head.getAs[String]("partition_by") == "s")
+  }
+
   test("delete with a NULL-evaluating predicate keeps the row (SQL DELETE semantics)") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t36")
     t.append(Seq((1L, Option.empty[Long]), (2L, Option(1L)), (3L, Option(9L)))
