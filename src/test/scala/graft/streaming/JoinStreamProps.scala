@@ -44,13 +44,16 @@ object JoinStreamProps extends Properties("joinstream") {
   private def run(script: List[Ev], mode: String): Boolean = {
     val outer = mode == "left_outer"
     val full = mode == "full_outer"
+    val rout = mode == "right_outer"
     val s = spark
     import s.implicits._
     val dir = Files.createTempDirectory("joinprops").toString
     val l = IncrementalTable(spark, dir + "/l/v1")
     val r = IncrementalTable(spark, dir + "/r/v1")
     val d = IncrementalTable(spark, dir + "/d/v1")
-    val stream = new JoinStream(l, r, d, Seq("k"), name = "p", joinType = mode)
+    val stream =
+      if (rout) JoinStream.rightOuter(l, r, d, Seq("k"), name = "p")
+      else new JoinStream(l, r, d, Seq("k"), name = "p", joinType = mode)
     script.foreach { ev =>
       val df =
         if (ev.left) ev.rows.toDF("lid", "k").select($"lid", $"k")
@@ -62,6 +65,24 @@ object JoinStreamProps extends Properties("joinstream") {
 
     val lefts = script.filter(_.left).flatMap(_.rows).toSet
     val rights = script.filterNot(_.left).flatMap(_.rows).toSet
+    if (rout) {
+      // the factory swaps the physical sides, so the view buffers until
+      // the LEFT table (whose schema null-extension needs) has data
+      if (!l.exists)
+        return !d.exists || d.read().columns.isEmpty || d.read().count() == 0
+      val want: Set[(Option[Long], Long, Long, Boolean)] = rights.flatMap {
+        case (rid, k) =>
+          val ms = lefts.filter(_._2 == k)
+          if (ms.isEmpty) Set((Option.empty[Long], k, rid, false))
+          else ms.map(m => (Option(m._1), k, rid, true))
+      }
+      val got =
+        if (d.exists && d.read().columns.nonEmpty)
+          d.read().select($"lid", $"k", $"rid", $"matched")
+            .as[(Option[Long], Long, Long, Boolean)].collect().toSet
+        else Set.empty[(Option[Long], Long, Long, Boolean)]
+      return got == want
+    }
     if (!outer && !full) {
       val want: Set[(Long, Long, Long)] = for {
         (lid, k) <- lefts; (rid, k2) <- rights if k == k2
@@ -117,4 +138,7 @@ object JoinStreamProps extends Properties("joinstream") {
 
   property("full_outer: any interleaving converges to the full outer join, both retractions exact") =
     forAll(scripts)(run(_, "full_outer"))
+
+  property("right_outer (factory swap): any interleaving converges to the right outer join") =
+    forAll(scripts)(run(_, "right_outer"))
 }
