@@ -114,7 +114,11 @@ final class JoinStream(
     up.refresh()
     up.commits().filter(c =>
       c.version > from && c.action != "meta" &&
-        (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty))
+        // a columnar checkpoint folds the same-version data commit
+        // with EMPTY inline sets — it must stay visible as a rebuild
+        // trigger or that folded commit is silently skipped
+        (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty ||
+          c.filesParquet.isDefined))
   }
 
   private def checkCollisions(l: DataFrame, r: DataFrame): Unit = {

@@ -63,7 +63,18 @@ final case class Commit(
     // replay unions per file; removing a file drops its entry, and
     // checkpoints fold the live map forward. Defaults keep pre-existing
     // logs readable.
-    dv: Map[String, Seq[String]] = Map.empty)
+    dv: Map[String, Seq[String]] = Map.empty,
+    // Columnar checkpoint (the 100× scale path, Delta parquet-
+    // checkpoint analog): when set, this checkpoint's live-set rows
+    // (file, size, stats, dvGens) live in the named parquet directory
+    // under `_graft_log/` INSTEAD of the inline add/fileStats/dv —
+    // opening the table costs O(tail) driver work at any file count,
+    // and liveFilesWhere pruning runs as a Spark job over the
+    // checkpoint rows. Inline JSON stays the small-table fast path.
+    // `numFiles` is the exact live count, maintained incrementally
+    // (previous count - base removes + adds), never by a job.
+    filesParquet: Option[String] = None,
+    numFiles: Option[Long] = None)
 
 /** Per-file column statistics entry ([min,max] over the file's rows).
   * Integral columns use `min`/`max`; string columns use `minS`/`maxS`
@@ -124,7 +135,8 @@ final class ConcurrentWriteException(msg: String) extends java.io.IOException(ms
   *    single-writer there, the reference's own deployment shape.
   */
 final class IncrementalTable(spark: SparkSession, val root: String,
-    checkpointEvery: Int = IncrementalTable.checkpointInterval) {
+    checkpointEvery: Int = IncrementalTable.checkpointInterval,
+    parquetThreshold: Int = IncrementalTable.parquetCheckpointThreshold) {
   import IncrementalTable._
   private implicit val fmts: Formats = DefaultFormats
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[IncrementalTable])
@@ -238,9 +250,95 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def liveFiles(filters: Map[String, String] = Map.empty,
       asOf: Option[Long] = None): Seq[String] = {
     val cs = commitsAsOf(asOf)
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    cs.foreach { c => live --= c.remove; live ++= c.add }
-    live.toSeq.filter(f => matchesPartition(f, filters))
+    parquetCkpt(cs) match {
+      case Some(_) =>
+        // a full enumeration (scan, compact, manifest export) genuinely
+        // needs the list; metadata-only callers go through
+        // liveFilesWhere/detail/compactIfNeeded, which stay distributed
+        import spark.implicits._
+        liveRowsDF(filters, asOf).select("file").as[String].collect().toSeq
+      case None =>
+        val live = scala.collection.mutable.LinkedHashSet.empty[String]
+        cs.foreach { c => live --= c.remove; live ++= c.add }
+        live.toSeq.filter(f => matchesPartition(f, filters))
+    }
+  }
+
+  // ---------------------------------------------- columnar snapshots
+
+  /** The head checkpoint when it is COLUMNAR (live rows in a parquet
+    * directory, not inline JSON) — the switch every metadata fold
+    * branches on. Inline stays the small-table fast path; above
+    * [[parquetThreshold]] live files, checkpoints flip to parquet and
+    * never flip back (Delta's parquet-checkpoint shape). */
+  private def parquetCkpt(cs: Seq[Commit]): Option[Commit] =
+    cs.headOption.filter(c => c.action == "checkpoint" && c.filesParquet.isDefined)
+
+  private def ckptRowsDF(c: Commit): DataFrame =
+    spark.read.schema(IncrementalTable.ckptRowSchema)
+      .parquet(new Path(logPath, c.filesParquet.get).toString)
+
+  /** Deletion-vector map of a columnar checkpoint: only the dv-bearing
+    * subset (bounded by standing delete volume, never file count)
+    * comes back to the driver. */
+  private def ckptDvMap(c: Commit): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.functions.{col, size}
+    import spark.implicits._
+    ckptRowsDF(c).filter(size(col("dvGens")) > 0)
+      .select("file", "dvGens").as[(String, Seq[String])].collect().toMap
+  }
+
+  /** Live rows (file, size, stats, dvGens) of a columnar snapshot:
+    * the checkpoint parquet minus the tail's removes, dv-merged, plus
+    * the tail's adds. The tail fold is O(checkpointInterval) driver
+    * work; the base NEVER materializes on the driver — removes and dv
+    * patches apply as broadcast joins, partition filters and stats
+    * pruning as Spark-side predicates. `sizedAdds` fills real sizes
+    * for tail-added files (checkpoint build / detail need them); hot
+    * reads skip the per-file RPCs and carry -1. */
+  private def liveRowsDF(filters: Map[String, String], asOf: Option[Long],
+      sizedAdds: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{array_distinct, broadcast, coalesce, col, concat, typedLit}
+    import spark.implicits._
+    val cs = commitsAsOf(asOf)
+    val tf = new TailFold(cs.tail)
+    val base0 = ckptRowsDF(cs.head)
+    val dead = (tf.removedFromBase ++ tf.adds.keys).toSeq
+    val base1 =
+      if (dead.isEmpty) base0
+      else base0.join(broadcast(dead.toDF("file")), Seq("file"), "left_anti")
+    val base2 =
+      if (tf.dvOnBase.isEmpty) base1
+      else {
+        val dvDF = broadcast(tf.dvOnBase.toSeq.toDF("file", "_tail_gens"))
+        base1.join(dvDF, Seq("file"), "left")
+          .withColumn("dvGens", array_distinct(concat(
+            coalesce(col("dvGens"), typedLit(Seq.empty[String])),
+            coalesce(col("_tail_gens"), typedLit(Seq.empty[String])))))
+          .drop("_tail_gens")
+      }
+    val withAdds =
+      if (tf.adds.isEmpty) base2
+      else {
+        val rows = tf.adds.toSeq.map { case (f, (stats, gens)) =>
+          CkptFileRow(f,
+            if (sizedAdds) fs.getFileStatus(new Path(rootPath, f)).getLen else -1L,
+            stats.view.mapValues(s => CkptStatRow(s.min, s.max, s.minS, s.maxS)).toMap,
+            gens)
+        }
+        base2.unionByName(rows.toDS().toDF())
+      }
+    IncrementalTable.partitionMatchExpr(filters).fold(withAdds)(withAdds.filter)
+  }
+
+  /** Live files under exactly the given physical partition dirs —
+    * the dynamic-replace removal set, pruned Spark-side on the
+    * columnar path instead of enumerating the table. */
+  private def liveFilesInDirs(dirs: Set[String]): Seq[String] = {
+    import spark.implicits._
+    liveRowsDF(Map.empty, None)
+      .filter(IncrementalTable.parentDirCol.isin(dirs.toSeq: _*))
+      .select("file").as[String].collect().toSeq
   }
 
   private def commitsAsOf(asOf: Option[Long]): Seq[Commit] = asOf match {
@@ -259,9 +357,25 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * [min,max], folded over the log like [[liveFiles]] (checkpoints
     * carry it forward). Files written without `statsColumns` are absent. */
   def liveFileStats(asOf: Option[Long] = None): Map[String, Map[String, ColStat]] = {
-    val m = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, ColStat]]
-    commitsAsOf(asOf).foreach { c => c.remove.foreach(m.remove); m ++= c.fileStats }
-    m.toMap
+    val cs = commitsAsOf(asOf)
+    parquetCkpt(cs) match {
+      case Some(_) =>
+        // full-stats materialization is an administrative need
+        // (restore); query-time pruning never calls this on the
+        // columnar path — liveFilesWhere pushes the bounds into the job
+        import org.apache.spark.sql.functions.{col, map_keys, size}
+        import spark.implicits._
+        liveRowsDF(Map.empty, asOf)
+          .filter(size(map_keys(col("stats"))) > 0)
+          .select("file", "stats").as[(String, Map[String, CkptStatRow])]
+          .collect().map { case (f, m) =>
+            f -> m.view.mapValues(s => ColStat(s.min, s.max, s.minS, s.maxS)).toMap
+          }.toMap
+      case None =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, ColStat]]
+        cs.foreach { c => c.remove.foreach(m.remove); m ++= c.fileStats }
+        m.toMap
+    }
   }
 
   /** Committed deletion-vector state of the live set: data rel path →
@@ -270,14 +384,25 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * commits accumulate generations per file, removing a file drops
     * its entry, checkpoints carry the live map forward. */
   def liveDv(asOf: Option[Long] = None): Map[String, Seq[String]] = {
-    val m = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
-    commitsAsOf(asOf).foreach { c =>
-      c.remove.foreach(m.remove)
-      c.dv.foreach { case (f, gens) =>
-        m(f) = (m.getOrElse(f, Nil) ++ gens).distinct
-      }
+    val cs = commitsAsOf(asOf)
+    parquetCkpt(cs) match {
+      case Some(_) =>
+        // only the dv-bearing subset returns (bounded by standing
+        // delete volume, never by file count)
+        import org.apache.spark.sql.functions.{col, size}
+        import spark.implicits._
+        liveRowsDF(Map.empty, asOf).filter(size(col("dvGens")) > 0)
+          .select("file", "dvGens").as[(String, Seq[String])].collect().toMap
+      case None =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+        cs.foreach { c =>
+          c.remove.foreach(m.remove)
+          c.dv.foreach { case (f, gens) =>
+            m(f) = (m.getOrElse(f, Nil) ++ gens).distinct
+          }
+        }
+        m.toMap
     }
-    m.toMap
   }
 
   /** [[liveFiles]] additionally pruned by the data-skipping index: a
@@ -291,14 +416,31 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       case Some(schema) => DataSkipping.bounds(spark, schema, predicate)
       case None => Map.empty[String, DataSkipping.Bounds] // no schema: no pruning
     }
-    if (b.isEmpty) liveFiles(filters, asOf)
-    else {
-      val stats = liveFileStats(asOf)
-      liveFiles(filters, asOf).filter { f =>
-        stats.get(f).forall(fs => b.forall { case (col, bd) =>
-          fs.get(col).forall(DataSkipping.overlaps(bd, _))
-        })
-      }
+    parquetCkpt(commitsAsOf(asOf)) match {
+      case Some(_) =>
+        // THE 100× path: the prune runs as a Spark job over the
+        // checkpoint rows — only survivors' names reach the driver, so
+        // a selective predicate on a million-file table collects a
+        // handful of strings, never the live set
+        import org.apache.spark.sql.functions.col
+        import spark.implicits._
+        val rows = liveRowsDF(filters, asOf)
+        val pruned =
+          if (b.isEmpty) rows
+          else rows.filter(b.map { case (c, bd) =>
+            IncrementalTable.overlapsExpr(col("stats").getItem(c), bd)
+          }.reduce(_ && _))
+        pruned.select("file").as[String].collect().toSeq
+      case None =>
+        if (b.isEmpty) liveFiles(filters, asOf)
+        else {
+          val stats = liveFileStats(asOf)
+          liveFiles(filters, asOf).filter { f =>
+            stats.get(f).forall(fs => b.forall { case (col, bd) =>
+              fs.get(col).forall(DataSkipping.overlaps(bd, _))
+            })
+          }
+        }
     }
   }
 
@@ -378,8 +520,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
     val stored = committedSchemaAt(Some(toVersion))
     // dv state folds over the WHOLE walk; each window commit reads
-    // under the state as of just before / just at itself
-    var dvState = Map.empty[String, Seq[String]]
+    // under the state as of just before / just at itself. A columnar
+    // head checkpoint carries its dv map in the parquet rows, not
+    // inline — seed from there or pre-window deletes would re-surface
+    // as spurious CDC inserts.
+    var dvState = parquetCkpt(cs).map(ckptDvMap).getOrElse(Map.empty[String, Seq[String]])
     val cdc = cs.flatMap { c =>
       val dvBefore = dvState
       c.remove.foreach(f => dvState -= f)
@@ -835,18 +980,38 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * schema DDL, active constraint and deletion-vector counts. */
   def detail(): DataFrame = {
     import spark.implicits._
-    val live = liveFiles()
-    val bytes = live.map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
+    val cs = commits()
+    val (nFiles, bytes, nDv) = parquetCkpt(cs) match {
+      case Some(_) =>
+        // one aggregation job over the checkpoint rows (sizes were
+        // recorded at checkpoint build); only tail-added files pay a
+        // driver status call — O(interval), never O(files)
+        import org.apache.spark.sql.functions.{col, count, lit, size, sum, when}
+        val tf = new TailFold(cs.tail)
+        val agg = liveRowsDF(Map.empty, None).agg(
+          count(lit(1)), sum(when(col("size") >= 0, col("size"))),
+          count(when(size(col("dvGens")) > 0, lit(1)))).head
+        val tailBytes = tf.adds.keys
+          .map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
+        (agg.getLong(0), (if (agg.isNullAt(1)) 0L else agg.getLong(1)) + tailBytes,
+          agg.getLong(2))
+      case None =>
+        val live = liveFiles()
+        (live.size.toLong,
+          live.map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum,
+          liveDv().size.toLong)
+    }
     val schemaDdl = schemaDdlAt().getOrElse("")
     // partitioning of the CURRENT layout: the most recent data commit's
     // partitionBy, including a legitimately-empty one (a table fully
-    // rewritten unpartitioned must not report its old columns)
-    val parts = commits().reverse.iterator
-      .filter(c => c.add.nonEmpty || c.action == "replace")
+    // rewritten unpartitioned must not report its old columns);
+    // checkpoints fold this same rule forward
+    val parts = cs.reverse.iterator
+      .filter(c => c.add.nonEmpty || c.action == "replace" ||
+        c.filesParquet.isDefined)
       .map(_.partitionBy).nextOption().getOrElse(Seq.empty)
-    Seq((root, latestVersion, live.size.toLong, bytes,
-      parts.mkString(","), schemaDdl, constraints.size.toLong,
-      liveDv().size.toLong))
+    Seq((root, latestVersion, nFiles, bytes,
+      parts.mkString(","), schemaDdl, constraints.size.toLong, nDv))
       .toDF("location", "version", "num_files", "size_bytes",
         "partition_by", "schema_ddl", "num_constraints", "num_dv_files")
   }
@@ -1070,7 +1235,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         else removeExact.getOrElse(
           if (dynamic) {
             val touched = added.map(parentDir).toSet
-            liveFiles().filter(f => touched.contains(parentDir(f)))
+            if (parquetCkpt(commits()).isDefined) liveFilesInDirs(touched)
+            else liveFiles().filter(f => touched.contains(parentDir(f)))
           } else liveFiles(partitionFilter))
       val schemaDdl = mergedSchema(withParts.schema).toDDL
       Some(commit(Commit(0, action, added, removed, partitionFilter,
@@ -1284,14 +1450,6 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       val perApp = cs.flatMap(c =>
           c.appId.flatMap(id => c.batchId.map(id -> _)).toSeq ++ c.appBatches.toSeq)
         .groupMapReduce(_._1)(_._2)(math.max)
-      val live = liveFiles()
-      // fold the live files' data-skipping stats into the checkpoint so
-      // pruning survives compaction of the commits that recorded them
-      val liveStats = liveFileStats().view.filterKeys(live.toSet).toMap
-      // ... and the live deletion-vector map, so merge-on-read deletes
-      // survive compaction AND the referenced sidecar generations stay
-      // vacuum-protected past the truncation
-      val liveDvMap = liveDv().view.filterKeys(live.toSet).toMap
       // record the CURRENT LAYOUT's partitionBy (latest data commit's,
       // incl. a legitimately-empty one), not whatever the interval's
       // last commit happened to carry — a meta/dv tail commit has
@@ -1300,20 +1458,91 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // A prior checkpoint counts as a data commit (it folded this
       // same rule), so the value survives repeated compactions.
       val layoutParts = cs.reverse.iterator
-        .filter(c => c.add.nonEmpty || c.action == "replace")
+        .filter(c => c.add.nonEmpty || c.action == "replace" ||
+          c.filesParquet.isDefined)
         .map(_.partitionBy).nextOption().getOrElse(last.partitionBy)
-      val snap = Commit(version, "checkpoint", live, Nil, Map.empty,
-        layoutParts, last.schemaJson,
-        cs.foldLeft(Map.empty[String, String])(_ ++ _.meta), None, now(),
-        maxBatchId = maxBatch, appBatches = perApp, fileStats = liveStats,
-        dv = liveDvMap)
-      val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(Serialization.write(snap).getBytes("UTF-8")) finally out.close()
-      // two writers checkpointing the same version computed the same
-      // live set — losing this race is harmless, keep the winner's
-      if (!publish(tmp, new Path(logPath, f"$version%010d.checkpoint.json")))
-        fs.delete(tmp, false)
+      val foldedMeta = cs.foldLeft(Map.empty[String, String])(_ ++ _.meta)
+
+      val prevParquet = parquetCkpt(cs)
+      // exact live count with NO base fold: previous count minus base
+      // removes plus tail adds (removes always name then-live files, so
+      // the arithmetic is exact by induction); the inline path counts
+      // its driver fold directly
+      val tfOpt = prevParquet.map(_ => new TailFold(cs.tail))
+      val inlineLive = if (prevParquet.isEmpty) liveFiles() else Nil
+      val liveCount = (prevParquet, tfOpt) match {
+        case (Some(ck), Some(tf)) =>
+          ck.numFiles.getOrElse(sys.error(
+            s"columnar checkpoint ${ck.version} lacks numFiles")) -
+            tf.removedFromBase.size + tf.adds.size
+        case _ => inlineLive.size.toLong
+      }
+
+      if (prevParquet.isDefined || liveCount > parquetThreshold) {
+        // ---- columnar checkpoint: live rows to parquet, scalars to
+        // the JSON record. Once columnar, always columnar (the inline
+        // path would re-materialize the base to write its blob).
+        import spark.implicits._
+        val dirName = f"$version%010d.checkpoint.parquet"
+        val rows: DataFrame = prevParquet match {
+          case Some(_) =>
+            // previous parquet + tail, sizes filled for tail adds —
+            // one Spark job, driver cost O(interval)
+            liveRowsDF(Map.empty, None, sizedAdds = true)
+          case None =>
+            // first crossing of the threshold: the inline fold (just
+            // computed, bounded by the crossing size) becomes the rows
+            val stats = liveFileStats()
+            val dvm = liveDv()
+            inlineLive.map { f =>
+              CkptFileRow(f, fs.getFileStatus(new Path(rootPath, f)).getLen,
+                stats.getOrElse(f, Map.empty).view.mapValues(s =>
+                  CkptStatRow(s.min, s.max, s.minS, s.maxS)).toMap,
+                dvm.getOrElse(f, Nil))
+            }.toDS().toDF()
+        }
+        // ~500k rows per output file keeps write parallelism and later
+        // scan planning sane at any table size
+        val nParts = math.max(1L, liveCount / 500000L).toInt
+        val tmpDir = new Path(logPath, s".${UUID.randomUUID()}.ckpt.tmp")
+        rows.repartition(nParts).write.parquet(tmpDir.toString)
+        val renamed = publish(tmpDir, new Path(logPath, dirName))
+        if (!renamed) fs.delete(tmpDir, true)
+        else {
+          val snap = Commit(version, "checkpoint", Nil, Nil, Map.empty,
+            layoutParts, last.schemaJson, foldedMeta, None, now(),
+            maxBatchId = maxBatch, appBatches = perApp,
+            filesParquet = Some(dirName), numFiles = Some(liveCount))
+          val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
+          val out = fs.create(tmp, false)
+          try out.write(Serialization.write(snap).getBytes("UTF-8")) finally out.close()
+          // two writers checkpointing the same version computed the
+          // same snapshot — losing either race is harmless; a crash
+          // between dir rename and record publish leaves an
+          // unreferenced dir that vacuum() reclaims
+          if (!publish(tmp, new Path(logPath, f"$version%010d.checkpoint.json")))
+            fs.delete(tmp, false)
+        }
+      } else {
+        val live = inlineLive
+        // fold the live files' data-skipping stats into the checkpoint
+        // so pruning survives compaction of the commits that recorded
+        // them; same for the deletion-vector map, which also keeps the
+        // referenced sidecar generations vacuum-protected
+        val liveStats = liveFileStats().view.filterKeys(live.toSet).toMap
+        val liveDvMap = liveDv().view.filterKeys(live.toSet).toMap
+        val snap = Commit(version, "checkpoint", live, Nil, Map.empty,
+          layoutParts, last.schemaJson, foldedMeta, None, now(),
+          maxBatchId = maxBatch, appBatches = perApp, fileStats = liveStats,
+          dv = liveDvMap)
+        val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(Serialization.write(snap).getBytes("UTF-8")) finally out.close()
+        // two writers checkpointing the same version computed the same
+        // live set — losing this race is harmless, keep the winner's
+        if (!publish(tmp, new Path(logPath, f"$version%010d.checkpoint.json")))
+          fs.delete(tmp, false)
+      }
       commitCache = null // next read replays from the new checkpoint
     }
 
@@ -1390,8 +1619,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def compactIfNeeded(maxFiles: Int, targetFiles: Int = 1,
       filters: Map[String, String] = Map.empty): Seq[Map[String, String]] = {
     require(maxFiles >= targetFiles && maxFiles > 0)
-    val oversized = liveFiles(filters).groupBy(parentDir)
-      .filter(_._2.size > maxFiles).keys.toSeq.sorted
+    val oversized = parquetCkpt(commits()) match {
+      case Some(_) =>
+        // the per-partition census is a groupBy over the checkpoint
+        // rows; only oversized dirs (the partitions to compact) return
+        import org.apache.spark.sql.functions.col
+        import spark.implicits._
+        liveRowsDF(filters, None)
+          .groupBy(IncrementalTable.parentDirCol.as("_dir")).count()
+          .filter(col("count") > maxFiles)
+          .select("_dir").as[String].collect().toSeq.sorted
+      case None =>
+        liveFiles(filters).groupBy(parentDir)
+          .filter(_._2.size > maxFiles).keys.toSeq.sorted
+    }
     val scopes = oversized.map(IncrementalTable.hiveSegments)
     scopes.foreach(compact(_, targetFiles))
     scopes
@@ -1462,11 +1703,27 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   }
 
   def vacuum(): Seq[String] = {
-    val referenced = commits().flatMap(_.add).toSet
+    val cs = commits()
     val all = listParquet(fs, rootPath)
       .map(p => relativize(rootPath, p))
       .filterNot(_.startsWith("_"))
-    val orphans = all.filterNot(referenced)
+    val orphans = parquetCkpt(cs) match {
+      case Some(ck) =>
+        // orphan detection as a distributed anti-join: the referenced
+        // set (checkpoint rows ∪ tail adds) never folds on the driver;
+        // only the (small) orphan list comes back. The directory
+        // listing itself is driver-side — inherent to a local
+        // FileSystem walk, and the strings stream straight into the
+        // join's broadcast.
+        import spark.implicits._
+        val refDF = ckptRowsDF(ck).select("file")
+          .unionByName(cs.flatMap(_.add).toDF("file"))
+        all.toDF("file").join(refDF, Seq("file"), "left_anti")
+          .as[String].collect().toSeq
+      case None =>
+        val referenced = cs.flatMap(_.add).toSet
+        all.filterNot(referenced)
+    }
     orphans.foreach(rel => fs.delete(new Path(rootPath, rel), false))
     fs.delete(stagingPath, true)
     // deletion-vector sidecar generations: reclaim dirs no commit in
@@ -1474,19 +1731,125 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // and generations whose last reference was truncated by a
     // checkpoint — the checkpoint re-references live files' gens, so
     // in-force DVs always survive)
-    val refGens = commits().flatMap(_.dv.values.flatten).toSet
+    val refGens = cs.flatMap(_.dv.values.flatten).toSet ++
+      parquetCkpt(cs).map(ckptDvMap(_).values.flatten.toSet).getOrElse(Set.empty)
     val dvRoot = new Path(rootPath, dvPrefix)
     val staleGens =
       if (!fs.exists(dvRoot)) Seq.empty
       else fs.listStatus(dvRoot).toSeq
         .filterNot(st => refGens.contains(st.getPath.getName))
     staleGens.foreach(st => fs.delete(st.getPath, true))
-    orphans ++ staleGens.map(st => s"$dvPrefix/${st.getPath.getName}")
+    // superseded columnar checkpoint directories: only the one the
+    // current window's record names stays referenced; older dirs (and
+    // crash strays from a lost checkpoint race) reclaim here
+    val refCkpts = cs.flatMap(_.filesParquet).toSet
+    val staleCkpts =
+      if (!fs.exists(logPath)) Seq.empty
+      else fs.listStatus(logPath).toSeq.filter(st =>
+        st.getPath.getName.endsWith(".checkpoint.parquet") &&
+          !refCkpts.contains(st.getPath.getName))
+    staleCkpts.foreach(st => fs.delete(st.getPath, true))
+    orphans ++ staleGens.map(st => s"$dvPrefix/${st.getPath.getName}") ++
+      staleCkpts.map(st => s"_graft_log/${st.getPath.getName}")
   }
 }
 
 object IncrementalTable {
   val checkpointInterval = 100
+
+  /** Live-file count above which checkpoints switch from inline JSON
+    * to columnar parquet (and never switch back). Below it the whole
+    * metadata path stays a driver-side fold — faster for small tables
+    * and byte-identical to the historical behavior. */
+  val parquetCheckpointThreshold = 10000
+
+  /** One column's [min,max] in a columnar checkpoint row (the
+    * [[ColStat]] shape as a parquet struct). */
+  private[table] final case class CkptStatRow(min: Long, max: Long,
+      minS: Option[String], maxS: Option[String])
+
+  /** One live file's row in a columnar checkpoint: relative path, size
+    * in bytes (-1 = unknown, filled at the next checkpoint build),
+    * data-skipping stats, and deletion-vector generations in force. */
+  private[table] final case class CkptFileRow(file: String, size: Long,
+      stats: Map[String, CkptStatRow], dvGens: Seq[String])
+
+  private[table] lazy val ckptRowSchema: StructType =
+    org.apache.spark.sql.Encoders.product[CkptFileRow].schema
+
+  /** Driver-side fold of the commits AFTER a columnar checkpoint:
+    * O(tail), never O(live files). Mirrors the inline fold exactly —
+    * per commit: removes first (dropping any tail add or base dv
+    * patch), then adds (with their commit's stats), then dv
+    * accumulation (merged into a tail add when the file was added in
+    * this tail, else recorded as a patch against the base). Every
+    * remove names a then-live file, so `removedFromBase` is exactly
+    * the base rows to drop and `adds` exactly the rows to union. */
+  private[table] final class TailFold(tail: Seq[Commit]) {
+    val removedFromBase = scala.collection.mutable.LinkedHashSet.empty[String]
+    val adds = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Map[String, ColStat], Seq[String])]
+    val dvOnBase = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    tail.foreach { c =>
+      c.remove.foreach { f =>
+        if (adds.remove(f).isEmpty) removedFromBase += f
+        dvOnBase.remove(f)
+      }
+      c.add.foreach { f => adds(f) = (c.fileStats.getOrElse(f, Map.empty), Nil) }
+      c.dv.foreach { case (f, gens) =>
+        adds.get(f) match {
+          case Some((st, g)) => adds(f) = (st, (g ++ gens).distinct)
+          case None => dvOnBase(f) = (dvOnBase.getOrElse(f, Nil) ++ gens).distinct
+        }
+      }
+    }
+  }
+
+  /** Hive partition-filter match as a Column over a checkpoint row's
+    * `file` path — the distributed twin of [[matchesPartition]]:
+    * every `k=v` filter must appear as a directory segment. */
+  private[table] def partitionMatchExpr(filters: Map[String, String]): Option[Column] = {
+    import org.apache.spark.sql.functions.{array_contains, expr}
+    if (filters.isEmpty) None
+    else {
+      val segs = expr(
+        "slice(split(file, '/'), 1, greatest(size(split(file, '/')) - 1, 0))")
+      Some(filters.map { case (k, v) => array_contains(segs, s"$k=$v") }
+        .reduce(_ && _))
+    }
+  }
+
+  /** Root-relative partition dir of the `file` column ("" for
+    * unpartitioned roots) — the distributed twin of [[parentDir]]. */
+  private[table] def parentDirCol: Column = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace, when}
+    when(col("file").contains("/"),
+      regexp_replace(col("file"), "/[^/]*$", "")).otherwise(lit(""))
+  }
+
+  /** [[DataSkipping.overlaps]] as a Column over a checkpoint row's
+    * stats entry (null stat = conservatively kept; string-stat rows
+    * check the string bounds, integral rows the integral ones —
+    * literals fold in driver-side, the comparison codegens). Spark
+    * string comparison is binary UTF8 order, which agrees with the
+    * driver's `String` comparison on the ASCII-only domain ColStat
+    * admits. */
+  private[table] def overlapsExpr(stat: Column, b: DataSkipping.Bounds): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val mnS = stat.getField("minS")
+    val mxS = stat.getField("maxS")
+    val strOk =
+      b.lowerS.map(lo => if (b.lowerSStrict) mxS > lit(lo) else mxS >= lit(lo))
+        .getOrElse(lit(true)) &&
+        b.upperS.map(hi => if (b.upperSStrict) mnS < lit(hi) else mnS <= lit(hi))
+          .getOrElse(lit(true))
+    val intOk =
+      b.lower.map(lo => stat.getField("max") >= lit(lo)).getOrElse(lit(true)) &&
+        b.upper.map(hi => stat.getField("min") <= lit(hi)).getOrElse(lit(true))
+    when(stat.isNull, lit(true))
+      .when(mnS.isNotNull, strOk)
+      .otherwise(intOk)
+  }
 
   // Same-JVM writer serialization: local FileContext rename is
   // check-then-rename (a TOCTOU window), so two THREADS in one JVM
