@@ -759,9 +759,17 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     require(dupKeys == 0,
       s"merge source has duplicate keys on (${keys.mkString(", ")}) — merged rows would be order-dependent")
 
+    // an empty live set degrades to a pure insert (read() there is a
+    // LocalRelation: no _metadata to path-match on) — same projection
+    // as the rewrite path, like deleteInsert's degrade
+    val files = liveFiles()
+    if (files.isEmpty)
+      return append(src, partitionBy, meta = meta, batchId = batchId,
+        appId = appId, statsColumns = statsColumns)
+
     // touched files: live rows matching a source key, by _metadata path
     val srcKeys = src.select(keys.map(fn): _*).distinct()
-    val touched = read()
+    val touched = filesDf(files, Some(stored), liveDv())
       .withColumn("_graft_path", fn("_metadata.file_path"))
       .join(srcKeys, keys, "left_semi")
       .select("_graft_path").distinct()
@@ -790,7 +798,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val fn = org.apache.spark.sql.functions.col _
     val stored = committedSchema
     val partitionBy = committedPartitionBy
-    val touched = readWhere(predicate)
+    // an empty live set has nothing to delete — and its read() is a
+    // LocalRelation with no `_metadata` to path-match on
+    val candidates = liveFilesWhere(predicate)
+    if (candidates.isEmpty) return None
+    val touched = filesDf(candidates, Some(stored), liveDv()).filter(predicate)
       .withColumn("_graft_path", fn("_metadata.file_path"))
       .select("_graft_path").distinct()
       .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
@@ -818,7 +830,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     set.keys.foreach(k => require(stored.fieldNames.contains(k),
       s"update sets unknown column '$k'"))
     val partitionBy = committedPartitionBy
-    val touched = readWhere(predicate)
+    // empty live set: nothing to update, and no `_metadata` to match on
+    val candidates = liveFilesWhere(predicate)
+    if (candidates.isEmpty) return None
+    val touched = filesDf(candidates, Some(stored), liveDv()).filter(predicate)
       .withColumn("_graft_path", fn("_metadata.file_path"))
       .select("_graft_path").distinct()
       .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq

@@ -1,7 +1,7 @@
 package graft.table
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{length, lit, sum, when}
+import org.apache.spark.sql.functions.{col, length, lit, sum, when}
 
 class IncrementalTableSpec extends SparkSpec {
   import spark.implicits._
@@ -748,5 +748,26 @@ class IncrementalTableSpec extends SparkSpec {
     t.refresh()
     assert(t.commits().size == 3)
     assert(t.read().count() == 3)
+  }
+
+  test("mutations on a fully-emptied table are no-ops, not _metadata errors") {
+    // TableModelProps found this: delete-all leaves a live set of ZERO
+    // files, whose read() is a LocalRelation — a later copy-on-write
+    // mutation must not try to resolve `_metadata.file_path` on it
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t-empty")
+    t.append(Seq((1L, 1L), (2L, 2L)).toDF("id", "v"), Nil)
+    t.delete(lit(true))
+    assert(t.read().count() == 0)
+    assert(t.liveFiles().isEmpty)
+    assert(t.delete(col("id") === 1L).isEmpty)
+    assert(t.update(col("id") === 1L, Map("v" -> lit(9L))).isEmpty)
+    // merge on the empty table degrades to a pure insert
+    assert(t.merge(Seq((3L, 3L)).toDF("id", "v"), Seq("id")).isDefined)
+    assert(t.read().select($"id").as[Long].collect().toSeq == Seq(3L))
+    // ... and deleteInsert (already guarded) still degrades to append
+    assert(t.delete(lit(true)).isDefined)
+    assert(t.deleteInsert(Seq(3L).toDF("id"), Seq("id"), lit(true),
+      Seq((4L, 4L)).toDF("id", "v")).isDefined)
+    assert(t.read().select($"id").as[Long].collect().toSeq == Seq(4L))
   }
 }

@@ -28,8 +28,11 @@ import graft.SparkSpec
   * is the random interleavings, not volume (PipelineProps contract). */
 object TableModelProps extends Properties("tablemodel") {
 
+  // GRAFT_MODEL_TESTS raises the case count for offline stress runs;
+  // CI stays at 4 (Spark jobs per case are expensive)
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(4).withWorkers(1)
+    p.withMinSuccessfulTests(
+      sys.env.get("GRAFT_MODEL_TESTS").map(_.toInt).getOrElse(4)).withWorkers(1)
 
   private lazy val spark = SparkSpec.spark
 
@@ -69,11 +72,17 @@ object TableModelProps extends Properties("tablemodel") {
       1 -> Gen.const(Vacuum)))
   } yield Append(List((1L, 1L), (2L, 2L), (3L, 3L))) :: list
 
-  private def run(script: List[Op]): Boolean = {
+  private def run(script: List[Op], columnar: Boolean = false): Boolean = {
     val s = spark
     import s.implicits._
     val dir = Files.createTempDirectory("tablemodel").toString
-    val t = IncrementalTable(spark, dir + "/t/v1")
+    // columnar mode forces the parquet-checkpoint metadata path with an
+    // aggressive cadence, so every random script crosses compaction
+    // boundaries on the 100×-scale representation
+    val t =
+      if (columnar) new IncrementalTable(spark, dir + "/t/v1",
+        checkpointEvery = 2, parquetThreshold = 0)
+      else IncrementalTable(spark, dir + "/t/v1")
 
     var state = Vector.empty[(Long, Long)] // multiset of (id, v)
     var history = Vector.empty[(Long, Vector[(Long, Long)])] // (version, state)
@@ -93,9 +102,12 @@ object TableModelProps extends Properties("tablemodel") {
           state = state ++ rows
           snap()
         case DeleteCow(m, r) =>
-          t.delete($"id" % m === r)
-          state = state.filterNot { case (id, _) => id % m == r }
-          snap()
+          // guarded like DeleteDv: shrinking can drop the leading Append
+          if (t.exists) {
+            t.delete($"id" % m === r)
+            state = state.filterNot { case (id, _) => id % m == r }
+            snap()
+          }
         case DeleteDv(m, r) =>
           if (t.exists) {
             t.deleteVectorized($"id" % m === r)
@@ -134,8 +146,12 @@ object TableModelProps extends Properties("tablemodel") {
         case Compact =>
           if (t.exists) { t.compact(); snap() }
         case Restore(pick) =>
-          if (history.nonEmpty) {
-            val (ver, st) = history(pick % history.size)
+          // versions behind the head checkpoint are compacted away and
+          // restore correctly refuses them — pick a reachable one
+          val reachable = history.filter(h =>
+            t.commits().headOption.forall(_.version <= h._1))
+          if (reachable.nonEmpty) {
+            val (ver, st) = reachable(pick % reachable.size)
             t.restore(ver)
             state = st
             snap()
@@ -146,27 +162,52 @@ object TableModelProps extends Properties("tablemodel") {
       current().sorted == state.sorted.toSeq
     }
 
-    // time travel back to two recorded versions
-    val travelOk = history.take(2).forall { case (ver, st) =>
-      t.readAt(ver).select($"id", $"v").as[(Long, Long)]
-        .collect().toSeq.sorted == st.sorted.toSeq
-    }
+    // a fully-shrunk script may never create the table; the end-state
+    // checks need at least one commit to fold from
+    if (!t.exists) return okEveryStep
 
-    // CDC net fold equals the final state (multiset difference)
-    val feedOk = {
-      val net = t.changes(0).select($"id", $"v", $"_change_type")
-        .as[(Long, Long, String)].collect()
-      val counts = scala.collection.mutable.Map.empty[(Long, Long), Int]
-      net.foreach { case (id, v, ct) =>
-        counts((id, v)) = counts.getOrElse((id, v), 0) + (if (ct == "insert") 1 else -1)
+    // versions before the head checkpoint are compacted away (readAt
+    // and changes both refuse them) — the checks run from the horizon
+    val horizon = t.commits().headOption
+      .filter(_.action == "checkpoint").map(_.version)
+
+    // time travel back to two recorded reachable versions
+    val travelOk = history.filter(h => horizon.forall(h._1 >= _)).take(2)
+      .forall { case (ver, st) =>
+        t.readAt(ver).select($"id", $"v").as[(Long, Long)]
+          .collect().toSeq.sorted == st.sorted.toSeq
       }
+
+    // CDC net fold equals the final state (multiset difference). With a
+    // head checkpoint, fold changes SINCE the horizon onto the model's
+    // remembered state AT the horizon — same algebra, movable origin.
+    def netFold(from: Long, seed: Seq[(Long, Long)]): Boolean = {
+      val counts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+      seed.foreach(row => counts(row) = counts.getOrElse(row, 0) + 1)
+      t.changes(from).select($"id", $"v", $"_change_type")
+        .as[(Long, Long, String)].collect().foreach { case (id, v, ct) =>
+          counts((id, v)) = counts.getOrElse((id, v), 0) + (if (ct == "insert") 1 else -1)
+        }
       val folded = counts.toSeq.flatMap { case (row, n) => Seq.fill(n)(row) }
       folded.sorted == state.sorted.toSeq
+    }
+    val feedOk = horizon match {
+      case None => netFold(0, Nil)
+      case Some(h) => history.find(_._1 == h) match {
+        case Some((_, st)) => netFold(h + 1, st)
+        // horizon version not snapshotted by an op boundary (an
+        // intra-op commit): nothing sound to seed from — skip the
+        // feed check for this rare script, the step checks still ran
+        case None => true
+      }
     }
 
     okEveryStep && travelOk && feedOk
   }
 
   property("random mutation interleavings track the model; time travel and CDC stay exact") =
-    forAll(ops)(run)
+    forAll(ops)(run(_))
+
+  property("columnar (parquet) checkpoints preserve the same algebra") =
+    forAll(ops)(run(_, columnar = true))
 }
