@@ -75,6 +75,12 @@ object Bench {
       try runOnce(SparkEntry.queries(n))
       catch { case e: Throwable => System.err.println(s"BENCH WARMUP FAIL $n: ${e.getClass.getName}: ${e.getMessage}") }
     }
+    // quiesce before the timed phase: the first queries alphabetically
+    // otherwise race the warmup pass's background JIT compilation and
+    // deferred GC (BASELINE.md "BENCH_r04 >2× adjudication" — the four
+    // flagged rows were exactly the first four timed)
+    System.gc()
+    Thread.sleep(2000)
     val results = names.map { n =>
       shuffleBytes.set(0); peakMem.set(0)
       val ts = (1 to iters).flatMap { _ =>
