@@ -114,6 +114,9 @@ final class JoinStream(
     up.refresh()
     up.commits().filter(c =>
       c.version > from && c.action != "meta" &&
+        // dvmerge rewrites sidecar metadata only (same logical rows) —
+        // never a rebuild trigger
+        c.action != "dvmerge" &&
         // a columnar checkpoint folds the same-version data commit
         // with EMPTY inline sets — it must stay visible as a rebuild
         // trigger or that folded commit is silently skipped

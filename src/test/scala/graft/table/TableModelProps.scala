@@ -44,6 +44,7 @@ object TableModelProps extends Properties("tablemodel") {
   private case class Merge(rows: List[(Long, Long)]) extends Op // upsert by id
   private case class DelIns(m: Int, r: Int, rows: List[(Long, Long)]) extends Op
   private case object Compact extends Op
+  private case object DvMerge extends Op // sidecar compaction: logical no-op
   private case class Restore(pick: Int) extends Op // index into history
   private case object Vacuum extends Op
 
@@ -68,6 +69,7 @@ object TableModelProps extends Properties("tablemodel") {
         base <- Gen.choose(0, 1000)
       } yield DelIns(m, r % m, List((base * 10L + 7, base + 7L)))),
       1 -> Gen.const(Compact),
+      1 -> Gen.const(DvMerge),
       1 -> Gen.choose(0, 100).map(Restore(_)),
       1 -> Gen.const(Vacuum)))
   } yield Append(List((1L, 1L), (2L, 2L), (3L, 3L))) :: list
@@ -145,6 +147,9 @@ object TableModelProps extends Properties("tablemodel") {
           }
         case Compact =>
           if (t.exists) { t.compact(); snap() }
+        case DvMerge =>
+          // sidecar maintenance: merges dv generations, state unchanged
+          if (t.exists) { t.compactDeletionVectors(); snap() }
         case Restore(pick) =>
           // versions behind the head checkpoint are compacted away and
           // restore correctly refuses them — pick a reachable one
