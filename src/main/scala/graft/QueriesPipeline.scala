@@ -531,6 +531,40 @@ object QueriesPipeline {
         .orderBy($"cust_key", $"o_orderkey")
     }),
 
+    // ---- CDC retention across a compaction boundary (VERDICT r4 #5) --
+    // q100 had to persist its audit BEFORE the checkpoint truncated
+    // the log; cdcRetention decouples the changes() window from the
+    // checkpoint cadence: delta records are never deleted, so a
+    // window crossing the replay horizon re-reads the ARCHIVED
+    // records and walks the full history, and vacuum() retains
+    // exactly the data files and dv generations those windows'
+    // emission needs. Here the full change feed of a load + merge +
+    // delete sequence is read AFTER the checkpoint folded the history
+    // away and vacuum ran — a lost insert, a leaked rewrite row, or a
+    // silently-partial window breaks the row count and hash.
+    "q102_cdc_retention" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q102_")
+      val t = new graft.table.IncrementalTable(s, s"$tmp/cust/v1",
+        checkpointEvery = 2, cdcRetention = 100)
+      val base = Tables.customer(s, dir).select(
+        $"c_custkey".as("cust_key"), $"c_name".as("name"),
+        $"c_mktsegment".as("segment"))
+      t.append(base, Nil) // v0
+      val upd = base.filter($"cust_key" % 5 === 0)
+        .withColumn("name", upper($"name"))
+        .unionByName(base.filter($"cust_key" % 7 === 0).select(
+          ($"cust_key" + 1000000L).as("cust_key"),
+          concat(lit("new_"), $"cust_key").as("name"),
+          lit("NEWSEG").as("segment")))
+      t.merge(upd, Seq("cust_key")) // v1
+      t.delete($"cust_key" % 3 === 0) // v2 → checkpoint: horizon = 2
+      t.vacuum() // retention keeps the archived windows' files
+      t.changes(0).select($"cust_key", $"name", $"segment",
+          $"_change_type", $"_commit_version")
+        .orderBy($"_commit_version", $"_change_type", $"cust_key")
+    }),
+
     // ---- right-to-be-forgotten composite under the oracle -------------
     // The deletion-vector marquee use case at 100 TB: forgetting a
     // user must not rewrite a petabyte of event files. Vectorized
@@ -688,6 +722,35 @@ object QueriesPipeline {
         |UNION ALL
         |SELECT cust_key, name, segment, 'delete', 1
         |FROM base WHERE cust_key % 5 = 0
+        |ORDER BY _commit_version, _change_type, cust_key""".stripMargin,
+    "q102_cdc_retention" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS cust_key, c_name AS name,
+        |    c_mktsegment AS segment FROM customer),
+        |merged AS (
+        |  SELECT cust_key,
+        |    CASE WHEN cust_key % 5 = 0 THEN upper(name) ELSE name END AS name,
+        |    segment FROM base
+        |  UNION ALL
+        |  SELECT cust_key + 1000000 AS cust_key,
+        |    'new_' || CAST(cust_key AS VARCHAR) AS name,
+        |    'NEWSEG' AS segment
+        |  FROM base WHERE cust_key % 7 = 0)
+        |SELECT cust_key, name, segment, 'insert' AS _change_type,
+        |  CAST(0 AS BIGINT) AS _commit_version FROM base
+        |UNION ALL
+        |SELECT cust_key, upper(name), segment, 'insert', 1
+        |FROM base WHERE cust_key % 5 = 0
+        |UNION ALL
+        |SELECT cust_key + 1000000, 'new_' || CAST(cust_key AS VARCHAR),
+        |  'NEWSEG', 'insert', 1
+        |FROM base WHERE cust_key % 7 = 0
+        |UNION ALL
+        |SELECT cust_key, name, segment, 'delete', 1
+        |FROM base WHERE cust_key % 5 = 0
+        |UNION ALL
+        |SELECT cust_key, name, segment, 'delete', 2
+        |FROM merged WHERE cust_key % 3 = 0
         |ORDER BY _commit_version, _change_type, cust_key""".stripMargin,
     "q56_incremental_agg" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,

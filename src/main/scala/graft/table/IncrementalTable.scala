@@ -136,7 +136,15 @@ final class ConcurrentWriteException(msg: String) extends java.io.IOException(ms
   */
 final class IncrementalTable(spark: SparkSession, val root: String,
     checkpointEvery: Int = IncrementalTable.checkpointInterval,
-    parquetThreshold: Int = IncrementalTable.parquetCheckpointThreshold) {
+    parquetThreshold: Int = IncrementalTable.parquetCheckpointThreshold,
+    // CDC retention (VERDICT r4 #5): how many commits back from the
+    // CURRENT version changes() stays readable, independently of the
+    // checkpoint cadence. Delta records are never deleted, so a window
+    // crossing the replay horizon re-reads the archived records;
+    // vacuum() additionally retains the data files and dv generations
+    // those windows' emission needs. 0 (default) = historical behavior:
+    // the readable window is whatever the last checkpoint left.
+    cdcRetention: Int = 0) {
   import IncrementalTable._
   private implicit val fmts: Formats = DefaultFormats
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[IncrementalTable])
@@ -181,6 +189,24 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       try Serialization.read[Commit](new java.io.InputStreamReader(in, "UTF-8"))
       finally in.close()
     }.toSeq
+  }
+
+  /** Every plain delta record with version ≤ `toV`, in version order —
+    * the FULL history, ignoring checkpoint snapshots entirely (delta
+    * records are never deleted; checkpoints only stop replay from
+    * reading them). O(toV) driver JSON parse: an audit-path cost, used
+    * only by CDC-retention reads and retention vacuum, never by the
+    * hot read/write path. */
+  private def archivedDeltas(toV: Long): Seq[Commit] = {
+    if (!fs.exists(logPath)) return Seq.empty
+    fs.listStatus(logPath).map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
+      .filter(_.takeWhile(_.isDigit).toLong <= toV)
+      .sorted.toSeq.map { name =>
+        val in = fs.open(new Path(logPath, name))
+        try Serialization.read[Commit](new java.io.InputStreamReader(in, "UTF-8"))
+        finally in.close()
+      }
   }
 
   def exists: Boolean = commits().nonEmpty
@@ -517,21 +543,38 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * them as spurious deletes. */
   def changes(fromVersion: Long, toVersion: Long = latestVersion): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val cs = commitsAsOf(Some(toVersion))
-    // a window crossing the replay horizon would be silently PARTIAL —
-    // the checkpoint is a snapshot, not a delta, and the history it
-    // folded is gone. Fail like readAt does, never under-report.
-    cs.headOption.filter(_.action == "checkpoint").foreach { h =>
-      require(fromVersion > h.version,
-        s"changes($fromVersion, $toVersion) crosses the replay horizon: " +
-          s"history up to checkpoint ${h.version} is compacted away")
-    }
-    val stored = committedSchemaAt(Some(toVersion))
+    val crossesHorizon = commits().headOption
+      .exists(h => h.action == "checkpoint" && fromVersion <= h.version)
+    val cs =
+      if (!crossesHorizon) commitsAsOf(Some(toVersion))
+      else {
+        // A window crossing the replay horizon is PARTIAL from the
+        // replayed log alone — the checkpoint is a snapshot, not a
+        // delta. With cdcRetention covering the window, re-read the
+        // archived delta records (never deleted) and walk the FULL
+        // history; vacuum() retains the files such a walk reads.
+        // Outside retention, fail like readAt does — never
+        // under-report.
+        require(cdcRetention > 0 && fromVersion >= latestVersion - cdcRetention,
+          s"changes($fromVersion, $toVersion) crosses the replay horizon " +
+            s"(history up to checkpoint is compacted away) and is outside " +
+            s"the CDC retention window (cdcRetention=$cdcRetention of " +
+            s"version $latestVersion) — raise cdcRetention, or persist " +
+            "audits before compaction")
+        require(toVersion <= latestVersion,
+          s"version $toVersion does not exist yet (latest: $latestVersion)")
+        archivedDeltas(toVersion)
+      }
+    // the schema as of toVersion: from the replayed window, or from the
+    // archived walk when the window predates the horizon
+    val stored = cs.reverse.iterator.map(_.schemaJson).find(_.nonEmpty)
+      .map(StructType.fromDDL)
     // dv state folds over the WHOLE walk; each window commit reads
     // under the state as of just before / just at itself. A columnar
     // head checkpoint carries its dv map in the parquet rows, not
     // inline — seed from there or pre-window deletes would re-surface
-    // as spurious CDC inserts.
+    // as spurious CDC inserts. (The archived walk starts at version 0:
+    // empty seed is exact.)
     var dvState = parquetCkpt(cs).map(ckptDvMap).getOrElse(Map.empty[String, Seq[String]])
     val cdc = cs.flatMap { c =>
       val dvBefore = dvState
@@ -1779,6 +1822,32 @@ final class IncrementalTable(spark: SparkSession, val root: String,
 
   def vacuum(): Seq[String] = {
     val cs = commits()
+    // CDC retention: a changes() window inside the last `cdcRetention`
+    // commits may replay ARCHIVED deltas — keep every data file its
+    // emission reads (adds, removes, dv-touched) and every sidecar
+    // generation in force at or through the window (dvBefore state
+    // included, so pre-window deletes still apply during emission)
+    val (cdcFiles, cdcGens) =
+      if (cdcRetention <= 0) (Set.empty[String], Set.empty[String])
+      else {
+        val cutoff = math.max(0L, latestVersion - cdcRetention)
+        val files = Set.newBuilder[String]
+        val gens = Set.newBuilder[String]
+        var dvState = Map.empty[String, Seq[String]]
+        archivedDeltas(latestVersion).foreach { c =>
+          if (c.version >= cutoff) {
+            files ++= c.add; files ++= c.remove; files ++= c.dv.keys
+            gens ++= c.dv.values.flatten
+            gens ++= dvState.values.flatten
+          }
+          c.remove.foreach(f => dvState -= f)
+          c.dv.foreach { case (f, g) =>
+            dvState += f -> (if (c.action == "dvmerge") g
+              else (dvState.getOrElse(f, Nil) ++ g).distinct)
+          }
+        }
+        (files.result(), gens.result())
+      }
     val all = listParquet(fs, rootPath)
       .map(p => relativize(rootPath, p))
       .filterNot(_.startsWith("_"))
@@ -1792,11 +1861,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // join's broadcast.
         import spark.implicits._
         val refDF = ckptRowsDF(ck).select("file")
-          .unionByName(cs.flatMap(_.add).toDF("file"))
+          .unionByName((cs.flatMap(_.add) ++ cdcFiles).toDF("file"))
         all.toDF("file").join(refDF, Seq("file"), "left_anti")
           .as[String].collect().toSeq
       case None =>
-        val referenced = cs.flatMap(_.add).toSet
+        val referenced = cs.flatMap(_.add).toSet ++ cdcFiles
         all.filterNot(referenced)
     }
     orphans.foreach(rel => fs.delete(new Path(rootPath, rel), false))
@@ -1807,7 +1876,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // checkpoint — the checkpoint re-references live files' gens, so
     // in-force DVs always survive)
     val refGens = cs.flatMap(_.dv.values.flatten).toSet ++
-      parquetCkpt(cs).map(ckptDvMap(_).values.flatten.toSet).getOrElse(Set.empty)
+      parquetCkpt(cs).map(ckptDvMap(_).values.flatten.toSet).getOrElse(Set.empty) ++
+      cdcGens
     val dvRoot = new Path(rootPath, dvPrefix)
     val staleGens =
       if (!fs.exists(dvRoot)) Seq.empty
