@@ -197,11 +197,21 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * reading them). O(toV) driver JSON parse: an audit-path cost, used
     * only by CDC-retention reads and retention vacuum, never by the
     * hot read/write path. */
-  private def archivedDeltas(toV: Long): Seq[Commit] = {
+  private def archivedDeltas(toV: Long): Seq[Commit] =
+    deltasBetween(-1L, toV)
+
+  /** Raw delta records with `fromExclusive < version <= toV`, read
+    * straight off the log directory — sees history that checkpoint
+    * replay truncates. O(window), not O(history): the listing is
+    * name-filtered before any JSON is parsed. */
+  private def deltasBetween(fromExclusive: Long, toV: Long): Seq[Commit] = {
     if (!fs.exists(logPath)) return Seq.empty
     fs.listStatus(logPath).map(_.getPath.getName)
       .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
-      .filter(_.takeWhile(_.isDigit).toLong <= toV)
+      .filter { n =>
+        val v = n.takeWhile(_.isDigit).toLong
+        v > fromExclusive && v <= toV
+      }
       .sorted.toSeq.map { name =>
         val in = fs.open(new Path(logPath, name))
         try Serialization.read[Commit](new java.io.InputStreamReader(in, "UTF-8"))
@@ -1506,8 +1516,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           throw new ConcurrentWriteException(
             s"table $root: batch ${c.batchId.get} (app ${c.appId}) was " +
               "committed by a concurrent writer")
-        val winners = commits().filter(w =>
-          w.version > base && w.action != "checkpoint")
+        // Conflict detection must see EVERY intervening writer —
+        // commits() replays from the latest checkpoint, so a winner
+        // that landed exactly on a checkpoint boundary has its delta
+        // folded out of the replay and would escape the scan (found by
+        // ConcurrentWriteProps: a dv delete published against a file a
+        // boundary-folded replace had removed). Raw delta records are
+        // always on disk (only vacuum deletes them, never this recent):
+        // read exactly the contended window.
+        val winners = deltasBetween(base, latestVersion)
         winners.find(conflicts(c, _)).foreach { w =>
           throw new ConcurrentWriteException(
             s"table $root: ${c.action} of ${c.partitionFilter} computed against " +
