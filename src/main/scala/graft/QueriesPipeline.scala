@@ -148,6 +148,46 @@ object QueriesPipeline {
         .orderBy($"day", $"event_type")
     }),
 
+    // ---- avg/stddev DERIVED-MONOID view maintenance under the oracle --
+    // avg and stddev_samp are not mergeable, but their generators are:
+    // the view's state columns are struct(n, exact-decimal sum[, sum of
+    // squares]) maintained by AggregateStream across three appends and
+    // one scoped refresh, and the VALUES are derived at read time
+    // (IncAgg.avgValue / stddevValue). The oracle computes the same
+    // textbook formulas directly over the whole table with the same
+    // double association — exact state makes the comparison
+    // bit-deterministic, so a drifted merge or a stale partial breaks
+    // the hash.
+    "q103_incremental_avg_std" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.{AggregateStream, IncAgg}
+      val tmp = graft.QueryTmp.dir("graft_q103_")
+      val up = graft.table.IncrementalTable(s, s"$tmp/events/v1")
+      val view = graft.table.IncrementalTable(s, s"$tmp/daily/v1")
+      val ivm = new AggregateStream(up, view,
+        groupKeys = Seq("month", "day", "event_type"),
+        aggs = Seq(IncAgg.avgOf($"k", "avg_st"), IncAgg.stddevOf($"k", "std_st")),
+        partitionBy = Seq("month"), name = "events", replayScope = Seq("month"))
+      val ev = Tables.events(s, dir).select(
+        date_format($"ts", "yyyy-MM").as("month"),
+        date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"), $"event_id")
+      (0 until 3).foreach { chunk =>
+        up.append(ev.filter(pmod($"event_id", lit(3)) === chunk)
+          .drop("event_id"), Seq("month"))
+        ivm.drain()
+      }
+      val m0 = up.read().agg(min($"month")).head.getString(0)
+      val f = Map("month" -> m0)
+      up.replaceWhere(up.read(f), Seq("month"), f, partitionFilter = f)
+      ivm.drain()
+      view.read()
+        .select($"day", $"event_type", $"avg_st"("n").as("n_k"),
+          IncAgg.avgValue($"avg_st").as("avg_k"),
+          IncAgg.stddevValue($"std_st").as("std_k"))
+        .orderBy($"day", $"event_type")
+    }),
+
     // ---- MERGE (upsert) through the commit log under the oracle ------
     // Seed a table from `customer`, merge a source that UPDATES every
     // 5th key (uppercased name) and INSERTS a shifted key range into a
@@ -757,6 +797,19 @@ object QueriesPipeline {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(value) AS min_value, MAX(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q103_incremental_avg_std" ->
+      """WITH e AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT day, event_type, COUNT(k) AS n_k,
+        |  CASE WHEN COUNT(k) > 0
+        |    THEN CAST(SUM(k) AS DOUBLE) / COUNT(k) END AS avg_k,
+        |  CASE WHEN COUNT(k) > 1
+        |    THEN sqrt((CAST(SUM(k*k) AS DOUBLE)
+        |      - CAST(SUM(k) AS DOUBLE) * CAST(SUM(k) AS DOUBLE) / COUNT(k))
+        |      / (COUNT(k) - 1.0)) END AS std_k
+        |FROM e GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q53_merge_upsert" ->
       """WITH base AS (
         |  SELECT c_custkey AS cust_key, c_name AS name,

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.table.IncrementalTable
 
@@ -53,6 +54,64 @@ object IncAgg {
     IncAgg(name,
       call_function("approx_top_k_accumulate", c, lit(maxItemsTracked)),
       call_function("approx_top_k_combine", col(name), lit(maxItemsTracked)))
+
+  /** AVG as a DERIVED monoid (VERDICT r4 #7): avg itself is not
+    * mergeable, but its generators are — the state is
+    * `struct(n: long, s: decimal)` and both components merge by sum.
+    * `s` is an exact decimal sum at the value's true `scale`
+    * (order-independent, so racing partial merges agree bit-for-bit);
+    * read the value with [[avgValue]]. Nulls don't count, matching SQL
+    * AVG. */
+  def avgOf(c: Column, name: String, scale: Int = 0): IncAgg = {
+    val dt = DecimalType(38, scale)
+    IncAgg(name,
+      struct(count(c).as("n"), sum(c.cast(dt)).cast(dt).as("s")),
+      struct(sum(col(name)("n")).as("n"),
+        sum(col(name)("s")).cast(dt).as("s")))
+  }
+
+  /** `avg` from an [[avgOf]] state column. Null on empty groups (n=0),
+    * like SQL AVG; the decimal→double cast and one division are
+    * IEEE-deterministic, so Spark and an oracle engine computing
+    * `sum/count` over the same rows agree bit-for-bit. */
+  def avgValue(state: Column): Column =
+    when(state("n") > 0, state("s").cast("double") / state("n"))
+
+  /** Sample STDDEV as a derived monoid: state =
+    * `struct(n: long, s: decimal, s2: decimal)` (count, exact sum,
+    * exact sum of squares), each mergeable by sum. The square is taken
+    * in the INPUT's type before the decimal cast — exact for integral
+    * inputs, and identical to what `SUM(x*x)` computes on the oracle
+    * side for any input. Read with [[stddevValue]].
+    *
+    * The sum-of-squares form trades the numerical robustness of
+    * Welford/Chan M2 merging for a state whose merge is a plain SUM —
+    * the property that lets Spark maintain it as an ordinary partial
+    * aggregate. With decimal (exact) sums there is no catastrophic
+    * cancellation in the STATE; only the final double subtraction in
+    * [[stddevValue]] rounds, which is the same rounding every engine
+    * computing the textbook formula performs. */
+  def stddevOf(c: Column, name: String, scale: Int = 0): IncAgg = {
+    val dt = DecimalType(38, scale)
+    val dt2 = DecimalType(38, math.min(scale * 2, 18))
+    IncAgg(name,
+      struct(count(c).as("n"), sum(c.cast(dt)).cast(dt).as("s"),
+        sum((c * c).cast(dt2)).cast(dt2).as("s2")),
+      struct(sum(col(name)("n")).as("n"),
+        sum(col(name)("s")).cast(dt).as("s"),
+        sum(col(name)("s2")).cast(dt2).as("s2")))
+  }
+
+  /** `stddev_samp` from a [[stddevOf]] state column: null for n <= 1
+    * (SQL semantics), else `sqrt((s2 - s*s/n) / (n-1))` evaluated in
+    * double with this exact association — write the oracle's formula
+    * the same way and the bits match. */
+  def stddevValue(state: Column): Column = {
+    val n = state("n").cast("double")
+    val s = state("s").cast("double")
+    val s2 = state("s2").cast("double")
+    when(state("n") > 1, sqrt((s2 - s * s / n) / (n - lit(1.0))))
+  }
 }
 
 /** Incremental view maintenance for a grouped aggregate — the

@@ -111,6 +111,62 @@ class AggregateStreamSpec extends SparkSpec {
     assert(down.liveFiles(Map("day" -> "d2")).toSet == d2FilesBefore)
   }
 
+  test("avg/stddev derived monoids: maintained values equal stddev_samp/avg at every step, through scoped retraction") {
+    val dir = tmpDir("aggstream")
+    val up = mkUp(dir)
+    val down = IncrementalTable(spark, dir + "/view/v1")
+    val s = new AggregateStream(up, down, Seq("day", "k"),
+      Seq(IncAgg.avgOf(col("v"), "avg_st"), IncAgg.stddevOf(col("v"), "std_st")),
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+
+    def check(): Unit = {
+      val got = down.read().select($"day", $"k",
+        IncAgg.avgValue($"avg_st").as("a"), IncAgg.stddevValue($"std_st").as("sd"))
+        .as[(String, String, Option[Double], Option[Double])].collect().toSet
+      val want = up.read().groupBy($"day", $"k")
+        .agg(avg($"v").as("a"), stddev_samp($"v").as("sd"))
+        .as[(String, String, Option[Double], Option[Double])].collect().toSet
+      // exact decimal state → the only rounding is the final double
+      // formula; against Spark's own Welford-based stddev_samp allow 1e-9
+      def close(x: Option[Double], y: Option[Double]) = (x, y) match {
+        case (None, None) => true
+        case (Some(a), Some(b)) => math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+        case _ => false
+      }
+      assert(got.size == want.size)
+      got.toSeq.sortBy(r => (r._1, r._2)).zip(want.toSeq.sortBy(r => (r._1, r._2)))
+        .foreach { case ((d1, k1, a1, s1), (d2, k2, a2, s2)) =>
+          assert(d1 == d2 && k1 == k2, s"group mismatch: ($d1,$k1) vs ($d2,$k2)")
+          assert(close(a1, a2), s"avg($d1,$k1): $a1 vs $a2")
+          assert(close(s1, s2), s"stddev($d1,$k1): $s1 vs $s2")
+        }
+    }
+
+    up.append(rows("d1", "a" -> 5L, "a" -> 3L, "b" -> 7L), Seq("day"))
+    s.drain(); check()
+    // single-row group: stddev must be null (n=1), avg defined
+    assert(down.read().filter($"k" === "b")
+      .select(IncAgg.stddevValue($"std_st")).head().isNullAt(0))
+
+    // states MERGE across commits (not recompute): a gains rows in two
+    // more drains — avg/stddev reflect all five values
+    up.append(rows("d1", "a" -> 10L, "c" -> 1L), Seq("day"))
+    s.drain(); check()
+    up.append(rows("d1", "a" -> 2L, "a" -> 8L), Seq("day"))
+    up.append(rows("d2", "z" -> 4L, "z" -> 6L), Seq("day"))
+    s.drain(); check()
+
+    // partition-granular retraction: refresh d1 with different rows —
+    // the scoped recompute rebuilds d1's states, d2's files untouched
+    val d2Before = down.liveFiles(Map("day" -> "d2")).toSet
+    val f = Map("day" -> "d1")
+    up.replaceWhere(rows("d1", "a" -> 100L, "a" -> 50L), Seq("day"), f,
+      partitionFilter = f)
+    assert(s.drain() == 1)
+    check()
+    assert(down.liveFiles(Map("day" -> "d2")).toSet == d2Before)
+  }
+
   test("non-scopable keys fall back to full recompute on refresh") {
     val dir = tmpDir("aggstream")
     val up = mkUp(dir)
