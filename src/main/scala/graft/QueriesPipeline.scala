@@ -256,6 +256,52 @@ object QueriesPipeline {
         .orderBy($"c_custkey")
     }),
 
+    // ---- null-count data skipping under the oracle --------------------
+    // A nullable column whose nullness correlates with the cluster key:
+    // after clustering, low-key files are null-free and high-key files
+    // all-null, so the null-count index (VERDICT r4 #8, Delta nullCount
+    // parity) prunes IS NOT NULL reads to the former and IS NULL reads
+    // to the latter — before Spark enumerates a file. The oracle is the
+    // plain relational filter: skipping is an optimization, never
+    // semantics.
+    "q104_null_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q104_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
+      t.append(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+          when($"o_custkey" <= 500, $"o_totalprice").as("price_opt"))
+        .repartition(8), partitionBy = Nil)
+      t.compact(targetFiles = 8, clusterBy = Seq("o_custkey"),
+        statsColumns = Seq("o_custkey", "price_opt"))
+      val notNullLeg = t.readWhere($"price_opt".isNotNull)
+        .select($"o_orderkey", $"o_custkey", $"price_opt")
+        .withColumn("leg", lit("notnull"))
+      val nullLeg = t.readWhere($"price_opt".isNull && $"o_custkey" <= 800)
+        .select($"o_orderkey", $"o_custkey", $"price_opt")
+        .withColumn("leg", lit("null"))
+      notNullLeg.unionByName(nullLeg).orderBy($"leg", $"o_orderkey")
+    }),
+
+    // ---- STRING z-order under the oracle ------------------------------
+    // Orders z-ordered on a low-cardinality STRING dimension and the
+    // customer key (ZOrder.packAscii8's order-preserving long proxy
+    // puts strings on the Morton curve): a point predicate on the
+    // string AND a range on the key both prune files via the committed
+    // index. Oracle = the same relational filter.
+    "q105_string_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q105_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
+      t.append(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority", $"o_custkey", $"o_totalprice")
+        .repartition(8), partitionBy = Nil)
+      t.compact(targetFiles = 16, zorderBy = Seq("o_orderpriority", "o_custkey"))
+      t.readWhere($"o_orderpriority" === "1-URGENT" &&
+          $"o_custkey" >= 100 && $"o_custkey" <= 600)
+        .select($"o_orderkey", $"o_orderpriority", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- time travel (snapshot isolation) under the oracle ------------
     // Two appends then a partition refresh REWRITING history: the
     // snapshot read AS OF the pre-refresh version must reproduce
@@ -797,6 +843,21 @@ object QueriesPipeline {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(value) AS min_value, MAX(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q104_null_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice AS price_opt,
+        |  'notnull' AS leg
+        |FROM orders WHERE o_custkey <= 500
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS price_opt,
+        |  'null' AS leg
+        |FROM orders WHERE o_custkey > 500 AND o_custkey <= 800
+        |ORDER BY leg, o_orderkey""".stripMargin,
+    "q105_string_zorder" ->
+      """SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_custkey >= 100 AND o_custkey <= 600
+        |ORDER BY o_orderkey""".stripMargin,
     "q103_incremental_avg_std" ->
       """WITH e AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

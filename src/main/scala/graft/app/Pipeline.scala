@@ -125,6 +125,25 @@ final class Pipeline(spark: SparkSession, ingestRoot: String, tablesRoot: String
     reqs.map(_.day)
   }
 
+  /** Sensor daemon loop — the reference's polling @sensor process
+    * (sensors.py:21-24) as a caller-owned loop: tick, materialize each
+    * newly-touched day end-to-end (listing → processed → backwards),
+    * sleep, repeat. Every iteration is exactly [[tickAndIngest]] +
+    * [[runAll]], so killing the process anywhere resumes idempotently
+    * on restart: seen-state, batch guards, and watermark slices make
+    * replayed work a no-op. `maxTicks` bounds the loop for tests and
+    * one-shot catch-ups; production callers use the default unbounded
+    * run and stop by interrupting the thread (sleep rethrows). */
+  def runForever(pollMillis: Long = 30000, maxTicks: Long = Long.MaxValue,
+      now: () => LocalDate = () => LocalDate.now(java.time.ZoneOffset.UTC)): Unit = {
+    var n = 0L
+    while (n < maxTicks) {
+      tickAndIngest(now()).foreach(day => runAll(day))
+      n += 1
+      if (n < maxTicks) Thread.sleep(pollMillis)
+    }
+  }
+
   /** `listing` asset, sensor-dispatch path: append the new `(seq,
     * filename)` rows for a day (incremental self-union,
     * assets/listing.py:30-41; the previous materialization is already in

@@ -53,12 +53,31 @@ object ZOrder {
   }
 
   /** Equi-width 16-bit bucket id of `v` over the committed [lo, hi]
-    * range: `(v - lo) >> s` with the shift chosen driver-side (BigInt,
-    * overflow-safe) so the result fits 16 bits — pure integral ops,
-    * no floating-point precision cliff at large magnitudes. */
+    * range: `(v - lo)` shifted so the range FILLS the 16-bit bucket
+    * space — right for wide ranges (BigInt bit-length, overflow-safe,
+    * no floating-point precision cliff), LEFT for narrow ones. The
+    * up-shift matters when dimensions differ in magnitude: without it
+    * a 0..400 column occupies only the low 9 interleaved bits and the
+    * wider dimension dominates every file split, so the narrow column
+    * never prunes. Pure integral ops either way. */
   def bucket(v: Column, lo: Long, hi: Long): Column = {
     val range = BigInt(hi) - BigInt(lo)
-    val s = 0 max (range.bitLength - 16)
-    shiftright(v.cast("long") - lit(lo), s)
+    val s = range.bitLength - 16
+    val off = v.cast("long") - lit(lo)
+    if (s >= 0) shiftright(off, s) else shiftleft(off, (-s) min 15)
   }
+
+  /** Order-preserving long proxy of a STRING column: the first 8
+    * characters' code points, clamped to a byte, packed big-endian
+    * (shorter strings zero-pad, so prefixes sort first). Exactly
+    * lexicographic on ASCII — the same domain the skipping index's
+    * string bounds are sound on; beyond ASCII the clamp only coarsens
+    * LAYOUT locality, never correctness (pruning still uses the real
+    * footer min/max, which drop non-ASCII entries). Eight
+    * least/ascii/shift terms — codegen-friendly, no UDF. */
+  def packAscii8(c: Column): Column =
+    (1 to 8).map { k =>
+      shiftleft(least(ascii(substring(c, k, 1)), lit(255)).cast("long"),
+        8 * (8 - k))
+    }.reduce(_.bitwiseOR(_))
 }

@@ -31,11 +31,20 @@ object DataSkipping {
   /** Inclusive integral bounds and/or (possibly strict) string bounds
     * a row must satisfy for a column; None = unbounded on that side.
     * A predicate binds one side of the pair per column — the other
-    * stays empty and [[overlaps]] ignores it. */
+    * stays empty and [[overlaps]] ignores it.
+    *
+    * `reqNull`/`reqNotNull` carry `IS NULL` / `IS NOT NULL` conjuncts
+    * against the [[ColStat]] null index: IS NULL prunes files with
+    * zero nulls; IS NOT NULL — and any value bound, whose comparison
+    * is never true of NULL — prunes all-null files. */
   final case class Bounds(
       lower: Option[Long] = None, upper: Option[Long] = None,
       lowerS: Option[String] = None, upperS: Option[String] = None,
-      lowerSStrict: Boolean = false, upperSStrict: Boolean = false)
+      lowerSStrict: Boolean = false, upperSStrict: Boolean = false,
+      reqNull: Boolean = false, reqNotNull: Boolean = false) {
+    def hasValueBound: Boolean =
+      lower.nonEmpty || upper.nonEmpty || lowerS.nonEmpty || upperS.nonEmpty
+  }
 
   /** Per-column bounds implied by `predicate` against `schema`
     * (empty = nothing extractable, no pruning). */
@@ -48,9 +57,14 @@ object DataSkipping {
 
   /** Does a file whose rows span the stat's [min,max] possibly hold a
     * row inside `b`? Bounds of one kind never prune against a stat of
-    * the other (conservatively kept). */
+    * the other (conservatively kept). Null checks come first: an
+    * all-null file's min/max are placeholders and must never be
+    * consulted; a stat without a null tally (old log) prunes exactly
+    * as before. */
   def overlaps(b: Bounds, stat: ColStat): Boolean =
-    if (stat.isString) {
+    if (b.reqNull && stat.nulls.contains(0L)) false
+    else if (stat.allNull) !b.reqNotNull && !b.hasValueBound
+    else if (stat.isString) {
       val mx = stat.maxS.get
       val mn = stat.minS.get
       b.lowerS.forall(lo => if (b.lowerSStrict) mx > lo else mx >= lo) &&
@@ -125,7 +139,8 @@ object DataSkipping {
       k -> Bounds(
         (x.lower.toSeq ++ y.lower.toSeq).maxOption,
         (x.upper.toSeq ++ y.upper.toSeq).minOption,
-        loS, hiS, loStrict, hiStrict)
+        loS, hiS, loStrict, hiStrict,
+        x.reqNull || y.reqNull, x.reqNotNull || y.reqNotNull)
     }.toMap
 
   private def tighterS(a: Option[String], aStrict: Boolean,
@@ -208,11 +223,40 @@ object DataSkipping {
           one(attrNameS(a), Bounds(lowerS = Some(ss.min), upperS = Some(ss.max)))
         else Map.empty
       } else Map.empty
+    // ---- null checks against the null-count index ---------------------
+    // type-agnostic: the null tally is recorded even for columns whose
+    // VALUES the index can't bound (double, non-ASCII strings — the
+    // boundless entries), so any attribute qualifies
+    case IsNull(a: AttributeReference) =>
+      Map(a.name -> Bounds(reqNull = true))
+    case IsNotNull(a: AttributeReference) =>
+      Map(a.name -> Bounds(reqNotNull = true))
     // ---- prefix: col LIKE 'p%'  ==  [p, nextPrefix(p)) ----------------
     case StartsWith(a, v) if litStr(v).exists(_.nonEmpty) =>
       val p = litStr(v).get
       one(attrNameS(a),
         Bounds(lowerS = Some(p), upperS = nextPrefix(p), upperSStrict = true))
+    // ---- fallback: a comparison against a NON-NULL literal is never
+    // true of NULL, so it implies IS NOT NULL on its attribute side —
+    // the only index a type without sound value bounds (double...)
+    // has. Ordered after the specific cases, so extractable bounds
+    // keep their tighter form; <=> is null-tolerant and excluded.
+    case _: EqualNullSafe => Map.empty
+    case cmp: BinaryComparison =>
+      def nonNullLit(e: Expression): Boolean = e match {
+        case Literal(v, _) => v != null
+        case c: Cast if c.foldable => c.eval(null) != null
+        case _ => false
+      }
+      val sides = Seq(cmp.left, cmp.right)
+      if (sides.exists(nonNullLit))
+        // casts unwrap soundly here: ANY cast of NULL is NULL, so a
+        // true comparison still implies the underlying attr non-null
+        sides.collect {
+          case a: AttributeReference => a.name
+          case Cast(a: AttributeReference, _, _, _) => a.name
+        }.map(_ -> Bounds(reqNotNull = true)).toMap
+      else Map.empty
     case _ => Map.empty // sound: unextractable conjuncts prune nothing
   }
 

@@ -84,10 +84,21 @@ final case class Commit(
   * stats by unsigned bytes, which matches lexicographic `String`
   * comparison exactly on ASCII but not beyond, and an unsound bound
   * could prune a file that matches — non-ASCII bounds drop the entry,
-  * conservatively keeping the file. */
+  * conservatively keeping the file.
+  *
+  * `nulls`/`rows` (VERDICT r4 #8, Delta nullCount parity) make null
+  * predicates prunable: `IS NULL` skips files with zero nulls,
+  * `IS NOT NULL` and every value bound skip all-null files (whose
+  * min/max are a meaningless placeholder — [[DataSkipping.overlaps]]
+  * short-circuits on `nulls == rows` before consulting them). Old log
+  * entries deserialize with both absent and prune exactly as before. */
 final case class ColStat(min: Long, max: Long,
-    minS: Option[String] = None, maxS: Option[String] = None) {
+    minS: Option[String] = None, maxS: Option[String] = None,
+    nulls: Option[Long] = None, rows: Option[Long] = None) {
   def isString: Boolean = minS.isDefined
+  /** Every row's value is NULL (vacuously true for empty files): no
+    * value predicate can match, and IS NOT NULL matches nothing. */
+  def allNull: Boolean = rows.isDefined && nulls == rows
 }
 
 /** A metadata entry whose value derives from the staged files' parquet
@@ -364,7 +375,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         val rows = tf.adds.toSeq.map { case (f, (stats, gens)) =>
           CkptFileRow(f,
             if (sizedAdds) fs.getFileStatus(new Path(rootPath, f)).getLen else -1L,
-            stats.view.mapValues(s => CkptStatRow(s.min, s.max, s.minS, s.maxS)).toMap,
+            stats.view.mapValues(IncrementalTable.toCkptStat).toMap,
             gens)
         }
         base2.unionByName(rows.toDS().toDF())
@@ -410,7 +421,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           .filter(size(map_keys(col("stats"))) > 0)
           .select("file", "stats").as[(String, Map[String, CkptStatRow])]
           .collect().map { case (f, m) =>
-            f -> m.view.mapValues(s => ColStat(s.min, s.max, s.minS, s.maxS)).toMap
+            f -> m.view.mapValues(IncrementalTable.fromCkptStat).toMap
           }.toMap
       case None =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, ColStat]]
@@ -1404,6 +1415,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * no entry (for stat-meta, the caller's floor applies; for skipping,
     * the file is never pruned); present with missing statistics fails
     * loudly rather than silently stalling a watermark or over-pruning. */
+  private def upd(stats: scala.collection.mutable.HashMap[String, ColStat],
+      name: String, mn: Long, mx: Long): Unit =
+    stats.update(name, stats.get(name).fold(ColStat(mn, mx))(p =>
+      ColStat(math.min(p.min, mn), math.max(p.max, mx))))
+
   private def stagedFooterStats(stage: Path, rels: Seq[String],
       cols: Set[String], needRows: Boolean): (Long, Map[String, Map[String, ColStat]]) = {
     if (rels.isEmpty || (cols.isEmpty && !needRows)) return (0L, Map.empty)
@@ -1414,9 +1430,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new Path(stage, rel), hadoopConf(spark)))
       try {
-        rows += rd.getRecordCount
+        val fileRows = rd.getRecordCount
+        rows += fileRows
         val stats = scala.collection.mutable.HashMap.empty[String, ColStat]
         val poisoned = scala.collection.mutable.HashSet.empty[String]
+        // per-column null tally across row groups: Some(total) while
+        // every block reports a count, None once any block doesn't
+        // (old writers) — an unknown tally never prunes
+        val nulls = scala.collection.mutable.HashMap.empty[String, Option[Long]]
+        val seen = scala.collection.mutable.HashSet.empty[String]
         if (cols.nonEmpty) rd.getFooter.getBlocks.forEach { block =>
           block.getColumns.forEach { cc =>
             val name = cc.getPath.toDotString
@@ -1425,6 +1447,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
               if (st == null || st.isEmpty)
                 throw new IllegalStateException(
                   s"staged parquet footer lacks statistics for stats column '$name'")
+              seen += name
+              nulls.update(name,
+                if (!st.isNumNullsSet) None
+                else nulls.getOrElse(name, Some(0L)).map(_ + st.getNumNulls))
               if (st.hasNonNullValue) {
                 (st.genericGetMin, st.genericGetMax) match {
                   case (bn: org.apache.parquet.io.api.Binary,
@@ -1440,22 +1466,46 @@ final class IncrementalTable(spark: SparkSession, val root: String,
                       val hi = prev.flatMap(_.maxS).filter(_ >= mx).getOrElse(mx)
                       stats.update(name, ColStat(0, 0, Some(lo), Some(hi)))
                     } else { poisoned += name; stats.remove(name) }
-                  case (mno, mxo) =>
-                    def asLong(o: Any): Long = o match {
-                      case l: java.lang.Long => l.longValue()
-                      case i: java.lang.Integer => i.longValue()
-                      case o => throw new IllegalStateException(
-                        s"stats column '$name' is neither integral nor string: ${o.getClass.getName}")
-                    }
-                    val (mn, mx) = (asLong(mno), asLong(mxo))
-                    stats.update(name, stats.get(name).fold(ColStat(mn, mx))(p =>
-                      ColStat(math.min(p.min, mn), math.max(p.max, mx))))
+                  case (mno: java.lang.Long, mxo: java.lang.Long) =>
+                    upd(stats, name, mno.longValue(), mxo.longValue())
+                  case (mno: java.lang.Integer, mxo: java.lang.Integer) =>
+                    upd(stats, name, mno.longValue(), mxo.longValue())
+                  case _ =>
+                    // neither integral nor string (double, boolean,
+                    // decimal...): no sound [min,max] in the index's
+                    // long/ASCII domain, but the NULL tally is
+                    // type-agnostic — keep a boundless entry (full
+                    // range, so value bounds never prune) for
+                    // IS [NOT] NULL skipping
+                    poisoned += name; stats.remove(name)
                 }
               }
             }
           }
         }
-        if (stats.nonEmpty) perFile += rel -> stats.toMap
+        // attach the null index: every entry gets (nulls, rows); an
+        // indexed column with NO value anywhere (all-null file) gets a
+        // placeholder entry whose min/max are never consulted
+        // (overlaps short-circuits on allNull) — that entry is what
+        // lets IS NOT NULL and value bounds prune it. Poisoned
+        // columns (non-ASCII string bounds, non-integral types) keep
+        // a BOUNDLESS entry: full-range min/max prune nothing, the
+        // null tally still works.
+        val withNulls = seen.iterator.flatMap { name =>
+          val n = nulls.getOrElse(name, None)
+          val r = Some(fileRows)
+          if (poisoned(name)) {
+            if (n.isEmpty) None // no tally either: nothing indexable
+            else Some(name -> ColStat(Long.MinValue, Long.MaxValue,
+              nulls = n, rows = r))
+          } else stats.get(name) match {
+            case Some(s) => Some(name -> s.copy(nulls = n, rows = r))
+            case None if n.contains(fileRows) =>
+              Some(name -> ColStat(0, 0, nulls = n, rows = r))
+            case None => None // stats present but unusable: keep conservative
+          }
+        }.toMap
+        if (withNulls.nonEmpty) perFile += rel -> withNulls
       } finally rd.close()
     }
     (rows, perFile.result())
@@ -1631,8 +1681,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
             val dvm = liveDv()
             inlineLive.map { f =>
               CkptFileRow(f, fs.getFileStatus(new Path(rootPath, f)).getLen,
-                stats.getOrElse(f, Map.empty).view.mapValues(s =>
-                  CkptStatRow(s.min, s.max, s.minS, s.maxS)).toMap,
+                stats.getOrElse(f, Map.empty).view
+                  .mapValues(IncrementalTable.toCkptStat).toMap,
                 dvm.getOrElse(f, Nil))
             }.toDS().toDF()
         }
@@ -1694,14 +1744,18 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * with-clustering shape; a 1-D Z-ORDER). Pass the same columns as
     * `statsColumns` to index the clustered files.
     *
-    * With `zorderBy` (2-4 integral columns), rows are ordered along
-    * the Morton curve of the columns' 16-bit equi-width buckets
-    * (OPTIMIZE ZORDER BY): each file becomes a tight [min,max] BOX, so
-    * a range predicate on ANY z-column prunes files — where
+    * With `zorderBy` (2-4 integral OR string columns), rows are
+    * ordered along the Morton curve of the columns' 16-bit equi-width
+    * buckets (OPTIMIZE ZORDER BY): each file becomes a tight [min,max]
+    * BOX, so a range predicate on ANY z-column prunes files — where
     * lexicographic `clusterBy` prunes only on the leading column. The
     * bucket ranges come from one exact min/max aggregation over the
     * compacted slice (a second pass over data being rewritten anyway);
-    * `zorderBy` columns are auto-indexed in the skipping stats. */
+    * `zorderBy` columns are auto-indexed in the skipping stats.
+    * String columns ride the curve through [[graft.functions.ZOrder
+    * .packAscii8]]'s order-preserving long proxy (VERDICT r4 #8) —
+    * layout only; pruning soundness stays with the ASCII-guarded
+    * footer bounds. */
   def compact(partitionFilter: Map[String, String] = Map.empty,
       targetFiles: Int = 1, clusterBy: Seq[String] = Nil,
       statsColumns: Seq[String] = Nil,
@@ -1714,13 +1768,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val base = read(partitionFilter)
     val df =
       if (zorderBy.nonEmpty) {
-        val minMax = zorderBy.flatMap(c => Seq(min(col(c)), max(col(c))))
+        // string dimensions enter the curve via their packed-long
+        // proxy — min/max and bucketing all happen in long space
+        val proxies = zorderBy.map { c =>
+          if (base.schema(c).dataType == org.apache.spark.sql.types.StringType)
+            graft.functions.ZOrder.packAscii8(col(c))
+          else col(c)
+        }
+        val minMax = proxies.flatMap(p => Seq(min(p), max(p)))
         val agg = base.agg(minMax.head, minMax.tail: _*).head
         if (agg.isNullAt(0)) base.repartition(targetFiles) // empty slice
         else {
           val z = graft.functions.ZOrder.interleave(
-            zorderBy.zipWithIndex.map { case (c, i) =>
-              graft.functions.ZOrder.bucket(col(c),
+            proxies.zipWithIndex.map { case (p, i) =>
+              graft.functions.ZOrder.bucket(p,
                 agg.getAs[Number](2 * i).longValue,
                 agg.getAs[Number](2 * i + 1).longValue)
             })
@@ -1928,7 +1989,14 @@ object IncrementalTable {
   /** One column's [min,max] in a columnar checkpoint row (the
     * [[ColStat]] shape as a parquet struct). */
   private[table] final case class CkptStatRow(min: Long, max: Long,
-      minS: Option[String], maxS: Option[String])
+      minS: Option[String], maxS: Option[String],
+      nulls: Option[Long], rows: Option[Long])
+
+  private[table] def toCkptStat(s: ColStat): CkptStatRow =
+    CkptStatRow(s.min, s.max, s.minS, s.maxS, s.nulls, s.rows)
+
+  private[table] def fromCkptStat(s: CkptStatRow): ColStat =
+    ColStat(s.min, s.max, s.minS, s.maxS, s.nulls, s.rows)
 
   /** One live file's row in a columnar checkpoint: relative path, size
     * in bytes (-1 = unknown, filled at the next checkpoint build),
@@ -2010,6 +2078,13 @@ object IncrementalTable {
     import org.apache.spark.sql.functions.{lit, when}
     val mnS = stat.getField("minS")
     val mxS = stat.getField("maxS")
+    val nulls = stat.getField("nulls")
+    val rows = stat.getField("rows")
+    // null-index checks mirror DataSkipping.overlaps: IS NULL prunes
+    // zero-null files; all-null files (placeholder min/max) survive
+    // only a bound-free null-tolerant predicate. Old checkpoint rows
+    // read these fields as NULL and fall through unchanged.
+    val allNull = nulls.isNotNull && rows.isNotNull && nulls === rows
     val strOk =
       b.lowerS.map(lo => if (b.lowerSStrict) mxS > lit(lo) else mxS >= lit(lo))
         .getOrElse(lit(true)) &&
@@ -2019,6 +2094,8 @@ object IncrementalTable {
       b.lower.map(lo => stat.getField("max") >= lit(lo)).getOrElse(lit(true)) &&
         b.upper.map(hi => stat.getField("min") <= lit(hi)).getOrElse(lit(true))
     when(stat.isNull, lit(true))
+      .when(lit(b.reqNull) && nulls.isNotNull && nulls === lit(0L), lit(false))
+      .when(allNull, lit(!b.reqNotNull && !b.hasValueBound))
       .when(mnS.isNotNull, strOk)
       .otherwise(intOk)
   }

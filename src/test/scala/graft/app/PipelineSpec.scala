@@ -107,6 +107,27 @@ class PipelineSpec extends SparkSpec {
     assert(pipe.backwards.read().count() == 15)
   }
 
+  test("runForever: the sensor daemon loop ingests late arrivals across ticks") {
+    val root = Paths.get(tmpDir("pipe"))
+    val ingest = root.resolve("files_to_ingest")
+    copyFixture(ingest, days = Set("2024-03-26"), limitPerDay = 8)
+    val pipe = new Pipeline(spark, ingest.toString, root.resolve("tables").toString)
+    val day = java.time.LocalDate.parse("2024-03-26")
+    var calls = 0
+    // the `now` hook doubles as the between-ticks world: 4 more files
+    // land before the second poll, inside the candidate-day window
+    pipe.runForever(pollMillis = 1, maxTicks = 2, now = () => {
+      calls += 1
+      if (calls == 2)
+        copyFixture(ingest, days = Set("2024-03-26"), limitPerDay = 12)
+      day
+    })
+    assert(calls == 2)
+    assert(pipe.processed.read().count() == 12)
+    assert(pipe.processed.read().select($"filename").distinct().count() == 12)
+    assert(pipe.backwards.read().count() == 12)
+  }
+
   test("refresh is a partition-scoped overwrite and idempotent (§3.3)") {
     val root = Paths.get(tmpDir("pipe"))
     val ingest = root.resolve("files_to_ingest")

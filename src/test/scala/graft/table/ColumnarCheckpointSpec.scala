@@ -107,6 +107,28 @@ class ColumnarCheckpointSpec extends SparkSpec {
     assert(net(colr) == net(inline))
   }
 
+  test("null-count pruning agrees across inline and columnar checkpoint paths") {
+    val (inline, colr) = twins("ckptnulls")
+    onBoth((inline, colr)) { t =>
+      t.append(Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "v")
+        .repartition(1), Nil, statsColumns = Seq("v"))
+      t.append(Seq((3L, Some(30L)), (4L, Option.empty[Long])).toDF("id", "v")
+        .repartition(1), Nil, statsColumns = Seq("v"))
+      t.append(Seq((5L, Option.empty[Long]), (6L, Option.empty[Long])).toDF("id", "v")
+        .repartition(1), Nil, statsColumns = Seq("v"))
+      // one more commit pushes past checkpointEvery=3 on both twins
+      t.commitMeta(Map("touch" -> "1"))
+    }
+    assertAgree(inline, colr)
+    onBoth((inline, colr)) { t =>
+      assert(t.liveFilesWhere(col("v").isNull).size == 2)
+      assert(t.liveFilesWhere(col("v").isNotNull).size == 2)
+      assert(t.liveFilesWhere(col("v") >= 25).size == 1)
+      assert(t.readWhere(col("v").isNull).count() == 3)
+      assert(t.readWhere(col("v").isNotNull).count() == 3)
+    }
+  }
+
   test("numFiles stays exact across successive columnar checkpoints (no recount job)") {
     val t = new IncrementalTable(spark, tmpDir("ckpt-count") + "/t",
       checkpointEvery = 2, parquetThreshold = 0)

@@ -341,6 +341,61 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.liveFilesWhere(length($"s") > 2).size == 4)
   }
 
+  test("null-count skipping: IS NULL prunes null-free files, IS NOT NULL and value bounds prune all-null files") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t32")
+    // three files with distinct null profiles in one column
+    t.append(Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "v")
+      .repartition(1), Nil, statsColumns = Seq("v"))           // no nulls
+    t.append(Seq((3L, Some(30L)), (4L, Option.empty[Long])).toDF("id", "v")
+      .repartition(1), Nil, statsColumns = Seq("v"))           // mixed
+    t.append(Seq((5L, Option.empty[Long]), (6L, Option.empty[Long])).toDF("id", "v")
+      .repartition(1), Nil, statsColumns = Seq("v"))           // all null
+    assert(t.liveFiles().size == 3)
+
+    // IS NULL keeps only files that can hold a null
+    assert(t.liveFilesWhere($"v".isNull).size == 2)
+    // IS NOT NULL drops the all-null file
+    assert(t.liveFilesWhere($"v".isNotNull).size == 2)
+    // a value bound is never true of NULL: all-null file pruned too,
+    // and the null-free file pruned by its [min,max]
+    assert(t.liveFilesWhere($"v" >= 25).size == 1)
+    // results stay exact under pruning
+    assert(t.readWhere($"v".isNull).select($"id").as[Long].collect().toSet ==
+      Set(4L, 5L, 6L))
+    assert(t.readWhere($"v".isNotNull).count() == 3)
+    assert(t.readWhere($"v" >= 25).select($"id").as[Long].collect().toSet == Set(3L))
+
+    // combined: null check AND range tighten together
+    assert(t.liveFilesWhere($"v".isNotNull && $"v" <= 15).size == 1)
+
+    // an unindexed column's null predicate prunes nothing (no tally)
+    assert(t.liveFilesWhere($"id".isNull).size == 3)
+
+    // DOUBLE columns: no sound [min,max] in the index's long/ASCII
+    // domain, but the BOUNDLESS entry still carries the null tally —
+    // IS [NOT] NULL prunes, value bounds never do
+    val d = IncrementalTable(spark, tmpDir("itab") + "/t34")
+    d.append(Seq((1L, Some(1.5)), (2L, Some(2.5))).toDF("id", "x")
+      .repartition(1), Nil, statsColumns = Seq("x"))
+    d.append(Seq((3L, Option.empty[Double]), (4L, Option.empty[Double])).toDF("id", "x")
+      .repartition(1), Nil, statsColumns = Seq("x"))
+    assert(d.liveFilesWhere($"x".isNull).size == 1)
+    assert(d.liveFilesWhere($"x".isNotNull).size == 1)
+    assert(d.liveFilesWhere($"x" >= 2.0).size == 1) // all-null pruned; no value bound beyond that
+    assert(d.readWhere($"x".isNotNull).count() == 2)
+
+    // string columns: same null index through the ASCII-bound entries
+    val s = IncrementalTable(spark, tmpDir("itab") + "/t33")
+    s.append(Seq((1L, Some("aa")), (2L, Some("bb"))).toDF("id", "k")
+      .repartition(1), Nil, statsColumns = Seq("k"))
+    s.append(Seq((3L, Option.empty[String]), (4L, Option.empty[String])).toDF("id", "k")
+      .repartition(1), Nil, statsColumns = Seq("k"))
+    assert(s.liveFilesWhere($"k".isNull).size == 1)
+    assert(s.liveFilesWhere($"k".isNotNull).size == 1)
+    assert(s.liveFilesWhere($"k" >= "b").size == 1) // all-null file pruned by the bound
+    assert(s.readWhere($"k".isNull).count() == 2)
+  }
+
   test("data skipping on STRING columns: clustered prune, strict bounds, non-ASCII poison") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t31")
     // keys aa..zz, written clustered so each file covers a narrow

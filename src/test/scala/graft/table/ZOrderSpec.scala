@@ -52,6 +52,39 @@ class ZOrderSpec extends SparkSpec {
     assert(ys.size == 16, "trailing column prunes nothing under lexicographic order")
   }
 
+  test("string z-order: range and prefix predicates prune on both a string and an int dimension") {
+    val t = IncrementalTable(spark, tmpDir("zorder") + "/ts")
+    // 26x100 grid: a letter key 'a'..'z' × an int, hash-shuffled so
+    // pre-compaction files span the whole alphabet
+    val rows = spark.range(10400).select(
+      concat(lit("k_"),
+        chr((col("id") % 26) + lit(97)),
+        lpad((col("id") % 7).cast("string"), 2, "0")).as("name"),
+      (col("id") / 26).cast("int").as("x"),
+      col("id").as("payload"))
+    t.append(rows.repartition(8), partitionBy = Nil)
+    t.compact(targetFiles = 16, zorderBy = Seq("name", "x"))
+    assert(t.liveFiles().size == 16)
+
+    // a 4-letter alphabet band and an int stripe must BOTH prune
+    val ss = t.liveFilesWhere(col("name") >= "k_e" && col("name") < "k_i")
+    val xs = t.liveFilesWhere(col("x") >= 100 && col("x") <= 149)
+    assert(ss.size <= 8, s"string band touched ${ss.size}/16 files")
+    // the stripe straddles the x-bucket bit boundary at 128, so it
+    // legitimately spans two of the four x-classes (8 files) plus
+    // range-partition sampling slop; without the up-scaled bucket it
+    // touched 16/16
+    assert(xs.size <= 10, s"x-stripe touched ${xs.size}/16 files")
+    val ps = t.liveFilesWhere(col("name").startsWith("k_e"))
+    assert(ps.size <= 8, s"prefix touched ${ps.size}/16 files")
+
+    // soundness: pruned reads return exactly the filter's rows
+    assert(t.readWhere(col("name") >= "k_e" && col("name") < "k_i").count() ==
+      t.read().filter(col("name") >= "k_e" && col("name") < "k_i").count())
+    assert(t.readWhere(col("name").startsWith("k_e")).count() ==
+      t.read().filter(col("name").startsWith("k_e")).count())
+  }
+
   test("empty z-order slice compacts without error; nulls order first") {
     val t = IncrementalTable(spark, tmpDir("zorder") + "/t3")
     t.append(Seq((Some(1), 10L), (None, 20L), (Some(5), 30L))
