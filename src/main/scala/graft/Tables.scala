@@ -20,23 +20,44 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read nanos as long (legacy conf) and convert to
-    * a microsecond timestamp — lossy below 1µs, irrelevant for bucketing.
-    * The conf is restored right after the (eager) schema resolution, so
-    * concurrent readers of other nanos tables are unaffected (ADVICE r1
-    * #4: no permanent session-conf mutations inside readers); the plan
-    * captures the setting at analysis time — verified safe to restore
-    * before actions run. */
+  /** `events.ts` has changed parquet rendering across driver testdata
+    * generations — TIMESTAMP(NANOS) originally, TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) now — so the reader adapts to whatever the
+    * footer says instead of assuming one:
+    *
+    *  - NANOS: Spark 4 refuses to read it as a timestamp; read nanos as
+    *    long (legacy conf) and convert — lossy below 1µs, irrelevant for
+    *    bucketing. The conf set/resolve/restore is serialized under a
+    *    process-wide lock: a bare set/restore raced under parallel test
+    *    suites (reader B resolving after reader A's restore saw a
+    *    timestamp and failed `ts div 1000` analysis), and schema
+    *    resolution is only a footer read, so the lock costs nothing.
+    *  - MICROS with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ; the
+    *    driver writes UTC wall-clock, and every harness (Verify, Bench,
+    *    SparkSpec) pins the session to UTC, so the NTZ→LTZ cast
+    *    preserves the instant. The cast matters because downstream
+    *    consumers (epoch casts, streaming watermarks, window()) want a
+    *    real TIMESTAMP.
+    *  - plain TIMESTAMP passes through untouched. */
+  private val nanosLock = new Object
+
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val old = try spark.conf.get(key) catch { case _: Throwable => "false" }
-    spark.conf.set(key, "true")
-    val df =
-      try apply(spark, dir, "events")
+    val df = nanosLock.synchronized {
+      val old = try spark.conf.get(key) catch { case _: Throwable => "false" }
+      spark.conf.set(key, "true")
+      try apply(spark, dir, "events") // eager schema resolution under the lock
       finally spark.conf.set(key, old)
-    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+    }
+    df.schema("ts").dataType match {
+      case LongType => // nanos read as long under the legacy conf
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // micros NTZ: UTC wall-clock by contract
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
