@@ -700,6 +700,82 @@ object QueriesPipeline {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy($"month")
     }),
+
+    // ---- ORC source/sink round-trip under the oracle -------------------
+    // Completes the source-format matrix beside q91 (CSV/JSON) and the
+    // parquet-native paths: a lineitem slice written as ORC PARTITIONED
+    // by l_returnflag, read back through the ORC reader with a partition
+    // predicate — the filter prunes whole partition directories before
+    // any stripe is opened (`.explain` shows PartitionFilters on the ORC
+    // relation), and ORC stripe stats would serve row-group skipping on
+    // the quantity predicate the same way parquet footers do. ORC is
+    // self-describing (types ride the file), so unlike the q91 text
+    // formats no caller-supplied schema is needed — but the partition
+    // column round-trips through a directory NAME, so its type is
+    // re-asserted on read (the 100 TB contract: partition values are
+    // strings on disk in every format).
+    "q106_orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q106_")
+      val slice = Tables.lineitem(s, dir)
+        .filter($"l_orderkey" % 50 === 0)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("line_no"),
+          $"l_returnflag", $"l_quantity", $"l_extendedprice")
+      slice.write.mode("overwrite").partitionBy("l_returnflag")
+        .orc(s"$tmp/orc")
+      s.read.orc(s"$tmp/orc")
+        .filter($"l_returnflag" =!= "R" && $"l_quantity" >= 10.0)
+        .select($"l_orderkey", $"line_no",
+          $"l_returnflag".cast("string").as("l_returnflag"),
+          $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"line_no")
+    }),
+
+    // ---- Structured Streaming windowed aggregation under the oracle ----
+    // The streaming-lakehouse upsert (streaming/StreamWindowed.scala)
+    // end-to-end through the engine's own file source: events land as two
+    // arrival files, `readStream` drains them as separate micro-batches
+    // (maxFilesPerTrigger=1 under Trigger.AvailableNow), and each batch's
+    // updated (window, event_type) groups are committed via a single
+    // idempotent dynamicReplace. The second batch is ALL late data for
+    // already-emitted windows — update mode re-emits every touched group
+    // with its full state, and replacement granularity == re-emission
+    // granularity, so the final table equals the batch aggregation
+    // exactly: that equality IS the oracle. Watermark is effectively
+    // unbounded here so the equality is deterministic (no rows dropped);
+    // production sets a real delay and bounds state at
+    // O(open windows × keys) — droppable-late-data semantics are pinned
+    // in StreamWindowedSpec instead, where arrival order is controlled.
+    "q107_stream_window" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q107_")
+      val ev = Tables.events(s, dir).select($"event_id", $"ts", $"event_type")
+      // two arrival files: odd event_ids land AFTER every even row, so
+      // batch 2 is pure in-watermark late data for batch 1's windows
+      ev.filter($"event_id" % 2 === 0).coalesce(1)
+        .write.parquet(s"$tmp/in/batch=0")
+      ev.filter($"event_id" % 2 === 1).coalesce(1)
+        .write.parquet(s"$tmp/in/batch=1")
+      // Day windows: the replacement unit is a PARTITION DIRECTORY, so
+      // window grain chooses partition count — 10-minute windows over a
+      // month of events would mean ~8k one-row partitions (a commit-log
+      // and listing tax at any scale); day × event_type is the layout a
+      // production counts table would actually carry.
+      val t = graft.table.IncrementalTable(s, s"$tmp/counts/v1")
+      val stream = new graft.streaming.StreamWindowedCounts(
+        t, s"$tmp/ckpt", windowDuration = "1 day",
+        watermarkDelay = "3650 days")
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$tmp/in")
+      stream.start(src).awaitTermination()
+      t.read()
+        .select($"window_start".cast("long").as("window_start"),
+          $"event_type".cast("string").as("event_type"),
+          $"n_events".cast("long").as("n_events"))
+        .orderBy($"window_start", $"event_type")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -935,5 +1011,18 @@ object QueriesPipeline {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y') = '1997'
         |GROUP BY 1, 2 ORDER BY month""".stripMargin,
+    "q106_orc_roundtrip" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |  l_returnflag, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey % 50 = 0 AND l_returnflag <> 'R'
+        |  AND l_quantity >= 10.0
+        |ORDER BY l_orderkey, line_no""".stripMargin,
+    "q107_stream_window" ->
+      """SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+        |  event_type, COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
   )
 }
