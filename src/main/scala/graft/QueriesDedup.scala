@@ -102,6 +102,18 @@ object QueriesDedup {
           $"a.name".as("name_a"), $"b.name".as("name_b"))
         .orderBy($"key_a", $"key_b")
     }),
+
+    // ---- duplicate text spans: substring-level exact dedup -------------
+    // [[Dedup.duplicateSpans]] (K=8 tokens) over documents: top spans
+    // reported, count-ranked with a total-order tiebreak (span is the
+    // group key, hence unique) so LIMIT is engine-stable.
+    "q108_duplicate_spans" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.duplicateSpans(Tables.documents(s, dir), $"doc_id", $"text",
+          k = 8, minDocs = 2)
+        .orderBy($"n_docs".desc, $"n_occ".desc, $"span")
+        .limit(100)
+    }),
   )
 
   /** All-pairs exact word-3-gram Jaccard at tau — the engine-neutral
@@ -172,5 +184,19 @@ object QueriesDedup {
     "q23_dedup_minhash_lsh" -> pairsSql,
     "q24_dedup_simhash" -> pairsSql,
     "q47_dedup_simhash128" -> pairsSql,
+    "q108_duplicate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS span
+        |  FROM (SELECT * FROM toks WHERE len(t) >= 8) tk,
+        |    UNNEST(generate_series(1, len(t) - 7)) AS u(i))
+        |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+        |FROM spans GROUP BY span
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occ DESC, span
+        |LIMIT 100""".stripMargin,
   )
 }

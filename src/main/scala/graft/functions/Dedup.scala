@@ -278,4 +278,31 @@ object Dedup {
       .distinct()
     verify(cands, docs, id, text, n, tau)
   }
+
+  /** Duplicate text spans: substring-level exact dedup. Doc-level dedup
+    * misses boilerplate repeated INSIDE otherwise-distinct documents
+    * (headers, license blocks, templated intros) — the cross-document
+    * substring duplication problem in web-scale corpora. Token-granular
+    * variant: every k-token sliding span is a group key; a span held by
+    * >= minDocs distinct docs is a duplicate span. Returns
+    * `(span, n_docs, n_occ)` — n_occ counts every occurrence, so
+    * within-doc repeats are visible too.
+    *
+    * Scale: all built-in codegen'd functions (transform/sequence/
+    * slice), one shuffle on the span key. At 100 TB group on
+    * xxhash64(span) first (8-byte shuffle key instead of span text) and
+    * resolve text only for surviving groups; per-key skew is bounded —
+    * a span occurs at most (doc_len - k + 1) times per doc. */
+  def duplicateSpans(docs: DataFrame, id: Column, text: Column,
+                     k: Int, minDocs: Int = 2): DataFrame = {
+    val toks = docs.select(id.as("did"), TextOps.tokens(text).as("t"))
+    val spans = toks.filter(size(col("t")) >= k).select(col("did"),
+      explode(expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $k)))")).as("span"))
+    spans.groupBy(col("span"))
+      .agg(countDistinct(col("did")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

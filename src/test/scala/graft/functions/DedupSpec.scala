@@ -29,4 +29,23 @@ class DedupSpec extends SparkSpec {
     val none = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", 3, 0.5, Some(0L))
     assert(none.count() == 0)
   }
+
+  test("duplicateSpans: cross-doc boilerplate found, short docs skipped, within-doc repeats counted") {
+    // shared 4-token boilerplate "one two three four" in docs 1,2; doc 3
+    // repeats it twice internally; doc 4 is shorter than k; doc 5 disjoint
+    val docs = Seq(
+      (1L, "one two three four alpha"),
+      (2L, "prefix one two three four"),
+      (3L, "one two three four one two three four"),
+      (4L, "one two three"),
+      (5L, "five six seven eight nine")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, $"doc_id", $"text", k = 4)
+      .as[(String, Long, Long)].collect().map { case (s, a, b) => (s, (a, b)) }.toMap
+    val hit = out("one two three four")
+    assert(hit._1 == 3L) // docs 1, 2, 3 — doc 4 too short to span
+    assert(hit._2 == 4L) // 1 + 1 + 2: doc 3's sliding window hits it at i=1 and i=5
+    // minDocs raises the floor
+    val strict = Dedup.duplicateSpans(docs, $"doc_id", $"text", k = 4, minDocs = 4)
+    assert(strict.filter($"span" === "one two three four").count() == 0)
+  }
 }
