@@ -750,20 +750,28 @@ object QueriesPipeline {
       import s.implicits._
       val tmp = graft.QueryTmp.dir("graft_q107_")
       val ev = Tables.events(s, dir).select($"event_id", $"ts", $"event_type")
-      // two arrival files: odd event_ids land AFTER every even row, so
-      // batch 2 is pure in-watermark late data for batch 1's windows
-      ev.filter($"event_id" % 2 === 0).coalesce(1)
+      // two arrival files split at the time-range midpoint: batch 2
+      // re-emits only the windows it touches — the straddling window's
+      // group is genuinely revised in place (the realistic late-data
+      // case), every fully-batch-1 window's partition is left untouched.
+      // An id-parity split would make EVERY batch touch EVERY window and
+      // pay a full-table replace per micro-batch — measured 9.4 s vs
+      // ~2 s at sf0.1.
+      val split = ev.agg(expr(
+          "(min(cast(ts as long)) + max(cast(ts as long))) div 2").as("m"))
+        .first().getLong(0)
+      ev.filter($"ts".cast("long") <= split).coalesce(1)
         .write.parquet(s"$tmp/in/batch=0")
-      ev.filter($"event_id" % 2 === 1).coalesce(1)
+      ev.filter($"ts".cast("long") > split).coalesce(1)
         .write.parquet(s"$tmp/in/batch=1")
-      // Day windows: the replacement unit is a PARTITION DIRECTORY, so
+      // Week windows: the replacement unit is a PARTITION DIRECTORY, so
       // window grain chooses partition count — 10-minute windows over a
-      // month of events would mean ~8k one-row partitions (a commit-log
-      // and listing tax at any scale); day × event_type is the layout a
+      // year of events would mean ~50k one-row partitions (a commit-log
+      // and listing tax at any scale); week × event_type is a layout a
       // production counts table would actually carry.
       val t = graft.table.IncrementalTable(s, s"$tmp/counts/v1")
       val stream = new graft.streaming.StreamWindowedCounts(
-        t, s"$tmp/ckpt", windowDuration = "1 day",
+        t, s"$tmp/ckpt", windowDuration = "7 days",
         watermarkDelay = "3650 days")
       val src = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1019,7 +1027,7 @@ object QueriesPipeline {
         |  AND l_quantity >= 10.0
         |ORDER BY l_orderkey, line_no""".stripMargin,
     "q107_stream_window" ->
-      """SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+      """SELECT (epoch_us(ts) // 604800000000) * 604800 AS window_start,
         |  event_type, COUNT(*) AS n_events
         |FROM events
         |GROUP BY 1, 2
