@@ -289,20 +289,34 @@ object Dedup {
     * within-doc repeats are visible too.
     *
     * Scale: all built-in codegen'd functions (transform/sequence/
-    * slice), one shuffle on the span key. At 100 TB group on
-    * xxhash64(span) first (8-byte shuffle key instead of span text) and
-    * resolve text only for surviving groups; per-key skew is bounded —
-    * a span occurs at most (doc_len - k + 1) times per doc. */
+    * slice), one shuffle on the span key. `hashKey = true` is the
+    * 100 TB dial: group on xxhash64(span) — an 8-byte shuffle key
+    * instead of the span text — and carry one representative span
+    * (`min`) per group; counts are exact up to 64-bit hash collisions
+    * (~n²/2⁶⁵: negligible at any shard size, and a collision only
+    * merges two spans' counts, never loses a duplicate). Per-key skew
+    * is bounded either way — a span occurs at most (doc_len - k + 1)
+    * times per doc. */
   def duplicateSpans(docs: DataFrame, id: Column, text: Column,
-                     k: Int, minDocs: Int = 2): DataFrame = {
+                     k: Int, minDocs: Int = 2,
+                     hashKey: Boolean = false): DataFrame = {
     val toks = docs.select(id.as("did"), TextOps.tokens(text).as("t"))
     val spans = toks.filter(size(col("t")) >= k).select(col("did"),
       explode(expr(
         s"transform(sequence(1, size(t) - ${k - 1}), " +
           s"i -> concat_ws(' ', slice(t, i, $k)))")).as("span"))
-    spans.groupBy(col("span"))
-      .agg(countDistinct(col("did")).as("n_docs"),
-        count(lit(1)).as("n_occ"))
-      .filter(col("n_docs") >= minDocs)
+    val grouped =
+      if (hashKey)
+        spans.groupBy(xxhash64(col("span")).as("h"))
+          .agg(min(col("span")).as("span"),
+            countDistinct(col("did")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .drop("h")
+      else
+        spans.groupBy(col("span"))
+          .agg(countDistinct(col("did")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+    grouped.filter(col("n_docs") >= minDocs)
+      .select(col("span"), col("n_docs"), col("n_occ"))
   }
 }

@@ -48,4 +48,12 @@ class DedupSpec extends SparkSpec {
     val strict = Dedup.duplicateSpans(docs, $"doc_id", $"text", k = 4, minDocs = 4)
     assert(strict.filter($"span" === "one two three four").count() == 0)
   }
+
+  test("duplicateSpans hashed-key variant equals the exact grouping on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    def rows(hashKey: Boolean) =
+      Dedup.duplicateSpans(docs, $"doc_id", $"text", k = 8, hashKey = hashKey)
+        .as[(String, Long, Long)].collect().toSet
+    assert(rows(hashKey = true) == rows(hashKey = false))
+  }
 }
