@@ -58,4 +58,76 @@ object ConnectedComponents {
     require(converged, s"connected components did not converge in $maxIter rounds")
     labels
   }
+
+  /** Large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the high-diameter drop-in
+    * [[run]]'s scaladoc promises: label propagation needs O(diameter)
+    * rounds (a 10k-link chain = 10k rounds), star contraction converges
+    * in O(log n) because every round REWIRES edges toward component
+    * minima instead of just flooding labels one hop:
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach to
+    *    its local minimum m = min(Γ(u) ∪ {u});
+    *  - small-star: with edges oriented big→small, each node and its
+    *    smaller neighbors re-attach to m.
+    *
+    * Both are one groupBy-min + one join over the edge set; the edge
+    * set provably never grows (each input edge maps to one output
+    * edge). Fixpoint = the graph is a union of stars centered at
+    * component minima, read off as the labels. Same output contract as
+    * [[run]]: (id, component-min), nodes appear iff they occur in an
+    * edge — property-pinned equal to [[run]] on arbitrary graphs. */
+  def runStar(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val init = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = init.select(col("src").as("id")).distinct().localCheckpoint(true)
+
+    // canonical undirected form (lo, hi) for the fixpoint test
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi")).distinct()
+
+    var e = init // symmetric both-directions invariant between rounds
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // ---- large-star: (v, m(u)) for v ∈ Γ(u), v > u ----
+      val mLarge = e.groupBy("src")
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      val ls = e.join(mLarge, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val afterLarge = ls.unionByName(ls.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+
+      // ---- small-star: orient big→small, re-attach u and its smaller
+      // neighbors to m = min(Γo(u) ∪ {u}) ----
+      val o = canon(afterLarge) // (lo, hi): hi is the "u" side
+        .select(col("hi").as("u"), col("lo").as("v"))
+      val mSmall = o.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = o.join(mSmall, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+        .unionByName(mSmall.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+      val next = ss.unionByName(ss.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+
+      val (cn, co) = (canon(next), canon(e))
+      converged = cn.exceptAll(co).unionByName(co.exceptAll(cn)).isEmpty
+      e = next
+      i += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIter rounds")
+    // fixpoint edges form stars (v, root): read labels; roots label themselves
+    val parents = canon(e).select(col("hi").as("id"), col("lo").as("component"))
+    nodes.join(parents, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
 }
