@@ -45,24 +45,38 @@ object PageRank {
     * growing lineage without forcing extra jobs. Measured at sf0.1
     * (1.1M-edge bipartite graph): 15.9 s with per-round eager
     * checkpoints → ~2 s chained. */
+  /** `broadcastRanks = true` (default) is the zero-shuffle-per-round
+    * layout: the edge list is pre-partitioned by `dst` ONCE, ranks ride
+    * a broadcast into the contribution join (broadcast joins preserve
+    * the streamed side's partitioning), so the groupBy(dst) aggregation
+    * needs NO exchange — each round costs two node-sized broadcasts
+    * instead of one edge-sized shuffle. Sound while the rank vector
+    * fits a broadcast (nodes ≲ tens of millions); beyond that pass
+    * `false` for the shuffle-based rounds, whose exchanges all reuse
+    * the same dst layout. Output values are identical either way up to
+    * fp summation order (consumers round — the q80 oracle already
+    * tolerates Spark-vs-DuckDB order differences at 8 decimals). */
   def run(edges: DataFrame, aCol: String, bCol: String,
-      iters: Int = 10): DataFrame = {
+      iters: Int = 10, broadcastRanks: Boolean = true): DataFrame = {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-    val symDeg = sym
+    val symDeg0 = sym
       .join(sym.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val symDeg = (if (broadcastRanks) symDeg0.repartition(col("dst")) else symDeg0)
       .localCheckpoint(true)
     val nodes = symDeg.select(col("src").as("id")).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
     var pr = nodes.withColumn("rank", lit(1.0) / lit(n.toDouble))
     for (i <- 1 to iters) {
+      val prSide = pr.select(col("id").as("src"), col("rank"))
       val contrib = symDeg
-        .join(pr.select(col("id").as("src"), col("rank")), "src")
+        .join(if (broadcastRanks) broadcast(prSide) else prSide, "src")
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("acc"))
-      pr = nodes.join(contrib, Seq("id"), "left")
+      pr = nodes.join(
+          if (broadcastRanks) broadcast(contrib) else contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(Teleport) / lit(n.toDouble) +
             lit(Damping) * coalesce(col("acc"), lit(0.0))).as("rank"))
