@@ -757,13 +757,7 @@ object QueriesPipeline {
       // An id-parity split would make EVERY batch touch EVERY window and
       // pay a full-table replace per micro-batch — measured 9.4 s vs
       // ~2 s at sf0.1.
-      val split = ev.agg(expr(
-          "(min(cast(ts as long)) + max(cast(ts as long))) div 2").as("m"))
-        .first().getLong(0)
-      ev.filter($"ts".cast("long") <= split).coalesce(1)
-        .write.parquet(s"$tmp/in/batch=0")
-      ev.filter($"ts".cast("long") > split).coalesce(1)
-        .write.parquet(s"$tmp/in/batch=1")
+      graft.ArrivalSplit.timeSplitWrite(ev, "ts", s"$tmp/in")
       // Week windows: the replacement unit is a PARTITION DIRECTORY, so
       // window grain chooses partition count — 10-minute windows over a
       // year of events would mean ~50k one-row partitions (a commit-log

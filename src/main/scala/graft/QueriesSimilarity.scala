@@ -257,7 +257,10 @@ object QueriesSimilarity {
   // cacheKey amortizes the two refinement rounds exactly as a
   // persisted index would (M×Ksub×subDim doubles — trivially
   // driver-resident and broadcastable at any corpus size). Tests that
-  // rebuild intentionally pass None.
+  // rebuild intentionally pass None. The key must CHANGE when the
+  // corpus does (it names the corpus, not the path's current bytes):
+  // a long-lived JVM whose data is rewritten in place must key by
+  // corpus version, or pass None — same caveat as ivfCodebook.
   private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int), Seq[(Int, Int, Seq[Double])]]()
 

@@ -27,3 +27,28 @@ object QueryTmp {
     fresh
   }
 }
+
+/** Shared arrival-file scaffolding for the streaming queries (q107/
+  * q109): split a timestamped frame at its time-range midpoint into
+  * `<dir>/batch=0` (earlier half) and `<dir>/batch=1` (later half), one
+  * parquet file each, so a `maxFilesPerTrigger=1` file source drains
+  * them as two micro-batches with every key's batch-0 rows preceding
+  * its batch-1 rows — the cross-batch ordering contract
+  * [[graft.streaming.StreamSessions]] documents. One cached scan feeds
+  * the midpoint agg and both filtered writes. */
+private[graft] object ArrivalSplit {
+  def timeSplitWrite(df: org.apache.spark.sql.DataFrame, tsCol: String,
+      dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val pinned = df.persist()
+    try {
+      val split = pinned.agg(expr(
+          s"(min(cast($tsCol as long)) + max(cast($tsCol as long))) div 2").as("m"))
+        .first().getLong(0)
+      pinned.filter(col(tsCol).cast("long") <= split).coalesce(1)
+        .write.parquet(s"$dir/batch=0")
+      pinned.filter(col(tsCol).cast("long") > split).coalesce(1)
+        .write.parquet(s"$dir/batch=1")
+    } finally { pinned.unpersist(); () }
+  }
+}

@@ -79,8 +79,11 @@ object ConnectedComponents {
     * edge — property-pinned equal to [[run]] on arbitrary graphs. */
   def runStar(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
+    // self-loops are kept here (matching run()): a node whose only edge
+    // is (x,x) must still be labeled, and `nodes` is read off init. The
+    // star rounds shed the loop edges themselves (src =!= dst guards on
+    // every emission), costing at most one extra fixpoint round.
     val init = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)

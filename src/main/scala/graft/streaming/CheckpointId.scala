@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * — silently bypassing exactly-once. Qualifying through the Hadoop
   * FileSystem resolves scheme, authority, and relative segments to one
   * stable URI. */
-private[streaming] object CheckpointId {
+private[graft] object CheckpointId {
   def apply(spark: SparkSession, checkpointDir: String): String = {
     val p = new Path(checkpointDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)

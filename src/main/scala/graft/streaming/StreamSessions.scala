@@ -113,16 +113,24 @@ final class StreamSessions(
       .toDF()
   }
 
-  /** Idempotent micro-batch commit (exposed for replay tests). */
+  /** Idempotent micro-batch commit (exposed for replay tests). The
+    * batch is persisted first: merge evaluates its source several times
+    * (duplicate-key check, touched-file probe, rewrite), and each
+    * evaluation would otherwise re-run the stateful fold — paying ~3×
+    * the state-store load and making commit correctness lean on
+    * re-execution determinism it doesn't need to. */
   private[streaming] def commitBatch(batch: DataFrame, batchId: Long): Unit = {
     val appId = CheckpointId(batch.sparkSession, checkpointDir)
-    if (!table.exists)
-      table.append(batch, partitionBy = Nil,
-        batchId = Some(batchId), appId = Some(appId))
-    else
-      table.merge(batch, keys = Seq("user_id", "start_us"),
-        batchId = Some(batchId), appId = Some(appId))
-    ()
+    val pinned = batch.persist()
+    try {
+      if (!table.exists)
+        table.append(pinned, partitionBy = Nil,
+          batchId = Some(batchId), appId = Some(appId))
+      else
+        table.merge(pinned, keys = Seq("user_id", "start_us"),
+          batchId = Some(batchId), appId = Some(appId))
+      ()
+    } finally { pinned.unpersist(); () }
   }
 
   /** Start over `events` (needs `user_id, event_id, ts: timestamp,

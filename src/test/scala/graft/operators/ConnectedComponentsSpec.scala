@@ -62,6 +62,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("a self-loop-only node is still labeled (both algorithms)") {
+    assert(ccStar(Seq((5L, 5L))) == Map(5L -> 5L))
+    assert(cc(Seq((5L, 5L))) == Map(5L -> 5L))
+  }
+
   test("star contraction handles the long chain label propagation is worst at") {
     // 0-1-2-...-60: diameter 60, label propagation would need 60 rounds
     // (its default cap is 25); star contraction converges in O(log n)
