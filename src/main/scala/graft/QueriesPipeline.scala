@@ -157,7 +157,12 @@ object QueriesPipeline {
     // textbook formulas directly over the whole table with the same
     // double association — exact state makes the comparison
     // bit-deterministic, so a drifted merge or a stale partial breaks
-    // the hash.
+    // the hash. The final phase is a row-level DELETE (deletion
+    // vectors): the view is maintained by SUBTRACTING the deleted
+    // rows' delta from the touched groups' exact states — never a
+    // recompute — and the oracle simply aggregates the remaining rows,
+    // so an unretracted state, an over-subtraction, or a group that
+    // should have emptied out all break the hash.
     "q103_incremental_avg_std" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.{AggregateStream, IncAgg}
@@ -180,6 +185,10 @@ object QueriesPipeline {
       val m0 = up.read().agg(min($"month")).head.getString(0)
       val f = Map("month" -> m0)
       up.replaceWhere(up.read(f), Seq("month"), f, partitionFilter = f)
+      ivm.drain()
+      // row-level delete maintained by state subtraction (null k rows
+      // are untouched: NULL % 7 is never TRUE)
+      up.deleteVectorized($"k" % 7 === 0)
       ivm.drain()
       view.read()
         .select($"day", $"event_type", $"avg_st"("n").as("n_k"),
@@ -940,7 +949,9 @@ object QueriesPipeline {
       """WITH e AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |  FROM events)
+        |  FROM events
+        |  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+        |     OR CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 <> 0)
         |SELECT day, event_type, COUNT(k) AS n_k,
         |  CASE WHEN COUNT(k) > 0
         |    THEN CAST(SUM(k) AS DOUBLE) / COUNT(k) END AS avg_k,

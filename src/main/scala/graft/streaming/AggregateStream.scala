@@ -22,13 +22,29 @@ import graft.table.IncrementalTable
   * matches Spark's own partial-aggregation contract, so every builtin
   * combine — `sum`, `min`, `hll_union_agg`, `approx_top_k_combine` —
   * plugs in directly. */
-final case class IncAgg(name: String, delta: Column, merge: Column) {
+final case class IncAgg(name: String, delta: Column, merge: Column,
+    retract: Option[(Column, Column) => Column] = None,
+    stateRows: Option[Column => Column] = None) {
   private[streaming] def mergeAs: Column = merge.as(name)
 }
 
+/** `retract` (where present) is the DELETE-delta inverse of `merge`:
+  * given the group's current state and the same aggregate computed
+  * over ONLY its deleted rows, produce the post-delete state — sound
+  * exactly when the state is an exact carrier (long counts, decimal
+  * sums), which is why the double-summing `sumOf` and the order-lossy
+  * `minOf`/`maxOf`/sketches deliberately have none and fall back to
+  * key-scoped recompute. `stateRows` (where present) reads the
+  * group's REMAINING TOTAL row count off the state, letting the
+  * retraction path drop emptied groups without consulting upstream —
+  * only `countAll` counts every row, so only it carries one (`avgOf`'s
+  * `n` counts non-nulls: a group of all-null values is alive with
+  * n = 0). */
 object IncAgg {
   def countAll(name: String): IncAgg =
-    IncAgg(name, count(lit(1)), sum(col(name)))
+    IncAgg(name, count(lit(1)), sum(col(name)),
+      retract = Some((cur, d) => cur - d),
+      stateRows = Some(identity))
   /** Beware Spark's decimal sum widening: prefer long/double inputs so
     * the state's type is a fixed point of its own merge. */
   def sumOf(c: Column, name: String): IncAgg =
@@ -67,7 +83,13 @@ object IncAgg {
     IncAgg(name,
       struct(count(c).as("n"), sum(c.cast(dt)).cast(dt).as("s")),
       struct(sum(col(name)("n")).as("n"),
-        sum(col(name)("s")).cast(dt).as("s")))
+        sum(col(name)("s")).cast(dt).as("s")),
+      // exact-carrier subtraction (n long, s decimal): the deleted
+      // side's sum is null when every deleted value was null — those
+      // rows removed nothing from s
+      retract = Some((cur, d) => struct(
+        (cur("n") - d("n")).as("n"),
+        (cur("s") - coalesce(d("s"), lit(0).cast(dt))).cast(dt).as("s"))))
   }
 
   /** `avg` from an [[avgOf]] state column. Null on empty groups (n=0),
@@ -76,6 +98,12 @@ object IncAgg {
     * `sum/count` over the same rows agree bit-for-bit. */
   def avgValue(state: Column): Column =
     when(state("n") > 0, state("s").cast("double") / state("n"))
+
+  /** Retractable SUM: read it off an [[avgOf]] state — `s` alone can't
+    * restore SQL SUM's null-on-no-values semantics after a retraction,
+    * but the struct's non-null count can (null when n = 0). */
+  def sumValue(state: Column): Column =
+    when(state("n") > 0, state("s"))
 
   /** Sample STDDEV as a derived monoid: state =
     * `struct(n: long, s: decimal, s2: decimal)` (count, exact sum,
@@ -99,7 +127,11 @@ object IncAgg {
         sum((c * c).cast(dt2)).cast(dt2).as("s2")),
       struct(sum(col(name)("n")).as("n"),
         sum(col(name)("s")).cast(dt).as("s"),
-        sum(col(name)("s2")).cast(dt2).as("s2")))
+        sum(col(name)("s2")).cast(dt2).as("s2")),
+      retract = Some((cur, d) => struct(
+        (cur("n") - d("n")).as("n"),
+        (cur("s") - coalesce(d("s"), lit(0).cast(dt))).cast(dt).as("s"),
+        (cur("s2") - coalesce(d("s2"), lit(0).cast(dt2))).cast(dt2).as("s2"))))
   }
 
   /** `stddev_samp` from a [[stddevOf]] state column: null for n <= 1
@@ -130,11 +162,18 @@ object IncAgg {
   *    holding touched keys, so the write cost scales with the delta's
   *    key count, not the view size. O(new data + touched files) at
   *    any history length.
-  *  - `replace`/`checkpoint` commit → deltas cannot be applied (no
-  *    retraction state), so recompute: scoped to the touched replay
-  *    partitions when `replayScope ⊆ groupKeys` (each output group
-  *    then belongs to exactly one scope and a partition-scoped
-  *    replace is sound), otherwise the whole view.
+  *  - `dv` (row-level delete) commit → the commit is its own exact
+  *    CDC delta: aggregates with a `retract` (count/avg/stddev — exact
+  *    long/decimal states) SUBTRACT the deleted rows' delta from the
+  *    touched groups, O(deleted rows); any non-retractable agg
+  *    (min/max, sketches) downgrades the commit to a key-scoped
+  *    recompute of ONLY the touched groups. Emptied groups leave the
+  *    view atomically (deleteInsert), matching GROUP BY.
+  *  - `replace`/`checkpoint` commit → deltas cannot be applied (the
+  *    rewrite carries no row-level delta), so recompute: scoped to the
+  *    touched replay partitions when `replayScope ⊆ groupKeys` (each
+  *    output group then belongs to exactly one scope and a
+  *    partition-scoped replace is sound), otherwise the whole view.
   *
   * Exactly-once, same protocol as DerivedStream: the downstream table
   * IS the checkpoint — each maintenance commit carries the consumed
@@ -188,6 +227,58 @@ final class AggregateStream(
     pending.foreach { c =>
       val cursor = Map(srcKey -> c.version.toString)
       c.action match {
+        // ---- row-level delete (deletion-vector commit): the commit IS
+        // its own exact CDC delta, so the view never recomputes —
+        //  * all aggs retractable → subtract the deleted rows' delta
+        //    from the touched groups' states (O(deleted rows), no
+        //    upstream re-read); emptied groups must LEAVE the view
+        //    (GROUP BY drops them), read off `stateRows` when an agg
+        //    carries a total-row count, else probed from upstream
+        //    restricted to the touched keys;
+        //  * any non-retractable agg (min/max/sketches) → recompute
+        //    ONLY the touched groups from upstream and swap them in.
+        // Both paths commit one atomic deleteInsert under the same
+        // (appId, batchId = upstream version) replay guard.
+        case "dv" if down.exists =>
+          val deleted = up.changes(c.version, c.version)
+            .filter(col("_change_type") === "delete")
+            .drop("_change_type", "_commit_version")
+          val keyCols = groupKeys.map(col)
+          val touched = prepare(deleted).select(keyCols: _*).distinct()
+          if (aggs.forall(_.retract.isDefined)) {
+            val dAgg = aggOf(deleted)
+            val dRen = dAgg.select(keyCols ++
+              aggs.map(a => col(a.name).as(s"${a.name}_d")): _*)
+            val cur = down.read()
+              .join(touched, groupKeys, "left_semi")
+            val retracted = cur.join(dRen, groupKeys)
+              .select(keyCols ++ aggs.map(a =>
+                a.retract.get(col(a.name), col(s"${a.name}_d")).as(a.name)): _*)
+            val alive = aggs.collectFirst {
+              case a if a.stateRows.isDefined => a.stateRows.get(col(a.name)) > 0
+            }
+            val keep = alive match {
+              case Some(pred) => retracted.filter(pred)
+              case None => // no total-row tracker in the state: probe
+                // upstream (post-delete) for which touched groups survive
+                val survivors = prepare(up.readAt(c.version))
+                  .join(touched, groupKeys, "left_semi")
+                  .select(keyCols: _*).distinct()
+                retracted.join(survivors, groupKeys, "left_semi")
+            }
+            down.deleteInsert(touched, groupKeys, lit(true), keep,
+              partitionBy, meta = cursor,
+              batchId = Some(c.version), appId = Some(appId))
+          } else {
+            val recomputed = prepare(up.readAt(c.version))
+              .join(touched, groupKeys, "left_semi")
+              .groupBy(keyCols: _*)
+              .agg(aggs.head.delta.as(aggs.head.name),
+                aggs.tail.map(a => a.delta.as(a.name)): _*)
+            down.deleteInsert(touched, groupKeys, lit(true), recomputed,
+              partitionBy, meta = cursor,
+              batchId = Some(c.version), appId = Some(appId))
+          }
         case "append" if down.exists =>
           val delta = aggOf(up.readCommit(c.version))
           // current state of ONLY the delta's keys (semi join — the

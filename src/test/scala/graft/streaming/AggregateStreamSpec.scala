@@ -292,4 +292,70 @@ class AggregateStreamSpec extends SparkSpec {
     assert(s.sourceVersion == 1L) // cursor advanced past the no-op batch
     assert(down.read().collect().toSet == before)
   }
+
+  test("dv delete: retractable aggs subtract; emptied group leaves the view (stateRows path)") {
+    val dir = tmpDir("aggstream")
+    val up = mkUp(dir)
+    val down = IncrementalTable(spark, dir + "/view/v1")
+    // count + avg: every agg retractable, countAll supplies stateRows
+    val s = new AggregateStream(up, down, Seq("day", "k"),
+      Seq(IncAgg.countAll("n"), IncAgg.avgOf(col("v"), "avg_st")),
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+    up.append(rows("d1", "a" -> 5L, "a" -> 3L, "b" -> 7L, "b" -> 9L), Seq("day"))
+    s.drain()
+    val versionsBefore = down.latestVersion
+
+    // delete one of a's rows and ALL of b's: a subtracts, b vanishes
+    up.deleteVectorized(col("k") === "b" || (col("k") === "a" && col("v") === 3L))
+    assert(s.drain() == 1)
+    val got = down.read().select($"day", $"k", $"n",
+        IncAgg.avgValue($"avg_st").as("avg_v"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(("d1", "a", 1L, 5.0))) // b's group is GONE
+    // maintenance was ONE commit, not a rebuild storm
+    assert(down.latestVersion == versionsBefore + 1)
+
+    // crash replay: a fresh handle re-draining applies nothing
+    val s2 = new AggregateStream(up, down, Seq("day", "k"),
+      Seq(IncAgg.countAll("n"), IncAgg.avgOf(col("v"), "avg_st")),
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+    assert(s2.drain() == 0)
+    assert(down.read().count() == 1)
+  }
+
+  test("dv delete without a total-row tracker: survivor probe drops all-deleted groups") {
+    val dir = tmpDir("aggstream")
+    val up = mkUp(dir)
+    val down = IncrementalTable(spark, dir + "/view/v1")
+    // avg/stddev only: retractable but no stateRows -> upstream probe
+    val s = new AggregateStream(up, down, Seq("day", "k"),
+      Seq(IncAgg.avgOf(col("v"), "avg_st"), IncAgg.stddevOf(col("v"), "std_st")),
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+    up.append(rows("d1", "a" -> 5L, "a" -> 3L, "a" -> 4L, "b" -> 7L), Seq("day"))
+    s.drain()
+    up.deleteVectorized(col("k") === "b" || (col("k") === "a" && col("v") === 3L))
+    assert(s.drain() == 1)
+    val got = down.read().select($"day", $"k",
+        IncAgg.avgValue($"avg_st").as("avg_v"),
+        IncAgg.stddevValue($"std_st").as("std_v"))
+      .as[(String, String, Double, Double)].collect().toSet
+    // a: rows 5,4 remain -> avg 4.5, stddev_samp sqrt(0.5); b gone
+    val expectStd = math.sqrt(((5.0*5+4.0*4) - 9.0*9/2) / 1.0)
+    assert(got == Set(("d1", "a", 4.5, expectStd)))
+  }
+
+  test("dv delete with non-retractable aggs: key-scoped recompute, untouched groups' rows intact") {
+    val dir = tmpDir("aggstream")
+    val up = mkUp(dir)
+    val down = IncrementalTable(spark, dir + "/view/v1")
+    val s = new AggregateStream(up, down, Seq("day", "k"), aggs, // min/max present
+      partitionBy = Seq("day"), name = "ev", replayScope = Seq("day"))
+    up.append(rows("d1", "a" -> 5L, "a" -> 3L, "b" -> 7L), Seq("day"))
+    up.append(rows("d2", "c" -> 2L), Seq("day"))
+    s.drain()
+    // delete a's max row: min/max must be RE-derived (subtraction can't)
+    up.deleteVectorized(col("k") === "a" && col("v") === 5L)
+    assert(s.drain() == 1)
+    assertParity(up, down)
+  }
 }
