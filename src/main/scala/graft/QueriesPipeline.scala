@@ -169,9 +169,14 @@ object QueriesPipeline {
       val tmp = graft.QueryTmp.dir("graft_q103_")
       val up = graft.table.IncrementalTable(s, s"$tmp/events/v1")
       val view = graft.table.IncrementalTable(s, s"$tmp/daily/v1")
+      // countAll isn't in the output, but its state is the view's
+      // total-row tracker: the delete phase then retracts purely from
+      // state (stateRows path) instead of probing upstream for emptied
+      // groups — the layout a production view would carry anyway
       val ivm = new AggregateStream(up, view,
         groupKeys = Seq("month", "day", "event_type"),
-        aggs = Seq(IncAgg.avgOf($"k", "avg_st"), IncAgg.stddevOf($"k", "std_st")),
+        aggs = Seq(IncAgg.countAll("n_rows"),
+          IncAgg.avgOf($"k", "avg_st"), IncAgg.stddevOf($"k", "std_st")),
         partitionBy = Seq("month"), name = "events", replayScope = Seq("month"))
       val ev = Tables.events(s, dir).select(
         date_format($"ts", "yyyy-MM").as("month"),
