@@ -792,6 +792,37 @@ object QueriesPipeline {
           $"n_events".cast("long").as("n_events"))
         .orderBy($"window_start", $"event_type")
     }),
+
+    // ---- DataSource front door under the oracle -----------------------
+    // The q63 mutation sequence (append partitioned by segment, DELETE a
+    // slice, UPDATE another), but the READ goes purely through the Spark
+    // front door: a named `USING graft` view + plain SQL with a pushed
+    // range-and-inequality predicate — no library read call anywhere in
+    // the result path. The relation (sources/GraftSource.scala) routes
+    // the pushed filters into liveFilesWhere's skipping index before any
+    // file is enumerated; GraftSourceSpec pins the prune counts and the
+    // PushedFilters plan shape, this pins end-to-end exactness: a filter
+    // dropped in translation, a DV leak through readFiles, or a
+    // partition column mis-cast by the relation breaks the hash.
+    "q111_datasource_read" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q111_")
+      val root = s"$tmp/cust/v1"
+      val t = graft.table.IncrementalTable(s, root)
+      val base = Tables.customer(s, dir).select(
+        $"c_custkey".as("cust_key"), $"c_name".as("name"),
+        $"c_mktsegment".as("segment"))
+      t.append(base, Seq("segment"), statsColumns = Seq("cust_key"))
+      t.delete($"cust_key" % 3 === 0)
+      t.update($"cust_key" % 5 === 0,
+        Map("name" -> upper($"name"), "segment" -> lit("VIP")))
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q111 " +
+        s"USING graft OPTIONS (path '$root')")
+      s.sql("""SELECT cust_key, name, segment FROM graft_q111
+              |WHERE cust_key BETWEEN 100 AND 1200
+              |  AND segment <> 'MACHINERY'""".stripMargin)
+        .orderBy($"cust_key")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1042,5 +1073,18 @@ object QueriesPipeline {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    "q111_datasource_read" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS cust_key, c_name AS name,
+        |    c_mktsegment AS segment FROM customer),
+        |kept AS (SELECT * FROM base WHERE cust_key % 3 <> 0),
+        |state AS (
+        |  SELECT cust_key,
+        |    CASE WHEN cust_key % 5 = 0 THEN upper(name) ELSE name END AS name,
+        |    CASE WHEN cust_key % 5 = 0 THEN 'VIP' ELSE segment END AS segment
+        |  FROM kept)
+        |SELECT cust_key, name, segment FROM state
+        |WHERE cust_key BETWEEN 100 AND 1200 AND segment <> 'MACHINERY'
+        |ORDER BY cust_key""".stripMargin,
   )
 }

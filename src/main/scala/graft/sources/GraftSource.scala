@@ -1,0 +1,184 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.table.IncrementalTable
+
+/** The Spark front door for [[graft.table.IncrementalTable]]:
+  * `spark.read.format("graft").load(path)` and
+  * `CREATE TEMPORARY VIEW t USING graft OPTIONS (path '…')` followed by
+  * plain `SELECT … FROM t` — the "engine opens the table by name"
+  * contract of the reference's IO-manager read path
+  * (delta_io.py:118-129), expressed as a Spark V1 relation.
+  *
+  * Read path: [[GraftRelation]] is a `PrunedFilteredScan`, so Catalyst
+  * hands it the pushed predicates and the pruned column set. Pushed
+  * filters route into the table's log-level data-skipping index
+  * ([[IncrementalTable.liveFilesWhere]]) BEFORE Spark enumerates any
+  * file — on a clustered 100 TB table a narrow range predicate opens a
+  * handful of files out of millions, and only the survivors' names ever
+  * reach the driver (the prune itself runs as a Spark job above the
+  * checkpoint threshold). Partition-column equality additionally prunes
+  * at directory granularity, and deletion vectors apply inside the scan
+  * exactly as [[IncrementalTable.read]] does. Column pruning reaches
+  * the parquet scan because the projection is applied to the inner
+  * DataFrame plan before it is bridged to the V1 row RDD.
+  *
+  * Write path: `df.write.format("graft").mode(…).save(path)` maps
+  * Append → [[IncrementalTable.append]] and Overwrite →
+  * [[IncrementalTable.replaceWhere]] with an empty filter (a full,
+  * atomic, OCC-checked overwrite) — so SQL-level `INSERT INTO` /
+  * `INSERT OVERWRITE` on a `USING graft` view commit through the same
+  * log as the library API, with the same conflict detection.
+  *
+  * Options: `path` (required), `versionAsOf` (time travel),
+  * `partitionBy` (writes: comma-separated; defaults to the table's
+  * committed layout).
+  */
+final class GraftSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def tableOf(sqlContext: SQLContext,
+      parameters: Map[String, String]): IncrementalTable = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft datasource requires a 'path' option (or load(path)/save(path))"))
+    IncrementalTable(sqlContext.sparkSession, path)
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val t = tableOf(sqlContext, parameters)
+    val asOf = parameters.get("versionAsOf").map(_.toLong)
+    require(t.exists, s"graft table ${t.root} has no commits")
+    GraftRelation(sqlContext.sparkSession, t, asOf)
+  }
+
+  /** User-supplied schema is accepted only when it matches the committed
+    * one — the log is authoritative (a mismatched schema would silently
+    * mis-cast partition columns on read). */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation = {
+    val rel = createRelation(sqlContext, parameters)
+    require(rel.schema == schema,
+      s"user-specified schema $schema does not match committed table " +
+        s"schema ${rel.schema}; omit the schema — the commit log is authoritative")
+    rel
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val t = tableOf(sqlContext, parameters)
+    val partitionBy = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(if (t.exists) t.partitionColumns else Seq.empty)
+    mode match {
+      case SaveMode.Append => t.append(data, partitionBy)
+      case SaveMode.Overwrite =>
+        t.replaceWhere(data, partitionBy, Map.empty, Map.empty)
+      case SaveMode.ErrorIfExists =>
+        require(!t.exists, s"graft table ${t.root} already exists (mode=ErrorIfExists)")
+        t.append(data, partitionBy)
+      case SaveMode.Ignore =>
+        if (!t.exists) t.append(data, partitionBy)
+    }
+    GraftRelation(sqlContext.sparkSession, t, None)
+  }
+}
+
+/** One scan's prune accounting, recorded per table root for tests and
+  * observability: how many files were live vs how many survived the
+  * pushed-filter prune and were actually handed to the parquet reader. */
+final case class GraftScanInfo(filesLive: Int, filesScanned: Int,
+    pushed: Seq[String])
+
+object GraftRelation {
+  // scan-prune observability; keyed by table root, last scan wins
+  private val scans = new java.util.concurrent.ConcurrentHashMap[String, GraftScanInfo]()
+  def lastScan(root: String): Option[GraftScanInfo] = Option(scans.get(root))
+  private[sources] def record(root: String, info: GraftScanInfo): Unit =
+    scans.put(root, info)
+
+  def apply(spark: SparkSession, table: IncrementalTable,
+      asOf: Option[Long]): GraftRelation = {
+    val schema = table.schemaAt(asOf).getOrElse(throw new IllegalStateException(
+      s"graft table ${table.root} has no committed schema" +
+        asOf.fold("")(v => s" as of version $v")))
+    new GraftRelation(spark, table, asOf, schema)
+  }
+
+  /** Catalyst `sources.Filter` → `Column`, conservatively: None means
+    * "can't express", and the filter is reported unhandled so Spark
+    * re-evaluates it above the scan. Translated filters are applied in
+    * full on the inner plan (both for file pruning and row filtering),
+    * so claiming them handled is exact. */
+  private[sources] def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc && rc
+    case Or(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+}
+
+/** See [[GraftSource]]. The scan contract: prune files through the
+  * commit log's skipping index, read ONLY the survivors (with DV state
+  * applied in-scan), project to the pruned column set inside the inner
+  * Catalyst plan, then bridge to the V1 row RDD. */
+final class GraftRelation private (spark: SparkSession,
+    val table: IncrementalTable, asOf: Option[Long],
+    override val schema: StructType)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  /** Everything we can translate is fully applied inside [[buildScan]]
+    * (pruning AND row filtering), so only untranslatable filters need
+    * Spark's re-evaluation above the scan. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter(GraftRelation.translate(_).isEmpty)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val translated = filters.toSeq.flatMap(GraftRelation.translate)
+    val pred = translated.reduceOption(_ && _)
+    // partition-column equality prunes at DIRECTORY granularity (no
+    // stats needed — partition values live in the path, not the footer)
+    val partCols = table.partitionColumns.toSet
+    val partMap = filters.collect {
+      case EqualTo(a, v) if partCols(a) && v != null => a -> v.toString
+    }.toMap
+    val files = pred match {
+      case Some(p) => table.liveFilesWhere(p, partMap, asOf)
+      case None => table.liveFiles(partMap, asOf)
+    }
+    GraftRelation.record(table.root, GraftScanInfo(
+      filesLive = table.liveFiles(Map.empty, asOf).size,
+      filesScanned = files.size,
+      pushed = filters.toSeq.map(_.toString)))
+    val base = table.readFiles(files, asOf)
+    val filtered = pred.map(base.filter).getOrElse(base)
+    // column pruning INSIDE the inner plan: the parquet ReadSchema
+    // shrinks to the pruned set before the V1 row bridge
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
+    projected.rdd
+  }
+}

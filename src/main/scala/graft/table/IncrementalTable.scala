@@ -1171,6 +1171,25 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     committedSchemaAt().getOrElse(throw new IllegalStateException(
       s"table $root has no committed schema"))
 
+  /** Committed schema as of `asOf` (None before the first data commit).
+    * Public so catalogs / the `format("graft")` relation can answer
+    * schema questions from the log alone — no file listing, no footer
+    * reads. */
+  def schemaAt(asOf: Option[Long] = None): Option[StructType] =
+    committedSchemaAt(asOf)
+
+  /** The table's committed partition layout (empty when unpartitioned). */
+  def partitionColumns: Seq[String] = committedPartitionBy
+
+  /** Read an explicit committed-file subset under the table's schema and
+    * deletion-vector state as of `asOf`. The contract behind scan
+    * planners that prune with [[liveFilesWhere]] and then hand the
+    * survivor list back (e.g. [[graft.sources.GraftRelation]]): caller
+    * guarantees `files` ⊆ the live set at `asOf`, same as the internal
+    * read path. */
+  def readFiles(files: Seq[String], asOf: Option[Long] = None): DataFrame =
+    filesDf(files, committedSchemaAt(asOf), liveDv(asOf))
+
   /** Latest non-empty partitionBy (the write-path default: rewrites of
     * a partitioned table keep its layout unless told otherwise). */
   private def committedPartitionBy: Seq[String] =
