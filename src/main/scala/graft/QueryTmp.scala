@@ -49,6 +49,41 @@ private[graft] object ArrivalSplit {
         .write.parquet(s"$dir/batch=0")
       pinned.filter(col(tsCol).cast("long") > split).coalesce(1)
         .write.parquet(s"$dir/batch=1")
+      pinMtimes(dir, 2)
     } finally { pinned.unpersist(); () }
   }
+
+  /** Write one parquet file per value of `batchCol` (must be 0-based and
+    * dense) under `<dir>/batch=<k>`, mtimes pinned strictly increasing
+    * in k — the generalized n-batch arrival scaffold (q113's shuffled
+    * split). Returns the batch count. */
+  def batchWrite(df: org.apache.spark.sql.DataFrame,
+      batchCol: org.apache.spark.sql.Column, dir: String): Int = {
+    import org.apache.spark.sql.functions.{col, max}
+    val pinned = df.withColumn("_graft_b", batchCol).persist()
+    try {
+      val n = pinned.agg(max(col("_graft_b")).cast("int")).first().getInt(0) + 1
+      (0 until n).foreach { b =>
+        pinned.filter(col("_graft_b") === b).drop("_graft_b").coalesce(1)
+          .write.parquet(s"$dir/batch=$b")
+      }
+      pinMtimes(dir, n)
+      n
+    } finally { pinned.unpersist(); () }
+  }
+
+  /** File-source drain order is by mtime: pin `<dir>/batch=<k>`'s files
+    * to strictly increasing stamps so coarse-mtime filesystems can't
+    * tie (or reorder) batches — a tie would violate the cross-batch
+    * time-ordering contract StreamSessions documents (loudly: session
+    * ids flip and the oracle catches it, but flaky-loud is still
+    * flaky). The stamp value is arbitrary; only strict monotonicity in
+    * k matters. */
+  private def pinMtimes(dir: String, n: Int): Unit =
+    (0 until n).foreach { b =>
+      val d = new java.io.File(s"$dir/batch=$b")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f => f.setLastModified(1600000000000L + b * 60000L); () }
+    }
 }
