@@ -309,11 +309,7 @@ final class AggregateStream(
             if (scopable)
               (c.add ++ c.remove ++ c.dv.keys).map(scopeOf).distinct.filter(_.nonEmpty)
             else Nil
-          if (scopes.isEmpty)
-            down.replaceWhere(aggOf(up.readAt(c.version)), partitionBy,
-              Map.empty, partitionFilter = Map.empty, meta = cursor,
-              batchId = Some(c.version), appId = Some(appId))
-          else scopes.zipWithIndex.foreach { case (sc, i) =>
+          if (scopes.nonEmpty) scopes.zipWithIndex.foreach { case (sc, i) =>
             val m = if (i == scopes.size - 1) cursor
               else Map.empty[String, String]
             down.replaceWhere(
@@ -323,9 +319,81 @@ final class AggregateStream(
               batchId = if (i == scopes.size - 1) Some(c.version) else None,
               appId = Some(appId))
           }
+          // a narrow rewrite (compaction slice, partition replace on a
+          // table whose layout the view doesn't mirror) rebuilds ONLY
+          // the groups whose files it touched, with the upstream
+          // re-read pruned through the stats index — unless the
+          // rewrite spans most of the table, where the full recompute
+          // is the cheaper plan
+          else if (c.action == "replace" && down.exists && c.remove.nonEmpty &&
+              2L * c.remove.size < up.liveFileCount(Some(c.version)))
+            rewriteScopedRebuild(c, cursor)
+          else
+            down.replaceWhere(aggOf(up.readAt(c.version)), partitionBy,
+              Map.empty, partitionFilter = Map.empty, meta = cursor,
+              batchId = Some(c.version), appId = Some(appId))
       }
     }
     pending.size
+  }
+
+  /** Prune accounting of the last [[rewriteScopedRebuild]]:
+    * (files scanned for the recompute, live files at that version) —
+    * AggregateStreamSpec asserts scanned is a strict subset. */
+  @volatile private[streaming] var lastRewriteScan: Option[(Long, Long)] = None
+
+  /** Key-scoped rebuild for a REWRITE commit (VERDICT r5 #5): a
+    * replace/compaction carries no row-level delta, but it does name
+    * its files — the groups it can have changed are exactly those
+    * present in the removed files (read at the pre-commit version) or
+    * the added files (read at the commit). Those groups' states are
+    * recomputed from upstream and swapped in atomically
+    * (deleteInsert: groups emptied by the rewrite leave the view);
+    * every other group's state — including non-subtractable HLL/top-k
+    * sketches — is untouched, so the cliff is O(groups the rewrite
+    * intersected), not O(view).
+    *
+    * The recompute's upstream re-read is pruned through the
+    * data-skipping index: the touched keys' [min,max] envelope becomes
+    * a predicate for [[IncrementalTable.liveFilesWhere]], so on a
+    * table clustered by the group key the scan touches the rewritten
+    * neighborhood, not the table. (The envelope only helps when group
+    * keys are physical upstream columns with stats — otherwise the
+    * prune degrades conservatively to all live files, still key-scoped
+    * in the aggregation.) */
+  private def rewriteScopedRebuild(c: graft.table.Commit,
+      cursor: Map[String, String]): Unit = {
+    val keyCols = groupKeys.map(col)
+    val touched =
+      prepare(up.readFiles(c.remove, Some(c.version - 1))).select(keyCols: _*)
+        .unionByName(
+          prepare(up.readFiles(c.add, Some(c.version))).select(keyCols: _*))
+        .distinct().persist()
+    try {
+      // the touched keys' bounding box, one tiny agg; a null bound
+      // (all-null key column) disables that column's pruning
+      val boundCols = keyCols.flatMap(k => Seq(min(k), max(k)))
+      val bounds = touched.agg(boundCols.head, boundCols.tail: _*).first()
+      val pred = groupKeys.zipWithIndex.flatMap { case (k, i) =>
+        val (lo, hi) = (bounds.get(2 * i), bounds.get(2 * i + 1))
+        if (lo == null || hi == null) None
+        else Some(col(k) >= lit(lo) && col(k) <= lit(hi))
+      }.reduceOption(_ && _)
+      val files = pred match {
+        case Some(p) => up.liveFilesWhere(p, Map.empty, Some(c.version))
+        case None => up.liveFiles(Map.empty, Some(c.version))
+      }
+      lastRewriteScan = Some((files.size.toLong, up.liveFileCount(Some(c.version))))
+      val recomputed = prepare(up.readFiles(files, Some(c.version)))
+        .join(touched, groupKeys, "left_semi")
+        .groupBy(keyCols: _*)
+        .agg(aggs.head.delta.as(aggs.head.name),
+          aggs.tail.map(a => a.delta.as(a.name)): _*)
+      down.deleteInsert(touched, groupKeys, lit(true), recomputed,
+        partitionBy, meta = cursor,
+        batchId = Some(c.version), appId = Some(appId))
+      ()
+    } finally { touched.unpersist(); () }
   }
 
   /** Hive `k=v` segments of a path, restricted to the replay scope. */

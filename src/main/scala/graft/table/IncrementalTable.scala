@@ -1171,6 +1171,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     committedSchemaAt().getOrElse(throw new IllegalStateException(
       s"table $root has no committed schema"))
 
+  /** Number of live files as of `asOf` — a count JOB above the
+    * checkpoint threshold (never collects the live set to the driver),
+    * a plain size below it. For sizing decisions like "is this rewrite
+    * most of the table". */
+  def liveFileCount(asOf: Option[Long] = None): Long =
+    parquetCkpt(commitsAsOf(asOf)) match {
+      case Some(_) => liveRowsDF(Map.empty, asOf).count()
+      case None => liveFiles(Map.empty, asOf).size.toLong
+    }
+
   /** Committed schema as of `asOf` (None before the first data commit).
     * Public so catalogs / the `format("graft")` relation can answer
     * schema questions from the log alone — no file listing, no footer

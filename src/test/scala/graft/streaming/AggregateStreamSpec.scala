@@ -358,4 +358,52 @@ class AggregateStreamSpec extends SparkSpec {
     assert(s.drain() == 1)
     assertParity(up, down)
   }
+
+  test("narrow rewrite: sketch state rebuilt ONLY for touched groups, scan pruned by the stats index") {
+    val dir = tmpDir("aggstream")
+    val up = mkUp(dir)
+    val down = IncrementalTable(spark, dir + "/view/v1")
+    // upstream clustered by key range: partition p=0..3 holds keys
+    // [100p, 100p+100), one file each, stats on k
+    def slab(p: Int, ks: Range, tag: Long): DataFrame =
+      ks.map(k => (p.toString, k.toLong, k * 10L + tag)).toDF("p", "k", "v")
+        .repartition(1)
+    (0 until 4).foreach { p =>
+      up.append(slab(p, 100 * p until 100 * p + 100, 0L), Seq("p"),
+        statsColumns = Seq("k"))
+    }
+    // group key k only (p is NOT a group key -> scoped replace can't
+    // apply; before this path existed the fallback recomputed the
+    // whole view); HLL sketch makes the groups non-retractable
+    val s = new AggregateStream(up, down, Seq("k"),
+      Seq(IncAgg.countAll("n"), IncAgg.approxDistinct(col("v"), "v_sketch")),
+      name = "ev", replayScope = Seq("day"))
+    assert(s.drain() == 4)
+    assert(down.read().count() == 400)
+
+    // rewrite ONE partition: keys 200-249 survive with new v, 250-299
+    // vanish (their view groups must leave)
+    val f = Map("p" -> "2")
+    up.replaceWhere(slab(2, 200 until 250, 7L), Seq("p"), f,
+      partitionFilter = f, statsColumns = Seq("k"))
+    assert(s.drain() == 1)
+
+    // oracle: the view equals the batch recompute, sketches included
+    val got = down.read().select($"k", $"n",
+        hll_sketch_estimate($"v_sketch").as("est"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = up.read().groupBy($"k")
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_estimate(hll_sketch_agg($"v")).as("est"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(down.read().count() == 350) // 250-299 left the view
+    // and the rebuild's upstream re-read was PRUNED: the touched keys'
+    // envelope [200,299] admits only p=2's files (old file at the
+    // pre-commit version is gone; the new one matches), a strict
+    // subset of the 4 live files
+    val (scanned, live) = s.lastRewriteScan.get
+    assert(live == 4L, s"live=$live")
+    assert(scanned < live, s"scan not pruned: $scanned of $live files")
+  }
 }
