@@ -823,6 +823,37 @@ object QueriesPipeline {
               |  AND segment <> 'MACHINERY'""".stripMargin)
         .orderBy($"cust_key")
     }),
+
+    // ---- NESTED types through the table format ------------------------
+    // Struct + array-of-struct columns persisted through
+    // IncrementalTable: orders become (key, hdr: struct(status,total),
+    // items: array<struct(line_no,qty)>), appended in two commits, then
+    // a row-level DELETE forces a copy-on-write rewrite that must carry
+    // the nested columns intact. The per-order item list is
+    // deterministically ordered (aggregated sorted by line_no) so the
+    // hash is stable; the oracle rebuilds the same structs with DuckDB
+    // struct_pack/list. Nested stats stay gracefully boundless and
+    // in-struct evolution is rejected loudly — pinned in
+    // IncrementalTableSpec; this pins end-to-end value fidelity.
+    "q114_nested_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q114_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/ord/v1")
+      val items = Tables.lineitem(s, dir).groupBy($"l_orderkey")
+        .agg(sort_array(collect_list(struct(
+          $"l_linenumber".cast("long").as("line_no"),
+          $"l_quantity".as("qty")))).as("items"))
+      val base = Tables.orders(s, dir)
+        .join(items, $"o_orderkey" === $"l_orderkey", "left")
+        .select($"o_orderkey",
+          struct($"o_orderstatus".as("status"),
+            $"o_totalprice".as("total")).as("hdr"),
+          $"items")
+      t.append(base.filter($"o_orderkey" % 2 === 0), Nil)
+      t.append(base.filter($"o_orderkey" % 2 === 1), Nil)
+      t.delete($"o_orderkey" % 7 === 0)
+      t.read().orderBy($"o_orderkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1086,5 +1117,18 @@ object QueriesPipeline {
         |SELECT cust_key, name, segment FROM state
         |WHERE cust_key BETWEEN 100 AND 1200 AND segment <> 'MACHINERY'
         |ORDER BY cust_key""".stripMargin,
+    "q114_nested_roundtrip" ->
+      """WITH items AS (
+        |  SELECT l_orderkey,
+        |    list(struct_pack(line_no := CAST(l_linenumber AS BIGINT),
+        |                     qty := l_quantity)
+        |         ORDER BY l_linenumber, l_quantity) AS items
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderkey,
+        |  struct_pack(status := o_orderstatus, total := o_totalprice) AS hdr,
+        |  items.items AS items
+        |FROM orders LEFT JOIN items ON o_orderkey = l_orderkey
+        |WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

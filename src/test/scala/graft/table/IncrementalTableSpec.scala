@@ -1,10 +1,59 @@
 package graft.table
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{col, length, lit, sum, when}
+import org.apache.spark.sql.functions.{col, length, lit, struct, sum, when}
 
 class IncrementalTableSpec extends SparkSpec {
   import spark.implicits._
+
+  test("nested types round-trip: struct + array-of-struct through append, delete rewrite, update, DV") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/nested")
+    def frame(keys: Range) = keys.map { k =>
+      (k.toLong, (s"s$k", k * 1.5), Seq((1L, k * 10L), (2L, k * 20L)))
+    }.toDF("k", "hdr", "items")
+    t.append(frame(0 until 50), Nil, statsColumns = Seq("k", "hdr"))
+    t.append(frame(50 until 100), Nil, statsColumns = Seq("k", "hdr"))
+    // stats on a struct column are gracefully BOUNDLESS: footer leaves
+    // are dot-paths ("hdr._1"), the requested top-level name matches
+    // nothing, so no index entry exists and a predicate on the nested
+    // field prunes NOTHING (conservative), while flat-column stats on
+    // the same commits still prune (asserted pre-mutation: the
+    // delete/update rewrites below re-stage without statsColumns)
+    assert(t.liveFilesWhere(col("hdr._2") > 1e9).size == t.liveFiles().size)
+    assert(t.liveFilesWhere(col("k") >= 60L).size < t.liveFiles().size)
+    // copy-on-write DELETE must rewrite files carrying the nested cols
+    t.delete(col("k") % 10 === 0)
+    // UPDATE rewrites a nested value wholesale (struct replacement)
+    t.update(col("k") === 7L,
+      Map("hdr" -> struct(lit("SEVEN").as("_1"), lit(0.0).as("_2"))))
+    // merge-on-read DV path over nested rows
+    t.deleteVectorized(col("k") === 13L)
+    val got = t.read().select($"k", $"hdr._1", $"hdr._2", $"items")
+      .as[(Long, String, Double, Seq[(Long, Long)])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 100 - 10 - 1)
+    assert(!got.contains(13L) && !got.contains(20L))
+    assert(got(7L) == (("SEVEN", 0.0, Seq((1L, 70L), (2L, 140L)))))
+    assert(got(42L) == (("s42", 63.0, Seq((1L, 420L), (2L, 840L)))))
+  }
+
+  test("nested schema evolution: adding a field INSIDE a struct is rejected explicitly; a new nested column null-backfills") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/nestedevo")
+    t.append(Seq((1L, ("a", 1L))).toDF("k", "hdr"), Nil)
+    // widening the struct itself = a type change on column 'hdr' →
+    // add-column-only evolution must refuse it loudly
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((2L, ("b", 2L, 9.9))).toDF("k", "hdr"), Nil)
+    }
+    assert(e.getMessage.contains("add-column only"))
+    // a NEW top-level nested column is ordinary add-column evolution:
+    // old files read it as null
+    t.append(Seq((3L, ("c", 3L), Seq(1L, 2L))).toDF("k", "hdr", "tags"), Nil)
+    val got = t.read().select($"k", $"hdr._2", $"tags")
+      .as[(Long, Long, Option[Seq[Long]])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((1L, None)), 3L -> ((3L, Some(Seq(1L, 2L))))))
+  }
 
   test("append + pruned read round-trips with partition columns") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/t1")
