@@ -854,6 +854,51 @@ object QueriesPipeline {
       t.delete($"o_orderkey" % 7 === 0)
       t.read().orderBy($"o_orderkey")
     }),
+
+    // ---- THREE-hop incremental join chain (T1 = A⋈B, T2 = T1⋈C) ------
+    // SURVEY X31's N-way chaining under the oracle: the first
+    // JoinStream's OUTPUT table is the second one's INPUT — legal
+    // because inner-mode maintenance emits pure append commits, which
+    // downstream consumers ingest like any upstream. Arrivals on all
+    // THREE inputs interleave (customer lagging orders, lineitem both
+    // leading and trailing its T1 matches), with drains between; every
+    // (order, customer, lineitem) triple must enter T2 exactly once —
+    // a pair double-joined at either hop, or a T1 delta joined against
+    // the wrong C snapshot, breaks the count and hash against the flat
+    // 3-way join.
+    "q115_three_hop_join" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q115_")
+      val a = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
+      val b = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      val c = graft.table.IncrementalTable(s, s"$tmp/items/v1")
+      val t1 = graft.table.IncrementalTable(s, s"$tmp/oc/v1")
+      val t2 = graft.table.IncrementalTable(s, s"$tmp/ocl/v1")
+      val ord = Tables.orders(s, dir).select($"o_orderkey",
+        $"o_custkey".as("cust_key"), $"o_totalprice")
+      val cust = Tables.customer(s, dir).select($"c_custkey".as("cust_key"),
+        $"c_name")
+      val li = Tables.lineitem(s, dir).select($"l_orderkey".as("o_orderkey"),
+        $"l_linenumber".cast("long").as("line_no"), $"l_quantity".as("qty"))
+      val hop1 = new graft.streaming.JoinStream(a, b, t1, Seq("cust_key"),
+        name = "oc")
+      val hop2 = new graft.streaming.JoinStream(t1, c, t2, Seq("o_orderkey"),
+        name = "ocl")
+      def drainAll(): Unit = { hop1.drain(); hop2.drain(); () }
+      a.append(ord.filter($"o_orderkey" % 2 === 1), partitionBy = Nil)
+      b.append(cust.filter($"cust_key" % 2 === 0), partitionBy = Nil)
+      drainAll()
+      c.append(li.filter($"line_no" <= 3), partitionBy = Nil)
+      drainAll()
+      a.append(ord.filter($"o_orderkey" % 2 === 0), partitionBy = Nil)
+      c.append(li.filter($"line_no" > 3), partitionBy = Nil)
+      drainAll()
+      b.append(cust.filter($"cust_key" % 2 === 1), partitionBy = Nil)
+      drainAll()
+      t2.read().select($"o_orderkey", $"line_no", $"qty", $"cust_key",
+          $"o_totalprice", $"c_name")
+        .orderBy($"o_orderkey", $"line_no", $"qty")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1130,5 +1175,13 @@ object QueriesPipeline {
         |FROM orders LEFT JOIN items ON o_orderkey = l_orderkey
         |WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    "q115_three_hop_join" ->
+      """SELECT o.o_orderkey, CAST(l.l_linenumber AS BIGINT) AS line_no,
+        |  l.l_quantity AS qty, o.o_custkey AS cust_key,
+        |  o.o_totalprice, c.c_name
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |ORDER BY o_orderkey, line_no, qty""".stripMargin,
   )
 }
