@@ -248,8 +248,18 @@ object QueriesSimilarity {
     // replay-identical. Approximate by design (rows-only at the gate);
     // PqAnnSpec pins recall/volume floors.
     "q97_pq_ann" -> ((s, dir) =>
-      pqAnn(s, Tables.embeddings(s, dir), cacheKey = Some(dir))),
+      pqAnn(s, Tables.embeddings(s, dir), cacheKey = Some(corpusKey(dir)))),
   )
+
+  /** Memo key that names the CORPUS, not the path: the driver has
+    * rewritten testdata in place between rounds (ADVICE r5 #1), and a
+    * bare-path key would then serve codebooks trained on the old bytes
+    * for the JVM's lifetime. Folding the backing file's (mtime, size)
+    * into the key makes regeneration a cache miss. */
+  private def corpusKey(dir: String): String = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    s"$dir@${f.lastModified}:${f.length}"
+  }
 
   // PQ codebook memo — same contract as Vectors.ivfCodebook: the
   // sub-codebooks are a pure deterministic function of (corpus, M,

@@ -203,8 +203,24 @@ final class AggregateStream(
   def sourceVersion: Long =
     down.latestMeta(srcKey).map(_.toLong).getOrElse(-1L)
 
+  /** Group keys with an inline null guard (ADVICE r5 #3): the
+    * maintenance joins (merge probe, retraction, deleteInsert) use
+    * null-unsafe key equality, so a NULL group key's state could never
+    * be retracted and the view would silently diverge from the batch
+    * recompute. NULL keys are therefore a CONTRACT violation — coalesce
+    * or filter them in `prepare` — and this guard turns the first one
+    * into a loud plan failure inside the existing aggregation job (no
+    * extra action, codegen-inlined per row). */
+  private def guardedKeys: Seq[Column] = groupKeys.map { k =>
+    when(col(k).isNull, raise_error(lit(
+      s"AggregateStream[$name]: NULL group key '$k' — null keys are not " +
+        "maintainable (null-unsafe maintenance joins); coalesce or " +
+        "filter them in prepare")))
+      .otherwise(col(k)).as(k)
+  }
+
   private def aggOf(raw: DataFrame): DataFrame =
-    prepare(raw).groupBy(groupKeys.map(col): _*)
+    prepare(raw).groupBy(guardedKeys: _*)
       .agg(aggs.head.delta.as(aggs.head.name),
         aggs.tail.map(a => a.delta.as(a.name)): _*)
 
@@ -272,7 +288,7 @@ final class AggregateStream(
           } else {
             val recomputed = prepare(up.readAt(c.version))
               .join(touched, groupKeys, "left_semi")
-              .groupBy(keyCols: _*)
+              .groupBy(guardedKeys: _*)
               .agg(aggs.head.delta.as(aggs.head.name),
                 aggs.tail.map(a => a.delta.as(a.name)): _*)
             down.deleteInsert(touched, groupKeys, lit(true), recomputed,
@@ -386,7 +402,7 @@ final class AggregateStream(
       lastRewriteScan = Some((files.size.toLong, up.liveFileCount(Some(c.version))))
       val recomputed = prepare(up.readFiles(files, Some(c.version)))
         .join(touched, groupKeys, "left_semi")
-        .groupBy(keyCols: _*)
+        .groupBy(guardedKeys: _*)
         .agg(aggs.head.delta.as(aggs.head.name),
           aggs.tail.map(a => a.delta.as(a.name)): _*)
       down.deleteInsert(touched, groupKeys, lit(true), recomputed,
