@@ -94,7 +94,7 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
 /** One scan's prune accounting, recorded per table root for tests and
   * observability: how many files were live vs how many survived the
   * pushed-filter prune and were actually handed to the parquet reader. */
-final case class GraftScanInfo(filesLive: Int, filesScanned: Int,
+final case class GraftScanInfo(filesLive: Long, filesScanned: Int,
     pushed: Seq[String])
 
 object GraftRelation {
@@ -168,8 +168,10 @@ final class GraftRelation private (spark: SparkSession,
       case Some(p) => table.liveFilesWhere(p, partMap, asOf)
       case None => table.liveFiles(partMap, asOf)
     }
+    // liveFileCount is a count JOB above the checkpoint threshold —
+    // the accounting must never itself collect the live set
     GraftRelation.record(table.root, GraftScanInfo(
-      filesLive = table.liveFiles(Map.empty, asOf).size,
+      filesLive = table.liveFileCount(asOf),
       filesScanned = files.size,
       pushed = filters.toSeq.map(_.toString)))
     val base = table.readFiles(files, asOf)
