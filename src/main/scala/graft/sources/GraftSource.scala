@@ -40,7 +40,8 @@ import graft.table.IncrementalTable
   * committed layout).
   */
 final class GraftSource extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -88,6 +89,46 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
         if (!t.exists) t.append(data, partitionBy)
     }
     GraftRelation(sqlContext.sparkSession, t, None)
+  }
+
+  /** Streaming front door: `df.writeStream.format("graft")
+    * .option("checkpointLocation", …).start(path)` — each micro-batch
+    * appends under the table's (appId = checkpoint identity, batchId)
+    * replay guard, the same exactly-once contract as the library's
+    * foreachBatch sinks: a crash replay of a committed batch
+    * short-circuits at the commit log before any plan runs. Append
+    * output mode only (an aggregate's update stream should go through
+    * the library's maintained-view sinks instead). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft streaming sink supports Append output mode only (got $outputMode)")
+    val t = tableOf(sqlContext, parameters)
+    val appId = parameters.get("checkpointLocation")
+      .map(graft.streaming.CheckpointId(sqlContext.sparkSession, _))
+      .getOrElse(t.root)
+    new GraftSink(t, partitionColumns, appId)
+  }
+}
+
+/** See [[GraftSource.createSink]]. The micro-batch frame is
+  * re-materialized through its OWN QueryExecution (no new analysis
+  * touches the streaming plan —
+  * [[org.apache.spark.sql.graftshim.StreamingBatchShim]]) into a batch
+  * frame the table's append path can stage. */
+private[sources] final class GraftSink(table: IncrementalTable,
+    partitionColumns: Seq[String], appId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val partitionBy =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else if (table.exists) table.partitionColumns
+      else Seq.empty
+    val batch = org.apache.spark.sql.graftshim.StreamingBatchShim.rebatch(data)
+    table.append(batch, partitionBy,
+      batchId = Some(batchId), appId = Some(appId))
+    ()
   }
 }
 
