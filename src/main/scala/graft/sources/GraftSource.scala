@@ -41,7 +41,7 @@ import graft.table.IncrementalTable
   */
 final class GraftSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with StreamSinkProvider {
+    with StreamSinkProvider with StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -110,6 +110,147 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
       .getOrElse(t.root)
     new GraftSink(t, partitionColumns, appId)
   }
+
+  /** Streaming SOURCE front door: `spark.readStream.format("graft")
+    * .load(path)` — the "stream FROM a table" contract (the Delta
+    * analog of [[graft.streaming.DerivedStream]]'s changefeed read):
+    * offsets are commit versions, each micro-batch is exactly the
+    * window's appended rows. Options: `startingVersion` (default:
+    * everything committed so far becomes batch 0, Delta's initial-
+    * snapshot shape), `maxCommitsPerTrigger` (rate limit). */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val t = tableOf(sqlContext, parameters)
+    val committed = t.schemaAt().getOrElse(throw new IllegalStateException(
+      s"graft table ${t.root} has no committed schema to stream"))
+    schema.foreach(s => require(s == committed,
+      "omit the schema — the commit log is authoritative"))
+    (s"graft[${t.root}]", committed)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val t = tableOf(sqlContext, parameters)
+    new GraftStreamSource(sqlContext.sparkSession, t,
+      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      maxCommitsPerTrigger = parameters.get("maxCommitsPerTrigger").map(_.toLong))
+  }
+}
+
+/** See [[GraftSource.createSource]]. Offsets are COMMIT VERSIONS
+  * (LongOffset): `getOffset` reports the table head (rate-limited by
+  * `maxCommitsPerTrigger`), `getBatch(from, to)` materializes the
+  * window's appended rows.
+  *
+  * Append-only contract: a replace/dv/restore commit inside the window
+  * is a rewrite no append stream can express — the source fails loudly
+  * and points at the change feed / library streams (Delta's
+  * ignoreChanges-less default). A window predating the head checkpoint
+  * (a lagging consumer crossing the replay horizon) goes through
+  * [[IncrementalTable.changes]], which reads the ARCHIVED delta
+  * records — so checkpoint folding never silently drops a commit from
+  * the stream; outside CDC retention it fails like `changes` does,
+  * never under-reports. */
+private[sources] final class GraftStreamSource(spark: SparkSession,
+    table: IncrementalTable, startingVersion: Long,
+    maxCommitsPerTrigger: Option[Long])
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+  import org.apache.spark.sql.graftshim.StreamingBatchShim
+
+  override val schema: StructType =
+    table.schemaAt().getOrElse(throw new IllegalStateException(
+      s"graft table ${table.root} has no committed schema to stream"))
+
+  private def versionOf(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json().trim.toLong
+  }
+
+  // Trigger.AvailableNow pins the drain target at query start (without
+  // this the engine consults getOffset ONCE, so a rate-limited run
+  // would stop after its first micro-batch); each subsequent trigger
+  // advances by maxCommitsPerTrigger until the pinned head is reached
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    table.refresh()
+    availableNowTarget = Some(table.latestVersion)
+  }
+
+  /** SupportsTriggerAvailableNow extends SupportsAdmissionControl; the
+    * V1 engine path still drives planning through [[getOffset]], so the
+    * DSv2-shaped accessor just delegates. */
+  override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
+  override def getOffset: Option[V1Offset] = {
+    val latest = availableNowTarget.getOrElse {
+      table.refresh()
+      table.latestVersion
+    }
+    if (latest < 0) None
+    else Some(LongOffset(maxCommitsPerTrigger match {
+      case Some(max) =>
+        // rate limit measured from the last PLANNED offset, not the
+        // committed one — getOffset may be polled between batches
+        val floor = lastPlanned.getOrElse(startingVersion - 1)
+        math.min(latest, floor + max)
+      case None => latest
+    }))
+  }
+  @volatile private var lastPlanned: Option[Long] = None
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): org.apache.spark.sql.DataFrame = {
+    val from = start.map(versionOf).getOrElse(startingVersion - 1)
+    val to = versionOf(end)
+    // floor tracks the FURTHEST window edge ever seen: on a restart the
+    // in-memory floor resets below the checkpoint's committed offset,
+    // and the engine may hand one stale (to < from) window — empty by
+    // the filter below, and `from` (the committed offset) re-seeds the
+    // floor so no version is ever re-delivered
+    lastPlanned = Some(math.max(lastPlanned.getOrElse(Long.MinValue),
+      math.max(from, to)))
+    table.refresh()
+    val visible = table.commits().filter(c => c.version > from && c.version <= to)
+    val crossesFold = visible.headOption.exists(c =>
+      c.action == "checkpoint" && c.filesParquet.isDefined && from + 1 < c.version)
+    val batch =
+      if (!crossesFold) {
+        visible.foreach { c =>
+          require(c.action == "append" || c.action == "meta" ||
+              c.action == "dvmerge" || c.action == "checkpoint",
+            s"graft streaming source requires append-only history: version " +
+              s"${c.version} is '${c.action}' — stream the change feed " +
+              "(IncrementalTable.changes) or the library's rebuild-aware streams")
+        }
+        visible.filter(c => c.action == "append" && c.add.nonEmpty)
+          .map(c => table.readCommit(c.version))
+          .reduceOption(_.unionByName(_))
+          .getOrElse(table.readFiles(Nil).limit(0))
+      } else {
+        // lagging consumer crossed the replay horizon: the folded
+        // commits' add-sets are gone from the replayed log, but the
+        // archived delta walk (CDC retention) still has them
+        val cdc = table.changes(from + 1, to)
+        val deletes = cdc.filter(col("_change_type") === "delete")
+        require(deletes.isEmpty,
+          "graft streaming source crossed the replay horizon over a window " +
+            "containing row deletes — append-only streams cannot express them")
+        cdc.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version")
+      }
+    StreamingBatchShim.asStreamingBatch(
+      batch.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** See [[GraftSource.createSink]]. The micro-batch frame is

@@ -22,4 +22,16 @@ object StreamingBatchShim {
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     spark.internalCreateDataFrame(rdd, ds.schema, isStreaming = false)
   }
+
+  /** The inverse direction, for a V1 `Source.getBatch`: the engine
+    * asserts the returned frame's plan is STREAMING-flagged (it splices
+    * it into the incremental plan), so a batch-computed delta must be
+    * rewrapped — the same `internalCreateDataFrame(_, _, isStreaming =
+    * true)` every V1 source (MemoryStream included) uses. */
+  def asStreamingBatch(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    spark.internalCreateDataFrame(rdd, ds.schema, isStreaming = true)
+  }
 }

@@ -137,6 +137,42 @@ class GraftSourceSpec extends SparkSpec {
     assert(t.commits().count(_.action == "append") == 2)
   }
 
+  test("streaming source: commits drain as micro-batches, checkpoint resumes incrementally") {
+    val root = tmpDir("gsrc_src")
+    val t = IncrementalTable(spark, s"$root/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Nil)
+    t.append(Seq((3L, "c")).toDF("id", "s"), Nil)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxCommitsPerTrigger", 1).load(s"$root/t")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = b.collect().map(r => (id, r.getLong(0), r.getString(1)))
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // rate limit: one commit per micro-batch
+    assert(got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap ==
+      Map(0L -> Set(1L, 2L), 1L -> Set(3L)))
+    // new commits resume from the checkpoint: only the delta arrives
+    got.clear()
+    t.append(Seq((4L, "d")).toDF("id", "s"), Nil)
+    drain()
+    assert(got.map(r => (r._2, r._3)).toSeq == Seq((4L, "d")))
+    // a rewrite commit fails the append-only contract loudly
+    t.delete(col("id") === 1L)
+    t.append(Seq((5L, "e")).toDF("id", "s"), Nil)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    assert(e.getCause.getMessage.contains("append-only"), e.getCause.getMessage)
+  }
+
   test("mutated table reads identically via API and datasource") {
     val root = tmpDir("gsrc_mut") + "/t"
     val t = IncrementalTable(spark, root)
