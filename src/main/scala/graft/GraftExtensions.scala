@@ -19,6 +19,11 @@ import graft.functions.{MinHashAgg, SimHashAgg, VectorDot, VectorLshBuckets, Vec
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL UPDATE / MERGE INTO over catalog-resolved graft tables — the
+    // row-level DML verbs DSv2 has no V1-fallback bridge for; rewritten
+    // post-resolution into the library's copy-on-write paths
+    // (sources/GraftDml.scala)
+    ext.injectPostHocResolutionRule(spark => new graft.sources.GraftDmlRule(spark))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),

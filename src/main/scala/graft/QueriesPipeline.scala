@@ -899,6 +899,109 @@ object QueriesPipeline {
           $"o_totalprice", $"c_name")
         .orderBy($"o_orderkey", $"line_no", $"qty")
     }),
+
+    // ---- CATALOG front door: the full SQL verb set (X52) ---------------
+    // X45 gave the table format a path-based datasource; this is the
+    // name-based DSv2 TableCatalog (sources/GraftCatalog.scala): every
+    // statement below is PURE SQL — CREATE TABLE (partitioned, with the
+    // stats-index opt-in riding TBLPROPERTIES), INSERT INTO, DELETE
+    // FROM (translated predicate → skipping-pruned copy-on-write),
+    // INSERT OVERWRITE with a static partition scope (one atomic
+    // replaceWhere commit), and the final SELECT bridging through the
+    // same pruned scan as format("graft"). A scope over- or
+    // under-replace, a DELETE that misses rows, or a partition value
+    // mis-round-tripped by the catalog breaks the hash.
+    "q116_catalog_sql" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.cust")
+      s.sql("""CREATE TABLE graft.lake.cust
+              |  (cust_key BIGINT, name STRING, balance DOUBLE, segment STRING)
+              |PARTITIONED BY (segment)
+              |TBLPROPERTIES ('graft.statsColumns' = 'cust_key')""".stripMargin)
+      Tables.customer(s, dir).select($"c_custkey".as("cust_key"),
+          $"c_name".as("name"), $"c_acctbal".as("balance"),
+          $"c_mktsegment".as("segment"))
+        .createOrReplaceTempView("q116_src")
+      s.sql("INSERT INTO graft.lake.cust " +
+        "SELECT cust_key, name, balance, segment FROM q116_src")
+      s.sql("DELETE FROM graft.lake.cust WHERE balance < 0")
+      s.sql("""INSERT OVERWRITE graft.lake.cust PARTITION (segment = 'BUILDING')
+              |SELECT cust_key, upper(name) AS name, balance + 1000 AS balance
+              |FROM q116_src WHERE segment = 'BUILDING' AND cust_key % 2 = 0""".stripMargin)
+      s.sql("""SELECT cust_key, name, balance, segment FROM graft.lake.cust
+              |WHERE cust_key BETWEEN 50 AND 1400
+              |ORDER BY cust_key""".stripMargin)
+    }),
+
+    // ---- SQL time travel through the catalog ---------------------------
+    // `VERSION AS OF` resolves through TableCatalog.loadTable(ident,
+    // version) — the engine-native time-travel syntax over the commit
+    // log (no library readAt call anywhere): v1 = after the first
+    // INSERT, head = after a second INSERT and a range DELETE. A
+    // version pinned to the wrong snapshot, or a snapshot leaking
+    // post-v1 commits, breaks either half of the union.
+    "q117_sql_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.ordsnap")
+      s.sql("CREATE TABLE graft.lake.ordsnap (order_key BIGINT, status STRING)")
+      Tables.orders(s, dir).select($"o_orderkey".as("order_key"),
+          $"o_orderstatus".as("status"))
+        .createOrReplaceTempView("q117_src")
+      s.sql("INSERT INTO graft.lake.ordsnap " +
+        "SELECT order_key, status FROM q117_src WHERE order_key % 3 = 0")
+      s.sql("INSERT INTO graft.lake.ordsnap " +
+        "SELECT order_key, status FROM q117_src WHERE order_key % 3 = 1")
+      s.sql("DELETE FROM graft.lake.ordsnap WHERE order_key <= 1000")
+      s.sql("""SELECT 'v1' AS snap, status, count(*) AS n,
+              |  sum(order_key) AS key_sum
+              |FROM graft.lake.ordsnap VERSION AS OF 1 GROUP BY status
+              |UNION ALL
+              |SELECT 'head' AS snap, status, count(*) AS n,
+              |  sum(order_key) AS key_sum
+              |FROM graft.lake.ordsnap GROUP BY status
+              |ORDER BY snap, status""".stripMargin)
+    }),
+
+    // ---- SQL UPDATE + MERGE INTO through the catalog (X53) -------------
+    // The row-level DML verbs DSv2 has no V1 bridge for, rewritten by
+    // GraftDmlRule (injected via GraftExtensions) into the library's
+    // copy-on-write update and key-matched merge — every statement pure
+    // SQL. UPDATE's SET expressions evaluate inside the rewrite scan
+    // (only files the predicate can reach rewrite); MERGE is the
+    // canonical upsert (matched rows replaced by the source row,
+    // unmatched source rows inserted) in ONE atomic commit. A
+    // mis-unbound expression, an update leaking into untouched files,
+    // or a merge double-applying a matched row breaks the hash.
+    "q118_sql_merge_update" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.parts")
+      s.sql("""CREATE TABLE graft.lake.parts
+              |  (part_key BIGINT, name STRING, retail DOUBLE, brand STRING)
+              |TBLPROPERTIES ('graft.statsColumns' = 'part_key')""".stripMargin)
+      Tables.part(s, dir).select($"p_partkey".as("part_key"),
+          $"p_name".as("name"), $"p_retailprice".as("retail"),
+          $"p_brand".as("brand"))
+        .createOrReplaceTempView("q118_src")
+      s.sql("INSERT INTO graft.lake.parts " +
+        "SELECT part_key, name, retail, brand FROM q118_src WHERE part_key % 4 <> 3")
+      s.sql("UPDATE graft.lake.parts SET retail = retail * 1.1 " +
+        "WHERE brand = 'Brand#23'")
+      s.sql("""MERGE INTO graft.lake.parts t
+              |USING (SELECT part_key, name, retail + 5 AS retail, brand
+              |       FROM q118_src WHERE part_key % 2 = 0) s
+              |ON t.part_key = s.part_key
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("""SELECT part_key, name, retail, brand FROM graft.lake.parts
+              |WHERE part_key <= 1500
+              |ORDER BY part_key""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1183,5 +1286,56 @@ object QueriesPipeline {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |ORDER BY o_orderkey, line_no, qty""".stripMargin,
+    "q116_catalog_sql" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS cust_key, c_name AS name,
+        |    c_acctbal AS balance, c_mktsegment AS segment FROM customer),
+        |state AS (
+        |  SELECT * FROM base WHERE balance >= 0 AND segment <> 'BUILDING'
+        |  UNION ALL
+        |  SELECT cust_key, upper(name) AS name, balance + 1000 AS balance,
+        |    segment
+        |  FROM base WHERE segment = 'BUILDING' AND cust_key % 2 = 0)
+        |SELECT cust_key, name, balance, segment FROM state
+        |WHERE cust_key BETWEEN 50 AND 1400
+        |ORDER BY cust_key""".stripMargin,
+    "q117_sql_time_travel" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS order_key, o_orderstatus AS status
+        |  FROM orders),
+        |v1 AS (SELECT * FROM src WHERE order_key % 3 = 0),
+        |head AS (
+        |  SELECT * FROM src
+        |  WHERE order_key % 3 IN (0, 1) AND order_key > 1000)
+        |SELECT 'v1' AS snap, status, count(*) AS n,
+        |  CAST(sum(order_key) AS BIGINT) AS key_sum
+        |FROM v1 GROUP BY status
+        |UNION ALL
+        |SELECT 'head' AS snap, status, count(*) AS n,
+        |  CAST(sum(order_key) AS BIGINT) AS key_sum
+        |FROM head GROUP BY status
+        |ORDER BY snap, status""".stripMargin,
+    "q118_sql_merge_update" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS part_key, p_name AS name,
+        |    p_retailprice AS retail, p_brand AS brand FROM part),
+        |ins AS (SELECT * FROM base WHERE part_key % 4 <> 3),
+        |upd AS (
+        |  SELECT part_key, name,
+        |    CASE WHEN brand = 'Brand#23' THEN retail * 1.1 ELSE retail END
+        |      AS retail,
+        |    brand
+        |  FROM ins),
+        |msrc AS (
+        |  SELECT part_key, name, retail + 5 AS retail, brand
+        |  FROM base WHERE part_key % 2 = 0),
+        |merged AS (
+        |  SELECT * FROM msrc
+        |  UNION ALL
+        |  SELECT * FROM upd
+        |  WHERE part_key NOT IN (SELECT part_key FROM msrc))
+        |SELECT part_key, name, retail, brand FROM merged
+        |WHERE part_key <= 1500
+        |ORDER BY part_key""".stripMargin,
   )
 }

@@ -1,0 +1,434 @@
+package graft.sources
+
+import java.util.{Map => JMap, Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, EqualTo, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.IncrementalTable
+
+/** The SQL catalog front door for [[graft.table.IncrementalTable]] —
+  * the DSv2 `TableCatalog` completing [[GraftSource]]'s X45 contract:
+  * register once
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/lake
+  * }}}
+  * and every table under the warehouse is addressable by NAME in pure
+  * SQL — no paths, no library imports, the full verb set:
+  *
+  *   - `CREATE TABLE graft.ns.t (…) PARTITIONED BY (p)` (+ CTAS,
+  *     TBLPROPERTIES — `graft.statsColumns` opts columns into the
+  *     data-skipping index on every subsequent catalog write)
+  *   - `INSERT INTO` / `INSERT OVERWRITE` (full truncate or static
+  *     `PARTITION (p='v')` scope) — committed through the same OCC log
+  *     as the library API, same conflict detection, same atomicity
+  *   - `DELETE FROM graft.ns.t WHERE …` — translated predicates route
+  *     into [[IncrementalTable.delete]]'s skipping-pruned copy-on-write
+  *   - `SELECT … FROM graft.ns.t [VERSION AS OF v | TIMESTAMP AS OF ts]`
+  *     — reads bridge through [[V1Scan]] into the SAME pruned scan as
+  *     `format("graft")` ([[GraftRelation.scanDf]]): pushed filters hit
+  *     the log-level stats index before any file enumeration, partition
+  *     equality prunes directories, DVs apply in-scan, column pruning
+  *     reaches the parquet ReadSchema
+  *   - `ALTER TABLE … ADD COLUMNS / SET TBLPROPERTIES`, `TRUNCATE
+  *     TABLE`, `DROP TABLE`, `SHOW TABLES`, `CREATE/DROP NAMESPACE`
+  *
+  * Identifier → location is `warehouse/<ns…>/<name>`; a table IS a
+  * directory with a `_graft_log/` — the filesystem is the catalog
+  * state, so there is no second metastore to drift from the log
+  * (reference analog: the IO manager resolves assets by path,
+  * delta_io.py:118-129, here lifted to names).
+  *
+  * The read/write bridges are the stable V1 fallback interfaces
+  * ([[V1Scan]]/[[V1Write]] — the same contract Spark's own JDBC
+  * connector ships on), so the scan/commit machinery is shared verbatim
+  * with the path-based front door rather than re-implemented against
+  * `InputPartition`.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs(p: Path) =
+    p.getFileSystem(IncrementalTable.hadoopConf(spark))
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def pathFor(parts: Seq[String]): Path =
+    parts.foldLeft(new Path(warehouse))(new Path(_, _))
+  private def tablePath(ident: Identifier): Path =
+    pathFor(ident.namespace.toIndexedSeq :+ ident.name)
+  private def isGraftTable(p: Path): Boolean =
+    fs(p).exists(new Path(p, "_graft_log"))
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = pathFor(namespace.toIndexedSeq)
+    val f = fs(ns)
+    if (!f.exists(ns)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(ns).filter(_.isDirectory).map(_.getPath)
+      .filter(isGraftTable)
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isGraftTable(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isGraftTable(p)) throw new NoSuchTableException(ident)
+    new GraftTable(spark, IncrementalTable(spark, p.toString), None,
+      (catalogName +: ident.namespace.toIndexedSeq :+ ident.name).mkString("."))
+  }
+
+  /** `VERSION AS OF v` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val base = loadTable(ident).asInstanceOf[GraftTable]
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft VERSION AS OF needs a numeric commit version (got '$version')")
+    }
+    require(v >= 0 && v <= base.table.latestVersion,
+      s"version $v out of range [0, ${base.table.latestVersion}] for $ident")
+    base.atVersion(v)
+  }
+
+  /** `TIMESTAMP AS OF ts` time travel: the latest commit at-or-before
+    * the timestamp (microseconds, per the connector contract). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val base = loadTable(ident).asInstanceOf[GraftTable]
+    val millis = timestamp / 1000L
+    val v = base.table.commits().filter(_.ts <= millis).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit of $ident at or before timestamp $timestamp")).version
+    base.atVersion(v)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partitionBy = partitions.toIndexedSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables partition by identity columns only (got $other)")
+    }
+    val props = properties.asScala.toMap -- GraftCatalog.reservedProps
+    IncrementalTable(spark, tablePath(ident).toString)
+      .create(schema, partitionBy, props.map { case (k, v) => s"prop/$k" -> v })
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftTable].table
+    val added = changes.collect { case a: TableChange.AddColumn => a }
+    val props = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+      case r: TableChange.RemoveProperty => r.property -> ""
+    }
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      s"graft ALTER TABLE supports ADD COLUMNS / (UN)SET TBLPROPERTIES only: " +
+        unsupported.mkString(", "))
+    if (added.nonEmpty) {
+      added.foreach(a => require(a.fieldNames.length == 1,
+        s"in-struct evolution is a type change (X49): ${a.fieldNames.mkString(".")}"))
+      t.addColumns(StructType(added.map(a =>
+        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType))))
+    }
+    if (props.nonEmpty) t.setProperties(props.toMap)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isGraftTable(p)) false else fs(p).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    if (!isGraftTable(from)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val to = tablePath(newIdent)
+    val f = fs(from)
+    f.mkdirs(to.getParent)
+    if (!f.rename(from, to))
+      throw new java.io.IOException(s"rename failed: $from -> $to")
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val ns = pathFor(namespace.toIndexedSeq)
+    val f = fs(ns)
+    if (!f.exists(ns)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(ns).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isGraftTable)
+      .filterNot(_.getName.startsWith("_"))
+      .map(p => namespace :+ p.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = pathFor(namespace.toIndexedSeq)
+      fs(p).exists(p) && !isGraftTable(p)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION ->
+      pathFor(namespace.toIndexedSeq).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    val p = pathFor(namespace.toIndexedSeq)
+    fs(p).mkdirs(p)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = pathFor(namespace.toIndexedSeq)
+    val f = fs(p)
+    if (!f.exists(p)) false
+    else {
+      if (!cascade) require(f.listStatus(p).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      f.delete(p, true)
+    }
+  }
+}
+
+/** Per-JVM registration of the `graft` SQL catalog for the driver
+  * queries/bench: Spark's CatalogManager memoizes catalog instances by
+  * name at first reference, so the warehouse location must be STABLE
+  * across invocations — one temp warehouse per JVM, with per-run
+  * freshness achieved by `DROP TABLE IF EXISTS` + `CREATE TABLE`
+  * inside each query (at most one table generation on disk). */
+object GraftCatalogHarness {
+  private lazy val warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_warehouse_").toString
+
+  def install(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+  }
+}
+
+object GraftCatalog {
+  /** Spark-managed property keys that are catalog bookkeeping, not user
+    * table properties — everything else round-trips through the log. */
+  private val reservedProps = Set(
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE,
+    TableCatalog.PROP_COMMENT, TableCatalog.PROP_COLLATION)
+
+  /** Comma-separated `graft.statsColumns` table property → the columns
+    * every catalog/datasource write feeds into the data-skipping index
+    * (the Delta `dataSkippingNumIndexedCols` analog, but explicit). */
+  private[sources] def statsColumnsOf(t: IncrementalTable): Seq[String] =
+    t.tableProperties.get("graft.statsColumns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+}
+
+/** One named graft table in the catalog. Reads bridge through
+  * [[V1Scan]] to [[GraftRelation.scanDf]] (shared with the path-based
+  * front door), writes through [[V1Write]] to the table's OCC commit
+  * path, `DELETE FROM` through [[SupportsDelete]] to the
+  * skipping-pruned copy-on-write delete. `asOf` pins a time-travel
+  * snapshot (read-only). */
+private[sources] final class GraftTable(spark: SparkSession,
+    val table: IncrementalTable, asOf: Option[Long], ident: String)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  def atVersion(v: Long): GraftTable =
+    new GraftTable(spark, table, Some(v), ident)
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    table.schemaAt(asOf).getOrElse(new StructType())
+
+  override def partitioning(): Array[Transform] =
+    table.partitionColumns.map(Expressions.identity).toArray
+
+  override def properties(): JMap[String, String] =
+    (table.tableProperties +
+      (TableCatalog.PROP_LOCATION -> table.root) +
+      (TableCatalog.PROP_PROVIDER -> "graft")).asJava
+
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, table, asOf, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, s"cannot write to time-travel snapshot $ident@v${asOf.get}")
+    new GraftWriteBuilder(table)
+  }
+
+  // DELETE FROM — all-translatable predicates only (canDeleteWhere is
+  // the analyzer's gate; an untranslatable predicate fails loudly there
+  // rather than silently deleting the wrong rows)
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftRelation.translate(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty, s"cannot delete from time-travel snapshot $ident")
+    val pred = filters.toIndexedSeq.flatMap(GraftRelation.translate)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    table.delete(pred)
+    ()
+  }
+}
+
+/** Standard DSv2 pushdown surface; everything pushed lands in
+  * [[GraftRelation.scanDf]] exactly as the V1 relation's
+  * `PrunedFilteredScan` contract does. Translated filters are applied
+  * in FULL inside the scan (file pruning and row filtering), so they
+  * are accepted; untranslatable ones stay residual for Spark. */
+private[sources] final class GraftScanBuilder(spark: SparkSession,
+    table: IncrementalTable, asOf: Option[Long], fullSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) =
+      filters.partition(f => GraftRelation.translate(f).isDefined)
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftV1Scan(spark, table, asOf, required, pushed)
+}
+
+/** The stable V1 fallback bridge: Spark plans this scan as a
+  * `RowDataSourceScanExec` over the relation below — the same execution
+  * shape as the `format("graft")` path, so one scan implementation
+  * serves both front doors. */
+private[sources] final class GraftV1Scan(spark: SparkSession,
+    table: IncrementalTable, asOf: Option[Long],
+    required: StructType, pushed: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftV1TableScan(spark, table, asOf, required, pushed).asInstanceOf[T]
+
+  override def description(): String =
+    s"GraftScan ${table.root}${asOf.fold("")(v => s"@v$v")} " +
+      s"pushed=[${pushed.mkString(", ")}]"
+}
+
+private[sources] final class GraftV1TableScan(spark: SparkSession,
+    table: IncrementalTable, asOf: Option[Long],
+    required: StructType, pushed: Array[Filter])
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def schema: StructType = required
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    GraftRelation.scanDf(table, asOf, required.fieldNames.toIndexedSeq,
+      pushed.toIndexedSeq).rdd
+}
+
+/** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a
+  * static-partition `replaceWhere` — each ONE atomic OCC commit.
+  * Overwrite-by-filter accepts partition-column equalities only (the
+  * Hive static-partition contract); anything else fails in the analyzer
+  * via `canOverwrite`, never silently over- or under-deletes. */
+private[sources] final class GraftWriteBuilder(table: IncrementalTable)
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+
+  // None = append; Some(Nil) = truncate; Some(filters) = partition scope
+  private var overwriteScope: Option[Seq[Filter]] = None
+
+  override def truncate(): WriteBuilder = { overwriteScope = Some(Nil); this }
+
+  // the analyzer renders a static `PARTITION (p = 'v')` scope as a
+  // null-safe equality — accept both spellings of partition equality
+  private def partEq(f: Filter): Option[(String, Any)] = {
+    val partCols = table.partitionColumns.toSet
+    f match {
+      case EqualTo(a, v) if partCols(a) && v != null => Some(a -> v)
+      case org.apache.spark.sql.sources.EqualNullSafe(a, v)
+          if partCols(a) && v != null => Some(a -> v)
+      case _ => None
+    }
+  }
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f => f == AlwaysTrue() || partEq(f).isDefined)
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(canOverwrite(filters),
+      s"graft INSERT OVERWRITE scope must be partition equalities: ${filters.mkString(", ")}")
+    overwriteScope = Some(filters.toIndexedSeq.filterNot(_ == AlwaysTrue()))
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val partitionBy = table.partitionColumns
+          val stats = GraftCatalog.statsColumnsOf(table)
+          overwriteScope match {
+            case None =>
+              table.append(data, partitionBy, statsColumns = stats)
+            case Some(Nil) =>
+              table.replaceWhere(data, partitionBy, Map.empty, Map.empty,
+                statsColumns = stats)
+            case Some(filters) =>
+              val scope = filters.flatMap(partEq)
+                .map { case (a, v) => a -> v.toString }.toMap
+              table.replaceWhere(data, partitionBy, Map.empty, scope,
+                statsColumns = stats)
+          }
+          ()
+        }
+      }
+  }
+}

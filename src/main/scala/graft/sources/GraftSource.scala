@@ -315,7 +315,43 @@ object GraftRelation {
     case And(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc && rc
     case Or(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc || rc
     case Not(c) => translate(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
     case _ => None
+  }
+
+  /** The scan contract shared by the V1 relation and the DSv2 catalog
+    * bridge ([[GraftCatalog]]): prune files through the commit log's
+    * skipping index (translated filters + partition-directory
+    * equality), read ONLY the survivors with DV state applied in-scan,
+    * re-apply the full predicate row-level, and project to the pruned
+    * column set INSIDE the inner Catalyst plan — so the parquet
+    * ReadSchema shrinks before any row bridge. Records prune accounting
+    * per table root for tests/observability. */
+  private[sources] def scanDf(table: IncrementalTable, asOf: Option[Long],
+      requiredColumns: Seq[String], filters: Seq[Filter]): DataFrame = {
+    val translated = filters.flatMap(translate)
+    val pred = translated.reduceOption(_ && _)
+    // partition-column equality prunes at DIRECTORY granularity (no
+    // stats needed — partition values live in the path, not the footer)
+    val partCols = table.partitionColumns.toSet
+    val partMap = filters.collect {
+      case EqualTo(a, v) if partCols(a) && v != null => a -> v.toString
+    }.toMap
+    val files = pred match {
+      case Some(p) => table.liveFilesWhere(p, partMap, asOf)
+      case None => table.liveFiles(partMap, asOf)
+    }
+    // liveFileCount is a count JOB above the checkpoint threshold —
+    // the accounting must never itself collect the live set
+    record(table.root, GraftScanInfo(
+      filesLive = table.liveFileCount(asOf),
+      filesScanned = files.size,
+      pushed = filters.map(_.toString)))
+    val base = table.readFiles(files, asOf)
+    val filtered = pred.map(base.filter).getOrElse(base)
+    if (requiredColumns.isEmpty) filtered.select()
+    else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
   }
 }
 
@@ -337,32 +373,7 @@ final class GraftRelation private (spark: SparkSession,
     filters.filter(GraftRelation.translate(_).isEmpty)
 
   override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
-    val translated = filters.toSeq.flatMap(GraftRelation.translate)
-    val pred = translated.reduceOption(_ && _)
-    // partition-column equality prunes at DIRECTORY granularity (no
-    // stats needed — partition values live in the path, not the footer)
-    val partCols = table.partitionColumns.toSet
-    val partMap = filters.collect {
-      case EqualTo(a, v) if partCols(a) && v != null => a -> v.toString
-    }.toMap
-    val files = pred match {
-      case Some(p) => table.liveFilesWhere(p, partMap, asOf)
-      case None => table.liveFiles(partMap, asOf)
-    }
-    // liveFileCount is a count JOB above the checkpoint threshold —
-    // the accounting must never itself collect the live set
-    GraftRelation.record(table.root, GraftScanInfo(
-      filesLive = table.liveFileCount(asOf),
-      filesScanned = files.size,
-      pushed = filters.toSeq.map(_.toString)))
-    val base = table.readFiles(files, asOf)
-    val filtered = pred.map(base.filter).getOrElse(base)
-    // column pruning INSIDE the inner plan: the parquet ReadSchema
-    // shrinks to the pruned set before the V1 row bridge
-    val projected =
-      if (requiredColumns.isEmpty) filtered.select()
-      else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
-    projected.rdd
-  }
+      filters: Array[Filter]): RDD[Row] =
+    GraftRelation.scanDf(table, asOf, requiredColumns.toIndexedSeq,
+      filters.toIndexedSeq).rdd
 }

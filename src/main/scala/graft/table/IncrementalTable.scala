@@ -1221,6 +1221,26 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     m.toMap
   }
 
+  /** Table properties (`prop/<key>` metadata entries, latest value
+    * wins, empty value = unset) — the TBLPROPERTIES channel of the
+    * catalog front door. Reserved graft keys drive behavior, e.g.
+    * `graft.statsColumns` (comma-separated) adds those columns to the
+    * data-skipping index on every catalog/datasource write. */
+  def tableProperties: Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    commits().foreach(_.meta.foreach { case (k, v) =>
+      if (k.startsWith("prop/")) {
+        val n = k.stripPrefix("prop/")
+        if (v.isEmpty) m.remove(n) else m(n) = v
+      }
+    })
+    m.toMap
+  }
+
+  /** SET/UNSET TBLPROPERTIES: metadata-only commit (empty value unsets). */
+  def setProperties(props: Map[String, String]): Commit =
+    commitMeta(props.map { case (k, v) => s"prop/$k" -> v })
+
   /** ADD CONSTRAINT (Delta CHECK-constraint analog; NOT NULL is
     * `CHECK (col IS NOT NULL)`). Existing rows are validated first —
     * one short-circuiting job — then every subsequent write enforces
@@ -1270,6 +1290,40 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val schema = commits().lastOption.map(_.schemaJson).getOrElse("")
     commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil, schema, meta, batchId, now(),
       appId = appId))
+  }
+
+  /** CREATE TABLE: commit the schema + partition layout with zero data
+    * files, so the table *exists* (readable as an empty frame of
+    * exactly this schema, appendable under the committed layout) before
+    * any row lands — the catalog front door's `CREATE TABLE` verb
+    * ([[graft.sources.GraftCatalog]]). `meta` carries table properties
+    * (`prop/<key>` entries, same channel as constraints). Subsequent
+    * appends evolve the schema add-column-only as usual. */
+  def create(schema: StructType, partitionBy: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Commit = {
+    require(!exists, s"graft table $root already exists")
+    require(schema.nonEmpty, "CREATE TABLE needs at least one column")
+    partitionBy.foreach(p => require(schema.fieldNames.contains(p),
+      s"partition column '$p' is not in the schema"))
+    commit(Commit(0, "append", Nil, Nil, Map.empty, partitionBy,
+      schema.toDDL, meta, None, now()))
+  }
+
+  /** ALTER TABLE ADD COLUMNS: extend the committed schema with new
+    * nullable columns via a metadata-only commit — existing files read
+    * them as null, exactly like write-side add-column evolution
+    * ([[mergedSchema]]); rejects columns that already exist and nested
+    * additions (in-struct evolution is a type change, X49). */
+  def addColumns(additions: StructType): Commit = {
+    val prev = committedSchemaAt().getOrElse(throw new IllegalStateException(
+      s"table $root has no committed schema to alter"))
+    additions.fields.foreach { f =>
+      require(!prev.fieldNames.contains(f.name),
+        s"column '${f.name}' already exists")
+    }
+    val merged = StructType(prev.fields ++ additions.fields.map(_.copy(nullable = true)))
+    commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil, merged.toDDL,
+      Map.empty, None, now()))
   }
 
   private def write(df: DataFrame, action: String, partitionBy: Seq[String],

@@ -35,3 +35,17 @@ object StreamingBatchShim {
     spark.internalCreateDataFrame(rdd, ds.schema, isStreaming = true)
   }
 }
+
+/** `private[sql]` bridges for [[graft.sources.GraftDmlRule]]: wrap a
+  * catalyst Expression as a public Column, and materialize a resolved
+  * LogicalPlan as a DataFrame — the two conversions the SQL DML
+  * commands need and Spark 4 keeps `private[sql]`
+  * (`classic.ExpressionUtils.column` / `classic.Dataset.ofRows`). */
+object DmlShim {
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -1,0 +1,184 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.table.IncrementalTable
+
+/** The DSv2 catalog front door (X52): graft tables addressable by NAME
+  * in pure SQL — CREATE/CTAS/INSERT/INSERT OVERWRITE/DELETE/TRUNCATE/
+  * ALTER/DROP/SHOW plus VERSION AS OF / TIMESTAMP AS OF time travel —
+  * all bridging into the same commit log and pruned scan as the
+  * path-based `format("graft")` door. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one warehouse per suite: catalog instances are memoized per name by
+  // Spark's CatalogManager, so the warehouse conf must be stable
+  private lazy val cat: String = {
+    val wh = tmpDir("gcat_wh")
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lake")
+    "gcat"
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT by name") {
+    spark.sql(s"CREATE TABLE $cat.lake.t1 (k BIGINT, v BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $cat.lake.t1 " +
+      "SELECT id, id * 2, CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END FROM range(10)")
+    val out = spark.sql(s"SELECT k, v, seg FROM $cat.lake.t1 ORDER BY k")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == (0L until 10L).map(i =>
+      (i, i * 2, if (i % 2 == 0) "A" else "B")))
+    // the commit went through the library's log — same table, same state
+    val t = IncrementalTable(spark,
+      spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/t1")
+    assert(t.partitionColumns == Seq("seg"))
+    assert(t.read().count() == 10)
+  }
+
+  test("pushed range predicate prunes files through the catalog scan") {
+    spark.sql(s"CREATE TABLE $cat.lake.pr (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.statsColumns'='k')")
+    // three single-file inserts with disjoint k ranges → 3 indexed files
+    Seq((0, 100), (100, 200), (200, 300)).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO $cat.lake.pr " +
+        s"SELECT /*+ COALESCE(1) */ id, id * 7 FROM range($lo, $hi)")
+    }
+    val root = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/pr"
+    val df = spark.sql(s"SELECT k, v FROM $cat.lake.pr WHERE k >= 210 AND k < 250")
+    assert(df.as[(Long, Long)].collect().map(_._1).sorted.toSeq == (210L until 250L))
+    val scan = GraftRelation.lastScan(root).get
+    assert(scan.filesLive == 3, scan.toString)
+    assert(scan.filesScanned == 1, s"expected 1 surviving file, got $scan")
+    // the DSv2 plan carries the pushed filters on the bridged V1 scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+  }
+
+  test("DELETE FROM routes into copy-on-write delete") {
+    spark.sql(s"CREATE TABLE $cat.lake.del (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.del SELECT id, id FROM range(100)")
+    spark.sql(s"DELETE FROM $cat.lake.del WHERE k >= 40 AND k < 60")
+    val left = spark.sql(s"SELECT k FROM $cat.lake.del").as[Long].collect().toSet
+    assert(left == ((0L until 40L) ++ (60L until 100L)).toSet)
+    // untranslatable predicate fails loudly rather than deleting wrong rows
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.lake.del WHERE k % 3 = 0")
+    }
+    ()
+  }
+
+  test("INSERT OVERWRITE: full truncate and static partition scope") {
+    spark.sql(s"CREATE TABLE $cat.lake.ow (k BIGINT, seg STRING) PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $cat.lake.ow " +
+      "SELECT id, CASE WHEN id < 5 THEN 'A' ELSE 'B' END FROM range(10)")
+    // static partition overwrite replaces exactly that partition
+    spark.sql(s"INSERT OVERWRITE $cat.lake.ow PARTITION (seg = 'A') " +
+      "SELECT id + 100 FROM range(2)")
+    val afterPart = spark.sql(s"SELECT k, seg FROM $cat.lake.ow ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(afterPart.filter(_._2 == "A").map(_._1) == Seq(100L, 101L))
+    assert(afterPart.filter(_._2 == "B").map(_._1) == (5L until 10L))
+    // full overwrite truncates everything in one atomic commit
+    spark.sql(s"INSERT OVERWRITE $cat.lake.ow SELECT id, 'C' FROM range(3)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ow").as[Long].head() == 3)
+    assert(spark.sql(s"SELECT DISTINCT seg FROM $cat.lake.ow")
+      .as[String].collect().toSeq == Seq("C"))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF time travel in SQL") {
+    spark.sql(s"CREATE TABLE $cat.lake.tt (k BIGINT)") // v0
+    spark.sql(s"INSERT INTO $cat.lake.tt SELECT id FROM range(5)") // v1
+    spark.sql(s"INSERT INTO $cat.lake.tt SELECT id FROM range(5, 9)") // v2
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.tt VERSION AS OF 0")
+      .as[Long].head() == 0)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.tt VERSION AS OF 1")
+      .as[Long].head() == 5)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.tt").as[Long].head() == 9)
+    // timestamp-as-of: any instant after the last commit sees the head
+    val after = java.time.Instant.now().plusSeconds(60)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.lake.tt TIMESTAMP AS OF '$after'")
+      .as[Long].head() == 9)
+    // a snapshot is read-only
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.lake.tt VERSION AS OF 1 WHERE k = 1")
+    }
+    ()
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves add-column-only; TBLPROPERTIES round-trip") {
+    spark.sql(s"CREATE TABLE $cat.lake.ev (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.ev SELECT id FROM range(3)")
+    spark.sql(s"ALTER TABLE $cat.lake.ev ADD COLUMNS (tag STRING)")
+    // pre-evolution rows read the new column as null
+    val rows = spark.sql(s"SELECT k, tag FROM $cat.lake.ev ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(rows.toSeq == Seq((0L, true), (1L, true), (2L, true)))
+    spark.sql(s"INSERT INTO $cat.lake.ev VALUES (9, 'x')")
+    assert(spark.sql(s"SELECT tag FROM $cat.lake.ev WHERE k = 9")
+      .as[String].head() == "x")
+    spark.sql(s"ALTER TABLE $cat.lake.ev SET TBLPROPERTIES ('owner.team' = 'data')")
+    val props = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "ev")).properties()
+    assert(props.get("owner.team") == "data")
+  }
+
+  test("SQL UPDATE routes into the copy-on-write rewrite") {
+    spark.sql(s"CREATE TABLE $cat.lake.up (k BIGINT, v BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $cat.lake.up SELECT id, id * 10, 'a' FROM range(10)")
+    spark.sql(s"UPDATE $cat.lake.up SET v = v + 1, tag = upper(tag) " +
+      "WHERE k BETWEEN 3 AND 5")
+    val rows = spark.sql(s"SELECT k, v, tag FROM $cat.lake.up ORDER BY k")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(rows == (0L until 10L).map(i =>
+      if (i >= 3 && i <= 5) (i, i * 10 + 1, "A") else (i, i * 10, "a")))
+    // unconditional UPDATE rewrites every row
+    spark.sql(s"UPDATE $cat.lake.up SET tag = 'z'")
+    assert(spark.sql(s"SELECT DISTINCT tag FROM $cat.lake.up")
+      .as[String].collect().toSeq == Seq("z"))
+    // non-top-level assignment target fails loudly
+    intercept[Exception] {
+      spark.sql(s"UPDATE $cat.lake.up SET missing_col = 1")
+    }
+    ()
+  }
+
+  test("SQL MERGE INTO performs the canonical upsert") {
+    spark.sql(s"CREATE TABLE $cat.lake.mt (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.mt SELECT id, id FROM range(5)")
+    spark.range(3, 8).selectExpr("id AS k", "id * 100 AS v")
+      .createOrReplaceTempView("mt_src")
+    spark.sql(s"""MERGE INTO $cat.lake.mt t USING mt_src s ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(s"SELECT k, v FROM $cat.lake.mt ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == (0L until 3L).map(i => (i, i)) ++
+      (3L until 8L).map(i => (i, i * 100)))
+    // non-upsert shapes fail loudly instead of approximating
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.lake.mt t USING mt_src s ON t.k = s.k
+                   |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    ()
+  }
+
+  test("CTAS, SHOW TABLES, TRUNCATE, DROP") {
+    spark.sql(s"CREATE TABLE $cat.lake.ctas AS SELECT id AS k FROM range(7)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ctas").as[Long].head() == 7)
+    val shown = spark.sql(s"SHOW TABLES IN $cat.lake")
+      .select("tableName").as[String].collect().toSet
+    assert(shown.contains("ctas"))
+    spark.sql(s"TRUNCATE TABLE $cat.lake.ctas")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ctas").as[Long].head() == 0)
+    spark.sql(s"DROP TABLE $cat.lake.ctas")
+    assert(!spark.sql(s"SHOW TABLES IN $cat.lake")
+      .select("tableName").as[String].collect().contains("ctas"))
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.lake.ctas").collect() }
+    ()
+  }
+}
