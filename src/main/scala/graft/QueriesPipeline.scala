@@ -296,6 +296,31 @@ object QueriesPipeline {
       notNullLeg.unionByName(nullLeg).orderBy($"leg", $"o_orderkey")
     }),
 
+    // ---- NESTED-LEAF data skipping under the oracle (round 6) ----------
+    // X49 left struct stats gracefully boundless at the TOP-LEVEL name;
+    // this closes the leaf case: statsColumns accepts the parquet
+    // footer's own dot-path rendering ("hdr.cust"), DataSkipping
+    // flattens GetStructField chains to the same dot-path, so a range
+    // predicate on a struct FIELD prunes files exactly like a flat
+    // column. Three appends clustered on the leaf → the pruned read
+    // must still return every matching row (a file wrongly pruned by
+    // the dot-path index breaks the hash loudly).
+    "q119_nested_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q119_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
+      val src = Tables.orders(s, dir).select($"o_orderkey".as("k"),
+        struct($"o_custkey".as("cust"), $"o_totalprice".as("total")).as("hdr"))
+      Seq((0L, 500L), (500L, 1000L), (1000L, Long.MaxValue)).foreach {
+        case (lo, hi) =>
+          t.append(src.filter($"hdr.cust" >= lo && $"hdr.cust" < hi)
+            .repartition(1), Nil, statsColumns = Seq("hdr.cust"))
+      }
+      t.readWhere($"hdr.cust" between (600, 900))
+        .select($"k", $"hdr.cust".as("cust"), $"hdr.total".as("total"))
+        .orderBy($"k")
+    }),
+
     // ---- STRING z-order under the oracle ------------------------------
     // Orders z-ordered on a low-cardinality STRING dimension and the
     // customer key (ZOrder.packAscii8's order-preserving long proxy
@@ -1315,6 +1340,11 @@ object QueriesPipeline {
         |  CAST(sum(order_key) AS BIGINT) AS key_sum
         |FROM head GROUP BY status
         |ORDER BY snap, status""".stripMargin,
+    "q119_nested_skipping" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS total
+        |FROM orders
+        |WHERE o_custkey BETWEEN 600 AND 900
+        |ORDER BY k""".stripMargin,
     "q118_sql_merge_update" ->
       """WITH base AS (
         |  SELECT p_partkey AS part_key, p_name AS name,

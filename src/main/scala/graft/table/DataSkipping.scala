@@ -86,22 +86,40 @@ object DataSkipping {
     case dt => integral(dt)
   }
 
-  /** The attribute under value-preserving integral widening only — the
-    * shape the analyzer makes when comparing an int column to a long
-    * literal. Non-widening casts (incl. date→timestamp) are never
-    * unwrapped — they would change comparison semantics. */
-  private def attrName(e: Expression): Option[String] = e match {
-    case a: AttributeReference if indexable(a.dataType) => Some(a.name)
-    case Cast(a: AttributeReference, dt, _, _)
-        if integral(a.dataType) && integral(dt) &&
-          dt.defaultSize >= a.dataType.defaultSize => Some(a.name)
+  /** Struct-field access chains flatten to the parquet footer's
+    * dot-path rendering (`hdr.total`) — the key the X6 stats index
+    * stores for nested leaves, so nested predicates prune exactly like
+    * flat ones once the writer indexed the leaf (statsColumns /
+    * `graft.statsColumns` accept dot-paths). Array/map extraction has
+    * no single footer leaf per row and stays unextractable. */
+  private def dotPath(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case g: GetStructField => dotPath(g.child).map(_ + "." + g.extractFieldName)
     case _ => None
   }
 
-  /** A bare string attribute — never unwrapped from casts (a cast to
-    * or from string changes comparison semantics). */
+  /** The attribute (or struct-leaf dot-path) under value-preserving
+    * integral widening only — the shape the analyzer makes when
+    * comparing an int column to a long literal. Non-widening casts
+    * (incl. date→timestamp) are never unwrapped — they would change
+    * comparison semantics. */
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference if indexable(a.dataType) => Some(a.name)
+    case g: GetStructField if indexable(g.dataType) => dotPath(g)
+    case Cast(a: AttributeReference, dt, _, _)
+        if integral(a.dataType) && integral(dt) &&
+          dt.defaultSize >= a.dataType.defaultSize => Some(a.name)
+    case Cast(g: GetStructField, dt, _, _)
+        if integral(g.dataType) && integral(dt) &&
+          dt.defaultSize >= g.dataType.defaultSize => dotPath(g)
+    case _ => None
+  }
+
+  /** A bare string attribute or struct leaf — never unwrapped from
+    * casts (a cast to or from string changes comparison semantics). */
   private def attrNameS(e: Expression): Option[String] = e match {
     case a: AttributeReference if a.dataType == StringType => Some(a.name)
+    case g: GetStructField if g.dataType == StringType => dotPath(g)
     case _ => None
   }
 
@@ -227,10 +245,17 @@ object DataSkipping {
     // type-agnostic: the null tally is recorded even for columns whose
     // VALUES the index can't bound (double, non-ASCII strings — the
     // boundless entries), so any attribute qualifies
+    // nested leaves qualify too: the parquet leaf null count includes
+    // rows whose PARENT struct is null (definition levels), exactly
+    // matching `s.f IS NULL` semantics
     case IsNull(a: AttributeReference) =>
       Map(a.name -> Bounds(reqNull = true))
     case IsNotNull(a: AttributeReference) =>
       Map(a.name -> Bounds(reqNotNull = true))
+    case IsNull(g: GetStructField) =>
+      one(dotPath(g), Bounds(reqNull = true))
+    case IsNotNull(g: GetStructField) =>
+      one(dotPath(g), Bounds(reqNotNull = true))
     // ---- prefix: col LIKE 'p%'  ==  [p, nextPrefix(p)) ----------------
     case StartsWith(a, v) if litStr(v).exists(_.nonEmpty) =>
       val p = litStr(v).get
@@ -252,9 +277,12 @@ object DataSkipping {
       if (sides.exists(nonNullLit))
         // casts unwrap soundly here: ANY cast of NULL is NULL, so a
         // true comparison still implies the underlying attr non-null
-        sides.collect {
-          case a: AttributeReference => a.name
-          case Cast(a: AttributeReference, _, _, _) => a.name
+        sides.flatMap {
+          case a: AttributeReference => Some(a.name)
+          case g: GetStructField => dotPath(g)
+          case Cast(a: AttributeReference, _, _, _) => Some(a.name)
+          case Cast(g: GetStructField, _, _, _) => dotPath(g)
+          case _ => None
         }.map(_ -> Bounds(reqNotNull = true)).toMap
       else Map.empty
     case _ => Map.empty // sound: unextractable conjuncts prune nothing

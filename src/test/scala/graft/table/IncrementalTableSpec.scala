@@ -6,6 +6,30 @@ import org.apache.spark.sql.functions.{col, length, lit, struct, sum, when}
 class IncrementalTableSpec extends SparkSpec {
   import spark.implicits._
 
+  test("nested-leaf data skipping: dot-path statsColumns prune struct-field predicates") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/nestedskip")
+    def frame(keys: Range) = keys.map(k => (k.toLong, (s"s$k", k.toLong * 10)))
+      .toDF("k", "hdr").repartition(1)
+    // three files with disjoint hdr._2 ranges, indexed by DOT-PATH —
+    // the footer's own leaf rendering, so nested leaves join the X6
+    // stats index exactly like flat columns
+    t.append(frame(0 until 50), Nil, statsColumns = Seq("hdr._2"))
+    t.append(frame(50 until 100), Nil, statsColumns = Seq("hdr._2"))
+    t.append(frame(100 until 150), Nil, statsColumns = Seq("hdr._2"))
+    assert(t.liveFiles().size == 3)
+    // a range predicate on the struct LEAF prunes through the index
+    assert(t.liveFilesWhere(col("hdr._2") >= 1200L).size == 1)
+    assert(t.liveFilesWhere(col("hdr._2") === 495L).size == 0) // between files' spans
+    // IS NOT NULL prunes nothing here (no nulls) but stays sound
+    assert(t.liveFilesWhere(col("hdr._2").isNotNull).size == 3)
+    // pruned read is exact vs the full-scan filter
+    val pruned = t.readWhere(col("hdr._2") >= 1200L)
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(pruned == (120L until 150L))
+    // an UNINDEXED leaf on the same commits prunes nothing (conservative)
+    assert(t.liveFilesWhere(col("hdr._1") === "zzz").size == 3)
+  }
+
   test("nested types round-trip: struct + array-of-struct through append, delete rewrite, update, DV") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/nested")
     def frame(keys: Range) = keys.map { k =>
