@@ -98,9 +98,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    if (!isGraftTable(p)) throw new NoSuchTableException(ident)
-    new GraftTable(spark, IncrementalTable(spark, p.toString), None,
-      (catalogName +: ident.namespace.toIndexedSeq :+ ident.name).mkString("."))
+    if (isGraftTable(p))
+      new GraftTable(spark, IncrementalTable(spark, p.toString), None,
+        (catalogName +: ident.namespace.toIndexedSeq :+ ident.name).mkString("."))
+    else metaTableOf(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** Iceberg-style metadata tables: `SELECT * FROM graft.ns.t.history`
+    * (commit log), `.detail` (live-snapshot summary), `.properties` —
+    * resolved when the identifier's LAST namespace element is a graft
+    * table and the name is a known view. Read-only, tiny, driver-built
+    * frames bridged through the same V1 scan machinery. */
+  private def metaTableOf(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty ||
+        !GraftMetaTable.views.contains(ident.name)) return None
+    val parent = pathFor(ident.namespace.toIndexedSeq)
+    if (!isGraftTable(parent)) return None
+    Some(new GraftMetaTable(spark, IncrementalTable(spark, parent.toString),
+      ident.name,
+      (catalogName +: ident.namespace.toIndexedSeq :+ ident.name).mkString(".")))
   }
 
   /** `VERSION AS OF v` time travel. */
@@ -372,6 +388,57 @@ private[sources] final class GraftV1TableScan(spark: SparkSession,
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
     GraftRelation.scanDf(table, asOf, required.fieldNames.toIndexedSeq,
       pushed.toIndexedSeq).rdd
+}
+
+/** A read-only metadata view of a graft table (`t.history` /
+  * `t.detail` / `t.properties`) — the DESCRIBE HISTORY / DESCRIBE
+  * DETAIL surface as queryable relations, Iceberg-style. The frame is
+  * built from the commit LOG (driver-side, O(tail)); only `detail` on
+  * a checkpointed table runs a bounded aggregation job. */
+private[sources] final class GraftMetaTable(spark: SparkSession,
+    table: IncrementalTable, view: String, ident: String)
+    extends Table with SupportsRead {
+
+  private def frame(): DataFrame = view match {
+    case "history" => table.history()
+    case "detail" => table.detail()
+    case "properties" =>
+      import spark.implicits._
+      table.tableProperties.toSeq.toDF("key", "value").orderBy("key")
+  }
+
+  override def name(): String = ident
+  override def schema(): StructType = frame().schema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val req = required
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = spark.sqlContext
+            override def schema: StructType = req
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val df = frame()
+              (if (req.isEmpty) df.select()
+               else df.select(req.fieldNames.toIndexedSeq.map(
+                 org.apache.spark.sql.functions.col): _*)).rdd
+            }
+          }.asInstanceOf[T]
+        }
+      }
+    }
+}
+
+private[sources] object GraftMetaTable {
+  val views: Set[String] = Set("history", "detail", "properties")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

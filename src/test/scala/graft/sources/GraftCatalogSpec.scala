@@ -167,6 +167,26 @@ class GraftCatalogSpec extends SparkSpec {
     ()
   }
 
+  test("metadata tables: t.history / t.detail / t.properties in SQL") {
+    spark.sql(s"CREATE TABLE $cat.lake.md (k BIGINT) " +
+      "TBLPROPERTIES ('graft.statsColumns'='k')")
+    spark.sql(s"INSERT INTO $cat.lake.md SELECT id FROM range(5)")
+    spark.sql(s"DELETE FROM $cat.lake.md WHERE k = 2")
+    val hist = spark.sql(
+      s"SELECT version, action FROM $cat.lake.md.history ORDER BY version")
+      .as[(Long, String)].collect().toSeq
+    assert(hist.map(_._2) == Seq("append", "append", "replace"))
+    assert(spark.sql(s"SELECT * FROM $cat.lake.md.detail").count() == 1)
+    val props = spark.sql(s"SELECT key, value FROM $cat.lake.md.properties")
+      .as[(String, String)].collect().toMap
+    assert(props("graft.statsColumns") == "k")
+    // a metadata view over a missing parent stays a missing table
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.lake.nosuch.history").collect()
+    }
+    ()
+  }
+
   test("CTAS, SHOW TABLES, TRUNCATE, DROP") {
     spark.sql(s"CREATE TABLE $cat.lake.ctas AS SELECT id AS k FROM range(7)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ctas").as[Long].head() == 7)
