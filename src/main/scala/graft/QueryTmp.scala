@@ -28,6 +28,22 @@ object QueryTmp {
   }
 }
 
+/** Scoped shuffle-partition sizing for the stateful-streaming
+  * mini-pipelines (q112/q113): a micro-batch's cost includes one state
+  * store per shuffle partition per stateful operator PER BATCH, so a
+  * 60k-row demo paying 32-partition state is mis-sized the same way a
+  * 100 TB join on 32 partitions would be — partitions follow data.
+  * Restores the session value after the (sequential) query; the
+  * harness contract is single-threaded, same as [[QueryTmp]]. */
+private[graft] object WithConf {
+  def shufflePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+}
+
 /** Shared arrival-file scaffolding for the streaming queries (q107/
   * q109): split a timestamped frame at its time-range midpoint into
   * `<dir>/batch=0` (earlier half) and `<dir>/batch=1` (later half), one
