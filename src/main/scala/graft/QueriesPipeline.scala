@@ -810,7 +810,11 @@ object QueriesPipeline {
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(s"$tmp/in")
-      stream.start(src).awaitTermination()
+      // per-batch state store count follows shuffle partitions — sized
+      // to this corpus (see WithConf doc)
+      graft.WithConf.shufflePartitions(s, 4) {
+        stream.start(src).awaitTermination()
+      }
       t.read()
         .select($"window_start".cast("long").as("window_start"),
           $"event_type".cast("string").as("event_type"),
