@@ -57,7 +57,8 @@ import graft.table.IncrementalTable
   * with the path-based front door rather than re-implemented against
   * `InputPartition`.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -195,6 +196,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     f.mkdirs(to.getParent)
     if (!f.rename(from, to))
       throw new java.io.IOException(s"rename failed: $from -> $to")
+  }
+
+  // --------------------------------------------------------- procedures
+
+  /** `CALL graft.system.<proc>(...)` — the maintenance verbs (OPTIMIZE /
+    * VACUUM / RESTORE analogs) as first-class SQL procedures:
+    * `compact(table, target_files, zorder_by, cluster_by)`,
+    * `vacuum(table)`, `restore(table, version)`. The `table` argument is
+    * catalog-relative (`'lake.t'`). Each returns a one-row summary. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedure.names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("system")),
+      s"graft procedures live in the 'system' namespace (got $ident)")
+    require(GraftProcedure.names.contains(ident.name),
+      s"unknown graft procedure '${ident.name}' " +
+        s"(have: ${GraftProcedure.names.mkString(", ")})")
+    new GraftProcedure(this, ident.name)
+  }
+
+  /** Catalog-relative `'ns.ns2.t'` → the underlying table (procedures'
+    * table argument). */
+  private[sources] def tableByName(rel: String): IncrementalTable = {
+    val parts = rel.split("\\.").toIndexedSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty table name '$rel'")
+    val p = pathFor(parts)
+    require(isGraftTable(p), s"no graft table at $rel (path $p)")
+    IncrementalTable(spark, p.toString)
   }
 
   // --------------------------------------------------------- namespaces
@@ -439,6 +469,84 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
 
 private[sources] object GraftMetaTable {
   val views: Set[String] = Set("history", "detail", "properties")
+}
+
+/** One `graft.system.*` maintenance procedure (see
+  * [[GraftCatalog.loadProcedure]]). Bound and unbound in one class —
+  * the parameter list is static per procedure name; binding validates
+  * nothing beyond what the analyzer's coercion already does. Results
+  * surface as a one-row [[LocalScan]]. */
+private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = pname
+  override def description(): String = pname match {
+    case "compact" => "rewrite a table slice into target_files files, " +
+      "optionally z-ordered or clustered; stats index preserved via " +
+      "the graft.statsColumns table property"
+    case "vacuum" => "reclaim files no live or time-travelable commit references"
+    case "restore" => "roll the table back to a prior version as a new commit"
+  }
+  override def bind(inputType: org.apache.spark.sql.types.StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = {
+    def in(n: String, t: org.apache.spark.sql.types.DataType) =
+      ProcedureParameter.in(n, t)
+    pname match {
+      case "compact" => Array(
+        in("table", StringType).build(),
+        in("target_files", IntegerType).defaultValue("1").build(),
+        in("zorder_by", StringType).defaultValue("''").build(),
+        in("cluster_by", StringType).defaultValue("''").build())
+      case "vacuum" => Array(in("table", StringType).build())
+      case "restore" => Array(
+        in("table", StringType).build(),
+        in("version", LongType).build())
+    }
+  }
+
+  private def cols(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+
+  override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val t = cat.tableByName(input.getUTF8String(0).toString)
+    val (schema, row) = pname match {
+      case "compact" =>
+        val commit = t.compact(targetFiles = input.getInt(1),
+          zorderBy = cols(input.getUTF8String(2).toString),
+          clusterBy = cols(input.getUTF8String(3).toString),
+          statsColumns = GraftCatalog.statsColumnsOf(t))
+        (new StructType().add("version", LongType).add("files_added", IntegerType)
+           .add("files_removed", IntegerType),
+          commit.map(c => InternalRow(c.version, c.add.size, c.remove.size))
+            .getOrElse(InternalRow(null, 0, 0)))
+      case "vacuum" =>
+        val reclaimed = t.vacuum()
+        (new StructType().add("files_reclaimed", IntegerType),
+          InternalRow(reclaimed.size))
+      case "restore" =>
+        val commit = t.restore(input.getLong(1))
+        (new StructType().add("version", LongType).add("restored_to", LongType),
+          commit.map(c => InternalRow(c.version, input.getLong(1)))
+            .getOrElse(InternalRow(null, input.getLong(1))))
+    }
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(row)
+      }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+}
+
+private[sources] object GraftProcedure {
+  val names: Set[String] = Set("compact", "vacuum", "restore")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

@@ -187,6 +187,41 @@ class GraftCatalogSpec extends SparkSpec {
     ()
   }
 
+  test("CALL procedures: compact (z-order), vacuum, restore") {
+    spark.sql(s"CREATE TABLE $cat.lake.pc (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.statsColumns'='k')")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.lake.pc SELECT id, id FROM " +
+        s"range(${i * 100}, ${i * 100 + 100})")
+    }
+    val root = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/pc"
+    val t = IncrementalTable(spark, root)
+    val before = t.liveFiles().size
+    assert(before > 1)
+    // compact to one file, z-ordered on k; stats index rides the
+    // graft.statsColumns property through the rewrite
+    val c = spark.sql(
+      s"CALL $cat.system.compact(table => 'lake.pc', zorder_by => 'k,v')")
+      .collect().head
+    assert(c.getInt(1) == 1 && c.getInt(2) == before, c.toString)
+    t.refresh()
+    assert(t.liveFiles().size == 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.pc").as[Long].head() == 400)
+    // restore to the pre-compaction version (the 4th append = v4)
+    spark.sql(s"CALL $cat.system.restore('lake.pc', 4)")
+    t.refresh()
+    assert(t.liveFiles().size == before)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.pc").as[Long].head() == 400)
+    // vacuum reclaims nothing while every file is still referenced by
+    // a time-travelable commit, then reclaims after checkpointing is
+    // not forced — just assert it runs and reports a count >= 0
+    val v = spark.sql(s"CALL $cat.system.vacuum('lake.pc')").collect().head
+    assert(v.getInt(0) >= 0)
+    // unknown procedure fails loudly
+    intercept[Exception] { spark.sql(s"CALL $cat.system.nosuch('lake.pc')") }
+    ()
+  }
+
   test("CTAS, SHOW TABLES, TRUNCATE, DROP") {
     spark.sql(s"CREATE TABLE $cat.lake.ctas AS SELECT id AS k FROM range(7)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ctas").as[Long].head() == 7)
