@@ -100,6 +100,27 @@ object QueriesCorpus {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // ---- sequence packing (training-example assembly) -----------------
+    // The step after chunking/sharding that decides which docs SHARE a
+    // training example: per-shard sequential greedy packing into
+    // 256-token sequences (operators/SeqPack.scala) — order-preserving,
+    // deterministic under any partitioning, docs never split, oversize
+    // docs get a sequence of their own. One shuffle on the shard key +
+    // a partition-local pass. The oracle replays the same greedy
+    // recurrence as a DuckDB recursive CTE, so a packing that drops a
+    // doc, splits one, or breaks sequences at the wrong boundary
+    // hash-fails.
+    "q120_seq_pack" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      graft.operators.SeqPack.pack(docs,
+          shard = $"doc_id" % 8, order = $"doc_id", tok = $"n_tokens",
+          capacity = 256L)
+        .select($"doc_id", ($"doc_id" % 8).as("shard"), $"n_tokens", $"seq_no")
+        .orderBy($"doc_id")
+    }),
+
     // ---- weighted corpus mixing ---------------------------------------
     // The training-mixture knob: sources are grouped into quality buckets
     // and sampled at per-bucket rates (curated 100%, balanced ~50%, web
@@ -151,6 +172,28 @@ object QueriesCorpus {
   private val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
 
   def oracleSql: Map[String, String] = Map(
+    // the same greedy packing recurrence, replayed sequentially per
+    // shard as a linear recursive CTE (depth = max docs per shard)
+    "q120_seq_pack" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+         |      AS rn
+         |  FROM documents),
+         |p AS (
+         |  SELECT shard, rn, doc_id, n_tokens, n_tokens AS fill,
+         |    CAST(0 AS BIGINT) AS seq_no
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         |    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens
+         |         ELSE p.fill + d.n_tokens END,
+         |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.seq_no + 1
+         |         ELSE p.seq_no END
+         |  FROM d JOIN p ON d.shard = p.shard AND d.rn = p.rn + 1)
+         |SELECT doc_id, shard, n_tokens, seq_no FROM p
+         |ORDER BY doc_id""".stripMargin,
     "q81_sample_fixed_k" ->
       s"""WITH h AS (
          |  SELECT lang, doc_id,
