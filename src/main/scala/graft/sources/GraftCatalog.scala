@@ -396,13 +396,39 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
   * serves both front doors. */
 private[sources] final class GraftV1Scan(spark: SparkSession,
     table: IncrementalTable, asOf: Option[Long],
-    required: StructType, pushed: Array[Filter]) extends V1Scan {
+    required: StructType, pushed: Array[Filter])
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
     new GraftV1TableScan(spark, table, asOf, required, pushed).asInstanceOf[T]
+
+  /** Post-pushdown cost estimate from the commit log: with pushed
+    * filters, the sizes of exactly the files the skipping index keeps
+    * (O(survivors) driver statuses — pruning already bounded them);
+    * without, one log-level total. Catalyst's join planning then
+    * treats a small (or well-pruned) graft table as broadcastable,
+    * same as a plain parquet scan with computed stats. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes: Long =
+        if (pushed.isEmpty) table.liveBytes(asOf)
+        else {
+          val pred = pushed.toIndexedSeq.flatMap(GraftRelation.translate)
+            .reduceOption(_ && _)
+          pred match {
+            case Some(p) => table.liveFilesSize(table.liveFilesWhere(p, Map.empty, asOf))
+            case None => table.liveBytes(asOf)
+          }
+        }
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   override def description(): String =
     s"GraftScan ${table.root}${asOf.fold("")(v => s"@v$v")} " +

@@ -39,6 +39,13 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case u @ UpdateTable(GraftDml.Rel(r), assignments, cond) if u.resolved =>
+      // subqueries reference OTHER plans' attributes — name-based
+      // re-anchoring would silently re-resolve them against the target
+      // table; refuse rather than mis-update
+      (cond.toSeq ++ assignments.map(_.value)).foreach { e =>
+        require(!e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+          "graft UPDATE does not support subqueries in SET or WHERE")
+      }
       GraftUpdateCommand(r.table.asInstanceOf[GraftTable].table,
         assignments.map(a => GraftDml.assignName(a) -> GraftDml.unbind(a.value)),
         cond.map(GraftDml.unbind))

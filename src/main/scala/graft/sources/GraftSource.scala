@@ -366,6 +366,12 @@ final class GraftRelation private (spark: SparkSession,
 
   override def sqlContext: SQLContext = spark.sqlContext
 
+  /** Live-snapshot bytes from the commit log, so Catalyst's join
+    * planning sees a real size instead of `defaultSizeInBytes`
+    * (= never-broadcast): a small graft table on the build side of a
+    * join broadcasts exactly like a small parquet directory would. */
+  override lazy val sizeInBytes: Long = table.liveBytes(asOf)
+
   /** Everything we can translate is fully applied inside [[buildScan]]
     * (pruning AND row filtering), so only untranslatable filters need
     * Spark's re-evaluation above the scan. */

@@ -1111,6 +1111,36 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * version, live file count and bytes (a driver-side metadata pass
     * over the committed list — no Spark job), partition columns,
     * schema DDL, active constraint and deletion-vector counts. */
+  /** Total bytes of the live snapshot as of `asOf` — the cost estimate
+    * the front doors report to Catalyst so join planning (broadcast
+    * vs shuffle) works on graft tables like on any file relation.
+    * Checkpointed tables answer with one bounded aggregation job over
+    * the checkpoint rows (+ O(tail) driver statuses); small tables pay
+    * O(live files) statuses. DV-deleted rows still count (scan cost,
+    * not logical rows) — estimates only ever need to be conservative. */
+  def liveBytes(asOf: Option[Long] = None): Long = {
+    val cs = commitsAsOf(asOf)
+    parquetCkpt(cs) match {
+      case Some(_) =>
+        import org.apache.spark.sql.functions.{col, sum, when}
+        val tf = new TailFold(cs.tail)
+        val agg = liveRowsDF(Map.empty, asOf)
+          .agg(sum(when(col("size") >= 0, col("size")))).head
+        val tailBytes = tf.adds.keys
+          .map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
+        (if (agg.isNullAt(0)) 0L else agg.getLong(0)) + tailBytes
+      case None =>
+        liveFiles(Map.empty, asOf)
+          .map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
+    }
+  }
+
+  /** Total bytes of an explicit (already-pruned) live-file subset —
+    * the post-pushdown cost estimate. O(files) driver statuses; callers
+    * hand in survivor lists the skipping index already bounded. */
+  def liveFilesSize(files: Seq[String]): Long =
+    files.map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
+
   def detail(): DataFrame = {
     import spark.implicits._
     val cs = commits()

@@ -144,6 +144,11 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"UPDATE $cat.lake.up SET missing_col = 1")
     }
+    // subqueries in the condition are refused, never silently re-bound
+    intercept[Exception] {
+      spark.sql(s"UPDATE $cat.lake.up SET v = 0 " +
+        s"WHERE k IN (SELECT k FROM $cat.lake.up WHERE v > 50)")
+    }
     ()
   }
 
@@ -220,6 +225,27 @@ class GraftCatalogSpec extends SparkSpec {
     // unknown procedure fails loudly
     intercept[Exception] { spark.sql(s"CALL $cat.system.nosuch('lake.pc')") }
     ()
+  }
+
+  test("scan statistics make a small graft table broadcastable without hints") {
+    spark.sql(s"CREATE TABLE $cat.lake.dim (k BIGINT, name STRING)")
+    spark.sql(s"INSERT INTO $cat.lake.dim SELECT id, concat('n', id) FROM range(20)")
+    spark.range(100000).selectExpr("id % 20 AS k", "id AS v")
+      .createOrReplaceTempView("bcast_fact")
+    // catalog path: V1Scan reports commit-log bytes via
+    // SupportsReportStatistics, so the planner picks broadcast
+    // STATICALLY (pre-AQE) — defaultSizeInBytes would force sort-merge
+    val viaCat = spark.sql(
+      s"SELECT f.v, d.name FROM bcast_fact f JOIN $cat.lake.dim d ON f.k = d.k")
+    assert(viaCat.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      viaCat.queryExecution.sparkPlan.toString)
+    // V1 relation path: BaseRelation.sizeInBytes from the same log
+    val root = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/dim"
+    val viaDs = spark.table("bcast_fact")
+      .join(spark.read.format("graft").load(root), "k")
+    assert(viaDs.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      viaDs.queryExecution.sparkPlan.toString)
+    assert(viaCat.count() == 100000)
   }
 
   test("CTAS, SHOW TABLES, TRUNCATE, DROP") {
