@@ -1031,6 +1031,36 @@ object QueriesPipeline {
               |WHERE part_key <= 1500
               |ORDER BY part_key""".stripMargin)
     }),
+
+    // ---- METADATA-ONLY COUNT(*) through the catalog (X59) --------------
+    // The Delta/Iceberg snapshot-count optimization: an ungrouped,
+    // unfiltered COUNT(*) is answered from the commit log's per-file
+    // row tallies minus standing DV deletes — zero data files open
+    // (GraftCatalogSpec pins filesScanned == 0); the filtered leg of
+    // the union scans normally. A tally missed on any file, a stale DV
+    // correction, or an over-eager pushdown under the WHERE breaks one
+    // of the two numbers.
+    "q121_metadata_count" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.evcnt")
+      s.sql("""CREATE TABLE graft.lake.evcnt
+              |  (event_id BIGINT, user_id BIGINT, event_type STRING)
+              |TBLPROPERTIES ('graft.statsColumns' = 'event_id')""".stripMargin)
+      Tables.events(s, dir).select($"event_id", $"user_id", $"event_type")
+        .createOrReplaceTempView("q121_src")
+      s.sql("INSERT INTO graft.lake.evcnt " +
+        "SELECT event_id, user_id, event_type FROM q121_src")
+      val wh = s.conf.get("spark.sql.catalog.graft.warehouse")
+      graft.table.IncrementalTable(s, s"$wh/lake/evcnt")
+        .deleteVectorized($"event_id" % 7 === 0)
+      s.sql("""SELECT 'all' AS scope, count(*) AS n FROM graft.lake.evcnt
+              |UNION ALL
+              |SELECT 'clicks' AS scope, count(*) AS n FROM graft.lake.evcnt
+              |WHERE event_type = 'click'
+              |ORDER BY scope""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1349,6 +1379,13 @@ object QueriesPipeline {
         |FROM orders
         |WHERE o_custkey BETWEEN 600 AND 900
         |ORDER BY k""".stripMargin,
+    "q121_metadata_count" ->
+      """WITH kept AS (SELECT * FROM events WHERE event_id % 7 <> 0)
+        |SELECT 'all' AS scope, count(*) AS n FROM kept
+        |UNION ALL
+        |SELECT 'clicks' AS scope, count(*) AS n FROM kept
+        |WHERE event_type = 'click'
+        |ORDER BY scope""".stripMargin,
     "q118_sql_merge_update" ->
       """WITH base AS (
         |  SELECT p_partkey AS part_key, p_name AS name,

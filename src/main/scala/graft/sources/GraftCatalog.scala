@@ -370,10 +370,12 @@ private[sources] final class GraftTable(spark: SparkSession,
 private[sources] final class GraftScanBuilder(spark: SparkSession,
     table: IncrementalTable, asOf: Option[Long], fullSchema: StructType)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var metadataCount: Option[Long] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) =
@@ -387,7 +389,56 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftV1Scan(spark, table, asOf, required, pushed)
+  /** Metadata-only `COUNT(*)` (the Delta/Iceberg snapshot-count
+    * optimization): an ungrouped, unfiltered count is answered from
+    * the commit log's per-file row tallies minus standing DV deletes —
+    * zero data files open. Pushed ONLY when every live file carries a
+    * tally ([[IncrementalTable.liveRowCount]]); any filter, grouping,
+    * or other aggregate declines and scans normally — a wrong fast
+    * count is worse than a slow exact one. */
+  private def countStarOnly(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metadataCount.isDefined || (countStarOnly(agg) && {
+      metadataCount = table.liveRowCount(asOf)
+      metadataCount.isDefined
+    })
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    supportCompletePushDown(agg)
+
+  override def build(): Scan = metadataCount match {
+    case Some(n) => new GraftCountScan(spark, table, n)
+    case None => new GraftV1Scan(spark, table, asOf, required, pushed)
+  }
+}
+
+/** The pushed-`COUNT(*)` scan: one row, straight from the log. */
+private[sources] final class GraftCountScan(spark: SparkSession,
+    table: IncrementalTable, n: Long) extends V1Scan {
+  private val outSchema =
+    new StructType().add("count_star", org.apache.spark.sql.types.LongType,
+      nullable = false)
+  override def readSchema(): StructType = outSchema
+  override def description(): String =
+    s"GraftCountScan ${table.root} rows=$n (metadata-only)"
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    GraftRelation.record(table.root,
+      GraftScanInfo(table.liveFileCount(), 0, Seq("COUNT(*) [metadata-only]")))
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = spark.sqlContext
+      override def schema: StructType = outSchema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(n)), 1)
+    }.asInstanceOf[T]
+  }
 }
 
 /** The stable V1 fallback bridge: Spark plans this scan as a

@@ -1141,6 +1141,55 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def liveFilesSize(files: Seq[String]): Long =
     files.map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
 
+  /** EXACT live logical row count from metadata alone — no data scan:
+    * `Some(n)` when every live file carries a row tally in its stats
+    * index (recorded whenever the writer passed `statsColumns`), where
+    * n = Σ file rows − standing DV-deleted rows (each sidecar row is
+    * one distinct deleted position by construction — the dv write path
+    * only records not-previously-deleted rows). `None` when ANY live
+    * file lacks a tally — the caller must scan; a wrong fast count is
+    * worse than a slow exact one. Cost: a bounded aggregation job over
+    * checkpoint rows (columnar tables) or a driver fold (small
+    * tables), plus a sidecar-sized count job when DVs are standing. */
+  def liveRowCount(asOf: Option[Long] = None): Option[Long] = {
+    val cs = commitsAsOf(asOf)
+    val fileRows: Option[Long] = parquetCkpt(cs) match {
+      case Some(_) =>
+        import org.apache.spark.sql.functions.{col, count, element_at, lit, map_values, sum}
+        val agg = liveRowsDF(Map.empty, asOf)
+          .select(element_at(map_values(col("stats")), 1)
+            .getField("rows").as("r"))
+          .agg(count(lit(1)), count(col("r")), sum(col("r"))).head
+        if (agg.getLong(0) == 0) Some(0L)
+        else if (agg.getLong(0) != agg.getLong(1)) None
+        else Some(agg.getLong(2))
+      case None =>
+        val stats = liveFileStats(asOf)
+        val rows = liveFiles(Map.empty, asOf).map(f =>
+          stats.get(f).flatMap(_.valuesIterator.flatMap(_.rows).nextOption()))
+        if (rows.forall(_.isDefined)) Some(rows.flatMap(x => x).sum)
+        else None
+    }
+    fileRows.map { n =>
+      val dvMap = liveDv(asOf)
+      val gens = dvMap.values.flatten.toSeq.distinct
+      if (gens.isEmpty) n
+      else {
+        import spark.implicits._
+        // a generation may carry stale rows naming since-removed files
+        // (harmless for the read-path join, poisonous for counting) —
+        // count only positions belonging to LIVE dv-bearing files
+        val liveDvFiles = org.apache.spark.sql.functions.broadcast(
+          dvMap.keys.toSeq.toDF("file"))
+        n - spark.read
+          .schema(new StructType().add("file", "string").add("pos", "long"))
+          .parquet(gens.map(g => new Path(rootPath, s"$dvPrefix/$g").toString): _*)
+          .join(liveDvFiles, Seq("file"), "left_semi")
+          .count()
+      }
+    }
+  }
+
   def detail(): DataFrame = {
     import spark.implicits._
     val cs = commits()

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import graft.table.IncrementalTable
+import org.apache.spark.sql.functions.col
 
 /** The DSv2 catalog front door (X52): graft tables addressable by NAME
   * in pure SQL — CREATE/CTAS/INSERT/INSERT OVERWRITE/DELETE/TRUNCATE/
@@ -246,6 +247,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(viaDs.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
       viaDs.queryExecution.sparkPlan.toString)
     assert(viaCat.count() == 100000)
+  }
+
+  test("COUNT(*) answers from metadata when every file carries a row tally") {
+    spark.sql(s"CREATE TABLE $cat.lake.cnt (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.statsColumns'='k')")
+    spark.sql(s"INSERT INTO $cat.lake.cnt SELECT id, id FROM range(500)")
+    spark.sql(s"INSERT INTO $cat.lake.cnt SELECT id, id FROM range(500, 800)")
+    val root = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/cnt"
+    val t = IncrementalTable(spark, root)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.cnt").as[Long].head() == 800)
+    val scan = GraftRelation.lastScan(root).get
+    assert(scan.filesScanned == 0 && scan.pushed.exists(_.contains("metadata-only")),
+      scan.toString)
+    // DV deletes correct the tally without opening data files
+    t.deleteVectorized(col("k") % 10 === 0)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.cnt").as[Long].head() == 720)
+    assert(GraftRelation.lastScan(root).get.filesScanned == 0)
+    // a filtered or grouped count scans normally and stays exact
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.lake.cnt WHERE k < 100").as[Long].head() == 90)
+    assert(GraftRelation.lastScan(root).get.filesScanned > 0)
+    // a file written WITHOUT stats poisons the tally -> full fallback
+    t.append(spark.range(5).toDF("k").withColumn("v", col("k")), Nil)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.cnt").as[Long].head() == 725)
+    assert(GraftRelation.lastScan(root).get.filesScanned > 0)
   }
 
   test("CTAS, SHOW TABLES, TRUNCATE, DROP") {
