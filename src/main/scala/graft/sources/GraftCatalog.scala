@@ -666,17 +666,47 @@ private[sources] final class GraftWriteBuilder(table: IncrementalTable)
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           val partitionBy = table.partitionColumns
+          val props = table.tableProperties
           val stats = GraftCatalog.statsColumnsOf(table)
+          // clustered inserts (`graft.writeClusterBy`): range-partition
+          // + sort the batch on the cluster keys so every written file
+          // covers a TIGHT key range — the stats index then actually
+          // prunes on freshly-inserted data instead of waiting for an
+          // OPTIMIZE pass; file count per insert via
+          // `graft.writeClusterFiles` (default: session shuffle
+          // partitions)
+          val clusterBy = props.get("graft.writeClusterBy").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          val shaped =
+            if (clusterBy.isEmpty) data
+            else {
+              val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+              val n = props.get("graft.writeClusterFiles").map(_.toInt)
+                .getOrElse(data.sparkSession.sessionState.conf.numShufflePartitions)
+              data.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+            }
           overwriteScope match {
             case None =>
-              table.append(data, partitionBy, statsColumns = stats)
+              table.append(shaped, partitionBy, statsColumns = stats)
+              // write-time compaction (`graft.autoCompact.maxFiles`,
+              // Delta autoOptimize analog): partitions that accumulated
+              // more than maxFiles small files after this insert are
+              // rewritten — the commit-log and listing tax of a
+              // micro-batch ingest stays bounded without a scheduled
+              // OPTIMIZE job
+              props.get("graft.autoCompact.maxFiles").map(_.toInt).foreach { m =>
+                table.compactIfNeeded(m,
+                  targetFiles = props.get("graft.autoCompact.targetFiles")
+                    .map(_.toInt).getOrElse(1),
+                  statsColumns = stats)
+              }
             case Some(Nil) =>
-              table.replaceWhere(data, partitionBy, Map.empty, Map.empty,
+              table.replaceWhere(shaped, partitionBy, Map.empty, Map.empty,
                 statsColumns = stats)
             case Some(filters) =>
               val scope = filters.flatMap(partEq)
                 .map { case (a, v) => a -> v.toString }.toMap
-              table.replaceWhere(data, partitionBy, Map.empty, scope,
+              table.replaceWhere(shaped, partitionBy, Map.empty, scope,
                 statsColumns = stats)
           }
           ()

@@ -1975,7 +1975,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * OCC fails it cleanly if a concurrent writer touches the same
     * partition first. */
   def compactIfNeeded(maxFiles: Int, targetFiles: Int = 1,
-      filters: Map[String, String] = Map.empty): Seq[Map[String, String]] = {
+      filters: Map[String, String] = Map.empty,
+      statsColumns: Seq[String] = Nil): Seq[Map[String, String]] = {
     require(maxFiles >= targetFiles && maxFiles > 0)
     val oversized = parquetCkpt(commits()) match {
       case Some(_) =>
@@ -1992,7 +1993,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           .filter(_._2.size > maxFiles).keys.toSeq.sorted
     }
     val scopes = oversized.map(IncrementalTable.hiveSegments)
-    scopes.foreach(compact(_, targetFiles))
+    scopes.foreach(compact(_, targetFiles, statsColumns = statsColumns))
     scopes
   }
 

@@ -274,6 +274,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GraftRelation.lastScan(root).get.filesScanned > 0)
   }
 
+  test("clustered inserts + write-time auto-compaction via table properties") {
+    spark.sql(s"""CREATE TABLE $cat.lake.ac (k BIGINT, v BIGINT)
+                 |TBLPROPERTIES ('graft.statsColumns' = 'k',
+                 |  'graft.writeClusterBy' = 'k',
+                 |  'graft.writeClusterFiles' = '2',
+                 |  'graft.autoCompact.maxFiles' = '6')""".stripMargin)
+    val root = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/ac"
+    // each insert writes 2 range-clustered files; after the 4th insert
+    // the partition crosses 6 files and auto-compacts back to 1
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.lake.ac " +
+        s"SELECT id * 7 % 1000, id FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    val t = IncrementalTable(spark, root)
+    assert(t.liveFiles().size == 6)
+    // clustered: a narrow k-range predicate prunes within one insert's
+    // pair of range-disjoint files
+    assert(t.liveFilesWhere(col("k") < 100).size < 6)
+    spark.sql(s"INSERT INTO $cat.lake.ac SELECT id * 7 % 1000, id FROM range(300, 400)")
+    t.refresh()
+    assert(t.liveFiles().size == 1, t.liveFiles().toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ac").as[Long].head() == 400)
+    // the compacted rewrite kept the stats index (count was metadata-only)
+    assert(GraftRelation.lastScan(root).get.filesScanned == 0)
+  }
+
   test("CTAS, SHOW TABLES, TRUNCATE, DROP") {
     spark.sql(s"CREATE TABLE $cat.lake.ctas AS SELECT id AS k FROM range(7)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ctas").as[Long].head() == 7)
