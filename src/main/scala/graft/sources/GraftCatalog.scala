@@ -120,9 +120,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       (catalogName +: ident.namespace.toIndexedSeq :+ ident.name).mkString(".")))
   }
 
+  private def dataTable(ident: Identifier): GraftTable =
+    loadTable(ident) match {
+      case t: GraftTable => t
+      case other => throw new UnsupportedOperationException(
+        s"time travel is not supported on metadata table ${other.name()}")
+    }
+
   /** `VERSION AS OF v` time travel. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val base = loadTable(ident).asInstanceOf[GraftTable]
+    val base = dataTable(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft VERSION AS OF needs a numeric commit version (got '$version')")
@@ -135,7 +142,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** `TIMESTAMP AS OF ts` time travel: the latest commit at-or-before
     * the timestamp (microseconds, per the connector contract). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val base = loadTable(ident).asInstanceOf[GraftTable]
+    val base = dataTable(ident)
     val millis = timestamp / 1000L
     val v = base.table.commits().filter(_.ts <= millis).lastOption.getOrElse(
       throw new IllegalArgumentException(
@@ -357,7 +364,8 @@ private[sources] final class GraftTable(spark: SparkSession,
     require(asOf.isEmpty, s"cannot delete from time-travel snapshot $ident")
     val pred = filters.toIndexedSeq.flatMap(GraftRelation.translate)
       .reduceOption(_ && _).getOrElse(lit(true))
-    table.delete(pred)
+    // rewritten files keep the stats index (skipping + row tallies)
+    table.delete(pred, statsColumns = GraftCatalog.statsColumnsOf(table))
     ()
   }
 }
@@ -375,7 +383,7 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
-  private var metadataCount: Option[Long] = None
+  private var pushedCount: Option[Long] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) =
@@ -386,8 +394,16 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** TOP-LEVEL pruning only: Spark's nested-schema pruning may hand a
+    * struct column narrowed to a subset of its fields, but the bridge
+    * reads whole columns — declaring the narrowed schema while
+    * returning full structs would mis-map inner fields BY ORDINAL
+    * (silently wrong values). Widen every requested column back to its
+    * full table definition; the projection above the scan drops the
+    * unused leaves. */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = StructType(requiredSchema.fields.map(f =>
+      fullSchema.fields.find(_.name == f.name).getOrElse(f)))
 
   /** Metadata-only `COUNT(*)` (the Delta/Iceberg snapshot-count
     * optimization): an ungrouped, unfiltered count is answered from
@@ -402,18 +418,28 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
       agg.aggregateExpressions.head
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
 
+  // memoize the metadata probe per BUILDER (supportCompletePushDown and
+  // pushAggregation both consult it — one set of jobs, not two), but
+  // gate every answer on the aggregation SHAPE: a later probe with a
+  // different aggregation must never ride an earlier COUNT(*)'s yes
+  private var rowCountMemo: Option[Option[Long]] = None
+  private def metadataRowCount: Option[Long] = {
+    if (rowCountMemo.isEmpty) rowCountMemo = Some(table.liveRowCount(asOf))
+    rowCountMemo.get
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    metadataCount.isDefined || (countStarOnly(agg) && {
-      metadataCount = table.liveRowCount(asOf)
-      metadataCount.isDefined
-    })
+    countStarOnly(agg) && metadataRowCount.isDefined
 
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    supportCompletePushDown(agg)
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = supportCompletePushDown(agg)
+    if (ok) pushedCount = metadataRowCount
+    ok
+  }
 
-  override def build(): Scan = metadataCount match {
+  override def build(): Scan = pushedCount match {
     case Some(n) => new GraftCountScan(spark, table, n)
     case None => new GraftV1Scan(spark, table, asOf, required, pushed)
   }
@@ -430,8 +456,12 @@ private[sources] final class GraftCountScan(spark: SparkSession,
     s"GraftCountScan ${table.root} rows=$n (metadata-only)"
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
+    // filesLive = -1: the metadata-only path must not itself run the
+    // liveFileCount job (a Spark job on checkpointed tables) just for
+    // accounting — the sentinel says "not computed", filesScanned = 0
+    // is the assertion that matters
     GraftRelation.record(table.root,
-      GraftScanInfo(table.liveFileCount(), 0, Seq("COUNT(*) [metadata-only]")))
+      GraftScanInfo(-1L, 0, Seq("COUNT(*) [metadata-only]")))
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = spark.sqlContext
       override def schema: StructType = outSchema
@@ -453,33 +483,35 @@ private[sources] final class GraftV1Scan(spark: SparkSession,
 
   override def readSchema(): StructType = required
 
+  // the prune runs ONCE per scan instance — the cost estimate at
+  // planning and the row bridge at execution share the survivor list
+  // (which also pins the scan to one snapshot's file set)
+  private lazy val prunedOnce: (Option[org.apache.spark.sql.Column], Seq[String]) =
+    GraftRelation.pruneFiles(table, asOf, pushed.toIndexedSeq)
+
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftV1TableScan(spark, table, asOf, required, pushed).asInstanceOf[T]
+    new GraftV1TableScan(spark, table, asOf, required, pushed, prunedOnce)
+      .asInstanceOf[T]
 
   /** Post-pushdown cost estimate from the commit log: with pushed
     * filters, the sizes of exactly the files the skipping index keeps
     * (O(survivors) driver statuses — pruning already bounded them);
-    * without, one log-level total. Catalyst's join planning then
-    * treats a small (or well-pruned) graft table as broadcastable,
-    * same as a plain parquet scan with computed stats. */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    * without, one log-level total (cheaper than per-file statuses on
+    * checkpointed tables). Catalyst's join planning then treats a
+    * small (or well-pruned) graft table as broadcastable, same as a
+    * plain parquet scan with computed stats. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val bytes =
+      if (pushed.isEmpty) table.liveBytes(asOf)
+      else table.liveFilesSize(prunedOnce._2)
     new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes: Long =
-        if (pushed.isEmpty) table.liveBytes(asOf)
-        else {
-          val pred = pushed.toIndexedSeq.flatMap(GraftRelation.translate)
-            .reduceOption(_ && _)
-          pred match {
-            case Some(p) => table.liveFilesSize(table.liveFilesWhere(p, Map.empty, asOf))
-            case None => table.liveBytes(asOf)
-          }
-        }
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.empty()
     }
+  }
 
   override def description(): String =
     s"GraftScan ${table.root}${asOf.fold("")(v => s"@v$v")} " +
@@ -488,13 +520,14 @@ private[sources] final class GraftV1Scan(spark: SparkSession,
 
 private[sources] final class GraftV1TableScan(spark: SparkSession,
     table: IncrementalTable, asOf: Option[Long],
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    pruned: (Option[org.apache.spark.sql.Column], Seq[String]))
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = spark.sqlContext
   override def schema: StructType = required
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
     GraftRelation.scanDf(table, asOf, required.fieldNames.toIndexedSeq,
-      pushed.toIndexedSeq).rdd
+      pushed.toIndexedSeq, Some(pruned)).rdd
 }
 
 /** A read-only metadata view of a graft table (`t.history` /
@@ -506,7 +539,10 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
     table: IncrementalTable, view: String, ident: String)
     extends Table with SupportsRead {
 
-  private def frame(): DataFrame = view match {
+  // computed once per loaded table: schema() resolves it during
+  // analysis and buildScan() again at execution — detail() in
+  // particular re-statuses files / re-runs its aggregation per call
+  private lazy val frame: DataFrame = view match {
     case "history" => table.history()
     case "detail" => table.detail()
     case "properties" =>
@@ -515,7 +551,7 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
   }
 
   override def name(): String = ident
-  override def schema(): StructType = frame().schema
+  override def schema(): StructType = frame.schema
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
@@ -533,7 +569,7 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
             override def sqlContext: SQLContext = spark.sqlContext
             override def schema: StructType = req
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-              val df = frame()
+              val df = frame
               (if (req.isEmpty) df.select()
                else df.select(req.fieldNames.toIndexedSeq.map(
                  org.apache.spark.sql.functions.col): _*)).rdd

@@ -154,7 +154,8 @@ final case class GraftUpdateCommand(table: IncrementalTable,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     table.update(cond.getOrElse(org.apache.spark.sql.functions.lit(true)),
-      set.toMap)
+      set.toMap,
+      statsColumns = GraftCatalog.statsColumnsOf(table))
     Seq.empty
   }
 }

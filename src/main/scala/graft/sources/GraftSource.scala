@@ -328,10 +328,13 @@ object GraftRelation {
     * column set INSIDE the inner Catalyst plan — so the parquet
     * ReadSchema shrinks before any row bridge. Records prune accounting
     * per table root for tests/observability. */
-  private[sources] def scanDf(table: IncrementalTable, asOf: Option[Long],
-      requiredColumns: Seq[String], filters: Seq[Filter]): DataFrame = {
-    val translated = filters.flatMap(translate)
-    val pred = translated.reduceOption(_ && _)
+  /** The prune half of the scan contract, separated so a caller that
+    * needs the survivor list TWICE (the catalog scan's cost estimate
+    * at planning + its row bridge at execution) computes it once —
+    * also pinning the scan to one snapshot's file set. */
+  private[sources] def pruneFiles(table: IncrementalTable, asOf: Option[Long],
+      filters: Seq[Filter]): (Option[Column], Seq[String]) = {
+    val pred = filters.flatMap(translate).reduceOption(_ && _)
     // partition-column equality prunes at DIRECTORY granularity (no
     // stats needed — partition values live in the path, not the footer)
     val partCols = table.partitionColumns.toSet
@@ -342,6 +345,13 @@ object GraftRelation {
       case Some(p) => table.liveFilesWhere(p, partMap, asOf)
       case None => table.liveFiles(partMap, asOf)
     }
+    (pred, files)
+  }
+
+  private[sources] def scanDf(table: IncrementalTable, asOf: Option[Long],
+      requiredColumns: Seq[String], filters: Seq[Filter],
+      pruned: Option[(Option[Column], Seq[String])] = None): DataFrame = {
+    val (pred, files) = pruned.getOrElse(pruneFiles(table, asOf, filters))
     // liveFileCount is a count JOB above the checkpoint threshold —
     // the accounting must never itself collect the live set
     record(table.root, GraftScanInfo(

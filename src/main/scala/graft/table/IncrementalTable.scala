@@ -869,7 +869,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * rewritten without the matching rows. The candidate file set is
     * pruned by the commit log's [min,max] index first, so a clustered
     * delete touches the files the predicate can reach, not the table. */
-  def delete(predicate: Column): Option[Commit] = {
+  def delete(predicate: Column,
+      statsColumns: Seq[String] = Nil): Option[Commit] = {
     require(exists, s"delete target $root does not exist")
     val fn = org.apache.spark.sql.functions.col _
     val stored = committedSchema
@@ -890,7 +891,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         .filter(!org.apache.spark.sql.functions.coalesce(predicate,
           org.apache.spark.sql.functions.lit(false)))
       write(kept, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
-        None, removeExact = Some(touched))
+        None, removeExact = Some(touched), statsColumns = statsColumns)
     }
   }
 
@@ -898,7 +899,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * matching `predicate`), copy-on-write like [[delete]]: only files
     * holding a matching row are rewritten; a row may move partitions
     * if `set` touches a partition column (the rewrite re-partitions). */
-  def update(predicate: Column, set: Map[String, Column]): Option[Commit] = {
+  def update(predicate: Column, set: Map[String, Column],
+      statsColumns: Seq[String] = Nil): Option[Commit] = {
     require(exists, s"update target $root does not exist")
     require(set.nonEmpty, "update needs set expressions")
     val fn = org.apache.spark.sql.functions.col _
@@ -923,7 +925,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           }
         }: _*)
       write(rewritten, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
-        None, removeExact = Some(touched))
+        None, removeExact = Some(touched), statsColumns = statsColumns)
     }
   }
 
@@ -1111,29 +1113,40 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * version, live file count and bytes (a driver-side metadata pass
     * over the committed list — no Spark job), partition columns,
     * schema DDL, active constraint and deletion-vector counts. */
-  /** Total bytes of the live snapshot as of `asOf` — the cost estimate
-    * the front doors report to Catalyst so join planning (broadcast
-    * vs shuffle) works on graft tables like on any file relation.
-    * Checkpointed tables answer with one bounded aggregation job over
-    * the checkpoint rows (+ O(tail) driver statuses); small tables pay
-    * O(live files) statuses. DV-deleted rows still count (scan cost,
-    * not logical rows) — estimates only ever need to be conservative. */
-  def liveBytes(asOf: Option[Long] = None): Long = {
+  /** (live file count, total bytes, dv-bearing file count) of the
+    * snapshot as of `asOf` — THE single copy of the summary fold
+    * [[detail]] and [[liveBytes]] share. Checkpointed tables answer
+    * with one bounded aggregation job over the checkpoint rows
+    * (+ O(tail) driver statuses for tail-added files); small tables
+    * pay O(live files) statuses. */
+  private def liveSummary(asOf: Option[Long]): (Long, Long, Long) = {
     val cs = commitsAsOf(asOf)
     parquetCkpt(cs) match {
       case Some(_) =>
-        import org.apache.spark.sql.functions.{col, sum, when}
+        import org.apache.spark.sql.functions.{col, count, lit, size, sum, when}
         val tf = new TailFold(cs.tail)
-        val agg = liveRowsDF(Map.empty, asOf)
-          .agg(sum(when(col("size") >= 0, col("size")))).head
+        val agg = liveRowsDF(Map.empty, asOf).agg(
+          count(lit(1)), sum(when(col("size") >= 0, col("size"))),
+          count(when(size(col("dvGens")) > 0, lit(1)))).head
         val tailBytes = tf.adds.keys
           .map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
-        (if (agg.isNullAt(0)) 0L else agg.getLong(0)) + tailBytes
+        (agg.getLong(0),
+          (if (agg.isNullAt(1)) 0L else agg.getLong(1)) + tailBytes,
+          agg.getLong(2))
       case None =>
-        liveFiles(Map.empty, asOf)
-          .map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
+        val live = liveFiles(Map.empty, asOf)
+        (live.size.toLong,
+          live.map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum,
+          liveDv(asOf).size.toLong)
     }
   }
+
+  /** Total bytes of the live snapshot as of `asOf` — the cost estimate
+    * the front doors report to Catalyst so join planning (broadcast
+    * vs shuffle) works on graft tables like on any file relation.
+    * DV-deleted rows still count (scan cost, not logical rows) —
+    * estimates only ever need to be conservative. */
+  def liveBytes(asOf: Option[Long] = None): Long = liveSummary(asOf)._2
 
   /** Total bytes of an explicit (already-pruned) live-file subset —
     * the post-pushdown cost estimate. O(files) driver statuses; callers
@@ -1178,12 +1191,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         import spark.implicits._
         // a generation may carry stale rows naming since-removed files
         // (harmless for the read-path join, poisonous for counting) —
-        // count only positions belonging to LIVE dv-bearing files
+        // count only positions belonging to LIVE dv-bearing files.
+        // Sidecar `file` values live in file_path's URI-ENCODED
+        // rendering while commit-log dv keys are decoded
+        // ([[relativizeUri]]); decode sidecar-side so the semi-join
+        // compares one rendering (a space/%-bearing partition value
+        // would otherwise silently skip the subtraction).
+        val decode = org.apache.spark.sql.functions.udf(
+          (s: String) => new java.net.URI(s).getPath)
         val liveDvFiles = org.apache.spark.sql.functions.broadcast(
           dvMap.keys.toSeq.toDF("file"))
         n - spark.read
           .schema(new StructType().add("file", "string").add("pos", "long"))
           .parquet(gens.map(g => new Path(rootPath, s"$dvPrefix/$g").toString): _*)
+          .select(decode(org.apache.spark.sql.functions.col("file")).as("file"))
           .join(liveDvFiles, Seq("file"), "left_semi")
           .count()
       }
@@ -1193,26 +1214,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def detail(): DataFrame = {
     import spark.implicits._
     val cs = commits()
-    val (nFiles, bytes, nDv) = parquetCkpt(cs) match {
-      case Some(_) =>
-        // one aggregation job over the checkpoint rows (sizes were
-        // recorded at checkpoint build); only tail-added files pay a
-        // driver status call — O(interval), never O(files)
-        import org.apache.spark.sql.functions.{col, count, lit, size, sum, when}
-        val tf = new TailFold(cs.tail)
-        val agg = liveRowsDF(Map.empty, None).agg(
-          count(lit(1)), sum(when(col("size") >= 0, col("size"))),
-          count(when(size(col("dvGens")) > 0, lit(1)))).head
-        val tailBytes = tf.adds.keys
-          .map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
-        (agg.getLong(0), (if (agg.isNullAt(1)) 0L else agg.getLong(1)) + tailBytes,
-          agg.getLong(2))
-      case None =>
-        val live = liveFiles()
-        (live.size.toLong,
-          live.map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum,
-          liveDv().size.toLong)
-    }
+    val (nFiles, bytes, nDv) = liveSummary(None)
     val schemaDdl = schemaDdlAt().getOrElse("")
     // partitioning of the CURRENT layout: the most recent data commit's
     // partitionBy, including a legitimately-empty one (a table fully

@@ -300,6 +300,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GraftRelation.lastScan(root).get.filesScanned == 0)
   }
 
+  test("nested struct columns survive Spark's nested-schema pruning") {
+    spark.sql(s"CREATE TABLE $cat.lake.ns " +
+      "(k BIGINT, hdr STRUCT<cust: BIGINT, total: BIGINT>)")
+    spark.sql(s"INSERT INTO $cat.lake.ns " +
+      "SELECT id, named_struct('cust', id + 1, 'total', id * 10) FROM range(5)")
+    // selecting ONE leaf triggers nestedSchemaPruning: the builder must
+    // widen back to the full struct or inner fields mis-map by ordinal
+    val totals = spark.sql(s"SELECT hdr.total AS t FROM $cat.lake.ns ORDER BY t")
+      .as[Long].collect().toSeq
+    assert(totals == Seq(0L, 10L, 20L, 30L, 40L))
+    val custs = spark.table(s"$cat.lake.ns").select($"hdr.cust")
+      .as[Long].collect().sorted.toSeq
+    assert(custs == (1L to 5L))
+  }
+
+  test("metadata COUNT(*) DV correction survives URI-escaped partition paths") {
+    spark.sql(s"CREATE TABLE $cat.lake.esc (k BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('graft.statsColumns'='k')")
+    // a partition value with a space: sidecar rows store the ENCODED
+    // file_path rendering (seg=a%20b/...), commit-log dv keys decode —
+    // the correction must compare one rendering or it over-counts
+    spark.sql(s"INSERT INTO $cat.lake.esc SELECT id, 'a b' FROM range(10)")
+    val root = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/esc"
+    IncrementalTable(spark, root).deleteVectorized(col("k") < 3)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.esc").as[Long].head() == 7)
+    assert(GraftRelation.lastScan(root).get.filesScanned == 0)
+  }
+
+  test("SQL UPDATE and DELETE keep the stats index on rewritten files") {
+    spark.sql(s"CREATE TABLE $cat.lake.si (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.statsColumns'='k')")
+    spark.sql(s"INSERT INTO $cat.lake.si SELECT id, id FROM range(100)")
+    spark.sql(s"UPDATE $cat.lake.si SET v = v + 1 WHERE k < 10")
+    spark.sql(s"DELETE FROM $cat.lake.si WHERE k >= 90")
+    // both rewrites carried statsColumns → the tally survives and the
+    // count stays metadata-only
+    val root = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/si"
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.si").as[Long].head() == 90)
+    assert(GraftRelation.lastScan(root).get.filesScanned == 0)
+  }
+
   test("CTAS, SHOW TABLES, TRUNCATE, DROP") {
     spark.sql(s"CREATE TABLE $cat.lake.ctas AS SELECT id AS k FROM range(7)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ctas").as[Long].head() == 7)
