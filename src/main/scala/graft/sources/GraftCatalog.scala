@@ -76,6 +76,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  // ALTER TABLE … ADD CONSTRAINT routes through alterTable (Spark 4.1
+  // constraints API); graft supports enforced CHECK constraints
+  override def capabilities(): JSet[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+
   private def pathFor(parts: Seq[String]): Path =
     parts.foldLeft(new Path(warehouse))(new Path(_, _))
   private def tablePath(ident: Identifier): Path =
@@ -175,10 +180,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.SetProperty] ||
-        c.isInstanceOf[TableChange.RemoveProperty])
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        c.isInstanceOf[TableChange.AddConstraint] ||
+        c.isInstanceOf[TableChange.DropConstraint])
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
-      s"graft ALTER TABLE supports ADD COLUMNS / (UN)SET TBLPROPERTIES only: " +
-        unsupported.mkString(", "))
+      s"graft ALTER TABLE supports ADD COLUMNS / (UN)SET TBLPROPERTIES / " +
+        s"ADD|DROP CONSTRAINT only: ${unsupported.mkString(", ")}")
     if (added.nonEmpty) {
       added.foreach(a => require(a.fieldNames.length == 1,
         s"in-struct evolution is a type change (X49): ${a.fieldNames.mkString(".")}"))
@@ -186,6 +193,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType))))
     }
     if (props.nonEmpty) t.setProperties(props.toMap)
+    // SQL CHECK constraints map onto the library's validated-then-
+    // enforced-in-write-scan constraints (X32); other constraint kinds
+    // (UNIQUE/PK/FK) are informational claims graft cannot enforce and
+    // are refused rather than silently recorded
+    changes.foreach {
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          t.addConstraint(c.name, c.predicateSql)
+        case other => throw new UnsupportedOperationException(
+          s"graft supports CHECK constraints only (got ${other.toDDL})")
+      }
+      case d: TableChange.DropConstraint =>
+        if (!d.ifExists) require(t.constraints.contains(d.name),
+          s"no constraint '${d.name}' on $ident")
+        t.dropConstraint(d.name)
+      case _ => ()
+    }
     loadTable(ident)
   }
 
@@ -345,6 +369,16 @@ private[sources] final class GraftTable(spark: SparkSession,
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE).asJava
+
+  /** Committed CHECK constraints surfaced to the engine (DESCRIBE,
+    * write-side validation); enforcement itself lives in the table's
+    * write scan ([[IncrementalTable.addConstraint]]). */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    table.constraints.map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, table, asOf, schema())

@@ -341,6 +341,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GraftRelation.lastScan(root).get.filesScanned == 0)
   }
 
+  test("SQL CHECK constraints: ADD validates + enforces, DROP re-allows") {
+    spark.sql(s"CREATE TABLE $cat.lake.ck (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.ck SELECT id, id FROM range(10)")
+    spark.sql(s"ALTER TABLE $cat.lake.ck ADD CONSTRAINT v_bound CHECK (v < 100)")
+    // a violating insert fails before anything commits
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.lake.ck VALUES (99, 500)")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ck").as[Long].head() == 10)
+    // adding a constraint existing rows violate fails loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.ck ADD CONSTRAINT v_tight CHECK (v < 5)")
+    }
+    spark.sql(s"ALTER TABLE $cat.lake.ck DROP CONSTRAINT v_bound")
+    spark.sql(s"INSERT INTO $cat.lake.ck VALUES (99, 500)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ck").as[Long].head() == 11)
+  }
+
   test("CTAS, SHOW TABLES, TRUNCATE, DROP") {
     spark.sql(s"CREATE TABLE $cat.lake.ctas AS SELECT id AS k FROM range(7)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ctas").as[Long].head() == 7)
