@@ -132,13 +132,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"time travel is not supported on metadata table ${other.name()}")
     }
 
-  /** `VERSION AS OF v` time travel. */
+  /** `VERSION AS OF v` time travel — a commit version, or a snapshot
+    * TAG name (`VERSION AS OF 'stable'`, [[IncrementalTable.setTag]]). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val base = dataTable(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft VERSION AS OF needs a numeric commit version (got '$version')")
-    }
+    val v =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else base.table.tags.getOrElse(version,
+        throw new IllegalArgumentException(
+          s"'$version' is neither a commit version nor a tag of $ident " +
+            s"(tags: ${base.table.tags.keys.mkString(", ")})"))
     require(v >= 0 && v <= base.table.latestVersion,
       s"version $v out of range [0, ${base.table.latestVersion}] for $ident")
     base.atVersion(v)
@@ -638,6 +641,9 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       "the graft.statsColumns table property"
     case "vacuum" => "reclaim files no live or time-travelable commit references"
     case "restore" => "roll the table back to a prior version as a new commit"
+    case "tag" => "pin a snapshot name to a commit version (default: head) " +
+      "for VERSION AS OF '<name>' reads"
+    case "untag" => "delete a snapshot tag"
   }
   override def bind(inputType: org.apache.spark.sql.types.StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -655,6 +661,13 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       case "restore" => Array(
         in("table", StringType).build(),
         in("version", LongType).build())
+      case "tag" => Array(
+        in("table", StringType).build(),
+        in("name", StringType).build(),
+        in("version", LongType).defaultValue("-1").build())
+      case "untag" => Array(
+        in("table", StringType).build(),
+        in("name", StringType).build())
     }
   }
 
@@ -682,6 +695,20 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         (new StructType().add("version", LongType).add("restored_to", LongType),
           commit.map(c => InternalRow(c.version, input.getLong(1)))
             .getOrElse(InternalRow(null, input.getLong(1))))
+      case "tag" =>
+        val tagName = input.getUTF8String(1).toString
+        val v = input.getLong(2) match {
+          case -1L => t.latestVersion
+          case v => v
+        }
+        t.setTag(tagName, v)
+        (new StructType().add("tag", StringType).add("version", LongType),
+          InternalRow(UTF8String.fromString(tagName), v))
+      case "untag" =>
+        val tagName = input.getUTF8String(1).toString
+        t.dropTag(tagName)
+        (new StructType().add("tag", StringType),
+          InternalRow(UTF8String.fromString(tagName)))
     }
     val scan: org.apache.spark.sql.connector.read.Scan =
       new org.apache.spark.sql.connector.read.LocalScan {
@@ -693,7 +720,7 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
 }
 
 private[sources] object GraftProcedure {
-  val names: Set[String] = Set("compact", "vacuum", "restore")
+  val names: Set[String] = Set("compact", "vacuum", "restore", "tag", "untag")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

@@ -1322,6 +1322,37 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def setProperties(props: Map[String, String]): Commit =
     commitMeta(props.map { case (k, v) => s"prop/$k" -> v })
 
+  /** Snapshot tags (Iceberg-ref analog): name → pinned commit version,
+    * riding the same `tag/<name>` metadata channel as properties —
+    * atomic, replayable, checkpoint-folded. `VERSION AS OF '<name>'`
+    * resolves through [[tags]] in the catalog front door. Vacuum
+    * retention note: a tag pins a VERSION, not files — files replaced
+    * before the newest checkpoint stay readable per the documented
+    * time-travel horizon, beyond it a tagged read fails like any
+    * readAt past retention. */
+  def tags: Map[String, Long] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    commits().foreach(_.meta.foreach { case (k, v) =>
+      if (k.startsWith("tag/")) {
+        val n = k.stripPrefix("tag/")
+        if (v.isEmpty) m.remove(n) else m(n) = v.toLong
+      }
+    })
+    m.toMap
+  }
+
+  /** Create/move a tag (metadata-only commit). */
+  def setTag(name: String, version: Long): Commit = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag name '$name' must not be purely numeric (ambiguous with a version)")
+    require(version >= 0 && version <= latestVersion,
+      s"tag '$name' pins version $version outside [0, $latestVersion]")
+    commitMeta(Map(s"tag/$name" -> version.toString))
+  }
+
+  /** Delete a tag (empty value unsets, same as properties). */
+  def dropTag(name: String): Commit = commitMeta(Map(s"tag/$name" -> ""))
+
   /** ADD CONSTRAINT (Delta CHECK-constraint analog; NOT NULL is
     * `CHECK (col IS NOT NULL)`). Existing rows are validated first —
     * one short-circuiting job — then every subsequent write enforces

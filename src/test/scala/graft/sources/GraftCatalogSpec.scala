@@ -359,6 +359,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ck").as[Long].head() == 11)
   }
 
+  test("snapshot tags: CALL tag + VERSION AS OF 'name'") {
+    spark.sql(s"CREATE TABLE $cat.lake.tg (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.tg SELECT id FROM range(5)")
+    spark.sql(s"CALL $cat.system.tag('lake.tg', 'stable')") // pins head (v1)
+    spark.sql(s"INSERT INTO $cat.lake.tg SELECT id FROM range(5, 9)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.tg VERSION AS OF 'stable'")
+      .as[Long].head() == 5)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.tg").as[Long].head() == 9)
+    // retagging moves the pin; untag removes it
+    spark.sql(s"CALL $cat.system.tag('lake.tg', 'stable', 3)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.tg VERSION AS OF 'stable'")
+      .as[Long].head() == 9)
+    spark.sql(s"CALL $cat.system.untag('lake.tg', 'stable')")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.lake.tg VERSION AS OF 'stable'").collect()
+    }
+    ()
+  }
+
   test("CTAS, SHOW TABLES, TRUNCATE, DROP") {
     spark.sql(s"CREATE TABLE $cat.lake.ctas AS SELECT id AS k FROM range(7)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ctas").as[Long].head() == 7)
