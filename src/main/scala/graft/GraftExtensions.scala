@@ -24,6 +24,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // post-resolution into the library's copy-on-write paths
     // (sources/GraftDml.scala)
     ext.injectPostHocResolutionRule(spark => new graft.sources.GraftDmlRule(spark))
+    // CDC as a table-valued function: SELECT * FROM
+    // graft_changes('/path/to/table', fromVersion [, toVersion]) —
+    // every logical change in the window as rows with
+    // _change_type/_commit_version (X15's change feed, SQL-addressable
+    // without a library call; a batch version of the
+    // readStream.format("graft") source)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(classOf[graft.table.IncrementalTable].getName, "graft_changes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_changes(path, fromVersion [, toVersion])")
+        def litOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Any = {
+          require(e.foldable, s"graft_changes arguments must be literals (got $e)")
+          e.eval(null)
+        }
+        val path = String.valueOf(litOf(args.head))
+        val from = litOf(args(1)).asInstanceOf[Number].longValue()
+        val spark = org.apache.spark.sql.SparkSession.active
+        val t = graft.table.IncrementalTable(spark, path)
+        val to = if (args.length == 3) litOf(args(2)).asInstanceOf[Number].longValue()
+          else t.latestVersion
+        t.changes(from, to).queryExecution.logical
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),

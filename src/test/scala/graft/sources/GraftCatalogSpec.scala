@@ -378,6 +378,23 @@ class GraftCatalogSpec extends SparkSpec {
     ()
   }
 
+  test("graft_changes TVF: the change feed in pure SQL") {
+    spark.sql(s"CREATE TABLE $cat.lake.cf (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.cf SELECT id, id FROM range(5)") // v1
+    spark.sql(s"DELETE FROM $cat.lake.cf WHERE k >= 3") // v2
+    val root = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/cf"
+    val changes = spark.sql(
+      s"SELECT k, _change_type, _commit_version FROM graft_changes('$root', 1) " +
+        "ORDER BY _commit_version, _change_type, k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(changes.filter(_._3 == 1) ==
+      (0L until 5L).map(k => (k, "insert", 1L)))
+    assert(changes.filter(_._3 == 2) == Seq((3L, "delete", 2L), (4L, "delete", 2L)))
+    // explicit window
+    assert(spark.sql(s"SELECT count(*) FROM graft_changes('$root', 2, 2)")
+      .as[Long].head() == 2)
+  }
+
   test("CTAS, SHOW TABLES, TRUNCATE, DROP") {
     spark.sql(s"CREATE TABLE $cat.lake.ctas AS SELECT id AS k FROM range(7)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ctas").as[Long].head() == 7)
