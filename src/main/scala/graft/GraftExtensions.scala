@@ -38,14 +38,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_changes(path, fromVersion [, toVersion])")
         def litOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Any = {
           require(e.foldable, s"graft_changes arguments must be literals (got $e)")
-          e.eval(null)
+          val v = e.eval(null)
+          require(v != null, s"graft_changes arguments must not be NULL (got $e)")
+          v
         }
+        def longOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+          litOf(e) match {
+            case n: java.lang.Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_changes version arguments must be integers (got $other)")
+          }
         val path = String.valueOf(litOf(args.head))
-        val from = litOf(args(1)).asInstanceOf[Number].longValue()
+        val from = longOf(args(1))
         val spark = org.apache.spark.sql.SparkSession.active
         val t = graft.table.IncrementalTable(spark, path)
-        val to = if (args.length == 3) litOf(args(2)).asInstanceOf[Number].longValue()
-          else t.latestVersion
+        // a typo'd path must error, not read as an empty change feed
+        require(t.exists, s"graft_changes: no graft table at '$path'")
+        val to = if (args.length == 3) longOf(args(2)) else t.latestVersion
         t.changes(from, to).queryExecution.logical
       }))
     ext.injectFunction((

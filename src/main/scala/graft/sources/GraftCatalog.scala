@@ -137,7 +137,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val base = dataTable(ident)
     val v =
-      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      if (version.nonEmpty && version.forall(_.isDigit))
+        try version.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"version '$version' is out of Long range for $ident")
+        }
       else base.table.tags.getOrElse(version,
         throw new IllegalArgumentException(
           s"'$version' is neither a commit version nor a tag of $ident " +
@@ -156,6 +160,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"no commit of $ident at or before timestamp $timestamp")).version
     base.atVersion(v)
+  }
+
+  /** CREATE TABLE with inline constraints (`CONSTRAINT c CHECK (…)` in
+    * the column list): the TableInfo overload is what `CreateTableExec`
+    * actually calls once SUPPORT_TABLE_CONSTRAINT is declared — the
+    * interface DEFAULT silently discards `constraints()`, so it must
+    * be overridden or a declared CHECK would never be recorded.
+    * Non-CHECK kinds are refused BEFORE the table is created. */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val checks = info.constraints().toIndexedSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check => c
+      case other => throw new UnsupportedOperationException(
+        s"graft supports CHECK constraints only (got ${other.toDDL})")
+    }
+    val created = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    val t = created.asInstanceOf[GraftTable].table
+    checks.foreach(c => t.addConstraint(c.name, c.predicateSql))
+    created
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -1291,32 +1291,29 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * as `constraint/<name>` metadata (an empty value marks a drop), so
     * they ride the same atomic commits as everything else and survive
     * checkpoint folding. */
-  def constraints: Map[String, String] = {
+  /** Fold one `<prefix><name> → value` metadata channel over the log:
+    * latest value wins, empty value is a tombstone — THE single copy
+    * of the channel semantics [[constraints]]/[[tableProperties]]/
+    * [[tags]] share. */
+  private def metaChannel(prefix: String): Map[String, String] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
     commits().foreach(_.meta.foreach { case (k, v) =>
-      if (k.startsWith("constraint/")) {
-        val n = k.stripPrefix("constraint/")
+      if (k.startsWith(prefix)) {
+        val n = k.stripPrefix(prefix)
         if (v.isEmpty) m.remove(n) else m(n) = v
       }
     })
     m.toMap
   }
 
+  def constraints: Map[String, String] = metaChannel("constraint/")
+
   /** Table properties (`prop/<key>` metadata entries, latest value
     * wins, empty value = unset) — the TBLPROPERTIES channel of the
     * catalog front door. Reserved graft keys drive behavior, e.g.
     * `graft.statsColumns` (comma-separated) adds those columns to the
     * data-skipping index on every catalog/datasource write. */
-  def tableProperties: Map[String, String] = {
-    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    commits().foreach(_.meta.foreach { case (k, v) =>
-      if (k.startsWith("prop/")) {
-        val n = k.stripPrefix("prop/")
-        if (v.isEmpty) m.remove(n) else m(n) = v
-      }
-    })
-    m.toMap
-  }
+  def tableProperties: Map[String, String] = metaChannel("prop/")
 
   /** SET/UNSET TBLPROPERTIES: metadata-only commit (empty value unsets). */
   def setProperties(props: Map[String, String]): Commit =
@@ -1330,16 +1327,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * before the newest checkpoint stay readable per the documented
     * time-travel horizon, beyond it a tagged read fails like any
     * readAt past retention. */
-  def tags: Map[String, Long] = {
-    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    commits().foreach(_.meta.foreach { case (k, v) =>
-      if (k.startsWith("tag/")) {
-        val n = k.stripPrefix("tag/")
-        if (v.isEmpty) m.remove(n) else m(n) = v.toLong
-      }
-    })
-    m.toMap
-  }
+  def tags: Map[String, Long] =
+    metaChannel("tag/").view.mapValues(_.toLong).toMap
 
   /** Create/move a tag (metadata-only commit). */
   def setTag(name: String, version: Long): Commit = {
@@ -1350,8 +1339,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     commitMeta(Map(s"tag/$name" -> version.toString))
   }
 
-  /** Delete a tag (empty value unsets, same as properties). */
-  def dropTag(name: String): Commit = commitMeta(Map(s"tag/$name" -> ""))
+  /** Delete a tag (tombstone commit). Requires the tag to exist — a
+    * typo'd untag must not silently "succeed" while the real tag
+    * stays resolvable. */
+  def dropTag(name: String): Commit = {
+    require(tags.contains(name),
+      s"no tag '$name' on $root (tags: ${tags.keys.mkString(", ")})")
+    commitMeta(Map(s"tag/$name" -> ""))
+  }
 
   /** ADD CONSTRAINT (Delta CHECK-constraint analog; NOT NULL is
     * `CHECK (col IS NOT NULL)`). Existing rows are validated first —

@@ -395,6 +395,35 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() == 2)
   }
 
+  test("inline CREATE TABLE constraints are recorded, non-CHECK kinds refused") {
+    spark.sql(s"CREATE TABLE $cat.lake.cki (k BIGINT, CONSTRAINT pos CHECK (k > 0))")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.lake.cki VALUES (-5)")
+    }
+    spark.sql(s"INSERT INTO $cat.lake.cki VALUES (5)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.cki").as[Long].head() == 1)
+    // an unenforceable kind at CREATE time is refused, never silently
+    // recorded — and the refusal happens BEFORE the table exists
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.lake.cki2 " +
+        "(k BIGINT, CONSTRAINT pk PRIMARY KEY (k))")
+    }
+    ()
+  }
+
+  test("typo'd untag and typo'd graft_changes path fail loudly") {
+    spark.sql(s"CREATE TABLE $cat.lake.tg2 (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.tg2 SELECT id FROM range(3)")
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.untag('lake.tg2', 'nosuch')")
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_changes('/tmp/definitely/not/a/table', 0)")
+        .collect()
+    }
+    ()
+  }
+
   test("CTAS, SHOW TABLES, TRUNCATE, DROP") {
     spark.sql(s"CREATE TABLE $cat.lake.ctas AS SELECT id AS k FROM range(7)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.ctas").as[Long].head() == 7)
