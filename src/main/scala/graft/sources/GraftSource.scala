@@ -78,15 +78,22 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
     val partitionBy = parameters.get("partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(if (t.exists) t.partitionColumns else Seq.empty)
+    // same skipping-index contract as catalog writes: the
+    // `graft.statsColumns` table property (or an explicit
+    // `statsColumns` write option) indexes every written file
+    val stats = parameters.get("statsColumns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(GraftCatalog.statsColumnsOf(t))
     mode match {
-      case SaveMode.Append => t.append(data, partitionBy)
+      case SaveMode.Append => t.append(data, partitionBy, statsColumns = stats)
       case SaveMode.Overwrite =>
-        t.replaceWhere(data, partitionBy, Map.empty, Map.empty)
+        t.replaceWhere(data, partitionBy, Map.empty, Map.empty,
+          statsColumns = stats)
       case SaveMode.ErrorIfExists =>
         require(!t.exists, s"graft table ${t.root} already exists (mode=ErrorIfExists)")
-        t.append(data, partitionBy)
+        t.append(data, partitionBy, statsColumns = stats)
       case SaveMode.Ignore =>
-        if (!t.exists) t.append(data, partitionBy)
+        if (!t.exists) t.append(data, partitionBy, statsColumns = stats)
     }
     GraftRelation(sqlContext.sparkSession, t, None)
   }
@@ -268,7 +275,8 @@ private[sources] final class GraftSink(table: IncrementalTable,
       else Seq.empty
     val batch = org.apache.spark.sql.graftshim.StreamingBatchShim.rebatch(data)
     table.append(batch, partitionBy,
-      batchId = Some(batchId), appId = Some(appId))
+      batchId = Some(batchId), appId = Some(appId),
+      statsColumns = GraftCatalog.statsColumnsOf(table))
     ()
   }
 }
