@@ -1061,6 +1061,38 @@ object QueriesPipeline {
               |WHERE event_type = 'click'
               |ORDER BY scope""".stripMargin)
     }),
+
+    // ---- SQL maintenance: CALL compact (z-order) under the oracle ------
+    // X56's OPTIMIZE verb end-to-end in SQL: four fragmented inserts,
+    // one `CALL graft.system.compact(zorder_by => …)` rewriting them
+    // into a single Morton-ordered file (stats index preserved via the
+    // graft.statsColumns property), then a range read through the
+    // catalog scan. The oracle is the plain relational filter — a
+    // compaction that drops/duplicates rows, or a rewrite whose pruned
+    // read misses files, breaks the hash; the z-order prune counts are
+    // pinned in GraftCatalogSpec/ZOrderSpec.
+    "q122_sql_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.li")
+      s.sql("""CREATE TABLE graft.lake.li
+              |  (order_key BIGINT, line_no BIGINT, qty DOUBLE)
+              |TBLPROPERTIES ('graft.statsColumns' = 'order_key')""".stripMargin)
+      Tables.lineitem(s, dir).select($"l_orderkey".as("order_key"),
+          $"l_linenumber".cast("long").as("line_no"),
+          $"l_quantity".as("qty"))
+        .createOrReplaceTempView("q122_src")
+      (0 until 4).foreach { i =>
+        s.sql("INSERT INTO graft.lake.li SELECT order_key, line_no, qty " +
+          s"FROM q122_src WHERE order_key % 4 = $i")
+      }
+      s.sql("CALL graft.system.compact(table => 'lake.li', " +
+        "zorder_by => 'order_key,line_no')")
+      s.sql("""SELECT order_key, line_no, qty FROM graft.lake.li
+              |WHERE order_key BETWEEN 500 AND 2000
+              |ORDER BY order_key, line_no, qty""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1386,6 +1418,12 @@ object QueriesPipeline {
         |SELECT 'clicks' AS scope, count(*) AS n FROM kept
         |WHERE event_type = 'click'
         |ORDER BY scope""".stripMargin,
+    "q122_sql_maintenance" ->
+      """SELECT l_orderkey AS order_key,
+        |  CAST(l_linenumber AS BIGINT) AS line_no, l_quantity AS qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 500 AND 2000
+        |ORDER BY order_key, line_no, qty""".stripMargin,
     "q118_sql_merge_update" ->
       """WITH base AS (
         |  SELECT p_partkey AS part_key, p_name AS name,
