@@ -1093,6 +1093,49 @@ object QueriesPipeline {
               |WHERE order_key BETWEEN 500 AND 2000
               |ORDER BY order_key, line_no, qty""".stripMargin)
     }),
+
+    // ---- SQL catalog extras: constraint + tag + changes TVF (X61-X63) --
+    // One flow over the three newest catalog surfaces, each leg with an
+    // exact relational twin: an inline CHECK constraint rides the CREATE
+    // (validated then enforced in every write scan), a snapshot tag pins
+    // the first insert (`VERSION AS OF 'stable'` must NOT see later
+    // commits — the tag CALL itself consumes a version, so a pin that
+    // slips to the metadata commit still reads the same snapshot, while
+    // one that slips past insert #2 breaks the 'tagged' leg), and
+    // `graft_changes(path, 1)` replays every logical change — the tag's
+    // metadata commit contributing nothing, the DELETE surfacing as
+    // 'delete' rows. BIGINT key sums keep the compare fp-exact.
+    "q123_sql_catalog_extras" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.sup")
+      s.sql("""CREATE TABLE graft.lake.sup
+              |  (supp_key BIGINT, nation_key BIGINT,
+              |   CONSTRAINT pos_key CHECK (supp_key >= 0))
+              |TBLPROPERTIES ('graft.statsColumns' = 'supp_key')""".stripMargin)
+      Tables.supplier(s, dir).select($"s_suppkey".as("supp_key"),
+          $"s_nationkey".as("nation_key"))
+        .createOrReplaceTempView("q123_src")
+      s.sql("INSERT INTO graft.lake.sup " +                        // v1
+        "SELECT supp_key, nation_key FROM q123_src WHERE supp_key % 2 = 0")
+      s.sql("CALL graft.system.tag('lake.sup', 'stable')")         // v2 (pins v1)
+      s.sql("INSERT INTO graft.lake.sup " +                        // v3
+        "SELECT supp_key, nation_key FROM q123_src WHERE supp_key % 2 = 1")
+      s.sql("DELETE FROM graft.lake.sup WHERE nation_key = 3")     // v4
+      val root = s.conf.get("spark.sql.catalog.graft.warehouse") + "/lake/sup"
+      s.sql(s"""SELECT 'tagged' AS scope, count(*) AS n,
+               |  sum(supp_key) AS key_sum
+               |FROM graft.lake.sup VERSION AS OF 'stable'
+               |UNION ALL
+               |SELECT 'head' AS scope, count(*) AS n, sum(supp_key) AS key_sum
+               |FROM graft.lake.sup
+               |UNION ALL
+               |SELECT concat('chg_', _change_type) AS scope, count(*) AS n,
+               |  sum(supp_key) AS key_sum
+               |FROM graft_changes('$root', 1) GROUP BY _change_type
+               |ORDER BY scope""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1424,6 +1467,25 @@ object QueriesPipeline {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 500 AND 2000
         |ORDER BY order_key, line_no, qty""".stripMargin,
+    "q123_sql_catalog_extras" ->
+      """WITH src AS (
+        |  SELECT s_suppkey AS supp_key, s_nationkey AS nation_key
+        |  FROM supplier)
+        |SELECT 'chg_delete' AS scope, count(*) AS n,
+        |  CAST(sum(supp_key) AS BIGINT) AS key_sum
+        |FROM src WHERE nation_key = 3
+        |UNION ALL
+        |SELECT 'chg_insert' AS scope, count(*) AS n,
+        |  CAST(sum(supp_key) AS BIGINT) AS key_sum FROM src
+        |UNION ALL
+        |SELECT 'head' AS scope, count(*) AS n,
+        |  CAST(sum(supp_key) AS BIGINT) AS key_sum
+        |FROM src WHERE nation_key <> 3
+        |UNION ALL
+        |SELECT 'tagged' AS scope, count(*) AS n,
+        |  CAST(sum(supp_key) AS BIGINT) AS key_sum
+        |FROM src WHERE supp_key % 2 = 0
+        |ORDER BY scope""".stripMargin,
     "q118_sql_merge_update" ->
       """WITH base AS (
         |  SELECT p_partkey AS part_key, p_name AS name,
