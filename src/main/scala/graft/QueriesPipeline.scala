@@ -1136,6 +1136,39 @@ object QueriesPipeline {
                |FROM graft_changes('$root', 1) GROUP BY _change_type
                |ORDER BY scope""".stripMargin)
     }),
+
+    // ---- SQL write policies: clustered inserts + auto-compaction (X60) -
+    // The property-driven write path with zero per-statement code: every
+    // INSERT range-clusters its batch on event_id into 2 range-disjoint
+    // files (fresh data prunes without an OPTIMIZE pass), and the 4th
+    // insert crosses graft.autoCompact.maxFiles=6 so the partition
+    // rewrites to one file right after the commit — stats index riding
+    // the rewrite. The oracle is the plain relational filter: a cluster
+    // write that drops/duplicates a boundary row, or a compaction that
+    // loses the stats index and mis-prunes the final range read, breaks
+    // the hash; the file counts themselves are pinned in
+    // GraftCatalogSpec.
+    "q124_sql_write_policies" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.evw")
+      s.sql("""CREATE TABLE graft.lake.evw
+              |  (event_id BIGINT, user_id BIGINT, event_type STRING)
+              |TBLPROPERTIES ('graft.statsColumns' = 'event_id',
+              |  'graft.writeClusterBy' = 'event_id',
+              |  'graft.writeClusterFiles' = '2',
+              |  'graft.autoCompact.maxFiles' = '6')""".stripMargin)
+      Tables.events(s, dir).select($"event_id", $"user_id", $"event_type")
+        .createOrReplaceTempView("q124_src")
+      (0 until 4).foreach { i =>
+        s.sql("INSERT INTO graft.lake.evw " +
+          s"SELECT event_id, user_id, event_type FROM q124_src WHERE event_id % 4 = $i")
+      }
+      s.sql("""SELECT event_id, user_id, event_type FROM graft.lake.evw
+              |WHERE event_id BETWEEN 2000 AND 4500
+              |ORDER BY event_id, user_id, event_type""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1486,6 +1519,10 @@ object QueriesPipeline {
         |  CAST(sum(supp_key) AS BIGINT) AS key_sum
         |FROM src WHERE supp_key % 2 = 0
         |ORDER BY scope""".stripMargin,
+    "q124_sql_write_policies" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id BETWEEN 2000 AND 4500
+        |ORDER BY event_id, user_id, event_type""".stripMargin,
     "q118_sql_merge_update" ->
       """WITH base AS (
         |  SELECT p_partkey AS part_key, p_name AS name,
