@@ -859,11 +859,14 @@ object QueriesPipeline {
     // items: array<struct(line_no,qty)>), appended in two commits, then
     // a row-level DELETE forces a copy-on-write rewrite that must carry
     // the nested columns intact. The per-order item list is
-    // deterministically ordered (aggregated sorted by line_no) so the
-    // hash is stable; the oracle rebuilds the same structs with DuckDB
-    // struct_pack/list. Nested stats stay gracefully boundless and
-    // in-struct evolution is rejected loudly — pinned in
-    // IncrementalTableSpec; this pins end-to-end value fidelity.
+    // deterministically ordered (aggregated sorted by line_no) so
+    // storage is stable; the FINAL projection explodes the nested
+    // columns back to scalar leaves (one row per item, header fields
+    // repeated) so every nested leaf value is hash-compared against the
+    // oracle's flat join — a struct field dropped, an array element
+    // lost in the copy-on-write rewrite, or a reordered list all
+    // hash-fail. Nested stats stay gracefully boundless and in-struct
+    // evolution is rejected loudly — pinned in IncrementalTableSpec.
     "q114_nested_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val tmp = graft.QueryTmp.dir("graft_q114_")
@@ -881,7 +884,12 @@ object QueriesPipeline {
       t.append(base.filter($"o_orderkey" % 2 === 0), Nil)
       t.append(base.filter($"o_orderkey" % 2 === 1), Nil)
       t.delete($"o_orderkey" % 7 === 0)
-      t.read().orderBy($"o_orderkey")
+      t.read()
+        .select($"o_orderkey", $"hdr.status".as("status"),
+          $"hdr.total".as("total"), explode_outer($"items").as("item"))
+        .select($"o_orderkey", $"status", $"total",
+          $"item.line_no".as("line_no"), $"item.qty".as("qty"))
+        .orderBy($"o_orderkey", $"line_no")
     }),
 
     // ---- THREE-hop incremental join chain (T1 = A⋈B, T2 = T1⋈C) ------
@@ -1433,18 +1441,11 @@ object QueriesPipeline {
         |WHERE cust_key BETWEEN 100 AND 1200 AND segment <> 'MACHINERY'
         |ORDER BY cust_key""".stripMargin,
     "q114_nested_roundtrip" ->
-      """WITH items AS (
-        |  SELECT l_orderkey,
-        |    list(struct_pack(line_no := CAST(l_linenumber AS BIGINT),
-        |                     qty := l_quantity)
-        |         ORDER BY l_linenumber, l_quantity) AS items
-        |  FROM lineitem GROUP BY l_orderkey)
-        |SELECT o_orderkey,
-        |  struct_pack(status := o_orderstatus, total := o_totalprice) AS hdr,
-        |  items.items AS items
-        |FROM orders LEFT JOIN items ON o_orderkey = l_orderkey
+      """SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total,
+        |  CAST(l_linenumber AS BIGINT) AS line_no, l_quantity AS qty
+        |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE o_orderkey % 7 <> 0
-        |ORDER BY o_orderkey""".stripMargin,
+        |ORDER BY o_orderkey, line_no""".stripMargin,
     "q115_three_hop_join" ->
       """SELECT o.o_orderkey, CAST(l.l_linenumber AS BIGINT) AS line_no,
         |  l.l_quantity AS qty, o.o_custkey AS cust_key,
