@@ -108,11 +108,13 @@ object QueriesSimilarity {
     "q36_cosine_topk_ivf" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
-      // cacheKey = corpus path: the codebook is built once per corpus
-      // (an IVF index build) and reused by every probe, like a
-      // persisted index — not retrained per query
+      // cacheKey = corpus fingerprint: the codebook is built once per
+      // corpus (an IVF index build) and reused by every probe, like a
+      // persisted index — not retrained per query. corpusKey folds the
+      // backing file's (mtime, size) in so in-place regeneration of the
+      // testdata is a cache miss, never a stale codebook.
       val cents = Vectors.ivfCodebook(e.select($"vec_id", $"embedding"),
-        cacheKey = Some(s"$dir/embeddings"))
+        cacheKey = Some(corpusKey(dir)))
       val assigned = e.withColumn("cell",
         element_at(Vectors.nearestCentroids($"embedding", cents, 1), 1))
       val q = assigned.filter($"vec_id" < 10)
@@ -140,7 +142,7 @@ object QueriesSimilarity {
     // means), making the output replay-identical.
     "q82_semdedup" -> ((s, dir) =>
       semDedup(Tables.embeddings(s, dir),
-        cacheKey = Some(s"$dir/embeddings"), tau = NearDupTau)),
+        cacheKey = Some(corpusKey(dir)), tau = NearDupTau)),
 
     // ---- k-means (Lloyd) as a first-class clustering operator --------
     // Where q36/q82 use a codebook trained on a bounded SAMPLE, this is

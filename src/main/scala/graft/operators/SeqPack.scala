@@ -36,6 +36,13 @@ object SeqPack {
   def pack(df: DataFrame, shard: Column, order: Column, tok: Column,
       capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
+    // the staging columns would silently shadow (then drop) same-named
+    // input columns, and an existing seq_no would duplicate in the
+    // output schema — refuse loudly instead of corrupting the frame
+    val reserved = Seq("_sp_shard", "_sp_ord", "_sp_tok", "seq_no")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"SeqPack.pack input must not contain reserved column(s) ${clash.mkString(", ")}")
     val staged = df
       .withColumn("_sp_shard", shard.cast(LongType))
       .withColumn("_sp_ord", order)

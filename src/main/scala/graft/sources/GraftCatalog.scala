@@ -212,30 +212,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
       s"graft ALTER TABLE supports ADD COLUMNS / (UN)SET TBLPROPERTIES / " +
         s"ADD|DROP CONSTRAINT only: ${unsupported.mkString(", ")}")
-    if (added.nonEmpty) {
-      added.foreach(a => require(a.fieldNames.length == 1,
-        s"in-struct evolution is a type change (X49): ${a.fieldNames.mkString(".")}"))
-      t.addColumns(StructType(added.map(a =>
-        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType))))
-    }
-    if (props.nonEmpty) t.setProperties(props.toMap)
+    added.foreach(a => require(a.fieldNames.length == 1,
+      s"in-struct evolution is a type change (X49): ${a.fieldNames.mkString(".")}"))
     // SQL CHECK constraints map onto the library's validated-then-
     // enforced-in-write-scan constraints (X32); other constraint kinds
     // (UNIQUE/PK/FK) are informational claims graft cannot enforce and
     // are refused rather than silently recorded
-    changes.foreach {
-      case a: TableChange.AddConstraint => a.constraint() match {
+    val addCons = changes.collect { case a: TableChange.AddConstraint =>
+      a.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-          t.addConstraint(c.name, c.predicateSql)
+          c.name -> c.predicateSql
         case other => throw new UnsupportedOperationException(
           s"graft supports CHECK constraints only (got ${other.toDDL})")
       }
-      case d: TableChange.DropConstraint =>
-        if (!d.ifExists) require(t.constraints.contains(d.name),
-          s"no constraint '${d.name}' on $ident")
-        t.dropConstraint(d.name)
-      case _ => ()
     }
+    val dropCons = changes.collect { case d: TableChange.DropConstraint =>
+      if (!d.ifExists) require(t.constraints.contains(d.name),
+        s"no constraint '${d.name}' on $ident")
+      d.name
+    }.filter(t.constraints.contains)
+    // everything validates first, then lands as ONE commit — a failed
+    // constraint validation or OCC race can't leave a half-applied ALTER
+    if (added.nonEmpty || props.nonEmpty || addCons.nonEmpty || dropCons.nonEmpty)
+      t.alter(
+        additions = StructType(added.map(a =>
+          org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType))),
+        props = props.toMap,
+        addConstraints = addCons.toMap,
+        dropConstraints = dropCons)
     loadTable(ident)
   }
 
@@ -250,6 +254,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val to = tablePath(newIdent)
     val f = fs(from)
+    // ANY existing destination path blocks the rename, not just a graft
+    // table: Hadoop rename moves the source INTO an existing directory
+    // (warehouse/<new>/<oldName>), silently stranding the table where
+    // neither identifier resolves.
+    if (f.exists(to)) throw new TableAlreadyExistsException(newIdent)
     f.mkdirs(to.getParent)
     if (!f.rename(from, to))
       throw new java.io.IOException(s"rename failed: $from -> $to")

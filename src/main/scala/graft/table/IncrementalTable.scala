@@ -1168,9 +1168,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val cs = commitsAsOf(asOf)
     val fileRows: Option[Long] = parquetCkpt(cs) match {
       case Some(_) =>
-        import org.apache.spark.sql.functions.{col, count, element_at, lit, map_values, sum}
+        import org.apache.spark.sql.functions.{col, count, lit, map_values, sum, try_element_at}
+        // try_element_at: a live file written WITHOUT statsColumns has an
+        // empty stats map, and under ANSI mode a plain element_at would
+        // throw at position 1 instead of yielding NULL — which must
+        // instead flow into the count(r) != count(*) mismatch below so
+        // the caller falls back to a real scan.
         val agg = liveRowsDF(Map.empty, asOf)
-          .select(element_at(map_values(col("stats")), 1)
+          .select(try_element_at(map_values(col("stats")), lit(1))
             .getField("rows").as("r"))
           .agg(count(lit(1)), count(col("r")), sum(col("r"))).head
         if (agg.getLong(0) == 0) Some(0L)
@@ -1421,16 +1426,45 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * them as null, exactly like write-side add-column evolution
     * ([[mergedSchema]]); rejects columns that already exist and nested
     * additions (in-struct evolution is a type change, X49). */
-  def addColumns(additions: StructType): Commit = {
+  def addColumns(additions: StructType): Commit =
+    alter(additions = additions)
+
+  /** ALTER TABLE as ONE atomic metadata commit: schema additions,
+    * property sets/unsets, and constraint adds/drops all validate
+    * FIRST (column existence, existing-row CHECK validation,
+    * dropped-constraint existence), then publish together in a single
+    * commit — a mid-sequence failure (constraint validation, OCC
+    * conflict) leaves the table unchanged instead of half-altered
+    * (ADVICE r6). Every other DDL/DML verb is already one commit;
+    * this keeps ALTER TABLE on the same contract. */
+  def alter(additions: StructType = new StructType(),
+      props: Map[String, String] = Map.empty,
+      addConstraints: Map[String, String] = Map.empty,
+      dropConstraints: Seq[String] = Nil): Commit = {
     val prev = committedSchemaAt().getOrElse(throw new IllegalStateException(
       s"table $root has no committed schema to alter"))
     additions.fields.foreach { f =>
       require(!prev.fieldNames.contains(f.name),
         s"column '${f.name}' already exists")
     }
-    val merged = StructType(prev.fields ++ additions.fields.map(_.copy(nullable = true)))
+    addConstraints.foreach { case (name, check) =>
+      require(name.nonEmpty && check.nonEmpty,
+        "constraint needs a name and an expression")
+      val e = org.apache.spark.sql.functions.expr(check)
+      if (exists)
+        require(read().filter(org.apache.spark.sql.functions.not(e)).limit(1).count() == 0,
+          s"existing rows violate CHECK constraint '$name': $check")
+    }
+    dropConstraints.foreach(n => require(constraints.contains(n),
+      s"no constraint '$n' on $root"))
+    val merged =
+      if (additions.isEmpty) prev
+      else StructType(prev.fields ++ additions.fields.map(_.copy(nullable = true)))
+    val meta = props.map { case (k, v) => s"prop/$k" -> v } ++
+      addConstraints.map { case (n, c) => s"constraint/$n" -> c } ++
+      dropConstraints.map(n => s"constraint/$n" -> "")
     commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil, merged.toDDL,
-      Map.empty, None, now()))
+      meta, None, now()))
   }
 
   private def write(df: DataFrame, action: String, partitionBy: Seq[String],

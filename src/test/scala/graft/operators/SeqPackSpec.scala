@@ -39,6 +39,16 @@ class SeqPackSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("reserved staging/output column names in the input are refused loudly (ADVICE r6)") {
+    val df = Seq((0L, 50L)).toDF("id", "tok")
+    Seq("_sp_shard", "_sp_ord", "_sp_tok", "seq_no").foreach { bad =>
+      val e = intercept[IllegalArgumentException](
+        SeqPack.pack(df.withColumn(bad, col("id")), col("id") % 4, col("id"),
+          col("tok"), 100L))
+      assert(e.getMessage.contains(bad))
+    }
+  }
+
   test("seq_no is monotone in the pack order within each shard") {
     val out = SeqPack.pack(toyDf(5), col("id") % 4, col("id"), col("tok"), 100L)
       .select(($"id" % 4).as("shard"), $"id", $"seq_no")

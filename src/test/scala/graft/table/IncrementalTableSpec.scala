@@ -927,4 +927,29 @@ class IncrementalTableSpec extends SparkSpec {
       Seq((4L, 4L)).toDF("id", "v")).isDefined)
     assert(t.read().select($"id").as[Long].collect().toSeq == Seq(4L))
   }
+
+  test("liveRowCount across a columnar checkpoint: stats-less file yields None, never an ANSI error (ADVICE r6)") {
+    // A file written without statsColumns carries an EMPTY stats map in
+    // the checkpoint rows; the metadata-count aggregation must surface
+    // that as a NULL tally (→ fallback None), not an element_at
+    // INVALID_ARRAY_INDEX under Spark's default ANSI mode.
+    val t = new IncrementalTable(spark, tmpDir("itab") + "/t-ckpt-nostats",
+      checkpointEvery = 2, parquetThreshold = 0)
+    t.append(spark.range(10).toDF("id"), Nil, statsColumns = Seq("id")) // v0
+    t.append(spark.range(10, 15).toDF("id"), Nil, statsColumns = Seq("id")) // v1
+    t.append(spark.range(15, 18).toDF("id"), Nil) // v2 → columnar ckpt, no stats
+    assert(t.commits().head.filesParquet.isDefined) // really on the ckpt branch
+    assert(t.liveRowCount().isEmpty) // falls back, does not throw
+    assert(t.read().count() == 18) // the scan path the caller falls back to
+    // once every live file carries a tally again, the fast path returns
+    // repartition(1): a multi-partition write can emit an EMPTY file
+    // whose footer carries no stats — legitimately tally-less, which
+    // would keep the fast path off
+    t.replaceWhere(spark.range(18).toDF("id").repartition(1), Nil, Map.empty,
+      Map.empty, statsColumns = Seq("id")) // v3: full rewrite, stat-bearing
+    t.append(spark.range(18, 20).toDF("id").repartition(1), Nil,
+      statsColumns = Seq("id")) // v4 → ckpt
+    assert(t.commits().head.version >= 4)
+    assert(t.liveRowCount().contains(20L))
+  }
 }
