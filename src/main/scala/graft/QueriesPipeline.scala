@@ -1177,6 +1177,42 @@ object QueriesPipeline {
               |WHERE event_id BETWEEN 2000 AND 4500
               |ORDER BY event_id, user_id, event_type""".stripMargin)
     }),
+
+    // ---- GENERAL SQL MERGE: conditional clauses, DELETE, NMBS ----------
+    // Beyond q118's canonical upsert: ordered conditional WHEN MATCHED
+    // UPDATE/DELETE (first-true-wins), a conditioned NOT MATCHED INSERT
+    // that legitimately skips some source rows, and NOT MATCHED BY
+    // SOURCE DELETE — all applied by GraftDmlRule →
+    // IncrementalTable.mergeInto as ONE atomic copy-on-write commit
+    // over the touched-file union. The oracle replays the same clause
+    // algebra as a left-join CASE pipeline; a clause applied out of
+    // order, a NMBS delete leaking into matched rows, or inserts
+    // evaluated against the post-merge target all break the hash.
+    "q125_sql_merge_clauses" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.mclause")
+      s.sql("""CREATE TABLE graft.lake.mclause
+              |  (okey BIGINT, status STRING, total DOUBLE)
+              |TBLPROPERTIES ('graft.statsColumns' = 'okey')""".stripMargin)
+      Tables.orders(s, dir).select($"o_orderkey".as("okey"),
+          $"o_orderstatus".as("status"), $"o_totalprice".as("total"))
+        .createOrReplaceTempView("q125_src")
+      s.sql("INSERT INTO graft.lake.mclause " +
+        "SELECT okey, status, total FROM q125_src WHERE okey % 4 <= 2")
+      s.sql("""MERGE INTO graft.lake.mclause t
+              |USING (SELECT okey, total FROM q125_src WHERE okey % 4 >= 2) s
+              |ON t.okey = s.okey
+              |WHEN MATCHED AND t.total > 200000 THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET total = t.total + s.total,
+              |  status = 'M'
+              |WHEN NOT MATCHED AND s.total < 100000
+              |  THEN INSERT (okey, status, total) VALUES (s.okey, 'N', s.total)
+              |WHEN NOT MATCHED BY SOURCE AND t.total < 2000 THEN DELETE
+              |""".stripMargin)
+      s.sql("SELECT okey, status, total FROM graft.lake.mclause ORDER BY okey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1546,5 +1582,35 @@ object QueriesPipeline {
         |SELECT part_key, name, retail, brand FROM merged
         |WHERE part_key <= 1500
         |ORDER BY part_key""".stripMargin,
+    // the same clause algebra replayed relationally: matched rows route
+    // through the ordered CASE (delete beats update), unmatched source
+    // rows insert only under the clause condition, unmatched target
+    // rows delete only under the NMBS condition — all against the
+    // ORIGINAL target state
+    "q125_sql_merge_clauses" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    o_totalprice AS total
+        |  FROM orders WHERE o_orderkey % 4 <= 2),
+        |src AS (
+        |  SELECT o_orderkey AS okey, o_totalprice AS total
+        |  FROM orders WHERE o_orderkey % 4 >= 2),
+        |tgt AS (
+        |  SELECT b.okey,
+        |    CASE WHEN s.okey IS NOT NULL AND NOT b.total > 200000 THEN 'M'
+        |         ELSE b.status END AS status,
+        |    CASE WHEN s.okey IS NOT NULL AND NOT b.total > 200000
+        |         THEN b.total + s.total ELSE b.total END AS total,
+        |    CASE WHEN s.okey IS NOT NULL THEN b.total > 200000
+        |         ELSE b.total < 2000 END AS del
+        |  FROM base b LEFT JOIN src s ON b.okey = s.okey),
+        |ins AS (
+        |  SELECT s.okey, 'N' AS status, s.total
+        |  FROM src s LEFT JOIN base b ON b.okey = s.okey
+        |  WHERE b.okey IS NULL AND s.total < 100000)
+        |SELECT okey, status, total FROM tgt WHERE NOT del
+        |UNION ALL
+        |SELECT okey, status, total FROM ins
+        |ORDER BY okey""".stripMargin,
   )
 }

@@ -56,8 +56,16 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       require(!withSchemaEvolution,
         "graft MERGE does not support WITH SCHEMA EVOLUTION")
       val keys = GraftDml.mergeKeys(mergeCond, r, source)
-      GraftDml.requireUpsertShape(matched, notMatched, notMatchedBySource)
-      GraftMergeCommand(r.table.asInstanceOf[GraftTable].table, source, keys)
+      if (GraftDml.isCanonicalUpsert(matched, notMatched, notMatchedBySource))
+        // fast path: the table format's native upsert (anti-join +
+        // union, no per-column CASE chains)
+        GraftMergeCommand(r.table.asInstanceOf[GraftTable].table, source, keys)
+      else {
+        val (mc, nc, sc) = GraftDml.whenClauses(source, matched, notMatched,
+          notMatchedBySource)
+        GraftMergeClausesCommand(r.table.asInstanceOf[GraftTable].table,
+          source, keys, mc, nc, sc)
+      }
 
     case other => other
   }
@@ -124,26 +132,77 @@ private[sources] object GraftDml {
   }
 
   /** WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *
-    * (unconditional, full-row, same-name) — the table format's merge
-    * contract (X11). The analyzer expands the stars to same-name
-    * assignments; verify that is what they are. */
-  def requireUpsertShape(matched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+    * (unconditional, full-row, same-name) — the table format's native
+    * merge contract (X11), kept as the fast path. The analyzer expands
+    * the stars to same-name assignments; verify that is what they are. */
+  def isCanonicalUpsert(matched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
       notMatched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
-      notMatchedBySource: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]): Unit = {
+      notMatchedBySource: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]): Boolean = {
     def sameName(as: Seq[Assignment]): Boolean = as.forall { a =>
       (a.key, a.value) match {
         case (k: AttributeReference, v: AttributeReference) => k.name == v.name
         case _ => false
       }
     }
-    val ok = (matched, notMatched, notMatchedBySource) match {
+    (matched, notMatched, notMatchedBySource) match {
       case (Seq(UpdateAction(None, ua, _)), Seq(InsertAction(None, ia)), Seq()) =>
         sameName(ua) && sameName(ia)
       case _ => false
     }
-    require(ok, "graft MERGE supports the canonical upsert only: " +
-      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-      "(unconditional, full-row)")
+  }
+
+  /** Translate resolved MERGE actions to [[IncrementalTable.WhenClause]]s.
+    * Conditions and values re-anchor by name ([[unbindMerge]]): source-
+    * side attributes onto the staged `_graft_s_<name>` columns, target-
+    * side onto plain names — the convention [[IncrementalTable.mergeInto]]
+    * resolves. Genuinely untranslatable shapes (subqueries, nested-field
+    * assignments) still fail loudly. */
+  def whenClauses(source: LogicalPlan,
+      matched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+      notMatched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+      notMatchedBySource: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction])
+      : (Seq[IncrementalTable.WhenClause], Seq[IncrementalTable.WhenClause],
+        Seq[IncrementalTable.WhenClause]) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, MergeAction}
+    val sourceIds = source.outputSet
+    def noSubquery(e: Expression): Unit =
+      require(!e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+        "graft MERGE does not support subqueries in clause conditions or values")
+    def ub(e: Expression): Column = { noSubquery(e); unbindMerge(e, sourceIds) }
+    def setOf(as: Seq[Assignment]): Seq[(String, Column)] =
+      as.map(a => assignName(a) -> ub(a.value))
+    def clause(a: MergeAction): IncrementalTable.WhenClause = a match {
+      case UpdateAction(cond, as, _) =>
+        IncrementalTable.WhenClause(cond.map(ub), Some(setOf(as)))
+      case DeleteAction(cond) =>
+        IncrementalTable.WhenClause(cond.map(ub), None)
+      case InsertAction(cond, as) =>
+        IncrementalTable.WhenClause(cond.map(ub), Some(setOf(as)))
+      case other => throw new UnsupportedOperationException(
+        s"graft MERGE cannot translate clause $other")
+    }
+    (matched.map(clause), notMatched.map(clause), notMatchedBySource.map(clause))
+  }
+
+  /** [[unbind]] with merge's two-sided naming: attributes bound to the
+    * SOURCE plan re-anchor as `_graft_s_<name>` (the staged rendering
+    * mergeInto joins under), everything else by plain name. */
+  def unbindMerge(e: Expression,
+      sourceIds: org.apache.spark.sql.catalyst.expressions.AttributeSet): Column = {
+    val inlined = e.transformUp {
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            defs.getOrElse(r.id, throw new IllegalStateException(
+              s"dangling common-expression ref $r"))
+        }
+    }
+    DmlShim.column(inlined.transform {
+      case a: AttributeReference if sourceIds.contains(a) =>
+        UnresolvedAttribute.quoted(IncrementalTable.mergeSourcePrefix + a.name)
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
   }
 }
 
@@ -169,6 +228,22 @@ final case class GraftMergeCommand(table: IncrementalTable,
     val src = DmlShim.ofRows(spark, source)
     table.merge(src, keys,
       statsColumns = GraftCatalog.statsColumnsOf(table))
+    Seq.empty
+  }
+}
+
+/** General `MERGE INTO` (conditional clauses, DELETE, NOT MATCHED BY
+  * SOURCE) → [[IncrementalTable.mergeInto]] — one atomic copy-on-write
+  * commit over the touched-file union. */
+final case class GraftMergeClausesCommand(table: IncrementalTable,
+    source: LogicalPlan, keys: Seq[String],
+    matched: Seq[IncrementalTable.WhenClause],
+    notMatched: Seq[IncrementalTable.WhenClause],
+    notMatchedBySource: Seq[IncrementalTable.WhenClause])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    table.mergeInto(DmlShim.ofRows(spark, source), keys, matched, notMatched,
+      notMatchedBySource, statsColumns = GraftCatalog.statsColumnsOf(table))
     Seq.empty
   }
 }

@@ -862,6 +862,165 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** General SQL MERGE — conditional `WHEN MATCHED [AND c] THEN
+    * UPDATE/DELETE`, `WHEN NOT MATCHED [AND c] THEN INSERT`, and
+    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE` clause
+    * lists, all applied in ONE atomic copy-on-write commit (the X11
+    * upsert generalized; [[merge]] stays the fast path for the
+    * canonical full-row shape).
+    *
+    * Semantics follow SQL MERGE: clause conditions evaluate against
+    * the ORIGINAL target state, in clause order, first-true-wins; a
+    * NULL condition does not fire; NULL join keys never match (so
+    * such source rows are NOT MATCHED, such target rows are NOT
+    * MATCHED BY SOURCE). With matched clauses present, a source with
+    * duplicate keys is rejected (the applied clause would be
+    * order-dependent); insert-only merges legally keep duplicates.
+    *
+    * Expression convention (what [[graft.sources.GraftDmlRule]]
+    * emits): conditions and assignment values reference TARGET
+    * columns by plain name and SOURCE columns as
+    * `[[IncrementalTable.mergeSourcePrefix]]<name>` — the join stages
+    * source columns under that prefix so same-named columns never
+    * collide. NOT MATCHED BY SOURCE conditions reference target
+    * columns only; they prune the candidate file set through the
+    * data-skipping index when every clause is conditioned (an
+    * unconditioned NMBS clause legitimately touches every live file).
+    *
+    * Scale shape: touched files = (key-semi-join survivors for
+    * matched clauses) ∪ (index-pruned NMBS candidates); only those
+    * rewrite, via ONE left join against the prefixed source (AQE
+    * broadcasts a small source) with per-column first-true CASE
+    * chains — everything stays in the write scan, nothing collects.
+    * `source` is evaluated several times — cache it if expensive. */
+  def mergeInto(source: DataFrame, keys: Seq[String],
+      matched: Seq[IncrementalTable.WhenClause],
+      notMatched: Seq[IncrementalTable.WhenClause],
+      notMatchedBySource: Seq[IncrementalTable.WhenClause],
+      statsColumns: Seq[String] = Nil): Option[Commit] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+    import IncrementalTable.{WhenClause, mergeSourcePrefix}
+    require(keys.nonEmpty, "merge needs key columns")
+    require(exists, s"merge target $root does not exist — seed it with append()")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    notMatched.foreach(c => require(c.set.isDefined,
+      "WHEN NOT MATCHED clauses must INSERT"))
+    val stored = committedSchema
+    val partitionBy = committedPartitionBy
+    (stored.fieldNames ++ source.columns).foreach(c =>
+      require(!c.startsWith("_graft_"),
+        s"column '$c' collides with merge staging names"))
+    (matched ++ notMatched ++ notMatchedBySource).flatMap(_.set).flatten
+      .foreach { case (k, _) => require(stored.fieldNames.contains(k),
+        s"merge assigns unknown column '$k'") }
+    keys.foreach(k => require(source.columns.contains(k),
+      s"merge source lacks key column '$k'"))
+    if (matched.nonEmpty) {
+      val dup = source.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0, s"merge source has duplicate keys on " +
+        s"(${keys.mkString(", ")}) — the applied clause would be order-dependent")
+    }
+
+    val srcR = source.select(source.columns.toIndexedSeq
+        .map(c => col(c).as(s"$mergeSourcePrefix$c")): _*)
+      .withColumn("_graft_m", lit(true))
+    // first clause (in order) whose guard holds, else -1; a NULL
+    // condition falls through to the next clause per SQL
+    def fate(clauses: Seq[WhenClause], base: Column): Column =
+      clauses.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), rest) =>
+        when(base && coalesce(cl.cond.getOrElse(lit(true)), lit(false)), lit(i))
+          .otherwise(rest)
+      }
+
+    // ---- touched live files ------------------------------------------
+    val files = liveFiles()
+    val matchedTouched: Seq[String] =
+      if (matched.isEmpty || files.isEmpty) Nil
+      else {
+        val srcKeys = source.select(keys.map(col): _*).distinct()
+        filesDf(files, Some(stored), liveDv())
+          .withColumn("_graft_path", col("_metadata.file_path"))
+          .join(srcKeys, keys, "left_semi")
+          .select("_graft_path").distinct()
+          .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
+      }
+    val nmbsTouched: Seq[String] =
+      if (notMatchedBySource.isEmpty || files.isEmpty) Nil
+      else {
+        val conds = notMatchedBySource.map(_.cond)
+        if (conds.contains(None)) files
+        else liveFilesWhere(conds.flatten.reduce(_ || _))
+      }
+    val touched = (matchedTouched ++ nmbsTouched).distinct
+
+    // ---- INSERT rows: source rows with no key match in the ORIGINAL
+    // target, routed through the first applicable NOT MATCHED clause
+    val insertsFrame: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val tgtKeys = read().select(keys.map(col): _*)
+        val unmatched = srcR.join(tgtKeys,
+          keys.map(k => col(s"$mergeSourcePrefix$k") === col(k)).reduce(_ && _),
+          "left_anti")
+        val withF = unmatched.withColumn("_graft_if", fate(notMatched, lit(true)))
+          .filter(col("_graft_if") >= 0)
+        Some(withF.select(stored.fields.toIndexedSeq.map { f =>
+          notMatched.zipWithIndex
+            .collect { case (WhenClause(_, Some(set)), i) =>
+              (col("_graft_if") === i) ->
+                set.collectFirst { case (k, v) if k == f.name => v } }
+            .foldRight(lit(null).cast(f.dataType): Column) { case ((c, vOpt), rest) =>
+              when(c, vOpt.map(_.cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType))).otherwise(rest)
+            }.as(f.name)
+        }: _*))
+      }
+
+    // ---- rewrite of touched files ------------------------------------
+    val rewritten: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val tRows = filesDf(touched, Some(stored), liveDv())
+        val joined = tRows.join(srcR,
+          keys.map(k => col(k) === col(s"$mergeSourcePrefix$k")).reduce(_ && _),
+          "left")
+        val m = coalesce(col("_graft_m"), lit(false))
+        val st = joined
+          .withColumn("_graft_mf", fate(matched, m))
+          .withColumn("_graft_nf", fate(notMatchedBySource, not(m)))
+        val delCond = (matched.zipWithIndex
+            .collect { case (WhenClause(_, None), i) => col("_graft_mf") === i } ++
+          notMatchedBySource.zipWithIndex
+            .collect { case (WhenClause(_, None), i) => col("_graft_nf") === i })
+          .reduceOption(_ || _).getOrElse(lit(false))
+        Some(st.filter(not(delCond)).select(stored.fields.toIndexedSeq.map { f =>
+          val setters = matched.zipWithIndex.collect {
+              case (WhenClause(_, Some(set)), i) if set.exists(_._1 == f.name) =>
+                (col("_graft_mf") === i) ->
+                  set.collectFirst { case (k, v) if k == f.name => v }.get } ++
+            notMatchedBySource.zipWithIndex.collect {
+              case (WhenClause(_, Some(set)), i) if set.exists(_._1 == f.name) =>
+                (col("_graft_nf") === i) ->
+                  set.collectFirst { case (k, v) if k == f.name => v }.get }
+          setters.foldRight(col(f.name)) { case ((c, v), rest) =>
+            when(c, v.cast(f.dataType)).otherwise(rest)
+          }.as(f.name)
+        }: _*))
+      }
+
+    (rewritten, insertsFrame) match {
+      case (None, None) => None // no touched files, no insert clauses
+      case (None, Some(ins)) =>
+        append(ins, partitionBy, statsColumns = statsColumns)
+      case (Some(rw), ins) =>
+        val out = ins.fold(rw)(rw.unionByName(_))
+        write(out, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
+          None, statsColumns = statsColumns, removeExact = Some(touched))
+    }
+  }
+
   /** Row-level DELETE, copy-on-write at file granularity: files with
     * no matching row keep their identity (and data-skipping stats);
     * files where EVERY row matches are dropped without a rewrite (the
@@ -2204,6 +2363,24 @@ final class IncrementalTable(spark: SparkSession, val root: String,
 
 object IncrementalTable {
   val checkpointInterval = 100
+
+  /** Prefix under which [[IncrementalTable.mergeInto]] stages SOURCE
+    * columns in its join, so clause expressions can reference both
+    * sides by name without collision: target columns stay plain,
+    * source column `x` becomes `_graft_s_x` ([[mergeSourceCol]]). */
+  val mergeSourcePrefix = "_graft_s_"
+
+  /** Reference a merge SOURCE column inside a [[WhenClause]]
+    * condition or assignment value. */
+  def mergeSourceCol(name: String): Column =
+    org.apache.spark.sql.functions.col(s"$mergeSourcePrefix$name")
+
+  /** One WHEN clause of [[IncrementalTable.mergeInto]]: `cond` is the
+    * optional AND-guard; `set` maps assigned target columns to value
+    * expressions — `None` means DELETE (matched / not-matched-by-source
+    * clauses only); NOT MATCHED clauses must carry the INSERT values. */
+  final case class WhenClause(cond: Option[Column],
+      set: Option[Seq[(String, Column)]])
 
   /** Live-file count above which checkpoints switch from inline JSON
     * to columnar parquet (and never switch back). Below it the whole

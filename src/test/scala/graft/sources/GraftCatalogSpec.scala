@@ -165,10 +165,34 @@ class GraftCatalogSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(rows == (0L until 3L).map(i => (i, i)) ++
       (3L until 8L).map(i => (i, i * 100)))
-    // non-upsert shapes fail loudly instead of approximating
+    // general clause shapes: ordered conditional UPDATE/DELETE,
+    // conditional INSERT, NOT MATCHED BY SOURCE — one atomic commit
+    val v0 = IncrementalTable(spark,
+      spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/mt").latestVersion
+    spark.range(5, 10).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("mt_src2")
+    spark.sql(s"""MERGE INTO $cat.lake.mt t USING mt_src2 s ON t.k = s.k
+                 |WHEN MATCHED AND t.v > 600 THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+                 |WHEN NOT MATCHED AND s.k % 2 = 0 THEN INSERT (k, v) VALUES (s.k, -1)
+                 |WHEN NOT MATCHED BY SOURCE AND t.k < 2 THEN UPDATE SET v = 0
+                 |""".stripMargin)
+    val after = spark.sql(s"SELECT k, v FROM $cat.lake.mt ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    // 7 deleted (700>600); 5,6 updated additively; 8 inserted via the
+    // conditioned INSERT, 9 skipped (no applicable clause); 0,1 zeroed
+    // by NOT MATCHED BY SOURCE; 2,3,4 untouched
+    assert(after == Seq(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 300L, 4L -> 400L,
+      5L -> 505L, 6L -> 606L, 8L -> -1L))
+    // ...and it all landed as ONE commit
+    assert(IncrementalTable(spark,
+      spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/mt")
+      .latestVersion == v0 + 1)
+    // genuinely untranslatable: subqueries in clause conditions
     intercept[Exception] {
       spark.sql(s"""MERGE INTO $cat.lake.mt t USING mt_src s ON t.k = s.k
-                   |WHEN MATCHED THEN DELETE""".stripMargin)
+                   |WHEN MATCHED AND t.k IN (SELECT k FROM mt_src) THEN DELETE
+                   |""".stripMargin)
     }
     ()
   }
