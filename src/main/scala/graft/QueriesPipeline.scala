@@ -1213,6 +1213,43 @@ object QueriesPipeline {
               |""".stripMargin)
       s.sql("SELECT okey, status, total FROM graft.lake.mclause ORDER BY okey")
     }),
+
+    // ---- STREAMING change-data-feed read (X51 + X15) -------------------
+    // `readStream.format("graft").option("readChangeFeed","true")`: the
+    // micro-batch stream of CHANGE rows — offsets stay commit versions,
+    // but rewrites (copy-on-write delete) and DV deletes stream as
+    // delete rows instead of failing the append-only contract; the CDC
+    // walk cancels a rewrite's kept rows exactly. The feed lands in a
+    // downstream graft table via the streaming sink (rate-limited one
+    // commit per batch, AvailableNow drain), and the result is the FULL
+    // change history — the oracle replays each commit's logical delta
+    // relationally. A kept row leaking from the rewrite, a delete
+    // emitted under the wrong version, or a batch re-delivered on
+    // resume breaks the hash.
+    "q126_stream_cdc" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q126_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      val base = Tables.customer(s, dir)
+        .select($"c_custkey".as("ck"), $"c_name".as("name"))
+      t.append(base.filter($"ck" % 2 === 0), Nil) // v0
+      t.append(base.filter($"ck" % 2 === 1), Nil) // v1
+      t.delete($"ck" % 7 === 0) // v2: copy-on-write replace
+      t.deleteVectorized($"ck" % 11 === 0) // v3: dv sidecar
+      val out = s"$tmp/feed/v1"
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("maxCommitsPerTrigger", 1)
+        .load(s"$tmp/cust/v1")
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+      graft.table.IncrementalTable(s, out).read()
+        .select($"ck", $"name", $"_change_type", $"_commit_version")
+        .orderBy($"_commit_version", $"ck")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1612,5 +1649,21 @@ object QueriesPipeline {
         |UNION ALL
         |SELECT okey, status, total FROM ins
         |ORDER BY okey""".stripMargin,
+    // each commit's logical delta: v0/v1 appends insert their halves;
+    // the v2 copy-on-write delete emits ONLY the deleted rows; the v3
+    // dv delete emits rows not already gone at v2
+    "q126_stream_cdc" ->
+      """WITH base AS (SELECT c_custkey AS ck, c_name AS name FROM customer)
+        |SELECT ck, name, 'insert' AS _change_type,
+        |  CAST(0 AS BIGINT) AS _commit_version
+        |FROM base WHERE ck % 2 = 0
+        |UNION ALL
+        |SELECT ck, name, 'insert', 1 FROM base WHERE ck % 2 = 1
+        |UNION ALL
+        |SELECT ck, name, 'delete', 2 FROM base WHERE ck % 7 = 0
+        |UNION ALL
+        |SELECT ck, name, 'delete', 3 FROM base
+        |WHERE ck % 7 <> 0 AND ck % 11 = 0
+        |ORDER BY _commit_version, ck""".stripMargin,
   )
 }

@@ -124,26 +124,52 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
     * offsets are commit versions, each micro-batch is exactly the
     * window's appended rows. Options: `startingVersion` (default:
     * everything committed so far becomes batch 0, Delta's initial-
-    * snapshot shape), `maxCommitsPerTrigger` (rate limit). */
+    * snapshot shape), `maxCommitsPerTrigger` (rate limit),
+    * `readChangeFeed` (CDC rows `… , _change_type, _commit_version`;
+    * rewrites/deletes stream as delete+insert rows instead of failing),
+    * `skipChangeCommits` (plain stream tolerates rewrite commits by
+    * skipping them, Delta's option of the same name), `cdcRetention`
+    * (how many commits back the change feed stays readable across
+    * checkpoint folds — [[IncrementalTable]]'s cdcRetention). */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val t = tableOf(sqlContext, parameters)
     val committed = t.schemaAt().getOrElse(throw new IllegalStateException(
       s"graft table ${t.root} has no committed schema to stream"))
-    schema.foreach(s => require(s == committed,
+    val out =
+      if (GraftSource.cdcMode(parameters)) GraftSource.cdcSchema(committed)
+      else committed
+    schema.foreach(s => require(s == out,
       "omit the schema — the commit log is authoritative"))
-    (s"graft[${t.root}]", committed)
+    (s"graft[${t.root}]", out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
-    val t = tableOf(sqlContext, parameters)
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft datasource requires a 'path' option (or load(path)/save(path))"))
+    val t = parameters.get("cdcRetention").map(_.toInt) match {
+      case Some(r) => new IncrementalTable(sqlContext.sparkSession, path,
+        cdcRetention = r)
+      case None => IncrementalTable(sqlContext.sparkSession, path)
+    }
     new GraftStreamSource(sqlContext.sparkSession, t,
       startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
-      maxCommitsPerTrigger = parameters.get("maxCommitsPerTrigger").map(_.toLong))
+      maxCommitsPerTrigger = parameters.get("maxCommitsPerTrigger").map(_.toLong),
+      cdc = GraftSource.cdcMode(parameters),
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
   }
+}
+
+private[sources] object GraftSource {
+  def cdcMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
+  def cdcSchema(committed: StructType): StructType = committed
+    .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+    .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
 }
 
 /** See [[GraftSource.createSource]]. Offsets are COMMIT VERSIONS
@@ -159,19 +185,32 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
   * [[IncrementalTable.changes]], which reads the ARCHIVED delta
   * records — so checkpoint folding never silently drops a commit from
   * the stream; outside CDC retention it fails like `changes` does,
-  * never under-reports. */
+  * never under-reports.
+  *
+  * `cdc` (option `readChangeFeed`): micro-batches are the window's
+  * CHANGE rows — `…, _change_type ('insert'|'delete'),
+  * _commit_version` straight from [[IncrementalTable.changes]] (X15) —
+  * so replace/dv/restore commits stream as delete+insert pairs instead
+  * of failing; a downstream `foreachBatch` applies them as an exact
+  * revision. `skipChangeCommits`: the plain (non-CDC) stream tolerates
+  * rewrite commits by SKIPPING them (only pure appends are emitted) —
+  * Delta's documented escape hatch when downstream only wants new
+  * rows. */
 private[sources] final class GraftStreamSource(spark: SparkSession,
     table: IncrementalTable, startingVersion: Long,
-    maxCommitsPerTrigger: Option[Long])
+    maxCommitsPerTrigger: Option[Long],
+    cdc: Boolean = false, skipChangeCommits: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
   import org.apache.spark.sql.graftshim.StreamingBatchShim
 
-  override val schema: StructType =
-    table.schemaAt().getOrElse(throw new IllegalStateException(
+  override val schema: StructType = {
+    val committed = table.schemaAt().getOrElse(throw new IllegalStateException(
       s"graft table ${table.root} has no committed schema to stream"))
+    if (cdc) GraftSource.cdcSchema(committed) else committed
+  }
 
   private def versionOf(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -228,13 +267,22 @@ private[sources] final class GraftStreamSource(spark: SparkSession,
     val crossesFold = visible.headOption.exists(c =>
       c.action == "checkpoint" && c.filesParquet.isDefined && from + 1 < c.version)
     val batch =
-      if (!crossesFold) {
-        visible.foreach { c =>
+      if (cdc) {
+        // the change feed IS the stream: the CDC walk handles in-window
+        // rewrites (delete+insert pairs) and horizon crossings (archived
+        // delta records under cdcRetention) uniformly — an empty window
+        // yields the empty CDC frame
+        if (from + 1 > to)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else table.changes(from + 1, to)
+      } else if (!crossesFold) {
+        if (!skipChangeCommits) visible.foreach { c =>
           require(c.action == "append" || c.action == "meta" ||
               c.action == "dvmerge" || c.action == "checkpoint",
             s"graft streaming source requires append-only history: version " +
               s"${c.version} is '${c.action}' — stream the change feed " +
-              "(IncrementalTable.changes) or the library's rebuild-aware streams")
+              "(option readChangeFeed) or the library's rebuild-aware streams")
         }
         visible.filter(c => c.action == "append" && c.add.nonEmpty)
           .map(c => table.readCommit(c.version))
@@ -244,13 +292,26 @@ private[sources] final class GraftStreamSource(spark: SparkSession,
         // lagging consumer crossed the replay horizon: the folded
         // commits' add-sets are gone from the replayed log, but the
         // archived delta walk (CDC retention) still has them
-        val cdc = table.changes(from + 1, to)
-        val deletes = cdc.filter(col("_change_type") === "delete")
-        require(deletes.isEmpty,
-          "graft streaming source crossed the replay horizon over a window " +
-            "containing row deletes — append-only streams cannot express them")
-        cdc.filter(col("_change_type") === "insert")
-          .drop("_change_type", "_commit_version")
+        val feed = table.changes(from + 1, to)
+        if (skipChangeCommits) {
+          // same semantics as the un-folded branch: only PURE APPEND
+          // commits emit (a rewrite's re-added rows are skipped with
+          // their commit) — actions come from the raw delta records,
+          // which survive the fold
+          val appends = table.commitActions(from, to)
+            .collect { case (v, "append") => v }.toSeq
+          feed.filter(col("_change_type") === "insert" &&
+              col("_commit_version").isInCollection(appends))
+            .drop("_change_type", "_commit_version")
+        } else {
+          val deletes = feed.filter(col("_change_type") === "delete")
+          require(deletes.isEmpty,
+            "graft streaming source crossed the replay horizon over a window " +
+              "containing row deletes — append-only streams cannot express " +
+              "them (options: readChangeFeed, skipChangeCommits)")
+          feed.filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+        }
       }
     StreamingBatchShim.asStreamingBatch(
       batch.select(schema.fieldNames.toIndexedSeq.map(col): _*))

@@ -202,6 +202,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }.toSeq
   }
 
+  /** Commit version → action over `fromExclusive < v <= toVersion`,
+    * read from the RAW delta records (so it survives checkpoint
+    * folding) — the streaming source's skip-rewrites filter needs
+    * actions the folded replay no longer carries. O(window). */
+  def commitActions(fromExclusive: Long, toVersion: Long): Map[Long, String] =
+    deltasBetween(fromExclusive, toVersion).map(c => c.version -> c.action).toMap
+
   /** Every plain delta record with version ≤ `toV`, in version order —
     * the FULL history, ignoring checkpoint snapshots entirely (delta
     * records are never deleted; checkpoints only stop replay from

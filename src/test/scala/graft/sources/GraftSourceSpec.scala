@@ -173,6 +173,74 @@ class GraftSourceSpec extends SparkSpec {
     assert(e.getCause.getMessage.contains("append-only"), e.getCause.getMessage)
   }
 
+  test("streaming source CDC: readChangeFeed streams rewrites as delete rows, resumes exactly") {
+    val root = tmpDir("gsrc_cdc")
+    val t = IncrementalTable(spark, s"$root/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Nil) // v0
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("maxCommitsPerTrigger", 1).load(s"$root/t")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(got.sorted.toSeq == Seq((1L, "a", "insert", 0L), (2L, "b", "insert", 0L)))
+    got.clear()
+    // a copy-on-write DELETE streams as exactly the deleted row (the
+    // rewrite's kept rows cancel in the CDC walk) — no hard failure
+    t.delete(col("id") === 1L) // v1: replace commit
+    t.append(Seq((3L, "c")).toDF("id", "s"), Nil) // v2
+    t.deleteVectorized(col("id") === 2L) // v3: dv commit
+    drain()
+    assert(got.sorted.toSeq == Seq((1L, "a", "delete", 1L),
+      (2L, "b", "delete", 3L), (3L, "c", "insert", 2L)))
+    // resume from the checkpoint: nothing re-delivers
+    got.clear()
+    drain()
+    assert(got.isEmpty)
+  }
+
+  test("streaming source: skipChangeCommits skips rewrites and keeps streaming appends") {
+    val root = tmpDir("gsrc_skip")
+    val t = IncrementalTable(spark, s"$root/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Nil)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("skipChangeCommits", "true").load(s"$root/t")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(0), r.getString(1)))
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(got.sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+    got.clear()
+    // the rewrite (delete) commit is skipped — including its re-added
+    // rows — and the append after it still arrives
+    t.delete(col("id") === 2L)
+    t.append(Seq((4L, "d")).toDF("id", "s"), Nil)
+    drain()
+    assert(got.sorted.toSeq == Seq((4L, "d")))
+  }
+
   test("mutated table reads identically via API and datasource") {
     val root = tmpDir("gsrc_mut") + "/t"
     val t = IncrementalTable(spark, root)
