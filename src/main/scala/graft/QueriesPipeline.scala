@@ -1250,6 +1250,38 @@ object QueriesPipeline {
         .select($"ck", $"name", $"_change_type", $"_commit_version")
         .orderBy($"_commit_version", $"ck")
     }),
+
+    // ---- SQL DROP COLUMN + time travel across the projection (X64) -----
+    // ALTER TABLE … DROP COLUMN is a committed-schema projection (zero
+    // data rewritten): the head read loses the column, inserts continue
+    // under the narrower schema, and `VERSION AS OF` the pre-drop
+    // snapshot still reads the original values out of the same physical
+    // files. The union pins both sides: a drop that rewrites/corrupts
+    // data, a post-drop insert mis-bound by position, or time travel
+    // resolving through the WRONG schema version all break the hash.
+    "q127_sql_drop_column" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.dropc")
+      s.sql("""CREATE TABLE graft.lake.dropc
+              |  (okey BIGINT, status STRING, total DOUBLE)
+              |TBLPROPERTIES ('graft.statsColumns' = 'okey')""".stripMargin)
+      Tables.orders(s, dir).select($"o_orderkey".as("okey"),
+          $"o_orderstatus".as("status"), $"o_totalprice".as("total"))
+        .createOrReplaceTempView("q127_src")
+      s.sql("INSERT INTO graft.lake.dropc " +
+        "SELECT okey, status, total FROM q127_src WHERE okey % 3 = 0")
+      s.sql("ALTER TABLE graft.lake.dropc DROP COLUMN total")
+      s.sql("INSERT INTO graft.lake.dropc " +
+        "SELECT okey, status FROM q127_src WHERE okey % 3 = 1")
+      s.sql("""SELECT 'pre' AS snap, okey, status, total
+              |FROM graft.lake.dropc VERSION AS OF 1 WHERE okey <= 3000
+              |UNION ALL
+              |SELECT 'head' AS snap, okey, status, CAST(NULL AS DOUBLE) AS total
+              |FROM graft.lake.dropc WHERE okey <= 3000
+              |ORDER BY snap, okey""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1665,5 +1697,15 @@ object QueriesPipeline {
         |SELECT ck, name, 'delete', 3 FROM base
         |WHERE ck % 7 <> 0 AND ck % 11 = 0
         |ORDER BY _commit_version, ck""".stripMargin,
+    "q127_sql_drop_column" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    o_totalprice AS total FROM orders)
+        |SELECT 'pre' AS snap, okey, status, total FROM src
+        |WHERE okey % 3 = 0 AND okey <= 3000
+        |UNION ALL
+        |SELECT 'head' AS snap, okey, status, CAST(NULL AS DOUBLE) AS total
+        |FROM src WHERE okey % 3 <= 1 AND okey <= 3000
+        |ORDER BY snap, okey""".stripMargin,
   )
 }

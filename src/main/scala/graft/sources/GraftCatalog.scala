@@ -203,17 +203,38 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case s: TableChange.SetProperty => s.property -> s.value
       case r: TableChange.RemoveProperty => r.property -> ""
     }
+    // RENAME is a drop+re-add in disguise: old files would resurface
+    // the renamed column's bytes under the new name (or stale values
+    // under the old one) — rejected with the migration recipe rather
+    // than approximated
+    changes.collect { case r: TableChange.RenameColumn => r }.foreach { r =>
+      throw new UnsupportedOperationException(
+        s"graft does not rename columns ('${r.fieldNames.mkString(".")}' -> " +
+          s"'${r.newName}'): existing files still carry the old column and a " +
+          "rename-by-name would mis-bind them; migrate via CTAS — " +
+          s"CREATE TABLE new AS SELECT ${r.fieldNames.head} AS ${r.newName}, " +
+          "<other columns> FROM old")
+    }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
         c.isInstanceOf[TableChange.AddConstraint] ||
         c.isInstanceOf[TableChange.DropConstraint])
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
-      s"graft ALTER TABLE supports ADD COLUMNS / (UN)SET TBLPROPERTIES / " +
+      s"graft ALTER TABLE supports ADD|DROP COLUMNS / (UN)SET TBLPROPERTIES / " +
         s"ADD|DROP CONSTRAINT only: ${unsupported.mkString(", ")}")
     added.foreach(a => require(a.fieldNames.length == 1,
       s"in-struct evolution is a type change (X49): ${a.fieldNames.mkString(".")}"))
+    val dropped = changes.collect { case d: TableChange.DeleteColumn => d }
+      .map { d =>
+        require(d.fieldNames.length == 1,
+          s"in-struct drops are a type change (X49): ${d.fieldNames.mkString(".")}")
+        d.fieldNames.head -> d.ifExists()
+      }
+      .collect { case (n, ifExists)
+          if !ifExists || t.schemaAt().exists(_.fieldNames.contains(n)) => n }
     // SQL CHECK constraints map onto the library's validated-then-
     // enforced-in-write-scan constraints (X32); other constraint kinds
     // (UNIQUE/PK/FK) are informational claims graft cannot enforce and
@@ -233,10 +254,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }.filter(t.constraints.contains)
     // everything validates first, then lands as ONE commit — a failed
     // constraint validation or OCC race can't leave a half-applied ALTER
-    if (added.nonEmpty || props.nonEmpty || addCons.nonEmpty || dropCons.nonEmpty)
+    if (added.nonEmpty || dropped.nonEmpty || props.nonEmpty ||
+        addCons.nonEmpty || dropCons.nonEmpty)
       t.alter(
         additions = StructType(added.map(a =>
           org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType))),
+        drops = dropped,
         props = props.toMap,
         addConstraints = addCons.toMap,
         dropConstraints = dropCons)

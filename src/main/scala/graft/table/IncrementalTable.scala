@@ -1595,24 +1595,59 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def addColumns(additions: StructType): Commit =
     alter(additions = additions)
 
-  /** ALTER TABLE as ONE atomic metadata commit: schema additions,
-    * property sets/unsets, and constraint adds/drops all validate
-    * FIRST (column existence, existing-row CHECK validation,
+  /** ALTER TABLE as ONE atomic metadata commit: schema additions AND
+    * drops, property sets/unsets, and constraint adds/drops all
+    * validate FIRST (column existence, existing-row CHECK validation,
     * dropped-constraint existence), then publish together in a single
     * commit — a mid-sequence failure (constraint validation, OCC
     * conflict) leaves the table unchanged instead of half-altered
     * (ADVICE r6). Every other DDL/DML verb is already one commit;
-    * this keeps ALTER TABLE on the same contract. */
+    * this keeps ALTER TABLE on the same contract.
+    *
+    * DROP COLUMN is a committed-schema PROJECTION (Delta column-mapping
+    * economics without the mapping: zero data rewritten) — reads
+    * resolve through the committed schema, so existing files' physical
+    * column simply stops being read; time travel to a pre-drop version
+    * still shows it; the skipping index's entries for the column go
+    * unused (predicates can no longer name it) and fall away as
+    * compaction rewrites files. The dropped NAME is tombstoned in the
+    * `dropped/` metadata channel and can never be re-added — old files
+    * still carry its bytes, and a re-add would resurface stale values
+    * as live data. RENAME is likewise rejected (it is a drop+re-add in
+    * disguise); migrate either via CTAS:
+    * `CREATE TABLE new … AS SELECT <cols with new names> FROM old`. */
   def alter(additions: StructType = new StructType(),
+      drops: Seq[String] = Nil,
       props: Map[String, String] = Map.empty,
       addConstraints: Map[String, String] = Map.empty,
       dropConstraints: Seq[String] = Nil): Commit = {
     val prev = committedSchemaAt().getOrElse(throw new IllegalStateException(
       s"table $root has no committed schema to alter"))
+    val tombstoned = droppedColumns
     additions.fields.foreach { f =>
       require(!prev.fieldNames.contains(f.name),
         s"column '${f.name}' already exists")
+      require(!tombstoned.contains(f.name),
+        s"column '${f.name}' was previously dropped and files still carry " +
+          "its old values — re-adding would resurface them as live data; " +
+          "migrate via CTAS")
     }
+    drops.foreach { n =>
+      require(prev.fieldNames.contains(n), s"no column '$n' to drop")
+      require(!committedPartitionBy.contains(n),
+        s"cannot drop partition column '$n' (it defines the table layout)")
+    }
+    if (drops.nonEmpty)
+      (constraints -- dropConstraints).foreach { case (cn, check) =>
+        val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(check).collect {
+            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              ua.nameParts.head
+          }.toSet
+        drops.foreach(n => require(!refs.contains(n),
+          s"CHECK constraint '$cn' references dropped column '$n' — " +
+            "drop the constraint first"))
+      }
     addConstraints.foreach { case (name, check) =>
       require(name.nonEmpty && check.nonEmpty,
         "constraint needs a name and an expression")
@@ -1623,15 +1658,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
     dropConstraints.foreach(n => require(constraints.contains(n),
       s"no constraint '$n' on $root"))
-    val merged =
-      if (additions.isEmpty) prev
-      else StructType(prev.fields ++ additions.fields.map(_.copy(nullable = true)))
+    val remaining = prev.fields.filterNot(f => drops.contains(f.name))
+    require(remaining.nonEmpty, "cannot drop every column")
+    val merged = StructType(remaining ++ additions.fields.map(_.copy(nullable = true)))
     val meta = props.map { case (k, v) => s"prop/$k" -> v } ++
       addConstraints.map { case (n, c) => s"constraint/$n" -> c } ++
-      dropConstraints.map(n => s"constraint/$n" -> "")
+      dropConstraints.map(n => s"constraint/$n" -> "") ++
+      drops.map(n => s"dropped/$n" -> latestVersion.toString)
     commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil, merged.toDDL,
       meta, None, now()))
   }
+
+  /** Column names ever dropped from this table (the `dropped/` channel)
+    * — permanently reserved: see [[alter]]'s DROP COLUMN contract. */
+  def droppedColumns: Set[String] = metaChannel("dropped/").keySet
 
   private def write(df: DataFrame, action: String, partitionBy: Seq[String],
       partitionValues: Map[String, String], partitionFilter: Map[String, String],
@@ -1792,11 +1832,21 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         }
         val incomingNames = incoming.fieldNames.toSet
         val prevNames = prev.fieldNames.toSet
+        val fresh = incoming.fields.filterNot(f => prevNames.contains(f.name))
+        if (fresh.nonEmpty) {
+          // write-path evolution must honor DROP COLUMN tombstones too:
+          // older files still carry the dropped column's bytes, and
+          // re-introducing the name would resurface them as live data
+          val tombstoned = droppedColumns
+          fresh.foreach(f => require(!tombstoned.contains(f.name),
+            s"column '${f.name}' was previously dropped and files still " +
+              "carry its old values — re-adding would resurface them; " +
+              "migrate via CTAS"))
+        }
         StructType(
           prev.fields.map(f =>
             if (incomingNames.contains(f.name)) f else f.copy(nullable = true)) ++
-            incoming.fields.filterNot(f => prevNames.contains(f.name))
-              .map(_.copy(nullable = true)))
+            fresh.map(_.copy(nullable = true)))
     }
 
   /** Row count and per-FILE per-column integer [min,max] statistics of

@@ -324,6 +324,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GraftRelation.lastScan(root).get.filesScanned == 0)
   }
 
+  test("ALTER TABLE DROP COLUMN projects the schema; RENAME is rejected with a CTAS recipe") {
+    spark.sql(s"CREATE TABLE $cat.lake.dc (k BIGINT, s STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.dc " +
+      "SELECT id, concat('x', id), id * 10 FROM range(5)")
+    spark.sql(s"ALTER TABLE $cat.lake.dc DROP COLUMN v")
+    assert(spark.table(s"$cat.lake.dc").columns.toSeq == Seq("k", "s"))
+    assert(spark.table(s"$cat.lake.dc").count() == 5)
+    // time travel to the pre-drop snapshot still shows the column
+    assert(spark.sql(s"SELECT v FROM $cat.lake.dc VERSION AS OF 1")
+      .as[Long].collect().sorted.toSeq == Seq(0L, 10L, 20L, 30L, 40L))
+    // inserts under the projected schema work
+    spark.sql(s"INSERT INTO $cat.lake.dc SELECT 9, 'y'")
+    assert(spark.table(s"$cat.lake.dc").count() == 6)
+    // re-adding the tombstoned name refuses (old files would resurface)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.dc ADD COLUMNS (v BIGINT)")
+    }
+    // rename: rejected loudly with the migration recipe
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.dc RENAME COLUMN s TO label")
+    }
+    assert(e.getMessage.contains("CTAS"), e.getMessage)
+    ()
+  }
+
   test("nested struct columns survive Spark's nested-schema pruning") {
     spark.sql(s"CREATE TABLE $cat.lake.ns " +
       "(k BIGINT, hdr STRUCT<cust: BIGINT, total: BIGINT>)")

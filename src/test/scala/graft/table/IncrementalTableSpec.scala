@@ -928,6 +928,39 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.read().select($"id").as[Long].collect().toSeq == Seq(4L))
   }
 
+  test("DROP COLUMN: schema projection, time travel, tombstoned re-add (X64)") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t-drop")
+    t.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "v"), Nil) // v0
+    t.alter(drops = Seq("v")) // v1: metadata-only projection
+    assert(t.read().columns.toSeq == Seq("id", "s"))
+    assert(t.read().count() == 2)
+    // time travel to the pre-drop version still shows the column
+    assert(t.readAt(0).select($"v").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L))
+    // appends under the projected schema work
+    t.append(Seq((3L, "c")).toDF("id", "s"), Nil)
+    assert(t.read().count() == 3)
+    // the name is tombstoned: DDL re-add AND write-path evolution refuse
+    // (old files still carry the bytes — they would resurface)
+    intercept[IllegalArgumentException](
+      t.alter(additions = new org.apache.spark.sql.types.StructType()
+        .add("v", "long")))
+    intercept[IllegalArgumentException](
+      t.append(Seq((4L, "d", 40L)).toDF("id", "s", "v"), Nil))
+    // partition columns define the layout and cannot drop
+    val tp = IncrementalTable(spark, tmpDir("itab") + "/t-drop-part")
+    tp.append(Seq((1L, "x")).toDF("id", "part"), Seq("part"))
+    intercept[IllegalArgumentException](tp.alter(drops = Seq("part")))
+    // an active CHECK constraint referencing the column blocks the drop
+    val tc = IncrementalTable(spark, tmpDir("itab") + "/t-drop-cons")
+    tc.append(Seq((1L, 5L)).toDF("id", "v"), Nil)
+    tc.addConstraint("v_pos", "v > 0")
+    intercept[IllegalArgumentException](tc.alter(drops = Seq("v")))
+    // dropping constraint + column together in ONE alter is legal
+    tc.alter(drops = Seq("v"), dropConstraints = Seq("v_pos"))
+    assert(tc.read().columns.toSeq == Seq("id"))
+  }
+
   test("liveRowCount across a columnar checkpoint: stats-less file yields None, never an ANSI error (ADVICE r6)") {
     // A file written without statsColumns carries an EMPTY stats map in
     // the checkpoint rows; the metadata-count aggregation must surface
