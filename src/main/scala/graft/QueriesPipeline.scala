@@ -1282,6 +1282,40 @@ object QueriesPipeline {
               |FROM graft.lake.dropc WHERE okey <= 3000
               |ORDER BY snap, okey""".stripMargin)
     }),
+
+    // ---- ARRAY-leaf data skipping (X65) --------------------------------
+    // X54 indexed struct leaves by dot-path; this indexes parquet
+    // REPEATED leaves (`items.element.seq`) and prunes
+    // `exists(items, …)` range predicates through the same [min,max]
+    // index — the element-entry overlap test answers exactly the
+    // exists question ("can an element in range live in this file").
+    // Three appends clustered by order-key ranges give disjoint element
+    // spans, so the predicate opens ~1/3 of the files
+    // (IncrementalTableSpec pins the prune counts); the oracle replays
+    // the exists over the flat lineitem relation. An element bound
+    // extracted unsoundly (pruning a file that held a match) drops rows
+    // and breaks the hash.
+    "q128_array_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q128_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/ord/v1")
+      val li = Tables.lineitem(s, dir).select($"l_orderkey".as("okey"),
+        $"l_linenumber".cast("long").as("line_no"),
+        ($"l_orderkey" * 100 + $"l_linenumber").cast("long").as("seq"))
+      val items = li.groupBy($"okey")
+        .agg(sort_array(collect_list(struct($"line_no", $"seq"))).as("items"))
+      val sc = Seq("items.element.seq")
+      t.append(items.filter($"okey" < 2000), Nil, statsColumns = sc)
+      t.append(items.filter($"okey" >= 2000 && $"okey" < 4000), Nil,
+        statsColumns = sc)
+      t.append(items.filter($"okey" >= 4000), Nil, statsColumns = sc)
+      val pred = org.apache.spark.sql.functions.exists($"items",
+        x => x.getField("seq") >= 250000L && x.getField("seq") <= 280000L)
+      t.readWhere(pred)
+        .select($"okey", explode($"items").as("it"))
+        .select($"okey", $"it.line_no".as("line_no"), $"it.seq".as("seq"))
+        .orderBy($"okey", $"line_no")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1707,5 +1741,14 @@ object QueriesPipeline {
         |SELECT 'head' AS snap, okey, status, CAST(NULL AS DOUBLE) AS total
         |FROM src WHERE okey % 3 <= 1 AND okey <= 3000
         |ORDER BY snap, okey""".stripMargin,
+    "q128_array_skipping" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |    CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS seq
+        |  FROM lineitem),
+        |hit AS (SELECT DISTINCT okey FROM li
+        |        WHERE seq BETWEEN 250000 AND 280000)
+        |SELECT li.okey, li.line_no, li.seq FROM li JOIN hit USING (okey)
+        |ORDER BY okey, line_no""".stripMargin,
   )
 }

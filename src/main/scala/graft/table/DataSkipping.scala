@@ -123,6 +123,23 @@ object DataSkipping {
     case _ => None
   }
 
+  /** The `….element` dot-path of an array column (or array struct-leaf)
+    * whose ELEMENT type satisfies `ok` — the key under which the X6
+    * index stores repeated-leaf [min,max] ([[IncrementalTable
+    * .normalizeLeafPath]]). Bounds against an element entry answer "can
+    * this file hold an element in range" — exactly the EXISTS-shaped
+    * question `array_contains`/`exists` pruning asks. */
+  private def elemPath(e: Expression, ok: DataType => Boolean): Option[String] = {
+    val root = e match {
+      case a: AttributeReference => Some((a.name, a.dataType))
+      case g: GetStructField => dotPath(g).map(_ -> g.dataType)
+      case _ => None
+    }
+    root.collect {
+      case (p, ArrayType(et, _)) if ok(et) => s"$p.element"
+    }
+  }
+
   private def litLong(e: Expression): Option[Long] = e match {
     case Literal(null, _) => None
     case l @ Literal(_, dt) if indexable(dt) => asLong(l.value)
@@ -256,6 +273,48 @@ object DataSkipping {
       one(dotPath(g), Bounds(reqNull = true))
     case IsNotNull(g: GetStructField) =>
       one(dotPath(g), Bounds(reqNotNull = true))
+    // ---- array leaves (X65): array_contains / exists ------------------
+    // `array_contains(a, v)` is true only of a row holding an element
+    // EQUAL to v — a file whose element [min,max] excludes v cannot
+    // hold one. NULL search values never match (contains yields
+    // null→false under a filter), so the literal gates are exact.
+    case ArrayContains(a, v) if litLong(v).nonEmpty =>
+      one(elemPath(a, indexable), Bounds(litLong(v), litLong(v)))
+    case ArrayContains(a, v) if litStr(v).nonEmpty =>
+      one(elemPath(a, _ == StringType),
+        Bounds(lowerS = litStr(v), upperS = litStr(v)))
+    // `exists(a, x -> p(x))`: true requires SOME element satisfying p —
+    // rewrite the lambda variable as a synthetic attribute, reuse the
+    // scalar extraction, and re-key its bounds under `<a>.element…`.
+    // The element-entry overlap test ("can an element in range exist
+    // here") is exactly the exists question, so every extracted shape
+    // stays sound; conjuncts over OUTER columns inside the lambda must
+    // hold on any row where exists is true and keep their own keys.
+    // forall/aggregate have no such per-element witness and extract
+    // nothing.
+    case ae: ArrayExists =>
+      val root = ae.argument match {
+        case a: AttributeReference if a.dataType.isInstanceOf[ArrayType] =>
+          Some(a.name)
+        case g: GetStructField if g.dataType.isInstanceOf[ArrayType] =>
+          dotPath(g)
+        case _ => None
+      }
+      (root, ae.function) match {
+        case (Some(p), LambdaFunction(body, Seq(v: NamedLambdaVariable), _)) =>
+          val marker = "__graft_elem__"
+          val rewritten = body.transform {
+            case nv: NamedLambdaVariable if nv.exprId == v.exprId =>
+              AttributeReference(marker, nv.dataType, nv.nullable)()
+          }
+          extract(rewritten).map {
+            case (k, b) if k == marker => s"$p.element" -> b
+            case (k, b) if k.startsWith(marker + ".") =>
+              s"$p.element${k.stripPrefix(marker)}" -> b
+            case kv => kv
+          }
+        case _ => Map.empty
+      }
     // ---- prefix: col LIKE 'p%'  ==  [p, nextPrefix(p)) ----------------
     case StartsWith(a, v) if litStr(v).exists(_.nonEmpty) =>
       val p = litStr(v).get

@@ -1881,7 +1881,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         val seen = scala.collection.mutable.HashSet.empty[String]
         if (cols.nonEmpty) rd.getFooter.getBlocks.forEach { block =>
           block.getColumns.forEach { cc =>
-            val name = cc.getPath.toDotString
+            val name = IncrementalTable.normalizeLeafPath(cc.getPath.toDotString)
             if (cols.contains(name)) {
               val st = cc.getStatistics
               if (st == null || st.isEmpty)
@@ -1932,7 +1932,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // a BOUNDLESS entry: full-range min/max prune nothing, the
         // null tally still works.
         val withNulls = seen.iterator.flatMap { name =>
-          val n = nulls.getOrElse(name, None)
+          // ARRAY-leaf entries (`….element…`): the footer null tally is
+          // in ELEMENT units while `rows` is RECORD units — recording it
+          // would let `allNull` (nulls == rows) mislabel a file on a
+          // coincidental count match and unsoundly prune it. Element
+          // entries keep [min,max] over all elements (exactly the
+          // exists/array_contains pruning domain) and no null index.
+          val n = if (name.contains(".element")) None
+            else nulls.getOrElse(name, None)
           val r = Some(fileRows)
           if (poisoned(name)) {
             if (n.isEmpty) None // no tally either: nothing indexable
@@ -2420,6 +2427,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
 
 object IncrementalTable {
   val checkpointInterval = 100
+
+  /** Parquet's 3-level list encoding renders an array leaf's footer
+    * path as `col.list.element[.field…]`; the stats index stores the
+    * LOGICAL dot-path `col.element[.field…]` — the key
+    * [[DataSkipping]] produces for `array_contains`/`exists`
+    * predicates, so array leaves join the X6 index exactly like
+    * struct leaves (X54). Map leaves (`key_value.…`) stay as-is
+    * (unindexed). */
+  private[table] def normalizeLeafPath(p: String): String =
+    p.replace(".list.element", ".element")
 
   /** Prefix under which [[IncrementalTable.mergeInto]] stages SOURCE
     * columns in its join, so clause expressions can reference both

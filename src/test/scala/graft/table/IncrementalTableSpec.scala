@@ -1,7 +1,7 @@
 package graft.table
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{col, length, lit, struct, sum, when}
+import org.apache.spark.sql.functions.{array_contains, col, length, lit, struct, sum, when}
 
 class IncrementalTableSpec extends SparkSpec {
   import spark.implicits._
@@ -28,6 +28,49 @@ class IncrementalTableSpec extends SparkSpec {
     assert(pruned == (120L until 150L))
     // an UNINDEXED leaf on the same commits prunes nothing (conservative)
     assert(t.liveFilesWhere(col("hdr._1") === "zzz").size == 3)
+  }
+
+  test("array-leaf data skipping: element dot-paths prune array_contains/exists (X65)") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/arrayskip")
+    def frame(keys: Range) = keys
+      .map(k => (k.toLong, Seq(k.toLong * 10, k.toLong * 10 + 1)))
+      .toDF("k", "xs")
+      .withColumn("items", org.apache.spark.sql.functions.array(
+        struct(lit(1L).as("line_no"), (col("k") * 100).as("seq")),
+        struct(lit(2L).as("line_no"), (col("k") * 100 + 50).as("seq"))))
+      .repartition(1)
+    // three files with disjoint element ranges, indexed by ELEMENT path
+    t.append(frame(0 until 50), Nil,
+      statsColumns = Seq("k", "xs.element", "items.element.seq"))
+    t.append(frame(50 until 100), Nil,
+      statsColumns = Seq("k", "xs.element", "items.element.seq"))
+    t.append(frame(100 until 150), Nil,
+      statsColumns = Seq("k", "xs.element", "items.element.seq"))
+    assert(t.liveFiles().size == 3)
+    // array_contains on a scalar-array leaf prunes to the owning file
+    assert(t.liveFilesWhere(array_contains($"xs", 250L)).size == 1)
+    assert(t.liveFilesWhere(array_contains($"xs", 495L)).size == 0) // between files' spans
+    // exists over a struct-array leaf prunes through the lambda rewrite
+    assert(t.liveFilesWhere(org.apache.spark.sql.functions.exists($"items",
+      x => x.getField("seq") >= 12000L && x.getField("seq") <= 12100L)).size == 1)
+    // pruned read is exact vs the full-scan filter
+    val pred = org.apache.spark.sql.functions.exists($"items",
+      x => x.getField("seq") >= 12000L && x.getField("seq") <= 12100L)
+    assert(t.readWhere(pred).select($"k").as[Long].collect().sorted.toSeq ==
+      t.read().filter(pred).select($"k").as[Long].collect().sorted.toSeq)
+    // conservatism: forall has no per-element witness; an UNINDEXED
+    // element path prunes nothing; a non-literal comparison extracts
+    // nothing — all three keep every file
+    assert(t.liveFilesWhere(org.apache.spark.sql.functions.forall($"xs",
+      _ > 100000L)).size == 3)
+    assert(t.liveFilesWhere(org.apache.spark.sql.functions.exists($"items",
+      _.getField("line_no") === 99L)).size == 3)
+    assert(t.liveFilesWhere(org.apache.spark.sql.functions.exists($"xs",
+      x => x === $"k")).size == 3)
+    // an outer-column conjunct INSIDE the lambda still prunes by its
+    // own column (it must hold on any row where exists is true)
+    assert(t.liveFilesWhere(org.apache.spark.sql.functions.exists($"items",
+      x => x.getField("seq") >= 0L && $"k" === 120L)).size == 1)
   }
 
   test("nested types round-trip: struct + array-of-struct through append, delete rewrite, update, DV") {
