@@ -90,8 +90,9 @@ object DataSkipping {
     * dot-path rendering (`hdr.total`) — the key the X6 stats index
     * stores for nested leaves, so nested predicates prune exactly like
     * flat ones once the writer indexed the leaf (statsColumns /
-    * `graft.statsColumns` accept dot-paths). Array/map extraction has
-    * no single footer leaf per row and stays unextractable. */
+    * `graft.statsColumns` accept dot-paths). Array leaves join the
+    * index under `….element…` paths via the EXISTS-shaped extraction
+    * below ([[elemPath]]); map extraction stays unextractable. */
   private def dotPath(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case g: GetStructField => dotPath(g.child).map(_ + "." + g.extractFieldName)

@@ -1365,17 +1365,19 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // count only positions belonging to LIVE dv-bearing files.
         // Sidecar `file` values live in file_path's URI-ENCODED
         // rendering while commit-log dv keys are decoded
-        // ([[relativizeUri]]); decode sidecar-side so the semi-join
-        // compares one rendering (a space/%-bearing partition value
-        // would otherwise silently skip the subtraction).
-        val decode = org.apache.spark.sql.functions.udf(
-          (s: String) => new java.net.URI(s).getPath)
+        // ([[relativizeUri]]); ENCODE the (few) broadcast keys
+        // driver-side with the same java.net.URI quoter the sidecar
+        // rendering came from, so the semi-join is a plain codegen'd
+        // string equality — no per-row UDF (a space/%-bearing
+        // partition value round-trips through the one encoder and
+        // still matches).
+        val encode = (s: String) =>
+          new java.net.URI(null, null, s"/$s", null).getRawPath.stripPrefix("/")
         val liveDvFiles = org.apache.spark.sql.functions.broadcast(
-          dvMap.keys.toSeq.toDF("file"))
+          dvMap.keys.toSeq.map(encode).toDF("file"))
         n - spark.read
           .schema(new StructType().add("file", "string").add("pos", "long"))
           .parquet(gens.map(g => new Path(rootPath, s"$dvPrefix/$g").toString): _*)
-          .select(decode(org.apache.spark.sql.functions.col("file")).as("file"))
           .join(liveDvFiles, Seq("file"), "left_semi")
           .count()
       }
