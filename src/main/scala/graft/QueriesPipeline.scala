@@ -1316,6 +1316,37 @@ object QueriesPipeline {
         .select($"okey", $"it.line_no".as("line_no"), $"it.seq".as("seq"))
         .orderBy($"okey", $"line_no")
     }),
+
+    // ---- SQL ALTER COLUMN TYPE — lossless widening (X68) ---------------
+    // The Delta typeWidening analog as a metadata-only commit: int→
+    // bigint and float→double rewrite NOTHING — parquet up-converts the
+    // narrower physical types under the committed schema, the integral
+    // stats index's Long bounds stay valid verbatim across mixed
+    // int/long files, and post-widen inserts land the wide type. The
+    // oracle reads both generations through explicit casts: a value
+    // corrupted in the up-convert (float bits are EXACT in double), a
+    // mis-bound post-widen insert, or a narrowing smuggled through all
+    // break the hash.
+    "q129_sql_type_widening" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.widen")
+      s.sql("""CREATE TABLE graft.lake.widen (okey INT, total FLOAT)
+              |TBLPROPERTIES ('graft.statsColumns' = 'okey')""".stripMargin)
+      Tables.orders(s, dir).select($"o_orderkey".as("okey"),
+          $"o_totalprice".as("total"))
+        .createOrReplaceTempView("q129_src")
+      s.sql("""INSERT INTO graft.lake.widen
+              |SELECT CAST(okey AS INT), CAST(total AS FLOAT)
+              |FROM q129_src WHERE okey % 2 = 0""".stripMargin)
+      s.sql("ALTER TABLE graft.lake.widen ALTER COLUMN okey TYPE BIGINT")
+      s.sql("ALTER TABLE graft.lake.widen ALTER COLUMN total TYPE DOUBLE")
+      s.sql("""INSERT INTO graft.lake.widen
+              |SELECT okey, total FROM q129_src WHERE okey % 2 = 1""".stripMargin)
+      s.sql("""SELECT okey, total FROM graft.lake.widen
+              |WHERE okey <= 4000 ORDER BY okey""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1750,5 +1781,17 @@ object QueriesPipeline {
         |        WHERE seq BETWEEN 250000 AND 280000)
         |SELECT li.okey, li.line_no, li.seq FROM li JOIN hit USING (okey)
         |ORDER BY okey, line_no""".stripMargin,
+    // pre-widen rows round-trip through FLOAT (exact when re-widened to
+    // double); post-widen rows are native doubles
+    "q129_sql_type_widening" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey, o_totalprice AS total FROM orders)
+        |SELECT CAST(okey AS BIGINT) AS okey,
+        |  CAST(CAST(total AS REAL) AS DOUBLE) AS total
+        |FROM src WHERE okey % 2 = 0 AND okey <= 4000
+        |UNION ALL
+        |SELECT CAST(okey AS BIGINT), total
+        |FROM src WHERE okey % 2 = 1 AND okey <= 4000
+        |ORDER BY okey""".stripMargin,
   )
 }

@@ -218,13 +218,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType] ||
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
         c.isInstanceOf[TableChange.AddConstraint] ||
         c.isInstanceOf[TableChange.DropConstraint])
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
-      s"graft ALTER TABLE supports ADD|DROP COLUMNS / (UN)SET TBLPROPERTIES / " +
-        s"ADD|DROP CONSTRAINT only: ${unsupported.mkString(", ")}")
+      s"graft ALTER TABLE supports ADD|DROP COLUMNS / ALTER COLUMN TYPE " +
+        s"(widening) / (UN)SET TBLPROPERTIES / ADD|DROP CONSTRAINT only: " +
+        s"${unsupported.mkString(", ")}")
+    val widened = changes.collect { case u: TableChange.UpdateColumnType =>
+      require(u.fieldNames.length == 1,
+        s"in-struct type changes are rejected (X49): ${u.fieldNames.mkString(".")}")
+      u.fieldNames.head -> u.newDataType
+    }.toMap
     added.foreach(a => require(a.fieldNames.length == 1,
       s"in-struct evolution is a type change (X49): ${a.fieldNames.mkString(".")}"))
     val dropped = changes.collect { case d: TableChange.DeleteColumn => d }
@@ -254,12 +261,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }.filter(t.constraints.contains)
     // everything validates first, then lands as ONE commit — a failed
     // constraint validation or OCC race can't leave a half-applied ALTER
-    if (added.nonEmpty || dropped.nonEmpty || props.nonEmpty ||
-        addCons.nonEmpty || dropCons.nonEmpty)
+    if (added.nonEmpty || dropped.nonEmpty || widened.nonEmpty ||
+        props.nonEmpty || addCons.nonEmpty || dropCons.nonEmpty)
       t.alter(
         additions = StructType(added.map(a =>
           org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType))),
         drops = dropped,
+        widen = widened,
         props = props.toMap,
         addConstraints = addCons.toMap,
         dropConstraints = dropCons)

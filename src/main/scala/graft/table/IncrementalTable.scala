@@ -6,7 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{lit, when}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
@@ -1620,11 +1620,29 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * `CREATE TABLE new … AS SELECT <cols with new names> FROM old`. */
   def alter(additions: StructType = new StructType(),
       drops: Seq[String] = Nil,
+      widen: Map[String, DataType] = Map.empty,
       props: Map[String, String] = Map.empty,
       addConstraints: Map[String, String] = Map.empty,
       dropConstraints: Seq[String] = Nil): Commit = {
     val prev = committedSchemaAt().getOrElse(throw new IllegalStateException(
       s"table $root has no committed schema to alter"))
+    // ALTER COLUMN TYPE, widening-only (the Delta typeWidening set):
+    // metadata-only — parquet's reader up-converts narrower physical
+    // types under the committed schema (int32→int64, float→double,
+    // exact by construction), the integral stats index's Long bounds
+    // stay valid verbatim, and future writes land the wider type.
+    // Narrowing / lossy changes (long→int, long→double, anything
+    // string-ward) are rejected: existing values would silently
+    // corrupt. Top-level columns only (in-struct is a type change,
+    // X49).
+    widen.foreach { case (n, to) =>
+      val f = prev.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n' to widen"))
+      require(IncrementalTable.widens(f.dataType, to),
+        s"ALTER COLUMN '$n' ${f.dataType.simpleString} -> ${to.simpleString} " +
+          "is not a lossless widening (supported: byte/short/int up the " +
+          "integral chain, float->double, byte/short/int->double)")
+    }
     val tombstoned = droppedColumns
     additions.fields.foreach { f =>
       require(!prev.fieldNames.contains(f.name),
@@ -1661,6 +1679,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     dropConstraints.foreach(n => require(constraints.contains(n),
       s"no constraint '$n' on $root"))
     val remaining = prev.fields.filterNot(f => drops.contains(f.name))
+      .map(f => widen.get(f.name).fold(f)(to => f.copy(dataType = to)))
     require(remaining.nonEmpty, "cannot drop every column")
     val merged = StructType(remaining ++ additions.fields.map(_.copy(nullable = true)))
     val meta = props.map { case (k, v) => s"prop/$k" -> v } ++
@@ -2429,6 +2448,22 @@ final class IncrementalTable(spark: SparkSession, val root: String,
 
 object IncrementalTable {
   val checkpointInterval = 100
+
+  /** Lossless widenings the parquet reader up-converts natively:
+    * the integral chain upward, float→double, and small-integral→
+    * double (exact within the 53-bit mantissa). long→double is LOSSY
+    * (63-bit magnitudes) and excluded. */
+  private[table] def widens(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+  }
 
   /** Parquet's 3-level list encoding renders an array leaf's footer
     * path as `col.list.element[.field…]`; the stats index stores the

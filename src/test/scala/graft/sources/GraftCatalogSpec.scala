@@ -349,6 +349,28 @@ class GraftCatalogSpec extends SparkSpec {
     ()
   }
 
+  test("ALTER COLUMN TYPE widens through SQL; lossy changes refuse") {
+    spark.sql(s"CREATE TABLE $cat.lake.wd (k INT, f FLOAT)")
+    spark.sql(s"INSERT INTO $cat.lake.wd " +
+      "SELECT CAST(id AS INT), CAST(id AS FLOAT) FROM range(5)")
+    spark.sql(s"ALTER TABLE $cat.lake.wd ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.lake.wd ALTER COLUMN f TYPE DOUBLE")
+    val sch = spark.table(s"$cat.lake.wd").schema
+    assert(sch("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("f").dataType == org.apache.spark.sql.types.DoubleType)
+    spark.sql(s"INSERT INTO $cat.lake.wd SELECT id, CAST(id AS DOUBLE) FROM range(100, 105)")
+    assert(spark.table(s"$cat.lake.wd").count() == 10)
+    assert(spark.sql(s"SELECT CAST(sum(k) AS BIGINT) FROM $cat.lake.wd")
+      .as[Long].head() == 10 + 510)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.wd ALTER COLUMN k TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.wd ALTER COLUMN k TYPE DOUBLE")
+    }
+    ()
+  }
+
   test("nested struct columns survive Spark's nested-schema pruning") {
     spark.sql(s"CREATE TABLE $cat.lake.ns " +
       "(k BIGINT, hdr STRUCT<cust: BIGINT, total: BIGINT>)")

@@ -1004,6 +1004,35 @@ class IncrementalTableSpec extends SparkSpec {
     assert(tc.read().columns.toSeq == Seq("id"))
   }
 
+  test("ALTER COLUMN TYPE widening: metadata-only, mixed-file reads + skipping stay exact (X68)") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val t = IncrementalTable(spark, tmpDir("itab") + "/t-widen")
+    t.append(spark.range(50)
+      .selectExpr("CAST(id AS INT) AS k", "CAST(id AS FLOAT) AS f")
+      .repartition(1), Nil, statsColumns = Seq("k"))
+    t.alter(widen = Map("k" -> LongType, "f" -> DoubleType))
+    assert(t.read().schema("k").dataType == LongType)
+    assert(t.read().schema("f").dataType == DoubleType)
+    // old int/float file reads up-converted; new file writes wide
+    t.append(spark.range(100, 150)
+      .selectExpr("CAST(id AS LONG) AS k", "CAST(id AS DOUBLE) AS f")
+      .repartition(1), Nil, statsColumns = Seq("k"))
+    assert(t.read().count() == 100)
+    assert(t.read().filter($"k" < 50L).count() == 50)
+    // exact values through the widening (floats exact in double)
+    assert(t.read().filter($"k" === 7L).select($"f").as[Double].head() == 7.0)
+    // the stats index prunes across MIXED int/long files — old Long
+    // bounds stay valid verbatim
+    assert(t.liveFiles().size == 2)
+    assert(t.liveFilesWhere($"k" >= 100L).size == 1)
+    assert(t.liveFilesWhere($"k" <= 49L).size == 1)
+    // narrowing and lossy changes refuse
+    intercept[IllegalArgumentException](t.alter(widen = Map("k" -> IntegerType)))
+    intercept[IllegalArgumentException](t.alter(widen = Map("f" -> FloatType)))
+    intercept[IllegalArgumentException](t.alter(widen = Map("k" -> DoubleType)))
+    intercept[IllegalArgumentException](t.alter(widen = Map("nope" -> LongType)))
+  }
+
   test("liveRowCount across a columnar checkpoint: stats-less file yields None, never an ANSI error (ADVICE r6)") {
     // A file written without statsColumns carries an EMPTY stats map in
     // the checkpoint rows; the metadata-count aggregation must surface
