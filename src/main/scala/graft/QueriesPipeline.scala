@@ -1347,6 +1347,43 @@ object QueriesPipeline {
       s.sql("""SELECT okey, total FROM graft.lake.widen
               |WHERE okey <= 4000 ORDER BY okey""".stripMargin)
     }),
+
+    // ---- MAP-leaf data skipping (X69) ----------------------------------
+    // Maps join the container-leaf index: per-order (seq → qty) maps
+    // clustered by order-key ranges, indexed under the `m.key` dot-path;
+    // `exists(map_keys(m), k -> k BETWEEN …)` prunes through the same
+    // lambda-rewrite as arrays (map sides ARE repeated leaves), and
+    // map_contains_key point lookups prune identically
+    // (IncrementalTableSpec pins the counts; `m[k]` comparisons stay
+    // deliberately unextracted — under ANSI a missing key THROWS, and a
+    // prune must never swallow that error). The oracle replays the key
+    // membership over flat lineitem; an unsound key bound drops a hit
+    // order's rows and breaks the hash.
+    "q130_map_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q130_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/ord/v1")
+      // the synthetic lineitem carries duplicate (okey, line) pairs —
+      // collapse to one entry per key with an order-independent max so
+      // the map build is deterministic in both engines
+      val li = Tables.lineitem(s, dir).select($"l_orderkey".as("okey"),
+          ($"l_orderkey" * 100 + $"l_linenumber").cast("long").as("seq"),
+          $"l_quantity".as("qty"))
+        .groupBy($"okey", $"seq").agg(max($"qty").as("qty"))
+      val m = li.groupBy($"okey")
+        .agg(map_from_entries(sort_array(collect_list(struct($"seq", $"qty"))))
+          .as("m"))
+      val sc = Seq("m.key")
+      t.append(m.filter($"okey" < 2000), Nil, statsColumns = sc)
+      t.append(m.filter($"okey" >= 2000 && $"okey" < 4000), Nil,
+        statsColumns = sc)
+      t.append(m.filter($"okey" >= 4000), Nil, statsColumns = sc)
+      t.readWhere(org.apache.spark.sql.functions.exists(map_keys($"m"),
+          k => k >= 250000L && k <= 253000L))
+        .select($"okey", explode($"m"))
+        .select($"okey", $"key".as("seq"), $"value".as("qty"))
+        .orderBy($"okey", $"seq")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1793,5 +1830,15 @@ object QueriesPipeline {
         |SELECT CAST(okey AS BIGINT), total
         |FROM src WHERE okey % 2 = 1 AND okey <= 4000
         |ORDER BY okey""".stripMargin,
+    "q130_map_skipping" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS okey,
+        |    CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS seq,
+        |    max(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |hit AS (SELECT DISTINCT okey FROM li
+        |        WHERE seq BETWEEN 250000 AND 253000)
+        |SELECT li.okey, li.seq, li.qty FROM li JOIN hit USING (okey)
+        |ORDER BY okey, seq""".stripMargin,
   )
 }

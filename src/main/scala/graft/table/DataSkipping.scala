@@ -141,6 +141,21 @@ object DataSkipping {
     }
   }
 
+  /** The `….key` / `….value` dot-path of a map column whose selected
+    * side's type satisfies `ok` — the map twin of [[elemPath]] (X69). */
+  private def mapPath(e: Expression, side: String,
+      ok: DataType => Boolean): Option[String] = {
+    val root = e match {
+      case a: AttributeReference => Some((a.name, a.dataType))
+      case g: GetStructField => dotPath(g).map(_ -> g.dataType)
+      case _ => None
+    }
+    root.collect {
+      case (p, MapType(kt, _, _)) if side == "key" && ok(kt) => s"$p.key"
+      case (p, MapType(_, vt, _)) if side == "value" && ok(vt) => s"$p.value"
+    }
+  }
+
   private def litLong(e: Expression): Option[Long] = e match {
     case Literal(null, _) => None
     case l @ Literal(_, dt) if indexable(dt) => asLong(l.value)
@@ -279,10 +294,36 @@ object DataSkipping {
     // EQUAL to v — a file whose element [min,max] excludes v cannot
     // hold one. NULL search values never match (contains yields
     // null→false under a filter), so the literal gates are exact.
+    // (map_keys/map_values spellings must precede the generic array
+    // cases — elemPath can't see through MapKeys and the generic match
+    // would swallow them with an empty extraction)
+    case ArrayContains(MapKeys(m), v) if litLong(v).nonEmpty =>
+      one(mapPath(m, "key", indexable), Bounds(litLong(v), litLong(v)))
+    case ArrayContains(MapKeys(m), v) if litStr(v).nonEmpty =>
+      one(mapPath(m, "key", _ == StringType),
+        Bounds(lowerS = litStr(v), upperS = litStr(v)))
+    case ArrayContains(MapValues(m), v) if litLong(v).nonEmpty =>
+      one(mapPath(m, "value", indexable), Bounds(litLong(v), litLong(v)))
+    case ArrayContains(MapValues(m), v) if litStr(v).nonEmpty =>
+      one(mapPath(m, "value", _ == StringType),
+        Bounds(lowerS = litStr(v), upperS = litStr(v)))
     case ArrayContains(a, v) if litLong(v).nonEmpty =>
       one(elemPath(a, indexable), Bounds(litLong(v), litLong(v)))
     case ArrayContains(a, v) if litStr(v).nonEmpty =>
       one(elemPath(a, _ == StringType),
+        Bounds(lowerS = litStr(v), upperS = litStr(v)))
+    // ---- map leaves (X69): key/value membership ----------------------
+    // `map_contains_key(m, k)` (and its spelled-out twins over
+    // map_keys/map_values) is true only of a row holding that KEY
+    // (resp. a value) — total boolean functions, no ANSI error path,
+    // so pruning a file can never suppress an error a full scan would
+    // have raised. `m[k] = v` / element_at comparisons are NOT
+    // extracted: under ANSI a missing key throws, and pruning the file
+    // would swallow that error.
+    case MapContainsKey(m, v) if litLong(v).nonEmpty =>
+      one(mapPath(m, "key", indexable), Bounds(litLong(v), litLong(v)))
+    case MapContainsKey(m, v) if litStr(v).nonEmpty =>
+      one(mapPath(m, "key", _ == StringType),
         Bounds(lowerS = litStr(v), upperS = litStr(v)))
     // `exists(a, x -> p(x))`: true requires SOME element satisfying p —
     // rewrite the lambda variable as a synthetic attribute, reuse the
@@ -294,14 +335,27 @@ object DataSkipping {
     // forall/aggregate have no such per-element witness and extract
     // nothing.
     case ae: ArrayExists =>
-      val root = ae.argument match {
+      // the element's index path: `a.element` for arrays, `m.key` /
+      // `m.value` for exists over map_keys/map_values (the map sides
+      // ARE the repeated leaves — same index entries, same semantics)
+      def containerRoot(e: Expression): Option[String] = e match {
         case a: AttributeReference if a.dataType.isInstanceOf[ArrayType] =>
-          Some(a.name)
+          Some(a.name + ".element")
         case g: GetStructField if g.dataType.isInstanceOf[ArrayType] =>
-          dotPath(g)
+          dotPath(g).map(_ + ".element")
+        case MapKeys(m) => m match {
+          case a: AttributeReference => Some(a.name + ".key")
+          case g: GetStructField => dotPath(g).map(_ + ".key")
+          case _ => None
+        }
+        case MapValues(m) => m match {
+          case a: AttributeReference => Some(a.name + ".value")
+          case g: GetStructField => dotPath(g).map(_ + ".value")
+          case _ => None
+        }
         case _ => None
       }
-      (root, ae.function) match {
+      (containerRoot(ae.argument), ae.function) match {
         case (Some(p), LambdaFunction(body, Seq(v: NamedLambdaVariable), _)) =>
           val marker = "__graft_elem__"
           val rewritten = body.transform {
@@ -309,9 +363,9 @@ object DataSkipping {
               AttributeReference(marker, nv.dataType, nv.nullable)()
           }
           extract(rewritten).map {
-            case (k, b) if k == marker => s"$p.element" -> b
+            case (k, b) if k == marker => p -> b
             case (k, b) if k.startsWith(marker + ".") =>
-              s"$p.element${k.stripPrefix(marker)}" -> b
+              s"$p${k.stripPrefix(marker)}" -> b
             case kv => kv
           }
         case _ => Map.empty

@@ -1900,10 +1900,18 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // (old writers) — an unknown tally never prunes
         val nulls = scala.collection.mutable.HashMap.empty[String, Option[Long]]
         val seen = scala.collection.mutable.HashSet.empty[String]
+        // REPEATED leaves (array/map containers): their footer null
+        // tally is in element units, not record units — tracked so the
+        // null index is suppressed for them below (precise via the
+        // schema's max repetition level, not name heuristics)
+        val repeated = scala.collection.mutable.HashSet.empty[String]
         if (cols.nonEmpty) rd.getFooter.getBlocks.forEach { block =>
           block.getColumns.forEach { cc =>
             val name = IncrementalTable.normalizeLeafPath(cc.getPath.toDotString)
             if (cols.contains(name)) {
+              if (rd.getFooter.getFileMetaData.getSchema
+                  .getColumnDescription(cc.getPath.toArray)
+                  .getMaxRepetitionLevel > 0) repeated += name
               val st = cc.getStatistics
               if (st == null || st.isEmpty)
                 throw new IllegalStateException(
@@ -1953,13 +1961,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // a BOUNDLESS entry: full-range min/max prune nothing, the
         // null tally still works.
         val withNulls = seen.iterator.flatMap { name =>
-          // ARRAY-leaf entries (`….element…`): the footer null tally is
-          // in ELEMENT units while `rows` is RECORD units — recording it
-          // would let `allNull` (nulls == rows) mislabel a file on a
-          // coincidental count match and unsoundly prune it. Element
-          // entries keep [min,max] over all elements (exactly the
-          // exists/array_contains pruning domain) and no null index.
-          val n = if (name.contains(".element")) None
+          // REPEATED-leaf entries (array elements, map keys/values):
+          // the footer null tally is in ELEMENT units while `rows` is
+          // RECORD units — recording it would let `allNull`
+          // (nulls == rows) mislabel a file on a coincidental count
+          // match and unsoundly prune it. Repeated entries keep
+          // [min,max] over all elements (exactly the
+          // exists/array_contains/map_contains_key pruning domain)
+          // and no null index.
+          val n = if (repeated(name)) None
             else nulls.getOrElse(name, None)
           val r = Some(fileRows)
           if (poisoned(name)) {
@@ -2465,15 +2475,15 @@ object IncrementalTable {
     }
   }
 
-  /** Parquet's 3-level list encoding renders an array leaf's footer
-    * path as `col.list.element[.field…]`; the stats index stores the
-    * LOGICAL dot-path `col.element[.field…]` — the key
-    * [[DataSkipping]] produces for `array_contains`/`exists`
-    * predicates, so array leaves join the X6 index exactly like
-    * struct leaves (X54). Map leaves (`key_value.…`) stay as-is
-    * (unindexed). */
+  /** Parquet's repeated-group encodings render container leaves as
+    * `col.list.element[.field…]` (arrays) and `col.key_value.key` /
+    * `col.key_value.value[…]` (maps); the stats index stores the
+    * LOGICAL dot-paths `col.element…` / `col.key` / `col.value…` —
+    * the keys [[DataSkipping]] produces for `array_contains`/`exists`/
+    * `map_contains_key` predicates, so container leaves join the X6
+    * index exactly like struct leaves (X54/X65/X69). */
   private[table] def normalizeLeafPath(p: String): String =
-    p.replace(".list.element", ".element")
+    p.replace(".list.element", ".element").replace(".key_value.", ".")
 
   /** Prefix under which [[IncrementalTable.mergeInto]] stages SOURCE
     * columns in its join, so clause expressions can reference both

@@ -73,6 +73,36 @@ class IncrementalTableSpec extends SparkSpec {
       x => x.getField("seq") >= 0L && $"k" === 120L)).size == 1)
   }
 
+  test("map-leaf data skipping: key/value paths prune map_contains_key (X69)") {
+    val t = IncrementalTable(spark, tmpDir("itab") + "/mapskip")
+    def frame(keys: Range) = keys
+      .map(k => (k.toLong, Map(f"k$k%03da" -> k.toLong * 10,
+        f"k$k%03db" -> (k.toLong * 10 + 1))))
+      .toDF("k", "m").repartition(1)
+    t.append(frame(0 until 50), Nil, statsColumns = Seq("m.key", "m.value"))
+    t.append(frame(50 until 100), Nil, statsColumns = Seq("m.key", "m.value"))
+    t.append(frame(100 until 150), Nil, statsColumns = Seq("m.key", "m.value"))
+    assert(t.liveFiles().size == 3)
+    import org.apache.spark.sql.functions.{map_contains_key, map_keys, map_values}
+    // key membership prunes to the owning file (string keys zero-padded
+    // so ranges are lexical)
+    assert(t.liveFilesWhere(map_contains_key($"m", "k120a")).size == 1)
+    assert(t.liveFilesWhere(map_contains_key($"m", "zzz")).size == 0)
+    assert(t.liveFilesWhere(array_contains(map_keys($"m"), "k020a")).size == 1)
+    // value membership: per-file value spans are disjoint
+    assert(t.liveFilesWhere(array_contains(map_values($"m"), 1200L)).size == 1)
+    assert(t.liveFilesWhere(array_contains(map_values($"m"), 495L)).size == 0)
+    // exists over map_values prunes through the lambda rewrite too
+    assert(t.liveFilesWhere(org.apache.spark.sql.functions.exists(
+      map_values($"m"), v => v >= 1100L && v <= 1200L)).size == 1)
+    // pruned read exact vs full-scan filter
+    val pred = map_contains_key($"m", "k120a")
+    assert(t.readWhere(pred).select($"k").as[Long].collect().toSeq == Seq(120L))
+    // conservatism: m[key] comparisons are NOT extracted (ANSI missing-
+    // key errors must not be swallowed by a prune)
+    assert(t.liveFilesWhere($"m".getItem("k120a") === 1200L).size == 3)
+  }
+
   test("nested types round-trip: struct + array-of-struct through append, delete rewrite, update, DV") {
     val t = IncrementalTable(spark, tmpDir("itab") + "/nested")
     def frame(keys: Range) = keys.map { k =>
