@@ -1384,6 +1384,36 @@ object QueriesPipeline {
         .select($"okey", $"key".as("seq"), $"value".as("qty"))
         .orderBy($"okey", $"seq")
     }),
+
+    // ---- MERGE WITH SCHEMA EVOLUTION (X70) -----------------------------
+    // The Delta autoMerge analog on the canonical upsert: the source
+    // carries a column the target lacks; the MERGE widens the schema
+    // AND applies the upsert in ONE commit — matched and inserted rows
+    // carry the new column's source values, pre-existing unmatched rows
+    // (and untouched files) read it as null. The oracle replays the
+    // evolved state relationally; evolution applied to unmatched rows,
+    // a lost new-column value, or a two-commit (schema-then-data) split
+    // that leaves either half visible alone all break the hash.
+    "q131_sql_merge_evolution" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.mev")
+      s.sql("CREATE TABLE graft.lake.mev (okey BIGINT, status STRING)")
+      Tables.orders(s, dir).select($"o_orderkey".as("okey"),
+          $"o_orderstatus".as("status"), $"o_totalprice".as("total"))
+        .createOrReplaceTempView("q131_src")
+      s.sql("INSERT INTO graft.lake.mev " +
+        "SELECT okey, status FROM q131_src WHERE okey % 2 = 0")
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.lake.mev t
+              |USING (SELECT okey, status, total FROM q131_src
+              |       WHERE okey % 3 = 0) s
+              |ON t.okey = s.okey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("""SELECT okey, status, total FROM graft.lake.mev
+              |WHERE okey <= 4000 ORDER BY okey""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1840,5 +1870,17 @@ object QueriesPipeline {
         |        WHERE seq BETWEEN 250000 AND 253000)
         |SELECT li.okey, li.seq, li.qty FROM li JOIN hit USING (okey)
         |ORDER BY okey, seq""".stripMargin,
+    // target rows not matched by the source keep a NULL in the evolved
+    // column; every source row (matched upsert or insert) carries it
+    "q131_sql_merge_evolution" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    o_totalprice AS total FROM orders)
+        |SELECT okey, status, CAST(NULL AS DOUBLE) AS total FROM src
+        |WHERE okey % 2 = 0 AND okey % 3 <> 0 AND okey <= 4000
+        |UNION ALL
+        |SELECT okey, status, total FROM src
+        |WHERE okey % 3 = 0 AND okey <= 4000
+        |ORDER BY okey""".stripMargin,
   )
 }

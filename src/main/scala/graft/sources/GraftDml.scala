@@ -53,13 +53,23 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m @ MergeIntoTable(GraftDml.Rel(r), source, mergeCond,
         matched, notMatched, notMatchedBySource, withSchemaEvolution)
         if m.resolved =>
-      require(!withSchemaEvolution,
-        "graft MERGE does not support WITH SCHEMA EVOLUTION")
       val keys = GraftDml.mergeKeys(mergeCond, r, source)
-      if (GraftDml.isCanonicalUpsert(matched, notMatched, notMatchedBySource))
+      val canonical = GraftDml.isCanonicalUpsert(matched, notMatched,
+        notMatchedBySource)
+      // WITH SCHEMA EVOLUTION: the analyzer expands the stars over
+      // EXISTING target columns only — the engine adds the source-only
+      // columns itself (merge(evolveSchema): one commit, kept rows
+      // null-fill, untouched files read them as null). Supported for
+      // the canonical upsert, where "every clause takes the full
+      // source row" makes the evolved assignment unambiguous.
+      require(canonical || !withSchemaEvolution,
+        "graft MERGE WITH SCHEMA EVOLUTION supports the canonical upsert " +
+          "only (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *)")
+      if (canonical)
         // fast path: the table format's native upsert (anti-join +
         // union, no per-column CASE chains)
-        GraftMergeCommand(r.table.asInstanceOf[GraftTable].table, source, keys)
+        GraftMergeCommand(r.table.asInstanceOf[GraftTable].table, source, keys,
+          evolveSchema = withSchemaEvolution)
       else {
         val (mc, nc, sc) = GraftDml.whenClauses(source, matched, notMatched,
           notMatchedBySource)
@@ -223,11 +233,13 @@ final case class GraftUpdateCommand(table: IncrementalTable,
   * [[IncrementalTable.merge]] (key-matched files rewritten, the rest
   * untouched, one atomic commit, X11). */
 final case class GraftMergeCommand(table: IncrementalTable,
-    source: LogicalPlan, keys: Seq[String]) extends LeafRunnableCommand {
+    source: LogicalPlan, keys: Seq[String], evolveSchema: Boolean = false)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = DmlShim.ofRows(spark, source)
     table.merge(src, keys,
-      statsColumns = GraftCatalog.statsColumnsOf(table))
+      statsColumns = GraftCatalog.statsColumnsOf(table),
+      evolveSchema = evolveSchema)
     Seq.empty
   }
 }

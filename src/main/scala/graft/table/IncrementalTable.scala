@@ -826,7 +826,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       statsColumns: Seq[String] = Nil,
       meta: Map[String, String] = Map.empty,
       batchId: Option[Long] = None,
-      appId: Option[String] = None): Option[Commit] = {
+      appId: Option[String] = None,
+      evolveSchema: Boolean = false): Option[Commit] = {
     require(keys.nonEmpty, "merge needs key columns")
     require(exists, s"merge target $root does not exist — seed it with append()")
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
@@ -834,7 +835,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val stored = committedSchema
     stored.fieldNames.foreach(c => require(source.columns.contains(c),
       s"merge source lacks table column '$c'"))
-    val src = source.select(stored.fieldNames.map(fn).toSeq: _*)
+    // MERGE WITH SCHEMA EVOLUTION: source-only columns ride the
+    // rewrite (kept rows null-fill) and the write path's add-column
+    // evolution commits the widened schema ATOMICALLY with the data —
+    // one commit, untouched files read the new columns as null. Drop
+    // tombstones still apply (mergedSchema refuses resurfaced names).
+    val extraCols =
+      if (evolveSchema) source.columns.toSeq.filterNot(stored.fieldNames.contains)
+      else Nil
+    val src = source.select((stored.fieldNames.toSeq ++ extraCols).map(fn): _*)
     val partitionBy = committedPartitionBy
 
     val dupKeys = src.groupBy(keys.map(fn): _*).count()
@@ -863,7 +872,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         statsColumns = statsColumns) // pure insert
     else {
       val kept = filesDf(touched, Some(stored), liveDv()).join(src, keys.toSeq, "left_anti")
-      val rewritten = kept.unionByName(src)
+      val rewritten = kept.unionByName(src, allowMissingColumns = extraCols.nonEmpty)
       write(rewritten, "replace", partitionBy, Map.empty, Map.empty, meta,
         batchId, appId, statsColumns = statsColumns, removeExact = Some(touched))
     }

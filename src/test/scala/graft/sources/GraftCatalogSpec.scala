@@ -197,6 +197,47 @@ class GraftCatalogSpec extends SparkSpec {
     ()
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns in the merge commit") {
+    spark.sql(s"CREATE TABLE $cat.lake.se (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.se SELECT id, id FROM range(3)")
+    val root = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/se"
+    val v0 = IncrementalTable(spark, root).latestVersion
+    spark.range(2, 5).selectExpr("id AS k", "id * 10 AS v", "concat('t', id) AS tag")
+      .createOrReplaceTempView("se_src")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.lake.se t
+                 |USING se_src s ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(s"SELECT k, v, tag FROM $cat.lake.se ORDER BY k")
+      .as[(Long, Long, Option[String])].collect().toSeq
+    // untouched rows read the evolved column as null; matched +
+    // inserted rows carry the full source row including tag
+    assert(rows == Seq((0L, 0L, None), (1L, 1L, None), (2L, 20L, Some("t2")),
+      (3L, 30L, Some("t3")), (4L, 40L, Some("t4"))))
+    // schema + data evolved in ONE commit
+    assert(IncrementalTable(spark, root).latestVersion == v0 + 1)
+    // evolution outside the canonical upsert is refused, not guessed
+    intercept[Exception] {
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.lake.se t
+                   |USING se_src s ON t.k = s.k
+                   |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    ()
+  }
+
+  test("CTAS and REPLACE TABLE AS SELECT work through the catalog (the rename migration recipe)") {
+    spark.sql(s"CREATE TABLE $cat.lake.csrc (k BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.lake.csrc SELECT id, concat('x', id) FROM range(5)")
+    spark.sql(s"CREATE TABLE $cat.lake.cdst AS " +
+      s"SELECT k AS key2, s AS label FROM $cat.lake.csrc")
+    assert(spark.table(s"$cat.lake.cdst").columns.toSeq == Seq("key2", "label"))
+    assert(spark.table(s"$cat.lake.cdst").count() == 5)
+    spark.sql(s"REPLACE TABLE $cat.lake.cdst AS " +
+      s"SELECT k FROM $cat.lake.csrc WHERE k < 2")
+    assert(spark.table(s"$cat.lake.cdst").columns.toSeq == Seq("k"))
+    assert(spark.table(s"$cat.lake.cdst").count() == 2)
+  }
+
   test("metadata tables: t.history / t.detail / t.properties in SQL") {
     spark.sql(s"CREATE TABLE $cat.lake.md (k BIGINT) " +
       "TBLPROPERTIES ('graft.statsColumns'='k')")
