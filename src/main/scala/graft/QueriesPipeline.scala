@@ -1414,6 +1414,39 @@ object QueriesPipeline {
       s.sql("""SELECT okey, status, total FROM graft.lake.mev
               |WHERE okey <= 4000 ORDER BY okey""".stripMargin)
     }),
+
+    // ---- METADATA-ONLY MIN/MAX through the catalog (X71) ---------------
+    // X59's snapshot-count generalized to the per-file [min,max] index:
+    // an ungrouped, unfiltered COUNT(*)/MIN/MAX bundle over an indexed
+    // integral column answers from the commit log with ZERO data files
+    // opened (GraftCatalogSpec pins filesScanned == 0, the DV decline,
+    // and the unindexed fallback); the filtered leg of the union scans
+    // normally. A stale bound after the second insert, an extreme taken
+    // from a pruned-out file, or an over-eager pushdown under the WHERE
+    // breaks one of the legs.
+    "q132_metadata_minmax" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.evmm")
+      s.sql("""CREATE TABLE graft.lake.evmm
+              |  (event_id BIGINT, user_id BIGINT, event_type STRING)
+              |TBLPROPERTIES ('graft.statsColumns' = 'event_id,user_id')""".stripMargin)
+      Tables.events(s, dir).select($"event_id", $"user_id", $"event_type")
+        .createOrReplaceTempView("q132_src")
+      s.sql("INSERT INTO graft.lake.evmm " +
+        "SELECT event_id, user_id, event_type FROM q132_src WHERE event_id % 2 = 0")
+      s.sql("INSERT INTO graft.lake.evmm " +
+        "SELECT event_id, user_id, event_type FROM q132_src WHERE event_id % 2 = 1")
+      s.sql("""SELECT 'all' AS scope, count(*) AS n, min(event_id) AS lo,
+              |  max(event_id) AS hi, min(user_id) AS ulo, max(user_id) AS uhi
+              |FROM graft.lake.evmm
+              |UNION ALL
+              |SELECT 'clicks' AS scope, count(*) AS n, min(event_id) AS lo,
+              |  max(event_id) AS hi, min(user_id) AS ulo, max(user_id) AS uhi
+              |FROM graft.lake.evmm WHERE event_type = 'click'
+              |ORDER BY scope""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1882,5 +1915,16 @@ object QueriesPipeline {
         |SELECT okey, status, total FROM src
         |WHERE okey % 3 = 0 AND okey <= 4000
         |ORDER BY okey""".stripMargin,
+    "q132_metadata_minmax" ->
+      """SELECT 'all' AS scope, count(*) AS n,
+        |  min(event_id) AS lo, max(event_id) AS hi,
+        |  min(user_id) AS ulo, max(user_id) AS uhi
+        |FROM events
+        |UNION ALL
+        |SELECT 'clicks' AS scope, count(*) AS n,
+        |  min(event_id) AS lo, max(event_id) AS hi,
+        |  min(user_id) AS ulo, max(user_id) AS uhi
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY scope""".stripMargin,
   )
 }

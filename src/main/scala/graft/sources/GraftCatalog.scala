@@ -483,7 +483,6 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
-  private var pushedCount: Option[Long] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) =
@@ -505,55 +504,109 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
     required = StructType(requiredSchema.fields.map(f =>
       fullSchema.fields.find(_.name == f.name).getOrElse(f)))
 
-  /** Metadata-only `COUNT(*)` (the Delta/Iceberg snapshot-count
-    * optimization): an ungrouped, unfiltered count is answered from
-    * the commit log's per-file row tallies minus standing DV deletes —
-    * zero data files open. Pushed ONLY when every live file carries a
-    * tally ([[IncrementalTable.liveRowCount]]); any filter, grouping,
-    * or other aggregate declines and scans normally — a wrong fast
-    * count is worse than a slow exact one. */
-  private def countStarOnly(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  /** Metadata-only aggregates (the Delta/Iceberg snapshot-stats
+    * optimization, X59 + X71): an ungrouped, unfiltered aggregation
+    * whose every expression is `COUNT(*)`, `MIN(col)`, or `MAX(col)`
+    * over an INTEGRAL top-level column is answered from the commit
+    * log — row tallies minus standing DV deletes for the count, the
+    * per-file [min,max] index for the extremes — zero data files open.
+    * Each answer pushes ONLY when complete ([[IncrementalTable
+    * .liveRowCount]] / [[IncrementalTable.liveMinMax]] return Some):
+    * a file without a tally/bound, a standing DV under MIN/MAX (the
+    * deleted row may BE the extreme), string/float columns (footer
+    * binary stats may truncate; float bounds live outside the Long
+    * index), any filter, or any grouping declines and scans normally —
+    * a wrong fast answer is worse than a slow exact one. */
+  private type AggField = (String, Any, org.apache.spark.sql.types.DataType)
 
-  // memoize the metadata probe per BUILDER (supportCompletePushDown and
-  // pushAggregation both consult it — one set of jobs, not two), but
-  // gate every answer on the aggregation SHAPE: a later probe with a
-  // different aggregation must never ride an earlier COUNT(*)'s yes
+  // memoize the metadata probes per BUILDER (supportCompletePushDown
+  // and pushAggregation both consult them — one set of jobs, not two),
+  // but gate every answer on the aggregation SHAPE: a later probe with
+  // a different aggregation must never ride an earlier one's yes
   private var rowCountMemo: Option[Option[Long]] = None
   private def metadataRowCount: Option[Long] = {
     if (rowCountMemo.isEmpty) rowCountMemo = Some(table.liveRowCount(asOf))
     rowCountMemo.get
   }
+  private val minMaxMemo =
+    scala.collection.mutable.Map.empty[String, Option[(Option[Long], Option[Long])]]
+  private def metadataMinMax(c: String): Option[(Option[Long], Option[Long])] =
+    minMaxMemo.getOrElseUpdate(c, table.liveMinMax(c, asOf))
+
+  /** The column behind a MIN/MAX argument, when it is a bare top-level
+    * integral column (the index's exact domain). */
+  private def integralCol(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[(String, org.apache.spark.sql.types.DataType)] = e match {
+    case fr: org.apache.spark.sql.connector.expressions.NamedReference
+        if fr.fieldNames.length == 1 =>
+      fullSchema.fields.find(_.name == fr.fieldNames.head).collect {
+        case f if f.dataType == org.apache.spark.sql.types.ByteType ||
+            f.dataType == org.apache.spark.sql.types.ShortType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType ||
+            f.dataType == org.apache.spark.sql.types.LongType =>
+          f.name -> f.dataType
+      }
+    case _ => None
+  }
+
+  private def box(v: Option[Long],
+      dt: org.apache.spark.sql.types.DataType): Any = v match {
+    case None => null
+    case Some(l) => dt match {
+      case org.apache.spark.sql.types.ByteType => java.lang.Byte.valueOf(l.toByte)
+      case org.apache.spark.sql.types.ShortType => java.lang.Short.valueOf(l.toShort)
+      case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(l.toInt)
+      case _ => java.lang.Long.valueOf(l)
+    }
+  }
+
+  private def analyzed(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[AggField]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    val outs: Seq[Option[AggField]] = agg.aggregateExpressions.toIndexedSeq.map {
+      case _: CountStar => metadataRowCount.map(n =>
+        ("count_star", java.lang.Long.valueOf(n), org.apache.spark.sql.types.LongType))
+      case m: Min => integralCol(m.column).flatMap { case (n, dt) =>
+        metadataMinMax(n).map(v => (s"min_$n", box(v._1, dt), dt)) }
+      case m: Max => integralCol(m.column).flatMap { case (n, dt) =>
+        metadataMinMax(n).map(v => (s"max_$n", box(v._2, dt), dt)) }
+      case _ => None
+    }
+    if (outs.forall(_.isDefined)) Some(outs.map(_.get)) else None
+  }
+
+  private var pushedAgg: Option[Seq[AggField]] = None
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    countStarOnly(agg) && metadataRowCount.isDefined
+    analyzed(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = supportCompletePushDown(agg)
-    if (ok) pushedCount = metadataRowCount
-    ok
+    pushedAgg = analyzed(agg)
+    pushedAgg.isDefined
   }
 
-  override def build(): Scan = pushedCount match {
-    case Some(n) => new GraftCountScan(spark, table, n)
+  override def build(): Scan = pushedAgg match {
+    case Some(fields) => new GraftAggScan(spark, table, fields)
     case None => new GraftV1Scan(spark, table, asOf, required, pushed)
   }
 }
 
-/** The pushed-`COUNT(*)` scan: one row, straight from the log. */
-private[sources] final class GraftCountScan(spark: SparkSession,
-    table: IncrementalTable, n: Long) extends V1Scan {
-  private val outSchema =
-    new StructType().add("count_star", org.apache.spark.sql.types.LongType,
-      nullable = false)
+/** The pushed-aggregate scan: ONE row, straight from the log —
+  * `COUNT(*)` / integral `MIN`/`MAX` answers in declaration order. */
+private[sources] final class GraftAggScan(spark: SparkSession,
+    table: IncrementalTable,
+    fields: Seq[(String, Any, org.apache.spark.sql.types.DataType)])
+    extends V1Scan {
+  private val outSchema = StructType(fields.map { case (n, _, dt) =>
+    org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+  })
   override def readSchema(): StructType = outSchema
   override def description(): String =
-    s"GraftCountScan ${table.root} rows=$n (metadata-only)"
+    s"GraftAggScan ${table.root} ${fields.map(_._1).mkString(",")} (metadata-only)"
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
     // filesLive = -1: the metadata-only path must not itself run the
@@ -561,12 +614,14 @@ private[sources] final class GraftCountScan(spark: SparkSession,
     // accounting — the sentinel says "not computed", filesScanned = 0
     // is the assertion that matters
     GraftRelation.record(table.root,
-      GraftScanInfo(-1L, 0, Seq("COUNT(*) [metadata-only]")))
+      GraftScanInfo(-1L, 0,
+        Seq(s"${fields.map(_._1).mkString(",")} [metadata-only]")))
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = spark.sqlContext
       override def schema: StructType = outSchema
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(n)), 1)
+        spark.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row.fromSeq(fields.map(_._2))), 1)
     }.asInstanceOf[T]
   }
 }

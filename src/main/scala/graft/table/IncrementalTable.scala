@@ -1393,6 +1393,61 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** EXACT MIN/MAX of an integral `column` from metadata alone — no
+    * data scan: `Some((min, max))` when EVERY live file carries a
+    * usable value-bound entry for the column in its stats index
+    * (all-null files count as usable and contribute nothing, matching
+    * SQL MIN/MAX's null-skipping; inner `None`s mean no non-null value
+    * exists anywhere → SQL NULL). Declines (`None`) when any file
+    * lacks an entry, the entry is string-typed or boundless (the
+    * poisoned marker), or ANY deletion vector is standing — a DV may
+    * have deleted exactly the extreme row, and a wrong fast answer is
+    * worse than a slow exact one. Footer integral min/max are exact by
+    * construction (never truncated, unlike binary stats), which is why
+    * the surface is integral-only. Cost mirrors [[liveRowCount]]. */
+  def liveMinMax(column: String,
+      asOf: Option[Long] = None): Option[(Option[Long], Option[Long])] = {
+    if (liveDv(asOf).nonEmpty) return None
+    val cs = commitsAsOf(asOf)
+    parquetCkpt(cs) match {
+      case Some(_) =>
+        import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+        val e = col("stats").getItem(column)
+        val allNull = e.getField("rows").isNotNull &&
+          e.getField("nulls") === e.getField("rows")
+        val valueOk = e.isNotNull && e.getField("minS").isNull && !allNull &&
+          !(e.getField("min") === Long.MinValue &&
+            e.getField("max") === Long.MaxValue)
+        val agg = liveRowsDF(Map.empty, asOf).agg(
+          count(lit(1)),
+          count(when(valueOk || (e.isNotNull && allNull), lit(1))),
+          min(when(valueOk, e.getField("min"))),
+          max(when(valueOk, e.getField("max")))).head
+        if (agg.getLong(0) != agg.getLong(1)) None
+        else Some((
+          if (agg.isNullAt(2)) None else Some(agg.getLong(2)),
+          if (agg.isNullAt(3)) None else Some(agg.getLong(3))))
+      case None =>
+        val stats = liveFileStats(asOf)
+        var mn: Option[Long] = None
+        var mx: Option[Long] = None
+        val ok = liveFiles(Map.empty, asOf).forall { f =>
+          stats.get(f).flatMap(_.get(column)) match {
+            case Some(s) if s.allNull => true
+            case Some(s) if s.isString => false
+            case Some(s) if s.min == Long.MinValue && s.max == Long.MaxValue =>
+              false // boundless marker — no sound value bound
+            case Some(s) =>
+              mn = Some(mn.fold(s.min)(math.min(_, s.min)))
+              mx = Some(mx.fold(s.max)(math.max(_, s.max)))
+              true
+            case None => false
+          }
+        }
+        if (ok) Some((mn, mx)) else None
+    }
+  }
+
   def detail(): DataFrame = {
     import spark.implicits._
     val cs = commits()

@@ -339,6 +339,39 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GraftRelation.lastScan(root).get.filesScanned > 0)
   }
 
+  test("MIN/MAX answer from metadata when the stats index is complete (X71)") {
+    spark.sql(s"CREATE TABLE $cat.lake.mm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.statsColumns'='k')")
+    val root = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/mm"
+    // empty table: extremes are NULL, still metadata-only
+    val empty = spark.sql(s"SELECT min(k) AS mn, max(k) AS mx FROM $cat.lake.mm")
+      .collect().head
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+    assert(GraftRelation.lastScan(root).get.filesScanned == 0)
+    spark.sql(s"INSERT INTO $cat.lake.mm SELECT id, id FROM range(500)")
+    spark.sql(s"INSERT INTO $cat.lake.mm SELECT id, id FROM range(500, 800)")
+    // count + min + max together, one metadata row, zero files opened
+    val r = spark.sql(
+      s"SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM $cat.lake.mm")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((800L, 0L, 799L)))
+    val scan = GraftRelation.lastScan(root).get
+    assert(scan.filesScanned == 0 && scan.pushed.exists(_.contains("metadata-only")),
+      scan.toString)
+    // an UNINDEXED column declines and scans normally, still exact
+    assert(spark.sql(s"SELECT max(v) FROM $cat.lake.mm").as[Long].head() == 799L)
+    assert(GraftRelation.lastScan(root).get.filesScanned > 0)
+    // a standing DV declines MIN/MAX (the deleted row may BE the
+    // extreme) — the scan fallback stays exact
+    val t = IncrementalTable(spark, root)
+    t.deleteVectorized(col("k") === 799L)
+    assert(spark.sql(s"SELECT max(k) FROM $cat.lake.mm").as[Long].head() == 798L)
+    assert(GraftRelation.lastScan(root).get.filesScanned > 0)
+    // ...while a bare COUNT(*) still answers from metadata (DV-corrected)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.mm").as[Long].head() == 799L)
+    assert(GraftRelation.lastScan(root).get.filesScanned == 0)
+  }
+
   test("clustered inserts + write-time auto-compaction via table properties") {
     spark.sql(s"""CREATE TABLE $cat.lake.ac (k BIGINT, v BIGINT)
                  |TBLPROPERTIES ('graft.statsColumns' = 'k',
