@@ -124,7 +124,10 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
     * offsets are commit versions, each micro-batch is exactly the
     * window's appended rows. Options: `startingVersion` (default:
     * everything committed so far becomes batch 0, Delta's initial-
-    * snapshot shape), `maxCommitsPerTrigger` (rate limit),
+    * snapshot shape), `startingTimestamp` (first commit at-or-after
+    * the timestamp starts the stream — epoch millis or ISO-8601 UTC;
+    * mutually exclusive with startingVersion),
+    * `maxCommitsPerTrigger` (rate limit),
     * `readChangeFeed` (CDC rows `… , _change_type, _commit_version`;
     * rewrites/deletes stream as delete+insert rows instead of failing),
     * `skipChangeCommits` (plain stream tolerates rewrite commits by
@@ -155,8 +158,22 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
         cdcRetention = r)
       case None => IncrementalTable(sqlContext.sparkSession, path)
     }
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "set either startingVersion or startingTimestamp, not both")
+    // startingTimestamp (Delta analog): the FIRST commit at-or-after
+    // the timestamp starts the stream; a timestamp past the head means
+    // "only future commits"; one predating the replay horizon degrades
+    // to the horizon start (everything replayable lands in batch 0).
+    // Epoch millis or ISO-8601 (UTC — the engine pins the session tz).
+    val startV = parameters.get("startingVersion").map(_.toLong).orElse(
+      parameters.get("startingTimestamp").map { s =>
+        val millis = GraftSource.parseTimestampMillis(s)
+        t.commits().find(_.ts >= millis).map(_.version)
+          .getOrElse(t.latestVersion + 1)
+      }).getOrElse(0L)
     new GraftStreamSource(sqlContext.sparkSession, t,
-      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      startingVersion = startV,
       maxCommitsPerTrigger = parameters.get("maxCommitsPerTrigger").map(_.toLong),
       cdc = GraftSource.cdcMode(parameters),
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
@@ -166,6 +183,20 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
 private[sources] object GraftSource {
   def cdcMode(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
+
+  /** `startingTimestamp` rendering: epoch millis, an ISO-8601 instant
+    * (`2026-08-14T12:00:00Z`), or a local `yyyy-MM-dd[ HH:mm:ss]`
+    * interpreted in UTC. */
+  def parseTimestampMillis(s: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else try java.time.Instant.parse(s).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        val norm = if (s.contains("T") || s.contains(" ")) s.replace(' ', 'T')
+          else s + "T00:00:00"
+        java.time.LocalDateTime.parse(norm)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
 
   def cdcSchema(committed: StructType): StructType = committed
     .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)

@@ -211,6 +211,41 @@ class GraftSourceSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("streaming source: startingTimestamp starts at the first commit at-or-after it") {
+    val root = tmpDir("gsrc_ts")
+    val t = IncrementalTable(spark, s"$root/t")
+    t.append(Seq((1L, "a")).toDF("id", "s"), Nil) // v0
+    Thread.sleep(10)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(10)
+    t.append(Seq((2L, "b")).toDF("id", "s"), Nil) // v1
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", cut.toString).load(s"$root/t")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1)))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.toSeq == Seq((2L, "b"))) // v0 predates the cut
+    // both knobs together refuse (surfaced when the stream starts)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      spark.readStream.format("graft")
+        .option("startingVersion", "0")
+        .option("startingTimestamp", cut.toString).load(s"$root/t")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e.getCause.getMessage.contains("not both"), e.getCause.getMessage)
+  }
+
   test("streaming source: skipChangeCommits skips rewrites and keeps streaming appends") {
     val root = tmpDir("gsrc_skip")
     val t = IncrementalTable(spark, s"$root/t")
