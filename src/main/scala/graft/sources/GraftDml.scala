@@ -94,25 +94,10 @@ private[sources] object GraftDml {
   }
 
   /** Re-anchor a resolved expression by NAME so it can resolve against
-    * the library's fresh read of the same table/source. `With` common-
-    * expression wrappers (the analyzer's BETWEEN/dedup rewrite) are
-    * inlined first — their tree transforms recompute `dataType` on
-    * children, which an [[UnresolvedAttribute]] cannot answer, and the
-    * re-analysis over the new frame will re-deduplicate anyway. */
-  def unbind(e: Expression): Column = {
-    val inlined = e.transformUp {
-      case w: org.apache.spark.sql.catalyst.expressions.With =>
-        val defs = w.defs.map(d => d.id -> d.child).toMap
-        w.child.transformUp {
-          case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
-            defs.getOrElse(r.id, throw new IllegalStateException(
-              s"dangling common-expression ref $r"))
-        }
-    }
-    DmlShim.column(inlined.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-    })
-  }
+    * the library's fresh read of the same table/source — the one-sided
+    * special case of [[unbindMerge]] (no source attributes to stage). */
+  def unbind(e: Expression): Column =
+    unbindMerge(e, org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)
 
   def assignName(a: Assignment): String = a.key match {
     case ar: AttributeReference => ar.name
@@ -194,9 +179,14 @@ private[sources] object GraftDml {
     (matched.map(clause), notMatched.map(clause), notMatchedBySource.map(clause))
   }
 
-  /** [[unbind]] with merge's two-sided naming: attributes bound to the
-    * SOURCE plan re-anchor as `_graft_s_<name>` (the staged rendering
-    * mergeInto joins under), everything else by plain name. */
+  /** Name re-anchoring with merge's two-sided naming: attributes bound
+    * to the SOURCE plan re-anchor as `_graft_s_<name>` (the staged
+    * rendering mergeInto joins under), everything else by plain name.
+    * `With` common-expression wrappers (the analyzer's BETWEEN/dedup
+    * rewrite) are inlined first — their tree transforms recompute
+    * `dataType` on children, which an [[UnresolvedAttribute]] cannot
+    * answer, and the re-analysis over the new frame re-deduplicates
+    * anyway. */
   def unbindMerge(e: Expression,
       sourceIds: org.apache.spark.sql.catalyst.expressions.AttributeSet): Column = {
     val inlined = e.transformUp {

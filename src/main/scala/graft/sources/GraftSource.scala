@@ -45,12 +45,13 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
 
   override def shortName(): String = "graft"
 
-  private def tableOf(sqlContext: SQLContext,
-      parameters: Map[String, String]): IncrementalTable = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft datasource requires a 'path' option (or load(path)/save(path))"))
-    IncrementalTable(sqlContext.sparkSession, path)
-  }
+
+  private def tableOf(sqlContext: SQLContext,
+      parameters: Map[String, String]): IncrementalTable =
+    IncrementalTable(sqlContext.sparkSession, pathOf(parameters))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -151,32 +152,35 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft datasource requires a 'path' option (or load(path)/save(path))"))
     val t = parameters.get("cdcRetention").map(_.toInt) match {
-      case Some(r) => new IncrementalTable(sqlContext.sparkSession, path,
-        cdcRetention = r)
-      case None => IncrementalTable(sqlContext.sparkSession, path)
+      case Some(r) => new IncrementalTable(sqlContext.sparkSession,
+        pathOf(parameters), cdcRetention = r)
+      case None => tableOf(sqlContext, parameters)
     }
     require(!(parameters.contains("startingVersion") &&
         parameters.contains("startingTimestamp")),
       "set either startingVersion or startingTimestamp, not both")
+    val skip = parameters.get("skipChangeCommits").exists(_.toBoolean)
+    require(!(GraftSource.cdcMode(parameters) && skip),
+      "readChangeFeed and skipChangeCommits contradict each other " +
+        "(stream every change vs skip rewrite commits) — set one, not both")
     // startingTimestamp (Delta analog): the FIRST commit at-or-after
-    // the timestamp starts the stream; a timestamp past the head means
-    // "only future commits"; one predating the replay horizon degrades
-    // to the horizon start (everything replayable lands in batch 0).
-    // Epoch millis or ISO-8601 (UTC — the engine pins the session tz).
+    // the timestamp starts the stream, resolved over the RAW delta
+    // records so a timestamp behind the replay horizon still names the
+    // true historical version (batch 0 then goes through the archived
+    // CDC walk, or fails loudly — never a silent under-delivery); a
+    // timestamp past the head means "only future commits". Epoch
+    // millis or ISO-8601 (UTC — the engine pins the session tz).
     val startV = parameters.get("startingVersion").map(_.toLong).orElse(
       parameters.get("startingTimestamp").map { s =>
-        val millis = GraftSource.parseTimestampMillis(s)
-        t.commits().find(_.ts >= millis).map(_.version)
+        t.versionAtOrAfterTimestamp(GraftSource.parseTimestampMillis(s))
           .getOrElse(t.latestVersion + 1)
       }).getOrElse(0L)
     new GraftStreamSource(sqlContext.sparkSession, t,
       startingVersion = startV,
       maxCommitsPerTrigger = parameters.get("maxCommitsPerTrigger").map(_.toLong),
       cdc = GraftSource.cdcMode(parameters),
-      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
+      skipChangeCommits = skip)
   }
 }
 

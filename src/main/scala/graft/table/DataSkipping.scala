@@ -337,23 +337,13 @@ object DataSkipping {
     case ae: ArrayExists =>
       // the element's index path: `a.element` for arrays, `m.key` /
       // `m.value` for exists over map_keys/map_values (the map sides
-      // ARE the repeated leaves — same index entries, same semantics)
+      // ARE the repeated leaves — same index entries, same semantics).
+      // Element-type gating is deferred to the literal gates inside
+      // the rewritten-lambda extraction, hence `ok = _ => true`.
       def containerRoot(e: Expression): Option[String] = e match {
-        case a: AttributeReference if a.dataType.isInstanceOf[ArrayType] =>
-          Some(a.name + ".element")
-        case g: GetStructField if g.dataType.isInstanceOf[ArrayType] =>
-          dotPath(g).map(_ + ".element")
-        case MapKeys(m) => m match {
-          case a: AttributeReference => Some(a.name + ".key")
-          case g: GetStructField => dotPath(g).map(_ + ".key")
-          case _ => None
-        }
-        case MapValues(m) => m match {
-          case a: AttributeReference => Some(a.name + ".value")
-          case g: GetStructField => dotPath(g).map(_ + ".value")
-          case _ => None
-        }
-        case _ => None
+        case MapKeys(m) => mapPath(m, "key", _ => true)
+        case MapValues(m) => mapPath(m, "value", _ => true)
+        case other => elemPath(other, _ => true)
       }
       (containerRoot(ae.argument), ae.function) match {
         case (Some(p), LambdaFunction(body, Seq(v: NamedLambdaVariable), _)) =>

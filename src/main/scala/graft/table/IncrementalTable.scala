@@ -209,6 +209,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def commitActions(fromExclusive: Long, toVersion: Long): Map[Long, String] =
     deltasBetween(fromExclusive, toVersion).map(c => c.version -> c.action).toMap
 
+  /** First commit version with `ts >= millis`, resolved over the RAW
+    * delta records (survives checkpoint folding): a timestamp
+    * predating the replay horizon resolves to the TRUE historical
+    * version — the caller then replays it through the archived CDC
+    * walk or fails loudly, never silently under-delivers the folded
+    * history. `None` = no commit that recent yet. O(history) driver
+    * JSON parse, a stream-start one-time cost. */
+  def versionAtOrAfterTimestamp(millis: Long): Option[Long] =
+    deltasBetween(-1L, latestVersion).find(_.ts >= millis).map(_.version)
+
   /** Every plain delta record with version ≤ `toV`, in version order —
     * the FULL history, ignoring checkpoint snapshots entirely (delta
     * records are never deleted; checkpoints only stop replay from
@@ -843,39 +853,47 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val extraCols =
       if (evolveSchema) source.columns.toSeq.filterNot(stored.fieldNames.contains)
       else Nil
+    // the source evaluates several times (dup guard, semi-join, anti
+    // side of the rewrite, the rewrite union); materialize it ONCE —
+    // the same source-materialization Delta's merge performs — so an
+    // expensive or non-deterministic source costs one evaluation and
+    // cannot diverge between them
     val src = source.select((stored.fieldNames.toSeq ++ extraCols).map(fn): _*)
-    val partitionBy = committedPartitionBy
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partitionBy = committedPartitionBy
 
-    val dupKeys = src.groupBy(keys.map(fn): _*).count()
-      .filter(fn("count") > 1).limit(1).count()
-    require(dupKeys == 0,
-      s"merge source has duplicate keys on (${keys.mkString(", ")}) — merged rows would be order-dependent")
+      val dupKeys = src.groupBy(keys.map(fn): _*).count()
+        .filter(fn("count") > 1).limit(1).count()
+      require(dupKeys == 0,
+        s"merge source has duplicate keys on (${keys.mkString(", ")}) — merged rows would be order-dependent")
 
-    // an empty live set degrades to a pure insert (read() there is a
-    // LocalRelation: no _metadata to path-match on) — same projection
-    // as the rewrite path, like deleteInsert's degrade
-    val files = liveFiles()
-    if (files.isEmpty)
-      return append(src, partitionBy, meta = meta, batchId = batchId,
-        appId = appId, statsColumns = statsColumns)
+      // an empty live set degrades to a pure insert (read() there is a
+      // LocalRelation: no _metadata to path-match on) — same projection
+      // as the rewrite path, like deleteInsert's degrade
+      val files = liveFiles()
+      if (files.isEmpty)
+        return append(src, partitionBy, meta = meta, batchId = batchId,
+          appId = appId, statsColumns = statsColumns)
 
-    // touched files: live rows matching a source key, by _metadata path
-    val srcKeys = src.select(keys.map(fn): _*).distinct()
-    val touched = filesDf(files, Some(stored), liveDv())
-      .withColumn("_graft_path", fn("_metadata.file_path"))
-      .join(srcKeys, keys, "left_semi")
-      .select("_graft_path").distinct()
-      .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
+      // touched files: live rows matching a source key, by _metadata path
+      val srcKeys = src.select(keys.map(fn): _*).distinct()
+      val touched = filesDf(files, Some(stored), liveDv())
+        .withColumn("_graft_path", fn("_metadata.file_path"))
+        .join(srcKeys, keys, "left_semi")
+        .select("_graft_path").distinct()
+        .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
 
-    if (touched.isEmpty)
-      append(src, partitionBy, meta = meta, batchId = batchId, appId = appId,
-        statsColumns = statsColumns) // pure insert
-    else {
-      val kept = filesDf(touched, Some(stored), liveDv()).join(src, keys.toSeq, "left_anti")
-      val rewritten = kept.unionByName(src, allowMissingColumns = extraCols.nonEmpty)
-      write(rewritten, "replace", partitionBy, Map.empty, Map.empty, meta,
-        batchId, appId, statsColumns = statsColumns, removeExact = Some(touched))
-    }
+      if (touched.isEmpty)
+        append(src, partitionBy, meta = meta, batchId = batchId, appId = appId,
+          statsColumns = statsColumns) // pure insert
+      else {
+        val kept = filesDf(touched, Some(stored), liveDv()).join(src, keys.toSeq, "left_anti")
+        val rewritten = kept.unionByName(src, allowMissingColumns = extraCols.nonEmpty)
+        write(rewritten, "replace", partitionBy, Map.empty, Map.empty, meta,
+          batchId, appId, statsColumns = statsColumns, removeExact = Some(touched))
+      }
+    } finally { src.unpersist(); () }
   }
 
   /** General SQL MERGE — conditional `WHEN MATCHED [AND c] THEN
@@ -932,6 +950,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         s"merge assigns unknown column '$k'") }
     keys.foreach(k => require(source.columns.contains(k),
       s"merge source lacks key column '$k'"))
+    // the source evaluates several times (dup guard, touched semi-join,
+    // insert anti-join, rewrite join); materialize it ONCE — the same
+    // source-materialization Delta's merge performs — so an expensive
+    // or non-deterministic source costs one evaluation and cannot
+    // diverge between clause evaluations
+    source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     if (matched.nonEmpty) {
       val dup = source.groupBy(keys.map(col): _*).count()
         .filter(col("count") > 1).limit(1).count()
@@ -999,7 +1024,17 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       if (touched.isEmpty) None
       else {
         val tRows = filesDf(touched, Some(stored), liveDv())
-        val joined = tRows.join(srcR,
+        // without matched clauses the join exists ONLY to compute the
+        // matched marker — join distinct KEYS, not the full source: a
+        // duplicate-keyed source (legal when no matched clause consumes
+        // it) must not fan matched target rows out into duplicates
+        val joinSrc =
+          if (matched.nonEmpty) srcR
+          else srcR
+            .select(keys.toIndexedSeq.map(k => col(s"$mergeSourcePrefix$k")): _*)
+            .distinct()
+            .withColumn("_graft_m", lit(true))
+        val joined = tRows.join(joinSrc,
           keys.map(k => col(k) === col(s"$mergeSourcePrefix$k")).reduce(_ && _),
           "left")
         val m = coalesce(col("_graft_m"), lit(false))
@@ -1035,6 +1070,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         write(out, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
           None, statsColumns = statsColumns, removeExact = Some(touched))
     }
+    } finally { source.unpersist(); () }
   }
 
   /** Row-level DELETE, copy-on-write at file granularity: files with

@@ -194,6 +194,18 @@ class GraftCatalogSpec extends SparkSpec {
                    |WHEN MATCHED AND t.k IN (SELECT k FROM mt_src) THEN DELETE
                    |""".stripMargin)
     }
+    // a duplicate-keyed source is LEGAL without matched clauses (no
+    // clause consumes source rows), and the rewrite join must not fan
+    // matched target rows out into duplicates
+    val pre = spark.table(s"$cat.lake.mt").count()
+    spark.range(2).selectExpr("CAST(5 AS BIGINT) AS k", "id AS v")
+      .createOrReplaceTempView("mt_dup") // two source rows, same key
+    spark.sql(s"""MERGE INTO $cat.lake.mt t USING mt_dup s ON t.k = s.k
+                 |WHEN NOT MATCHED BY SOURCE AND t.k < 0 THEN DELETE
+                 |""".stripMargin)
+    assert(spark.table(s"$cat.lake.mt").count() == pre)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.mt WHERE k = 5")
+      .as[Long].head() == 1)
     ()
   }
 
