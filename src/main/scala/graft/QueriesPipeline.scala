@@ -1447,6 +1447,40 @@ object QueriesPipeline {
               |FROM graft.lake.evmm WHERE event_type = 'click'
               |ORDER BY scope""".stripMargin)
     }),
+
+    // ---- SQL RENAME COLUMN via column mapping (X72) --------------------
+    // The completion of the X64/X68 evolution series: RENAME is ONE
+    // metadata commit binding the new logical name to the column's
+    // immutable PHYSICAL name — zero data rewritten, old and new file
+    // generations serve the renamed column alike, post-rename inserts
+    // keep writing the same physical bytes, and VERSION AS OF the
+    // pre-rename snapshot shows the OLD name with the old values. The
+    // union pins both eras; a rename that mis-binds either generation
+    // (nulls from by-name resolution), drops the skipping index, or
+    // leaks the physical name into the head schema breaks the hash.
+    "q133_sql_rename_column" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.renc")
+      s.sql("""CREATE TABLE graft.lake.renc
+              |  (okey BIGINT, status STRING, total DOUBLE)
+              |TBLPROPERTIES ('graft.statsColumns' = 'okey,total')""".stripMargin)
+      Tables.orders(s, dir).select($"o_orderkey".as("okey"),
+          $"o_orderstatus".as("status"), $"o_totalprice".as("total"))
+        .createOrReplaceTempView("q133_src")
+      s.sql("INSERT INTO graft.lake.renc " +
+        "SELECT okey, status, total FROM q133_src WHERE okey % 3 = 0")
+      s.sql("ALTER TABLE graft.lake.renc RENAME COLUMN total TO price")
+      s.sql("INSERT INTO graft.lake.renc " +
+        "SELECT okey, status, total AS price FROM q133_src WHERE okey % 3 = 1")
+      s.sql("""SELECT 'pre' AS snap, okey, status, total AS amount
+              |FROM graft.lake.renc VERSION AS OF 1 WHERE okey <= 3000
+              |UNION ALL
+              |SELECT 'head' AS snap, okey, status, price AS amount
+              |FROM graft.lake.renc WHERE okey <= 3000
+              |ORDER BY snap, okey""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1926,5 +1960,17 @@ object QueriesPipeline {
         |  min(user_id) AS ulo, max(user_id) AS uhi
         |FROM events WHERE event_type = 'click'
         |ORDER BY scope""".stripMargin,
+    // both eras carry the same physical values; only the era-selecting
+    // modulus and the logical label differ
+    "q133_sql_rename_column" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    o_totalprice AS total FROM orders)
+        |SELECT 'pre' AS snap, okey, status, total AS amount FROM src
+        |WHERE okey % 3 = 0 AND okey <= 3000
+        |UNION ALL
+        |SELECT 'head' AS snap, okey, status, total AS amount
+        |FROM src WHERE okey % 3 <= 1 AND okey <= 3000
+        |ORDER BY snap, okey""".stripMargin,
   )
 }

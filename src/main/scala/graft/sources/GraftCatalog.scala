@@ -120,9 +120,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         !GraftMetaTable.views.contains(ident.name)) return None
     val parent = pathFor(ident.namespace.toIndexedSeq)
     if (!isGraftTable(parent)) return None
-    Some(new GraftMetaTable(spark, IncrementalTable(spark, parent.toString),
-      ident.name,
-      (catalogName +: ident.namespace.toIndexedSeq :+ ident.name).mkString(".")))
+    val fullName =
+      (catalogName +: ident.namespace.toIndexedSeq :+ ident.name).mkString(".")
+    if (ident.name == "changes")
+      Some(new GraftChangesTable(spark,
+        IncrementalTable(spark, parent.toString), fullName))
+    else
+      Some(new GraftMetaTable(spark, IncrementalTable(spark, parent.toString),
+        ident.name, fullName))
   }
 
   private def dataTable(ident: Identifier): GraftTable =
@@ -203,17 +208,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case s: TableChange.SetProperty => s.property -> s.value
       case r: TableChange.RemoveProperty => r.property -> ""
     }
-    // RENAME is a drop+re-add in disguise: old files would resurface
-    // the renamed column's bytes under the new name (or stale values
-    // under the old one) — rejected with the migration recipe rather
-    // than approximated
-    changes.collect { case r: TableChange.RenameColumn => r }.foreach { r =>
-      throw new UnsupportedOperationException(
-        s"graft does not rename columns ('${r.fieldNames.mkString(".")}' -> " +
-          s"'${r.newName}'): existing files still carry the old column and a " +
-          "rename-by-name would mis-bind them; migrate via CTAS — " +
-          s"CREATE TABLE new AS SELECT ${r.fieldNames.head} AS ${r.newName}, " +
-          "<other columns> FROM old")
+    // RENAME COLUMN rides column mapping (X72): a metadata-only commit
+    // binding the new logical name to the column's immutable physical
+    // name — zero data rewritten, reads/writes translate at the parquet
+    // boundary, the skipping index follows. Top-level only, and alone
+    // in its ALTER (Spark sends one change kind per RENAME statement;
+    // mixing would forfeit the one-commit contract).
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    renames.foreach(r => require(r.fieldNames.length == 1,
+      s"in-struct renames are a type change (X49): ${r.fieldNames.mkString(".")}"))
+    if (renames.nonEmpty) {
+      require(renames.length == changes.length,
+        "RENAME COLUMN must be the only change in its ALTER TABLE")
+      renames.foreach(r => t.renameColumn(r.fieldNames.head, r.newName))
+      return loadTable(ident)
     }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
@@ -224,8 +232,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         c.isInstanceOf[TableChange.AddConstraint] ||
         c.isInstanceOf[TableChange.DropConstraint])
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
-      s"graft ALTER TABLE supports ADD|DROP COLUMNS / ALTER COLUMN TYPE " +
-        s"(widening) / (UN)SET TBLPROPERTIES / ADD|DROP CONSTRAINT only: " +
+      s"graft ALTER TABLE supports ADD|DROP|RENAME COLUMNS / ALTER COLUMN " +
+        s"TYPE (widening) / (UN)SET TBLPROPERTIES / ADD|DROP CONSTRAINT only: " +
         s"${unsupported.mkString(", ")}")
     val widened = changes.collect { case u: TableChange.UpdateColumnType =>
       require(u.fieldNames.length == 1,
@@ -434,7 +442,13 @@ private[sources] final class GraftTable(spark: SparkSession,
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE).asJava
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE,
+      // catalog-addressed streaming: `spark.readStream.table("graft.ns.t")`
+      // and `df.writeStream.toTable("graft.ns.t")` ride the DSv2
+      // MicroBatchStream/StreamingWrite bridges (same machinery as the
+      // path front door's streaming table)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
 
   /** Committed CHECK constraints surfaced to the engine (DESCRIBE,
     * write-side validation); enforcement itself lives in the table's
@@ -447,11 +461,12 @@ private[sources] final class GraftTable(spark: SparkSession,
     }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, table, asOf, schema())
+    new GraftScanBuilder(spark, table, asOf, schema(),
+      GraftSource.paramsOf(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to time-travel snapshot $ident@v${asOf.get}")
-    new GraftWriteBuilder(table)
+    new GraftWriteBuilder(spark, table, info)
   }
 
   // DELETE FROM — all-translatable predicates only (canDeleteWhere is
@@ -476,7 +491,8 @@ private[sources] final class GraftTable(spark: SparkSession,
   * in FULL inside the scan (file pruning and row filtering), so they
   * are accepted; untranslatable ones stay residual for Spark. */
 private[sources] final class GraftScanBuilder(spark: SparkSession,
-    table: IncrementalTable, asOf: Option[Long], fullSchema: StructType)
+    table: IncrementalTable, asOf: Option[Long], fullSchema: StructType,
+    readOptions: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -591,7 +607,8 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
 
   override def build(): Scan = pushedAgg match {
     case Some(fields) => new GraftAggScan(spark, table, fields)
-    case None => new GraftV1Scan(spark, table, asOf, required, pushed)
+    case None => new GraftV1Scan(spark, table, asOf, required, pushed,
+      readOptions)
   }
 }
 
@@ -632,11 +649,37 @@ private[sources] final class GraftAggScan(spark: SparkSession,
   * serves both front doors. */
 private[sources] final class GraftV1Scan(spark: SparkSession,
     table: IncrementalTable, asOf: Option[Long],
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    readOptions: Map[String, String] = Map.empty)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** `spark.readStream.table("graft.ns.t")` lands here (the engine
+    * asks the batch-planned scan for its streaming twin): same option
+    * set as the path front door — `readChangeFeed`, `startingVersion`/
+    * `startingTimestamp`, `maxCommitsPerTrigger`, `skipChangeCommits`,
+    * `cdcRetention` — passed as reader options. Filters/pruning do not
+    * apply to the stream (the micro-batch source emits commit deltas,
+    * not snapshot scans). */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOf.isEmpty,
+      s"cannot stream from time-travel snapshot ${table.root}@v${asOf.get}")
+    // a catalog relation's schema is pinned at analysis from the TABLE,
+    // so the CDC columns cannot appear through an option here — the
+    // `.changes` metadata table IS the catalog spelling of the feed
+    require(!GraftSource.cdcMode(readOptions),
+      "readChangeFeed is not an option on a catalog-addressed stream " +
+        "(the relation's schema is fixed by the table) — stream from the " +
+        "`<table>.changes` metadata table instead")
+    val t = GraftSource.parseOpt(readOptions, "cdcRetention",
+        "a non-negative integer")(_.toInt) match {
+      case Some(r) => new IncrementalTable(spark, table.root, cdcRetention = r)
+      case None => table
+    }
+    GraftSource.microBatchStream(spark, t, readOptions, checkpointLocation)
+  }
 
   // the prune runs ONCE per scan instance — the cost estimate at
   // planning and the row bridge at execution share the survivor list
@@ -736,7 +779,68 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
 }
 
 private[sources] object GraftMetaTable {
-  val views: Set[String] = Set("history", "detail", "properties")
+  val views: Set[String] = Set("history", "detail", "properties", "changes")
+}
+
+/** The change-data-feed relation of a graft table, addressable by name:
+  * `graft.ns.t.changes` — the catalog spelling of the path door's
+  * `readChangeFeed` option (a catalog relation's schema is pinned by
+  * the table at analysis, so the CDC columns need their own table).
+  * Batch reads replay the FULL logical history
+  * ([[IncrementalTable.changes]] from version 0 — bounded by the
+  * replay horizon / cdcRetention like any CDC read);
+  * `spark.readStream.table("graft.ns.t.changes")` is the streaming
+  * feed, offsets = commit versions, micro-batches staged by
+  * [[GraftMicroBatchStream]]. Reader options `startingVersion`/
+  * `startingTimestamp`/`maxCommitsPerTrigger`/`cdcRetention` apply. */
+private[sources] final class GraftChangesTable(spark: SparkSession,
+    table: IncrementalTable, ident: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    GraftSource.cdcSchema(table.schemaAt().getOrElse(new StructType()))
+
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val params = GraftSource.paramsOf(options)
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema()
+        override def description(): String = s"GraftChangesScan ${table.root}"
+
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val out = schema()
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = spark.sqlContext
+            override def schema: StructType = out
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val from = GraftSource.parseOpt(params, "startingVersion",
+                "a commit version")(_.toLong).getOrElse(0L)
+              table.changes(from, table.latestVersion)
+                .select(out.fieldNames.toIndexedSeq.map(
+                  org.apache.spark.sql.functions.col): _*).rdd
+            }
+          }.asInstanceOf[T]
+        }
+
+        override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+          val t = GraftSource.parseOpt(params, "cdcRetention",
+              "a non-negative integer")(_.toInt) match {
+            case Some(r) => new IncrementalTable(spark, table.root,
+              cdcRetention = r)
+            case None => table
+          }
+          GraftSource.microBatchStream(spark, t,
+            params + ("readChangeFeed" -> "true"), checkpointLocation)
+        }
+      }
+    }
+  }
 }
 
 /** One `graft.system.*` maintenance procedure (see
@@ -845,8 +949,19 @@ private[sources] object GraftProcedure {
   * static-partition `replaceWhere` — each ONE atomic OCC commit.
   * Overwrite-by-filter accepts partition-column equalities only (the
   * Hive static-partition contract); anything else fails in the analyzer
-  * via `canOverwrite`, never silently over- or under-deletes. */
-private[sources] final class GraftWriteBuilder(table: IncrementalTable)
+  * via `canOverwrite`, never silently over- or under-deletes.
+  *
+  * The built [[Write]] also answers [[Write.toStreaming]] — that is
+  * `df.writeStream.toTable("graft.ns.t")`: Append output mode commits
+  * per-epoch appends, Complete (the engine routes it through
+  * [[truncate]]) per-epoch atomic replaces; a static-partition
+  * overwrite scope has no streaming meaning and is refused. Writer
+  * identity for the exactly-once guard: the qualified
+  * checkpointLocation option when present (the V1 sink's identity —
+  * existing streams resume across the DSv2 migration), else the
+  * engine's stable query id. */
+private[sources] final class GraftWriteBuilder(spark: SparkSession,
+    table: IncrementalTable, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
 
   // None = append; Some(Nil) = truncate; Some(filters) = partition scope
@@ -877,6 +992,20 @@ private[sources] final class GraftWriteBuilder(table: IncrementalTable)
   }
 
   override def build(): Write = new V1Write {
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(overwriteScope.isEmpty || overwriteScope.contains(Nil),
+        "a partition-scoped overwrite has no streaming meaning " +
+          s"(scope: ${overwriteScope.get.mkString(", ")})")
+      val appId = Option(info.options().get("checkpointLocation"))
+        .map(graft.streaming.CheckpointId(spark, _))
+        .getOrElse(info.queryId())
+      new GraftStreamingWrite(table, table.partitionColumns, appId,
+        info.schema(), GraftCatalog.statsColumnsOf(table),
+        truncate = overwriteScope.contains(Nil),
+        new graft.parquet.RowParquet.SerializableConf(
+          IncrementalTable.hadoopConf(spark)))
+    }
+
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {

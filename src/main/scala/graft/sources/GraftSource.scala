@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
@@ -41,7 +43,7 @@ import graft.table.IncrementalTable
   */
 final class GraftSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with StreamSinkProvider with StreamSourceProvider {
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft"
 
@@ -99,282 +101,252 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
     GraftRelation(sqlContext.sparkSession, t, None)
   }
 
-  /** Streaming front door: `df.writeStream.format("graft")
-    * .option("checkpointLocation", …).start(path)` — each micro-batch
-    * appends under the table's (appId = checkpoint identity, batchId)
-    * replay guard, the same exactly-once contract as the library's
-    * foreachBatch sinks: a crash replay of a committed batch
-    * short-circuits at the commit log before any plan runs. Append
-    * output mode only (an aggregate's update stream should go through
-    * the library's maintained-view sinks instead). */
-  override def createSink(sqlContext: SQLContext,
-      parameters: Map[String, String], partitionColumns: Seq[String],
-      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
-    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
-      s"graft streaming sink supports Append output mode only (got $outputMode)")
-    val t = tableOf(sqlContext, parameters)
-    val appId = parameters.get("checkpointLocation")
-      .map(graft.streaming.CheckpointId(sqlContext.sparkSession, _))
-      .getOrElse(t.root)
-    new GraftSink(t, partitionColumns, appId)
-  }
+  // ---------------------------------------------------- DSv2 (streaming)
+  // The TableProvider face serves STREAMING only: the returned table
+  // advertises MICRO_BATCH_READ + STREAMING_WRITE and nothing else, so
+  // Spark's batch read/write paths fall back to the V1 relations above
+  // (probed and spec-pinned: V2FallbackProbeSpec) — `read`/`write`
+  // semantics, SaveModes included, are byte-identical to round 7, while
+  // `readStream`/`writeStream` ride the public connector interfaces
+  // ([[GraftMicroBatchStream]]/[[GraftStreamingWrite]]) instead of the
+  // retired `execution.streaming.Source`/`Sink` internals.
 
-  /** Streaming SOURCE front door: `spark.readStream.format("graft")
-    * .load(path)` — the "stream FROM a table" contract (the Delta
-    * analog of [[graft.streaming.DerivedStream]]'s changefeed read):
-    * offsets are commit versions, each micro-batch is exactly the
-    * window's appended rows. Options: `startingVersion` (default:
-    * everything committed so far becomes batch 0, Delta's initial-
-    * snapshot shape), `startingTimestamp` (first commit at-or-after
-    * the timestamp starts the stream — epoch millis or ISO-8601 UTC;
-    * mutually exclusive with startingVersion),
-    * `maxCommitsPerTrigger` (rate limit),
-    * `readChangeFeed` (CDC rows `… , _change_type, _commit_version`;
-    * rewrites/deletes stream as delete+insert rows instead of failing),
-    * `skipChangeCommits` (plain stream tolerates rewrite commits by
-    * skipping them, Delta's option of the same name), `cdcRetention`
-    * (how many commits back the change feed stays readable across
-    * checkpoint folds — [[IncrementalTable]]'s cdcRetention). */
-  override def sourceSchema(sqlContext: SQLContext,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) = {
-    val t = tableOf(sqlContext, parameters)
-    val committed = t.schemaAt().getOrElse(throw new IllegalStateException(
-      s"graft table ${t.root} has no committed schema to stream"))
-    val out =
-      if (GraftSource.cdcMode(parameters)) GraftSource.cdcSchema(committed)
-      else committed
-    schema.foreach(s => require(s == out,
-      "omit the schema — the commit log is authoritative"))
-    (s"graft[${t.root}]", out)
-  }
-
-  override def createSource(sqlContext: SQLContext, metadataPath: String,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
-    val t = parameters.get("cdcRetention").map(_.toInt) match {
-      case Some(r) => new IncrementalTable(sqlContext.sparkSession,
-        pathOf(parameters), cdcRetention = r)
-      case None => tableOf(sqlContext, parameters)
+  /** The engine hands back whatever this returns when the user omits
+    * the schema; a user-specified schema arrives at [[getTable]] and is
+    * validated there. A table with no commits yet (a writeStream target
+    * about to be created by its first epoch) has no schema to infer. */
+  override def inferSchema(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val params = GraftSource.paramsOf(options)
+    val t = IncrementalTable(SparkSession.active, pathOf(params))
+    t.schemaAt() match {
+      case Some(committed) =>
+        if (GraftSource.cdcMode(params)) GraftSource.cdcSchema(committed)
+        else committed
+      case None => new StructType()
     }
-    require(!(parameters.contains("startingVersion") &&
-        parameters.contains("startingTimestamp")),
-      "set either startingVersion or startingTimestamp, not both")
-    val skip = parameters.get("skipChangeCommits").exists(_.toBoolean)
-    require(!(GraftSource.cdcMode(parameters) && skip),
-      "readChangeFeed and skipChangeCommits contradict each other " +
-        "(stream every change vs skip rewrite commits) — set one, not both")
-    // startingTimestamp (Delta analog): the FIRST commit at-or-after
-    // the timestamp starts the stream, resolved over the RAW delta
-    // records so a timestamp behind the replay horizon still names the
-    // true historical version (batch 0 then goes through the archived
-    // CDC walk, or fails loudly — never a silent under-delivery); a
-    // timestamp past the head means "only future commits". Epoch
-    // millis or ISO-8601 (UTC — the engine pins the session tz).
-    val startV = parameters.get("startingVersion").map(_.toLong).orElse(
-      parameters.get("startingTimestamp").map { s =>
-        t.versionAtOrAfterTimestamp(GraftSource.parseTimestampMillis(s))
-          .getOrElse(t.latestVersion + 1)
-      }).getOrElse(0L)
-    new GraftStreamSource(sqlContext.sparkSession, t,
-      startingVersion = startV,
-      maxCommitsPerTrigger = parameters.get("maxCommitsPerTrigger").map(_.toLong),
-      cdc = GraftSource.cdcMode(parameters),
-      skipChangeCommits = skip)
+  }
+
+  /** Accepting external metadata lets `spark.read.format("graft")
+    * .schema(…)` keep reaching the V1 SchemaRelationProvider (the
+    * engine would otherwise refuse before the V1 fallback could run);
+    * the schema itself is still validated against the log. */
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
+    val params = properties.asScala.toMap
+    val spark = SparkSession.active
+    val t = GraftSource.tableFromOptions(spark, params)
+    t.schemaAt().foreach { committed =>
+      val expected =
+        if (GraftSource.cdcMode(params)) GraftSource.cdcSchema(committed)
+        else committed
+      // Common fields must type-match (modulo nullability); extra or
+      // missing fields pass. The engine routes BATCH WRITES through here
+      // too (before the V1 fallback), handing the incoming frame's
+      // schema — whose non-null flags and add-column evolution are
+      // legitimate; genuinely wrong user schemas (renamed columns, type
+      // changes) still fail here, and batch reads re-validate exactly in
+      // the V1 relation.
+      require(schema.isEmpty || schema.fields.forall(f =>
+          expected.fields.find(_.name == f.name).forall(
+            _.dataType.catalogString == f.dataType.catalogString)),
+        "omit the schema — the commit log is authoritative")
+    }
+    new GraftStreamingTable(spark, t, params)
   }
 }
 
 private[sources] object GraftSource {
+  import scala.jdk.CollectionConverters._
+
+  def paramsOf(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Map[String, String] =
+    options.asCaseSensitiveMap().asScala.toMap
+
   def cdcMode(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
 
+  /** Parse option `name` with `f`, failing with a message that names
+    * the offending option and carries the accepted renderings (ADVICE
+    * r7: a bare NumberFormatException from `.toInt` never told the user
+    * WHICH option was malformed). */
+  def parseOpt[T](parameters: Map[String, String], name: String,
+      accepted: String)(f: String => T): Option[T] =
+    parameters.get(name).map { s =>
+      try f(s) catch {
+        case e: IllegalArgumentException if e.getMessage != null &&
+            e.getMessage.contains(s"option '$name'") => throw e
+        case e: Exception => throw new IllegalArgumentException(
+          s"invalid value '$s' for option '$name' (accepted: $accepted)", e)
+      }
+    }
+
   /** `startingTimestamp` rendering: epoch millis, an ISO-8601 instant
-    * (`2026-08-14T12:00:00Z`), or a local `yyyy-MM-dd[ HH:mm:ss]`
+    * (`2026-08-14T12:00:00Z`), an offset-zoned ISO timestamp
+    * (`2026-08-14T12:00:00+02:00`), or a local `yyyy-MM-dd[ HH:mm:ss]`
     * interpreted in UTC. */
   def parseTimestampMillis(s: String): Long =
     if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
     else try java.time.Instant.parse(s).toEpochMilli
     catch {
       case _: java.time.format.DateTimeParseException =>
-        val norm = if (s.contains("T") || s.contains(" ")) s.replace(' ', 'T')
-          else s + "T00:00:00"
-        java.time.LocalDateTime.parse(norm)
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        try java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            val norm = if (s.contains("T") || s.contains(" ")) s.replace(' ', 'T')
+              else s + "T00:00:00"
+            java.time.LocalDateTime.parse(norm)
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
     }
 
   def cdcSchema(committed: StructType): StructType = committed
     .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
     .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
-}
 
-/** See [[GraftSource.createSource]]. Offsets are COMMIT VERSIONS
-  * (LongOffset): `getOffset` reports the table head (rate-limited by
-  * `maxCommitsPerTrigger`), `getBatch(from, to)` materializes the
-  * window's appended rows.
-  *
-  * Append-only contract: a replace/dv/restore commit inside the window
-  * is a rewrite no append stream can express — the source fails loudly
-  * and points at the change feed / library streams (Delta's
-  * ignoreChanges-less default). A window predating the head checkpoint
-  * (a lagging consumer crossing the replay horizon) goes through
-  * [[IncrementalTable.changes]], which reads the ARCHIVED delta
-  * records — so checkpoint folding never silently drops a commit from
-  * the stream; outside CDC retention it fails like `changes` does,
-  * never under-reports.
-  *
-  * `cdc` (option `readChangeFeed`): micro-batches are the window's
-  * CHANGE rows — `…, _change_type ('insert'|'delete'),
-  * _commit_version` straight from [[IncrementalTable.changes]] (X15) —
-  * so replace/dv/restore commits stream as delete+insert pairs instead
-  * of failing; a downstream `foreachBatch` applies them as an exact
-  * revision. `skipChangeCommits`: the plain (non-CDC) stream tolerates
-  * rewrite commits by SKIPPING them (only pure appends are emitted) —
-  * Delta's documented escape hatch when downstream only wants new
-  * rows. */
-private[sources] final class GraftStreamSource(spark: SparkSession,
-    table: IncrementalTable, startingVersion: Long,
-    maxCommitsPerTrigger: Option[Long],
-    cdc: Boolean = false, skipChangeCommits: Boolean = false)
-    extends org.apache.spark.sql.execution.streaming.Source
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
-  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-  import org.apache.spark.sql.graftshim.StreamingBatchShim
+  /** The table behind a path-addressed streaming option map —
+    * `cdcRetention` needs a handle constructed with the retention. */
+  def tableFromOptions(spark: SparkSession,
+      parameters: Map[String, String]): IncrementalTable = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft datasource requires a 'path' option (or load(path)/save(path))"))
+    parseOpt(parameters, "cdcRetention", "a non-negative integer")(_.toInt) match {
+      case Some(r) => new IncrementalTable(spark, path, cdcRetention = r)
+      case None => IncrementalTable(spark, path)
+    }
+  }
 
-  override val schema: StructType = {
+  /** Shared micro-batch-stream factory for both front doors (path
+    * datasource and SQL catalog): validates option combinations,
+    * resolves `startingVersion`/`startingTimestamp`, and pins the
+    * stream schema. */
+  def microBatchStream(spark: SparkSession, table: IncrementalTable,
+      parameters: Map[String, String],
+      checkpointLocation: String): GraftMicroBatchStream = {
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "set either startingVersion or startingTimestamp, not both")
+    val skip = parameters.get("skipChangeCommits").exists(_.toBoolean)
+    val cdc = cdcMode(parameters)
+    require(!(cdc && skip),
+      "readChangeFeed and skipChangeCommits contradict each other " +
+        "(stream every change vs skip rewrite commits) — set one, not both")
     val committed = table.schemaAt().getOrElse(throw new IllegalStateException(
       s"graft table ${table.root} has no committed schema to stream"))
-    if (cdc) GraftSource.cdcSchema(committed) else committed
+    val schema = if (cdc) cdcSchema(committed) else committed
+    // startingTimestamp (Delta analog): the FIRST commit at-or-after
+    // the timestamp starts the stream, resolved over the RAW delta
+    // records so a timestamp behind the replay horizon still names the
+    // true historical version (batch 0 then goes through the archived
+    // CDC walk, or fails loudly — never a silent under-delivery); a
+    // timestamp past the head means "only future commits".
+    val startV = parseOpt(parameters, "startingVersion",
+        "a commit version")(_.toLong).orElse(
+      parseOpt(parameters, "startingTimestamp",
+          "epoch millis or ISO-8601, e.g. 2026-08-14T12:00:00Z") { s =>
+        table.versionAtOrAfterTimestamp(parseTimestampMillis(s))
+          .getOrElse(table.latestVersion + 1)
+      }).getOrElse(0L)
+    new GraftMicroBatchStream(spark, table, schema,
+      startingVersion = startV,
+      maxCommitsPerTrigger = parseOpt(parameters, "maxCommitsPerTrigger",
+        "a positive integer")(_.toLong),
+      cdc = cdc, skipChangeCommits = skip,
+      checkpointLocation = checkpointLocation)
   }
-
-  private def versionOf(o: V1Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json().trim.toLong
-  }
-
-  // Trigger.AvailableNow pins the drain target at query start (without
-  // this the engine consults getOffset ONCE, so a rate-limited run
-  // would stop after its first micro-batch); each subsequent trigger
-  // advances by maxCommitsPerTrigger until the pinned head is reached
-  @volatile private var availableNowTarget: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit = {
-    table.refresh()
-    availableNowTarget = Some(table.latestVersion)
-  }
-
-  /** SupportsTriggerAvailableNow extends SupportsAdmissionControl; the
-    * V1 engine path still drives planning through [[getOffset]], so the
-    * DSv2-shaped accessor just delegates. */
-  override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset =
-    getOffset.orNull
-
-  override def getOffset: Option[V1Offset] = {
-    val latest = availableNowTarget.getOrElse {
-      table.refresh()
-      table.latestVersion
-    }
-    if (latest < 0) None
-    else Some(LongOffset(maxCommitsPerTrigger match {
-      case Some(max) =>
-        // rate limit measured from the last PLANNED offset, not the
-        // committed one — getOffset may be polled between batches
-        val floor = lastPlanned.getOrElse(startingVersion - 1)
-        math.min(latest, floor + max)
-      case None => latest
-    }))
-  }
-  @volatile private var lastPlanned: Option[Long] = None
-
-  override def getBatch(start: Option[V1Offset], end: V1Offset): org.apache.spark.sql.DataFrame = {
-    val from = start.map(versionOf).getOrElse(startingVersion - 1)
-    val to = versionOf(end)
-    // floor tracks the FURTHEST window edge ever seen: on a restart the
-    // in-memory floor resets below the checkpoint's committed offset,
-    // and the engine may hand one stale (to < from) window — empty by
-    // the filter below, and `from` (the committed offset) re-seeds the
-    // floor so no version is ever re-delivered
-    lastPlanned = Some(math.max(lastPlanned.getOrElse(Long.MinValue),
-      math.max(from, to)))
-    table.refresh()
-    val visible = table.commits().filter(c => c.version > from && c.version <= to)
-    val crossesFold = visible.headOption.exists(c =>
-      c.action == "checkpoint" && c.filesParquet.isDefined && from + 1 < c.version)
-    val batch =
-      if (cdc) {
-        // the change feed IS the stream: the CDC walk handles in-window
-        // rewrites (delete+insert pairs) and horizon crossings (archived
-        // delta records under cdcRetention) uniformly — an empty window
-        // yields the empty CDC frame
-        if (from + 1 > to)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else table.changes(from + 1, to)
-      } else if (!crossesFold) {
-        if (!skipChangeCommits) visible.foreach { c =>
-          require(c.action == "append" || c.action == "meta" ||
-              c.action == "dvmerge" || c.action == "checkpoint",
-            s"graft streaming source requires append-only history: version " +
-              s"${c.version} is '${c.action}' — stream the change feed " +
-              "(option readChangeFeed) or the library's rebuild-aware streams")
-        }
-        visible.filter(c => c.action == "append" && c.add.nonEmpty)
-          .map(c => table.readCommit(c.version))
-          .reduceOption(_.unionByName(_))
-          .getOrElse(table.readFiles(Nil).limit(0))
-      } else {
-        // lagging consumer crossed the replay horizon: the folded
-        // commits' add-sets are gone from the replayed log, but the
-        // archived delta walk (CDC retention) still has them
-        val feed = table.changes(from + 1, to)
-        if (skipChangeCommits) {
-          // same semantics as the un-folded branch: only PURE APPEND
-          // commits emit (a rewrite's re-added rows are skipped with
-          // their commit) — actions come from the raw delta records,
-          // which survive the fold
-          val appends = table.commitActions(from, to)
-            .collect { case (v, "append") => v }.toSeq
-          feed.filter(col("_change_type") === "insert" &&
-              col("_commit_version").isInCollection(appends))
-            .drop("_change_type", "_commit_version")
-        } else {
-          val deletes = feed.filter(col("_change_type") === "delete")
-          require(deletes.isEmpty,
-            "graft streaming source crossed the replay horizon over a window " +
-              "containing row deletes — append-only streams cannot express " +
-              "them (options: readChangeFeed, skipChangeCommits)")
-          feed.filter(col("_change_type") === "insert")
-            .drop("_change_type", "_commit_version")
-        }
-      }
-    StreamingBatchShim.asStreamingBatch(
-      batch.select(schema.fieldNames.toIndexedSeq.map(col): _*))
-  }
-
-  override def commit(end: V1Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
-/** See [[GraftSource.createSink]]. The micro-batch frame is
-  * re-materialized through its OWN QueryExecution (no new analysis
-  * touches the streaming plan —
-  * [[org.apache.spark.sql.graftshim.StreamingBatchShim]]) into a batch
-  * frame the table's append path can stage. */
-private[sources] final class GraftSink(table: IncrementalTable,
-    partitionColumns: Seq[String], appId: String)
-    extends org.apache.spark.sql.execution.streaming.Sink {
-  override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val partitionBy =
-      if (partitionColumns.nonEmpty) partitionColumns
-      else if (table.exists) table.partitionColumns
-      else Seq.empty
-    val batch = org.apache.spark.sql.graftshim.StreamingBatchShim.rebatch(data)
-    table.append(batch, partitionBy,
-      batchId = Some(batchId), appId = Some(appId),
-      statsColumns = GraftCatalog.statsColumnsOf(table))
-    ()
+/** The streaming-only DSv2 table behind `format("graft")`:
+  * MICRO_BATCH_READ + STREAMING_WRITE and nothing else (batch falls
+  * back to the V1 relations — see the provider note). Scan options are
+  * the READER's options (they rode getTable's properties), write
+  * options the writer's. */
+private[sources] final class GraftStreamingTable(spark: SparkSession,
+    table: IncrementalTable, params: Map[String, String])
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = s"graft.`${table.root}`"
+
+  override def schema(): StructType = table.schemaAt() match {
+    case Some(committed) =>
+      if (GraftSource.cdcMode(params)) GraftSource.cdcSchema(committed)
+      else committed
+    case None => new StructType()
   }
+
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    table.partitionColumns
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE).asJava
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder = {
+    val pinned = schema()
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = pinned
+          override def description(): String = s"GraftStreamScan ${table.root}"
+          override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            GraftSource.microBatchStream(spark, table, params, checkpointLocation)
+        }
+    }
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftStreamWriteBuilder(spark, table,
+      params ++ GraftSource.paramsOf(info.options()), info)
+}
+
+/** Streaming write builder shared by the path front door (this file)
+  * and reused in spirit by the catalog's [[GraftWriteBuilder]]:
+  * Append → per-epoch append commits, Complete (the engine calls
+  * [[truncate]]) → per-epoch atomic replace. The writer identity for
+  * the exactly-once (appId, batchId) guard is the qualified
+  * checkpointLocation when present — the SAME identity the retired V1
+  * sink derived, so existing streams resume across the migration
+  * without replaying or dropping a batch — else the engine's stable
+  * query id. */
+private[sources] final class GraftStreamWriteBuilder(spark: SparkSession,
+    table: IncrementalTable, params: Map[String, String],
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var replaceEachEpoch = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    replaceEachEpoch = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        def split(s: String): Seq[String] =
+          s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val partitionBy = params.get("partitionBy").map(split)
+          .getOrElse(if (table.exists) table.partitionColumns else Seq.empty)
+        val appId = params.get("checkpointLocation")
+          .map(graft.streaming.CheckpointId(spark, _))
+          .getOrElse(info.queryId())
+        val stats = params.get("statsColumns").map(split)
+          .getOrElse(GraftCatalog.statsColumnsOf(table))
+        new GraftStreamingWrite(table, partitionBy, appId, info.schema(),
+          stats, replaceEachEpoch,
+          new graft.parquet.RowParquet.SerializableConf(
+            IncrementalTable.hadoopConf(spark)))
+      }
+      override def description(): String = s"GraftStreamingWrite ${table.root}"
+    }
 }
 
 /** One scan's prune accounting, recorded per table root for tests and

@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+
+import graft.parquet.RowParquet
+import graft.table.IncrementalTable
+
+/** A task's staged files: paths RELATIVE to the epoch's staging dir
+  * (hive layout included), reported back for the driver-side commit —
+  * only message-listed files enter the log, so a speculative or retried
+  * task's extra files stay invisible orphans until the stage dir is
+  * dropped. */
+final case class GraftTaskFiles(rels: Seq[String]) extends WriterCommitMessage
+
+/** DSv2 streaming sink for a graft table — `df.writeStream
+  * .format("graft").start(path)` / `.toTable("graft.ns.t")` on PUBLIC
+  * connector interfaces only (the round-7 V1 `execution.streaming.Sink`
+  * + `internalCreateDataFrame` shim are retired).
+  *
+  * Execution shape: executors write parquet directly into a per-epoch
+  * staging dir under the table root via [[RowParquet]] (partition
+  * values route to hive dirs, data files carry only data columns —
+  * byte-identical layout to the batch writer); the driver-side
+  * `commit(epoch)` then promotes exactly the task-reported files and
+  * publishes ONE log commit carrying the (appId, batchId) replay guard,
+  * so a crash replay of a committed epoch short-circuits at the log
+  * before any file moves — the same exactly-once contract as the
+  * library's foreachBatch sinks, now with zero per-batch re-planning
+  * (the V1 sink re-materialized every micro-batch through a second
+  * QueryExecution; here rows stream straight from the running plan into
+  * the staged files).
+  *
+  * `truncate` (Complete output mode, via the write builder's
+  * SupportsTruncate): each epoch commits a full atomic replace instead
+  * of an append — the maintained-view shape. */
+final class GraftStreamingWrite(table: IncrementalTable,
+    partitionBy: Seq[String], appId: String, writeSchema: StructType,
+    statsColumns: Seq[String], truncate: Boolean,
+    conf: RowParquet.SerializableConf) extends StreamingWrite {
+
+  // one staging namespace per writer identity: deterministic, so a
+  // crashed epoch's re-attempt lands in the same place and the commit
+  // sweeps its predecessors' orphans with the stage dir
+  private val stageNs = "stream_" + Integer.toHexString(appId.hashCode)
+
+  private def epochStage(epochId: Long): Path =
+    new Path(new Path(table.root), s"_staging/$stageNs/e$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // staged files carry PHYSICAL names (column mapping, X72) — the
+    // rename preserves field order, so the positional rows bind as-is;
+    // partition columns are never renamable, so routing names hold
+    val mapping = table.columnMapping()
+    val phys = StructType(writeSchema.fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
+    new GraftStreamWriterFactory(
+      new Path(new Path(table.root), s"_staging/$stageNs").toString,
+      phys.toDDL, partitionBy, conf)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val rels = messages.toIndexedSeq
+      .flatMap(m => m.asInstanceOf[GraftTaskFiles].rels)
+    table.commitStagedStream(epochStage(epochId), rels, writeSchema,
+      partitionBy, replace = truncate, batchId = epochId, appId = appId,
+      statsColumns = statsColumns)
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val stage = epochStage(epochId)
+    val fs = stage.getFileSystem(conf.value)
+    if (fs.exists(stage)) fs.delete(stage, true)
+    ()
+  }
+
+  override def toString: String =
+    s"GraftStreamingWrite[${table.root}]${if (truncate) " truncate" else ""}"
+}
+
+private[sources] final class GraftStreamWriterFactory(stageNsUri: String,
+    schemaDdl: String, partitionBy: Seq[String],
+    conf: RowParquet.SerializableConf) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftStreamDataWriter(new Path(stageNsUri, s"e$epochId"),
+      StructType.fromDDL(schemaDdl), partitionBy, conf.value,
+      partitionId, taskId)
+}
+
+/** Executor-side writer: routes each row to its hive partition dir
+  * (values rendered exactly as the batch writer's —
+  * [[RowParquet.partitionToken]] mirrors Spark's escapePathName), strips
+  * the partition columns from the written file, and reports the staged
+  * rel paths on task commit. One open file per partition value per
+  * task, same as Spark's dynamic-partition writer without sorting. */
+private[sources] final class GraftStreamDataWriter(epochStage: Path,
+    schema: StructType, partitionBy: Seq[String], conf: Configuration,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val partOrds: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
+  private val dataOrds: Array[Int] =
+    schema.fields.indices.filterNot(partOrds.contains(_)).toArray
+  private val dataSchema = StructType(dataOrds.map(schema.fields(_)))
+
+  private val writers = mutable.LinkedHashMap.empty[String, ParquetWriter[InternalRow]]
+  private val rels = mutable.ArrayBuffer.empty[String]
+  private val buf = new GenericInternalRow(dataOrds.length)
+
+  override def write(row: InternalRow): Unit = {
+    val dir = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < partOrds.length) {
+        val ord = partOrds(i)
+        val dt = schema.fields(ord).dataType
+        val v = if (row.isNullAt(ord)) null else row.get(ord, dt)
+        if (i > 0) sb.append('/')
+        sb.append(partitionBy(i)).append('=')
+          .append(RowParquet.partitionToken(v, dt))
+        i += 1
+      }
+      sb.toString
+    }
+    val w = writers.getOrElseUpdate(dir, {
+      val rel = (if (dir.isEmpty) "" else dir + "/") +
+        f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.snappy.parquet"
+      rels += rel
+      RowParquet.writer(
+        HadoopOutputFile.fromPath(new Path(epochStage, rel), conf),
+        dataSchema, conf)
+    })
+    var i = 0
+    while (i < dataOrds.length) {
+      val ord = dataOrds(i)
+      val dt = dataSchema.fields(i).dataType
+      buf.update(i, if (row.isNullAt(ord)) null else row.get(ord, dt))
+      i += 1
+    }
+    w.write(buf)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    writers.clear()
+    GraftTaskFiles(rels.toSeq)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach(w => try w.close() catch { case _: Exception => })
+    writers.clear()
+    val fs = epochStage.getFileSystem(conf)
+    rels.foreach { rel =>
+      try { fs.delete(new Path(epochStage, rel), false); () }
+      catch { case _: Exception => }
+    }
+  }
+
+  override def close(): Unit = {
+    writers.values.foreach(w => try w.close() catch { case _: Exception => })
+    writers.clear()
+  }
+}

@@ -346,7 +346,14 @@ object DataSkipping {
         case other => elemPath(other, _ => true)
       }
       (containerRoot(ae.argument), ae.function) match {
-        case (Some(p), LambdaFunction(body, Seq(v: NamedLambdaVariable), _)) =>
+        case (Some(p), LambdaFunction(body, Seq(v: NamedLambdaVariable), _))
+            // a real outer column literally named like the marker would
+            // have its bounds re-keyed onto the element path after the
+            // substitution below — bail out instead (ADVICE r7)
+            if !body.exists {
+              case a: AttributeReference => a.name == "__graft_elem__"
+              case _ => false
+            } =>
           val marker = "__graft_elem__"
           val rewritten = body.transform {
             case nv: NamedLambdaVariable if nv.exprId == v.exprId =>

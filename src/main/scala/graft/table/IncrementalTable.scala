@@ -219,6 +219,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def versionAtOrAfterTimestamp(millis: Long): Option[Long] =
     deltasBetween(-1L, latestVersion).find(_.ts >= millis).map(_.version)
 
+  /** Raw delta commits in `(fromExclusive, toVersion]`, straight off
+    * the archived log records (never deleted by checkpoint folding) —
+    * the DSv2 streaming source's window walk: a lagging consumer
+    * resuming past the replay horizon still sees every commit's own
+    * add-set, where the replayed log would have folded them into a
+    * snapshot. O(window) driver JSON parse. */
+  def windowCommits(fromExclusive: Long, toVersion: Long): Seq[Commit] =
+    deltasBetween(fromExclusive, toVersion)
+
   /** Every plain delta record with version ≤ `toV`, in version order —
     * the FULL history, ignoring checkpoint snapshots entirely (delta
     * records are never deleted; checkpoints only stop replay from
@@ -484,10 +493,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def liveFilesWhere(predicate: org.apache.spark.sql.Column,
       filters: Map[String, String] = Map.empty,
       asOf: Option[Long] = None): Seq[String] = {
-    val b = committedSchemaAt(asOf) match {
+    val b0 = committedSchemaAt(asOf) match {
       case Some(schema) => DataSkipping.bounds(spark, schema, predicate)
       case None => Map.empty[String, DataSkipping.Bounds] // no schema: no pruning
     }
+    // the stats index is keyed by PHYSICAL names; bounds extract under
+    // logical ones — remap so the skipping index follows renames (X72)
+    val cmap = columnMapping(asOf)
+    val b = if (cmap.isEmpty) b0
+      else b0.map { case (k, bd) => physPath(k, cmap) -> bd }
     parquetCkpt(commitsAsOf(asOf)) match {
       case Some(_) =>
         // THE 100× path: the prune runs as a Spark job over the
@@ -527,7 +541,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def readWhere(predicate: org.apache.spark.sql.Column,
       filters: Map[String, String] = Map.empty): DataFrame = {
     val files = liveFilesWhere(predicate, filters)
-    filesDf(files, committedSchemaAt(), liveDv()).filter(predicate)
+    filesDf(files, committedSchemaAt(), liveDv(), columnMapping())
+      .filter(predicate)
   }
 
   /** Snapshot read as of an older commit version (Delta-style time
@@ -554,7 +569,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     require(c.version == version, s"no commit at version $version (nearest: ${c.version})")
     // raw change set: DVs attach at LATER versions and are separate
     // logical changes, so the batch reads as committed (dv = empty)
-    filesDf(c.add, committedSchemaAt(Some(version)), Map.empty)
+    filesDf(c.add, committedSchemaAt(Some(version)), Map.empty,
+      columnMapping(Some(version)))
   }
 
   /** Row-level change feed (CDC read): every LOGICAL change between the
@@ -604,9 +620,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         archivedDeltas(toVersion)
       }
     // the schema as of toVersion: from the replayed window, or from the
-    // archived walk when the window predates the horizon
+    // archived walk when the window predates the horizon; the column
+    // mapping folds over the SAME walk so renamed columns read their
+    // physical bytes under the toVersion logical names
     val stored = cs.reverse.iterator.map(_.schemaJson).find(_.nonEmpty)
       .map(StructType.fromDDL)
+    val mapping = colMapOf(cs)
     // dv state folds over the WHOLE walk; each window commit reads
     // under the state as of just before / just at itself. A columnar
     // head checkpoint carries its dv map in the parquet rows, not
@@ -633,12 +652,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // positions back to the touched files' rows (under the PRIOR
         // dv state — already-deleted rows can't delete again)
         val pos = dvPositions(c.dv.values.flatten.toSeq.distinct)
-        val deleted = filesDfWithPos(c.dv.keys.toSeq, stored, dvBefore)
+        val deleted = filesDfWithPos(c.dv.keys.toSeq, stored, dvBefore, mapping)
           .join(broadcast(pos),
             col("_dv_file") === pos("_dv_sc_file") &&
               col("_dv_pos") === pos("_dv_sc_pos"))
         val rows = stored.map(s => deleted.select(
-          s.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+          s.fieldNames.map(n => org.apache.spark.sql.functions
+            .col(physPath(n, mapping)).as(n)): _*))
           .getOrElse(dropPosCols(deleted.drop("_dv_sc_file", "_dv_sc_pos")))
         Some(rows.withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(c.version)))
@@ -648,8 +668,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // files together with their restored vectors; removed files
         // read under the PRE-commit state so materialized deletes
         // cancel against the (dv-applied) rewrite
-        val a = filesDf(c.add, stored, dvState)
-        val r = filesDf(c.remove, stored, dvBefore)
+        val a = filesDf(c.add, stored, dvState, mapping)
+        val r = filesDf(c.remove, stored, dvBefore, mapping)
         Some(a.exceptAll(r).withColumn("_change_type", lit("insert"))
           .unionByName(
             r.exceptAll(a).withColumn("_change_type", lit("delete")))
@@ -657,7 +677,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       }
     }
     cdc.reduceOption(_.unionByName(_)).getOrElse(
-      filesDf(Nil, stored, Map.empty)
+      filesDf(Nil, stored, Map.empty, mapping)
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L)).limit(0))
   }
@@ -668,7 +688,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // strings on disk) are cast back to their declared types, and a
     // partition column that is also a data column (e.g. word_length)
     // keeps its original type and position.
-    filesDf(files, committedSchemaAt(asOf), liveDv(asOf))
+    filesDf(files, committedSchemaAt(asOf), liveDv(asOf), columnMapping(asOf))
   }
 
   /** Read `files` applying `dv` deletion vectors, projected to the
@@ -676,13 +696,18 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * compaction-bounded) position set and is broadcast, so the data
     * side never shuffles — it stays in its scan stage, same as a
     * Delta/Iceberg merge-on-read scan. Pass the dv state AS OF the
-    * read's version (empty for raw change-set reads). */
+    * read's version (empty for raw change-set reads), and the column
+    * `mapping` as of the same version: the scan runs under PHYSICAL
+    * names and the final projection re-labels to the logical schema —
+    * the single rename boundary of the whole read path. */
   private def filesDf(files: Seq[String], stored: Option[StructType],
-      dv: Map[String, Seq[String]]): DataFrame = {
+      dv: Map[String, Seq[String]], mapping: Map[String, String]): DataFrame = {
     val df =
-      if (files.exists(dv.contains)) dropPosCols(filesDfWithPos(files, stored, dv))
-      else rawFilesDf(files, stored)
-    stored.map(s => df.select(s.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+      if (files.exists(dv.contains))
+        dropPosCols(filesDfWithPos(files, stored, dv, mapping))
+      else rawFilesDf(files, stored, mapping)
+    stored.map(s => df.select(s.fieldNames.map(n =>
+        org.apache.spark.sql.functions.col(physPath(n, mapping)).as(n)): _*))
       .getOrElse(df)
   }
 
@@ -709,10 +734,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * it matches file_path's rendering even when the root itself needs
     * escaping (ADVICE r4 #1). */
   private def filesDfWithPos(files: Seq[String], stored: Option[StructType],
-      dv: Map[String, Seq[String]]): DataFrame = {
+      dv: Map[String, Seq[String]], mapping: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
     val prefix = rootPath.toUri.getRawPath.stripSuffix("/") + "/"
-    val base = rawFilesDf(files, stored)
+    val base = rawFilesDf(files, stored, mapping)
       .withColumn("_dv_file", substring_index(col("_metadata.file_path"), prefix, -1))
       .withColumn("_dv_pos", col("_metadata.row_index"))
     val gens = files.flatMap(dv.get).flatten.distinct
@@ -725,10 +750,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
   }
 
-  private def rawFilesDf(files: Seq[String], stored: Option[StructType]): DataFrame = {
+  /** The scan itself, under PHYSICAL column names when a `mapping` is
+    * set (files always carry physical names; [[filesDf]]'s final
+    * projection re-labels). The empty-set frame is physical-named too,
+    * so the relabel projection resolves uniformly. */
+  private def rawFilesDf(files: Seq[String], stored: Option[StructType],
+      mapping: Map[String, String]): DataFrame = {
+    val phys = stored.map(physicalSchema(_, mapping))
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        stored.getOrElse(new StructType()))
+        phys.getOrElse(new StructType()))
     } else {
       // The committed schema makes partition-column type inference moot
       // (string-typed partition values for reference layout parity,
@@ -736,7 +767,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // save/restore below only guards the no-schema fallback, reachable
       // for logs written before schemas were recorded.
       val reader = spark.read.option("basePath", root)
-      stored.foreach(reader.schema)
+      phys.foreach(reader.schema)
       val df =
         if (stored.nonEmpty) reader.parquet(files.map(f => new Path(rootPath, f).toString): _*)
         else {
@@ -863,7 +894,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     try {
       val partitionBy = committedPartitionBy
 
-      val dupKeys = src.groupBy(keys.map(fn): _*).count()
+      // null-keyed source rows are excluded from the duplicate probe:
+      // per SQL MERGE a NULL key never matches any target row, so two
+      // such rows are both legal NOT MATCHED inserts, never an
+      // order-dependent update (ADVICE r7)
+      val dupKeys = src
+        .filter(keys.map(fn(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(fn): _*).count()
         .filter(fn("count") > 1).limit(1).count()
       require(dupKeys == 0,
         s"merge source has duplicate keys on (${keys.mkString(", ")}) — merged rows would be order-dependent")
@@ -878,7 +915,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
 
       // touched files: live rows matching a source key, by _metadata path
       val srcKeys = src.select(keys.map(fn): _*).distinct()
-      val touched = filesDf(files, Some(stored), liveDv())
+      val touched = filesDf(files, Some(stored), liveDv(), columnMapping())
         .withColumn("_graft_path", fn("_metadata.file_path"))
         .join(srcKeys, keys, "left_semi")
         .select("_graft_path").distinct()
@@ -888,7 +925,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         append(src, partitionBy, meta = meta, batchId = batchId, appId = appId,
           statsColumns = statsColumns) // pure insert
       else {
-        val kept = filesDf(touched, Some(stored), liveDv()).join(src, keys.toSeq, "left_anti")
+        val kept = filesDf(touched, Some(stored), liveDv(), columnMapping())
+          .join(src, keys.toSeq, "left_anti")
         val rewritten = kept.unionByName(src, allowMissingColumns = extraCols.nonEmpty)
         write(rewritten, "replace", partitionBy, Map.empty, Map.empty, meta,
           batchId, appId, statsColumns = statsColumns, removeExact = Some(touched))
@@ -958,7 +996,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     if (matched.nonEmpty) {
-      val dup = source.groupBy(keys.map(col): _*).count()
+      // null-keyed source rows never match any target row (SQL MERGE),
+      // so they cannot make the applied clause order-dependent — they
+      // are excluded from the duplicate probe (ADVICE r7)
+      val dup = source
+        .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*).count()
         .filter(col("count") > 1).limit(1).count()
       require(dup == 0, s"merge source has duplicate keys on " +
         s"(${keys.mkString(", ")}) — the applied clause would be order-dependent")
@@ -981,7 +1024,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       if (matched.isEmpty || files.isEmpty) Nil
       else {
         val srcKeys = source.select(keys.map(col): _*).distinct()
-        filesDf(files, Some(stored), liveDv())
+        filesDf(files, Some(stored), liveDv(), columnMapping())
           .withColumn("_graft_path", col("_metadata.file_path"))
           .join(srcKeys, keys, "left_semi")
           .select("_graft_path").distinct()
@@ -1023,7 +1066,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val rewritten: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
-        val tRows = filesDf(touched, Some(stored), liveDv())
+        val tRows = filesDf(touched, Some(stored), liveDv(), columnMapping())
         // without matched clauses the join exists ONLY to compute the
         // matched marker — join distinct KEYS, not the full source: a
         // duplicate-keyed source (legal when no matched clause consumes
@@ -1090,7 +1133,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // LocalRelation with no `_metadata` to path-match on
     val candidates = liveFilesWhere(predicate)
     if (candidates.isEmpty) return None
-    val touched = filesDf(candidates, Some(stored), liveDv()).filter(predicate)
+    val touched = filesDf(candidates, Some(stored), liveDv(), columnMapping())
+      .filter(predicate)
       .withColumn("_graft_path", fn("_metadata.file_path"))
       .select("_graft_path").distinct()
       .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
@@ -1098,7 +1142,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     else {
       // SQL DELETE semantics: rows where the predicate is NULL are NOT
       // deleted — keep everything whose predicate is not strictly TRUE
-      val kept = filesDf(touched, Some(stored), liveDv())
+      val kept = filesDf(touched, Some(stored), liveDv(), columnMapping())
         .filter(!org.apache.spark.sql.functions.coalesce(predicate,
           org.apache.spark.sql.functions.lit(false)))
       write(kept, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
@@ -1122,13 +1166,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // empty live set: nothing to update, and no `_metadata` to match on
     val candidates = liveFilesWhere(predicate)
     if (candidates.isEmpty) return None
-    val touched = filesDf(candidates, Some(stored), liveDv()).filter(predicate)
+    val touched = filesDf(candidates, Some(stored), liveDv(), columnMapping())
+      .filter(predicate)
       .withColumn("_graft_path", fn("_metadata.file_path"))
       .select("_graft_path").distinct()
       .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
     if (touched.isEmpty) None
     else {
-      val rewritten = filesDf(touched, Some(stored), liveDv()).select(
+      val rewritten = filesDf(touched, Some(stored), liveDv(),
+          columnMapping()).select(
         stored.fieldNames.toSeq.map { n =>
           set.get(n) match {
             case Some(v) => when(predicate, v).otherwise(fn(n)).as(n)
@@ -1192,7 +1238,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     if (touched.isEmpty)
       append(ins, partitionBy, meta = meta, batchId = batchId, appId = appId)
     else {
-      val kept = filesDf(touched, Some(stored), liveDv())
+      val kept = filesDf(touched, Some(stored), liveDv(), columnMapping())
         .join(dk.withColumn("_graft_m", lit(true)), keys, "left")
         .filter(not(coalesce(fn("_graft_m"), lit(false)) && condTrue))
         .select(stored.fieldNames.map(fn).toSeq: _*)
@@ -1231,7 +1277,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val genDir = new Path(rootPath, s"$dvPrefix/$gen")
     // a crash after this write leaves an unreferenced generation —
     // invisible to readers, reclaimed by vacuum()
-    filesDfWithPos(candidates, Some(stored), liveDv())
+    filesDfWithPos(candidates, Some(stored), liveDv(), columnMapping())
       .filter(predicate)
       .select(fn("_dv_file").as("file"), fn("_dv_pos").as("pos"))
       .write.parquet(genDir.toString)
@@ -1441,9 +1487,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * worse than a slow exact one. Footer integral min/max are exact by
     * construction (never truncated, unlike binary stats), which is why
     * the surface is integral-only. Cost mirrors [[liveRowCount]]. */
-  def liveMinMax(column: String,
+  def liveMinMax(column0: String,
       asOf: Option[Long] = None): Option[(Option[Long], Option[Long])] = {
     if (liveDv(asOf).nonEmpty) return None
+    val column = physPath(column0, columnMapping(asOf)) // index keys are physical
     val cs = commitsAsOf(asOf)
     parquetCkpt(cs) match {
       case Some(_) =>
@@ -1552,7 +1599,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * guarantees `files` ⊆ the live set at `asOf`, same as the internal
     * read path. */
   def readFiles(files: Seq[String], asOf: Option[Long] = None): DataFrame =
-    filesDf(files, committedSchemaAt(asOf), liveDv(asOf))
+    filesDf(files, committedSchemaAt(asOf), liveDv(asOf), columnMapping(asOf))
 
   /** Latest non-empty partitionBy (the write-path default: rewrites of
     * a partitioned table keep its layout unless told otherwise). */
@@ -1568,9 +1615,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * latest value wins, empty value is a tombstone — THE single copy
     * of the channel semantics [[constraints]]/[[tableProperties]]/
     * [[tags]] share. */
-  private def metaChannel(prefix: String): Map[String, String] = {
+  private def metaChannel(prefix: String): Map[String, String] =
+    metaChannelOf(commits(), prefix)
+
+  /** [[metaChannel]] over an explicit commit walk — time-travel reads
+    * need channel state AS OF a version ([[columnMapping]]), and the
+    * CDC walk needs it over the archived records. */
+  private def metaChannelOf(cs: Seq[Commit], prefix: String): Map[String, String] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    commits().foreach(_.meta.foreach { case (k, v) =>
+    cs.foreach(_.meta.foreach { case (k, v) =>
       if (k.startsWith(prefix)) {
         val n = k.stripPrefix(prefix)
         if (v.isEmpty) m.remove(n) else m(n) = v
@@ -1580,6 +1633,101 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   }
 
   def constraints: Map[String, String] = metaChannel("constraint/")
+
+  /** Column mapping (Delta column-mapping analog, X72): logical column
+    * name → PHYSICAL name, the name the column's bytes were originally
+    * written under. Populated by [[renameColumn]]; a column never
+    * renamed has no entry (physical == logical). Physical names are
+    * immutable once assigned — files never rewrite on rename, old and
+    * new files alike bind the logical column to the same physical
+    * bytes, and the data-skipping index (keyed physical) follows the
+    * rename for free. As-of-aware: a time-travel read resolves the
+    * mapping that was committed at that version, so rename CHAINS
+    * replay exactly. */
+  def columnMapping(asOf: Option[Long] = None): Map[String, String] =
+    metaChannelOf(commitsAsOf(asOf), "colmap/")
+
+  private def colMapOf(cs: Seq[Commit]): Map[String, String] =
+    metaChannelOf(cs, "colmap/")
+
+  /** The physical rendering of a (possibly dot-pathed) logical column:
+    * renames are top-level only, so only the first segment remaps. */
+  private def physPath(logical: String, mapping: Map[String, String]): String =
+    if (mapping.isEmpty) logical
+    else {
+      val i = logical.indexOf('.')
+      if (i < 0) mapping.getOrElse(logical, logical)
+      else mapping.getOrElse(logical.take(i), logical.take(i)) + logical.drop(i)
+    }
+
+  /** The schema with every top-level field renamed to its physical
+    * name (field order preserved — positional consumers stay aligned). */
+  private[table] def physicalSchema(schema: StructType,
+      mapping: Map[String, String]): StructType =
+    if (mapping.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
+
+  /** ALTER TABLE … RENAME COLUMN as ONE metadata commit, zero data
+    * rewritten (the X64 evolution series completed): the committed
+    * schema carries the new logical name, a `colmap/` entry binds it to
+    * the column's immutable PHYSICAL name, and reads/writes translate
+    * at the parquet boundary — old files keep serving the column, new
+    * files keep writing the same physical name, the skipping index
+    * (physical-keyed) keeps pruning. The OLD name is tombstoned like a
+    * dropped column (old files still carry its bytes; re-adding it
+    * would resurface them under a fresh meaning) and time travel to a
+    * pre-rename version shows the old name with the old values.
+    * Refused for partition columns (their name is baked into every
+    * directory path) and while a CHECK constraint references the old
+    * name (its expression would stop resolving).
+    *
+    * Reference analog: `processed/v1` path-versioning
+    * (assets/processed.py:33) is the copy-the-table workaround this
+    * removes. */
+  def renameColumn(from: String, to: String): Commit = {
+    val prev = committedSchema
+    require(from != to, s"rename '$from' to itself is a no-op")
+    require(prev.fieldNames.contains(from), s"no column '$from' to rename")
+    require(!prev.fieldNames.contains(to), s"column '$to' already exists")
+    require(!droppedColumns.contains(to),
+      s"column '$to' was previously dropped or renamed away and files " +
+        "still carry its old values — pick a fresh name")
+    require(!committedPartitionBy.contains(from),
+      s"cannot rename partition column '$from' (its name is baked into " +
+        "every partition directory path); migrate via CTAS")
+    constraints.foreach { case (cn, check) =>
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(check).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.head
+        }.toSet
+      require(!refs.contains(from),
+        s"CHECK constraint '$cn' references '$from' — drop it first and " +
+          "re-create it against the new name")
+    }
+    val phys = columnMapping().getOrElse(from, from)
+    val renamed = StructType(prev.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    // the skipping-index opt-in follows the rename: a statsColumns
+    // table property naming the old column is rewritten in-commit
+    val statsProp = tableProperties.get("graft.statsColumns").map { v =>
+      v.split(",").map(_.trim).filter(_.nonEmpty).map { p =>
+        val i = p.indexOf('.')
+        val head = if (i < 0) p else p.take(i)
+        if (head == from) to + (if (i < 0) "" else p.drop(i)) else p
+      }.mkString(",")
+    }.filter(_ => tableProperties.get("graft.statsColumns")
+      .exists(_.split(",").map(_.trim).exists(p =>
+        p == from || p.startsWith(from + "."))))
+    val meta = Map(
+      s"colmap/$to" -> phys,
+      s"colmap/$from" -> "", // tombstone the old logical binding
+      s"dropped/$from" -> latestVersion.toString) ++
+      statsProp.map(v => "prop/graft.statsColumns" -> v)
+    commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil, renamed.toDDL,
+      meta, None, now()))
+  }
 
   /** Table properties (`prop/<key>` metadata entries, latest value
     * wins, empty value = unset) — the TBLPROPERTIES channel of the
@@ -1771,6 +1919,19 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     addConstraints.foreach { case (name, check) =>
       require(name.nonEmpty && check.nonEmpty,
         "constraint needs a name and an expression")
+      // an added CHECK referencing a column dropped in the SAME alter
+      // would validate against the pre-drop read and then fail every
+      // subsequent write's resolution — reject up front (ADVICE r7)
+      if (drops.nonEmpty) {
+        val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(check).collect {
+            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              ua.nameParts.head
+          }.toSet
+        drops.foreach(n => require(!refs.contains(n),
+          s"new CHECK constraint '$name' references column '$n' dropped " +
+            "in the same ALTER"))
+      }
       val e = org.apache.spark.sql.functions.expr(check)
       if (exists)
         require(read().filter(org.apache.spark.sql.functions.not(e)).limit(1).count() == 0,
@@ -1793,6 +1954,80 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   /** Column names ever dropped from this table (the `dropped/` channel)
     * — permanently reserved: see [[alter]]'s DROP COLUMN contract. */
   def droppedColumns: Set[String] = metaChannel("dropped/").keySet
+
+  /** Commit files ALREADY STAGED by a DSv2 streaming write's executors
+    * ([[graft.sources.GraftStreamingWrite]]): the driver-side half of
+    * the streaming epoch commit. Mirrors [[write]]'s promote-then-commit
+    * contract — footer stats harvested from the staged files feed the
+    * same data-skipping index, CHECK constraints validate against the
+    * staged batch BEFORE anything moves, and the (appId, batchId) guard
+    * makes a replayed epoch a no-op at the log. Only `rels` (the
+    * task-reported file list) is promoted; anything else in the stage
+    * dir is a speculative/retried task's orphan and is dropped with the
+    * dir. `replace` commits a full atomic overwrite instead of an
+    * append (the Complete-output-mode shape). */
+  def commitStagedStream(stage: Path, rels: Seq[String], incoming: StructType,
+      partitionBy: Seq[String], replace: Boolean, batchId: Long,
+      appId: String, statsColumns: Seq[String] = Nil): Option[Commit] = {
+    if (hasBatch(batchId, Some(appId))) {
+      fs.delete(stage, true) // replayed epoch: stage is redundant
+      return None
+    }
+    if (rels.nonEmpty && constraints.nonEmpty) {
+      // validate the staged batch exactly as the batch path's in-scan
+      // guard would — a violation aborts before any file moves. Staged
+      // files carry PHYSICAL names; constraints reference logical ones.
+      val mapping = columnMapping()
+      val reader = spark.read.option("basePath", stage.toString)
+        .schema(physicalSchema(incoming, mapping))
+      val staged = reader
+        .parquet(rels.map(r => new Path(stage, r).toString): _*)
+        .select(incoming.fieldNames.toIndexedSeq.map(n =>
+          org.apache.spark.sql.functions.col(physPath(n, mapping)).as(n)): _*)
+      constraints.foreach { case (name, check) =>
+        val e = org.apache.spark.sql.functions.expr(check)
+        require(staged.filter(org.apache.spark.sql.functions.not(e))
+            .limit(1).count() == 0,
+          s"CHECK constraint '$name' violated by streaming batch $batchId: $check")
+      }
+    }
+    val (_, perFile) = stagedFooterStats(stage, rels, statsColumns.toSet,
+      needRows = false)
+    val statsIdx = statsColumns.toSet
+    val fileStats =
+      if (statsIdx.isEmpty) Map.empty[String, Map[String, ColStat]]
+      else perFile.view.mapValues(_.view.filterKeys(statsIdx).toMap)
+        .filter(_._2.nonEmpty).toMap
+    val out =
+      if (rels.isEmpty) {
+        // empty epoch: elide (W6) — a replayed empty epoch re-elides,
+        // so skipping the batchId record is harmless. A Complete-mode
+        // empty result still truncates: an empty aggregate IS a result.
+        val removed = if (replace) liveFiles() else Seq.empty
+        if (removed.nonEmpty) {
+          val schema = commits().lastOption.map(_.schemaJson).getOrElse("")
+          Some(commit(Commit(0, "replace", Nil, removed, Map.empty,
+            partitionBy, schema, Map.empty, Some(batchId), now(),
+            appId = Some(appId))))
+        } else None
+      } else {
+        val added = rels.map { rel =>
+          val from = new Path(stage, rel)
+          val to = new Path(rootPath, rel)
+          fs.mkdirs(to.getParent)
+          if (!fs.rename(from, to))
+            throw new java.io.IOException(s"rename failed: $from -> $to")
+          rel
+        }
+        val removed = if (replace) liveFiles() else Seq.empty
+        val schemaDdl = mergedSchema(incoming).toDDL
+        Some(commit(Commit(0, if (replace) "replace" else "append", added,
+          removed, Map.empty, partitionBy, schemaDdl, Map.empty,
+          Some(batchId), now(), appId = Some(appId), fileStats = fileStats)))
+      }
+    fs.delete(stage, true)
+    out
+  }
 
   private def write(df: DataFrame, action: String, partitionBy: Seq[String],
       partitionValues: Map[String, String], partitionFilter: Map[String, String],
@@ -1824,6 +2059,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           s"integral/date/timestamp (got ${f.dataType.simpleString})")
       }
     }
+    // Column mapping (X72): the staged files carry PHYSICAL names —
+    // the one rename boundary of the write path. Everything logical
+    // (constraints, statMeta type checks, the committed schema) was
+    // already evaluated above/below on the logical frame.
+    val mapping = columnMapping()
+    val physParts = withParts.select(withParts.columns.toIndexedSeq.map(c =>
+      org.apache.spark.sql.functions.col(c).as(physPath(c, mapping))): _*)
+    val physPartitionBy = partitionBy.map(physPath(_, mapping))
+    val physStatsColumns = statsColumns.map(physPath(_, mapping))
+    val physStatMetaCols = statMeta.map(sm => physPath(sm.column, mapping))
     // 1. stage: write into a unique dir so added files are exactly known.
     //    Staging FIRST (not probing df.isEmpty) means the input lineage
     //    computes exactly once; a partitioned write of zero rows stages
@@ -1835,7 +2080,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // (where [min,max] spans are useless unless perfectly clustered) —
     // both applied before any row decodes. Standard parquet metadata:
     // any reader benefits; Spark pushes eq/IN predicates to it.
-    val writer = bloomColumns.foldLeft(withParts.write.mode("overwrite")) {
+    val writer = bloomColumns.map(physPath(_, mapping))
+        .foldLeft(physParts.write.mode("overwrite")) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     // INT64 micros, not the deprecated INT96 Spark still defaults to:
@@ -1850,32 +2096,34 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // per-root locked) never restore INT96 under each other mid-stage
     // or leave MICROS permanently set (ADVICE r4 #3).
     withMicrosTimestamps(spark) {
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-        .parquet(stage.toString)
+      (if (physPartitionBy.nonEmpty) writer.partitionBy(physPartitionBy: _*)
+       else writer).parquet(stage.toString)
     }
     val staged = listParquet(fs, stage).map(p => relativize(stage, p))
     // partitioned zero-row writes stage no files; non-partitioned ones
     // stage one schema-only file — detect via footer counts (no job).
     // The same footer pass yields per-file column [min,max]: the global
     // max feeds statMeta watermarks, the per-file entries become the
-    // commit's data-skipping index (statsColumns).
+    // commit's data-skipping index (statsColumns). Keys are PHYSICAL.
     val (stagedRows, perFile) = stagedFooterStats(stage, staged,
-      statMeta.map(_.column).toSet ++ statsColumns, needRows = partitionBy.isEmpty)
+      physStatMetaCols.toSet ++ physStatsColumns, needRows = partitionBy.isEmpty)
     // watermarks are integral by contract — fail LOUDLY if one was
     // declared on a string column (silently pinning to the floor would
     // make an incremental consumer rescan or skip everything, forever)
-    statMeta.foreach { sm =>
+    statMeta.zip(physStatMetaCols).foreach { case (sm, pc) =>
       require(!perFile.valuesIterator.flatten.exists(kv =>
-        kv._1 == sm.column && kv._2.isString),
+        kv._1 == pc && kv._2.isString),
         s"statMeta watermark column '${sm.column}' is a string column — " +
           "watermark high-waters need a discretely ordered integral domain")
     }
     val stagedMax = perFile.valuesIterator.flatten.toSeq
       .filter(!_._2.isString)
       .groupMapReduce(_._1)(_._2.max)(math.max)
-    val allMeta = meta ++ statMeta.map(sm => sm.key ->
-      math.max(sm.floor, stagedMax.get(sm.column).map(_ + 1).getOrElse(sm.floor)).toString)
-    val statsIdx = statsColumns.toSet
+    val allMeta = meta ++ statMeta.zip(physStatMetaCols).map { case (sm, pc) =>
+      sm.key ->
+        math.max(sm.floor, stagedMax.get(pc).map(_ + 1).getOrElse(sm.floor)).toString
+    }
+    val statsIdx = physStatsColumns.toSet
     val fileStats =
       if (statsIdx.isEmpty) Map.empty[String, Map[String, ColStat]]
       else perFile.view.mapValues(_.view.filterKeys(statsIdx).toMap)
@@ -2005,10 +2253,22 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // null index is suppressed for them below (precise via the
         // schema's max repetition level, not name heuristics)
         val repeated = scala.collection.mutable.HashSet.empty[String]
+        // distinct PHYSICAL dot-paths per normalized index key: a
+        // genuine struct chain literally named `list`/`element` (or
+        // `key_value`) normalizes onto the same key as a sibling
+        // container leaf, and merging two physical leaves into one
+        // ColStat ADDS their null tallies — which can fabricate
+        // allNull and unsoundly prune. Colliding keys are dropped
+        // whole below (conservative: those files never prune on that
+        // key) — ADVICE r7.
+        val physByNorm = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.Set[String]]
         if (cols.nonEmpty) rd.getFooter.getBlocks.forEach { block =>
           block.getColumns.forEach { cc =>
             val name = IncrementalTable.normalizeLeafPath(cc.getPath.toDotString)
             if (cols.contains(name)) {
+              physByNorm.getOrElseUpdate(name,
+                scala.collection.mutable.Set.empty) += cc.getPath.toDotString
               if (rd.getFooter.getFileMetaData.getSchema
                   .getColumnDescription(cc.getPath.toArray)
                   .getMaxRepetitionLevel > 0) repeated += name
@@ -2060,7 +2320,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // columns (non-ASCII string bounds, non-integral types) keep
         // a BOUNDLESS entry: full-range min/max prune nothing, the
         // null tally still works.
-        val withNulls = seen.iterator.flatMap { name =>
+        val collided = physByNorm.iterator
+          .collect { case (k, phys) if phys.size > 1 => k }.toSet
+        val withNulls = seen.iterator.filterNot(collided).flatMap { name =>
           // REPEATED-leaf entries (array elements, map keys/values):
           // the footer null tally is in ELEMENT units while `rows` is
           // RECORD units — recording it would let `allNull`

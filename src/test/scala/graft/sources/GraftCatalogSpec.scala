@@ -410,7 +410,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GraftRelation.lastScan(root).get.filesScanned == 0)
   }
 
-  test("ALTER TABLE DROP COLUMN projects the schema; RENAME is rejected with a CTAS recipe") {
+  test("ALTER TABLE DROP COLUMN projects the schema; RENAME is a column-mapping commit") {
     spark.sql(s"CREATE TABLE $cat.lake.dc (k BIGINT, s STRING, v BIGINT)")
     spark.sql(s"INSERT INTO $cat.lake.dc " +
       "SELECT id, concat('x', id), id * 10 FROM range(5)")
@@ -427,11 +427,26 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.lake.dc ADD COLUMNS (v BIGINT)")
     }
-    // rename: rejected loudly with the migration recipe
-    val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.lake.dc RENAME COLUMN s TO label")
+    // RENAME COLUMN (X72): metadata-only, both generations serve the
+    // new name, post-rename inserts keep working
+    spark.sql(s"ALTER TABLE $cat.lake.dc RENAME COLUMN s TO label")
+    assert(spark.table(s"$cat.lake.dc").columns.toSeq == Seq("k", "label"))
+    assert(spark.sql(s"SELECT label FROM $cat.lake.dc WHERE k = 2")
+      .as[String].head() == "x2")
+    spark.sql(s"INSERT INTO $cat.lake.dc SELECT 10, 'z'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.dc WHERE label IS NOT NULL")
+      .as[Long].head() == 7)
+    // the old name is gone from the head and reserved forever
+    intercept[Exception] {
+      spark.sql(s"SELECT s FROM $cat.lake.dc").collect()
     }
-    assert(e.getMessage.contains("CTAS"), e.getMessage)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.dc ADD COLUMNS (s STRING)")
+    }
+    // time travel BEFORE the rename shows the old name
+    assert(spark.sql(s"SELECT s FROM $cat.lake.dc VERSION AS OF 1")
+      .as[String].collect().sorted.toSeq ==
+      Seq("x0", "x1", "x2", "x3", "x4"))
     ()
   }
 
