@@ -1481,6 +1481,136 @@ object QueriesPipeline {
               |FROM graft.lake.renc WHERE okey <= 3000
               |ORDER BY snap, okey""".stripMargin)
     }),
+
+    // ---- SQL in-struct ADD COLUMN (X73) --------------------------------
+    // The X3 add-column contract one nesting level down: `ALTER TABLE …
+    // ADD COLUMNS (hdr.prio STRING)` extends the struct as a metadata
+    // commit — files written before the field existed read it as NULL
+    // (parquet resolves struct members by name), new inserts carry it,
+    // nothing rewrites. The union of both generations pins it: a
+    // mis-bound ordinal read (old files' struct members shifting), a
+    // lost new-leaf value, or an over-eager null on the new generation
+    // breaks the hash.
+    "q134_sql_struct_evolution" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.sev")
+      s.sql("""CREATE TABLE graft.lake.sev
+              |  (okey BIGINT, hdr STRUCT<status: STRING, total: DOUBLE>)""".stripMargin)
+      Tables.orders(s, dir).select($"o_orderkey".as("okey"),
+          $"o_orderstatus".as("status"), $"o_totalprice".as("total"),
+          $"o_orderpriority".as("prio"))
+        .createOrReplaceTempView("q134_src")
+      s.sql("""INSERT INTO graft.lake.sev
+              |SELECT okey, named_struct('status', status, 'total', total)
+              |FROM q134_src WHERE okey % 3 = 0""".stripMargin)
+      s.sql("ALTER TABLE graft.lake.sev ADD COLUMNS (hdr.prio STRING)")
+      s.sql("""INSERT INTO graft.lake.sev
+              |SELECT okey,
+              |  named_struct('status', status, 'total', total, 'prio', prio)
+              |FROM q134_src WHERE okey % 3 = 1""".stripMargin)
+      s.sql("""SELECT okey, hdr.status AS status, hdr.total AS total,
+              |  hdr.prio AS prio
+              |FROM graft.lake.sev WHERE okey <= 3000 ORDER BY okey""".stripMargin)
+    }),
+
+    // ---- conditional-clause MERGE WITH SCHEMA EVOLUTION (X74) ----------
+    // X70 covered the canonical upsert; this is the general form: the
+    // clauses are CONDITIONAL (update-if, delete-else, insert-if) and
+    // assign a column the target lacks. The analyzer's public evolution
+    // hook (armed by AUTOMATIC_SCHEMA_EVOLUTION) widens the table as one
+    // atomic schema commit, then the clause engine applies first-true-
+    // wins semantics in one copy-on-write commit. The oracle replays
+    // every clause relationally; a clause fired against post-merge
+    // state, a lost evolved value, a delete leaking through, or
+    // evolution applied to kept rows all break the hash.
+    "q135_sql_merge_cond_evolution" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.mcev")
+      s.sql("CREATE TABLE graft.lake.mcev (okey BIGINT, status STRING)")
+      Tables.orders(s, dir).select($"o_orderkey".as("okey"),
+          $"o_orderstatus".as("status"), $"o_totalprice".as("total"))
+        .createOrReplaceTempView("q135_src")
+      s.sql("INSERT INTO graft.lake.mcev " +
+        "SELECT okey, status FROM q135_src WHERE okey % 2 = 0")
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.lake.mcev t
+              |USING (SELECT okey, status, total FROM q135_src
+              |       WHERE okey % 3 = 0) s
+              |ON t.okey = s.okey
+              |WHEN MATCHED AND s.total >= 50000 THEN
+              |  UPDATE SET status = s.status, total = s.total
+              |WHEN MATCHED THEN DELETE
+              |WHEN NOT MATCHED AND s.total < 50000 THEN
+              |  INSERT (okey, status, total) VALUES (s.okey, 'N', s.total)
+              |""".stripMargin)
+      s.sql("""SELECT okey, status, total FROM graft.lake.mcev
+              |WHERE okey <= 4000 ORDER BY okey""".stripMargin)
+    }),
+
+    // ---- FLOAT/DOUBLE data skipping (X75) ------------------------------
+    // Double leaves join the [min,max] index: three appends clustered by
+    // price range give disjoint double spans, so the range predicate
+    // opens ~1/3 of the files (DoubleSkippingSpec pins the counts and
+    // the NaN-omission soundness — parquet drops double stats when any
+    // NaN was written, so a NaN-bearing file is never pruned). The
+    // oracle replays the range over flat orders; an unsound double
+    // bound (a pruned file that held a boundary row) breaks the hash.
+    "q136_double_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q136_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/ord/v1")
+      val src = Tables.orders(s, dir).select($"o_orderkey".as("okey"),
+        $"o_totalprice".as("total"))
+      val sc = Seq("total")
+      t.append(src.filter($"total" < 30000.0), Nil, statsColumns = sc)
+      t.append(src.filter($"total" >= 30000.0 && $"total" < 90000.0), Nil,
+        statsColumns = sc)
+      t.append(src.filter($"total" >= 90000.0), Nil, statsColumns = sc)
+      t.readWhere($"total" >= 35000.0 && $"total" < 80000.0)
+        .select($"okey", $"total").orderBy($"okey")
+    }),
+
+    // ---- catalog-addressed streaming: readStream.table → toTable (X51′) -
+    // The DSv2 streaming bridge end-to-end by NAME: commits of a source
+    // table drain as micro-batches (rate-limited one commit per batch),
+    // a projection runs inside the stream, and the sink table commits
+    // per-epoch appends under the exactly-once replay guard — then a
+    // SECOND drain from the same checkpoint proves nothing re-delivers.
+    // The oracle replays the projection relationally; a dropped or
+    // re-delivered batch, a mis-overlaid partition value, or a replay
+    // guard failure all break the hash.
+    "q137_stream_sql_totable" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.ssrc")
+      s.sql("DROP TABLE IF EXISTS graft.lake.ssink")
+      s.sql("CREATE TABLE graft.lake.ssrc (ck BIGINT, name STRING)")
+      s.sql("""CREATE TABLE graft.lake.ssink (ck BIGINT, digest STRING,
+              |  len BIGINT)""".stripMargin)
+      Tables.customer(s, dir)
+        .select($"c_custkey".as("ck"), $"c_name".as("name"))
+        .createOrReplaceTempView("q137_src")
+      s.sql("INSERT INTO graft.lake.ssrc SELECT ck, name FROM q137_src " +
+        "WHERE ck % 2 = 0")
+      s.sql("INSERT INTO graft.lake.ssrc SELECT ck, name FROM q137_src " +
+        "WHERE ck % 2 = 1")
+      val ckpt = graft.QueryTmp.dir("graft_q137_") + "/ckpt"
+      def drain(): Unit = s.readStream
+        .option("maxCommitsPerTrigger", 1).table("graft.lake.ssrc")
+        .select($"ck", md5($"name").as("digest"),
+          length($"name").cast("long").as("len"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.lake.ssink").awaitTermination()
+      drain()
+      drain() // replay guard: second drain commits nothing
+      s.sql("SELECT ck, digest, len FROM graft.lake.ssink ORDER BY ck")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1972,5 +2102,41 @@ object QueriesPipeline {
         |SELECT 'head' AS snap, okey, status, total AS amount
         |FROM src WHERE okey % 3 <= 1 AND okey <= 3000
         |ORDER BY snap, okey""".stripMargin,
+    // pre-alter rows read the new struct leaf as NULL; post-alter rows
+    // carry the source priority
+    "q134_sql_struct_evolution" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    o_totalprice AS total, o_orderpriority AS prio FROM orders)
+        |SELECT okey, status, total, CAST(NULL AS VARCHAR) AS prio FROM src
+        |WHERE okey % 3 = 0 AND okey <= 3000
+        |UNION ALL
+        |SELECT okey, status, total, prio FROM src
+        |WHERE okey % 3 = 1 AND okey <= 3000
+        |ORDER BY okey""".stripMargin,
+    // matched & rich: updated with the evolved total; matched & poor:
+    // deleted; unmatched target: kept with NULL total; unmatched poor
+    // source: inserted as 'N'
+    "q135_sql_merge_cond_evolution" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    o_totalprice AS total FROM orders)
+        |SELECT okey, status, total FROM src
+        |WHERE okey % 6 = 0 AND total >= 50000 AND okey <= 4000
+        |UNION ALL
+        |SELECT okey, status, CAST(NULL AS DOUBLE) AS total FROM src
+        |WHERE okey % 2 = 0 AND okey % 3 <> 0 AND okey <= 4000
+        |UNION ALL
+        |SELECT okey, 'N' AS status, total FROM src
+        |WHERE okey % 3 = 0 AND okey % 2 <> 0 AND total < 50000 AND okey <= 4000
+        |ORDER BY okey""".stripMargin,
+    "q136_double_skipping" ->
+      """SELECT o_orderkey AS okey, o_totalprice AS total FROM orders
+        |WHERE o_totalprice >= 35000.0 AND o_totalprice < 80000.0
+        |ORDER BY okey""".stripMargin,
+    "q137_stream_sql_totable" ->
+      """SELECT c_custkey AS ck, md5(c_name) AS digest,
+        |  CAST(length(c_name) AS BIGINT) AS len
+        |FROM customer ORDER BY ck""".stripMargin,
   )
 }

@@ -240,8 +240,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"in-struct type changes are rejected (X49): ${u.fieldNames.mkString(".")}")
       u.fieldNames.head -> u.newDataType
     }.toMap
-    added.foreach(a => require(a.fieldNames.length == 1,
-      s"in-struct evolution is a type change (X49): ${a.fieldNames.mkString(".")}"))
+    // in-struct ADD COLUMN (X73): `ALTER TABLE t ADD COLUMNS (s.f T)` —
+    // a metadata commit extending the struct; old files read the new
+    // leaf as null (parquet by-name member resolution)
+    val (topAdds, nestedAdds) = added.partition(_.fieldNames.length == 1)
     val dropped = changes.collect { case d: TableChange.DeleteColumn => d }
       .map { d =>
         require(d.fieldNames.length == 1,
@@ -272,13 +274,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (added.nonEmpty || dropped.nonEmpty || widened.nonEmpty ||
         props.nonEmpty || addCons.nonEmpty || dropCons.nonEmpty)
       t.alter(
-        additions = StructType(added.map(a =>
+        additions = StructType(topAdds.map(a =>
           org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType))),
         drops = dropped,
         widen = widened,
         props = props.toMap,
         addConstraints = addCons.toMap,
-        dropConstraints = dropCons)
+        dropConstraints = dropCons,
+        nestedAdditions = nestedAdds.toIndexedSeq.map(a =>
+          a.fieldNames.init.toIndexedSeq ->
+            org.apache.spark.sql.types.StructField(a.fieldNames.last, a.dataType)))
     loadTable(ident)
   }
 
@@ -448,7 +453,16 @@ private[sources] final class GraftTable(spark: SparkSession,
       // MicroBatchStream/StreamingWrite bridges (same machinery as the
       // path front door's streaming table)
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE,
+      // MERGE WITH SCHEMA EVOLUTION beyond the canonical upsert (X74):
+      // the analyzer's public evolution hook
+      // (ResolveMergeIntoSchemaEvolution) is gated on this capability —
+      // it widens the table through alterTable (one atomic metadata
+      // commit) and re-resolves the merge against the new schema, so
+      // conditional clauses may assign source-only columns. Plain MERGE
+      // (no WITH SCHEMA EVOLUTION) stays strict: the capability only
+      // arms the opt-in SQL clause.
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   /** Committed CHECK constraints surfaced to the engine (DESCRIBE,
     * write-side validation); enforcement itself lives in the table's

@@ -56,21 +56,25 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val keys = GraftDml.mergeKeys(mergeCond, r, source)
       val canonical = GraftDml.isCanonicalUpsert(matched, notMatched,
         notMatchedBySource)
-      // WITH SCHEMA EVOLUTION: the analyzer expands the stars over
-      // EXISTING target columns only — the engine adds the source-only
-      // columns itself (merge(evolveSchema): one commit, kept rows
-      // null-fill, untouched files read them as null). Supported for
-      // the canonical upsert, where "every clause takes the full
-      // source row" makes the evolved assignment unambiguous.
-      require(canonical || !withSchemaEvolution,
-        "graft MERGE WITH SCHEMA EVOLUTION supports the canonical upsert " +
-          "only (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *)")
       if (canonical)
         // fast path: the table format's native upsert (anti-join +
-        // union, no per-column CASE chains)
+        // union, no per-column CASE chains). WITH SCHEMA EVOLUTION:
+        // the analyzer expands the stars over EXISTING target columns
+        // only — the engine adds the source-only columns itself
+        // (merge(evolveSchema): one commit, kept rows null-fill,
+        // untouched files read them as null).
         GraftMergeCommand(r.table.asInstanceOf[GraftTable].table, source, keys,
           evolveSchema = withSchemaEvolution)
       else {
+        // Conditional-clause MERGE WITH SCHEMA EVOLUTION (X74) needs no
+        // handling here: the analyzer's public evolution hook
+        // (ResolveMergeIntoSchemaEvolution, armed by GraftTable's
+        // AUTOMATIC_SCHEMA_EVOLUTION capability) already widened the
+        // table through alterTable and re-resolved the clauses against
+        // the new schema — by this point every assigned column is
+        // committed, and the widened column reads as null for
+        // pre-existing rows exactly like any add-column evolution.
+        // (The library one-commit twin is mergeInto's `evolve`.)
         val (mc, nc, sc) = GraftDml.whenClauses(source, matched, notMatched,
           notMatchedBySource)
         GraftMergeClausesCommand(r.table.asInstanceOf[GraftTable].table,

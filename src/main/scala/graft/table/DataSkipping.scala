@@ -41,9 +41,14 @@ object DataSkipping {
       lower: Option[Long] = None, upper: Option[Long] = None,
       lowerS: Option[String] = None, upperS: Option[String] = None,
       lowerSStrict: Boolean = false, upperSStrict: Boolean = false,
-      reqNull: Boolean = false, reqNotNull: Boolean = false) {
+      reqNull: Boolean = false, reqNotNull: Boolean = false,
+      // float/double bounds (X75): no "next double", so strictness is
+      // carried explicitly like the string side
+      lowerD: Option[Double] = None, upperD: Option[Double] = None,
+      lowerDStrict: Boolean = false, upperDStrict: Boolean = false) {
     def hasValueBound: Boolean =
-      lower.nonEmpty || upper.nonEmpty || lowerS.nonEmpty || upperS.nonEmpty
+      lower.nonEmpty || upper.nonEmpty || lowerS.nonEmpty || upperS.nonEmpty ||
+        lowerD.nonEmpty || upperD.nonEmpty
   }
 
   /** Per-column bounds implied by `predicate` against `schema`
@@ -69,6 +74,17 @@ object DataSkipping {
       val mn = stat.minS.get
       b.lowerS.forall(lo => if (b.lowerSStrict) mx > lo else mx >= lo) &&
         b.upperS.forall(hi => if (b.upperSStrict) mn < hi else mn <= hi)
+    } else if (stat.isDouble) {
+      // NaN-free by construction (parquet-mr omits NaN-tainted double
+      // stats; the harvest double-checks), and a NaN literal never
+      // extracts — so plain double comparison is exact here. A file
+      // CONTAINING NaN has no entry at all and is always kept (NaN
+      // compares greater than everything in Spark, so pruning it on a
+      // finite upper bound would be unsound).
+      val mx = stat.maxD.get
+      val mn = stat.minD.get
+      b.lowerD.forall(lo => if (b.lowerDStrict) mx > lo else mx >= lo) &&
+        b.upperD.forall(hi => if (b.upperDStrict) mn < hi else mn <= hi)
     } else
       b.lower.forall(_ <= stat.max) && b.upper.forall(_ >= stat.min)
 
@@ -122,6 +138,43 @@ object DataSkipping {
     case a: AttributeReference if a.dataType == StringType => Some(a.name)
     case g: GetStructField if g.dataType == StringType => dotPath(g)
     case _ => None
+  }
+
+  /** A float/double attribute or struct leaf, possibly under the
+    * analyzer's value-preserving float→double cast (comparing a float
+    * column to a double literal). Integral→double casts are NOT
+    * unwrapped: a bigint loses precision in double, so the comparison
+    * domain changes. */
+  private def attrNameD(e: Expression): Option[String] = e match {
+    case a: AttributeReference
+        if a.dataType == FloatType || a.dataType == DoubleType => Some(a.name)
+    case g: GetStructField
+        if g.dataType == FloatType || g.dataType == DoubleType => dotPath(g)
+    case Cast(a: AttributeReference, DoubleType, _, _)
+        if a.dataType == FloatType => Some(a.name)
+    case Cast(g: GetStructField, DoubleType, _, _)
+        if g.dataType == FloatType => dotPath(g)
+    case _ => None
+  }
+
+  /** Finite float/double literals only (widened to double — exact).
+    * NaN is excluded: it compares GREATER than every value in Spark,
+    * outside what a finite [min,max] can answer; infinities are
+    * ordinary ordered values and stay. */
+  private def litDbl(e: Expression): Option[Double] = {
+    val v = e match {
+      case Literal(null, _) => None
+      case Literal(d: Double, DoubleType) => Some(d)
+      case Literal(f: Float, FloatType) => Some(f.toDouble)
+      case c: Cast if c.foldable &&
+          (c.dataType == DoubleType || c.dataType == FloatType) =>
+        Option(c.eval(null)).map {
+          case d: Double => d
+          case f: Float => f.toDouble
+        }
+      case _ => None
+    }
+    v.filterNot(_.isNaN)
   }
 
   /** The `….element` dot-path of an array column (or array struct-leaf)
@@ -187,15 +240,28 @@ object DataSkipping {
       val (x, y) = (a.getOrElse(k, Bounds()), b.getOrElse(k, Bounds()))
       val (loS, loStrict) = tighterS(x.lowerS, x.lowerSStrict, y.lowerS, y.lowerSStrict, takeMax = true)
       val (hiS, hiStrict) = tighterS(x.upperS, x.upperSStrict, y.upperS, y.upperSStrict, takeMax = false)
+      val (loD, loDStrict) = tighterD(x.lowerD, x.lowerDStrict, y.lowerD, y.lowerDStrict, takeMax = true)
+      val (hiD, hiDStrict) = tighterD(x.upperD, x.upperDStrict, y.upperD, y.upperDStrict, takeMax = false)
       k -> Bounds(
         (x.lower.toSeq ++ y.lower.toSeq).maxOption,
         (x.upper.toSeq ++ y.upper.toSeq).minOption,
         loS, hiS, loStrict, hiStrict,
-        x.reqNull || y.reqNull, x.reqNotNull || y.reqNotNull)
+        x.reqNull || y.reqNull, x.reqNotNull || y.reqNotNull,
+        loD, hiD, loDStrict, hiDStrict)
     }.toMap
 
   private def tighterS(a: Option[String], aStrict: Boolean,
       b: Option[String], bStrict: Boolean, takeMax: Boolean): (Option[String], Boolean) =
+    (a, b) match {
+      case (None, _) => (b, bStrict)
+      case (_, None) => (a, aStrict)
+      case (Some(x), Some(y)) =>
+        if (x == y) (a, aStrict || bStrict)
+        else if ((x > y) == takeMax) (a, aStrict) else (b, bStrict)
+    }
+
+  private def tighterD(a: Option[Double], aStrict: Boolean,
+      b: Option[Double], bStrict: Boolean, takeMax: Boolean): (Option[Double], Boolean) =
     (a, b) match {
       case (None, _) => (b, bStrict)
       case (_, None) => (a, aStrict)
@@ -230,6 +296,27 @@ object DataSkipping {
       one(attrName(a), Bounds(upper = litLong(v)))
     case LessThanOrEqual(v, a) if litLong(v).nonEmpty && attrName(a).nonEmpty =>
       one(attrName(a), Bounds(lower = litLong(v)))
+    // ---- float/double (X75) ----
+    case EqualTo(a, v) if litDbl(v).nonEmpty && attrNameD(a).nonEmpty =>
+      one(attrNameD(a), Bounds(lowerD = litDbl(v), upperD = litDbl(v)))
+    case EqualTo(v, a) if litDbl(v).nonEmpty && attrNameD(a).nonEmpty =>
+      one(attrNameD(a), Bounds(lowerD = litDbl(v), upperD = litDbl(v)))
+    case GreaterThan(a, v) if litDbl(v).nonEmpty && attrNameD(a).nonEmpty =>
+      one(attrNameD(a), Bounds(lowerD = litDbl(v), lowerDStrict = true))
+    case GreaterThan(v, a) if litDbl(v).nonEmpty && attrNameD(a).nonEmpty =>
+      one(attrNameD(a), Bounds(upperD = litDbl(v), upperDStrict = true))
+    case GreaterThanOrEqual(a, v) if litDbl(v).nonEmpty && attrNameD(a).nonEmpty =>
+      one(attrNameD(a), Bounds(lowerD = litDbl(v)))
+    case GreaterThanOrEqual(v, a) if litDbl(v).nonEmpty && attrNameD(a).nonEmpty =>
+      one(attrNameD(a), Bounds(upperD = litDbl(v)))
+    case LessThan(a, v) if litDbl(v).nonEmpty && attrNameD(a).nonEmpty =>
+      one(attrNameD(a), Bounds(upperD = litDbl(v), upperDStrict = true))
+    case LessThan(v, a) if litDbl(v).nonEmpty && attrNameD(a).nonEmpty =>
+      one(attrNameD(a), Bounds(lowerD = litDbl(v), lowerDStrict = true))
+    case LessThanOrEqual(a, v) if litDbl(v).nonEmpty && attrNameD(a).nonEmpty =>
+      one(attrNameD(a), Bounds(upperD = litDbl(v)))
+    case LessThanOrEqual(v, a) if litDbl(v).nonEmpty && attrNameD(a).nonEmpty =>
+      one(attrNameD(a), Bounds(lowerD = litDbl(v)))
     // ---- string ----
     case EqualTo(a, v) if litStr(v).nonEmpty =>
       one(attrNameS(a), Bounds(lowerS = litStr(v), upperS = litStr(v)))

@@ -94,8 +94,15 @@ final case class Commit(
   * entries deserialize with both absent and prune exactly as before. */
 final case class ColStat(min: Long, max: Long,
     minS: Option[String] = None, maxS: Option[String] = None,
-    nulls: Option[Long] = None, rows: Option[Long] = None) {
+    nulls: Option[Long] = None, rows: Option[Long] = None,
+    // float/double leaves (X75): exact footer [min,max] widened to
+    // double (`min`/`max` are 0 and ignored). parquet-mr omits
+    // double stats entirely when ANY NaN was written (probed:
+    // hasNonNullValue=false), so a recorded bound is NaN-free by
+    // construction; the harvest still defends against NaN explicitly.
+    minD: Option[Double] = None, maxD: Option[Double] = None) {
   def isString: Boolean = minS.isDefined
+  def isDouble: Boolean = minD.isDefined
   /** Every row's value is NULL (vacuously true for empty files): no
     * value predicate can match, and IS NOT NULL matches nothing. */
   def allNull: Boolean = rows.isDefined && nulls == rows
@@ -969,7 +976,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       matched: Seq[IncrementalTable.WhenClause],
       notMatched: Seq[IncrementalTable.WhenClause],
       notMatchedBySource: Seq[IncrementalTable.WhenClause],
-      statsColumns: Seq[String] = Nil): Option[Commit] = {
+      statsColumns: Seq[String] = Nil,
+      // MERGE WITH SCHEMA EVOLUTION beyond the canonical upsert (X74):
+      // `evolve` names columns the clauses ASSIGN that the target lacks
+      // — each becomes a new nullable column whose value is the fired
+      // clause's assignment (null when no clause assigns it), with the
+      // schema widening riding the SAME commit as the data (write-path
+      // add-column evolution). Clause CONDITIONS and assignment VALUES
+      // must not read an evolving column from the TARGET side (it has
+      // no pre-merge value) — the SQL rule rejects those shapes.
+      evolve: Seq[String] = Nil): Option[Commit] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
     import IncrementalTable.{WhenClause, mergeSourcePrefix}
     require(keys.nonEmpty, "merge needs key columns")
@@ -983,8 +999,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     (stored.fieldNames ++ source.columns).foreach(c =>
       require(!c.startsWith("_graft_"),
         s"column '$c' collides with merge staging names"))
+    evolve.foreach(k => require(!stored.fieldNames.contains(k),
+      s"evolved column '$k' already exists"))
+    evolve.foreach(k => require(
+      (matched ++ notMatched ++ notMatchedBySource)
+        .flatMap(_.set).flatten.exists(_._1 == k),
+      s"evolved column '$k' is assigned by no clause — its type would be " +
+        "undefined (void columns cannot be written)"))
     (matched ++ notMatched ++ notMatchedBySource).flatMap(_.set).flatten
-      .foreach { case (k, _) => require(stored.fieldNames.contains(k),
+      .foreach { case (k, _) => require(
+        stored.fieldNames.contains(k) || evolve.contains(k),
         s"merge assigns unknown column '$k'") }
     keys.foreach(k => require(source.columns.contains(k),
       s"merge source lacks key column '$k'"))
@@ -1059,6 +1083,17 @@ final class IncrementalTable(spark: SparkSession, val root: String,
               when(c, vOpt.map(_.cast(f.dataType))
                 .getOrElse(lit(null).cast(f.dataType))).otherwise(rest)
             }.as(f.name)
+        } ++ evolve.toIndexedSeq.map { k =>
+          // evolved column: the fired clause's assignment, else null;
+          // the type flows from the assignment expressions
+          notMatched.zipWithIndex
+            .collect { case (WhenClause(_, Some(set)), i)
+                if set.exists(_._1 == k) =>
+              (col("_graft_if") === i) ->
+                set.collectFirst { case (n, v) if n == k => v }.get }
+            .foldRight(lit(null): Column) { case ((c, v), rest) =>
+              when(c, v).otherwise(rest)
+            }.as(k)
         }: _*))
       }
 
@@ -1101,6 +1136,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           setters.foldRight(col(f.name)) { case ((c, v), rest) =>
             when(c, v.cast(f.dataType)).otherwise(rest)
           }.as(f.name)
+        } ++ evolve.toIndexedSeq.map { k =>
+          // a kept (or unassigned) target row has no pre-merge value
+          // for an evolving column: null, the add-column contract
+          val setters = matched.zipWithIndex.collect {
+              case (WhenClause(_, Some(set)), i) if set.exists(_._1 == k) =>
+                (col("_graft_mf") === i) ->
+                  set.collectFirst { case (n, v) if n == k => v }.get } ++
+            notMatchedBySource.zipWithIndex.collect {
+              case (WhenClause(_, Some(set)), i) if set.exists(_._1 == k) =>
+                (col("_graft_nf") === i) ->
+                  set.collectFirst { case (n, v) if n == k => v }.get }
+          setters.foldRight(lit(null): Column) { case ((c, v), rest) =>
+            when(c, v).otherwise(rest)
+          }.as(k)
         }: _*))
       }
 
@@ -1498,7 +1547,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         val e = col("stats").getItem(column)
         val allNull = e.getField("rows").isNotNull &&
           e.getField("nulls") === e.getField("rows")
-        val valueOk = e.isNotNull && e.getField("minS").isNull && !allNull &&
+        // string AND double entries decline: their bounds live outside
+        // the Long answer domain (X75 double entries carry min=max=0)
+        val valueOk = e.isNotNull && e.getField("minS").isNull &&
+          e.getField("minD").isNull && !allNull &&
           !(e.getField("min") === Long.MinValue &&
             e.getField("max") === Long.MaxValue)
         val agg = liveRowsDF(Map.empty, asOf).agg(
@@ -1517,7 +1569,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         val ok = liveFiles(Map.empty, asOf).forall { f =>
           stats.get(f).flatMap(_.get(column)) match {
             case Some(s) if s.allNull => true
-            case Some(s) if s.isString => false
+            case Some(s) if s.isString || s.isDouble => false
             case Some(s) if s.min == Long.MinValue && s.max == Long.MaxValue =>
               false // boundless marker — no sound value bound
             case Some(s) =>
@@ -1871,7 +1923,19 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       widen: Map[String, DataType] = Map.empty,
       props: Map[String, String] = Map.empty,
       addConstraints: Map[String, String] = Map.empty,
-      dropConstraints: Seq[String] = Nil): Commit = {
+      dropConstraints: Seq[String] = Nil,
+      // IN-STRUCT ADD COLUMN (X73): (path to the containing struct,
+      // new field) — the X3 add-column contract one nesting level
+      // down. Metadata-only: parquet resolves struct members BY NAME,
+      // so files written before the field existed read it as null
+      // (both Spark's vectorized reader and the RowParquet streaming
+      // bridge null-fill missing nested leaves); the skipping index
+      // simply has no entry for the new leaf in old files, so pruning
+      // stays conservative. Subsequent writes must carry the FULL new
+      // struct shape (a narrower struct is a loud type mismatch, the
+      // Delta-without-autoMerge contract). In-struct DROP/RENAME/type
+      // changes remain rejected (X49).
+      nestedAdditions: Seq[(Seq[String], org.apache.spark.sql.types.StructField)] = Nil): Commit = {
     val prev = committedSchemaAt().getOrElse(throw new IllegalStateException(
       s"table $root has no committed schema to alter"))
     // ALTER COLUMN TYPE, widening-only (the Delta typeWidening set):
@@ -1942,7 +2006,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val remaining = prev.fields.filterNot(f => drops.contains(f.name))
       .map(f => widen.get(f.name).fold(f)(to => f.copy(dataType = to)))
     require(remaining.nonEmpty, "cannot drop every column")
-    val merged = StructType(remaining ++ additions.fields.map(_.copy(nullable = true)))
+    val withNested = nestedAdditions.foldLeft(StructType(remaining)) {
+      case (s, (path, field)) =>
+        require(path.nonEmpty, "nested addition needs a struct path")
+        IncrementalTable.addStructField(s, path, field.copy(nullable = true))
+    }
+    val merged = StructType(withNested.fields ++
+      additions.fields.map(_.copy(nullable = true)))
     val meta = props.map { case (k, v) => s"prop/$k" -> v } ++
       addConstraints.map { case (n, c) => s"constraint/$n" -> c } ++
       dropConstraints.map(n => s"constraint/$n" -> "") ++
@@ -2100,6 +2170,22 @@ final class IncrementalTable(spark: SparkSession, val root: String,
        else writer).parquet(stage.toString)
     }
     val staged = listParquet(fs, stage).map(p => relativize(stage, p))
+    // Partition evolution is PINNED as unsupported (X76): a data write
+    // whose layout differs from the committed one would interleave two
+    // hive directory shapes under one root — directory pruning, the
+    // partition-value read path, and dynamic replace would all silently
+    // mis-scope. Refused loudly (Iceberg-style spec evolution would be
+    // the real feature); empty writes (meta-only commits) stay exempt,
+    // and an unpartitioned-so-far table may adopt a layout only while
+    // it has no committed layout to contradict.
+    if (staged.nonEmpty) {
+      val committed = committedPartitionBy
+      require(committed.isEmpty || partitionBy == committed,
+        s"partition layout is immutable: $root is partitioned by " +
+          s"(${committed.mkString(", ")}) but this write declares " +
+          s"(${partitionBy.mkString(", ")}); partition evolution is not " +
+          "supported — migrate via CTAS with the new layout")
+    }
     // partitioned zero-row writes stage no files; non-partitioned ones
     // stage one schema-only file — detect via footer counts (no job).
     // The same footer pass yields per-file column [min,max]: the global
@@ -2229,6 +2315,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     stats.update(name, stats.get(name).fold(ColStat(mn, mx))(p =>
       ColStat(math.min(p.min, mn), math.max(p.max, mx))))
 
+  private def updD(stats: scala.collection.mutable.HashMap[String, ColStat],
+      name: String, mn: Double, mx: Double): Unit =
+    stats.update(name,
+      stats.get(name).fold(ColStat(0, 0, minD = Some(mn), maxD = Some(mx)))(p =>
+        p.copy(minD = Some(p.minD.fold(mn)(math.min(_, mn))),
+          maxD = Some(p.maxD.fold(mx)(math.max(_, mx))))))
+
   private def stagedFooterStats(stage: Path, rels: Seq[String],
       cols: Set[String], needRows: Boolean): (Long, Map[String, Map[String, ColStat]]) = {
     if (rels.isEmpty || (cols.isEmpty && !needRows)) return (0L, Map.empty)
@@ -2299,6 +2392,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
                     upd(stats, name, mno.longValue(), mxo.longValue())
                   case (mno: java.lang.Integer, mxo: java.lang.Integer) =>
                     upd(stats, name, mno.longValue(), mxo.longValue())
+                  case (mno: java.lang.Double, mxo: java.lang.Double)
+                      if !mno.isNaN && !mxo.isNaN && !poisoned(name) =>
+                    updD(stats, name, mno.doubleValue(), mxo.doubleValue())
+                  case (mno: java.lang.Float, mxo: java.lang.Float)
+                      if !mno.isNaN && !mxo.isNaN && !poisoned(name) =>
+                    // float->double widening is exact
+                    updD(stats, name, mno.floatValue().toDouble,
+                      mxo.floatValue().toDouble)
                   case _ =>
                     // neither integral nor string (double, boolean,
                     // decimal...): no sound [min,max] in the index's
@@ -2844,6 +2945,32 @@ object IncrementalTable {
     * the keys [[DataSkipping]] produces for `array_contains`/`exists`/
     * `map_contains_key` predicates, so container leaves join the X6
     * index exactly like struct leaves (X54/X65/X69). */
+  /** Append `field` inside the struct at `path` (X73): every step must
+    * name an existing STRUCT (containers and leaves refuse — evolving
+    * inside an array/map element is a genuine type change), and the
+    * field must be fresh at its destination. */
+  private[table] def addStructField(schema: StructType, path: Seq[String],
+      field: org.apache.spark.sql.types.StructField): StructType = {
+    val head = path.head
+    val idx = schema.fields.indexWhere(_.name == head)
+    require(idx >= 0, s"no column '$head' to add a nested field under")
+    val f = schema.fields(idx)
+    f.dataType match {
+      case st: StructType =>
+        val newSt =
+          if (path.length == 1) {
+            require(!st.fieldNames.contains(field.name),
+              s"struct '$head' already has a field '${field.name}'")
+            StructType(st.fields :+ field)
+          } else addStructField(st, path.tail, field)
+        StructType(schema.fields.updated(idx, f.copy(dataType = newSt)))
+      case other => throw new IllegalArgumentException(
+        s"cannot add a field inside '$head' (${other.simpleString}): " +
+          "in-struct evolution applies to STRUCT columns only — anything " +
+          "else is a type change (X49)")
+    }
+  }
+
   private[table] def normalizeLeafPath(p: String): String =
     p.replace(".list.element", ".element").replace(".key_value.", ".")
 
@@ -2875,13 +3002,15 @@ object IncrementalTable {
     * [[ColStat]] shape as a parquet struct). */
   private[table] final case class CkptStatRow(min: Long, max: Long,
       minS: Option[String], maxS: Option[String],
-      nulls: Option[Long], rows: Option[Long])
+      nulls: Option[Long], rows: Option[Long],
+      // X75 double bounds; old checkpoint rows read them as null
+      minD: Option[Double] = None, maxD: Option[Double] = None)
 
   private[table] def toCkptStat(s: ColStat): CkptStatRow =
-    CkptStatRow(s.min, s.max, s.minS, s.maxS, s.nulls, s.rows)
+    CkptStatRow(s.min, s.max, s.minS, s.maxS, s.nulls, s.rows, s.minD, s.maxD)
 
   private[table] def fromCkptStat(s: CkptStatRow): ColStat =
-    ColStat(s.min, s.max, s.minS, s.maxS, s.nulls, s.rows)
+    ColStat(s.min, s.max, s.minS, s.maxS, s.nulls, s.rows, s.minD, s.maxD)
 
   /** One live file's row in a columnar checkpoint: relative path, size
     * in bytes (-1 = unknown, filled at the next checkpoint build),
@@ -2978,10 +3107,18 @@ object IncrementalTable {
     val intOk =
       b.lower.map(lo => stat.getField("max") >= lit(lo)).getOrElse(lit(true)) &&
         b.upper.map(hi => stat.getField("min") <= lit(hi)).getOrElse(lit(true))
+    val mnD = stat.getField("minD")
+    val mxD = stat.getField("maxD")
+    val dblOk =
+      b.lowerD.map(lo => if (b.lowerDStrict) mxD > lit(lo) else mxD >= lit(lo))
+        .getOrElse(lit(true)) &&
+        b.upperD.map(hi => if (b.upperDStrict) mnD < lit(hi) else mnD <= lit(hi))
+          .getOrElse(lit(true))
     when(stat.isNull, lit(true))
       .when(lit(b.reqNull) && nulls.isNotNull && nulls === lit(0L), lit(false))
       .when(allNull, lit(!b.reqNotNull && !b.hasValueBound))
       .when(mnS.isNotNull, strOk)
+      .when(mnD.isNotNull, dblOk)
       .otherwise(intOk)
   }
 

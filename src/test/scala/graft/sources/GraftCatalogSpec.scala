@@ -226,14 +226,18 @@ class GraftCatalogSpec extends SparkSpec {
     // inserted rows carry the full source row including tag
     assert(rows == Seq((0L, 0L, None), (1L, 1L, None), (2L, 20L, Some("t2")),
       (3L, 30L, Some("t3")), (4L, 40L, Some("t4"))))
-    // schema + data evolved in ONE commit
-    assert(IncrementalTable(spark, root).latestVersion == v0 + 1)
-    // evolution outside the canonical upsert is refused, not guessed
-    intercept[Exception] {
-      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.lake.se t
-                   |USING se_src s ON t.k = s.k
-                   |WHEN MATCHED THEN DELETE""".stripMargin)
-    }
+    // SQL evolution rides the analyzer's public hook (X74): one atomic
+    // schema commit (alterTable) then the merge commit — the round-8
+    // shape, uniform with conditional-clause evolution; the library
+    // twin merge(evolveSchema)/mergeInto(evolve) stays one-commit
+    val t = IncrementalTable(spark, root)
+    assert(t.latestVersion == v0 + 2)
+    assert(t.commits().takeRight(2).map(_.action) == Seq("meta", "replace"))
+    // an evolution clause with nothing to evolve is a plain merge
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.lake.se t
+                 |USING se_src s ON t.k = s.k
+                 |WHEN MATCHED AND t.k = 4 THEN DELETE""".stripMargin)
+    assert(spark.table(s"$cat.lake.se").count() == 4)
     ()
   }
 

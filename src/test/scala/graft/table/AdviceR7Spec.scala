@@ -77,6 +77,28 @@ class AdviceR7Spec extends SparkSpec {
     assert(out.select($"__graft_elem__").as[Long].collect().toSeq == Seq(5L))
   }
 
+  test("partition evolution is pinned: a data write with a different layout refuses") {
+    val t = IncrementalTable(spark, tmpDir("advr7") + "/t6")
+    t.append(Seq((1L, "a", "d1")).toDF("id", "v", "day"), Seq("day"))
+    // different layout, reordered layout, and dropped layout all refuse
+    Seq(Seq("v"), Seq("day", "v"), Nil).foreach { layout =>
+      val e = intercept[IllegalArgumentException] {
+        t.append(Seq((2L, "b", "d2")).toDF("id", "v", "day"), layout)
+      }
+      assert(e.getMessage.contains("partition layout is immutable"), e.getMessage)
+    }
+    // same layout still appends; meta-only commits stay exempt
+    t.append(Seq((2L, "b", "d2")).toDF("id", "v", "day"), Seq("day"))
+    t.commitMeta(Map("cursor/x" -> "1"))
+    assert(t.read().count() == 2)
+    // a full replace must keep the layout too
+    val e2 = intercept[IllegalArgumentException] {
+      t.replaceWhere(Seq((9L, "z", "d9")).toDF("id", "v", "day"), Nil,
+        Map.empty, Map.empty)
+    }
+    assert(e2.getMessage.contains("partition layout is immutable"), e2.getMessage)
+  }
+
   test("footer harvest: colliding normalized leaf paths drop the entry instead of merging") {
     val t = IncrementalTable(spark, tmpDir("advr7") + "/t5")
     // struct s { list: struct { element }, element }: the chain

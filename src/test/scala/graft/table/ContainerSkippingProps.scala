@@ -30,7 +30,8 @@ object ContainerSkippingProps extends Properties("containerskip") {
 
   private lazy val spark = SparkSpec.spark
 
-  private type R = (Long, Option[Seq[Option[Long]]], Map[String, Long])
+  private type R = (Long, Option[Seq[Option[Long]]], Map[String, Long],
+    Option[Double])
 
   private val rows: Gen[List[R]] = for {
     n <- Gen.choose(8, 30)
@@ -44,8 +45,15 @@ object ContainerSkippingProps extends Properties("containerskip") {
       nM <- Gen.choose(0, 2)
       keys <- Gen.listOfN(nM, Gen.oneOf("ka", "kb", "kc", "kd"))
       vals <- Gen.listOfN(nM, Gen.choose(0L, 100L))
+      // double leaf (X75): nulls AND NaN rows in the mix — NaN orders
+      // above every value in Spark, so a file holding one must survive
+      // any upper-bounded prune (parquet omits its stats entirely)
+      d <- Gen.frequency(
+        6 -> Gen.choose(0.0, 100.0).map(Option(_)),
+        1 -> Gen.const(Option(Double.NaN)),
+        1 -> Gen.const(Option.empty[Double]))
     } yield (k, if (hasArr) Some(xs.take(nArr)) else None,
-      keys.zip(vals).toMap))
+      keys.zip(vals).toMap, d))
   } yield rs
 
   private val preds: Gen[Column] = {
@@ -60,7 +68,13 @@ object ContainerSkippingProps extends Properties("containerskip") {
       Gen.oneOf("ka", "kd").map(k => exists(map_keys(col("m")), _ === k)),
       for { a <- Gen.choose(0L, 90L); w <- Gen.choose(0L, 30L) } yield
         exists(map_values(col("m")), v => v >= a && v <= a + w),
-      Gen.choose(0L, 60L).map(v => col("k") >= v))
+      Gen.choose(0L, 60L).map(v => col("k") >= v),
+      for { a <- Gen.choose(0.0, 90.0); w <- Gen.choose(0.0, 30.0) } yield
+        col("d") >= a && col("d") <= a + w,
+      Gen.choose(0.0, 110.0).map(v => col("d") > v),
+      Gen.choose(0.0, 110.0).map(v => col("d") < v),
+      Gen.const(col("d").isNull),
+      Gen.const(col("d").isNotNull))
     Gen.frequency(2 -> leaf, 1 -> (for { a <- leaf; b <- leaf } yield a && b))
   }
 
@@ -77,8 +91,8 @@ object ContainerSkippingProps extends Properties("containerskip") {
       val t = IncrementalTable(spark, s"$dir/t")
       val slices = rs.grouped(math.max(1, rs.size / nFiles)).toSeq
       slices.foreach { slice =>
-        t.append(slice.toDF("k", "xs", "m").repartition(1), Nil,
-          statsColumns = Seq("k", "xs.element", "m.key", "m.value"))
+        t.append(slice.toDF("k", "xs", "m", "d").repartition(1), Nil,
+          statsColumns = Seq("k", "xs.element", "m.key", "m.value", "d"))
       }
       ps.forall { p =>
         val pruned = t.readWhere(p).select($"k").as[Long].collect().sorted.toSeq
