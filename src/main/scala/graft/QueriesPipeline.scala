@@ -1611,9 +1611,64 @@ object QueriesPipeline {
       drain() // replay guard: second drain commits nothing
       s.sql("SELECT ck, digest, len FROM graft.lake.ssink ORDER BY ck")
     }),
+
+    // ---- HIDDEN PARTITIONING (X77) -------------------------------------
+    // Iceberg-style partition transforms in pure SQL: the table is
+    // PARTITIONED BY (days(ts), bucket(8, user_id)) — both derived
+    // columns invisible to the schema and to every query. The window
+    // leg's ts range prunes whole day dirs, the user leg's point
+    // predicate keeps one bucket's dirs (HiddenPartitioningSpec pins
+    // the prune counts); the oracle replays both legs over the raw
+    // events parquet, so a row mis-routed at write or a dir unsoundly
+    // pruned at read breaks the hash. value sums ride FLOOR(v*100) as
+    // BIGINT — deterministic under any accumulation order.
+    "q138_hidden_partitioning" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.evhp")
+      s.sql("""CREATE TABLE graft.lake.evhp (event_id BIGINT, ts TIMESTAMP,
+              |  user_id BIGINT, event_type STRING, value DOUBLE)
+              |PARTITIONED BY (days(ts), bucket(8, user_id))""".stripMargin)
+      Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .createOrReplaceTempView("q138_src")
+      s.sql("""INSERT INTO graft.lake.evhp
+              |SELECT event_id, ts, user_id, event_type, value FROM q138_src""".stripMargin)
+      s.sql("""
+        |SELECT leg, event_type, n, sv FROM (
+        |  SELECT 'window' AS leg, event_type, COUNT(*) AS n,
+        |         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sv
+        |  FROM graft.lake.evhp
+        |  WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP'2024-01-13 00:00:00'
+        |  GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'user' AS leg, event_type, COUNT(*) AS n,
+        |         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sv
+        |  FROM graft.lake.evhp
+        |  WHERE user_id = 42 AND ts >= TIMESTAMP'2024-01-05 00:00:00'
+        |  GROUP BY event_type
+        |) ORDER BY leg, event_type""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q138_hidden_partitioning" ->
+      """SELECT leg, event_type, n, sv FROM (
+        |  SELECT 'window' AS leg, event_type, COUNT(*) AS n,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |  GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'user' AS leg, event_type, COUNT(*) AS n,
+        |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events
+        |  WHERE user_id = 42 AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  GROUP BY event_type
+        |) ORDER BY leg, event_type""".stripMargin,
     "q28_watermark_slice" ->
       """SELECT CAST(p_partkey AS BIGINT) AS seq, p_partkey, p_name
         |FROM part WHERE p_partkey > 150 ORDER BY seq""".stripMargin,

@@ -189,15 +189,52 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // hidden partitioning (X77): Iceberg-style transforms in
+    // PARTITIONED BY — `days(ts)`, `bucket(8, id)`, `truncate(4, s)` —
+    // become derived partition columns (default Iceberg-convention
+    // names: ts_day, id_bucket, s_trunc) committed as `ptransform/`
+    // specs; identity references stay plain partition columns
+    def baseOf(t: Transform): String = {
+      require(t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1,
+        s"partition transform $t must reference one top-level column")
+      t.references.head.fieldNames.head
+    }
+    def litInt(t: Transform): Int = t.arguments.collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value match {
+          case i: Integer => i.intValue
+          case l2: java.lang.Long => l2.intValue
+          case other => other.toString.toInt
+        }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"partition transform $t needs an integer literal argument"))
+    val specs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def derived(specStr: String): String = {
+      val t = graft.table.PartitionTransform.parse(specStr, schema) // loud validation
+      val name = graft.table.PartitionTransform.defaultName(t)
+      require(!schema.fieldNames.contains(name),
+        s"derived partition column '$name' collides with a schema column")
+      specs(name) = t.spec
+      name
+    }
     val partitionBy = partitions.toIndexedSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
+      case t if Set("years", "months", "days", "hours")(t.name) =>
+        derived(s"${t.name}(${baseOf(t)})")
+      case t if t.name == "bucket" =>
+        derived(s"bucket(${litInt(t)},${baseOf(t)})")
+      case t if t.name == "truncate" =>
+        derived(s"truncate(${litInt(t)},${baseOf(t)})")
       case other => throw new UnsupportedOperationException(
-        s"graft tables partition by identity columns only (got $other)")
+        s"graft tables partition by identity columns or " +
+          s"years/months/days/hours/bucket/truncate transforms (got $other)")
     }
     val props = properties.asScala.toMap -- GraftCatalog.reservedProps
     IncrementalTable(spark, tablePath(ident).toString)
-      .create(schema, partitionBy, props.map { case (k, v) => s"prop/$k" -> v })
+      .create(schema, partitionBy, props.map { case (k, v) => s"prop/$k" -> v },
+        transforms = specs.toMap)
     loadTable(ident)
   }
 
@@ -437,8 +474,22 @@ private[sources] final class GraftTable(spark: SparkSession,
   override def schema(): StructType =
     table.schemaAt(asOf).getOrElse(new StructType())
 
-  override def partitioning(): Array[Transform] =
-    table.partitionColumns.map(Expressions.identity).toArray
+  override def partitioning(): Array[Transform] = {
+    import graft.table.PartitionTransform.{Bucket, TimeTransform, Truncate}
+    val ts = table.partitionTransforms(asOf)
+    table.partitionColumns.map { p =>
+      ts.get(p) match {
+        case Some(TimeTransform("years", b, _)) => Expressions.years(b)
+        case Some(TimeTransform("months", b, _)) => Expressions.months(b)
+        case Some(TimeTransform("days", b, _)) => Expressions.days(b)
+        case Some(TimeTransform("hours", b, _)) => Expressions.hours(b)
+        case Some(Bucket(n, b, _)) => Expressions.bucket(n, b)
+        case Some(Truncate(w, b, _)) => Expressions.apply("truncate",
+          Expressions.literal(w), Expressions.column(b))
+        case _ => Expressions.identity(p)
+      }
+    }.toArray
+  }
 
   override def properties(): JMap[String, String] =
     (table.tableProperties +

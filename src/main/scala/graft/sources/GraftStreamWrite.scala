@@ -66,9 +66,15 @@ final class GraftStreamingWrite(table: IncrementalTable,
     val mapping = table.columnMapping()
     val phys = StructType(writeSchema.fields.map(f =>
       f.copy(name = mapping.getOrElse(f.name, f.name))))
+    // hidden partitioning (X77): derived partition columns route via
+    // their committed transform, evaluated per row executor-side (spec
+    // strings ship; transform bases are rename-guarded, so the names
+    // hold under the physical schema too)
+    val specs = table.partitionTransforms().view
+      .mapValues(_.spec).toMap.toSeq
     new GraftStreamWriterFactory(
       new Path(new Path(table.root), s"_staging/$stageNs").toString,
-      phys.toDDL, partitionBy, conf)
+      phys.toDDL, partitionBy, specs, conf)
   }
 
   override def commit(epochId: Long,
@@ -95,12 +101,13 @@ final class GraftStreamingWrite(table: IncrementalTable,
 
 private[sources] final class GraftStreamWriterFactory(stageNsUri: String,
     schemaDdl: String, partitionBy: Seq[String],
+    transformSpecs: Seq[(String, String)],
     conf: RowParquet.SerializableConf) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftStreamDataWriter(new Path(stageNsUri, s"e$epochId"),
-      StructType.fromDDL(schemaDdl), partitionBy, conf.value,
-      partitionId, taskId)
+      StructType.fromDDL(schemaDdl), partitionBy, transformSpecs,
+      conf.value, partitionId, taskId)
 }
 
 /** Executor-side writer: routes each row to its hive partition dir
@@ -110,10 +117,26 @@ private[sources] final class GraftStreamWriterFactory(stageNsUri: String,
   * rel paths on task commit. One open file per partition value per
   * task, same as Spark's dynamic-partition writer without sorting. */
 private[sources] final class GraftStreamDataWriter(epochStage: Path,
-    schema: StructType, partitionBy: Seq[String], conf: Configuration,
+    schema: StructType, partitionBy: Seq[String],
+    transformSpecs: Seq[(String, String)], conf: Configuration,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
-  private val partOrds: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
+  // per partition column: Left(field ordinal) routes an identity
+  // column by its row value; Right(transform, base ordinal) derives
+  // the token per row (X77) — parse against the write schema is loud
+  // when the stream projection dropped the base column
+  private val routes: Array[Either[Int, (graft.table.PartitionTransform, Int)]] = {
+    val specs = transformSpecs.toMap
+    partitionBy.map { p =>
+      specs.get(p) match {
+        case Some(spec) =>
+          val t = graft.table.PartitionTransform.parse(spec, schema)
+          Right((t, schema.fieldIndex(t.base)))
+        case None => Left(schema.fieldIndex(p))
+      }
+    }.toArray
+  }
+  private val partOrds: Array[Int] = routes.collect { case Left(o) => o }
   private val dataOrds: Array[Int] =
     schema.fields.indices.filterNot(partOrds.contains(_)).toArray
   private val dataSchema = StructType(dataOrds.map(schema.fields(_)))
@@ -126,13 +149,20 @@ private[sources] final class GraftStreamDataWriter(epochStage: Path,
     val dir = {
       val sb = new StringBuilder
       var i = 0
-      while (i < partOrds.length) {
-        val ord = partOrds(i)
-        val dt = schema.fields(ord).dataType
-        val v = if (row.isNullAt(ord)) null else row.get(ord, dt)
+      while (i < routes.length) {
         if (i > 0) sb.append('/')
         sb.append(partitionBy(i)).append('=')
-          .append(RowParquet.partitionToken(v, dt))
+        routes(i) match {
+          case Left(ord) =>
+            val dt = schema.fields(ord).dataType
+            val v = if (row.isNullAt(ord)) null else row.get(ord, dt)
+            sb.append(RowParquet.partitionToken(v, dt))
+          case Right((t, ord)) =>
+            val dt = schema.fields(ord).dataType
+            val v = if (row.isNullAt(ord)) null else t.eval(row.get(ord, dt))
+            sb.append(RowParquet.partitionToken(v,
+              org.apache.spark.sql.types.StringType))
+        }
         i += 1
       }
       sb.toString

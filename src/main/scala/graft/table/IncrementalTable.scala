@@ -509,6 +509,18 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val cmap = columnMapping(asOf)
     val b = if (cmap.isEmpty) b0
       else b0.map { case (k, bd) => physPath(k, cmap) -> bd }
+    // Hidden partitioning (X77): base-column bounds additionally prune
+    // at DIRECTORY granularity through the committed transforms — a
+    // `ts` range predicate drops whole `ts_day=…` dirs, a point lookup
+    // keeps one `…_bucket=…` dir, before any stats entry is consulted
+    // (and independently of whether the base column was ever indexed).
+    val dirBounds: Map[String, TokenBound] = {
+      val ts = partitionTransforms(asOf)
+      if (ts.isEmpty) Map.empty
+      else ts.flatMap { case (pcol, t) =>
+        b0.get(t.base).flatMap(t.infer).map(pcol -> _)
+      }
+    }
     parquetCkpt(commitsAsOf(asOf)) match {
       case Some(_) =>
         // THE 100× path: the prune runs as a Spark job over the
@@ -518,18 +530,27 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         import org.apache.spark.sql.functions.col
         import spark.implicits._
         val rows = liveRowsDF(filters, asOf)
-        val pruned =
+        val statPruned =
           if (b.isEmpty) rows
           else rows.filter(b.map { case (c, bd) =>
             IncrementalTable.overlapsExpr(col("stats").getItem(c), bd)
           }.reduce(_ && _))
+        val pruned =
+          if (dirBounds.isEmpty) statPruned
+          else statPruned.filter(dirBounds.map { case (p, tb) =>
+            tb.keepsExpr(p)
+          }.reduce(_ && _))
         pruned.select("file").as[String].collect().toSeq
       case None =>
-        if (b.isEmpty) liveFiles(filters, asOf)
+        if (b.isEmpty && dirBounds.isEmpty) liveFiles(filters, asOf)
         else {
           val stats = liveFileStats(asOf)
           liveFiles(filters, asOf).filter { f =>
-            stats.get(f).forall(fs => b.forall { case (col, bd) =>
+            val dirOk = dirBounds.isEmpty || {
+              val segs = IncrementalTable.hiveSegments(f)
+              dirBounds.forall { case (p, tb) => tb.keeps(segs.get(p)) }
+            }
+            dirOk && stats.get(f).forall(fs => b.forall { case (col, bd) =>
               fs.get(col).forall(DataSkipping.overlaps(bd, _))
             })
           }
@@ -1644,6 +1665,26 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   /** The table's committed partition layout (empty when unpartitioned). */
   def partitionColumns: Seq[String] = committedPartitionBy
 
+  /** Hidden-partitioning transforms (X77): derived partition column →
+    * parsed transform, committed at CREATE (`ptransform/` channel,
+    * immutable thereafter — X76 pins the layout). Empty for plain
+    * identity-partitioned tables. */
+  def partitionTransforms(asOf: Option[Long] = None): Map[String, PartitionTransform] = {
+    val specs = metaChannelOf(commitsAsOf(asOf), "ptransform/")
+    if (specs.isEmpty) Map.empty
+    else {
+      val schema = committedSchemaAt(asOf).getOrElse(new StructType())
+      specs.view.mapValues(PartitionTransform.parse(_, schema)).toMap
+    }
+  }
+
+  /** Partition columns that exist only as directory tokens (transform
+    * targets): committed layout minus schema columns. Guards use this
+    * without parsing specs. */
+  private def derivedPartitionCols: Set[String] =
+    committedPartitionBy.toSet --
+      committedSchemaAt().map(_.fieldNames.toSet).getOrElse(Set.empty)
+
   /** Read an explicit committed-file subset under the table's schema and
     * deletion-vector state as of `asOf`. The contract behind scan
     * planners that prune with [[liveFilesWhere]] and then hand the
@@ -1748,6 +1789,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     require(!committedPartitionBy.contains(from),
       s"cannot rename partition column '$from' (its name is baked into " +
         "every partition directory path); migrate via CTAS")
+    require(!committedPartitionBy.contains(to),
+      s"cannot rename to '$to': it is a partition column name (a schema " +
+        "column of that name would shadow the dir tokens)")
+    partitionTransforms().values.find(_.base == from).foreach(t =>
+      throw new IllegalArgumentException(
+        s"cannot rename '$from': it is the base of partition transform " +
+          s"${t.spec} (the committed spec binds the name); migrate via CTAS"))
     constraints.foreach { case (cn, check) =>
       val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseExpression(check).collect {
@@ -1880,13 +1928,32 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * (`prop/<key>` entries, same channel as constraints). Subsequent
     * appends evolve the schema add-column-only as usual. */
   def create(schema: StructType, partitionBy: Seq[String] = Nil,
-      meta: Map[String, String] = Map.empty): Commit = {
+      meta: Map[String, String] = Map.empty,
+      // Hidden partitioning (X77): derived partition column → transform
+      // spec (`days(ts)`, `bucket(8,id)`, `truncate(4,s)`); the derived
+      // column must appear in `partitionBy` and must NOT be a schema
+      // column — its value is a pure function of the base column,
+      // computed at every write and never stored in data files.
+      transforms: Map[String, String] = Map.empty): Commit = {
     require(!exists, s"graft table $root already exists")
     require(schema.nonEmpty, "CREATE TABLE needs at least one column")
-    partitionBy.foreach(p => require(schema.fieldNames.contains(p),
-      s"partition column '$p' is not in the schema"))
+    transforms.keys.foreach(p => require(partitionBy.contains(p),
+      s"transform partition column '$p' is not in partitionBy"))
+    partitionBy.foreach { p =>
+      transforms.get(p) match {
+        case Some(spec) =>
+          require(!schema.fieldNames.contains(p),
+            s"derived partition column '$p' must not be a schema column " +
+              "(hidden partitioning derives it from the base column)")
+          PartitionTransform.parse(spec, schema) // validates base + type, loud
+        case None => require(schema.fieldNames.contains(p),
+          s"partition column '$p' is not in the schema")
+      }
+    }
     commit(Commit(0, "append", Nil, Nil, Map.empty, partitionBy,
-      schema.toDDL, meta, None, now()))
+      schema.toDDL,
+      meta ++ transforms.map { case (p, s) => s"ptransform/$p" -> s },
+      None, now()))
   }
 
   /** ALTER TABLE ADD COLUMNS: extend the committed schema with new
@@ -1954,6 +2021,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         s"ALTER COLUMN '$n' ${f.dataType.simpleString} -> ${to.simpleString} " +
           "is not a lossless widening (supported: byte/short/int up the " +
           "integral chain, float->double, byte/short/int->double)")
+      // a partition transform's dir tokens are a function of the base
+      // column's TYPE (bucket hashes int and long differently) — a
+      // widened base would silently route new rows into different dirs
+      partitionTransforms().values.find(_.base == n).foreach(t =>
+        throw new IllegalArgumentException(
+          s"cannot widen '$n': it is the base of partition transform " +
+            s"${t.spec} (dir tokens are type-dependent); migrate via CTAS"))
     }
     val tombstoned = droppedColumns
     additions.fields.foreach { f =>
@@ -1963,11 +2037,17 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         s"column '${f.name}' was previously dropped and files still carry " +
           "its old values — re-adding would resurface them as live data; " +
           "migrate via CTAS")
+      require(!derivedPartitionCols.contains(f.name),
+        s"column '${f.name}' is a derived partition column (X77) — a " +
+          "schema column of that name would shadow the dir tokens")
     }
     drops.foreach { n =>
       require(prev.fieldNames.contains(n), s"no column '$n' to drop")
       require(!committedPartitionBy.contains(n),
         s"cannot drop partition column '$n' (it defines the table layout)")
+      partitionTransforms().values.find(_.base == n).foreach(t =>
+        throw new IllegalArgumentException(
+          s"cannot drop '$n': it is the base of partition transform ${t.spec}"))
     }
     if (drops.nonEmpty)
       (constraints -- dropConstraints).foreach { case (cn, check) =>
@@ -2129,12 +2209,32 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           s"integral/date/timestamp (got ${f.dataType.simpleString})")
       }
     }
+    // Hidden partitioning (X77): derive the transform partition columns
+    // from their base columns — THE routing choke point, so every batch
+    // writer (inserts, merge/delete/update rewrites, compaction,
+    // foreachBatch sinks) routes identically; the derived columns ride
+    // partitionBy into dir tokens only and never reach the committed
+    // schema (excluded below) or the data files (partitionBy strips
+    // them).
+    val ptransforms = partitionTransforms()
+    val routed = ptransforms.foldLeft(withParts) { case (d, (pcol, t)) =>
+      // a caller-supplied value for a derived column would route rows
+      // into dirs the transform inference never looks at — silently
+      // unsound pruning; the value is ALWAYS computed here
+      require(!d.columns.contains(pcol),
+        s"'$pcol' is a derived partition column (X77) — its value is " +
+          s"computed from '${t.base}' via ${t.spec}, never supplied")
+      require(d.columns.contains(t.base),
+        s"write into $root is missing '${t.base}', the base column of " +
+          s"partition transform ${t.spec}")
+      d.withColumn(pcol, t.expr(d(t.base)))
+    }
     // Column mapping (X72): the staged files carry PHYSICAL names —
     // the one rename boundary of the write path. Everything logical
     // (constraints, statMeta type checks, the committed schema) was
     // already evaluated above/below on the logical frame.
     val mapping = columnMapping()
-    val physParts = withParts.select(withParts.columns.toIndexedSeq.map(c =>
+    val physParts = routed.select(routed.columns.toIndexedSeq.map(c =>
       org.apache.spark.sql.functions.col(c).as(physPath(c, mapping))): _*)
     val physPartitionBy = partitionBy.map(physPath(_, mapping))
     val physStatsColumns = statsColumns.map(physPath(_, mapping))
@@ -2256,7 +2356,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
             if (parquetCkpt(commits()).isDefined) liveFilesInDirs(touched)
             else liveFiles().filter(f => touched.contains(parentDir(f)))
           } else liveFiles(partitionFilter))
-      val schemaDdl = mergedSchema(withParts.schema).toDDL
+      // derived (transform) partition columns are routing-only: they
+      // must never enter the committed schema
+      val schemaDdl = mergedSchema(StructType(withParts.schema.fields
+        .filterNot(f => ptransforms.contains(f.name)))).toDDL
       Some(commit(Commit(0, action, added, removed, partitionFilter,
         partitionBy, schemaDdl, allMeta, batchId, now(), appId = appId,
         fileStats = fileStats)))
@@ -2297,6 +2400,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
             s"column '${f.name}' was previously dropped and files still " +
               "carry its old values — re-adding would resurface them; " +
               "migrate via CTAS"))
+          fresh.foreach(f => require(!derivedPartitionCols.contains(f.name),
+            s"column '${f.name}' is a derived partition column (X77) — a " +
+              "schema column of that name would shadow the dir tokens"))
         }
         StructType(
           prev.fields.map(f =>
