@@ -1651,9 +1651,59 @@ object QueriesPipeline {
         |  GROUP BY event_type
         |) ORDER BY leg, event_type""".stripMargin)
     }),
+
+    // ---- SHALLOW CLONE (X78) -------------------------------------------
+    // `CALL graft.system.clone` creates a metadata-only copy referencing
+    // the source's live files by absolute path (zero data copied — the
+    // 100 TB experimentation primitive), then the clone DIVERGES: a
+    // DELETE rewrites its touched (cloned) files locally and an INSERT
+    // appends under its own root, with the source bit-for-bit untouched.
+    // The result reads BOTH tables; the oracle replays source and
+    // modified-clone relationally — a clone read missing rows, a
+    // source mutated by clone DML, or a mis-bound foreign file all
+    // break the hash.
+    "q139_shallow_clone" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.clsrc")
+      s.sql("DROP TABLE IF EXISTS graft.lake.cldst")
+      s.sql("""CREATE TABLE graft.lake.clsrc (okey BIGINT, cust BIGINT,
+              |  status STRING) TBLPROPERTIES ('graft.statsColumns'='okey')""".stripMargin)
+      Tables.orders(s, dir).select($"o_orderkey".as("okey"),
+        $"o_custkey".as("cust"), $"o_orderstatus".as("status"))
+        .createOrReplaceTempView("q139_src")
+      s.sql("INSERT INTO graft.lake.clsrc SELECT okey, cust, status FROM q139_src")
+      s.sql("CALL graft.system.clone('lake.clsrc', 'lake.cldst')")
+      s.sql("DELETE FROM graft.lake.cldst WHERE status = 'F'")
+      s.sql("INSERT INTO graft.lake.cldst VALUES (-1, -1, 'Z'), (-2, -2, 'Z')")
+      s.sql("""
+        |SELECT side, status, n, sk FROM (
+        |  SELECT 'src' AS side, status, COUNT(*) AS n, SUM(okey) AS sk
+        |  FROM graft.lake.clsrc GROUP BY status
+        |  UNION ALL
+        |  SELECT 'dst' AS side, status, COUNT(*) AS n, SUM(okey) AS sk
+        |  FROM graft.lake.cldst GROUP BY status
+        |) ORDER BY side, status""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q139_shallow_clone" ->
+      """SELECT side, status, n, sk FROM (
+        |  SELECT 'src' AS side, o_orderstatus AS status,
+        |         COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sk
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'dst' AS side, status, COUNT(*) AS n,
+        |         CAST(SUM(okey) AS BIGINT) AS sk
+        |  FROM (
+        |    SELECT o_orderstatus AS status, o_orderkey AS okey
+        |    FROM orders WHERE o_orderstatus <> 'F' 
+        |    UNION ALL
+        |    SELECT 'Z', -1 UNION ALL SELECT 'Z', -2
+        |  ) GROUP BY status
+        |) ORDER BY side, status""".stripMargin,
     "q138_hidden_partitioning" ->
       """SELECT leg, event_type, n, sv FROM (
         |  SELECT 'window' AS leg, event_type, COUNT(*) AS n,

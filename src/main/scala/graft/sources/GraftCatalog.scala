@@ -374,6 +374,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     IncrementalTable(spark, p.toString)
   }
 
+  /** Catalog-relative `'ns.t'` → the filesystem path a NEW table of
+    * that name would live at (the clone procedure's destination). */
+  private[sources] def pathForName(rel: String): String = {
+    val parts = rel.split("\\.").toIndexedSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty table name '$rel'")
+    pathFor(parts).toString
+  }
+
   // --------------------------------------------------------- namespaces
 
   override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
@@ -931,6 +939,8 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     case "tag" => "pin a snapshot name to a commit version (default: head) " +
       "for VERSION AS OF '<name>' reads"
     case "untag" => "delete a snapshot tag"
+    case "clone" => "shallow-clone a table (metadata-only: the new table " +
+      "references the source's live files; optionally at a past version)"
   }
   override def bind(inputType: org.apache.spark.sql.types.StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -955,6 +965,10 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       case "untag" => Array(
         in("table", StringType).build(),
         in("name", StringType).build())
+      case "clone" => Array(
+        in("table", StringType).build(),
+        in("dest", StringType).build(),
+        in("version", LongType).defaultValue("-1").build())
     }
   }
 
@@ -996,6 +1010,18 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         t.dropTag(tagName)
         (new StructType().add("tag", StringType),
           InternalRow(UTF8String.fromString(tagName)))
+      case "clone" =>
+        val destRel = input.getUTF8String(1).toString
+        val destPath = cat.pathForName(destRel)
+        val v = input.getLong(2) match {
+          case -1L => None
+          case v2 => Some(v2)
+        }
+        val c = t.cloneTo(destPath, v)
+        (new StructType().add("dest", StringType)
+           .add("cloned_version", LongType).add("files_referenced", IntegerType),
+          InternalRow(UTF8String.fromString(destRel),
+            c.meta("clonedVersion").toLong, c.add.size))
     }
     val scan: org.apache.spark.sql.connector.read.Scan =
       new org.apache.spark.sql.connector.read.LocalScan {
@@ -1007,7 +1033,8 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
 }
 
 private[sources] object GraftProcedure {
-  val names: Set[String] = Set("compact", "vacuum", "restore", "tag", "untag")
+  val names: Set[String] =
+    Set("compact", "vacuum", "restore", "tag", "untag", "clone")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

@@ -416,13 +416,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     IncrementalTable.partitionMatchExpr(filters).fold(withAdds)(withAdds.filter)
   }
 
-  /** Live files under exactly the given physical partition dirs —
-    * the dynamic-replace removal set, pruned Spark-side on the
-    * columnar path instead of enumerating the table. */
+  /** Live files in the LOGICAL partitions of the given physical dirs —
+    * the dynamic-replace removal set, pruned Spark-side on the columnar
+    * path instead of enumerating the table. Matching is by hive
+    * `k=v` segments, not dir-string equality, so files a shallow clone
+    * references under a FOREIGN root (X78) still leave the partition
+    * when it is dynamically replaced. An unpartitioned dir ("") means
+    * the whole table. */
   private def liveFilesInDirs(dirs: Set[String]): Seq[String] = {
     import spark.implicits._
+    val exprs = dirs.toSeq.map(d =>
+      IncrementalTable.partitionMatchExpr(IncrementalTable.hiveSegments(d))
+        .getOrElse(org.apache.spark.sql.functions.lit(true)))
     liveRowsDF(Map.empty, None)
-      .filter(IncrementalTable.parentDirCol.isin(dirs.toSeq: _*))
+      .filter(exprs.reduce(_ || _))
       .select("file").as[String].collect().toSeq
   }
 
@@ -729,14 +736,23 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * names and the final projection re-labels to the logical schema —
     * the single rename boundary of the whole read path. */
   private def filesDf(files: Seq[String], stored: Option[StructType],
-      dv: Map[String, Seq[String]], mapping: Map[String, String]): DataFrame = {
+      dv: Map[String, Seq[String]], mapping: Map[String, String],
+      // DML rewrites keep the materialized `_graft_path` column (the
+      // touched-file key) through the logical projection
+      keepPath: Boolean = false): DataFrame = {
     val df =
       if (files.exists(dv.contains))
         dropPosCols(filesDfWithPos(files, stored, dv, mapping))
       else rawFilesDf(files, stored, mapping)
-    stored.map(s => df.select(s.fieldNames.map(n =>
-        org.apache.spark.sql.functions.col(physPath(n, mapping)).as(n)): _*))
-      .getOrElse(df)
+    stored.map { s =>
+      val base = s.fieldNames.toIndexedSeq.map(n =>
+        org.apache.spark.sql.functions.col(physPath(n, mapping)).as(n))
+      val extra = if (keepPath)
+        Seq(org.apache.spark.sql.functions.col("_graft_path")) else Nil
+      df.select(base ++ extra: _*)
+    }.getOrElse(
+      if (keepPath) df.drop("_graft_pos")
+      else df.drop("_graft_path", "_graft_pos"))
   }
 
   private val dvPrefix = "_graft_dv"
@@ -766,8 +782,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
     val prefix = rootPath.toUri.getRawPath.stripSuffix("/") + "/"
     val base = rawFilesDf(files, stored, mapping)
-      .withColumn("_dv_file", substring_index(col("_metadata.file_path"), prefix, -1))
-      .withColumn("_dv_pos", col("_metadata.row_index"))
+      .withColumn("_dv_file", substring_index(col("_graft_path"), prefix, -1))
+      .withColumn("_dv_pos", col("_graft_pos"))
     val gens = files.flatMap(dv.get).flatten.distinct
     if (gens.isEmpty) base
     else {
@@ -787,26 +803,54 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val phys = stored.map(physicalSchema(_, mapping))
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        phys.getOrElse(new StructType()))
+        phys.getOrElse(new StructType())
+          .add("_graft_path", org.apache.spark.sql.types.StringType)
+          .add("_graft_pos", org.apache.spark.sql.types.LongType))
     } else {
-      // The committed schema makes partition-column type inference moot
-      // (string-typed partition values for reference layout parity,
-      // delta_io.py:108-110) — no session-wide conf mutation needed. The
-      // save/restore below only guards the no-schema fallback, reachable
-      // for logs written before schemas were recorded.
-      val reader = spark.read.option("basePath", root)
-      phys.foreach(reader.schema)
-      val df =
-        if (stored.nonEmpty) reader.parquet(files.map(f => new Path(rootPath, f).toString): _*)
+      // Shallow clones (X78) reference files under FOREIGN roots by
+      // absolute path; `basePath` must be an ancestor of every input
+      // file, so the scan groups files by their table root (the path
+      // minus trailing `k=v` dirs) and unions one reader per root —
+      // partition-dir values overlay correctly in each group. The
+      // common case (no clones) stays one reader under this root.
+      phys.foreach(s => require(
+        !s.fieldNames.contains("_graft_path") && !s.fieldNames.contains("_graft_pos"),
+        "'_graft_path'/'_graft_pos' are reserved column names"))
+      val groups = files.groupBy(f =>
+        if (f.startsWith("/")) IncrementalTable.foreignBase(f) else root)
+        .toSeq.sortBy(_._1)
+      def readGroup(base: String, fs: Seq[String]): DataFrame = {
+        // The committed schema makes partition-column type inference
+        // moot (string-typed partition values for reference layout
+        // parity, delta_io.py:108-110) — no session-wide conf mutation
+        // needed. The save/restore below guards the no-schema fallback
+        // (logs written before schemas were recorded) and multi-group
+        // reads (hidden-partition dir tokens must infer identically in
+        // every group for the union to align).
+        val reader = spark.read.option("basePath", base)
+        phys.foreach(reader.schema)
+        if (stored.nonEmpty && groups.size == 1)
+          reader.parquet(fs.map(f => new Path(rootPath, f).toString): _*)
         else {
           val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
           val old = spark.conf.get(key)
           spark.conf.set(key, "false")
           // schema resolves eagerly inside this call, restore is safe after
-          try reader.parquet(files.map(f => new Path(rootPath, f).toString): _*)
+          try reader.parquet(fs.map(f => new Path(rootPath, f).toString): _*)
           finally spark.conf.set(key, old)
         }
-      df
+      }
+      // `_metadata` does not resolve above a Union, so the file path /
+      // row index every DML and DV consumer needs are materialized as
+      // regular columns PER GROUP (Catalyst prunes them out of the
+      // scan whenever nothing upstream selects them)
+      groups.map { case (base, fs) =>
+        val g = readGroup(base, fs)
+        g.withColumn("_graft_path",
+            org.apache.spark.sql.functions.col("_metadata.file_path"))
+          .withColumn("_graft_pos",
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+      }.reduce(_.unionByName(_))
     }
   }
 
@@ -943,8 +987,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
 
       // touched files: live rows matching a source key, by _metadata path
       val srcKeys = src.select(keys.map(fn): _*).distinct()
-      val touched = filesDf(files, Some(stored), liveDv(), columnMapping())
-        .withColumn("_graft_path", fn("_metadata.file_path"))
+      val touched = filesDf(files, Some(stored), liveDv(), columnMapping(),
+          keepPath = true)
         .join(srcKeys, keys, "left_semi")
         .select("_graft_path").distinct()
         .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
@@ -1069,8 +1113,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       if (matched.isEmpty || files.isEmpty) Nil
       else {
         val srcKeys = source.select(keys.map(col): _*).distinct()
-        filesDf(files, Some(stored), liveDv(), columnMapping())
-          .withColumn("_graft_path", col("_metadata.file_path"))
+        filesDf(files, Some(stored), liveDv(), columnMapping(),
+            keepPath = true)
           .join(srcKeys, keys, "left_semi")
           .select("_graft_path").distinct()
           .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
@@ -1203,9 +1247,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // LocalRelation with no `_metadata` to path-match on
     val candidates = liveFilesWhere(predicate)
     if (candidates.isEmpty) return None
-    val touched = filesDf(candidates, Some(stored), liveDv(), columnMapping())
+    val touched = filesDf(candidates, Some(stored), liveDv(), columnMapping(),
+        keepPath = true)
       .filter(predicate)
-      .withColumn("_graft_path", fn("_metadata.file_path"))
       .select("_graft_path").distinct()
       .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
     if (touched.isEmpty) None
@@ -1236,9 +1280,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // empty live set: nothing to update, and no `_metadata` to match on
     val candidates = liveFilesWhere(predicate)
     if (candidates.isEmpty) return None
-    val touched = filesDf(candidates, Some(stored), liveDv(), columnMapping())
+    val touched = filesDf(candidates, Some(stored), liveDv(), columnMapping(),
+        keepPath = true)
       .filter(predicate)
-      .withColumn("_graft_path", fn("_metadata.file_path"))
       .select("_graft_path").distinct()
       .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
     if (touched.isEmpty) None
@@ -1298,8 +1342,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // and the kept-rows filter, else a null-condition row co-located
     // with a deletable one would silently vanish in the rewrite.
     val condTrue = coalesce(deleteCondition, lit(false))
-    val touched = read()
-      .withColumn("_graft_path", fn("_metadata.file_path"))
+    val touched = filesDf(liveFiles(), Some(stored), liveDv(),
+        columnMapping(), keepPath = true)
       .filter(condTrue)
       .join(dk, keys, "left_semi")
       .select("_graft_path").distinct()
@@ -1434,6 +1478,59 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     Some(commit(Commit(0, "replace", target, cur, Map.empty, partsAt,
       schemaAt, Map("restored_from" -> version.toString), None, now(),
       fileStats = statsAt, dv = targetDv)))
+  }
+
+  /** SHALLOW CLONE (X78, the Delta `CREATE TABLE … SHALLOW CLONE src`
+    * analog): create `destRoot` as a new table whose first commit
+    * REFERENCES this table's live files at `version` (default: head)
+    * by absolute path — zero data copied, O(metadata) cost at any
+    * size. The clone carries the source's schema, partition layout
+    * (incl. hidden-partition transforms), data-skipping index, column
+    * mapping, drop tombstones, properties, and CHECK constraints as of
+    * that version; tags are NOT carried (they pin source versions).
+    *
+    * The clone is immediately independent: writes land under its own
+    * root, DML/compaction REPLACE cloned references with locally-owned
+    * files (un-sharing them), and `vacuum()` on the clone never
+    * touches foreign paths (it only walks this root). The one shared
+    * fate is the source physically deleting data: `vacuum()` on the
+    * SOURCE reclaims files the source no longer references but the
+    * clone still does — the documented Delta shallow-clone hazard;
+    * clone for experimentation, compact() the clone to materialize it
+    * before vacuuming the source.
+    *
+    * Sources with deletion vectors in force refuse (the sidecar
+    * position rows name source-relative paths the clone's scan cannot
+    * rebind): `compact()` the source slice first to materialize. */
+  def cloneTo(destRoot: String, version: Option[Long] = None): Commit = {
+    require(exists, s"clone source $root does not exist")
+    val v = version.getOrElse(latestVersion)
+    val cs = commitsAsOf(Some(v)) // validates the replay horizon
+    require(liveDv(Some(v)).isEmpty,
+      s"clone source $root has deletion vectors in force at v$v — " +
+        "compact() to materialize them first")
+    val srcBase = rootPath.toUri.getPath.stripSuffix("/")
+    require(!srcBase.split("/").exists(_.contains('=')),
+      s"clone source root '$srcBase' contains '=' path segments — " +
+        "foreign-root resolution would misparse partition dirs")
+    val dest = new IncrementalTable(spark, destRoot)
+    require(!dest.exists, s"clone destination $destRoot already exists")
+    def abs(f: String) = if (f.startsWith("/")) f else s"$srcBase/$f"
+    val files = liveFiles(asOf = Some(v)).map(abs)
+    val stats = liveFileStats(Some(v)).map { case (f, m) => abs(f) -> m }
+    val schemaDdl = schemaDdlAt(Some(v)).getOrElse("")
+    val partsAt = cs.reverse.iterator
+      .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+    val channels = Seq("prop/", "constraint/", "colmap/", "ptransform/",
+      "dropped/").flatMap { p =>
+      metaChannelOf(cs, p).map { case (k, value) => s"$p$k" -> value }
+    }.toMap
+    val meta = channels ++ Map(
+      "clonedFrom" -> srcBase, "clonedVersion" -> v.toString)
+    // action "append": replay folds, CDC (every row an insert), and
+    // OCC conflict checks all treat the clone like a bulk add
+    dest.commit(Commit(0, "append", files, Nil, Map.empty, partsAt,
+      schemaDdl, meta, None, now(), fileStats = stats))
   }
 
   /** One-row table summary (Delta DESCRIBE DETAIL analog): current
@@ -2354,7 +2451,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           if (dynamic) {
             val touched = added.map(parentDir).toSet
             if (parquetCkpt(commits()).isDefined) liveFilesInDirs(touched)
-            else liveFiles().filter(f => touched.contains(parentDir(f)))
+            else {
+              // segment-normalized (not string-equal): cloned files live
+              // under a foreign root but belong to the same LOGICAL
+              // partition (X78)
+              val segs = touched.map(IncrementalTable.hiveSegments)
+              liveFiles().filter(f =>
+                segs.exists(s => matchesPartition(f, s)))
+            }
           } else liveFiles(partitionFilter))
       // derived (transform) partition columns are routing-only: they
       // must never enter the committed schema
@@ -3275,6 +3379,19 @@ object IncrementalTable {
   def apply(spark: SparkSession, root: String, checkpointEvery: Int): IncrementalTable =
     new IncrementalTable(spark, root, checkpointEvery)
 
+  /** Table root of a shallow-cloned ABSOLUTE file path (X78): the
+    * path minus the filename and the trailing hive `k=v` partition
+    * dirs. Clone sources with `=` in their root path are refused at
+    * [[IncrementalTable.cloneTo]], so the trailing-walk is exact. */
+  private[table] def foreignBase(abs: String): String = {
+    val dirs = abs.split("/").dropRight(1)
+    val tail = dirs.reverse.takeWhile(_.contains("=")).length
+    dirs.dropRight(tail).mkString("/") match {
+      case "" => "/"
+      case s => s
+    }
+  }
+
   /** Hive `k=v` path segments of a (root-relative) path — THE single
     * copy of the parser (matchesPartition, compactIfNeeded, and the
     * stream consumers' replay-scope extraction all use it). */
@@ -3316,7 +3433,9 @@ object IncrementalTable {
   private[table] def relativizeUri(base: Path, uriString: String): String = {
     val decoded = new java.net.URI(uriString).getPath
     val b = base.toUri.getPath.stripSuffix("/")
-    decoded.stripPrefix(b).stripPrefix("/")
+    // a path OUTSIDE the base root (a shallow-cloned foreign file, X78)
+    // stays absolute — exactly the rendering the clone commit records
+    if (decoded.startsWith(b + "/")) decoded.stripPrefix(b + "/") else decoded
   }
 
   /** Does a root-relative file path live in a partition matching all
