@@ -1686,9 +1686,50 @@ object QueriesPipeline {
         |  FROM graft.lake.cldst GROUP BY status
         |) ORDER BY side, status""".stripMargin)
     }),
+
+    // ---- COLUMN DEFAULTS (X79) -----------------------------------------
+    // `ALTER TABLE … ADD COLUMN tier STRING DEFAULT 'std'` is one
+    // metadata commit: the first-generation files (written before the
+    // column existed) READ the default — no rewrite, no null backfill
+    // job — while the second generation carries real values, and an
+    // INSERT omitting the column gets the default filled by the
+    // analyzer. The oracle replays the two generations relationally;
+    // an old-generation row reading NULL instead of the default, or a
+    // default leaking over an explicit value, breaks the hash.
+    "q140_column_defaults" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.cdef")
+      s.sql("CREATE TABLE graft.lake.cdef (ck BIGINT, name STRING)")
+      Tables.customer(s, dir)
+        .select($"c_custkey".as("ck"), $"c_name".as("name"),
+          $"c_mktsegment".as("seg"))
+        .createOrReplaceTempView("q140_src")
+      // generation 1: no tier column exists yet
+      s.sql("INSERT INTO graft.lake.cdef SELECT ck, name FROM q140_src " +
+        "WHERE ck % 2 = 0")
+      s.sql("ALTER TABLE graft.lake.cdef ADD COLUMN tier STRING DEFAULT 'std'")
+      // generation 2: real values
+      s.sql("INSERT INTO graft.lake.cdef SELECT ck, name, seg FROM q140_src " +
+        "WHERE ck % 2 = 1")
+      // generation 3: INSERT omitting the column -> current default
+      s.sql("INSERT INTO graft.lake.cdef (ck, name) VALUES (-1, 'x'), (-2, 'y')")
+      s.sql("""SELECT tier, COUNT(*) AS n, SUM(ck) AS sck
+              |FROM graft.lake.cdef GROUP BY tier ORDER BY tier""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q140_column_defaults" ->
+      """SELECT tier, COUNT(*) AS n, CAST(SUM(ck) AS BIGINT) AS sck FROM (
+        |  SELECT 'std' AS tier, c_custkey AS ck FROM customer
+        |  WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_custkey FROM customer WHERE c_custkey % 2 = 1
+        |  UNION ALL
+        |  SELECT 'std', -1 UNION ALL SELECT 'std', -2
+        |) GROUP BY tier ORDER BY tier""".stripMargin,
     "q139_shallow_clone" ->
       """SELECT side, status, n, sk FROM (
         |  SELECT 'src' AS side, o_orderstatus AS status,

@@ -66,7 +66,17 @@ object RowParquet {
   }
 
   def reader(file: InputFile, target: StructType): ParquetReader[InternalRow] =
-    new RowReaderBuilder(file, target).build()
+    new RowReaderBuilder(file, target, Map.empty).build()
+
+  /** [[reader]] with column DEFAULT fill (X79): a target TOP-LEVEL
+    * field named in `fill` that is PHYSICALLY ABSENT from the file
+    * reads the given catalyst value instead of null — the streaming
+    * bridge's twin of the EXISTS_DEFAULT fill Spark's own parquet
+    * reader performs on the batch path. Fields present in the file
+    * (even all-null) are untouched. */
+  def reader(file: InputFile, target: StructType,
+      fill: Map[String, Any]): ParquetReader[InternalRow] =
+    new RowReaderBuilder(file, target, fill).build()
 
   def writer(file: OutputFile, schema: StructType,
       conf: Configuration): ParquetWriter[InternalRow] =
@@ -76,10 +86,11 @@ object RowParquet {
       .withDictionaryEncoding(true)
       .build()
 
-  private final class RowReaderBuilder(file: InputFile, target: StructType)
+  private final class RowReaderBuilder(file: InputFile, target: StructType,
+      fill: Map[String, Any])
       extends ParquetReader.Builder[InternalRow](file) {
     override def getReadSupport: ReadSupport[InternalRow] =
-      new InternalRowReadSupport(target)
+      new InternalRowReadSupport(target, fill)
   }
 
   private final class RowWriterBuilder(file: OutputFile, schema: StructType)
@@ -283,7 +294,8 @@ object RowParquet {
   // Reader
   // ===================================================================
 
-  final class InternalRowReadSupport(target: StructType)
+  final class InternalRowReadSupport(target: StructType,
+      fill: Map[String, Any] = Map.empty)
       extends ReadSupport[InternalRow] {
 
     override def init(context: InitContext): ReadContext =
@@ -291,8 +303,26 @@ object RowParquet {
 
     override def prepareForRead(configuration: Configuration,
         keyValueMetaData: JMap[String, String], fileSchema: MessageType,
-        readContext: ReadContext): RecordMaterializer[InternalRow] =
-      new RowMaterializer(readContext.getRequestedSchema, target)
+        readContext: ReadContext): RecordMaterializer[InternalRow] = {
+      val base = new RowMaterializer(readContext.getRequestedSchema, target)
+      // default fill (X79): only for target fields the FILE lacks
+      val filled = fill.iterator.collect {
+        case (name, v) if !fileSchema.containsField(name) &&
+            target.fieldNames.contains(name) =>
+          target.fieldIndex(name) -> v
+      }.toArray
+      if (filled.isEmpty) base
+      else new RecordMaterializer[InternalRow] {
+        override def getCurrentRecord: InternalRow = {
+          val r = base.getCurrentRecord
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+          var i = 0
+          while (i < filled.length) { r.update(filled(i)._1, filled(i)._2); i += 1 }
+          r
+        }
+        override def getRootConverter: GroupConverter = base.getRootConverter
+      }
+    }
   }
 
   /** The file schema pruned (recursively, by name) to the target's

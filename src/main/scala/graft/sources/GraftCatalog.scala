@@ -79,7 +79,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ALTER TABLE … ADD CONSTRAINT routes through alterTable (Spark 4.1
   // constraints API); graft supports enforced CHECK constraints
   override def capabilities(): JSet[TableCatalogCapability] =
-    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // column DEFAULTs (X79): `c INT DEFAULT 5` in CREATE/ADD COLUMN —
+      // the analyzer fills CURRENT_DEFAULT into INSERTs omitting the
+      // column; the table's read path fills EXISTS_DEFAULT for files
+      // from before the column existed
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
 
   private def pathFor(parts: Seq[String]): Path =
     parts.foldLeft(new Path(warehouse))(new Path(_, _))
@@ -281,6 +286,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // a metadata commit extending the struct; old files read the new
     // leaf as null (parquet by-name member resolution)
     val (topAdds, nestedAdds) = added.partition(_.fieldNames.length == 1)
+    nestedAdds.foreach(a => require(a.defaultValue() == null,
+      s"DEFAULT on in-struct column ${a.fieldNames.mkString(".")} is not " +
+        "supported (top-level columns only)"))
     val dropped = changes.collect { case d: TableChange.DeleteColumn => d }
       .map { d =>
         require(d.fieldNames.length == 1,
@@ -313,6 +321,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       t.alter(
         additions = StructType(topAdds.map(a =>
           org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType))),
+        defaults = topAdds.flatMap(a => Option(a.defaultValue())
+          .map(d => a.fieldNames.head -> d.getSql)).toMap,
         drops = dropped,
         widen = widened,
         props = props.toMap,
@@ -816,6 +826,7 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
   private lazy val frame: DataFrame = view match {
     case "history" => table.history()
     case "detail" => table.detail()
+    case "files" => table.filesDetail()
     case "properties" =>
       import spark.implicits._
       table.tableProperties.toSeq.toDF("key", "value").orderBy("key")
@@ -852,7 +863,8 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
 }
 
 private[sources] object GraftMetaTable {
-  val views: Set[String] = Set("history", "detail", "properties", "changes")
+  val views: Set[String] =
+    Set("history", "detail", "files", "properties", "changes")
 }
 
 /** The change-data-feed relation of a graft table, addressable by name:
@@ -953,7 +965,11 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         in("table", StringType).build(),
         in("target_files", IntegerType).defaultValue("1").build(),
         in("zorder_by", StringType).defaultValue("''").build(),
-        in("cluster_by", StringType).defaultValue("''").build())
+        in("cluster_by", StringType).defaultValue("''").build(),
+        // partition scope: "k=v[,k2=v2]" compacts ONE partition slice
+        // (the OPTIMIZE ... WHERE analog) — at 100 TB you compact the
+        // partitions a stream just touched, never the table
+        in("where", StringType).defaultValue("''").build())
       case "vacuum" => Array(in("table", StringType).build())
       case "restore" => Array(
         in("table", StringType).build(),
@@ -979,7 +995,13 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     val t = cat.tableByName(input.getUTF8String(0).toString)
     val (schema, row) = pname match {
       case "compact" =>
-        val commit = t.compact(targetFiles = input.getInt(1),
+        val scope = cols(input.getUTF8String(4).toString).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"compact 'where' entries must be k=v (got '$kv')")
+          kv.take(i).trim -> kv.drop(i + 1).trim
+        }.toMap
+        val commit = t.compact(partitionFilter = scope,
+          targetFiles = input.getInt(1),
           zorderBy = cols(input.getUTF8String(2).toString),
           clusterBy = cols(input.getUTF8String(3).toString),
           statsColumns = GraftCatalog.statsColumnsOf(t))

@@ -43,6 +43,9 @@ final case class GraftStreamInputPartition(fileUri: String,
   * overlaid at their target ordinals (data files never store partition
   * columns physically, same as the batch layout). */
 final class GraftStreamReaderFactory(schemaDdl: String, physicalDdl: String,
+    // column DEFAULTs (X79): (logical name, physical name, evaluated
+    // catalyst value) — filled for files physically missing the column
+    defaults: Seq[(String, String, Any)],
     conf: RowParquet.SerializableConf) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftStreamInputPartition]
@@ -51,12 +54,14 @@ final class GraftStreamReaderFactory(schemaDdl: String, physicalDdl: String,
     // stream's output attributes either way
     new GraftStreamPartitionReader(gp,
       StructType.fromDDL(if (gp.physical) physicalDdl else schemaDdl),
+      defaults.map { case (l, ph, v) => (if (gp.physical) ph else l) -> v }.toMap,
       conf.value)
   }
 }
 
 private[sources] final class GraftStreamPartitionReader(
-    p: GraftStreamInputPartition, target: StructType, conf: Configuration)
+    p: GraftStreamInputPartition, target: StructType,
+    defaults: Map[String, Any], conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   // partition ordinal -> parsed catalyst value, precomputed once
@@ -68,7 +73,7 @@ private[sources] final class GraftStreamPartitionReader(
     }.toArray
 
   private val reader = RowParquet.reader(
-    HadoopInputFile.fromPath(new Path(p.fileUri), conf), target)
+    HadoopInputFile.fromPath(new Path(p.fileUri), conf), target, defaults)
 
   private var current: InternalRow = _
 
@@ -243,7 +248,16 @@ final class GraftMicroBatchStream(spark: SparkSession, table: IncrementalTable,
     val mapping = table.columnMapping()
     val phys = StructType(schema.fields.map(f =>
       f.copy(name = mapping.getOrElse(f.name, f.name))))
-    new GraftStreamReaderFactory(schema.toDDL, phys.toDDL,
+    // evaluate committed DEFAULT literals once, driver-side; executors
+    // fill them for files written before the column existed
+    val defaults = table.columnDefaults().toSeq.flatMap { case (l, sql) =>
+      schema.fields.find(_.name == l).map { f =>
+        (l, mapping.getOrElse(l, l),
+          graft.table.IncrementalTable.validateDefault(l, f.dataType, sql))
+      }
+    }
+    new GraftStreamReaderFactory(graft.table.IncrementalTable.ddlOf(schema),
+      graft.table.IncrementalTable.ddlOf(phys), defaults,
       new RowParquet.SerializableConf(conf))
   }
 

@@ -74,7 +74,7 @@ final class GraftStreamingWrite(table: IncrementalTable,
       .mapValues(_.spec).toMap.toSeq
     new GraftStreamWriterFactory(
       new Path(new Path(table.root), s"_staging/$stageNs").toString,
-      phys.toDDL, partitionBy, specs, conf)
+      graft.table.IncrementalTable.ddlOf(phys), partitionBy, specs, conf)
   }
 
   override def commit(epochId: Long,

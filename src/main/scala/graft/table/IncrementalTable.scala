@@ -1407,7 +1407,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     else {
       val partitionBy = committedPartitionBy
       Some(commit(Commit(0, "dv", Nil, Nil, Map.empty, partitionBy,
-        stored.toDDL, Map.empty, None, now(),
+        IncrementalTable.ddlOf(stored), Map.empty, None, now(),
         dv = touched.map(_ -> Seq(gen)).toMap)))
     }
   }
@@ -1450,7 +1450,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .distinct()
       .write.parquet(genDir.toString)
     Some(commit(Commit(0, "dvmerge", Nil, Nil, Map.empty,
-      committedPartitionBy, committedSchema.toDDL, Map.empty, None, now(),
+      committedPartitionBy, IncrementalTable.ddlOf(committedSchema),
+      Map.empty, None, now(),
       dv = dvm.keys.map(_ -> Seq(gen)).toMap)))
   }
 
@@ -1478,6 +1479,37 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     Some(commit(Commit(0, "replace", target, cur, Map.empty, partsAt,
       schemaAt, Map("restored_from" -> version.toString), None, now(),
       fileStats = statsAt, dv = targetDv)))
+  }
+
+  /** Live-snapshot file inventory (the Iceberg `t.files` metadata-table
+    * analog): one row per live data file — relative (or, for shallow-
+    * cloned references, absolute) path, size in bytes, hive partition
+    * values parsed from the path, and the count of deletion-vector
+    * generations in force. Checkpointed tables answer with a Spark job
+    * over the checkpoint rows (never an O(files) driver fold); small
+    * tables pay O(live files) driver statuses. */
+  def filesDetail(): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, size => fsize}
+    val partExpr = expr(
+      "map_from_entries(transform(" +
+        "filter(slice(split(file, '/'), 1, greatest(size(split(file, '/')) - 1, 0))," +
+        " s -> instr(s, '=') > 0)," +
+        " s -> struct(split_part(s, '=', 1) AS key, split_part(s, '=', 2) AS value)))")
+    val base = parquetCkpt(commits()) match {
+      case Some(_) =>
+        liveRowsDF(Map.empty, None, sizedAdds = true)
+          .select(col("file"), col("size").as("size_bytes"),
+            coalesce(fsize(col("dvGens")), lit(0)).as("dv_generations"))
+      case None =>
+        import spark.implicits._
+        val dvm = liveDv()
+        liveFiles().map { f =>
+          val p = if (f.startsWith("/")) new Path(f) else new Path(rootPath, f)
+          (f, fs.getFileStatus(p).getLen, dvm.get(f).map(_.size).getOrElse(0))
+        }.toDF("file", "size_bytes", "dv_generations")
+    }
+    base.withColumn("partition", partExpr)
+      .select("file", "size_bytes", "partition", "dv_generations")
   }
 
   /** SHALLOW CLONE (X78, the Delta `CREATE TABLE … SHALLOW CLONE src`
@@ -1736,7 +1768,37 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     commitsAsOf(asOf).reverse.iterator.map(_.schemaJson).find(_.nonEmpty)
 
   private def committedSchemaAt(asOf: Option[Long] = None): Option[StructType] =
-    schemaDdlAt(asOf).map(StructType.fromDDL)
+    schemaDdlAt(asOf).map(ddl =>
+      decorateDefaults(StructType.fromDDL(ddl), columnDefaults(asOf)))
+
+  /** Column DEFAULTs (X79, the Iceberg-v3 initial-default analog):
+    * logical column → SQL literal text, committed in the `default/`
+    * channel at CREATE or ADD COLUMN time. The literal is both the
+    * EXISTENCE default (files from before the column existed read it
+    * instead of null — Spark's parquet reader fills it from the schema
+    * metadata this table attaches) and the CURRENT default (INSERTs
+    * omitting the column get it); the two never diverge because SET/
+    * DROP DEFAULT are refused — one literal, one meaning, forever. */
+  def columnDefaults(asOf: Option[Long] = None): Map[String, String] =
+    metaChannelOf(commitsAsOf(asOf), "default/")
+
+  /** Attach Spark's default-value metadata keys to defaulted fields:
+    * the read path fills EXISTS_DEFAULT for files physically missing
+    * the column, the SQL write path fills CURRENT_DEFAULT for INSERTs
+    * omitting it. Both keys carry the same committed literal. */
+  private def decorateDefaults(schema: StructType,
+      defaults: Map[String, String]): StructType =
+    if (defaults.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      defaults.get(f.name) match {
+        case Some(sql) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("EXISTS_DEFAULT", sql)
+            .putString("CURRENT_DEFAULT", sql).build())
+        case None => f
+      }
+    })
 
   private def committedSchema: StructType =
     committedSchemaAt().getOrElse(throw new IllegalStateException(
@@ -1921,8 +1983,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       s"colmap/$to" -> phys,
       s"colmap/$from" -> "", // tombstone the old logical binding
       s"dropped/$from" -> latestVersion.toString) ++
-      statsProp.map(v => "prop/graft.statsColumns" -> v)
-    commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil, renamed.toDDL,
+      statsProp.map(v => "prop/graft.statsColumns" -> v) ++
+      // a column DEFAULT follows the rename (it is keyed logically)
+      columnDefaults().get(from).toSeq.flatMap(sql =>
+        Seq(s"default/$to" -> sql, s"default/$from" -> ""))
+    commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil,
+      IncrementalTable.ddlOf(renamed),
       meta, None, now()))
   }
 
@@ -2047,9 +2113,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           s"partition column '$p' is not in the schema")
       }
     }
+    // column DEFAULTs (X79): harvest Spark's CURRENT_DEFAULT metadata
+    // (the rendering `CREATE TABLE (c INT DEFAULT 5)` arrives under)
+    // into the `default/` channel — toDDL drops field metadata, so the
+    // channel is the committed source of truth
+    val defaults = schema.fields.toIndexedSeq.flatMap { f =>
+      if (f.metadata.contains("CURRENT_DEFAULT")) {
+        val sql = f.metadata.getString("CURRENT_DEFAULT")
+        IncrementalTable.validateDefault(f.name, f.dataType, sql)
+        Some(s"default/${f.name}" -> sql)
+      } else None
+    }
     commit(Commit(0, "append", Nil, Nil, Map.empty, partitionBy,
-      schema.toDDL,
-      meta ++ transforms.map { case (p, s) => s"ptransform/$p" -> s },
+      IncrementalTable.ddlOf(schema),
+      meta ++ transforms.map { case (p, s) => s"ptransform/$p" -> s } ++ defaults,
       None, now()))
   }
 
@@ -2099,7 +2176,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // struct shape (a narrower struct is a loud type mismatch, the
       // Delta-without-autoMerge contract). In-struct DROP/RENAME/type
       // changes remain rejected (X49).
-      nestedAdditions: Seq[(Seq[String], org.apache.spark.sql.types.StructField)] = Nil): Commit = {
+      nestedAdditions: Seq[(Seq[String], org.apache.spark.sql.types.StructField)] = Nil,
+      // column DEFAULTs for columns in `additions` (X79): the literal
+      // becomes both the existence default (old files read it instead
+      // of null) and the current default (INSERTs omitting the column
+      // get it) — set only at ADD COLUMN time, never changed after
+      defaults: Map[String, String] = Map.empty): Commit = {
     val prev = committedSchemaAt().getOrElse(throw new IllegalStateException(
       s"table $root has no committed schema to alter"))
     // ALTER COLUMN TYPE, widening-only (the Delta typeWidening set):
@@ -2190,11 +2272,23 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
     val merged = StructType(withNested.fields ++
       additions.fields.map(_.copy(nullable = true)))
+    defaults.foreach { case (n, sql) =>
+      val f = additions.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"DEFAULT for '$n' must ride the ADD COLUMN that creates it " +
+            "(SET/DROP DEFAULT on existing columns is not supported — " +
+            "EXISTS and CURRENT defaults would diverge)"))
+      IncrementalTable.validateDefault(n, f.dataType, sql)
+    }
+    val activeDefaults = columnDefaults()
     val meta = props.map { case (k, v) => s"prop/$k" -> v } ++
       addConstraints.map { case (n, c) => s"constraint/$n" -> c } ++
       dropConstraints.map(n => s"constraint/$n" -> "") ++
-      drops.map(n => s"dropped/$n" -> latestVersion.toString)
-    commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil, merged.toDDL,
+      drops.map(n => s"dropped/$n" -> latestVersion.toString) ++
+      drops.filter(activeDefaults.contains).map(n => s"default/$n" -> "") ++
+      defaults.map { case (n, sql) => s"default/$n" -> sql }
+    commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil,
+      IncrementalTable.ddlOf(merged),
       meta, None, now()))
   }
 
@@ -2267,7 +2361,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           rel
         }
         val removed = if (replace) liveFiles() else Seq.empty
-        val schemaDdl = mergedSchema(incoming).toDDL
+        val schemaDdl = IncrementalTable.ddlOf(mergedSchema(incoming))
         Some(commit(Commit(0, if (replace) "replace" else "append", added,
           removed, Map.empty, partitionBy, schemaDdl, Map.empty,
           Some(batchId), now(), appId = Some(appId), fileStats = fileStats)))
@@ -2462,8 +2556,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           } else liveFiles(partitionFilter))
       // derived (transform) partition columns are routing-only: they
       // must never enter the committed schema
-      val schemaDdl = mergedSchema(StructType(withParts.schema.fields
-        .filterNot(f => ptransforms.contains(f.name)))).toDDL
+      val schemaDdl = IncrementalTable.ddlOf(
+        mergedSchema(StructType(withParts.schema.fields
+          .filterNot(f => ptransforms.contains(f.name)))))
       Some(commit(Commit(0, action, added, removed, partitionFilter,
         partitionBy, schemaDdl, allMeta, batchId, now(), appId = appId,
         fileStats = fileStats)))
@@ -3378,6 +3473,39 @@ object IncrementalTable {
   /** Test/tuning hook: custom log-compaction cadence. */
   def apply(spark: SparkSession, root: String, checkpointEvery: Int): IncrementalTable =
     new IncrementalTable(spark, root, checkpointEvery)
+
+  /** Strip the default-value metadata keys before committing a schema
+    * as DDL: `toDDL` would render `DEFAULT …`, which `fromDDL` cannot
+    * parse — the `default/` channel is the committed source of truth,
+    * re-attached by decorateDefaults on every read. */
+  def ddlOf(s: StructType): String =
+    StructType(s.fields.map { f =>
+      if (f.metadata.contains("CURRENT_DEFAULT") || f.metadata.contains("EXISTS_DEFAULT"))
+        f.copy(metadata = {
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          b.remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT").build()
+        })
+      else f
+    }).toDDL
+
+  /** Validate a DEFAULT literal (X79): must parse, fold to a constant,
+    * and cast to the column's type. Returns the evaluated CATALYST
+    * value (the streaming read bridge ships it to executors). */
+  def validateDefault(col: String, dt: DataType,
+      sql: String): Any = {
+    val e = try
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+    catch {
+      case ex: Exception => throw new IllegalArgumentException(
+        s"DEFAULT for '$col' does not parse: $sql", ex)
+    }
+    require(e.foldable, s"DEFAULT for '$col' must be a constant: $sql")
+    require(org.apache.spark.sql.catalyst.expressions.Cast.canCast(e.dataType, dt),
+      s"DEFAULT for '$col' ($sql: ${e.dataType.simpleString}) cannot cast " +
+        s"to ${dt.simpleString}")
+    org.apache.spark.sql.catalyst.expressions.Cast(e, dt, Some("UTC")).eval(null)
+  }
 
   /** Table root of a shallow-cloned ABSOLUTE file path (X78): the
     * path minus the filename and the trailing hive `k=v` partition

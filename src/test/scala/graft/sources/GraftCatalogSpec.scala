@@ -614,4 +614,31 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql(s"SELECT * FROM $cat.lake.ctas").collect() }
     ()
   }
+
+  test("t.files metadata table and partition-scoped CALL compact") {
+    spark.sql(s"CREATE TABLE $cat.lake.fmeta (k BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg)")
+    // two inserts -> at least 2 files per touched partition
+    spark.sql(s"INSERT INTO $cat.lake.fmeta " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END FROM range(20)")
+    spark.sql(s"INSERT INTO $cat.lake.fmeta " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END FROM range(20, 40)")
+    val files = spark.sql(s"SELECT file, size_bytes, partition, dv_generations " +
+      s"FROM $cat.lake.fmeta.files")
+      .as[(String, Long, Map[String, String], Int)].collect()
+    assert(files.nonEmpty)
+    assert(files.forall(_._2 > 0))
+    assert(files.forall(f => Set("A", "B").contains(f._3("seg"))))
+    assert(files.forall(_._4 == 0))
+    val aBefore = files.count(_._3("seg") == "A")
+    assert(aBefore >= 2)
+    // compact ONLY seg=A
+    spark.sql(s"CALL $cat.system.compact('lake.fmeta', where => 'seg=A')")
+    val after = spark.sql(s"SELECT partition['seg'] FROM $cat.lake.fmeta.files")
+      .as[String].collect()
+    assert(after.count(_ == "A") == 1)
+    assert(after.count(_ == "B") == files.count(_._3("seg") == "B")) // untouched
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.fmeta").as[Long].head() == 40)
+    ()
+  }
 }
