@@ -1718,9 +1718,109 @@ object QueriesPipeline {
       s.sql("""SELECT tier, COUNT(*) AS n, SUM(ck) AS sck
               |FROM graft.lake.cdef GROUP BY tier ORDER BY tier""".stripMargin)
     }),
+
+    // ---- PARTITION SPEC EVOLUTION (X81) --------------------------------
+    // `CALL graft.system.evolve_partitioning` changes the layout as ONE
+    // metadata commit (zero files rewritten at any size): generation 1
+    // lands under status= dirs, the spec evolves to days(o_orderdate),
+    // generation 2 lands under od_day= dirs, and every read leg stays
+    // exact over the mixed window — the date-window leg dir-prunes the
+    // new generation and conservatively keeps the old. The oracle
+    // replays both legs relationally over raw orders; a row lost to a
+    // mis-grouped scan or a dir unsoundly pruned breaks the hash.
+    "q141_partition_evolution" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.opev")
+      s.sql("""CREATE TABLE graft.lake.opev (ok BIGINT, od DATE,
+              |  status STRING, total DOUBLE)
+              |PARTITIONED BY (status)""".stripMargin)
+      Tables.orders(s, dir)
+        .select($"o_orderkey".as("ok"), $"o_orderdate".as("od"),
+          $"o_orderstatus".as("status"), $"o_totalprice".as("total"))
+        .createOrReplaceTempView("q141_src")
+      s.sql("INSERT INTO graft.lake.opev " +
+        "SELECT ok, od, status, total FROM q141_src WHERE ok % 2 = 0")
+      s.sql("CALL graft.system.evolve_partitioning('lake.opev', 'days(od)')")
+      s.sql("INSERT INTO graft.lake.opev " +
+        "SELECT ok, od, status, total FROM q141_src WHERE ok % 2 = 1")
+      s.sql("""
+        |SELECT leg, status, n, st FROM (
+        |  SELECT 'all' AS leg, status, COUNT(*) AS n,
+        |         SUM(CAST(FLOOR(total * 100) AS BIGINT)) AS st
+        |  FROM graft.lake.opev GROUP BY status
+        |  UNION ALL
+        |  SELECT 'window' AS leg, status, COUNT(*) AS n,
+        |         SUM(CAST(FLOOR(total * 100) AS BIGINT)) AS st
+        |  FROM graft.lake.opev
+        |  WHERE od >= DATE'1995-01-01' AND od < DATE'1996-01-01'
+        |  GROUP BY status
+        |) ORDER BY leg, status""".stripMargin)
+    }),
+
+    // ---- MERGE-ON-READ UPDATE (X82) ------------------------------------
+    // `graft.deletionVectors=true` flips SQL UPDATE/DELETE to
+    // merge-on-read: matched rows are shadowed by a sidecar generation
+    // and (for UPDATE) re-appended post-image in the SAME commit — zero
+    // data files rewritten, O(matched rows) write amplification. The
+    // chain below updates, deletes, then updates rows the first update
+    // produced; the oracle replays the three mutations relationally —
+    // a resurrected shadowed row, a lost post-image, or an update
+    // applied to a deleted row breaks the hash.
+    "q142_mor_update" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.morup")
+      s.sql("""CREATE TABLE graft.lake.morup (ck BIGINT, seg STRING,
+              |  bal DOUBLE)
+              |TBLPROPERTIES ('graft.deletionVectors'='true')""".stripMargin)
+      Tables.customer(s, dir)
+        .select($"c_custkey".as("ck"), $"c_mktsegment".as("seg"),
+          $"c_acctbal".as("bal"))
+        .createOrReplaceTempView("q142_src")
+      s.sql("INSERT INTO graft.lake.morup SELECT ck, seg, bal FROM q142_src")
+      s.sql("UPDATE graft.lake.morup SET bal = bal + 100 " +
+        "WHERE seg = 'BUILDING'")
+      s.sql("DELETE FROM graft.lake.morup WHERE seg = 'MACHINERY'")
+      s.sql("UPDATE graft.lake.morup SET seg = 'VIP' WHERE bal > 9000")
+      s.sql("""SELECT seg, COUNT(*) AS n,
+              |  SUM(CAST(FLOOR(bal * 100) AS BIGINT)) AS sb
+              |FROM graft.lake.morup GROUP BY seg ORDER BY seg""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q142_mor_update" ->
+      """WITH s1 AS (
+        |  SELECT c_custkey AS ck, c_mktsegment AS seg,
+        |         c_acctbal + CASE WHEN c_mktsegment = 'BUILDING'
+        |                          THEN 100 ELSE 0 END AS bal
+        |  FROM customer
+        |), s2 AS (
+        |  SELECT * FROM s1 WHERE seg <> 'MACHINERY'
+        |), s3 AS (
+        |  SELECT ck, CASE WHEN bal > 9000 THEN 'VIP' ELSE seg END AS seg,
+        |         bal
+        |  FROM s2
+        |)
+        |SELECT seg, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(bal * 100) AS BIGINT)) AS BIGINT) AS sb
+        |FROM s3 GROUP BY seg ORDER BY seg""".stripMargin,
+    "q141_partition_evolution" ->
+      """SELECT leg, status, n, st FROM (
+        |  SELECT 'all' AS leg, o_orderstatus AS status, COUNT(*) AS n,
+        |         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS st
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'window', o_orderstatus, COUNT(*),
+        |         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1995-01-01'
+        |    AND o_orderdate < DATE '1996-01-01'
+        |  GROUP BY o_orderstatus
+        |) ORDER BY leg, status""".stripMargin,
     "q140_column_defaults" ->
       """SELECT tier, COUNT(*) AS n, CAST(SUM(ck) AS BIGINT) AS sck FROM (
         |  SELECT 'std' AS tier, c_custkey AS ck FROM customer

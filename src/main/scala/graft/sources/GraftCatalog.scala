@@ -472,6 +472,13 @@ object GraftCatalog {
   private[sources] def statsColumnsOf(t: IncrementalTable): Seq[String] =
     t.tableProperties.get("graft.statsColumns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** `graft.deletionVectors=true` (the Delta `enableDeletionVectors`
+    * analog) flips SQL UPDATE/DELETE to merge-on-read: sidecar
+    * shadows instead of copy-on-write rewrites (X10/X82). */
+  private[sources] def deletionVectorsEnabled(t: IncrementalTable): Boolean =
+    t.tableProperties.get("graft.deletionVectors").exists(_.trim
+      .equalsIgnoreCase("true"))
 }
 
 /** One named graft table in the catalog. Reads bridge through
@@ -562,8 +569,13 @@ private[sources] final class GraftTable(spark: SparkSession,
     require(asOf.isEmpty, s"cannot delete from time-travel snapshot $ident")
     val pred = filters.toIndexedSeq.flatMap(GraftRelation.translate)
       .reduceOption(_ && _).getOrElse(lit(true))
-    // rewritten files keep the stats index (skipping + row tallies)
-    table.delete(pred, statsColumns = GraftCatalog.statsColumnsOf(table))
+    // rewritten files keep the stats index (skipping + row tallies);
+    // with graft.deletionVectors=true the delete is merge-on-read
+    // (sidecar only, zero files rewritten — X10/X82)
+    if (GraftCatalog.deletionVectorsEnabled(table))
+      table.deleteVectorized(pred)
+    else
+      table.delete(pred, statsColumns = GraftCatalog.statsColumnsOf(table))
     ()
   }
 }
@@ -953,6 +965,10 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     case "untag" => "delete a snapshot tag"
     case "clone" => "shallow-clone a table (metadata-only: the new table " +
       "references the source's live files; optionally at a past version)"
+    case "evolve_partitioning" => "change the table's partition layout as " +
+      "one metadata commit (Iceberg spec-evolution analog): existing files " +
+      "keep their directory shape, new writes route under the new layout; " +
+      "layout is 'col, days(ts), bucket(8, id), truncate(4, s)' syntax"
   }
   override def bind(inputType: org.apache.spark.sql.types.StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -985,6 +1001,9 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         in("table", StringType).build(),
         in("dest", StringType).build(),
         in("version", LongType).defaultValue("-1").build())
+      case "evolve_partitioning" => Array(
+        in("table", StringType).build(),
+        in("layout", StringType).build())
     }
   }
 
@@ -1032,6 +1051,44 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         t.dropTag(tagName)
         (new StructType().add("tag", StringType),
           InternalRow(UTF8String.fromString(tagName)))
+      case "evolve_partitioning" =>
+        // same textual forms as CREATE's PARTITIONED BY: identity
+        // column names and years/months/days/hours/bucket/truncate
+        // transforms, comma-separated at the top level
+        val raw = input.getUTF8String(1).toString
+        val items = {
+          val out = Seq.newBuilder[String]
+          val sb = new StringBuilder
+          var depth = 0
+          raw.foreach {
+            case ',' if depth == 0 => out += sb.result(); sb.clear()
+            case c =>
+              if (c == '(') depth += 1
+              if (c == ')') depth -= 1
+              sb += c
+          }
+          out += sb.result()
+          out.result().map(_.trim).filter(_.nonEmpty)
+        }
+        require(items.nonEmpty,
+          "evolve_partitioning needs a non-empty layout")
+        val schema = t.schemaAt().getOrElse(new StructType())
+        val specs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        val layout = items.map { item =>
+          if (!item.contains('(')) item
+          else {
+            val spec = item.replaceAll("\\s+", "")
+            val pt = graft.table.PartitionTransform.parse(spec, schema)
+            val name = graft.table.PartitionTransform.defaultName(pt)
+            specs(name) = pt.spec
+            name
+          }
+        }
+        val c = t.evolvePartitioning(layout, specs.toMap)
+        (new StructType().add("version", LongType)
+           .add("partition_by", StringType),
+          InternalRow(c.version,
+            UTF8String.fromString(layout.mkString(","))))
       case "clone" =>
         val destRel = input.getUTF8String(1).toString
         val destPath = cat.pathForName(destRel)
@@ -1056,7 +1113,8 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
 
 private[sources] object GraftProcedure {
   val names: Set[String] =
-    Set("compact", "vacuum", "restore", "tag", "untag", "clone")
+    Set("compact", "vacuum", "restore", "tag", "untag", "clone",
+      "evolve_partitioning")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

@@ -211,14 +211,22 @@ private[sources] object GraftDml {
 }
 
 /** `UPDATE graft.ns.t SET … WHERE …` → [[IncrementalTable.update]]
-  * (skipping-pruned copy-on-write rewrite, X19). */
+  * (skipping-pruned copy-on-write rewrite, X19), or — when the table
+  * opts in with `graft.deletionVectors=true` (the Delta
+  * `enableDeletionVectors` analog) — [[IncrementalTable
+  * .updateVectorized]] (X82): matched rows shadowed by a sidecar and
+  * re-appended in one commit, no file rewritten. */
 final case class GraftUpdateCommand(table: IncrementalTable,
     set: Seq[(String, Column)], cond: Option[Column])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    table.update(cond.getOrElse(org.apache.spark.sql.functions.lit(true)),
-      set.toMap,
-      statsColumns = GraftCatalog.statsColumnsOf(table))
+    val pred = cond.getOrElse(org.apache.spark.sql.functions.lit(true))
+    if (GraftCatalog.deletionVectorsEnabled(table))
+      table.updateVectorized(pred, set.toMap,
+        statsColumns = GraftCatalog.statsColumnsOf(table))
+    else
+      table.update(pred, set.toMap,
+        statsColumns = GraftCatalog.statsColumnsOf(table))
     Seq.empty
   }
 }

@@ -507,6 +507,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def liveFilesWhere(predicate: org.apache.spark.sql.Column,
       filters: Map[String, String] = Map.empty,
       asOf: Option[Long] = None): Seq[String] = {
+    requireUniformSpec(filters.keys, "partition-filtered prune", asOf)
     val b0 = committedSchemaAt(asOf) match {
       case Some(schema) => DataSkipping.bounds(spark, schema, predicate)
       case None => Map.empty[String, DataSkipping.Bounds] // no schema: no pruning
@@ -682,10 +683,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         c.action != "dvmerge" &&
         (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty)
       if (!inWindow) None
-      else if (c.action == "dv") {
+      else if (c.action == "dv" || c.action == "update") {
         // the commit's own sidecars ARE its logical delta: join their
         // positions back to the touched files' rows (under the PRIOR
-        // dv state — already-deleted rows can't delete again)
+        // dv state — already-deleted rows can't delete again). A
+        // merge-on-read UPDATE (X82) additionally adds the post-image
+        // files in the same commit: exact delete (pre-image) + insert
+        // (post-image) rows, the lossless CDC rendering of an update.
         val pos = dvPositions(c.dv.values.flatten.toSeq.distinct)
         val deleted = filesDfWithPos(c.dv.keys.toSeq, stored, dvBefore, mapping)
           .join(broadcast(pos),
@@ -695,8 +699,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           s.fieldNames.map(n => org.apache.spark.sql.functions
             .col(physPath(n, mapping)).as(n)): _*))
           .getOrElse(dropPosCols(deleted.drop("_dv_sc_file", "_dv_sc_pos")))
-        Some(rows.withColumn("_change_type", lit("delete"))
-          .withColumn("_commit_version", lit(c.version)))
+        val del = rows.withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(c.version))
+        Some(if (c.add.isEmpty) del
+          else del.unionByName(filesDf(c.add, stored, dvState, mapping)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(c.version))))
       } else {
         // added files read under the POST-commit dv state: usually a
         // no-op (new files have no vectors), but a restore() re-adds
@@ -718,6 +726,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   }
 
   private def readInternal(filters: Map[String, String], asOf: Option[Long]): DataFrame = {
+    requireUniformSpec(filters.keys, "partition-filtered read", asOf)
     val files = liveFiles(filters, asOf)
     // The committed schema is authoritative: partition-dir values (always
     // strings on disk) are cast back to their declared types, and a
@@ -816,9 +825,19 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       phys.foreach(s => require(
         !s.fieldNames.contains("_graft_path") && !s.fieldNames.contains("_graft_pos"),
         "'_graft_path'/'_graft_pos' are reserved column names"))
-      val groups = files.groupBy(f =>
-        if (f.startsWith("/")) IncrementalTable.foreignBase(f) else root)
-        .toSeq.sortBy(_._1)
+      // Spec evolution (X81): files written under different partition
+      // layouts additionally group by their own dir-token SHAPE —
+      // Spark's partition discovery refuses mixed structures in one
+      // reader ("conflicting partition column names"), and per-shape
+      // readers overlay exactly the identity columns that file
+      // generation dir-encoded (its data files carry the rest). One
+      // shape per table on the never-evolved path: same single group.
+      val groups = files.groupBy { f =>
+        val base = if (f.startsWith("/")) IncrementalTable.foreignBase(f) else root
+        val shape = IncrementalTable.hiveSegments(f)
+          .keySet.toSeq.sorted.mkString("/")
+        (base, shape)
+      }.toSeq.sortBy(_._1)
       def readGroup(base: String, fs: Seq[String]): DataFrame = {
         // The committed schema makes partition-column type inference
         // moot (string-typed partition values for reference layout
@@ -844,12 +863,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // row index every DML and DV consumer needs are materialized as
       // regular columns PER GROUP (Catalyst prunes them out of the
       // scan whenever nothing upstream selects them)
-      groups.map { case (base, fs) =>
-        val g = readGroup(base, fs)
-        g.withColumn("_graft_path",
+      groups.map { case ((base, _), fs) =>
+        val g0 = readGroup(base, fs)
+        val g = g0.withColumn("_graft_path",
             org.apache.spark.sql.functions.col("_metadata.file_path"))
           .withColumn("_graft_pos",
             org.apache.spark.sql.functions.col("_metadata.row_index"))
+        // each shape group surfaces ITS dirs' discovered partition
+        // columns — derived (transform) tokens differ per spec and are
+        // not data; project to the committed physical schema so the
+        // shape-group union always aligns (the final filesDf projection
+        // dropped them anyway on the single-shape path)
+        phys.fold(g)(s => g.select((s.fieldNames.toIndexedSeq :+
+          "_graft_path" :+ "_graft_pos")
+          .map(org.apache.spark.sql.functions.col): _*))
       }.reduce(_.unionByName(_))
     }
   }
@@ -1412,6 +1439,73 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** Merge-on-read UPDATE (X82, the Delta DV-update analog): matched
+    * rows are shadowed by a deletion-vector generation on the files
+    * that hold them and re-appended with the assignments applied — ONE
+    * atomic `update` commit carrying both the sidecar attachment and
+    * the new files, no data file rewritten. Against [[update]]'s
+    * copy-on-write: a narrow update on a 100 TB table writes
+    * O(matched rows), not O(touched files) — the write amplification
+    * of updating 100 rows spread across 1,000 two-gigabyte files drops
+    * from 2 TB to kilobytes. The read-side cost is the same sidecar
+    * anti-join every DV delete already pays, reclaimed by
+    * [[compact]]/[[compactDeletionVectors]] maintenance.
+    *
+    * Exactness contracts: assignments must produce the column's EXACT
+    * committed type (no silent casts — widen explicitly); updated
+    * copies re-route through the one write choke point (current
+    * layout, derived transforms, CHECK constraints, stats index);
+    * [[changes]] renders the commit as exact delete (pre-image) +
+    * insert (post-image) rows, so CDC consumers and incremental views
+    * replay it losslessly; OCC fails the commit when a concurrent
+    * writer removed/rewrote/dv'd a touched file (positions were
+    * computed against this snapshot). The plain streaming source
+    * refuses `update` commits (use readChangeFeed), same as replace. */
+  def updateVectorized(predicate: Column, set: Map[String, Column],
+      statsColumns: Seq[String] = Nil): Option[Commit] = {
+    require(exists, s"update target $root does not exist")
+    require(set.nonEmpty, "updateVectorized needs set expressions")
+    val fn = org.apache.spark.sql.functions.col _
+    val stored = committedSchema
+    set.keys.foreach(k => require(stored.fieldNames.contains(k),
+      s"updateVectorized sets unknown column '$k'"))
+    val candidates = liveFilesWhere(predicate)
+    if (candidates.isEmpty) return None
+    val mapping = columnMapping()
+    val matched = filesDfWithPos(candidates, Some(stored), liveDv(), mapping)
+      .select(stored.fieldNames.toIndexedSeq.map(n =>
+        fn(physPath(n, mapping)).as(n)) :+ fn("_dv_file") :+ fn("_dv_pos"): _*)
+      .filter(predicate)
+      .persist()
+    try {
+      val gen = UUID.randomUUID().toString
+      val genDir = new Path(rootPath, s"$dvPrefix/$gen")
+      matched.select(fn("_dv_file").as("file"), fn("_dv_pos").as("pos"))
+        .write.parquet(genDir.toString)
+      val touched = spark.read
+        .schema(new StructType().add("file", "string").add("pos", "long"))
+        .parquet(genDir.toString)
+        .select("file").distinct().collect()
+        .map(r => relativizeUri(rootPath, r.getString(0))).toSeq.sorted
+      if (touched.isEmpty) { fs.delete(genDir, true); None }
+      else {
+        val updated = matched.select(stored.fields.toIndexedSeq.map { f =>
+          set.get(f.name).map(_.as(f.name)).getOrElse(fn(f.name))
+        }: _*)
+        stored.fields.foreach { f =>
+          val got = updated.schema(f.name).dataType
+          require(got.catalogString == f.dataType.catalogString,
+            s"updateVectorized assignment to '${f.name}' would change " +
+              s"${f.dataType.simpleString} -> ${got.simpleString}; cast " +
+              "explicitly if intended")
+        }
+        write(updated, "update", committedPartitionBy, Map.empty, Map.empty,
+          Map.empty, None, statsColumns = statsColumns,
+          extraDv = touched.map(_ -> Seq(gen)).toMap)
+      }
+    } finally matched.unpersist()
+  }
+
   /** Merge the live set's accumulated deletion-vector sidecar
     * generations into ONE generation WITHOUT touching any data file
     * (Iceberg's positional-delete-file compaction; VERDICT r4 #4). A
@@ -1744,7 +1838,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // checkpoints fold this same rule forward
     val parts = cs.reverse.iterator
       .filter(c => c.add.nonEmpty || c.action == "replace" ||
-        c.filesParquet.isDefined)
+        c.action == "evolve" || c.filesParquet.isDefined)
       .map(_.partitionBy).nextOption().getOrElse(Seq.empty)
     Seq((root, latestVersion, nFiles, bytes,
       parts.mkString(","), schemaDdl, constraints.size.toLong, nDv))
@@ -1829,7 +1923,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * immutable thereafter — X76 pins the layout). Empty for plain
     * identity-partitioned tables. */
   def partitionTransforms(asOf: Option[Long] = None): Map[String, PartitionTransform] = {
+    // `retired:<spec>` marks a transform that left the layout via
+    // [[evolvePartitioning]] — not ACTIVE (never routes or prunes), but
+    // deliberately NOT a tombstone: the non-empty value survives channel
+    // folds, checkpoints, and clones, so the name can never be reused
+    // with different semantics (old dirs still carry its tokens). A
+    // time-travel fold at a pre-evolution version sees the original
+    // spec, so reads and DESCRIBE at that version use the then-layout.
     val specs = metaChannelOf(commitsAsOf(asOf), "ptransform/")
+      .filterNot(_._2.startsWith(IncrementalTable.RetiredSpec))
     if (specs.isEmpty) Map.empty
     else {
       val schema = committedSchemaAt(asOf).getOrElse(new StructType())
@@ -1837,12 +1939,29 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
   }
 
+  /** Derived partition columns retired by [[evolvePartitioning]]:
+    * name → the spec it carried. Their dir tokens still exist under
+    * live old-spec files, so the names stay reserved forever. */
+  private def retiredTransforms: Map[String, String] =
+    metaChannel("ptransform/").collect {
+      case (n, v) if v.startsWith(IncrementalTable.RetiredSpec) =>
+        n -> v.stripPrefix(IncrementalTable.RetiredSpec)
+    }
+
   /** Partition columns that exist only as directory tokens (transform
     * targets): committed layout minus schema columns. Guards use this
     * without parsing specs. */
   private def derivedPartitionCols: Set[String] =
     committedPartitionBy.toSet --
       committedSchemaAt().map(_.fieldNames.toSet).getOrElse(Set.empty)
+
+  /** Names forever unavailable to schema columns: live derived
+    * partition columns PLUS transforms retired by spec evolution —
+    * live files still carry `name=token` dirs for both, and a schema
+    * column of that name would resurface transform tokens as column
+    * values through the partition-overlay read path. */
+  private def reservedDirNames: Set[String] =
+    derivedPartitionCols ++ retiredTransforms.keySet
 
   /** Read an explicit committed-file subset under the table's schema and
     * deletion-vector state as of `asOf`. The contract behind scan
@@ -1948,9 +2067,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     require(!committedPartitionBy.contains(from),
       s"cannot rename partition column '$from' (its name is baked into " +
         "every partition directory path); migrate via CTAS")
-    require(!committedPartitionBy.contains(to),
-      s"cannot rename to '$to': it is a partition column name (a schema " +
-        "column of that name would shadow the dir tokens)")
+    require(!committedPartitionBy.contains(to) &&
+        !retiredTransforms.contains(to),
+      s"cannot rename to '$to': it is (or was) a partition column name " +
+        "(a schema column of that name would shadow the dir tokens)")
     partitionTransforms().values.find(_.base == from).foreach(t =>
       throw new IllegalArgumentException(
         s"cannot rename '$from': it is the base of partition transform " +
@@ -2130,6 +2250,129 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       None, now()))
   }
 
+  /** Partition spec evolution (X81, the Iceberg spec-evolution analog):
+    * change the table's partition layout as ONE metadata commit — zero
+    * files rewritten at any size. Files already written keep their old
+    * directory shape; subsequent writes (inserts, DML rewrites,
+    * compaction, streaming sinks) route under the new layout through
+    * the one write choke point. Reads stay exact over the mixed window
+    * because every per-file decision is keyed by the file's OWN dir
+    * tokens: transform/dir pruning conservatively KEEPS a file that
+    * lacks the current spec's token ([[TokenBound.keeps]] on None), the
+    * scan groups files by dir shape so Spark's partition-discovery
+    * never sees two layouts in one reader, and the operations whose
+    * METADATA-ONLY answer would need tokens the old files don't have —
+    * exact partition-filter reads, `replaceWhere`, `dynamicReplace`,
+    * logical-partition compaction — refuse loudly until [[compact]]
+    * (full, or the per-dir [[compactIfNeeded]] path, which migrates
+    * old-spec dirs as it touches them) rewrites the stragglers under
+    * the current spec. Predicate reads ([[readWhere]]) never refuse:
+    * pruning is conservative and the predicate re-applies in full.
+    *
+    * A transform leaving the layout is RETIRED, not erased: its name
+    * keeps a `retired:<spec>` channel entry forever (old dirs still
+    * carry its tokens), so re-introducing the name with different
+    * semantics — as a transform with another spec or as a schema
+    * column — is refused; re-adding the SAME spec re-activates it.
+    * Evolving to an unpartitioned layout is refused (the layout fold
+    * cannot represent it); identity columns must be live schema
+    * columns. Concurrent writers planned against the old layout fail
+    * their OCC retry (an `evolve` winner conflicts with every
+    * non-meta commit) instead of silently resurrecting it.
+    *
+    * Reference analog: the weekly/daily grain split baked into
+    * physical paths (partitions.py:16-24) is the rigidity this verb
+    * removes — a grain change there means a new asset tree. */
+  def evolvePartitioning(partitionBy: Seq[String],
+      transforms: Map[String, String] = Map.empty): Commit = {
+    require(exists, s"graft table $root does not exist")
+    val schema = committedSchemaAt().getOrElse(new StructType())
+    require(partitionBy.nonEmpty,
+      "evolving to an unpartitioned layout is not supported — a full " +
+        "compact() keeps the layout; migrate via CTAS to flatten")
+    require(partitionBy.distinct == partitionBy,
+      s"duplicate partition column in (${partitionBy.mkString(", ")})")
+    transforms.keys.foreach(p => require(partitionBy.contains(p),
+      s"transform partition column '$p' is not in partitionBy"))
+    val current = committedPartitionBy
+    val curTs = partitionTransforms()
+    val retired = retiredTransforms
+    require(partitionBy != current ||
+        transforms != curTs.map { case (k, t) => k -> t.spec },
+      "evolvePartitioning to the current layout is a no-op")
+    partitionBy.foreach { p =>
+      transforms.get(p) match {
+        case Some(spec) =>
+          require(!schema.fieldNames.contains(p),
+            s"derived partition column '$p' must not be a schema column " +
+              "(hidden partitioning derives it from the base column)")
+          PartitionTransform.parse(spec, schema) // validates base + type, loud
+          (curTs.get(p).map(_.spec).toSeq ++ retired.get(p)).foreach(old =>
+            require(old == spec,
+              s"derived partition column '$p' previously carried transform " +
+                s"$old — live dirs still hold its tokens, so the name cannot " +
+                s"mean $spec; pick a fresh derived name"))
+        case None =>
+          require(schema.fieldNames.contains(p),
+            s"partition column '$p' is not in the schema")
+          require(!curTs.contains(p) && !retired.contains(p),
+            s"'$p' is (or was) a derived partition column — its dir tokens " +
+              "are transform outputs, not column values")
+      }
+    }
+    // retire transforms leaving the layout; (re-)activate incoming ones
+    val retirals = curTs.collect {
+      case (name, t) if !transforms.contains(name) =>
+        s"ptransform/$name" -> s"${IncrementalTable.RetiredSpec}${t.spec}"
+    }
+    val activations = transforms.collect {
+      case (name, spec) if curTs.get(name).map(_.spec) != Some(spec) =>
+        s"ptransform/$name" -> spec
+    }
+    val schemaDdl = commits().lastOption.map(_.schemaJson).getOrElse("")
+    commit(Commit(0, "evolve", Nil, Nil, Map.empty, partitionBy, schemaDdl,
+      retirals ++ activations +
+        ("prop/" + IncrementalTable.SpecEvolvedProp -> "1"),
+      None, now()))
+  }
+
+  /** True once the table's partition spec has ever evolved — the signal
+    * that partition-addressed metadata operations must first prove the
+    * live set uniformly encodes the tokens they scope by. Rides the
+    * `prop/` channel: survives checkpoints, visible in SHOW
+    * TBLPROPERTIES, carried by shallow clones. */
+  private def specEvolved: Boolean =
+    tableProperties.contains(IncrementalTable.SpecEvolvedProp)
+
+  /** Refuse a partition-addressed operation whose dir-token scope some
+    * live file (as of `asOf`) does not encode — the one place mixed
+    * partition specs could silently mis-scope (a file written under an
+    * old layout carries no `k=` token, so token matching can neither
+    * include nor exclude it). No-op on never-evolved tables (zero cost
+    * on the common path) and on empty scopes. */
+  private def requireUniformSpec(keys: Iterable[String], op: String,
+      asOf: Option[Long] = None): Unit = {
+    val ks = keys.toSeq.distinct
+    if (ks.isEmpty || !specEvolved) return
+    val offender: Option[String] = parquetCkpt(commitsAsOf(asOf)) match {
+      case Some(_) =>
+        import spark.implicits._
+        val missing = ks.map(k => !IncrementalTable.hasSegExpr(k))
+          .reduce(_ || _)
+        liveRowsDF(Map.empty, asOf).filter(missing)
+          .select("file").as[String].limit(1).collect().headOption
+      case None =>
+        liveFiles(Map.empty, asOf).find(f =>
+          !ks.forall(IncrementalTable.hiveSegments(f).contains))
+    }
+    offender.foreach(f => throw new IllegalStateException(
+      s"$op addresses partition token(s) (${ks.mkString(", ")}), but the " +
+        s"partition spec evolved and live file '$f' was written under a " +
+        "layout that does not encode them — compact() to rewrite files " +
+        "under the current spec, or use a predicate read (readWhere), " +
+        "which stays exact over mixed specs"))
+  }
+
   /** ALTER TABLE ADD COLUMNS: extend the committed schema with new
     * nullable columns via a metadata-only commit — existing files read
     * them as null, exactly like write-side add-column evolution
@@ -2216,9 +2459,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         s"column '${f.name}' was previously dropped and files still carry " +
           "its old values — re-adding would resurface them as live data; " +
           "migrate via CTAS")
-      require(!derivedPartitionCols.contains(f.name),
-        s"column '${f.name}' is a derived partition column (X77) — a " +
-          "schema column of that name would shadow the dir tokens")
+      require(!reservedDirNames.contains(f.name),
+        s"column '${f.name}' is (or was) a derived partition column " +
+          "(X77/X81) — a schema column of that name would shadow the " +
+          "dir tokens live files still carry")
     }
     drops.foreach { n =>
       require(prev.fieldNames.contains(n), s"no column '$n' to drop")
@@ -2377,8 +2621,22 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       statMeta: Seq[StatMeta] = Nil,
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil,
-      removeExact: Option[Seq[String]] = None): Option[Commit] = {
+      removeExact: Option[Seq[String]] = None,
+      // merge-on-read UPDATE (X82): deletion-vector attachments that
+      // ride the SAME commit as the staged adds — the one-commit
+      // shadow-and-reinsert shape
+      extraDv: Map[String, Seq[String]] = Map.empty): Option[Commit] = {
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
+    // Spec evolution (X81): a replace whose REMOVAL SET is addressed by
+    // partition tokens (replaceWhere's filter, dynamic replace's touched
+    // dirs — the latter includes the full current layout, derived names
+    // and all) silently misses old-spec files that lack the tokens;
+    // refuse until the live set is uniform. removeExact names its files
+    // and full-table replace scopes everything — both spec-agnostic.
+    if (action == "replace" && removeExact.isEmpty)
+      requireUniformSpec(
+        if (dynamic) partitionBy else partitionFilter.keys,
+        if (dynamic) "dynamic partition replace" else "replaceWhere")
     val withParts = constraintGuard(
       partitionValues.foldLeft(df) { case (d, (k, v)) =>
         d.withColumn(k, lit(v))
@@ -2461,21 +2719,22 @@ final class IncrementalTable(spark: SparkSession, val root: String,
        else writer).parquet(stage.toString)
     }
     val staged = listParquet(fs, stage).map(p => relativize(stage, p))
-    // Partition evolution is PINNED as unsupported (X76): a data write
-    // whose layout differs from the committed one would interleave two
-    // hive directory shapes under one root — directory pruning, the
-    // partition-value read path, and dynamic replace would all silently
-    // mis-scope. Refused loudly (Iceberg-style spec evolution would be
-    // the real feature); empty writes (meta-only commits) stay exempt,
-    // and an unpartitioned-so-far table may adopt a layout only while
-    // it has no committed layout to contradict.
+    // Writes never change the layout (X76): a data write whose layout
+    // differs from the committed one would interleave two hive
+    // directory shapes under one root WITHOUT the bookkeeping that
+    // keeps that sound. Spec changes go through evolvePartitioning
+    // (X81), which flags the table so partition-addressed metadata ops
+    // prove uniformity first; empty writes (meta-only commits) stay
+    // exempt, and an unpartitioned-so-far table may adopt a layout
+    // only while it has no committed layout to contradict.
     if (staged.nonEmpty) {
       val committed = committedPartitionBy
       require(committed.isEmpty || partitionBy == committed,
-        s"partition layout is immutable: $root is partitioned by " +
-          s"(${committed.mkString(", ")}) but this write declares " +
-          s"(${partitionBy.mkString(", ")}); partition evolution is not " +
-          "supported — migrate via CTAS with the new layout")
+        s"partition layout is immutable under writes: $root is partitioned " +
+          s"by (${committed.mkString(", ")}) but this write declares " +
+          s"(${partitionBy.mkString(", ")}); change the layout explicitly " +
+          "via evolvePartitioning / CALL graft.system.evolve_partitioning " +
+          "(X81), never as a side effect of a write")
     }
     // partitioned zero-row writes stage no files; non-partitioned ones
     // stage one schema-only file — detect via footer counts (no job).
@@ -2561,7 +2820,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           .filterNot(f => ptransforms.contains(f.name)))))
       Some(commit(Commit(0, action, added, removed, partitionFilter,
         partitionBy, schemaDdl, allMeta, batchId, now(), appId = appId,
-        fileStats = fileStats)))
+        fileStats = fileStats, dv = extraDv)))
     }
   }
 
@@ -2599,7 +2858,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
             s"column '${f.name}' was previously dropped and files still " +
               "carry its old values — re-adding would resurface them; " +
               "migrate via CTAS"))
-          fresh.foreach(f => require(!derivedPartitionCols.contains(f.name),
+          fresh.foreach(f => require(!reservedDirNames.contains(f.name),
             s"column '${f.name}' is a derived partition column (X77) — a " +
               "schema column of that name would shadow the dir tokens"))
         }
@@ -2845,6 +3104,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * them — blind publication would strand the delete on a dead file
     * while its rows live on in the rewrite. */
   private def conflicts(ours: Commit, winner: Commit): Boolean = {
+    // Spec evolution (X81): an `evolve` winner invalidates every
+    // concurrent non-meta commit — its layout/guards were planned
+    // against the old spec (a stale-layout append would silently win
+    // the `committedPartitionBy` fold back). Symmetrically, an evolve
+    // loser re-validates against whatever landed first.
+    if (winner.action == "evolve" && ours.action != "meta") return true
+    if (ours.action == "evolve") return winner.action != "meta"
     val winnerFiles = winner.add ++ winner.remove ++ winner.dv.keys
     ours.action match {
       case "replace" =>
@@ -2855,6 +3121,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           winnerFiles.exists(f => touched.contains(parentDir(f)))
         }
       case "dv" =>
+        (winner.remove ++ winner.dv.keys).exists(ours.dv.keySet)
+      case "update" =>
+        // merge-on-read update (X82): like "dv", its sidecar positions
+        // were computed against exact files — an intervening remove/
+        // rewrite/dv on a touched file invalidates them (the adds are
+        // fresh files and cannot conflict)
         (winner.remove ++ winner.dv.keys).exists(ours.dv.keySet)
       case "dvmerge" =>
         // the merged generation was computed from a snapshot's dv
@@ -2890,7 +3162,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // same rule), so the value survives repeated compactions.
       val layoutParts = cs.reverse.iterator
         .filter(c => c.add.nonEmpty || c.action == "replace" ||
-          c.filesParquet.isDefined)
+          c.action == "evolve" || c.filesParquet.isDefined)
         .map(_.partitionBy).nextOption().getOrElse(last.partitionBy)
       val foldedMeta = cs.foldLeft(Map.empty[String, String])(_ ++ _.meta)
 
@@ -3077,7 +3349,29 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           .filter(_._2.size > maxFiles).keys.toSeq.sorted
     }
     val scopes = oversized.map(IncrementalTable.hiveSegments)
-    scopes.foreach(compact(_, targetFiles, statsColumns = statsColumns))
+    if (!specEvolved)
+      scopes.foreach(compact(_, targetFiles, statsColumns = statsColumns))
+    else oversized.foreach { d =>
+      // Spec evolution (X81): logical-partition compaction would need
+      // every live file to encode this dir's tokens; PHYSICAL per-dir
+      // compaction doesn't — rewrite exactly this dir's files (named
+      // via removeExact) and let the write choke point route the rows
+      // under the CURRENT layout. Old-spec dirs migrate to the new
+      // spec as maintenance touches them.
+      val inDir = parquetCkpt(commits()) match {
+        case Some(_) =>
+          import org.apache.spark.sql.functions.col
+          import spark.implicits._
+          liveRowsDF(filters, None)
+            .filter(IncrementalTable.parentDirCol === d)
+            .select("file").as[String].collect().toSeq
+        case None => liveFiles(filters).filter(f => parentDir(f) == d)
+      }
+      if (inDir.nonEmpty)
+        write(readFiles(inDir).repartition(targetFiles), "replace",
+          committedPartitionBy, Map.empty, Map.empty, Map.empty, None,
+          statsColumns = statsColumns, removeExact = Some(inDir))
+    }
     scopes
   }
 
@@ -3523,6 +3817,23 @@ object IncrementalTable {
   /** Hive `k=v` path segments of a (root-relative) path — THE single
     * copy of the parser (matchesPartition, compactIfNeeded, and the
     * stream consumers' replay-scope extraction all use it). */
+  /** Value prefix marking a retired partition transform in the
+    * `ptransform/` channel (see [[IncrementalTable.partitionTransforms]]). */
+  private[table] val RetiredSpec = "retired:"
+
+  /** Table property (set by [[IncrementalTable.evolvePartitioning]])
+    * flagging that the partition spec has evolved at least once. */
+  private[graft] val SpecEvolvedProp = "graft.spec.evolved"
+
+  /** Column test: does the `file` rel-path carry a `<name>=` dir token?
+    * The distributed twin of `hiveSegments(f).contains(name)` for the
+    * spec-uniformity probe on columnar-checkpoint tables. */
+  private[table] def hasSegExpr(name: String): Column = {
+    import org.apache.spark.sql.functions.col
+    col("file").rlike("(?:^|/)" +
+      java.util.regex.Pattern.quote(name) + "=[^/]*/")
+  }
+
   def hiveSegments(relPath: String): Map[String, String] =
     relPath.split("/").iterator.flatMap { s =>
       val i = s.indexOf('=')

@@ -641,4 +641,34 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.fmeta").as[Long].head() == 40)
     ()
   }
+
+  test("CALL evolve_partitioning: layout changes, DESCRIBE follows, reads exact") {
+    spark.sql(s"CREATE TABLE $cat.lake.pev " +
+      "(k BIGINT, ts TIMESTAMP, seg STRING) PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $cat.lake.pev VALUES " +
+      "(1, TIMESTAMP '2024-03-25 08:00:00', 'A'), " +
+      "(2, TIMESTAMP '2024-03-26 09:00:00', 'B')")
+    val out = spark.sql(s"CALL $cat.system.evolve_partitioning(" +
+      "'lake.pev', 'days(ts), bucket(4, k)')")
+      .as[(Long, String)].head()
+    assert(out._2 == "ts_day,k_bucket")
+    spark.sql(s"INSERT INTO $cat.lake.pev VALUES " +
+      "(3, TIMESTAMP '2024-03-27 10:00:00', 'C'), " +
+      "(4, TIMESTAMP '2024-03-28 11:00:00', 'D')")
+    // DESCRIBE reports the evolved transforms
+    val parts = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.lake.pev")
+      .filter(col("col_name").startsWith("Part "))
+      .select("data_type").as[String].collect().toSet
+    assert(parts == Set("days(ts)", "bucket(4, k)"), parts)
+    // mixed generations read exact by name; base-column predicates work
+    assert(spark.sql(s"SELECT k FROM $cat.lake.pev ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(spark.sql(s"SELECT k, seg FROM $cat.lake.pev " +
+      "WHERE ts >= TIMESTAMP '2024-03-27 00:00:00' ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((3L, "C"), (4L, "D")))
+    // the evolution flag is a visible table property
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.lake.pev")
+      .filter(col("key") === "graft.spec.evolved").count() == 1)
+    ()
+  }
 }
