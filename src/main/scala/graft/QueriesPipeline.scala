@@ -1789,9 +1789,62 @@ object QueriesPipeline {
               |  SUM(CAST(FLOOR(bal * 100) AS BIGINT)) AS sb
               |FROM graft.lake.morup GROUP BY seg ORDER BY seg""".stripMargin)
     }),
+
+    // ---- IDENTITY + GENERATED COLUMNS (X83/X84) ------------------------
+    // `GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 3)`
+    // mints values at the write choke point — dense per batch,
+    // continuing across commits from the committed high-water — and
+    // `GENERATED ALWAYS AS (expr)` derives its column on every write.
+    // Identity row→value assignment is partition-order dependent, so
+    // the oracle pins the DETERMINISTIC invariants instead: exact
+    // count/min/max/sum of a dense arithmetic sequence across two
+    // insert generations (a duplicate, gap, or stale high-water breaks
+    // the sum), plus the generated column replayed relationally.
+    "q143_identity_generated" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.idgen")
+      s.sql("""CREATE TABLE graft.lake.idgen (
+              |  rid BIGINT GENERATED ALWAYS AS IDENTITY
+              |    (START WITH 1000 INCREMENT BY 3),
+              |  ck BIGINT, bal DOUBLE,
+              |  cents BIGINT GENERATED ALWAYS AS
+              |    (CAST(FLOOR(bal * 100) AS BIGINT)))""".stripMargin)
+      Tables.customer(s, dir)
+        .select($"c_custkey".as("ck"), $"c_acctbal".as("bal"))
+        .createOrReplaceTempView("q143_src")
+      s.sql("INSERT INTO graft.lake.idgen (ck, bal) " +
+        "SELECT ck, bal FROM q143_src WHERE ck % 2 = 0")
+      s.sql("INSERT INTO graft.lake.idgen (ck, bal) " +
+        "SELECT ck, bal FROM q143_src WHERE ck % 2 = 1")
+      s.sql("""SELECT leg, n, mn, mx, sm FROM (
+              |  SELECT 'identity' AS leg, COUNT(*) AS n, MIN(rid) AS mn,
+              |         MAX(rid) AS mx, SUM(rid) AS sm
+              |  FROM graft.lake.idgen
+              |  UNION ALL
+              |  SELECT 'cents', COUNT(*), MIN(cents), MAX(cents), SUM(cents)
+              |  FROM graft.lake.idgen
+              |) ORDER BY leg""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q143_identity_generated" ->
+      """WITH c AS (SELECT COUNT(*) AS n FROM customer),
+        |cents AS (
+        |  SELECT CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS v FROM customer
+        |)
+        |SELECT leg, n, mn, mx, sm FROM (
+        |  SELECT 'identity' AS leg, n, CAST(1000 AS BIGINT) AS mn,
+        |         CAST(1000 + 3 * (n - 1) AS BIGINT) AS mx,
+        |         CAST(1000 * n + 3 * ((n - 1) * n / 2) AS BIGINT) AS sm
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'cents', (SELECT n FROM c), MIN(v), MAX(v),
+        |         CAST(SUM(v) AS BIGINT)
+        |  FROM cents
+        |) ORDER BY leg""".stripMargin,
     "q142_mor_update" ->
       """WITH s1 AS (
         |  SELECT c_custkey AS ck, c_mktsegment AS seg,

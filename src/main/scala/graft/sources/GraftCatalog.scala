@@ -84,7 +84,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // the analyzer fills CURRENT_DEFAULT into INSERTs omitting the
       // column; the table's read path fills EXISTS_DEFAULT for files
       // from before the column existed
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS).asJava
 
   private def pathFor(parts: Seq[String]): Path =
     parts.foldLeft(new Path(warehouse))(new Path(_, _))
@@ -165,11 +167,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the timestamp (microseconds, per the connector contract). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val base = dataTable(ident)
-    val millis = timestamp / 1000L
-    val v = base.table.commits().filter(_.ts <= millis).lastOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"no commit of $ident at or before timestamp $timestamp")).version
-    base.atVersion(v)
+    base.atVersion(base.table.versionAtTimestamp(timestamp / 1000L))
   }
 
   /** CREATE TABLE with inline constraints (`CONSTRAINT c CHECK (…)` in
@@ -184,7 +182,33 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"graft supports CHECK constraints only (got ${other.toDDL})")
     }
-    val created = createTable(ident, info.schema(), info.partitions(),
+    // IDENTITY (X83) / GENERATED (X84) specs ride the v2 Column objects,
+    // not the derived StructType — re-attach them as the catalyst
+    // metadata keys IncrementalTable.create harvests into channels
+    val idKey = org.apache.spark.sql.catalyst.util.IdentityColumn
+    val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+    val specByName = info.columns().toIndexedSeq
+      .map(c => c.name() -> (Option(c.identityColumnSpec()),
+        Option(c.generationExpression()))).toMap
+    val schema = StructType(info.schema().fields.map { f =>
+      specByName.get(f.name) match {
+        case Some((Some(id), _)) =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(idKey.IDENTITY_INFO_START, id.getStart)
+            .putLong(idKey.IDENTITY_INFO_STEP, id.getStep)
+            .putBoolean(idKey.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+              id.isAllowExplicitInsert)
+          f.copy(metadata = mb.build())
+        case Some((_, Some(gen))) =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(genKey, gen)
+          f.copy(metadata = mb.build())
+        case _ => f
+      }
+    })
+    val created = createTable(ident, schema, info.partitions(),
       info.properties())
     val t = created.asInstanceOf[GraftTable].table
     checks.foreach(c => t.addConstraint(c.name, c.predicateSql))

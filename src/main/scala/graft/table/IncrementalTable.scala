@@ -92,6 +92,12 @@ final case class Commit(
   * min/max are a meaningless placeholder — [[DataSkipping.overlaps]]
   * short-circuits on `nulls == rows` before consulting them). Old log
   * entries deserialize with both absent and prune exactly as before. */
+/** One IDENTITY column's committed spec (X83): `GENERATED ALWAYS AS
+  * IDENTITY (START WITH start INCREMENT BY step)`; `allowExplicit`
+  * marks the BY DEFAULT variant (explicit values accepted, nulls
+  * minted). */
+final case class IdentitySpec(start: Long, step: Long, allowExplicit: Boolean)
+
 final case class ColStat(min: Long, max: Long,
     minS: Option[String] = None, maxS: Option[String] = None,
     nulls: Option[Long] = None, rows: Option[Long] = None,
@@ -585,6 +591,23 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * travel, bounded by checkpoint compaction). */
   def readAt(version: Long, filters: Map[String, String] = Map.empty): DataFrame =
     readInternal(filters, Some(version))
+
+  /** TIMESTAMP AS OF twin of [[readAt]]: the snapshot of the latest
+    * commit at-or-before `tsMillis` (commit timestamps are clamped
+    * non-decreasing at commit time, so this binary-search contract
+    * holds under multi-writer clock skew). The SQL front door's
+    * `TIMESTAMP AS OF` resolves through [[versionAtTimestamp]] too. */
+  def readAtTimestamp(tsMillis: Long,
+      filters: Map[String, String] = Map.empty): DataFrame =
+    readAt(versionAtTimestamp(tsMillis), filters)
+
+  /** Latest version whose commit timestamp is at-or-before `tsMillis`;
+    * loud when the timestamp predates the replayable history. */
+  def versionAtTimestamp(tsMillis: Long): Long =
+    commits().filter(_.ts <= tsMillis).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit of $root at or before timestamp $tsMillis " +
+          s"(earliest replayable: ${commits().headOption.map(_.ts)})")).version
 
   /** Pruned snapshot read (reference W7, delta_io.py:118-129). Explicit
     * committed-file list + basePath keeps partition columns AND ignores
@@ -1876,6 +1899,35 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def columnDefaults(asOf: Option[Long] = None): Map[String, String] =
     metaChannelOf(commitsAsOf(asOf), "default/")
 
+  /** IDENTITY columns (X83, the Delta/SQL-standard identity analog):
+    * logical column → (start, step, allowExplicitInsert), committed in
+    * the `identity/` channel at CREATE. Values are minted at the write
+    * choke point — dense per batch, unique across commits (the
+    * `idhw/<col>` high-water meta entry rides every data commit and
+    * OCC-conflicts concurrent minters), gaps allowed on explicit
+    * inserts and aborted batches, per the identity contract. */
+  def identityColumns(asOf: Option[Long] = None): Map[String, IdentitySpec] =
+    metaChannelOf(commitsAsOf(asOf), "identity/").view.mapValues { v =>
+      val parts = v.split(",")
+      IdentitySpec(parts(0).toLong, parts(1).toLong, parts(2).toBoolean)
+    }.toMap
+
+  /** The last identity value this table has allocated (or seen) for
+    * `col` — the `idhw/` channel high-water; None before any. */
+  private def identityHighWater(col: String): Option[Long] =
+    metaChannel("idhw/").get(col).map(_.toLong)
+
+  /** GENERATED columns (X84, the Delta generated-column analog):
+    * logical column → generation expression SQL, committed in the
+    * `genexpr/` channel at CREATE. The write choke point computes the
+    * column when the incoming frame omits it and VERIFIES it
+    * (null-safe equality, loud) when the frame carries it — a rewrite
+    * passes trivially; an UPDATE that changes a base column without
+    * re-deriving the generated one fails instead of silently
+    * de-synchronizing. */
+  def generatedColumns(asOf: Option[Long] = None): Map[String, String] =
+    metaChannelOf(commitsAsOf(asOf), "genexpr/")
+
   /** Attach Spark's default-value metadata keys to defaulted fields:
     * the read path fills EXISTS_DEFAULT for files physically missing
     * the column, the SQL write path fills CURRENT_DEFAULT for INSERTs
@@ -2085,6 +2137,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         s"CHECK constraint '$cn' references '$from' — drop it first and " +
           "re-create it against the new name")
     }
+    generatedColumns().foreach { case (g, e) =>
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(e).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.head
+        }.toSet
+      require(!refs.contains(from),
+        s"generated column '$g' derives from '$from' (expression: $e) — " +
+          "its committed text binds the name; migrate via CTAS")
+    }
     val phys = columnMapping().getOrElse(from, from)
     val renamed = StructType(prev.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
@@ -2106,7 +2168,17 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       statsProp.map(v => "prop/graft.statsColumns" -> v) ++
       // a column DEFAULT follows the rename (it is keyed logically)
       columnDefaults().get(from).toSeq.flatMap(sql =>
-        Seq(s"default/$to" -> sql, s"default/$from" -> ""))
+        Seq(s"default/$to" -> sql, s"default/$from" -> "")) ++
+      // so do IDENTITY specs (X83); generated columns' own entries
+      // follow too, while renaming a column a generation expression
+      // REFERENCES is refused below (the committed text binds the name)
+      identityColumns().get(from).toSeq.flatMap(s =>
+        Seq(s"identity/$to" -> s"${s.start},${s.step},${s.allowExplicit}",
+          s"identity/$from" -> "")) ++
+      metaChannel("idhw/").get(from).toSeq.flatMap(v =>
+        Seq(s"idhw/$to" -> v, s"idhw/$from" -> "")) ++
+      generatedColumns().get(from).toSeq.flatMap(e =>
+        Seq(s"genexpr/$to" -> e, s"genexpr/$from" -> ""))
     commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil,
       IncrementalTable.ddlOf(renamed),
       meta, None, now()))
@@ -2185,6 +2257,71 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * violation fails the job with the constraint's name before any
     * commit publishes; zero cost beyond the row-level predicate when
     * constraints exist, zero entirely when none do. */
+  /** GENERATED + IDENTITY column handling at the one write choke point
+    * (X83/X84). Generated columns: computed when the frame omits them,
+    * VERIFIED null-safe when it carries them (a rewrite passes
+    * trivially; an UPDATE that moved a base column without re-deriving
+    * fails loudly instead of de-synchronizing). Identity columns:
+    * `GENERATED ALWAYS` refuses caller-supplied values on appends (a
+    * rewrite's pass-through values are not "supplied" — replace/update
+    * actions carry existing rows); NULL slots are minted densely from
+    * the committed high-water via one zipWithIndex pass (the only
+    * extra job identity tables pay), unique across commits because the
+    * advanced high-water rides this commit's meta and OCC-conflicts
+    * any concurrent minter. Gaps on aborted batches and explicit
+    * BY-DEFAULT inserts are allowed — the identity contract. */
+  private def prepareDerivedColumns(df: DataFrame, action: String): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
+    val gens = generatedColumns()
+    val ids = identityColumns()
+    if (gens.isEmpty && ids.isEmpty) return df
+    var d = df
+    gens.foreach { case (g, e) =>
+      if (!d.columns.contains(g)) d = d.withColumn(g, expr(e))
+      else {
+        // a SQL INSERT omitting the column arrives NULL-filled (the
+        // default-capability analyzer), not absent: NULL slots compute,
+        // carried values verify (null-safe, loud)
+        d = d.withColumn(g, coalesce(d(g), expr(e)))
+        d = d.filter(coalesce(
+          assert_true(d(g) <=> expr(e),
+            lit(s"generated column '$g' diverges from its expression ($e) — " +
+              "re-derive it when changing a base column")),
+          lit(true)))
+      }
+    }
+    if (ids.nonEmpty) {
+      val stored = committedSchemaAt().getOrElse(new StructType())
+      ids.foreach { case (c, spec) =>
+        if (!d.columns.contains(c))
+          d = d.withColumn(c, lit(null).cast(stored(c).dataType))
+        else if (!spec.allowExplicit && action == "append")
+          d = d.filter(coalesce(
+            assert_true(d(c).isNull,
+              lit(s"identity column '$c' is GENERATED ALWAYS — values " +
+                "cannot be supplied; omit the column (or create it " +
+                "BY DEFAULT)")),
+            lit(true)))
+      }
+      // one shared dense sequence mints every identity column's NULL
+      // slots; explicit BY-DEFAULT values pass through (their slot is
+      // skipped — a gap, which identity allows)
+      val seqCol = "_graft_idseq"
+      val sch = d.schema
+      val indexed = spark.createDataFrame(
+        d.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        },
+        sch.add(seqCol, org.apache.spark.sql.types.LongType))
+      d = ids.foldLeft(indexed) { case (acc, (c, spec)) =>
+        val next = identityHighWater(c).map(_ + spec.step).getOrElse(spec.start)
+        acc.withColumn(c, coalesce(acc(c),
+          (lit(next) + acc(seqCol) * lit(spec.step)).cast(stored(c).dataType)))
+      }.drop(seqCol)
+    }
+    d
+  }
+
   private def constraintGuard(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
     constraints.foldLeft(df) { case (d, (name, check)) =>
@@ -2244,9 +2381,80 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         Some(s"default/${f.name}" -> sql)
       } else None
     }
+    // IDENTITY columns (X83): harvest Spark's identity metadata (the
+    // rendering `id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH s
+    // INCREMENT BY st)` arrives under) into the `identity/` channel —
+    // toDDL drops field metadata, so the channel is the committed
+    // source of truth, same contract as X79 defaults.
+    val idKey = org.apache.spark.sql.catalyst.util.IdentityColumn
+    val identities = schema.fields.toIndexedSeq.flatMap { f =>
+      if (f.metadata.contains(idKey.IDENTITY_INFO_START)) {
+        val start = f.metadata.getLong(idKey.IDENTITY_INFO_START)
+        val step = f.metadata.getLong(idKey.IDENTITY_INFO_STEP)
+        val allow = f.metadata.getBoolean(idKey.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT)
+        require(step != 0, s"identity column '${f.name}': INCREMENT BY 0")
+        f.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => ()
+          case other => throw new IllegalArgumentException(
+            s"identity column '${f.name}' must be integral (got " +
+              s"${other.simpleString})")
+        }
+        require(!f.metadata.contains("CURRENT_DEFAULT"),
+          s"column '${f.name}' cannot be both IDENTITY and DEFAULTed")
+        Some(s"identity/${f.name}" -> s"$start,$step,$allow")
+      } else None
+    }
+    // GENERATED columns (X84): harvest the generation expression into
+    // the `genexpr/` channel; validate it NOW (parse, deterministic,
+    // references only plain schema columns, exact result type) — a
+    // lazily-invalid expression would fail every future write.
+    val genKey = org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
+    val reservedGen = schema.fields.filter(f =>
+      f.metadata.contains(genKey) ||
+        f.metadata.contains(idKey.IDENTITY_INFO_START)).map(_.name).toSet
+    val generated = schema.fields.toIndexedSeq.flatMap { f =>
+      if (f.metadata.contains(genKey)) {
+        val sql = f.metadata.getString(genKey)
+        val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(sql)
+        require(parsed.deterministic,
+          s"generated column '${f.name}': expression '$sql' is " +
+            "non-deterministic")
+        val refs = parsed.collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.head
+        }.toSet
+        refs.foreach { r =>
+          require(schema.fieldNames.contains(r),
+            s"generated column '${f.name}': expression references " +
+              s"unknown column '$r'")
+          require(!reservedGen.contains(r),
+            s"generated column '${f.name}': expression may only " +
+              s"reference plain columns (got generated/identity '$r')")
+        }
+        // analyze against an empty frame of the plain columns: loud
+        // resolution + exact type agreement at CREATE time
+        val plain = StructType(schema.fields.filterNot(x =>
+          reservedGen.contains(x.name)))
+        val got = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], plain)
+          .select(org.apache.spark.sql.functions.expr(sql)).schema.head.dataType
+        require(got.catalogString == f.dataType.catalogString,
+          s"generated column '${f.name}' is ${f.dataType.simpleString} but " +
+            s"'$sql' produces ${got.simpleString}; cast inside the expression")
+        require(!f.metadata.contains("CURRENT_DEFAULT"),
+          s"column '${f.name}' cannot be both GENERATED and DEFAULTed")
+        Some(s"genexpr/${f.name}" -> sql)
+      } else None
+    }
     commit(Commit(0, "append", Nil, Nil, Map.empty, partitionBy,
       IncrementalTable.ddlOf(schema),
-      meta ++ transforms.map { case (p, s) => s"ptransform/$p" -> s } ++ defaults,
+      meta ++ transforms.map { case (p, s) => s"ptransform/$p" -> s } ++
+        defaults ++ identities ++ generated,
       None, now()))
   }
 
@@ -2471,6 +2679,18 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       partitionTransforms().values.find(_.base == n).foreach(t =>
         throw new IllegalArgumentException(
           s"cannot drop '$n': it is the base of partition transform ${t.spec}"))
+      generatedColumns().foreach { case (g, e) =>
+        if (g != n) {
+          val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(e).collect {
+              case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                ua.nameParts.head
+            }.toSet
+          require(!refs.contains(n),
+            s"cannot drop '$n': generated column '$g' derives from it " +
+              s"(expression: $e) — drop '$g' first")
+        }
+      }
     }
     if (drops.nonEmpty)
       (constraints -- dropConstraints).foreach { case (cn, check) =>
@@ -2530,7 +2750,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       dropConstraints.map(n => s"constraint/$n" -> "") ++
       drops.map(n => s"dropped/$n" -> latestVersion.toString) ++
       drops.filter(activeDefaults.contains).map(n => s"default/$n" -> "") ++
-      defaults.map { case (n, sql) => s"default/$n" -> sql }
+      defaults.map { case (n, sql) => s"default/$n" -> sql } ++
+      drops.filter(identityColumns().contains).map(n => s"identity/$n" -> "") ++
+      drops.filter(generatedColumns().contains).map(n => s"genexpr/$n" -> "")
     commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil,
       IncrementalTable.ddlOf(merged),
       meta, None, now()))
@@ -2554,6 +2776,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def commitStagedStream(stage: Path, rels: Seq[String], incoming: StructType,
       partitionBy: Seq[String], replace: Boolean, batchId: Long,
       appId: String, statsColumns: Seq[String] = Nil): Option[Commit] = {
+    // identity minting and generated-column verification live at the
+    // batch write choke point; the executor-staged stream path skips it
+    // and would silently write nulls / unverified values
+    require(identityColumns().isEmpty && generatedColumns().isEmpty,
+      s"streaming writes into $root are not supported: the table has " +
+        "IDENTITY or GENERATED columns — write via foreachBatch + append()")
     if (hasBatch(batchId, Some(appId))) {
       fs.delete(stage, true) // replayed epoch: stage is redundant
       return None
@@ -2638,9 +2866,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         if (dynamic) partitionBy else partitionFilter.keys,
         if (dynamic) "dynamic partition replace" else "replaceWhere")
     val withParts = constraintGuard(
-      partitionValues.foldLeft(df) { case (d, (k, v)) =>
-        d.withColumn(k, lit(v))
-      })
+      prepareDerivedColumns(
+        partitionValues.foldLeft(df) { case (d, (k, v)) =>
+          d.withColumn(k, lit(v))
+        }, action))
     // watermarks need a discretely ordered integral domain — checked
     // STATICALLY on the frame's schema (a footer-side check alone
     // would silently pass when a string column's non-ASCII bounds get
@@ -2741,8 +2970,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // The same footer pass yields per-file column [min,max]: the global
     // max feeds statMeta watermarks, the per-file entries become the
     // commit's data-skipping index (statsColumns). Keys are PHYSICAL.
+    // identity columns (X83) join the footer harvest: the staged
+    // extreme advances the committed high-water in the SAME pass that
+    // already reads the footers — no extra job
+    val idSpecs = identityColumns()
+    val physIdCols = idSpecs.keys.map(physPath(_, mapping)).toSet
     val (stagedRows, perFile) = stagedFooterStats(stage, staged,
-      physStatMetaCols.toSet ++ physStatsColumns, needRows = partitionBy.isEmpty)
+      physStatMetaCols.toSet ++ physStatsColumns ++ physIdCols,
+      needRows = partitionBy.isEmpty)
     // watermarks are integral by contract — fail LOUDLY if one was
     // declared on a string column (silently pinning to the floor would
     // make an incremental consumer rescan or skip everything, forever)
@@ -2755,10 +2990,28 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val stagedMax = perFile.valuesIterator.flatten.toSeq
       .filter(!_._2.isString)
       .groupMapReduce(_._1)(_._2.max)(math.max)
+    // identity high-water (X83): the committed `idhw/` entry only ever
+    // advances (monotone clamp — rewrites of old rows can never regress
+    // it); negative steps advance downward
+    val idhwMeta = idSpecs.flatMap { case (c, spec) =>
+      val pc = physPath(c, mapping)
+      val vals = perFile.valuesIterator.flatten
+        .collect { case (k, st) if k == pc && !st.isString && !st.isDouble &&
+          !st.allNull => if (spec.step > 0) st.max else st.min }
+        .toSeq
+      if (vals.isEmpty) None
+      else {
+        val extreme = if (spec.step > 0) vals.max else vals.min
+        val prev = identityHighWater(c)
+        val hw = prev.fold(extreme)(p =>
+          if (spec.step > 0) math.max(p, extreme) else math.min(p, extreme))
+        Some(s"idhw/$c" -> hw.toString)
+      }
+    }
     val allMeta = meta ++ statMeta.zip(physStatMetaCols).map { case (sm, pc) =>
       sm.key ->
         math.max(sm.floor, stagedMax.get(pc).map(_ + 1).getOrElse(sm.floor)).toString
-    }
+    } ++ idhwMeta
     val statsIdx = physStatsColumns.toSet
     val fileStats =
       if (statsIdx.isEmpty) Map.empty[String, Map[String, ColStat]]
@@ -3055,7 +3308,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     var done = false
     var res = c
     while (!done) {
-      res = c.copy(version = base + 1)
+      // in-commit timestamp monotonicity (the Delta inCommitTimestamps
+      // analog): a multi-writer table's wall clocks can skew, and
+      // TIMESTAMP AS OF binary-searches the ts column — clamp every
+      // commit's ts to at least its predecessor's so the sequence is
+      // non-decreasing by construction, never trusting writer clocks
+      // to agree
+      res = c.copy(version = base + 1,
+        ts = math.max(c.ts, commits().lastOption.map(_.ts).getOrElse(0L)))
       val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
       try out.write(Serialization.write(res).getBytes("UTF-8")) finally out.close()
@@ -3111,6 +3371,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // loser re-validates against whatever landed first.
     if (winner.action == "evolve" && ours.action != "meta") return true
     if (ours.action == "evolve") return winner.action != "meta"
+    // identity allocation (X83): two commits advancing the same
+    // `idhw/<col>` high-water minted from the same base — the loser's
+    // values may collide with the winner's; fail, caller re-runs
+    if (ours.meta.keysIterator.exists(k =>
+        k.startsWith("idhw/") && winner.meta.contains(k))) return true
     val winnerFiles = winner.add ++ winner.remove ++ winner.dv.keys
     ours.action match {
       case "replace" =>
@@ -3316,6 +3581,26 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       Map.empty, None,
       statsColumns = (statsColumns ++ zorderBy).distinct,
       bloomColumns = bloomColumns)
+  }
+
+  /** Predicate-scoped compaction (the Iceberg `rewrite_data_files`
+    * WHERE analog, beyond [[compact]]'s k=v partition scope): rewrite
+    * exactly the files the metadata prune touches for `predicate` —
+    * on a clustered 100 TB table, re-tighten the handful of files a
+    * hot key range straddles without touching the corpus. Lossless by
+    * construction: the prune is conservative (supersets the matching
+    * rows) and rows are rewritten unfiltered; standing deletion
+    * vectors on the touched files materialize in the rewrite, same as
+    * [[compact]]. Spec-agnostic (removeExact), so it also migrates
+    * touched old-spec files after partition evolution (X81). */
+  def compactWhere(predicate: org.apache.spark.sql.Column,
+      targetFiles: Int = 1,
+      statsColumns: Seq[String] = Nil): Option[Commit] = {
+    val files = liveFilesWhere(predicate)
+    if (files.isEmpty) return None
+    write(readFiles(files).repartition(targetFiles), "replace",
+      committedPartitionBy, Map.empty, Map.empty, Map.empty, None,
+      statsColumns = statsColumns, removeExact = Some(files))
   }
 
   /** Auto-compaction policy: compact every physical partition (within
