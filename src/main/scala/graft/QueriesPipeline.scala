@@ -1722,8 +1722,8 @@ object QueriesPipeline {
     // ---- PARTITION SPEC EVOLUTION (X81) --------------------------------
     // `CALL graft.system.evolve_partitioning` changes the layout as ONE
     // metadata commit (zero files rewritten at any size): generation 1
-    // lands under status= dirs, the spec evolves to days(o_orderdate),
-    // generation 2 lands under od_day= dirs, and every read leg stays
+    // lands under status= dirs, the spec evolves to months(o_orderdate),
+    // generation 2 lands under od_month= dirs, and every read leg stays
     // exact over the mixed window — the date-window leg dir-prunes the
     // new generation and conservatively keeps the old. The oracle
     // replays both legs relationally over raw orders; a row lost to a
@@ -1742,7 +1742,7 @@ object QueriesPipeline {
         .createOrReplaceTempView("q141_src")
       s.sql("INSERT INTO graft.lake.opev " +
         "SELECT ok, od, status, total FROM q141_src WHERE ok % 2 = 0")
-      s.sql("CALL graft.system.evolve_partitioning('lake.opev', 'days(od)')")
+      s.sql("CALL graft.system.evolve_partitioning('lake.opev', 'months(od)')")
       s.sql("INSERT INTO graft.lake.opev " +
         "SELECT ok, od, status, total FROM q141_src WHERE ok % 2 = 1")
       s.sql("""

@@ -863,6 +863,7 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
     case "history" => table.history()
     case "detail" => table.detail()
     case "files" => table.filesDetail()
+    case "partitions" => table.partitionsDetail()
     case "properties" =>
       import spark.implicits._
       table.tableProperties.toSeq.toDF("key", "value").orderBy("key")
@@ -900,7 +901,7 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
 
 private[sources] object GraftMetaTable {
   val views: Set[String] =
-    Set("history", "detail", "files", "properties", "changes")
+    Set("history", "detail", "files", "partitions", "properties", "changes")
 }
 
 /** The change-data-feed relation of a graft table, addressable by name:
@@ -1009,7 +1010,11 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         // partition scope: "k=v[,k2=v2]" compacts ONE partition slice
         // (the OPTIMIZE ... WHERE analog) — at 100 TB you compact the
         // partitions a stream just touched, never the table
-        in("where", StringType).defaultValue("''").build())
+        in("where", StringType).defaultValue("''").build(),
+        // predicate scope: any SQL predicate — compacts exactly the
+        // files the metadata prune touches (Iceberg rewrite_data_files
+        // WHERE analog); mutually exclusive with `where`
+        in("where_expr", StringType).defaultValue("''").build())
       case "vacuum" => Array(in("table", StringType).build())
       case "restore" => Array(
         in("table", StringType).build(),
@@ -1043,11 +1048,20 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
           require(i > 0, s"compact 'where' entries must be k=v (got '$kv')")
           kv.take(i).trim -> kv.drop(i + 1).trim
         }.toMap
-        val commit = t.compact(partitionFilter = scope,
-          targetFiles = input.getInt(1),
-          zorderBy = cols(input.getUTF8String(2).toString),
-          clusterBy = cols(input.getUTF8String(3).toString),
-          statsColumns = GraftCatalog.statsColumnsOf(t))
+        val whereExpr = input.getUTF8String(5).toString.trim
+        require(whereExpr.isEmpty || scope.isEmpty,
+          "compact takes 'where' (partition k=v) OR 'where_expr' " +
+            "(predicate), not both")
+        val commit =
+          if (whereExpr.nonEmpty)
+            t.compactWhere(org.apache.spark.sql.functions.expr(whereExpr),
+              targetFiles = input.getInt(1),
+              statsColumns = GraftCatalog.statsColumnsOf(t))
+          else t.compact(partitionFilter = scope,
+            targetFiles = input.getInt(1),
+            zorderBy = cols(input.getUTF8String(2).toString),
+            clusterBy = cols(input.getUTF8String(3).toString),
+            statsColumns = GraftCatalog.statsColumnsOf(t))
         (new StructType().add("version", LongType).add("files_added", IntegerType)
            .add("files_removed", IntegerType),
           commit.map(c => InternalRow(c.version, c.add.size, c.remove.size))

@@ -1326,6 +1326,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val stored = committedSchema
     set.keys.foreach(k => require(stored.fieldNames.contains(k),
       s"update sets unknown column '$k'"))
+    val recompute = generatedRecompute(set)
     val partitionBy = committedPartitionBy
     // empty live set: nothing to update, and no `_metadata` to match on
     val candidates = liveFilesWhere(predicate)
@@ -1337,16 +1338,55 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
     if (touched.isEmpty) None
     else {
-      val rewritten = filesDf(touched, Some(stored), liveDv(),
-          columnMapping()).select(
-        stored.fieldNames.toSeq.map { n =>
-          set.get(n) match {
-            case Some(v) => when(predicate, v).otherwise(fn(n)).as(n)
-            case None => fn(n)
-          }
-        }: _*)
+      val base = filesDf(touched, Some(stored), liveDv(), columnMapping())
+      val rewritten =
+        if (recompute.isEmpty)
+          base.select(stored.fieldNames.toSeq.map { n =>
+            set.get(n) match {
+              case Some(v) => when(predicate, v).otherwise(fn(n)).as(n)
+              case None => fn(n)
+            }
+          }: _*)
+        else {
+          // generated columns re-derive over POST-update values, only
+          // on rows the predicate matched — the marker pins the
+          // predicate's original-row evaluation before SET moves the
+          // columns it reads
+          import org.apache.spark.sql.functions.expr
+          val marked = base.withColumn("_graft_upd", predicate)
+          val afterSet = marked.select(stored.fieldNames.toSeq.map { n =>
+            set.get(n) match {
+              case Some(v) => when(fn("_graft_upd"), v).otherwise(fn(n)).as(n)
+              case None => fn(n)
+            }
+          } :+ fn("_graft_upd"): _*)
+          recompute.foldLeft(afterSet) { case (d, (g, e)) =>
+            d.withColumn(g, when(fn("_graft_upd"), expr(e)).otherwise(fn(g)))
+          }.drop("_graft_upd")
+        }
       write(rewritten, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
         None, removeExact = Some(touched), statsColumns = statsColumns)
+    }
+  }
+
+  /** Generated columns an UPDATE must re-derive (X84, the Delta
+    * auto-recompute contract): every generated column not SET itself
+    * whose expression references a SET column. Setting a generated
+    * column explicitly is refused — its value is the expression's,
+    * never the caller's. */
+  private def generatedRecompute(set: Map[String, Column]): Map[String, String] = {
+    val gens = generatedColumns()
+    if (gens.isEmpty) return Map.empty
+    gens.keys.find(set.contains).foreach(g =>
+      throw new IllegalArgumentException(
+        s"cannot SET generated column '$g' — it derives from " +
+          s"(${gens(g)}); update its base columns instead"))
+    gens.filter { case (_, e) =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(e).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.head
+        }.exists(set.contains)
     }
   }
 
@@ -1492,6 +1532,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val stored = committedSchema
     set.keys.foreach(k => require(stored.fieldNames.contains(k),
       s"updateVectorized sets unknown column '$k'"))
+    val recompute = generatedRecompute(set)
     val candidates = liveFilesWhere(predicate)
     if (candidates.isEmpty) return None
     val mapping = columnMapping()
@@ -1512,9 +1553,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         .map(r => relativizeUri(rootPath, r.getString(0))).toSeq.sorted
       if (touched.isEmpty) { fs.delete(genDir, true); None }
       else {
-        val updated = matched.select(stored.fields.toIndexedSeq.map { f =>
+        // every matched row updates: apply SET, then re-derive the
+        // generated columns whose bases moved (X84 auto-recompute)
+        val afterSet = matched.select(stored.fields.toIndexedSeq.map { f =>
           set.get(f.name).map(_.as(f.name)).getOrElse(fn(f.name))
         }: _*)
+        val updated = recompute.foldLeft(afterSet) { case (d, (g, e)) =>
+          d.withColumn(g, org.apache.spark.sql.functions.expr(e))
+        }
         stored.fields.foreach { f =>
           val got = updated.schema(f.name).dataType
           require(got.catalogString == f.dataType.catalogString,
@@ -1627,6 +1673,23 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
     base.withColumn("partition", partExpr)
       .select("file", "size_bytes", "partition", "dv_generations")
+  }
+
+  /** Per-partition census (the scale-correct SHOW PARTITIONS analog):
+    * one row per live logical partition — its `k=v` map, file count,
+    * total bytes, standing dv generations — aggregated from the same
+    * distributed walk as [[filesDetail]] (a Spark job over checkpoint
+    * rows on large tables, never an O(files) driver fold). The first
+    * question on a million-file table — "where did the small files
+    * go" / "which partitions are hot" — answered without listing
+    * anything. */
+  def partitionsDetail(): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    filesDetail().groupBy(col("partition"))
+      .agg(count(lit(1)).as("num_files"),
+        sum("size_bytes").as("size_bytes"),
+        sum("dv_generations").as("dv_generations"))
+      .orderBy(col("partition").cast("string"))
   }
 
   /** SHALLOW CLONE (X78, the Delta `CREATE TABLE … SHALLOW CLONE src`
@@ -1922,9 +1985,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * `genexpr/` channel at CREATE. The write choke point computes the
     * column when the incoming frame omits it and VERIFIES it
     * (null-safe equality, loud) when the frame carries it — a rewrite
-    * passes trivially; an UPDATE that changes a base column without
-    * re-deriving the generated one fails instead of silently
-    * de-synchronizing. */
+    * passes trivially; [[update]]/[[updateVectorized]] auto-re-derive
+    * generated columns whose base columns a SET moves (the Delta
+    * contract), and any OTHER path that would write a diverged value
+    * fails instead of silently de-synchronizing. */
   def generatedColumns(asOf: Option[Long] = None): Map[String, String] =
     metaChannelOf(commitsAsOf(asOf), "genexpr/")
 

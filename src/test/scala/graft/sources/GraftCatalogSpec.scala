@@ -642,6 +642,36 @@ class GraftCatalogSpec extends SparkSpec {
     ()
   }
 
+  test("t.partitions census and predicate-scoped CALL compact (where_expr)") {
+    spark.sql(s"CREATE TABLE $cat.lake.pcen (k BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('graft.statsColumns'='k')")
+    spark.sql(s"INSERT INTO $cat.lake.pcen " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END FROM range(20)")
+    spark.sql(s"INSERT INTO $cat.lake.pcen " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END FROM range(20, 40)")
+    val census = spark.sql(s"SELECT partition['seg'], num_files, size_bytes " +
+      s"FROM $cat.lake.pcen.partitions ORDER BY 1")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(census.map(_._1) == Seq("A", "B"))
+    assert(census.forall(r => r._2 >= 2 && r._3 > 0), census.toString)
+    // predicate compact: only files overlapping k >= 20 rewrite
+    val t = IncrementalTable(spark,
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/pcen")
+    val before = t.liveFiles().toSet
+    spark.sql(s"CALL $cat.system.compact('lake.pcen', " +
+      "where_expr => 'k >= 20')")
+    t.refresh()
+    val after = t.liveFiles().toSet
+    assert(before.intersect(after).nonEmpty) // untouched low-range files
+    assert(after != before)
+    assert(spark.sql(s"SELECT COUNT(*), SUM(k) FROM $cat.lake.pcen")
+      .as[(Long, Long)].head() == ((40L, (0L until 40L).sum)))
+    // both scopes at once refuses
+    intercept[Exception](spark.sql(s"CALL $cat.system.compact('lake.pcen', " +
+      "where => 'seg=A', where_expr => 'k >= 20')"))
+    ()
+  }
+
   test("CALL evolve_partitioning: layout changes, DESCRIBE follows, reads exact") {
     spark.sql(s"CREATE TABLE $cat.lake.pev " +
       "(k BIGINT, ts TIMESTAMP, seg STRING) PARTITIONED BY (seg)")
