@@ -814,19 +814,35 @@ private[sources] final class GraftV1Scan(spark: SparkSession,
   /** Post-pushdown cost estimate from the commit log: with pushed
     * filters, the sizes of exactly the files the skipping index keeps
     * (O(survivors) driver statuses — pruning already bounded them);
-    * without, one log-level total (cheaper than per-file statuses on
-    * checkpointed tables). Catalyst's join planning then treats a
-    * small (or well-pruned) graft table as broadcastable, same as a
-    * plain parquet scan with computed stats. */
+    * without, one log-level total plus the exact metadata row count
+    * (the COUNT(*) fold incl. its dv correction).
+    *
+    * HONESTY NOTE (probed in-round): Spark's V2ScanRelationPushDown
+    * wraps every V1Scan in `V1ScanWrapper`, which does NOT forward
+    * SupportsReportStatistics — so the STATIC planner never consults
+    * this on the catalog path today; AQE's runtime sizes drive the
+    * broadcast/re-plan decisions there. The path-based front door's
+    * `BaseRelation.sizeInBytes` (GraftRelation) is what static join
+    * planning actually reads. This surface stays implemented (and
+    * spec-pinned) for the day the wrapper forwards it — the numbers
+    * are exact either way. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val bytes =
       if (pushed.isEmpty) table.liveBytes(asOf)
       else table.liveFilesSize(prunedOnce._2)
+    // exact row count from the log's per-file tallies when the scan is
+    // unfiltered (same metadata fold the COUNT(*) pushdown rides, incl.
+    // its dv correction) — CBO then plans joins against a REAL
+    // cardinality, not a bytes/row guess; None (stats-less files,
+    // pushed filters) leaves the estimate to Spark, never a wrong
+    // number
+    val rows =
+      if (pushed.isEmpty) table.liveRowCount(asOf) else None
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
     }
   }
 
@@ -1018,7 +1034,10 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       case "vacuum" => Array(in("table", StringType).build())
       case "restore" => Array(
         in("table", StringType).build(),
-        in("version", LongType).build())
+        // one of: an explicit version, or an ISO timestamp resolved
+        // through the in-commit-timestamp binary search (X85)
+        in("version", LongType).defaultValue("-1").build(),
+        in("timestamp", StringType).defaultValue("''").build())
       case "tag" => Array(
         in("table", StringType).build(),
         in("name", StringType).build(),
@@ -1071,10 +1090,18 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         (new StructType().add("files_reclaimed", IntegerType),
           InternalRow(reclaimed.size))
       case "restore" =>
-        val commit = t.restore(input.getLong(1))
+        val v0 = input.getLong(1)
+        val tsStr = input.getUTF8String(2).toString.trim
+        require((v0 >= 0) ^ tsStr.nonEmpty,
+          "restore takes exactly one of version or timestamp")
+        val v =
+          if (v0 >= 0) v0
+          else t.versionAtTimestamp(java.sql.Timestamp.valueOf(
+            tsStr.replace('T', ' ')).getTime)
+        val commit = t.restore(v)
         (new StructType().add("version", LongType).add("restored_to", LongType),
-          commit.map(c => InternalRow(c.version, input.getLong(1)))
-            .getOrElse(InternalRow(null, input.getLong(1))))
+          commit.map(c => InternalRow(c.version, v))
+            .getOrElse(InternalRow(null, v)))
       case "tag" =>
         val tagName = input.getUTF8String(1).toString
         val v = input.getLong(2) match {

@@ -672,6 +672,37 @@ class GraftCatalogSpec extends SparkSpec {
     ()
   }
 
+  test("scan reports exact numRows to CBO; CALL restore accepts a timestamp") {
+    spark.sql(s"CREATE TABLE $cat.lake.stats (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.statsColumns'='k')") // row tallies ride the index
+    spark.sql(s"INSERT INTO $cat.lake.stats SELECT id, 'a' FROM range(123)")
+    // unfiltered scan: exact bytes + exact metadata row count (the
+    // COUNT(*) fold) on the Statistics surface. Asserted on the scan
+    // directly: Spark's V1ScanWrapper does not forward
+    // SupportsReportStatistics to the static planner (see the
+    // GraftV1Scan scaladoc) — AQE carries the runtime decision.
+    val t0 = IncrementalTable(spark,
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/stats")
+    val st = new GraftV1Scan(spark, t0, None, t0.schemaAt().get, Array.empty)
+      .estimateStatistics()
+    assert(st.numRows().getAsLong == 123L)
+    assert(st.sizeInBytes().getAsLong > 0L)
+    Thread.sleep(15)
+    val cut = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(15)
+    spark.sql(s"INSERT INTO $cat.lake.stats SELECT id, 'b' FROM range(7)")
+    spark.sql(s"CALL $cat.system.restore('lake.stats', timestamp => '$cut')")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.lake.stats")
+      .as[Long].head() == 123)
+    // exactly one of version/timestamp
+    intercept[Exception](spark.sql(
+      s"CALL $cat.system.restore('lake.stats', 1L, '$cut')"))
+    intercept[Exception](spark.sql(s"CALL $cat.system.restore('lake.stats')"))
+    ()
+  }
+
   test("CALL evolve_partitioning: layout changes, DESCRIBE follows, reads exact") {
     spark.sql(s"CREATE TABLE $cat.lake.pev " +
       "(k BIGINT, ts TIMESTAMP, seg STRING) PARTITIONED BY (seg)")
