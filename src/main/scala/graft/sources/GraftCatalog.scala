@@ -1096,8 +1096,14 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
           "restore takes exactly one of version or timestamp")
         val v =
           if (v0 >= 0) v0
-          else t.versionAtTimestamp(java.sql.Timestamp.valueOf(
-            tsStr.replace('T', ' ')).getTime)
+          else {
+            // session-timezone parse, matching TIMESTAMP AS OF (ADVICE
+            // r8: Timestamp.valueOf used the driver JVM's default zone)
+            val zone = java.time.ZoneId.of(org.apache.spark.sql.SparkSession
+              .active.conf.get("spark.sql.session.timeZone"))
+            t.versionAtTimestamp(
+              GraftSource.parseTimestampMillisZoned(tsStr, zone))
+          }
         val commit = t.restore(v)
         (new StructType().add("version", LongType).add("restored_to", LongType),
           commit.map(c => InternalRow(c.version, v))

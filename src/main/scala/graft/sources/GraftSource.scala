@@ -187,6 +187,16 @@ private[sources] object GraftSource {
     * (`2026-08-14T12:00:00+02:00`), or a local `yyyy-MM-dd[ HH:mm:ss]`
     * interpreted in UTC. */
   def parseTimestampMillis(s: String): Long =
+    parseTimestampMillisZoned(s, java.time.ZoneOffset.UTC)
+
+  /** The same rendering with zone-less local timestamps interpreted in
+    * `zone` — the SQL surface (CALL restore, matching `TIMESTAMP AS OF`,
+    * which Spark parses under the session timezone) passes
+    * `spark.sql.session.timeZone`; the streaming option keeps its
+    * documented UTC contract (ADVICE r8: `Timestamp.valueOf` read the
+    * DRIVER JVM's default zone — same call, different answers across
+    * environments). */
+  def parseTimestampMillisZoned(s: String, zone: java.time.ZoneId): Long =
     if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
     else try java.time.Instant.parse(s).toEpochMilli
     catch {
@@ -197,7 +207,7 @@ private[sources] object GraftSource {
             val norm = if (s.contains("T") || s.contains(" ")) s.replace(' ', 'T')
               else s + "T00:00:00"
             java.time.LocalDateTime.parse(norm)
-              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              .atZone(zone).toInstant.toEpochMilli
         }
     }
 

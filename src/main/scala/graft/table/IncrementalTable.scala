@@ -719,8 +719,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
             col("_dv_file") === pos("_dv_sc_file") &&
               col("_dv_pos") === pos("_dv_sc_pos"))
         val rows = stored.map(s => deleted.select(
-          s.fieldNames.map(n => org.apache.spark.sql.functions
-            .col(physPath(n, mapping)).as(n)): _*))
+          s.fields.toIndexedSeq.map(logicalCol(_, mapping)): _*))
           .getOrElse(dropPosCols(deleted.drop("_dv_sc_file", "_dv_sc_pos")))
         val del = rows.withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(c.version))
@@ -777,8 +776,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         dropPosCols(filesDfWithPos(files, stored, dv, mapping))
       else rawFilesDf(files, stored, mapping)
     stored.map { s =>
-      val base = s.fieldNames.toIndexedSeq.map(n =>
-        org.apache.spark.sql.functions.col(physPath(n, mapping)).as(n))
+      val base = s.fields.toIndexedSeq.map(logicalCol(_, mapping))
       val extra = if (keepPath)
         Seq(org.apache.spark.sql.functions.col("_graft_path")) else Nil
       df.select(base ++ extra: _*)
@@ -921,7 +919,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Option[Commit] =
     write(df, "append", partitionBy, partitionValues, Map.empty, meta, batchId, appId,
-      statMeta = statMeta, statsColumns = statsColumns, bloomColumns = bloomColumns)
+      statMeta = statMeta, statsColumns = statsColumns, bloomColumns = bloomColumns,
+      userWrite = true)
 
   /** Partition-scoped overwrite (reference W5 `replaceWhere`): replaces
     * exactly the live files whose path matches `partitionFilter`. */
@@ -934,7 +933,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       statMeta: Seq[StatMeta] = Nil,
       statsColumns: Seq[String] = Nil): Option[Commit] =
     write(df, "replace", partitionBy, partitionValues, partitionFilter, meta, batchId, appId,
-      statMeta = statMeta, statsColumns = statsColumns)
+      statMeta = statMeta, statsColumns = statsColumns, userWrite = true)
 
   /** Dynamic partition overwrite (Spark's
     * `partitionOverwriteMode=dynamic` / Delta `replaceWhere`-per-touched-
@@ -954,7 +953,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       appId: Option[String] = None): Option[Commit] = {
     require(partitionBy.nonEmpty, "dynamicReplace needs partition columns")
     write(df, "replace", partitionBy, partitionValues, Map.empty, meta,
-      batchId, appId, dynamic = true)
+      batchId, appId, dynamic = true, userWrite = true)
   }
 
   /** Delta-style MERGE (upsert), copy-on-write at file granularity:
@@ -1326,6 +1325,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val stored = committedSchema
     set.keys.foreach(k => require(stored.fieldNames.contains(k),
       s"update sets unknown column '$k'"))
+    refuseIdentitySet(set.keys)
     val recompute = generatedRecompute(set)
     val partitionBy = committedPartitionBy
     // empty live set: nothing to update, and no `_metadata` to match on
@@ -1368,6 +1368,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         None, removeExact = Some(touched), statsColumns = statsColumns)
     }
   }
+
+  /** UPDATE … SET on a `GENERATED ALWAYS AS IDENTITY` column violates
+    * the ALWAYS contract exactly like supplying it on INSERT — values
+    * come only from the engine's mint (ADVICE r8). BY DEFAULT identity
+    * columns accept explicit updates (the high-water auto-syncs on the
+    * next write's footer fold). */
+  private def refuseIdentitySet(cols: Iterable[String]): Unit =
+    identityColumns().foreach { case (c, spec) =>
+      if (!spec.allowExplicit && cols.exists(_ == c))
+        throw new IllegalArgumentException(
+          s"cannot SET identity column '$c' — it is GENERATED ALWAYS; " +
+            "values are minted by the engine (create it BY DEFAULT to " +
+            "allow explicit values)")
+    }
 
   /** Generated columns an UPDATE must re-derive (X84, the Delta
     * auto-recompute contract): every generated column not SET itself
@@ -1532,13 +1546,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val stored = committedSchema
     set.keys.foreach(k => require(stored.fieldNames.contains(k),
       s"updateVectorized sets unknown column '$k'"))
+    refuseIdentitySet(set.keys)
     val recompute = generatedRecompute(set)
     val candidates = liveFilesWhere(predicate)
     if (candidates.isEmpty) return None
     val mapping = columnMapping()
     val matched = filesDfWithPos(candidates, Some(stored), liveDv(), mapping)
-      .select(stored.fieldNames.toIndexedSeq.map(n =>
-        fn(physPath(n, mapping)).as(n)) :+ fn("_dv_file") :+ fn("_dv_pos"): _*)
+      .select(stored.fields.toIndexedSeq.map(logicalCol(_, mapping))
+        :+ fn("_dv_file") :+ fn("_dv_pos"): _*)
       .filter(predicate)
       .persist()
     try {
@@ -1734,7 +1749,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val partsAt = cs.reverse.iterator
       .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
     val channels = Seq("prop/", "constraint/", "colmap/", "ptransform/",
-      "dropped/").flatMap { p =>
+      "dropped/", "default/", "identity/", "idhw/", "genexpr/").flatMap { p =>
       metaChannelOf(cs, p).map { case (k, value) => s"$p$k" -> value }
     }.toMap
     val meta = channels ++ Map(
@@ -2137,23 +2152,63 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   private def colMapOf(cs: Seq[Commit]): Map[String, String] =
     metaChannelOf(cs, "colmap/")
 
-  /** The physical rendering of a (possibly dot-pathed) logical column:
-    * renames are top-level only, so only the first segment remaps. */
+  /** The physical rendering of a (possibly dot-pathed) logical column.
+    * Mapping keys are LOGICAL dot-paths (top-level: the bare name;
+    * nested struct leaves: `s.f` — X86); each value is that segment's
+    * physical name, so the path resolves segment by segment with the
+    * LOGICAL prefix as the lookup key. */
   private def physPath(logical: String, mapping: Map[String, String]): String =
     if (mapping.isEmpty) logical
     else {
-      val i = logical.indexOf('.')
-      if (i < 0) mapping.getOrElse(logical, logical)
-      else mapping.getOrElse(logical.take(i), logical.take(i)) + logical.drop(i)
+      val segs = logical.split('.')
+      val sb = new java.lang.StringBuilder
+      var lpath = ""
+      segs.foreach { s =>
+        lpath = if (lpath.isEmpty) s else lpath + "." + s
+        if (sb.length > 0) sb.append('.')
+        sb.append(mapping.getOrElse(lpath, s))
+      }
+      sb.toString
     }
 
-  /** The schema with every top-level field renamed to its physical
-    * name (field order preserved — positional consumers stay aligned). */
+  /** The schema with every field — top-level AND struct members —
+    * renamed to its physical name (field order and types preserved, so
+    * positional consumers stay aligned and a positional struct CAST
+    * relabels exactly). */
   private[table] def physicalSchema(schema: StructType,
       mapping: Map[String, String]): StructType =
     if (mapping.isEmpty) schema
-    else StructType(schema.fields.map(f =>
-      f.copy(name = mapping.getOrElse(f.name, f.name))))
+    else StructType(schema.fields.map { f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name),
+        dataType = physTypeOf(f.dataType, f.name, mapping))
+    })
+
+  /** Recursive physical rendering of a column's TYPE: struct members
+    * rename along their logical dot-paths; non-struct types (incl.
+    * array/map element structs — in-container renames are refused at
+    * the ALTER boundary) pass through unchanged. */
+  private def physTypeOf(dt: DataType, lpath: String,
+      mapping: Map[String, String]): DataType = dt match {
+    case st: StructType if mapping.keys.exists(_.startsWith(lpath + ".")) =>
+      StructType(st.fields.map { f =>
+        val p = s"$lpath.${f.name}"
+        f.copy(name = mapping.getOrElse(p, f.name),
+          dataType = physTypeOf(f.dataType, p, mapping))
+      })
+    case other => other
+  }
+
+  /** The logical-relabel projection for one committed field over a
+    * physical-named scan: top-level renames alias; a field with nested
+    * renames additionally CASTs to the logical struct type (struct
+    * casts bind by POSITION — same shape and types by construction of
+    * [[physicalSchema]], so the cast is a pure member rename). */
+  private def logicalCol(f: org.apache.spark.sql.types.StructField,
+      mapping: Map[String, String]): org.apache.spark.sql.Column = {
+    val c = org.apache.spark.sql.functions.col(physPath(f.name, mapping))
+    val nested = mapping.keys.exists(_.startsWith(f.name + "."))
+    (if (nested) c.cast(f.dataType) else c).as(f.name)
+  }
 
   /** ALTER TABLE … RENAME COLUMN as ONE metadata commit, zero data
     * rewritten (the X64 evolution series completed): the committed
@@ -2175,6 +2230,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def renameColumn(from: String, to: String): Commit = {
     val prev = committedSchema
     require(from != to, s"rename '$from' to itself is a no-op")
+    require(!to.contains('.'),
+      s"rename target '$to' must be a bare name (renames never move " +
+        "a column between nesting levels)")
     require(prev.fieldNames.contains(from), s"no column '$from' to rename")
     require(!prev.fieldNames.contains(to), s"column '$to' already exists")
     require(!droppedColumns.contains(to),
@@ -2326,15 +2384,17 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * VERIFIED null-safe when it carries them (a rewrite passes
     * trivially; an UPDATE that moved a base column without re-deriving
     * fails loudly instead of de-synchronizing). Identity columns:
-    * `GENERATED ALWAYS` refuses caller-supplied values on appends (a
-    * rewrite's pass-through values are not "supplied" — replace/update
-    * actions carry existing rows); NULL slots are minted densely from
+    * `GENERATED ALWAYS` refuses caller-supplied values on USER-FACING
+    * writes — append, replaceWhere / INSERT OVERWRITE, dynamic replace
+    * (a rewrite's pass-through values are not "supplied" — internal
+    * replace/update rewrites carry existing rows and pass
+    * `userWrite = false`); NULL slots are minted densely from
     * the committed high-water via one zipWithIndex pass (the only
     * extra job identity tables pay), unique across commits because the
     * advanced high-water rides this commit's meta and OCC-conflicts
     * any concurrent minter. Gaps on aborted batches and explicit
     * BY-DEFAULT inserts are allowed — the identity contract. */
-  private def prepareDerivedColumns(df: DataFrame, action: String): DataFrame = {
+  private def prepareDerivedColumns(df: DataFrame, userWrite: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
     val gens = generatedColumns()
     val ids = identityColumns()
@@ -2359,7 +2419,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       ids.foreach { case (c, spec) =>
         if (!d.columns.contains(c))
           d = d.withColumn(c, lit(null).cast(stored(c).dataType))
-        else if (!spec.allowExplicit && action == "append")
+        else if (!spec.allowExplicit && userWrite)
           d = d.filter(coalesce(
             assert_true(d(c).isNull,
               lit(s"identity column '$c' is GENERATED ALWAYS — values " +
@@ -2840,15 +2900,44 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def commitStagedStream(stage: Path, rels: Seq[String], incoming: StructType,
       partitionBy: Seq[String], replace: Boolean, batchId: Long,
       appId: String, statsColumns: Seq[String] = Nil): Option[Commit] = {
-    // identity minting and generated-column verification live at the
-    // batch write choke point; the executor-staged stream path skips it
-    // and would silently write nulls / unverified values
-    require(identityColumns().isEmpty && generatedColumns().isEmpty,
-      s"streaming writes into $root are not supported: the table has " +
-        "IDENTITY or GENERATED columns — write via foreachBatch + append()")
     if (hasBatch(batchId, Some(appId))) {
       fs.delete(stage, true) // replayed epoch: stage is redundant
       return None
+    }
+    // IDENTITY / GENERATED columns (VERDICT r8 #7): minting and
+    // verification live at the batch write choke point, which the
+    // executor-staged fast path skips — so these tables take a
+    // driver-side detour: the staged batch (already enumerated,
+    // hive-routed) is read back and re-committed THROUGH the choke
+    // point — one extra Spark job per epoch, the price of minting —
+    // under the same (appId, batchId) replay guard, so exactly-once
+    // holds identically. Every other table keeps the zero-replan path.
+    if (identityColumns().nonEmpty || generatedColumns().nonEmpty) {
+      val out =
+        if (rels.isEmpty) {
+          // same empty-epoch semantics as the fast path below
+          val removed = if (replace) liveFiles() else Seq.empty
+          if (removed.nonEmpty) {
+            val schema = commits().lastOption.map(_.schemaJson).getOrElse("")
+            Some(commit(Commit(0, "replace", Nil, removed, Map.empty,
+              partitionBy, schema, Map.empty, Some(batchId), now(),
+              appId = Some(appId))))
+          } else None
+        } else {
+          val mapping = columnMapping()
+          val staged = spark.read.option("basePath", stage.toString)
+            .schema(physicalSchema(incoming, mapping))
+            .parquet(rels.map(r => new Path(stage, r).toString): _*)
+            .select(incoming.fields.toIndexedSeq.map(logicalCol(_, mapping)): _*)
+          if (replace)
+            replaceWhere(staged, partitionBy, Map.empty, Map.empty,
+              batchId = Some(batchId), appId = Some(appId),
+              statsColumns = statsColumns)
+          else append(staged, partitionBy, batchId = Some(batchId),
+            appId = Some(appId), statsColumns = statsColumns)
+        }
+      fs.delete(stage, true)
+      return out
     }
     if (rels.nonEmpty && constraints.nonEmpty) {
       // validate the staged batch exactly as the batch path's in-scan
@@ -2859,8 +2948,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         .schema(physicalSchema(incoming, mapping))
       val staged = reader
         .parquet(rels.map(r => new Path(stage, r).toString): _*)
-        .select(incoming.fieldNames.toIndexedSeq.map(n =>
-          org.apache.spark.sql.functions.col(physPath(n, mapping)).as(n)): _*)
+        .select(incoming.fields.toIndexedSeq.map(logicalCol(_, mapping)): _*)
       constraints.foreach { case (name, check) =>
         val e = org.apache.spark.sql.functions.expr(check)
         require(staged.filter(org.apache.spark.sql.functions.not(e))
@@ -2917,7 +3005,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // merge-on-read UPDATE (X82): deletion-vector attachments that
       // ride the SAME commit as the staged adds — the one-commit
       // shadow-and-reinsert shape
-      extraDv: Map[String, Seq[String]] = Map.empty): Option[Commit] = {
+      extraDv: Map[String, Seq[String]] = Map.empty,
+      // true only on user-facing entry points (append, replaceWhere /
+      // INSERT OVERWRITE, dynamic replace): GENERATED ALWAYS identity
+      // columns refuse supplied values there; internal rewrites carry
+      // existing rows through untouched
+      userWrite: Boolean = false): Option[Commit] = {
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
     // Spec evolution (X81): a replace whose REMOVAL SET is addressed by
     // partition tokens (replaceWhere's filter, dynamic replace's touched
@@ -2933,7 +3026,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       prepareDerivedColumns(
         partitionValues.foldLeft(df) { case (d, (k, v)) =>
           d.withColumn(k, lit(v))
-        }, action))
+        }, userWrite))
     // watermarks need a discretely ordered integral domain — checked
     // STATICALLY on the frame's schema (a footer-side check alone
     // would silently pass when a string column's non-ASCII bounds get
@@ -2971,13 +3064,37 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           s"partition transform ${t.spec}")
       d.withColumn(pcol, t.expr(d(t.base)))
     }
+    // Dir-clustered inserts (VERDICT r8 #6, the X60 shape generalized):
+    // a hidden-partitioning insert fans out as tasks × touched-dirs
+    // small files (a 100k-row batch into days×bucket(8) wrote ~240
+    // dirs' worth of file shards). Repartitioning the batch on the
+    // partition-column tuple routes each dir to exactly ONE task — one
+    // writer, one file per dir, at any input parallelism. Applied when
+    // derived transforms are in play (the fan-out case the layout
+    // guarantees is multi-dir) or opted in via
+    // `graft.insertClusterDirs=true`; opt out with `=false`.
+    val clusterDirs = tableProperties.get("graft.insertClusterDirs")
+      .map(_.toBoolean).getOrElse(ptransforms.nonEmpty)
+    val dirClustered =
+      if (clusterDirs && partitionBy.nonEmpty)
+        routed.repartition(partitionBy.map(routed(_)): _*)
+      else routed
     // Column mapping (X72): the staged files carry PHYSICAL names —
     // the one rename boundary of the write path. Everything logical
     // (constraints, statMeta type checks, the committed schema) was
     // already evaluated above/below on the logical frame.
     val mapping = columnMapping()
-    val physParts = routed.select(routed.columns.toIndexedSeq.map(c =>
-      org.apache.spark.sql.functions.col(c).as(physPath(c, mapping))): _*)
+    val physParts = dirClustered.select(dirClustered.columns.toIndexedSeq.map { c =>
+      val base = dirClustered(c)
+      // nested renames (X86): stage struct members under their PHYSICAL
+      // names via a positional cast — the mirror of logicalCol's read-
+      // side relabel
+      val renamed =
+        if (mapping.keys.exists(_.startsWith(c + ".")))
+          base.cast(physTypeOf(dirClustered.schema(c).dataType, c, mapping))
+        else base
+      renamed.as(physPath(c, mapping))
+    }: _*)
     val physPartitionBy = partitionBy.map(physPath(_, mapping))
     val physStatsColumns = statsColumns.map(physPath(_, mapping))
     val physStatMetaCols = statMeta.map(sm => physPath(sm.column, mapping))
@@ -3191,147 +3308,55 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * no entry (for stat-meta, the caller's floor applies; for skipping,
     * the file is never pruned); present with missing statistics fails
     * loudly rather than silently stalling a watermark or over-pruning. */
-  private def upd(stats: scala.collection.mutable.HashMap[String, ColStat],
-      name: String, mn: Long, mx: Long): Unit =
-    stats.update(name, stats.get(name).fold(ColStat(mn, mx))(p =>
-      ColStat(math.min(p.min, mn), math.max(p.max, mx))))
-
-  private def updD(stats: scala.collection.mutable.HashMap[String, ColStat],
-      name: String, mn: Double, mx: Double): Unit =
-    stats.update(name,
-      stats.get(name).fold(ColStat(0, 0, minD = Some(mn), maxD = Some(mx)))(p =>
-        p.copy(minD = Some(p.minD.fold(mn)(math.min(_, mn))),
-          maxD = Some(p.maxD.fold(mx)(math.max(_, mx))))))
-
+  /** Staged-commit stats harvest, two execution shapes with ONE shared
+    * per-file body ([[IncrementalTable.footerStatsOf]]):
+    *
+    *  - at or below [[distributedStatsThreshold]] staged files, the
+    *    footers are opened inline on the driver — micro-batch appends,
+    *    compactions, and DML rewrites stay job-free;
+    *  - ABOVE it, the same per-file extraction runs as a Spark job
+    *    over the staged paths (one task per slice of files) and only
+    *    the per-file ColStat maps collect — which is O(commit-log
+    *    entry), the size the commit was going to write anyway. The
+    *    bulk-load / CTAS commit class (tens of thousands of staged
+    *    files, each footer a remote round trip on object storage) no
+    *    longer serializes on the driver — the last driver-side O(N)
+    *    on the write path (VERDICT r8 #1).
+    *
+    * Both paths produce identical index contents (spec-pinned in
+    * IncrementalTableSpec's distributed-harvest twin). */
   private def stagedFooterStats(stage: Path, rels: Seq[String],
       cols: Set[String], needRows: Boolean): (Long, Map[String, Map[String, ColStat]]) = {
     if (rels.isEmpty || (cols.isEmpty && !needRows)) return (0L, Map.empty)
-    var rows = 0L
-    val perFile = Map.newBuilder[String, Map[String, ColStat]]
-    rels.foreach { rel =>
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(stage, rel), hadoopConf(spark)))
-      try {
-        val fileRows = rd.getRecordCount
+    val threshold = spark.conf.getOption("spark.graft.distributedStatsThreshold")
+      .map(_.toInt).getOrElse(IncrementalTable.DefaultDistributedStatsThreshold)
+    if (rels.size <= threshold) {
+      var rows = 0L
+      val perFile = Map.newBuilder[String, Map[String, ColStat]]
+      rels.foreach { rel =>
+        val (fileRows, st) = IncrementalTable.footerStatsOf(
+          new Path(stage, rel), hadoopConf(spark), cols)
         rows += fileRows
-        val stats = scala.collection.mutable.HashMap.empty[String, ColStat]
-        val poisoned = scala.collection.mutable.HashSet.empty[String]
-        // per-column null tally across row groups: Some(total) while
-        // every block reports a count, None once any block doesn't
-        // (old writers) — an unknown tally never prunes
-        val nulls = scala.collection.mutable.HashMap.empty[String, Option[Long]]
-        val seen = scala.collection.mutable.HashSet.empty[String]
-        // REPEATED leaves (array/map containers): their footer null
-        // tally is in element units, not record units — tracked so the
-        // null index is suppressed for them below (precise via the
-        // schema's max repetition level, not name heuristics)
-        val repeated = scala.collection.mutable.HashSet.empty[String]
-        // distinct PHYSICAL dot-paths per normalized index key: a
-        // genuine struct chain literally named `list`/`element` (or
-        // `key_value`) normalizes onto the same key as a sibling
-        // container leaf, and merging two physical leaves into one
-        // ColStat ADDS their null tallies — which can fabricate
-        // allNull and unsoundly prune. Colliding keys are dropped
-        // whole below (conservative: those files never prune on that
-        // key) — ADVICE r7.
-        val physByNorm = scala.collection.mutable.HashMap
-          .empty[String, scala.collection.mutable.Set[String]]
-        if (cols.nonEmpty) rd.getFooter.getBlocks.forEach { block =>
-          block.getColumns.forEach { cc =>
-            val name = IncrementalTable.normalizeLeafPath(cc.getPath.toDotString)
-            if (cols.contains(name)) {
-              physByNorm.getOrElseUpdate(name,
-                scala.collection.mutable.Set.empty) += cc.getPath.toDotString
-              if (rd.getFooter.getFileMetaData.getSchema
-                  .getColumnDescription(cc.getPath.toArray)
-                  .getMaxRepetitionLevel > 0) repeated += name
-              val st = cc.getStatistics
-              if (st == null || st.isEmpty)
-                throw new IllegalStateException(
-                  s"staged parquet footer lacks statistics for stats column '$name'")
-              seen += name
-              nulls.update(name,
-                if (!st.isNumNullsSet) None
-                else nulls.getOrElse(name, Some(0L)).map(_ + st.getNumNulls))
-              if (st.hasNonNullValue) {
-                (st.genericGetMin, st.genericGetMax) match {
-                  case (bn: org.apache.parquet.io.api.Binary,
-                        bx: org.apache.parquet.io.api.Binary) =>
-                    // string column: ASCII-only (unsigned-byte footer
-                    // order == String order there; see ColStat doc) —
-                    // a non-ASCII bound poisons the whole file's entry
-                    val (mn, mx) = (bn.toStringUsingUTF8, bx.toStringUsingUTF8)
-                    def ascii(s: String) = s.forall(_ < 0x80)
-                    val prev = stats.get(name)
-                    if (ascii(mn) && ascii(mx) && !poisoned(name)) {
-                      val lo = prev.flatMap(_.minS).filter(_ <= mn).getOrElse(mn)
-                      val hi = prev.flatMap(_.maxS).filter(_ >= mx).getOrElse(mx)
-                      stats.update(name, ColStat(0, 0, Some(lo), Some(hi)))
-                    } else { poisoned += name; stats.remove(name) }
-                  case (mno: java.lang.Long, mxo: java.lang.Long) =>
-                    upd(stats, name, mno.longValue(), mxo.longValue())
-                  case (mno: java.lang.Integer, mxo: java.lang.Integer) =>
-                    upd(stats, name, mno.longValue(), mxo.longValue())
-                  case (mno: java.lang.Double, mxo: java.lang.Double)
-                      if !mno.isNaN && !mxo.isNaN && !poisoned(name) =>
-                    updD(stats, name, mno.doubleValue(), mxo.doubleValue())
-                  case (mno: java.lang.Float, mxo: java.lang.Float)
-                      if !mno.isNaN && !mxo.isNaN && !poisoned(name) =>
-                    // float->double widening is exact
-                    updD(stats, name, mno.floatValue().toDouble,
-                      mxo.floatValue().toDouble)
-                  case _ =>
-                    // neither integral nor string (double, boolean,
-                    // decimal...): no sound [min,max] in the index's
-                    // long/ASCII domain, but the NULL tally is
-                    // type-agnostic — keep a boundless entry (full
-                    // range, so value bounds never prune) for
-                    // IS [NOT] NULL skipping
-                    poisoned += name; stats.remove(name)
-                }
-              }
-            }
-          }
-        }
-        // attach the null index: every entry gets (nulls, rows); an
-        // indexed column with NO value anywhere (all-null file) gets a
-        // placeholder entry whose min/max are never consulted
-        // (overlaps short-circuits on allNull) — that entry is what
-        // lets IS NOT NULL and value bounds prune it. Poisoned
-        // columns (non-ASCII string bounds, non-integral types) keep
-        // a BOUNDLESS entry: full-range min/max prune nothing, the
-        // null tally still works.
-        val collided = physByNorm.iterator
-          .collect { case (k, phys) if phys.size > 1 => k }.toSet
-        val withNulls = seen.iterator.filterNot(collided).flatMap { name =>
-          // REPEATED-leaf entries (array elements, map keys/values):
-          // the footer null tally is in ELEMENT units while `rows` is
-          // RECORD units — recording it would let `allNull`
-          // (nulls == rows) mislabel a file on a coincidental count
-          // match and unsoundly prune it. Repeated entries keep
-          // [min,max] over all elements (exactly the
-          // exists/array_contains/map_contains_key pruning domain)
-          // and no null index.
-          val n = if (repeated(name)) None
-            else nulls.getOrElse(name, None)
-          val r = Some(fileRows)
-          if (poisoned(name)) {
-            if (n.isEmpty) None // no tally either: nothing indexable
-            else Some(name -> ColStat(Long.MinValue, Long.MaxValue,
-              nulls = n, rows = r))
-          } else stats.get(name) match {
-            case Some(s) => Some(name -> s.copy(nulls = n, rows = r))
-            case None if n.contains(fileRows) =>
-              Some(name -> ColStat(0, 0, nulls = n, rows = r))
-            case None => None // stats present but unusable: keep conservative
-          }
-        }.toMap
-        if (withNulls.nonEmpty) perFile += rel -> withNulls
-      } finally rd.close()
+        if (st.nonEmpty) perFile += rel -> st
+      }
+      (rows, perFile.result())
+    } else {
+      val sconf = new graft.parquet.RowParquet.SerializableConf(hadoopConf(spark))
+      val stageStr = stage.toString
+      val slices = math.min(rels.size,
+        spark.sparkContext.defaultParallelism * 2).max(1)
+      val harvested = spark.sparkContext.parallelize(rels, slices).map { rel =>
+        val (fileRows, st) = IncrementalTable.footerStatsOf(
+          new Path(stageStr, rel), sconf.value, cols)
+        (rel, fileRows, st)
+      }.collect()
+      (harvested.iterator.map(_._2).sum,
+        harvested.iterator.collect {
+          case (rel, _, st) if st.nonEmpty => rel -> st
+        }.toMap)
     }
-    (rows, perFile.result())
   }
+
 
   /** Atomic publish of a fully-written tmp file as `dest`, failing (not
     * overwriting) when `dest` already exists. `FileContext.rename` with
@@ -3816,25 +3841,63 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         }
         (files.result(), gens.result())
       }
-    val all = listParquet(fs, rootPath)
-      .map(p => relativize(rootPath, p))
-      .filterNot(_.startsWith("_"))
+    // Candidate listing: driver walk below a top-level dir-count
+    // threshold; ABOVE it the per-dir recursive walks run as a Spark
+    // job (VERDICT r8 #5) — on a many-partition table over object
+    // storage the listing round trips parallelize across executors
+    // and the file names stream straight into the anti-join without
+    // ever folding on the driver. Both paths feed the SAME orphan
+    // detection.
+    import spark.implicits._
+    val topLevel = if (fs.exists(rootPath)) fs.listStatus(rootPath).toSeq
+      else Seq.empty
+    val (topDirs, topFiles) = (
+      topLevel.filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString),
+      topLevel.filter(st => !st.isDirectory &&
+          st.getPath.getName.endsWith(".parquet"))
+        .map(st => relativize(rootPath, st.getPath.toString)))
+    val listThreshold = spark.conf
+      .getOption("spark.graft.distributedListingThreshold")
+      .map(_.toInt).getOrElse(IncrementalTable.DefaultDistributedListingThreshold)
+    val allDF: org.apache.spark.sql.DataFrame =
+      if (topDirs.size <= listThreshold)
+        listParquet(fs, rootPath)
+          .map(p => relativize(rootPath, p))
+          .filterNot(_.startsWith("_")).toDF("file")
+      else {
+        val sconf = new graft.parquet.RowParquet.SerializableConf(hadoopConf(spark))
+        val rootStr = rootPath.toString
+        val slices = math.min(topDirs.size,
+          spark.sparkContext.defaultParallelism * 2).max(1)
+        spark.sparkContext.parallelize(topDirs, slices).flatMap { dir =>
+          val p = new Path(dir)
+          val dfs = p.getFileSystem(sconf.value)
+          val out = Seq.newBuilder[String]
+          val it = dfs.listFiles(p, true)
+          val base = new Path(rootStr).toUri.getPath.stripSuffix("/") + "/"
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet"))
+              out += f.getPath.toUri.getPath.stripPrefix(base)
+          }
+          out.result()
+        }.toDF("file").unionByName(topFiles.toDF("file"))
+      }
     val orphans = parquetCkpt(cs) match {
       case Some(ck) =>
         // orphan detection as a distributed anti-join: the referenced
         // set (checkpoint rows ∪ tail adds) never folds on the driver;
-        // only the (small) orphan list comes back. The directory
-        // listing itself is driver-side — inherent to a local
-        // FileSystem walk, and the strings stream straight into the
-        // join's broadcast.
-        import spark.implicits._
+        // only the (small) orphan list comes back.
         val refDF = ckptRowsDF(ck).select("file")
           .unionByName((cs.flatMap(_.add) ++ cdcFiles).toDF("file"))
-        all.toDF("file").join(refDF, Seq("file"), "left_anti")
+        allDF.join(refDF, Seq("file"), "left_anti")
           .as[String].collect().toSeq
       case None =>
         val referenced = cs.flatMap(_.add).toSet ++ cdcFiles
-        all.filterNot(referenced)
+        val refDF = referenced.toSeq.toDF("file")
+        allDF.join(refDF, Seq("file"), "left_anti")
+          .as[String].collect().toSeq
     }
     orphans.foreach(rel => fs.delete(new Path(rootPath, rel), false))
     fs.delete(stagingPath, true)
@@ -4109,6 +4172,156 @@ object IncrementalTable {
 
   def hadoopConf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration
+
+  /** Staged-file count above which the commit-time stats harvest runs
+    * as a Spark job instead of a serial driver footer loop (override
+    * via `spark.graft.distributedStatsThreshold`). Micro-batch appends
+    * and compactions stay below it and job-free; bulk-load/CTAS
+    * commits cross it. */
+  val DefaultDistributedStatsThreshold = 256
+
+  /** Top-level partition-dir count above which vacuum's candidate
+    * listing walks dirs in a Spark job instead of one serial driver
+    * walk (override via `spark.graft.distributedListingThreshold`). */
+  val DefaultDistributedListingThreshold = 64
+
+  /** The per-file half of the harvest — `(record count, per-column
+    * ColStat)` from one parquet footer. STATIC (companion, no session
+    * capture) so the distributed path ships it to executors unchanged;
+    * the inline path calls it in a driver loop. See the class's
+    * `stagedFooterStats` for the two execution shapes. */
+  private[table] def footerStatsOf(file: Path,
+      conf: Configuration,
+      cols: Set[String]): (Long, Map[String, ColStat]) = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+        val fileRows = rd.getRecordCount
+        def upd(stats: scala.collection.mutable.HashMap[String, ColStat],
+            name: String, mn: Long, mx: Long): Unit =
+          stats.update(name, stats.get(name).fold(ColStat(mn, mx))(p =>
+            ColStat(math.min(p.min, mn), math.max(p.max, mx))))
+        def updD(stats: scala.collection.mutable.HashMap[String, ColStat],
+            name: String, mn: Double, mx: Double): Unit =
+          stats.update(name,
+            stats.get(name).fold(ColStat(0, 0, minD = Some(mn), maxD = Some(mx)))(p =>
+              p.copy(minD = Some(p.minD.fold(mn)(math.min(_, mn))),
+                maxD = Some(p.maxD.fold(mx)(math.max(_, mx))))))
+        val stats = scala.collection.mutable.HashMap.empty[String, ColStat]
+        val poisoned = scala.collection.mutable.HashSet.empty[String]
+        // per-column null tally across row groups: Some(total) while
+        // every block reports a count, None once any block doesn't
+        // (old writers) — an unknown tally never prunes
+        val nulls = scala.collection.mutable.HashMap.empty[String, Option[Long]]
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        // REPEATED leaves (array/map containers): their footer null
+        // tally is in element units, not record units — tracked so the
+        // null index is suppressed for them below (precise via the
+        // schema's max repetition level, not name heuristics)
+        val repeated = scala.collection.mutable.HashSet.empty[String]
+        // distinct PHYSICAL dot-paths per normalized index key: a
+        // genuine struct chain literally named `list`/`element` (or
+        // `key_value`) normalizes onto the same key as a sibling
+        // container leaf, and merging two physical leaves into one
+        // ColStat ADDS their null tallies — which can fabricate
+        // allNull and unsoundly prune. Colliding keys are dropped
+        // whole below (conservative: those files never prune on that
+        // key) — ADVICE r7.
+        val physByNorm = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.Set[String]]
+        if (cols.nonEmpty) rd.getFooter.getBlocks.forEach { block =>
+          block.getColumns.forEach { cc =>
+            val name = IncrementalTable.normalizeLeafPath(cc.getPath.toDotString)
+            if (cols.contains(name)) {
+              physByNorm.getOrElseUpdate(name,
+                scala.collection.mutable.Set.empty) += cc.getPath.toDotString
+              if (rd.getFooter.getFileMetaData.getSchema
+                  .getColumnDescription(cc.getPath.toArray)
+                  .getMaxRepetitionLevel > 0) repeated += name
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty)
+                throw new IllegalStateException(
+                  s"staged parquet footer lacks statistics for stats column '$name'")
+              seen += name
+              nulls.update(name,
+                if (!st.isNumNullsSet) None
+                else nulls.getOrElse(name, Some(0L)).map(_ + st.getNumNulls))
+              if (st.hasNonNullValue) {
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (bn: org.apache.parquet.io.api.Binary,
+                        bx: org.apache.parquet.io.api.Binary) =>
+                    // string column: ASCII-only (unsigned-byte footer
+                    // order == String order there; see ColStat doc) —
+                    // a non-ASCII bound poisons the whole file's entry
+                    val (mn, mx) = (bn.toStringUsingUTF8, bx.toStringUsingUTF8)
+                    def ascii(s: String) = s.forall(_ < 0x80)
+                    val prev = stats.get(name)
+                    if (ascii(mn) && ascii(mx) && !poisoned(name)) {
+                      val lo = prev.flatMap(_.minS).filter(_ <= mn).getOrElse(mn)
+                      val hi = prev.flatMap(_.maxS).filter(_ >= mx).getOrElse(mx)
+                      stats.update(name, ColStat(0, 0, Some(lo), Some(hi)))
+                    } else { poisoned += name; stats.remove(name) }
+                  case (mno: java.lang.Long, mxo: java.lang.Long) =>
+                    upd(stats, name, mno.longValue(), mxo.longValue())
+                  case (mno: java.lang.Integer, mxo: java.lang.Integer) =>
+                    upd(stats, name, mno.longValue(), mxo.longValue())
+                  case (mno: java.lang.Double, mxo: java.lang.Double)
+                      if !mno.isNaN && !mxo.isNaN && !poisoned(name) =>
+                    updD(stats, name, mno.doubleValue(), mxo.doubleValue())
+                  case (mno: java.lang.Float, mxo: java.lang.Float)
+                      if !mno.isNaN && !mxo.isNaN && !poisoned(name) =>
+                    // float->double widening is exact
+                    updD(stats, name, mno.floatValue().toDouble,
+                      mxo.floatValue().toDouble)
+                  case _ =>
+                    // neither integral nor string (double, boolean,
+                    // decimal...): no sound [min,max] in the index's
+                    // long/ASCII domain, but the NULL tally is
+                    // type-agnostic — keep a boundless entry (full
+                    // range, so value bounds never prune) for
+                    // IS [NOT] NULL skipping
+                    poisoned += name; stats.remove(name)
+                }
+              }
+            }
+          }
+        }
+        // attach the null index: every entry gets (nulls, rows); an
+        // indexed column with NO value anywhere (all-null file) gets a
+        // placeholder entry whose min/max are never consulted
+        // (overlaps short-circuits on allNull) — that entry is what
+        // lets IS NOT NULL and value bounds prune it. Poisoned
+        // columns (non-ASCII string bounds, non-integral types) keep
+        // a BOUNDLESS entry: full-range min/max prune nothing, the
+        // null tally still works.
+        val collided = physByNorm.iterator
+          .collect { case (k, phys) if phys.size > 1 => k }.toSet
+        val withNulls = seen.iterator.filterNot(collided).flatMap { name =>
+          // REPEATED-leaf entries (array elements, map keys/values):
+          // the footer null tally is in ELEMENT units while `rows` is
+          // RECORD units — recording it would let `allNull`
+          // (nulls == rows) mislabel a file on a coincidental count
+          // match and unsoundly prune it. Repeated entries keep
+          // [min,max] over all elements (exactly the
+          // exists/array_contains/map_contains_key pruning domain)
+          // and no null index.
+          val n = if (repeated(name)) None
+            else nulls.getOrElse(name, None)
+          val r = Some(fileRows)
+          if (poisoned(name)) {
+            if (n.isEmpty) None // no tally either: nothing indexable
+            else Some(name -> ColStat(Long.MinValue, Long.MaxValue,
+              nulls = n, rows = r))
+          } else stats.get(name) match {
+            case Some(s) => Some(name -> s.copy(nulls = n, rows = r))
+            case None if n.contains(fileRows) =>
+              Some(name -> ColStat(0, 0, nulls = n, rows = r))
+            case None => None // stats present but unusable: keep conservative
+          }
+        }.toMap
+        (fileRows, withNulls)
+    } finally rd.close()
+  }
 
   def apply(spark: SparkSession, root: String): IncrementalTable =
     new IncrementalTable(spark, root)

@@ -175,10 +175,16 @@ object PartitionTransform {
       val dayAndHour: (Column, Column) = baseType match {
         case TimestampType =>
           val um = unix_micros(c)
-          val ed = ((um - pmod(um, lit(MicrosPerDay))) / lit(MicrosPerDay))
-            .cast(IntegerType)
-          val hod = ((pmod(um, lit(MicrosPerDay)) -
-            pmod(um, lit(MicrosPerHour))) / lit(MicrosPerHour)).cast(IntegerType)
+          // integral `div`, not Column `/` (double): at |micros| > 2^53
+          // the double numerator is inexact and the written dir token
+          // could diverge from eval/infer's Math.floorDiv (ADVICE r8).
+          // The numerator is an exact multiple of the divisor, so
+          // truncating div == floorDiv even pre-epoch.
+          val ed = call_function("div", um - pmod(um, lit(MicrosPerDay)),
+            lit(MicrosPerDay)).cast(IntegerType)
+          val hod = call_function("div",
+            pmod(um, lit(MicrosPerDay)) - pmod(um, lit(MicrosPerHour)),
+            lit(MicrosPerHour)).cast(IntegerType)
           (date_add(lit(java.sql.Date.valueOf("1970-01-01")), ed)
             .cast(StringType),
             lpad(hod.cast(StringType), 2, "0"))
@@ -343,9 +349,15 @@ object PartitionTransform {
       case StringType =>
         // bounds come from predicate literals (ASCII by extraction
         // contract); strictness collapses to inclusive at the
-        // partition level — the boundary prefix can hold in-range rows
+        // partition level — the boundary prefix can hold in-range rows.
+        // dropNulls stays FALSE (ADVICE r8): an empty base string
+        // yields token "", which both write paths render as the hive
+        // DEFAULT partition dir — so that dir holds non-null s="" rows
+        // alongside true nulls, and neither a value bound (s = '' or
+        // s < 'a' can match "") nor IS NOT NULL may drop it
         shell(b).map(_.copy(lo = b.lowerS.map(truncStr),
-          hi = b.upperS.map(truncStr), escapeGuard = true))
+          hi = b.upperS.map(truncStr), escapeGuard = true,
+          dropNulls = false))
       case _ =>
         shell(b).map(_.copy(lo = b.lower.map(v => truncLong(v).toString),
           hi = b.upper.map(v => truncLong(v).toString), numeric = true))
