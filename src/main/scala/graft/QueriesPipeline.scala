@@ -1827,9 +1827,66 @@ object QueriesPipeline {
               |  FROM graft.lake.idgen
               |) ORDER BY leg""".stripMargin)
     }),
+
+    // ---- NESTED COLUMN MAPPING (X86) -----------------------------------
+    // The X72 rename indirection one nesting level down: a struct member
+    // RENAMED, one WIDENED, and one DROPPED mid-history — each a pure
+    // metadata commit, zero files rewritten. The pre leg time-travels to
+    // the first generation and must show the OLD member names/types with
+    // the dropped member's values; the head leg reads BOTH generations
+    // under the new name with the widened type. A mis-bound positional
+    // cast (member values swapping), a generation served as NULL, a
+    // widening that re-read int32 wrong, or a resurfaced dropped member
+    // breaks the hash.
+    "q144_nested_mapping" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.nmap")
+      s.sql("""CREATE TABLE graft.lake.nmap
+              |  (okey BIGINT, hdr STRUCT<cust: BIGINT, qty: INT, note: STRING>)
+              |TBLPROPERTIES ('graft.statsColumns' = 'okey,hdr.cust')""".stripMargin)
+      Tables.orders(s, dir).select($"o_orderkey".as("okey"),
+          $"o_custkey".as("cust"), $"o_orderpriority".as("note"))
+        .createOrReplaceTempView("q144_src")
+      s.sql("""INSERT INTO graft.lake.nmap
+              |SELECT okey, named_struct('cust', cust,
+              |  'qty', CAST(okey % 100 AS INT), 'note', note)
+              |FROM q144_src WHERE okey % 3 = 0""".stripMargin)
+      s.sql("ALTER TABLE graft.lake.nmap RENAME COLUMN hdr.cust TO customer")
+      s.sql("ALTER TABLE graft.lake.nmap ALTER COLUMN hdr.qty TYPE BIGINT")
+      s.sql("ALTER TABLE graft.lake.nmap DROP COLUMN hdr.note")
+      s.sql("""INSERT INTO graft.lake.nmap
+              |SELECT okey, named_struct('customer', cust,
+              |  'qty', CAST(okey % 100 AS BIGINT))
+              |FROM q144_src WHERE okey % 3 = 1""".stripMargin)
+      s.sql("""SELECT 'pre' AS snap, okey, hdr.cust AS customer,
+              |  CAST(hdr.qty AS BIGINT) AS qty, hdr.note AS note
+              |FROM graft.lake.nmap VERSION AS OF 1 WHERE okey <= 3000
+              |UNION ALL
+              |SELECT 'head' AS snap, okey, hdr.customer AS customer,
+              |  hdr.qty AS qty, CAST(NULL AS STRING) AS note
+              |FROM graft.lake.nmap WHERE okey <= 3000
+              |ORDER BY snap, okey""".stripMargin)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // both eras carry identical physical values: only the era modulus,
+    // the logical member label, and the dropped member's visibility
+    // differ
+    "q144_nested_mapping" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS okey, o_custkey AS cust,
+        |    o_orderpriority AS note FROM orders)
+        |SELECT 'pre' AS snap, okey, cust AS customer,
+        |  CAST(okey % 100 AS BIGINT) AS qty, note FROM src
+        |WHERE okey % 3 = 0 AND okey <= 3000
+        |UNION ALL
+        |SELECT 'head' AS snap, okey, cust AS customer,
+        |  CAST(okey % 100 AS BIGINT) AS qty, CAST(NULL AS VARCHAR) AS note
+        |FROM src WHERE okey % 3 <= 1 AND okey <= 3000
+        |ORDER BY snap, okey""".stripMargin,
     "q143_identity_generated" ->
       """WITH c AS (SELECT COUNT(*) AS n FROM customer),
         |cents AS (

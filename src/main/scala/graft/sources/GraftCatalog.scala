@@ -280,13 +280,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // boundary, the skipping index follows. Top-level only, and alone
     // in its ALTER (Spark sends one change kind per RENAME statement;
     // mixing would forfeit the one-commit contract).
+    // in-struct renames ride the same mapping one level down (X86):
+    // the dot-path is the colmap key, the member's physical name the
+    // value, and the read/write boundaries relabel via positional cast
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
-    renames.foreach(r => require(r.fieldNames.length == 1,
-      s"in-struct renames are a type change (X49): ${r.fieldNames.mkString(".")}"))
     if (renames.nonEmpty) {
       require(renames.length == changes.length,
         "RENAME COLUMN must be the only change in its ALTER TABLE")
-      renames.foreach(r => t.renameColumn(r.fieldNames.head, r.newName))
+      renames.foreach(r =>
+        t.renameColumn(r.fieldNames.mkString("."), r.newName))
       return loadTable(ident)
     }
     val unsupported = changes.filterNot(c =>
@@ -301,10 +303,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"graft ALTER TABLE supports ADD|DROP|RENAME COLUMNS / ALTER COLUMN " +
         s"TYPE (widening) / (UN)SET TBLPROPERTIES / ADD|DROP CONSTRAINT only: " +
         s"${unsupported.mkString(", ")}")
+    // in-struct widening follows the X68 lossless rules (X86)
     val widened = changes.collect { case u: TableChange.UpdateColumnType =>
-      require(u.fieldNames.length == 1,
-        s"in-struct type changes are rejected (X49): ${u.fieldNames.mkString(".")}")
-      u.fieldNames.head -> u.newDataType
+      u.fieldNames.mkString(".") -> u.newDataType
     }.toMap
     // in-struct ADD COLUMN (X73): `ALTER TABLE t ADD COLUMNS (s.f T)` —
     // a metadata commit extending the struct; old files read the new
@@ -314,13 +315,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"DEFAULT on in-struct column ${a.fieldNames.mkString(".")} is not " +
         "supported (top-level columns only)"))
     val dropped = changes.collect { case d: TableChange.DeleteColumn => d }
-      .map { d =>
-        require(d.fieldNames.length == 1,
-          s"in-struct drops are a type change (X49): ${d.fieldNames.mkString(".")}")
-        d.fieldNames.head -> d.ifExists()
-      }
+      .map(d => d.fieldNames.mkString(".") -> d.ifExists())
       .collect { case (n, ifExists)
-          if !ifExists || t.schemaAt().exists(_.fieldNames.contains(n)) => n }
+          if !ifExists || t.schemaAt().exists(s =>
+            graft.table.IncrementalTable.structFieldAt(s,
+              n.split('.').toIndexedSeq).isDefined) => n }
     // SQL CHECK constraints map onto the library's validated-then-
     // enforced-in-write-scan constraints (X32); other constraint kinds
     // (UNIQUE/PK/FK) are informational claims graft cannot enforce and

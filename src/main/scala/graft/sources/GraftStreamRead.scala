@@ -246,8 +246,7 @@ final class GraftMicroBatchStream(spark: SparkSession, table: IncrementalTable,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val mapping = table.columnMapping()
-    val phys = StructType(schema.fields.map(f =>
-      f.copy(name = mapping.getOrElse(f.name, f.name))))
+    val phys = table.physicalSchemaOf(schema)
     // evaluate committed DEFAULT literals once, driver-side; executors
     // fill them for files written before the column existed
     val defaults = table.columnDefaults().toSeq.flatMap { case (l, sql) =>

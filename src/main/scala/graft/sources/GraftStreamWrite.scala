@@ -60,12 +60,11 @@ final class GraftStreamingWrite(table: IncrementalTable,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    // staged files carry PHYSICAL names (column mapping, X72) — the
-    // rename preserves field order, so the positional rows bind as-is;
-    // partition columns are never renamable, so routing names hold
-    val mapping = table.columnMapping()
-    val phys = StructType(writeSchema.fields.map(f =>
-      f.copy(name = mapping.getOrElse(f.name, f.name))))
+    // staged files carry PHYSICAL names (column mapping, X72; nested
+    // members too, X86) — renames preserve field order and types, so
+    // the positional rows bind as-is; partition columns are never
+    // renamable, so routing names hold
+    val phys = table.physicalSchemaOf(writeSchema)
     // hidden partitioning (X77): derived partition columns route via
     // their committed transform, evaluated per row executor-side (spec
     // strings ship; transform bases are rename-guarded, so the names

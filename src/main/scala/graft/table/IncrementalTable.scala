@@ -2198,6 +2198,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     case other => other
   }
 
+  /** [[physicalSchema]] under the CURRENT column mapping — the public
+    * rendering the streaming front doors stage/read files with. */
+  def physicalSchemaOf(schema: StructType): StructType =
+    physicalSchema(schema, columnMapping())
+
   /** The logical-relabel projection for one committed field over a
     * physical-named scan: top-level renames alias; a field with nested
     * renames additionally CASTs to the logical struct type (struct
@@ -2207,7 +2212,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       mapping: Map[String, String]): org.apache.spark.sql.Column = {
     val c = org.apache.spark.sql.functions.col(physPath(f.name, mapping))
     val nested = mapping.keys.exists(_.startsWith(f.name + "."))
-    (if (nested) c.cast(f.dataType) else c).as(f.name)
+    // cast target nullability is relaxed: the cast exists to RENAME
+    // members (and it refuses nullable->non-null), never to assert
+    // nullability — the scan's own nullability carries through
+    (if (nested) c.cast(IncrementalTable.nullableType(f.dataType)) else c)
+      .as(f.name)
   }
 
   /** ALTER TABLE … RENAME COLUMN as ONE metadata commit, zero data
@@ -2228,6 +2237,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * (assets/processed.py:33) is the copy-the-table workaround this
     * removes. */
   def renameColumn(from: String, to: String): Commit = {
+    // IN-STRUCT rename (X86): `from` may be a dot-path to a struct
+    // member; `to` is the new LEAF name. Same column-mapping economics
+    // one level down — the `colmap/` key is the new logical dot-path,
+    // the value the member's immutable physical name, and the read/
+    // write boundaries relabel via a positional struct cast.
+    if (from.contains('.')) return renameNested(from, to)
     val prev = committedSchema
     require(from != to, s"rename '$from' to itself is a no-op")
     require(!to.contains('.'),
@@ -2283,10 +2298,23 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }.filter(_ => tableProperties.get("graft.statsColumns")
       .exists(_.split(",").map(_.trim).exists(p =>
         p == from || p.startsWith(from + "."))))
+    // nested channel entries under the renamed parent follow it: their
+    // keys are LOGICAL dot-paths, so `colmap/s.g` re-keys to
+    // `colmap/t.g` (same physical value) and nested drop tombstones
+    // re-reserve under the new parent name (old keys stay — the old
+    // parent name is itself tombstoned)
+    val nestedFollow = columnMapping().toSeq.collect {
+      case (k, v) if k.startsWith(from + ".") =>
+        Seq(s"colmap/$to${k.stripPrefix(from)}" -> v, s"colmap/$k" -> "")
+    }.flatten ++ metaChannel("dropped/").toSeq.collect {
+      case (k, v) if k.startsWith(from + ".") =>
+        s"dropped/$to${k.stripPrefix(from)}" -> v
+    }
     val meta = Map(
       s"colmap/$to" -> phys,
       s"colmap/$from" -> "", // tombstone the old logical binding
       s"dropped/$from" -> latestVersion.toString) ++
+      nestedFollow ++
       statsProp.map(v => "prop/graft.statsColumns" -> v) ++
       // a column DEFAULT follows the rename (it is keyed logically)
       columnDefaults().get(from).toSeq.flatMap(sql =>
@@ -2304,6 +2332,108 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil,
       IncrementalTable.ddlOf(renamed),
       meta, None, now()))
+  }
+
+  /** Full dot-path attribute references of a committed expression text
+    * (CHECK constraints, generated columns): `s.f > 0` yields `s.f`.
+    * Used by the X86 nested-evolution guards — committed texts bind
+    * names at every nesting level. */
+  private def exprRefPaths(e: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(e).collect {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          ua.nameParts.mkString(".")
+      }.toSet
+
+  /** Refuse when any CHECK constraint or generated-column expression
+    * references `path` or anything under it (committed texts bind the
+    * name; Spark resolves struct access as a dotted attribute). */
+  private def refuseExprRefs(path: String, verb: String,
+      exceptConstraints: Set[String] = Set.empty): Unit = {
+    def hits(refs: Set[String]) =
+      refs.contains(path) || refs.exists(_.startsWith(path + "."))
+    (constraints -- exceptConstraints).foreach { case (cn, check) =>
+      require(!hits(exprRefPaths(check)),
+        s"CHECK constraint '$cn' references '$path' — drop it first and " +
+          s"re-create it after the $verb")
+    }
+    generatedColumns().foreach { case (g, e) =>
+      require(!hits(exprRefPaths(e)),
+        s"generated column '$g' derives from '$path' (expression: $e) — " +
+          "its committed text binds the name; migrate via CTAS")
+    }
+  }
+
+  /** IN-STRUCT RENAME (X86): `from` is a dot-path to a struct member,
+    * `to` the new leaf name — ONE metadata commit, zero data rewritten.
+    * The `colmap/` channel binds the new LOGICAL dot-path to the
+    * member's immutable PHYSICAL name; reads scan under physical names
+    * and relabel with a positional struct CAST at the one projection
+    * boundary ([[logicalCol]]), writes cast to the physical shape at
+    * the staging boundary, and the PHYSICAL-keyed skipping index plus
+    * metadata MIN/MAX follow via [[physPath]]'s per-segment remap. The
+    * old path is tombstoned (old files still carry its bytes) against
+    * both re-ADD and a rename back. Members of structs inside arrays/
+    * maps stay refused (the positional-cast relabel and the footer
+    * dot-path contract cover plain struct chains). */
+  private def renameNested(from: String, to: String): Commit = {
+    val prev = committedSchema
+    val path = from.split('.').toIndexedSeq
+    val parentPath = path.init
+    val leaf = path.last
+    require(to.nonEmpty && !to.contains('.'),
+      s"rename target '$to' must be a bare member name")
+    require(leaf != to, s"rename '$from' to itself is a no-op")
+    val parentName = parentPath.mkString(".")
+    val parent = IncrementalTable.structFieldAt(prev, parentPath).getOrElse(
+      throw new IllegalArgumentException(s"no struct column '$parentName'"))
+    val st = parent.dataType match {
+      case s: StructType => s
+      case other => throw new IllegalArgumentException(
+        s"'$parentName' is ${other.simpleString}, not a struct — in-struct " +
+          "rename applies to struct members only (X49)")
+    }
+    require(st.fieldNames.contains(leaf),
+      s"no member '$leaf' in struct '$parentName'")
+    require(!st.fieldNames.contains(to),
+      s"struct '$parentName' already has a member '$to'")
+    val toPath = (parentPath :+ to).mkString(".")
+    require(!droppedColumns.contains(toPath),
+      s"member '$toPath' was previously dropped or renamed away and files " +
+        "still carry its old values — pick a fresh name")
+    refuseExprRefs(from, "rename")
+    val mapping = columnMapping()
+    // the member's immutable physical leaf name: chains resolve through
+    // the existing logical-path entry
+    val phys = mapping.getOrElse(from, leaf)
+    val renamed = IncrementalTable.mapStructField(prev, path)(f =>
+      Some(f.copy(name = to)))
+    val statsProp = tableProperties.get("graft.statsColumns")
+      .filter(_.split(",").map(_.trim).exists(p =>
+        p == from || p.startsWith(from + ".")))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { p =>
+        if (p == from) toPath
+        else if (p.startsWith(from + ".")) toPath + p.stripPrefix(from)
+        else p
+      }.mkString(","))
+    // deeper channel entries under a renamed struct member follow it
+    // (same shape as the top-level parent migration)
+    val nestedFollow = mapping.toSeq.collect {
+      case (k, v) if k.startsWith(from + ".") =>
+        Seq(s"colmap/$toPath${k.stripPrefix(from)}" -> v, s"colmap/$k" -> "")
+    }.flatten ++ metaChannel("dropped/").toSeq.collect {
+      case (k, v) if k.startsWith(from + ".") =>
+        s"dropped/$toPath${k.stripPrefix(from)}" -> v
+    }
+    commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil,
+      IncrementalTable.ddlOf(renamed),
+      Map(
+        s"colmap/$toPath" -> phys,
+        s"colmap/$from" -> "",
+        s"dropped/$from" -> latestVersion.toString) ++
+        nestedFollow ++
+        statsProp.map(v => "prop/graft.statsColumns" -> v),
+      None, now()))
   }
 
   /** Table properties (`prop/<key>` metadata entries, latest value
@@ -2769,8 +2899,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // corrupt. Top-level columns only (in-struct is a type change,
     // X49).
     widen.foreach { case (n, to) =>
-      val f = prev.fields.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column '$n' to widen"))
+      // X86: `n` may be a dot-path to a struct member — the X68
+      // lossless rules apply unchanged (the parquet reader up-converts
+      // nested leaves with the same column readers as top-level ones)
+      val f =
+        if (n.contains('.'))
+          IncrementalTable.structFieldAt(prev, n.split('.').toIndexedSeq)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no column '$n' to widen"))
+        else prev.fields.find(_.name == n).getOrElse(
+          throw new IllegalArgumentException(s"no column '$n' to widen"))
       require(IncrementalTable.widens(f.dataType, to),
         s"ALTER COLUMN '$n' ${f.dataType.simpleString} -> ${to.simpleString} " +
           "is not a lossless widening (supported: byte/short/int up the " +
@@ -2797,22 +2935,31 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           "dir tokens live files still carry")
     }
     drops.foreach { n =>
-      require(prev.fieldNames.contains(n), s"no column '$n' to drop")
-      require(!committedPartitionBy.contains(n),
-        s"cannot drop partition column '$n' (it defines the table layout)")
-      partitionTransforms().values.find(_.base == n).foreach(t =>
-        throw new IllegalArgumentException(
-          s"cannot drop '$n': it is the base of partition transform ${t.spec}"))
-      generatedColumns().foreach { case (g, e) =>
-        if (g != n) {
-          val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-            .parseExpression(e).collect {
-              case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-                ua.nameParts.head
-            }.toSet
-          require(!refs.contains(n),
-            s"cannot drop '$n': generated column '$g' derives from it " +
-              s"(expression: $e) — drop '$g' first")
+      if (n.contains('.')) {
+        // X86 in-struct DROP: a committed-schema projection one level
+        // down — the parquet by-name reader simply stops requesting
+        // the member; the path tombstones below like any drop
+        require(IncrementalTable.structFieldAt(prev,
+            n.split('.').toIndexedSeq).isDefined, s"no column '$n' to drop")
+        refuseExprRefs(n, "drop", dropConstraints.toSet)
+      } else {
+        require(prev.fieldNames.contains(n), s"no column '$n' to drop")
+        require(!committedPartitionBy.contains(n),
+          s"cannot drop partition column '$n' (it defines the table layout)")
+        partitionTransforms().values.find(_.base == n).foreach(t =>
+          throw new IllegalArgumentException(
+            s"cannot drop '$n': it is the base of partition transform ${t.spec}"))
+        generatedColumns().foreach { case (g, e) =>
+          if (g != n) {
+            val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(e).collect {
+                case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                  ua.nameParts.head
+              }.toSet
+            require(!refs.contains(n),
+              s"cannot drop '$n': generated column '$g' derives from it " +
+                s"(expression: $e) — drop '$g' first")
+          }
         }
       }
     }
@@ -2850,12 +2997,26 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
     dropConstraints.foreach(n => require(constraints.contains(n),
       s"no constraint '$n' on $root"))
-    val remaining = prev.fields.filterNot(f => drops.contains(f.name))
-      .map(f => widen.get(f.name).fold(f)(to => f.copy(dataType = to)))
+    val (nestedDrops, topDrops) = drops.partition(_.contains('.'))
+    val (nestedWiden, topWiden) = widen.partition(_._1.contains('.'))
+    val remaining = prev.fields.filterNot(f => topDrops.contains(f.name))
+      .map(f => topWiden.get(f.name).fold(f)(to => f.copy(dataType = to)))
     require(remaining.nonEmpty, "cannot drop every column")
-    val withNested = nestedAdditions.foldLeft(StructType(remaining)) {
+    val afterNestedDml = nestedWiden.foldLeft(
+      nestedDrops.foldLeft(StructType(remaining)) { case (s, p) =>
+        IncrementalTable.mapStructField(s, p.split('.').toIndexedSeq)(_ => None)
+      }) { case (s, (p, to)) =>
+        IncrementalTable.mapStructField(s, p.split('.').toIndexedSeq)(f =>
+          Some(f.copy(dataType = to)))
+      }
+    val withNested = nestedAdditions.foldLeft(afterNestedDml) {
       case (s, (path, field)) =>
         require(path.nonEmpty, "nested addition needs a struct path")
+        val full = (path :+ field.name).mkString(".")
+        require(!droppedColumns.contains(full),
+          s"member '$full' was previously dropped or renamed away and " +
+            "files still carry its old values — re-adding would resurface " +
+            "them as live data; pick a fresh name")
         IncrementalTable.addStructField(s, path, field.copy(nullable = true))
     }
     val merged = StructType(withNested.fields ++
@@ -3091,7 +3252,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // side relabel
       val renamed =
         if (mapping.keys.exists(_.startsWith(c + ".")))
-          base.cast(physTypeOf(dirClustered.schema(c).dataType, c, mapping))
+          base.cast(IncrementalTable.nullableType(
+            physTypeOf(dirClustered.schema(c).dataType, c, mapping)))
         else base
       renamed.as(physPath(c, mapping))
     }: _*)
@@ -3981,6 +4143,60 @@ object IncrementalTable {
           "else is a type change (X49)")
     }
   }
+
+  /** Transform (rename/retype) or remove (update → None) ONE nested
+    * struct member addressed by `path` — the shared schema surgery of
+    * the X86 in-struct DROP/RENAME/widen verbs. Every intermediate
+    * segment must be a STRUCT column (in-container evolution stays
+    * rejected); the final struct may not end up empty. */
+  private[table] def mapStructField(schema: StructType, path: Seq[String])(
+      update: org.apache.spark.sql.types.StructField =>
+        Option[org.apache.spark.sql.types.StructField]): StructType = {
+    require(path.nonEmpty, "empty field path")
+    val head = path.head
+    val idx = schema.fields.indexWhere(_.name == head)
+    require(idx >= 0, s"no column '$head'")
+    val f = schema.fields(idx)
+    if (path.length == 1) {
+      update(f) match {
+        case Some(nf) => StructType(schema.fields.updated(idx, nf))
+        case None =>
+          val rest = schema.fields.patch(idx, Nil, 1)
+          require(rest.nonEmpty, s"cannot drop the last field of a struct")
+          StructType(rest)
+      }
+    } else f.dataType match {
+      case st: StructType =>
+        StructType(schema.fields.updated(idx,
+          f.copy(dataType = mapStructField(st, path.tail)(update))))
+      case other => throw new IllegalArgumentException(
+        s"cannot evolve inside '$head' (${other.simpleString}): in-struct " +
+          "evolution applies to STRUCT columns only — anything else is a " +
+          "type change (X49)")
+    }
+  }
+
+  /** The nested field at `path`, or None when any segment is missing
+    * or a non-struct intermediate appears. */
+  /** The type with every struct member (recursively) nullable — cast
+    * targets for the X86 rename-relabel casts, which must never refuse
+    * on nullability. */
+  private[table] def nullableType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(nullable = true, dataType = nullableType(f.dataType))))
+    case other => other
+  }
+
+  private[graft] def structFieldAt(schema: StructType,
+      path: Seq[String]): Option[org.apache.spark.sql.types.StructField] =
+    path.foldLeft(Option(org.apache.spark.sql.types.StructField("",
+        schema))) {
+      case (Some(f), seg) => f.dataType match {
+        case st: StructType => st.fields.find(_.name == seg)
+        case _ => None
+      }
+      case (None, _) => None
+    }
 
   private[table] def normalizeLeafPath(p: String): String =
     p.replace(".list.element", ".element").replace(".key_value.", ".")
