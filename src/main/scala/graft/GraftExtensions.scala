@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // post-resolution into the library's copy-on-write paths
     // (sources/GraftDml.scala)
     ext.injectPostHocResolutionRule(spark => new graft.sources.GraftDmlRule(spark))
+    // Column-NDV statistics bridge for CBO (X88): re-attach the graft
+    // scan's log-derived statistics in the window between scan
+    // pushdown (which wraps V1 scans opaquely) and the cost-based
+    // reorder batch; the injected strategy plans the stats leaf away
+    ext.injectPreCBORule(spark => graft.plans.GraftCboStatsRule(spark))
+    ext.injectPlannerStrategy(_ => new graft.plans.GraftStatsStrategy)
     // CDC as a table-valued function: SELECT * FROM
     // graft_changes('/path/to/table', fromVersion [, toVersion]) —
     // every logical change in the window as rows with

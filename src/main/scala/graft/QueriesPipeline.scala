@@ -1828,6 +1828,38 @@ object QueriesPipeline {
               |) ORDER BY leg""".stripMargin)
     }),
 
+    // ---- ROW TRACKING (X87) --------------------------------------------
+    // `graft.rowTracking=true` mints a stable row id per row and carries
+    // it through rewrites, so the change feed can distinguish an UPDATE
+    // (pre/post images PAIRED by id) from a DELETE plus an unrelated
+    // INSERT of similar values. The oracle replays the mutation chain
+    // relationally: an update rendered as delete+insert, a spurious
+    // pair from the separate delete/insert, or an untouched rewritten
+    // row leaking into the feed all break the hash.
+    "q145_row_tracking" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.rtk")
+      s.sql("""CREATE TABLE graft.lake.rtk (ck BIGINT, seg STRING, bal DOUBLE)
+              |TBLPROPERTIES ('graft.rowTracking' = 'true')""".stripMargin)
+      Tables.customer(s, dir).select($"c_custkey".as("ck"),
+          $"c_mktsegment".as("seg"), $"c_acctbal".as("bal"))
+        .createOrReplaceTempView("q145_src")
+      s.sql("INSERT INTO graft.lake.rtk SELECT ck, seg, bal FROM q145_src") // v1
+      s.sql("UPDATE graft.lake.rtk SET bal = bal + 100 " +                  // v2
+        "WHERE seg = 'BUILDING'")
+      s.sql("DELETE FROM graft.lake.rtk WHERE seg = 'MACHINERY'")           // v3
+      s.sql("INSERT INTO graft.lake.rtk " +                                 // v4
+        "SELECT ck + 1000000, seg, bal FROM q145_src WHERE seg = 'MACHINERY'")
+      val root = s.conf.get("spark.sql.catalog.graft.warehouse") + "/lake/rtk"
+      s.sql(s"""SELECT _change_type AS change, count(*) AS n,
+               |  sum(ck) AS key_sum,
+               |  sum(CAST(FLOOR(bal * 100) AS BIGINT)) AS bal_sum
+               |FROM graft_changes('$root', 2)
+               |GROUP BY _change_type ORDER BY change""".stripMargin)
+    }),
+
     // ---- NESTED COLUMN MAPPING (X86) -----------------------------------
     // The X72 rename indirection one nesting level down: a struct member
     // RENAMED, one WIDENED, and one DROPPED mid-history — each a pure
@@ -1872,6 +1904,30 @@ object QueriesPipeline {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the UPDATE pairs by row id (pre/post legs over the same rows);
+    // the delete and the value-similar re-insert stay unpaired
+    "q145_row_tracking" ->
+      """WITH src AS (
+        |  SELECT c_custkey AS ck, c_mktsegment AS seg, c_acctbal AS bal
+        |  FROM customer)
+        |SELECT change, n, key_sum, bal_sum FROM (
+        |  SELECT 'update_preimage' AS change, COUNT(*) AS n,
+        |    CAST(SUM(ck) AS BIGINT) AS key_sum,
+        |    CAST(SUM(CAST(FLOOR(bal * 100) AS BIGINT)) AS BIGINT) AS bal_sum
+        |  FROM src WHERE seg = 'BUILDING'
+        |  UNION ALL
+        |  SELECT 'update_postimage', COUNT(*), CAST(SUM(ck) AS BIGINT),
+        |    CAST(SUM(CAST(FLOOR((bal + 100) * 100) AS BIGINT)) AS BIGINT)
+        |  FROM src WHERE seg = 'BUILDING'
+        |  UNION ALL
+        |  SELECT 'delete', COUNT(*), CAST(SUM(ck) AS BIGINT),
+        |    CAST(SUM(CAST(FLOOR(bal * 100) AS BIGINT)) AS BIGINT)
+        |  FROM src WHERE seg = 'MACHINERY'
+        |  UNION ALL
+        |  SELECT 'insert', COUNT(*), CAST(SUM(ck + 1000000) AS BIGINT),
+        |    CAST(SUM(CAST(FLOOR(bal * 100) AS BIGINT)) AS BIGINT)
+        |  FROM src WHERE seg = 'MACHINERY'
+        |) ORDER BY change""".stripMargin,
     // both eras carry identical physical values: only the era modulus,
     // the logical member label, and the dropped member's visibility
     // differ

@@ -510,8 +510,8 @@ object GraftCatalog {
   * path, `DELETE FROM` through [[SupportsDelete]] to the
   * skipping-pruned copy-on-write delete. `asOf` pins a time-travel
   * snapshot (read-only). */
-private[sources] final class GraftTable(spark: SparkSession,
-    val table: IncrementalTable, asOf: Option[Long], ident: String)
+private[graft] final class GraftTable(spark: SparkSession,
+    val table: IncrementalTable, val asOf: Option[Long], ident: String)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   def atVersion(v: Long): GraftTable =
@@ -765,7 +765,7 @@ private[sources] final class GraftAggScan(spark: SparkSession,
   * `RowDataSourceScanExec` over the relation below — the same execution
   * shape as the `format("graft")` path, so one scan implementation
   * serves both front doors. */
-private[sources] final class GraftV1Scan(spark: SparkSession,
+private[graft] final class GraftV1Scan(spark: SparkSession,
     table: IncrementalTable, asOf: Option[Long],
     required: StructType, pushed: Array[Filter],
     readOptions: Map[String, String] = Map.empty)
@@ -837,11 +837,35 @@ private[sources] final class GraftV1Scan(spark: SparkSession,
     // number
     val rows =
       if (pushed.isEmpty) table.liveRowCount(asOf) else None
+    // Column NDV (X88): the running HLL estimates reach the LOGICAL
+    // optimizer through DataSourceV2RelationBase.computeStats (probed:
+    // the relation builds a fresh unfiltered scan and reads
+    // SupportsReportStatistics directly — the V1ScanWrapper gap only
+    // affects the PHYSICAL planner), so CostBasedJoinReorder sees real
+    // per-key cardinalities on graft tables.
+    val ndv: Map[String, Long] =
+      if (pushed.isEmpty) table.columnNdv(asOf) else Map.empty
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        ndv.foreach { case (c, est) =>
+          if (required.fieldNames.contains(c))
+            m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(est)
+              })
+        }
+        m
+      }
     }
   }
 

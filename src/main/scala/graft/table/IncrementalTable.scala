@@ -2,6 +2,8 @@ package graft.table
 
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -705,6 +707,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         c.action != "meta" && c.action != "checkpoint" &&
         c.action != "dvmerge" &&
         (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty)
+      // row tracking (X87): read both sides WITH their stable ids and
+      // pair surviving pre/post rows into update_preimage/postimage
+      val tracked = rowTracked
       if (!inWindow) None
       else if (c.action == "dv" || c.action == "update") {
         // the commit's own sidecars ARE its logical delta: join their
@@ -712,33 +717,52 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // dv state — already-deleted rows can't delete again). A
         // merge-on-read UPDATE (X82) additionally adds the post-image
         // files in the same commit: exact delete (pre-image) + insert
-        // (post-image) rows, the lossless CDC rendering of an update.
+        // (post-image) rows — paired into updates by row id when the
+        // table is row-tracked (X87), the post-image carries the
+        // pre-image's id through updateVectorized.
         val pos = dvPositions(c.dv.values.flatten.toSeq.distinct)
-        val deleted = filesDfWithPos(c.dv.keys.toSeq, stored, dvBefore, mapping)
+        val deleted = filesDfWithPos(c.dv.keys.toSeq, stored, dvBefore,
+            mapping, keepRowId = tracked)
           .join(broadcast(pos),
             col("_dv_file") === pos("_dv_sc_file") &&
               col("_dv_pos") === pos("_dv_sc_pos"))
+        val ridExtra = if (tracked)
+          Seq(col(IncrementalTable.RowIdCol)) else Nil
         val rows = stored.map(s => deleted.select(
-          s.fields.toIndexedSeq.map(logicalCol(_, mapping)): _*))
+          s.fields.toIndexedSeq.map(logicalCol(_, mapping)) ++ ridExtra: _*))
           .getOrElse(dropPosCols(deleted.drop("_dv_sc_file", "_dv_sc_pos")))
-        val del = rows.withColumn("_change_type", lit("delete"))
-          .withColumn("_commit_version", lit(c.version))
-        Some(if (c.add.isEmpty) del
-          else del.unionByName(filesDf(c.add, stored, dvState, mapping)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(c.version))))
+        if (c.add.isEmpty)
+          Some(rows.drop(IncrementalTable.RowIdCol)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(c.version)))
+        else {
+          val adds = filesDf(c.add, stored, dvState, mapping,
+            keepRowId = tracked)
+          Some(
+            if (tracked) pairOnRowId(adds, rows, c.version)
+            else rows.withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(c.version))
+              .unionByName(adds
+                .withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_version", lit(c.version))))
+        }
       } else {
         // added files read under the POST-commit dv state: usually a
         // no-op (new files have no vectors), but a restore() re-adds
         // files together with their restored vectors; removed files
         // read under the PRE-commit state so materialized deletes
-        // cancel against the (dv-applied) rewrite
-        val a = filesDf(c.add, stored, dvState, mapping)
-        val r = filesDf(c.remove, stored, dvBefore, mapping)
-        Some(a.exceptAll(r).withColumn("_change_type", lit("insert"))
-          .unionByName(
-            r.exceptAll(a).withColumn("_change_type", lit("delete")))
-          .withColumn("_commit_version", lit(c.version)))
+        // cancel against the (dv-applied) rewrite. Untouched rewritten
+        // rows cancel through exceptAll (same id, same values, when
+        // row-tracked); surviving same-id rows pair into updates.
+        val a = filesDf(c.add, stored, dvState, mapping, keepRowId = tracked)
+        val r = filesDf(c.remove, stored, dvBefore, mapping, keepRowId = tracked)
+        val ins = a.exceptAll(r)
+        val del = r.exceptAll(a)
+        Some(
+          if (tracked) pairOnRowId(ins, del, c.version)
+          else ins.withColumn("_change_type", lit("insert"))
+            .unionByName(del.withColumn("_change_type", lit("delete")))
+            .withColumn("_commit_version", lit(c.version)))
       }
     }
     cdc.reduceOption(_.unionByName(_)).getOrElse(
@@ -747,14 +771,38 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         .withColumn("_commit_version", lit(0L)).limit(0))
   }
 
-  private def readInternal(filters: Map[String, String], asOf: Option[Long]): DataFrame = {
+  /** X87 CDC pairing: rows present on BOTH sides of a commit under the
+    * same (non-null) row id are ONE logical update — pre-image tagged
+    * `update_preimage`, post-image `update_postimage`; unpaired rows
+    * stay deletes/inserts (rows written before tracking carry null ids
+    * and never pair). Both inputs carry [[IncrementalTable.RowIdCol]];
+    * the output drops it. O(commit change volume) joins. */
+  private def pairOnRowId(ins: DataFrame, del: DataFrame,
+      version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rc = IncrementalTable.RowIdCol
+    val updRids = ins.select(col(rc)).where(col(rc).isNotNull)
+      .intersect(del.select(col(rc)).where(col(rc).isNotNull))
+    def tag(df: DataFrame, rids: DataFrame, joinType: String, ct: String) =
+      df.join(rids, Seq(rc), joinType).drop(rc)
+        .withColumn("_change_type", lit(ct))
+    tag(del, updRids, "left_semi", "update_preimage")
+      .unionByName(tag(ins, updRids, "left_semi", "update_postimage"))
+      .unionByName(tag(del, updRids, "left_anti", "delete"))
+      .unionByName(tag(ins, updRids, "left_anti", "insert"))
+      .withColumn("_commit_version", lit(version))
+  }
+
+  private def readInternal(filters: Map[String, String], asOf: Option[Long],
+      keepRowId: Boolean = false): DataFrame = {
     requireUniformSpec(filters.keys, "partition-filtered read", asOf)
     val files = liveFiles(filters, asOf)
     // The committed schema is authoritative: partition-dir values (always
     // strings on disk) are cast back to their declared types, and a
     // partition column that is also a data column (e.g. word_length)
     // keeps its original type and position.
-    filesDf(files, committedSchemaAt(asOf), liveDv(asOf), columnMapping(asOf))
+    filesDf(files, committedSchemaAt(asOf), liveDv(asOf), columnMapping(asOf),
+      keepRowId = keepRowId)
   }
 
   /** Read `files` applying `dv` deletion vectors, projected to the
@@ -770,15 +818,23 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       dv: Map[String, Seq[String]], mapping: Map[String, String],
       // DML rewrites keep the materialized `_graft_path` column (the
       // touched-file key) through the logical projection
-      keepPath: Boolean = false): DataFrame = {
+      keepPath: Boolean = false,
+      // row tracking (X87): carry the physical `_graft_rid` column
+      // through the logical projection (null for files written before
+      // tracking — parquet's by-name clipping null-fills)
+      keepRowId: Boolean = false): DataFrame = {
     val df =
       if (files.exists(dv.contains))
-        dropPosCols(filesDfWithPos(files, stored, dv, mapping))
-      else rawFilesDf(files, stored, mapping)
+        dropPosCols(filesDfWithPos(files, stored, dv, mapping, keepRowId))
+      else rawFilesDf(files, stored, mapping, keepRowId)
     stored.map { s =>
       val base = s.fields.toIndexedSeq.map(logicalCol(_, mapping))
-      val extra = if (keepPath)
-        Seq(org.apache.spark.sql.functions.col("_graft_path")) else Nil
+      val extra =
+        (if (keepPath)
+          Seq(org.apache.spark.sql.functions.col("_graft_path")) else Nil) ++
+        (if (keepRowId)
+          Seq(org.apache.spark.sql.functions.col(IncrementalTable.RowIdCol))
+         else Nil)
       df.select(base ++ extra: _*)
     }.getOrElse(
       if (keepPath) df.drop("_graft_pos")
@@ -808,10 +864,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * it matches file_path's rendering even when the root itself needs
     * escaping (ADVICE r4 #1). */
   private def filesDfWithPos(files: Seq[String], stored: Option[StructType],
-      dv: Map[String, Seq[String]], mapping: Map[String, String]): DataFrame = {
+      dv: Map[String, Seq[String]], mapping: Map[String, String],
+      keepRowId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
     val prefix = rootPath.toUri.getRawPath.stripSuffix("/") + "/"
-    val base = rawFilesDf(files, stored, mapping)
+    val base = rawFilesDf(files, stored, mapping, keepRowId)
       .withColumn("_dv_file", substring_index(col("_graft_path"), prefix, -1))
       .withColumn("_dv_pos", col("_graft_pos"))
     val gens = files.flatMap(dv.get).flatten.distinct
@@ -829,8 +886,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * projection re-labels). The empty-set frame is physical-named too,
     * so the relabel projection resolves uniformly. */
   private def rawFilesDf(files: Seq[String], stored: Option[StructType],
-      mapping: Map[String, String]): DataFrame = {
-    val phys = stored.map(physicalSchema(_, mapping))
+      mapping: Map[String, String], keepRowId: Boolean = false): DataFrame = {
+    // row tracking (X87): the physical `_graft_rid` column joins the
+    // read schema on demand — files missing it (pre-tracking
+    // generations) null-fill by parquet's by-name resolution
+    val phys = stored.map(s =>
+      if (keepRowId)
+        physicalSchema(s, mapping)
+          .add(IncrementalTable.RowIdCol, org.apache.spark.sql.types.LongType)
+      else physicalSchema(s, mapping))
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         phys.getOrElse(new StructType())
@@ -1046,9 +1110,24 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         append(src, partitionBy, meta = meta, batchId = batchId, appId = appId,
           statsColumns = statsColumns) // pure insert
       else {
-        val kept = filesDf(touched, Some(stored), liveDv(), columnMapping())
-          .join(src, keys.toSeq, "left_anti")
-        val rewritten = kept.unionByName(src, allowMissingColumns = extraCols.nonEmpty)
+        // row tracking (X87): kept rows carry their ids; a source row
+        // REPLACING a matched target row inherits that row's id (min
+        // id when target keys duplicate — all matching rows collapse
+        // into the one replacement), so CDC pairs the upsert into
+        // update_preimage/postimage; unmatched inserts mint fresh
+        val tracked = rowTracked
+        val keptAll = filesDf(touched, Some(stored), liveDv(), columnMapping(),
+          keepRowId = tracked)
+        val kept = keptAll.join(src, keys.toSeq, "left_anti")
+        val srcRid =
+          if (!tracked) src
+          else src.join(
+            keptAll.groupBy(keys.map(fn): _*).agg(
+              org.apache.spark.sql.functions.min(fn(IncrementalTable.RowIdCol))
+                .as(IncrementalTable.RowIdCol)),
+            keys.toSeq, "left")
+        val rewritten = kept.unionByName(srcRid,
+          allowMissingColumns = extraCols.nonEmpty || tracked)
         write(rewritten, "replace", partitionBy, Map.empty, Map.empty, meta,
           batchId, appId, statsColumns = statsColumns, removeExact = Some(touched))
       }
@@ -1212,10 +1291,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       }
 
     // ---- rewrite of touched files ------------------------------------
+    // row tracking (X87): kept/updated target rows carry their ids
+    // through the CASE rewrite (updates pair in CDC); inserts mint
+    val tracked = rowTracked
+    val ridExtra = if (tracked) Seq(col(IncrementalTable.RowIdCol)) else Nil
     val rewritten: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
-        val tRows = filesDf(touched, Some(stored), liveDv(), columnMapping())
+        val tRows = filesDf(touched, Some(stored), liveDv(), columnMapping(),
+          keepRowId = tracked)
         // without matched clauses the join exists ONLY to compute the
         // matched marker — join distinct KEYS, not the full source: a
         // duplicate-keyed source (legal when no matched clause consumes
@@ -1264,7 +1348,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           setters.foldRight(lit(null): Column) { case ((c, v), rest) =>
             when(c, v).otherwise(rest)
           }.as(k)
-        }: _*))
+        } ++ ridExtra: _*))
       }
 
     (rewritten, insertsFrame) match {
@@ -1272,7 +1356,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       case (None, Some(ins)) =>
         append(ins, partitionBy, statsColumns = statsColumns)
       case (Some(rw), ins) =>
-        val out = ins.fold(rw)(rw.unionByName(_))
+        val out = ins.fold(rw)(rw.unionByName(_, allowMissingColumns = tracked))
         write(out, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
           None, statsColumns = statsColumns, removeExact = Some(touched))
     }
@@ -1304,8 +1388,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     if (touched.isEmpty) None
     else {
       // SQL DELETE semantics: rows where the predicate is NULL are NOT
-      // deleted — keep everything whose predicate is not strictly TRUE
-      val kept = filesDf(touched, Some(stored), liveDv(), columnMapping())
+      // deleted — keep everything whose predicate is not strictly TRUE.
+      // Row-tracked tables carry each kept row's stable id (X87).
+      val kept = filesDf(touched, Some(stored), liveDv(), columnMapping(),
+          keepRowId = rowTracked)
         .filter(!org.apache.spark.sql.functions.coalesce(predicate,
           org.apache.spark.sql.functions.lit(false)))
       write(kept, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
@@ -1338,7 +1424,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .collect().map(r => relativizeUri(rootPath, r.getString(0))).toSeq
     if (touched.isEmpty) None
     else {
-      val base = filesDf(touched, Some(stored), liveDv(), columnMapping())
+      // row-tracked tables carry every row's id through the rewrite:
+      // the post-image keeps the pre-image's id, which is what lets
+      // changes() pair them into an update (X87)
+      val tracked = rowTracked
+      val base = filesDf(touched, Some(stored), liveDv(), columnMapping(),
+        keepRowId = tracked)
+      val ridExtra = if (tracked) Seq(fn(IncrementalTable.RowIdCol)) else Nil
       val rewritten =
         if (recompute.isEmpty)
           base.select(stored.fieldNames.toSeq.map { n =>
@@ -1346,7 +1438,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
               case Some(v) => when(predicate, v).otherwise(fn(n)).as(n)
               case None => fn(n)
             }
-          }: _*)
+          } ++ ridExtra: _*)
         else {
           // generated columns re-derive over POST-update values, only
           // on rows the predicate matched — the marker pins the
@@ -1354,12 +1446,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           // columns it reads
           import org.apache.spark.sql.functions.expr
           val marked = base.withColumn("_graft_upd", predicate)
-          val afterSet = marked.select(stored.fieldNames.toSeq.map { n =>
+          val afterSet = marked.select((stored.fieldNames.toSeq.map { n =>
             set.get(n) match {
               case Some(v) => when(fn("_graft_upd"), v).otherwise(fn(n)).as(n)
               case None => fn(n)
             }
-          } :+ fn("_graft_upd"): _*)
+          } ++ ridExtra) :+ fn("_graft_upd"): _*)
           recompute.foldLeft(afterSet) { case (d, (g, e)) =>
             d.withColumn(g, when(fn("_graft_upd"), expr(e)).otherwise(fn(g)))
           }.drop("_graft_upd")
@@ -1456,11 +1548,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     if (touched.isEmpty)
       append(ins, partitionBy, meta = meta, batchId = batchId, appId = appId)
     else {
-      val kept = filesDf(touched, Some(stored), liveDv(), columnMapping())
+      // row tracking (X87): kept rows carry ids, inserts mint fresh
+      val tracked = rowTracked
+      val ridExtra = if (tracked) Seq(fn(IncrementalTable.RowIdCol)) else Nil
+      val kept = filesDf(touched, Some(stored), liveDv(), columnMapping(),
+          keepRowId = tracked)
         .join(dk.withColumn("_graft_m", lit(true)), keys, "left")
         .filter(not(coalesce(fn("_graft_m"), lit(false)) && condTrue))
-        .select(stored.fieldNames.map(fn).toSeq: _*)
-      write(kept.unionByName(ins), "replace", partitionBy, Map.empty,
+        .select(stored.fieldNames.map(fn).toSeq ++ ridExtra: _*)
+      write(kept.unionByName(ins, allowMissingColumns = tracked), "replace",
+        partitionBy, Map.empty,
         Map.empty, meta, batchId, appId, removeExact = Some(touched))
     }
   }
@@ -1551,9 +1648,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val candidates = liveFilesWhere(predicate)
     if (candidates.isEmpty) return None
     val mapping = columnMapping()
-    val matched = filesDfWithPos(candidates, Some(stored), liveDv(), mapping)
-      .select(stored.fields.toIndexedSeq.map(logicalCol(_, mapping))
-        :+ fn("_dv_file") :+ fn("_dv_pos"): _*)
+    val tracked = rowTracked
+    val ridExtra = if (tracked) Seq(fn(IncrementalTable.RowIdCol)) else Nil
+    val matched = filesDfWithPos(candidates, Some(stored), liveDv(), mapping,
+        keepRowId = tracked)
+      .select((stored.fields.toIndexedSeq.map(logicalCol(_, mapping)) ++
+        ridExtra) :+ fn("_dv_file") :+ fn("_dv_pos"): _*)
       .filter(predicate)
       .persist()
     try {
@@ -1569,10 +1669,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       if (touched.isEmpty) { fs.delete(genDir, true); None }
       else {
         // every matched row updates: apply SET, then re-derive the
-        // generated columns whose bases moved (X84 auto-recompute)
+        // generated columns whose bases moved (X84 auto-recompute);
+        // post-images keep their pre-image's row id (X87)
         val afterSet = matched.select(stored.fields.toIndexedSeq.map { f =>
           set.get(f.name).map(_.as(f.name)).getOrElse(fn(f.name))
-        }: _*)
+        } ++ ridExtra: _*)
         val updated = recompute.foldLeft(afterSet) { case (d, (g, e)) =>
           d.withColumn(g, org.apache.spark.sql.functions.expr(e))
         }
@@ -1749,7 +1850,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val partsAt = cs.reverse.iterator
       .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
     val channels = Seq("prop/", "constraint/", "colmap/", "ptransform/",
-      "dropped/", "default/", "identity/", "idhw/", "genexpr/").flatMap { p =>
+      "dropped/", "default/", "identity/", "idhw/", "genexpr/",
+      "rowhw/", "ndv/").flatMap { p =>
       metaChannelOf(cs, p).map { case (k, value) => s"$p$k" -> value }
     }.toMap
     val meta = channels ++ Map(
@@ -2328,7 +2430,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       metaChannel("idhw/").get(from).toSeq.flatMap(v =>
         Seq(s"idhw/$to" -> v, s"idhw/$from" -> "")) ++
       generatedColumns().get(from).toSeq.flatMap(e =>
-        Seq(s"genexpr/$to" -> e, s"genexpr/$from" -> ""))
+        Seq(s"genexpr/$to" -> e, s"genexpr/$from" -> "")) ++
+      // NDV sketches follow the rename (keyed logically, X88)
+      metaChannel("ndv/").get(from).toSeq.flatMap(v =>
+        Seq(s"ndv/$to" -> v, s"ndv/$from" -> ""))
     commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil,
       IncrementalTable.ddlOf(renamed),
       meta, None, now()))
@@ -2442,6 +2547,23 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * `graft.statsColumns` (comma-separated) adds those columns to the
     * data-skipping index on every catalog/datasource write. */
   def tableProperties: Map[String, String] = metaChannel("prop/")
+
+  /** Row tracking (X87, the Delta `delta.enableRowTracking` analog):
+    * opt-in per table via `graft.rowTracking=true` — best set at
+    * CREATE (files written before the flag carry no ids and read
+    * null). */
+  private def rowTracked: Boolean =
+    tableProperties.get("graft.rowTracking").exists(_.toBoolean)
+
+  /** Column NDV estimates (X88): per `graft.ndvColumns` column, the
+    * estimate of the running HLL sketch folded at every commit. An
+    * OVERESTIMATE after deletes (unions never shrink) — the safe
+    * direction for CBO join planning. */
+  def columnNdv(asOf: Option[Long] = None): Map[String, Long] =
+    metaChannelOf(commitsAsOf(asOf), "ndv/").view.mapValues { b64 =>
+      Math.round(org.apache.datasketches.hll.HllSketch
+        .heapify(java.util.Base64.getDecoder.decode(b64)).getEstimate)
+    }.toMap
 
   /** SET/UNSET TBLPROPERTIES: metadata-only commit (empty value unsets). */
   def setProperties(props: Map[String, String]): Commit =
@@ -3073,7 +3195,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // point — one extra Spark job per epoch, the price of minting —
     // under the same (appId, batchId) replay guard, so exactly-once
     // holds identically. Every other table keeps the zero-replan path.
-    if (identityColumns().nonEmpty || generatedColumns().nonEmpty) {
+    if (identityColumns().nonEmpty || generatedColumns().nonEmpty ||
+        rowTracked) {
       val out =
         if (rels.isEmpty) {
           // same empty-epoch semantics as the fast path below
@@ -3183,11 +3306,31 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       requireUniformSpec(
         if (dynamic) partitionBy else partitionFilter.keys,
         if (dynamic) "dynamic partition replace" else "replaceWhere")
-    val withParts = constraintGuard(
+    val withParts0 = constraintGuard(
       prepareDerivedColumns(
         partitionValues.foldLeft(df) { case (d, (k, v)) =>
           d.withColumn(k, lit(v))
         }, userWrite))
+    // Row tracking (X87): arriving rows get a stable id from the
+    // committed `rowhw/` high-water; rewrites carry their ids through
+    // (the column rides the frame). Ids are unique, not dense —
+    // `monotonically_increasing_id` keeps the mint inside codegen
+    // (no zipWithIndex job; the identity contract's density is not
+    // required here), and the footer fold below advances the
+    // high-water past whatever was minted.
+    val tracked = rowTracked
+    val withParts =
+      if (!tracked) withParts0
+      else {
+        import org.apache.spark.sql.functions.{coalesce, monotonically_increasing_id}
+        val rc = IncrementalTable.RowIdCol
+        val next = metaChannel("rowhw/").get("rid").map(_.toLong + 1).getOrElse(0L)
+        val base = if (withParts0.columns.contains(rc)) withParts0
+          else withParts0.withColumn(rc,
+            lit(null).cast(org.apache.spark.sql.types.LongType))
+        base.withColumn(rc,
+          coalesce(base(rc), lit(next) + monotonically_increasing_id()))
+      }
     // watermarks need a discretely ordered integral domain — checked
     // STATICALLY on the frame's schema (a footer-side check alone
     // would silently pass when a string column's non-ASCII bounds get
@@ -3317,7 +3460,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // extreme advances the committed high-water in the SAME pass that
     // already reads the footers — no extra job
     val idSpecs = identityColumns()
-    val physIdCols = idSpecs.keys.map(physPath(_, mapping)).toSet
+    val physIdCols = idSpecs.keys.map(physPath(_, mapping)).toSet ++
+      (if (tracked) Set(IncrementalTable.RowIdCol) else Set.empty)
     val (stagedRows, perFile) = stagedFooterStats(stage, staged,
       physStatMetaCols.toSet ++ physStatsColumns ++ physIdCols,
       needRows = partitionBy.isEmpty)
@@ -3351,10 +3495,64 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         Some(s"idhw/$c" -> hw.toString)
       }
     }
+    // Column NDV sketches (X88, VERDICT r8 #8): one HLL sketch per
+    // `graft.ndvColumns` column folded at commit — the staged batch
+    // aggregates into per-column datasketches HLLs (ONE extra
+    // column-pruned job over the staged files; opt-in, the CBO tax),
+    // each UNIONed driver-side with the channel's running sketch. The
+    // union never shrinks, so deletes leave NDV an overestimate — the
+    // safe direction for join planning. Keys are LOGICAL; rename
+    // migrates them.
+    val ndvMeta: Map[String, String] = {
+      val ndvCols = tableProperties.get("graft.ndvColumns").toSeq
+        .flatMap(_.split(",")).map(_.trim)
+        .filter(c => c.nonEmpty && !c.contains('.'))
+      if (ndvCols.isEmpty || staged.isEmpty) Map.empty
+      else {
+        val stagedSchema = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(stage, staged.head), hadoopConf(spark)))
+        val names = try stagedSchema.getFooter.getFileMetaData.getSchema
+          .getFields.asScala.map(_.getName).toSet
+        finally stagedSchema.close()
+        val present = ndvCols.map(c => c -> physPath(c, mapping))
+          .filter { case (_, p) => names.contains(p) }
+        if (present.isEmpty) Map.empty
+        else {
+          val aggs = present.map { case (_, p) =>
+            org.apache.spark.sql.functions.expr(s"hll_sketch_agg(`$p`)") }
+          val row = spark.read.parquet(stage.toString).agg(aggs.head, aggs.tail: _*).head
+          val prev = metaChannel("ndv/")
+          present.zipWithIndex.flatMap { case ((c, _), i) =>
+            if (row.isNullAt(i)) None
+            else {
+              val merged = IncrementalTable.unionHll(
+                prev.get(c).map(java.util.Base64.getDecoder.decode),
+                row.getAs[Array[Byte]](i))
+              Some(s"ndv/$c" -> java.util.Base64.getEncoder.encodeToString(merged))
+            }
+          }.toMap
+        }
+      }
+    }
+    // row-id high-water (X87): monotone clamp, same shape as idhw
+    val rowHwMeta =
+      if (!tracked) None
+      else {
+        val mx = perFile.valuesIterator.flatten.collect {
+          case (k, st) if k == IncrementalTable.RowIdCol && !st.isString &&
+            !st.isDouble && !st.allNull => st.max
+        }.toSeq
+        if (mx.isEmpty) None
+        else {
+          val prev = metaChannel("rowhw/").get("rid").map(_.toLong)
+          Some("rowhw/rid" -> math.max(prev.getOrElse(Long.MinValue), mx.max).toString)
+        }
+      }
     val allMeta = meta ++ statMeta.zip(physStatMetaCols).map { case (sm, pc) =>
       sm.key ->
         math.max(sm.floor, stagedMax.get(pc).map(_ + 1).getOrElse(sm.floor)).toString
-    } ++ idhwMeta
+    } ++ idhwMeta ++ rowHwMeta ++ ndvMeta
     val statsIdx = physStatsColumns.toSet
     val fileStats =
       if (statsIdx.isEmpty) Map.empty[String, Map[String, ColStat]]
@@ -3411,9 +3609,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           } else liveFiles(partitionFilter))
       // derived (transform) partition columns are routing-only: they
       // must never enter the committed schema
+      // ...and so is the row-tracking id column (X87): physical-only
       val schemaDdl = IncrementalTable.ddlOf(
         mergedSchema(StructType(withParts.schema.fields
-          .filterNot(f => ptransforms.contains(f.name)))))
+          .filterNot(f => ptransforms.contains(f.name) ||
+            f.name == IncrementalTable.RowIdCol))))
       Some(commit(Commit(0, action, added, removed, partitionFilter,
         partitionBy, schemaDdl, allMeta, batchId, now(), appId = appId,
         fileStats = fileStats, dv = extraDv)))
@@ -3626,7 +3826,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // `idhw/<col>` high-water minted from the same base — the loser's
     // values may collide with the winner's; fail, caller re-runs
     if (ours.meta.keysIterator.exists(k =>
-        k.startsWith("idhw/") && winner.meta.contains(k))) return true
+        (k.startsWith("idhw/") || k.startsWith("rowhw/")) &&
+          winner.meta.contains(k))) return true
     val winnerFiles = winner.add ++ winner.remove ++ winner.dv.keys
     ours.action match {
       case "replace" =>
@@ -3799,7 +4000,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       "clusterBy and zorderBy are mutually exclusive")
     import org.apache.spark.sql.functions.{col, min, max}
     val partitionBy = committedPartitionBy
-    val base = read(partitionFilter)
+    // row-tracked tables carry ids through the rewrite (X87): ids are
+    // stable across compaction
+    val base = readInternal(partitionFilter, None, keepRowId = rowTracked)
     val df =
       if (zorderBy.nonEmpty) {
         // string dimensions enter the curve via their packed-long
@@ -3849,7 +4052,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       statsColumns: Seq[String] = Nil): Option[Commit] = {
     val files = liveFilesWhere(predicate)
     if (files.isEmpty) return None
-    write(readFiles(files).repartition(targetFiles), "replace",
+    write(filesDf(files, committedSchemaAt(), liveDv(), columnMapping(),
+        keepRowId = rowTracked).repartition(targetFiles), "replace",
       committedPartitionBy, Map.empty, Map.empty, Map.empty, None,
       statsColumns = statsColumns, removeExact = Some(files))
   }
@@ -3904,7 +4108,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         case None => liveFiles(filters).filter(f => parentDir(f) == d)
       }
       if (inDir.nonEmpty)
-        write(readFiles(inDir).repartition(targetFiles), "replace",
+        write(filesDf(inDir, committedSchemaAt(), liveDv(), columnMapping(),
+            keepRowId = rowTracked).repartition(targetFiles), "replace",
           committedPartitionBy, Map.empty, Map.empty, Map.empty, None,
           statsColumns = statsColumns, removeExact = Some(inDir))
     }
@@ -4095,6 +4300,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
 object IncrementalTable {
   val checkpointInterval = 100
 
+  /** Row tracking (X87): the reserved PHYSICAL column carrying each
+    * row's stable id on tables with `graft.rowTracking=true`. Never
+    * part of the logical schema; minted at the write choke point,
+    * carried through UPDATE/DELETE/compaction rewrites, and used by
+    * `changes()` to pair pre/post images into
+    * update_preimage/update_postimage. */
+  val RowIdCol = "_graft_rid"
+
   /** Lossless widenings the parquet reader up-converts natively:
     * the integral chain upward, float→double, and small-integral→
     * double (exact within the 53-bit mantissa). long→double is LOSSY
@@ -4178,6 +4391,18 @@ object IncrementalTable {
 
   /** The nested field at `path`, or None when any segment is missing
     * or a non-struct intermediate appears. */
+  /** Driver-side HLL union (X88): fold a staged batch's sketch into
+    * the channel's running sketch. datasketches-java is the library
+    * Spark's own `hll_sketch_agg` builds on, so the bytes round-trip;
+    * lgMaxK 12 matches the aggregate's default. */
+  private[table] def unionHll(prev: Option[Array[Byte]],
+      fresh: Array[Byte]): Array[Byte] = {
+    val u = new org.apache.datasketches.hll.Union(12)
+    prev.foreach(b => u.update(org.apache.datasketches.hll.HllSketch.heapify(b)))
+    u.update(org.apache.datasketches.hll.HllSketch.heapify(fresh))
+    u.getResult.toCompactByteArray
+  }
+
   /** The type with every struct member (recursively) nullable — cast
     * targets for the X86 rename-relabel casts, which must never refuse
     * on nullability. */
