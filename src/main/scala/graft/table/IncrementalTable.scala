@@ -655,8 +655,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * every other commit's added/removed file contents are evaluated
     * under the dv state AS OF that commit — so a later compaction that
     * materializes the deletes cancels cleanly instead of re-emitting
-    * them as spurious deletes. */
-  def changes(fromVersion: Long, toVersion: Long = latestVersion): DataFrame = {
+    * them as spurious deletes.
+    *
+    * Row tracking (X87): on a `graft.rowTracking=true` table the feed
+    * pairs same-id pre/post rows into update_preimage/update_postimage,
+    * and `includeRowId = true` additionally exposes each change row's
+    * stable id as `_row_id` (null for rows written before tracking) —
+    * the keyable handle downstream incremental-view joins need. */
+  def changes(fromVersion: Long, toVersion: Long = latestVersion,
+      includeRowId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val crossesHorizon = commits().headOption
       .exists(h => h.action == "checkpoint" && fromVersion <= h.version)
@@ -710,6 +717,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // row tracking (X87): read both sides WITH their stable ids and
       // pair surviving pre/post rows into update_preimage/postimage
       val tracked = rowTracked
+      if (includeRowId) require(tracked,
+        s"includeRowId needs graft.rowTracking=true on $root")
       if (!inWindow) None
       else if (c.action == "dv" || c.action == "update") {
         // the commit's own sidecars ARE its logical delta: join their
@@ -732,14 +741,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           s.fields.toIndexedSeq.map(logicalCol(_, mapping)) ++ ridExtra: _*))
           .getOrElse(dropPosCols(deleted.drop("_dv_sc_file", "_dv_sc_pos")))
         if (c.add.isEmpty)
-          Some(rows.drop(IncrementalTable.RowIdCol)
+          Some(exposeRowId(rows, tracked, includeRowId)
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(c.version)))
         else {
           val adds = filesDf(c.add, stored, dvState, mapping,
             keepRowId = tracked)
           Some(
-            if (tracked) pairOnRowId(adds, rows, c.version)
+            if (tracked) pairOnRowId(adds, rows, c.version, includeRowId)
             else rows.withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(c.version))
               .unionByName(adds
@@ -759,16 +768,21 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         val ins = a.exceptAll(r)
         val del = r.exceptAll(a)
         Some(
-          if (tracked) pairOnRowId(ins, del, c.version)
+          if (tracked) pairOnRowId(ins, del, c.version, includeRowId)
           else ins.withColumn("_change_type", lit("insert"))
             .unionByName(del.withColumn("_change_type", lit("delete")))
             .withColumn("_commit_version", lit(c.version)))
       }
     }
-    cdc.reduceOption(_.unionByName(_)).getOrElse(
-      filesDf(Nil, stored, Map.empty, mapping)
+    cdc.reduceOption(_.unionByName(_)).getOrElse {
+      val empty = filesDf(Nil, stored, Map.empty, mapping)
         .withColumn("_change_type", lit(""))
-        .withColumn("_commit_version", lit(0L)).limit(0))
+        .withColumn("_commit_version", lit(0L)).limit(0)
+      if (includeRowId)
+        empty.withColumn("_row_id",
+          lit(null).cast(org.apache.spark.sql.types.LongType))
+      else empty
+    }
   }
 
   /** X87 CDC pairing: rows present on BOTH sides of a commit under the
@@ -776,21 +790,31 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * `update_preimage`, post-image `update_postimage`; unpaired rows
     * stay deletes/inserts (rows written before tracking carry null ids
     * and never pair). Both inputs carry [[IncrementalTable.RowIdCol]];
-    * the output drops it. O(commit change volume) joins. */
+    * the output drops it (or exposes it as `_row_id`).
+    * O(commit change volume) joins. */
   private def pairOnRowId(ins: DataFrame, del: DataFrame,
-      version: Long): DataFrame = {
+      version: Long, includeRowId: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val rc = IncrementalTable.RowIdCol
     val updRids = ins.select(col(rc)).where(col(rc).isNotNull)
       .intersect(del.select(col(rc)).where(col(rc).isNotNull))
     def tag(df: DataFrame, rids: DataFrame, joinType: String, ct: String) =
-      df.join(rids, Seq(rc), joinType).drop(rc)
-        .withColumn("_change_type", lit(ct))
+      exposeRowId(df.join(rids, Seq(rc), joinType), tracked = true,
+        includeRowId).withColumn("_change_type", lit(ct))
     tag(del, updRids, "left_semi", "update_preimage")
       .unionByName(tag(ins, updRids, "left_semi", "update_postimage"))
       .unionByName(tag(del, updRids, "left_anti", "delete"))
       .unionByName(tag(ins, updRids, "left_anti", "insert"))
       .withColumn("_commit_version", lit(version))
+  }
+
+  /** Drop the internal rid column, or surface it as `_row_id`. */
+  private def exposeRowId(df: DataFrame, tracked: Boolean,
+      includeRowId: Boolean): DataFrame = {
+    val rc = IncrementalTable.RowIdCol
+    if (!tracked || !df.columns.contains(rc)) df
+    else if (includeRowId) df.withColumnRenamed(rc, "_row_id")
+    else df.drop(rc)
   }
 
   private def readInternal(filters: Map[String, String], asOf: Option[Long],

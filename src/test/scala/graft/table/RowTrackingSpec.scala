@@ -110,6 +110,24 @@ class RowTrackingSpec extends SparkSpec {
     assert(rids(t).values.toSet.size == 3)
   }
 
+  test("includeRowId exposes the stable _row_id — the keyable IVM handle") {
+    val t = tracked(tmpDir("rtrk") + "/t8")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), Nil)
+    val v = t.latestVersion
+    t.update(col("id") === 2L, Map("v" -> lit("B")))
+    val ch = t.changes(v + 1, includeRowId = true)
+    assert(ch.columns.contains("_row_id"), ch.columns.toSeq.toString)
+    val pair = ch.filter($"_change_type".startsWith("update"))
+      .select("_change_type", "_row_id").as[(String, Long)].collect().toMap
+    // pre and post share ONE id — the join key an IVM consumer uses
+    assert(pair.size == 2 && pair.values.toSet.size == 1, pair.toString)
+    assert(pair("update_preimage") == rids(t)(2L))
+    // untracked tables refuse loudly
+    val u = IncrementalTable(spark, tmpDir("rtrk") + "/t8u")
+    u.append(Seq((1L, "a")).toDF("id", "v"), Nil)
+    intercept[IllegalArgumentException](u.changes(1, includeRowId = true).collect())
+  }
+
   test("rows written before tracking carry null ids and never pair") {
     val t = IncrementalTable(spark, tmpDir("rtrk") + "/t7")
     t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), Nil)
