@@ -67,6 +67,20 @@ object ZOrder {
     if (s >= 0) shiftright(off, s) else shiftleft(off, (-s) min 15)
   }
 
+  /** Equi-width 16-bit bucket id of a DOUBLE/FLOAT column over the
+    * slice's [lo, hi] — double z-dimensions (X89; price/score columns
+    * are the classic range-predicate targets). LAYOUT-only like the
+    * string proxy: fp rounding can only blur which bucket a boundary
+    * row lands in, never pruning soundness (that stays with the X75
+    * double footer bounds). NaNs cluster in the top bucket (they sort
+    * above everything in Spark's double order). */
+  def bucketDouble(v: Column, lo: Double, hi: Double): Column =
+    if (!(hi > lo)) lit(0L)
+    else when(isnan(v), lit(65535L)).otherwise(
+      least(greatest(
+        floor((v - lit(lo)) / lit((hi - lo) / 65535.0)).cast("long"),
+        lit(0L)), lit(65535L)))
+
   /** Order-preserving long proxy of a STRING column: the first 8
     * characters' code points, clamped to a byte, packed big-endian
     * (shorter strings zero-pad, so prefixes sort first). Exactly

@@ -79,10 +79,14 @@ object RowParquet {
     new RowReaderBuilder(file, target, fill).build()
 
   def writer(file: OutputFile, schema: StructType,
-      conf: Configuration): ParquetWriter[InternalRow] =
+      conf: Configuration,
+      // per-table codec (X89, `graft.parquet.compression`): snappy is
+      // the latency default; zstd the 100 TB storage dial
+      codec: String = "snappy"): ParquetWriter[InternalRow] =
     new RowWriterBuilder(file, schema)
       .withConf(conf)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withCompressionCodec(
+        CompressionCodecName.valueOf(codec.trim.toUpperCase))
       .withDictionaryEncoding(true)
       .build()
 

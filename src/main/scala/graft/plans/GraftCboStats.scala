@@ -68,8 +68,24 @@ final case class GraftCboStatsRule(spark: SparkSession)
     val rows = gt.table.liveRowCount(gt.asOf)
     if (rows.isEmpty) return None
     val attrStats = AttributeMap(output.flatMap(a =>
-      ndv.get(a.name).map(n =>
-        a -> ColumnStat(distinctCount = Some(BigInt(n))))))
+      ndv.get(a.name).map { n =>
+        // [min,max] ride along from the metadata MIN/MAX fold (X71)
+        // when sound — FilterEstimation turns range predicates into
+        // real selectivities; values rendered in the attribute's own
+        // integral type (the estimator casts by dataType)
+        val mm = gt.table.liveMinMax(a.name, gt.asOf)
+        def typed(v: Long): Option[Any] = a.dataType match {
+          case org.apache.spark.sql.types.LongType => Some(v)
+          case org.apache.spark.sql.types.IntegerType => Some(v.toInt)
+          case org.apache.spark.sql.types.ShortType => Some(v.toShort)
+          case org.apache.spark.sql.types.ByteType => Some(v.toByte)
+          case _ => None
+        }
+        a -> ColumnStat(
+          distinctCount = Some(BigInt(n)),
+          min = mm.flatMap(_._1).flatMap(typed),
+          max = mm.flatMap(_._2).flatMap(typed))
+      }))
     if (attrStats.isEmpty) return None
     Some(Statistics(
       sizeInBytes = BigInt(gt.table.liveBytes(gt.asOf)).max(1),

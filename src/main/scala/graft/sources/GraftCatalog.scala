@@ -1053,7 +1053,10 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         // predicate scope: any SQL predicate — compacts exactly the
         // files the metadata prune touches (Iceberg rewrite_data_files
         // WHERE analog); mutually exclusive with `where`
-        in("where_expr", StringType).defaultValue("''").build())
+        in("where_expr", StringType).defaultValue("''").build(),
+        // X89: size output by BYTES (overrides target_files) — the
+        // scale dial: ceil(slice bytes / target_bytes) output files
+        in("target_bytes", LongType).defaultValue("0").build())
       case "vacuum" => Array(in("table", StringType).build())
       case "restore" => Array(
         in("table", StringType).build(),
@@ -1103,7 +1106,8 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
             targetFiles = input.getInt(1),
             zorderBy = cols(input.getUTF8String(2).toString),
             clusterBy = cols(input.getUTF8String(3).toString),
-            statsColumns = GraftCatalog.statsColumnsOf(t))
+            statsColumns = GraftCatalog.statsColumnsOf(t),
+            targetBytes = input.getLong(6))
         (new StructType().add("version", LongType).add("files_added", IntegerType)
            .add("files_removed", IntegerType),
           commit.map(c => InternalRow(c.version, c.add.size, c.remove.size))

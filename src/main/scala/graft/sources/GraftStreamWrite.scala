@@ -73,7 +73,8 @@ final class GraftStreamingWrite(table: IncrementalTable,
       .mapValues(_.spec).toMap.toSeq
     new GraftStreamWriterFactory(
       new Path(new Path(table.root), s"_staging/$stageNs").toString,
-      graft.table.IncrementalTable.ddlOf(phys), partitionBy, specs, conf)
+      graft.table.IncrementalTable.ddlOf(phys), partitionBy, specs, conf,
+      table.tableProperties.getOrElse("graft.parquet.compression", "snappy"))
   }
 
   override def commit(epochId: Long,
@@ -101,12 +102,13 @@ final class GraftStreamingWrite(table: IncrementalTable,
 private[sources] final class GraftStreamWriterFactory(stageNsUri: String,
     schemaDdl: String, partitionBy: Seq[String],
     transformSpecs: Seq[(String, String)],
-    conf: RowParquet.SerializableConf) extends StreamingDataWriterFactory {
+    conf: RowParquet.SerializableConf,
+    codec: String = "snappy") extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftStreamDataWriter(new Path(stageNsUri, s"e$epochId"),
       StructType.fromDDL(schemaDdl), partitionBy, transformSpecs,
-      conf.value, partitionId, taskId)
+      conf.value, partitionId, taskId, codec)
 }
 
 /** Executor-side writer: routes each row to its hive partition dir
@@ -118,7 +120,8 @@ private[sources] final class GraftStreamWriterFactory(stageNsUri: String,
 private[sources] final class GraftStreamDataWriter(epochStage: Path,
     schema: StructType, partitionBy: Seq[String],
     transformSpecs: Seq[(String, String)], conf: Configuration,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    codec: String = "snappy") extends DataWriter[InternalRow] {
 
   // per partition column: Left(field ordinal) routes an identity
   // column by its row value; Right(transform, base ordinal) derives
@@ -168,11 +171,11 @@ private[sources] final class GraftStreamDataWriter(epochStage: Path,
     }
     val w = writers.getOrElseUpdate(dir, {
       val rel = (if (dir.isEmpty) "" else dir + "/") +
-        f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.snappy.parquet"
+        f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.$codec.parquet"
       rels += rel
       RowParquet.writer(
         HadoopOutputFile.fromPath(new Path(epochStage, rel), conf),
-        dataSchema, conf)
+        dataSchema, conf, codec)
     })
     var i = 0
     while (i < dataOrds.length) {

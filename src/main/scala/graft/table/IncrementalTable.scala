@@ -2579,6 +2579,45 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   private def rowTracked: Boolean =
     tableProperties.get("graft.rowTracking").exists(_.toBoolean)
 
+  /** Column NDV sketches (X88, VERDICT r8 #8): one HLL per
+    * `graft.ndvColumns` column aggregated over the staged batch (ONE
+    * extra column-pruned job — opt-in, the CBO tax), each UNIONed
+    * driver-side with the channel's running sketch. Never shrinks, so
+    * deletes leave NDV an overestimate — the safe direction for join
+    * planning. Shared by the batch write choke point AND the
+    * streaming sink's executor-staged fast path. */
+  private def ndvMetaFor(stage: Path, staged: Seq[String],
+      mapping: Map[String, String]): Map[String, String] = {
+    val ndvCols = tableProperties.get("graft.ndvColumns").toSeq
+      .flatMap(_.split(",")).map(_.trim)
+      .filter(c => c.nonEmpty && !c.contains('.'))
+    if (ndvCols.isEmpty || staged.isEmpty) return Map.empty
+    val stagedSchema = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(stage, staged.head), hadoopConf(spark)))
+    val names = try stagedSchema.getFooter.getFileMetaData.getSchema
+      .getFields.asScala.map(_.getName).toSet
+    finally stagedSchema.close()
+    val present = ndvCols.map(c => c -> physPath(c, mapping))
+      .filter { case (_, p) => names.contains(p) }
+    if (present.isEmpty) return Map.empty
+    val aggs = present.map { case (_, p) =>
+      org.apache.spark.sql.functions.expr(s"hll_sketch_agg(`$p`)") }
+    val row = spark.read
+      .parquet(staged.map(r => new Path(stage, r).toString): _*)
+      .agg(aggs.head, aggs.tail: _*).head
+    val prev = metaChannel("ndv/")
+    present.zipWithIndex.flatMap { case ((c, _), i) =>
+      if (row.isNullAt(i)) None
+      else {
+        val merged = IncrementalTable.unionHll(
+          prev.get(c).map(java.util.Base64.getDecoder.decode),
+          row.getAs[Array[Byte]](i))
+        Some(s"ndv/$c" -> java.util.Base64.getEncoder.encodeToString(merged))
+      }
+    }.toMap
+  }
+
   /** Column NDV estimates (X88): per `graft.ndvColumns` column, the
     * estimate of the running HLL sketch folded at every commit. An
     * OVERESTIMATE after deletes (unions never shrink) — the safe
@@ -3266,6 +3305,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
     val (_, perFile) = stagedFooterStats(stage, rels, statsColumns.toSet,
       needRows = false)
+    // NDV sketches fold on the streaming fast path too (X88) — a
+    // micro-batch-ingested table's estimates track its growth
+    val streamNdvMeta = ndvMetaFor(stage, rels, columnMapping())
     val statsIdx = statsColumns.toSet
     val fileStats =
       if (statsIdx.isEmpty) Map.empty[String, Map[String, ColStat]]
@@ -3295,7 +3337,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         val removed = if (replace) liveFiles() else Seq.empty
         val schemaDdl = IncrementalTable.ddlOf(mergedSchema(incoming))
         Some(commit(Commit(0, if (replace) "replace" else "append", added,
-          removed, Map.empty, partitionBy, schemaDdl, Map.empty,
+          removed, Map.empty, partitionBy, schemaDdl, streamNdvMeta,
           Some(batchId), now(), appId = Some(appId), fileStats = fileStats)))
       }
     fs.delete(stage, true)
@@ -3438,10 +3480,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // (where [min,max] spans are useless unless perfectly clustered) —
     // both applied before any row decodes. Standard parquet metadata:
     // any reader benefits; Spark pushes eq/IN predicates to it.
-    val writer = bloomColumns.map(physPath(_, mapping))
+    val writer0 = bloomColumns.map(physPath(_, mapping))
         .foldLeft(physParts.write.mode("overwrite")) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
+    // per-table codec (X89): `graft.parquet.compression` — zstd for
+    // storage-bound 100 TB corpora, snappy (session default) for
+    // latency; applies to every write through the choke point and the
+    // streaming executor writer alike
+    val writer = tableProperties.get("graft.parquet.compression")
+      .fold(writer0)(c => writer0.option("compression", c))
     // INT64 micros, not the deprecated INT96 Spark still defaults to:
     // INT96 carries no usable footer min/max (its stats were dropped
     // from the parquet spec), so timestamp columns could never join
@@ -3527,38 +3575,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // union never shrinks, so deletes leave NDV an overestimate — the
     // safe direction for join planning. Keys are LOGICAL; rename
     // migrates them.
-    val ndvMeta: Map[String, String] = {
-      val ndvCols = tableProperties.get("graft.ndvColumns").toSeq
-        .flatMap(_.split(",")).map(_.trim)
-        .filter(c => c.nonEmpty && !c.contains('.'))
-      if (ndvCols.isEmpty || staged.isEmpty) Map.empty
-      else {
-        val stagedSchema = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new Path(stage, staged.head), hadoopConf(spark)))
-        val names = try stagedSchema.getFooter.getFileMetaData.getSchema
-          .getFields.asScala.map(_.getName).toSet
-        finally stagedSchema.close()
-        val present = ndvCols.map(c => c -> physPath(c, mapping))
-          .filter { case (_, p) => names.contains(p) }
-        if (present.isEmpty) Map.empty
-        else {
-          val aggs = present.map { case (_, p) =>
-            org.apache.spark.sql.functions.expr(s"hll_sketch_agg(`$p`)") }
-          val row = spark.read.parquet(stage.toString).agg(aggs.head, aggs.tail: _*).head
-          val prev = metaChannel("ndv/")
-          present.zipWithIndex.flatMap { case ((c, _), i) =>
-            if (row.isNullAt(i)) None
-            else {
-              val merged = IncrementalTable.unionHll(
-                prev.get(c).map(java.util.Base64.getDecoder.decode),
-                row.getAs[Array[Byte]](i))
-              Some(s"ndv/$c" -> java.util.Base64.getEncoder.encodeToString(merged))
-            }
-          }.toMap
-        }
-      }
-    }
+    val ndvMeta: Map[String, String] = ndvMetaFor(stage, staged, mapping)
     // row-id high-water (X87): monotone clamp, same shape as idhw
     val rowHwMeta =
       if (!tracked) None
@@ -4019,41 +4036,65 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       targetFiles: Int = 1, clusterBy: Seq[String] = Nil,
       statsColumns: Seq[String] = Nil,
       zorderBy: Seq[String] = Nil,
-      bloomColumns: Seq[String] = Nil): Option[Commit] = {
+      bloomColumns: Seq[String] = Nil,
+      // X89: size the output by BYTES instead of a fixed count — the
+      // 100 TB dial (`targetFiles=1` per partition is right at toy SF
+      // and wrong at scale). When > 0, the output file count is
+      // ceil(live bytes in scope / targetBytes), overriding
+      // targetFiles; the byte sum is a driver metadata pass over the
+      // files being rewritten anyway.
+      targetBytes: Long = 0L): Option[Commit] = {
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "clusterBy and zorderBy are mutually exclusive")
     import org.apache.spark.sql.functions.{col, min, max}
     val partitionBy = committedPartitionBy
+    val nFiles =
+      if (targetBytes <= 0) targetFiles
+      else {
+        val bytes = liveFiles(partitionFilter)
+          .map(f => fs.getFileStatus(new Path(rootPath, f)).getLen).sum
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      }
     // row-tracked tables carry ids through the rewrite (X87): ids are
     // stable across compaction
     val base = readInternal(partitionFilter, None, keepRowId = rowTracked)
     val df =
       if (zorderBy.nonEmpty) {
         // string dimensions enter the curve via their packed-long
-        // proxy — min/max and bucketing all happen in long space
-        val proxies = zorderBy.map { c =>
-          if (base.schema(c).dataType == org.apache.spark.sql.types.StringType)
-            graft.functions.ZOrder.packAscii8(col(c))
-          else col(c)
+        // proxy; double/float dimensions bucket in double space (X89,
+        // layout-only either way — pruning soundness stays with the
+        // footer bounds); everything else buckets in long space
+        import org.apache.spark.sql.types.{DoubleType, FloatType, StringType}
+        val dts = zorderBy.map(c => base.schema(c).dataType)
+        val proxies = zorderBy.zip(dts).map {
+          case (c, StringType) => graft.functions.ZOrder.packAscii8(col(c))
+          case (c, _) => col(c)
         }
         val minMax = proxies.flatMap(p => Seq(min(p), max(p)))
         val agg = base.agg(minMax.head, minMax.tail: _*).head
-        if (agg.isNullAt(0)) base.repartition(targetFiles) // empty slice
+        if (agg.isNullAt(0)) base.repartition(nFiles) // empty slice
         else {
           val z = graft.functions.ZOrder.interleave(
             proxies.zipWithIndex.map { case (p, i) =>
-              graft.functions.ZOrder.bucket(p,
-                agg.getAs[Number](2 * i).longValue,
-                agg.getAs[Number](2 * i + 1).longValue)
+              dts(i) match {
+                case DoubleType | FloatType =>
+                  graft.functions.ZOrder.bucketDouble(p,
+                    agg.getAs[Number](2 * i).doubleValue,
+                    agg.getAs[Number](2 * i + 1).doubleValue)
+                case _ =>
+                  graft.functions.ZOrder.bucket(p,
+                    agg.getAs[Number](2 * i).longValue,
+                    agg.getAs[Number](2 * i + 1).longValue)
+              }
             })
           base.withColumn("_graft_z", z)
-            .repartitionByRange(targetFiles, col("_graft_z"))
+            .repartitionByRange(nFiles, col("_graft_z"))
             .sortWithinPartitions(col("_graft_z"))
             .drop("_graft_z")
         }
-      } else if (clusterBy.isEmpty) base.repartition(targetFiles)
+      } else if (clusterBy.isEmpty) base.repartition(nFiles)
       else base
-        .repartitionByRange(targetFiles, clusterBy.map(col): _*)
+        .repartitionByRange(nFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     write(df, "replace", partitionBy, Map.empty, partitionFilter,
       Map.empty, None,

@@ -42,6 +42,23 @@ class NdvStatsSpec extends SparkSpec {
     assert(!t.columnNdv().contains("k"))
   }
 
+  test("ndv sketches fold through the streaming sink's fast path too") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql(s"CREATE TABLE $cat.lake.sn (k BIGINT) " +
+      "TBLPROPERTIES ('graft.ndvColumns'='k')")
+    val dir = tmpDir("ndv_stream")
+    spark.range(0, 500).select((col("id") % 25).as("k"))
+      .coalesce(1).write.parquet(s"$dir/in/f0")
+    spark.readStream.schema(spark.range(1).select(col("id").as("k")).schema)
+      .option("recursiveFileLookup", "true").parquet(s"$dir/in")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.lake.sn").awaitTermination()
+    val t = IncrementalTable(spark, s"$wh/lake/sn")
+    assert(t.columnNdv().get("k").contains(25L), t.columnNdv().toString)
+  }
+
   test("under CBO, multi-join plans carry graft stats nodes with distinctCount") {
     spark.sql(s"CREATE TABLE $cat.lake.s1 (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('graft.ndvColumns'='k', 'graft.statsColumns'='k')")
@@ -63,7 +80,8 @@ class NdvStatsSpec extends SparkSpec {
       val st = nodes.head.stats
       assert(st.rowCount.contains(BigInt(500)), st.toString)
       assert(st.attributeStats.exists { case (a, cs) =>
-        a.name == "k" && cs.distinctCount.contains(BigInt(7))
+        a.name == "k" && cs.distinctCount.contains(BigInt(7)) &&
+          cs.min.contains(0L) && cs.max.contains(6L)
       }, st.toString)
       // the stats node plans away: execution answers exactly
       assert(df.as[Long].head > 0L)

@@ -128,6 +128,35 @@ class RowTrackingSpec extends SparkSpec {
     intercept[IllegalArgumentException](u.changes(1, includeRowId = true).collect())
   }
 
+  test("streaming CDC (readChangeFeed) delivers paired updates on tracked tables") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = tracked(tmpDir("rtrk") + "/t9")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), Nil)
+    t.update(col("id") === 1L, Map("v" -> lit("A")))
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(t.root)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.collect().map(r =>
+            (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+              r.getAs[String]("v")))
+        }
+        ()
+      }
+      .option("checkpointLocation", tmpDir("rtrk") + "/t9ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val byType = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byType == Map("insert" -> 2, "update_preimage" -> 1,
+      "update_postimage" -> 1), byType.toString)
+    assert(got.contains(("update_preimage", 1L, "a")) &&
+      got.contains(("update_postimage", 1L, "A")), got.toString)
+  }
+
   test("rows written before tracking carry null ids and never pair") {
     val t = IncrementalTable(spark, tmpDir("rtrk") + "/t7")
     t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), Nil)

@@ -88,6 +88,54 @@ class ZOrderSpec extends SparkSpec {
       t.read().filter(col("name").startsWith("k_e")).count())
   }
 
+  test("double z-dimension (X89): price-style range predicates prune on both axes") {
+    val t = IncrementalTable(spark, tmpDir("zorder") + "/td")
+    val rows = spark.range(10000).select(
+      (col("id") % 100).cast("int").as("x"),
+      ((col("id") / 100).cast("double") * 1.5 + 0.25).as("price"),
+      col("id").as("payload"))
+    t.append(rows.repartition(8), partitionBy = Nil)
+    t.compact(targetFiles = 16, zorderBy = Seq("x", "price"))
+    assert(t.liveFiles().size == 16)
+    // prune on the DOUBLE axis via the X75 double footer bounds
+    // ~1 morton block-column of 4x4 plus fp-boundary straddle files
+    val p = t.liveFilesWhere(col("price") >= 15.0 && col("price") < 30.0)
+    assert(p.size <= 9, s"expected <=9 of 16 files, got ${p.size}")
+    // and on the integral one
+    val xs = t.liveFilesWhere(col("x") >= 10 && col("x") <= 19)
+    assert(xs.size <= 9, s"expected <=9 of 16 files, got ${xs.size}")
+    // pruned read exact vs unpruned filter
+    assert(t.readWhere(col("price") >= 15.0 && col("price") < 30.0).count() ==
+      t.read().filter(col("price") >= 15.0 && col("price") < 30.0).count())
+  }
+
+  test("targetBytes sizes compaction output by data volume (X89)") {
+    val t = IncrementalTable(spark, tmpDir("zorder") + "/tb")
+    t.append(spark.range(20000).select(col("id"),
+      org.apache.spark.sql.functions.md5(col("id").cast("string")).as("pad"))
+      .repartition(16), partitionBy = Nil)
+    val total = t.liveFiles().map(f =>
+      new java.io.File(t.root, f).length).sum
+    // ask for ~quarter-of-total bytes per file -> ~4 output files
+    t.compact(targetBytes = total / 4)
+    val n = t.liveFiles().size
+    assert(n >= 3 && n <= 6, s"expected ~4 output files, got $n")
+    assert(t.read().count() == 20000)
+    // SQL CALL carries the dial
+    val wh = tmpDir("zorder_wh")
+    spark.conf.set("spark.sql.catalog.zob", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.zob.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS zob.lake")
+    spark.sql("CREATE TABLE zob.lake.tb (id BIGINT, pad STRING)")
+    spark.sql("INSERT INTO zob.lake.tb SELECT id, md5(CAST(id AS STRING)) FROM range(20000)")
+    val t2 = IncrementalTable(spark, s"$wh/lake/tb")
+    val total2 = t2.liveFiles().map(f => new java.io.File(t2.root, f).length).sum
+    spark.sql(s"CALL zob.system.compact(table => 'lake.tb', target_bytes => ${total2 / 4})")
+    t2.refresh()
+    val n2 = t2.liveFiles().size
+    assert(n2 >= 3 && n2 <= 6, s"expected ~4 output files via SQL, got $n2")
+  }
+
   test("empty z-order slice compacts without error; nulls order first") {
     val t = IncrementalTable(spark, tmpDir("zorder") + "/t3")
     t.append(Seq((Some(1), 10L), (None, 20L), (Some(5), 30L))
