@@ -166,12 +166,72 @@ object QueriesCorpus {
           $"h".as("sample_key"))
         .orderBy($"lang", $"rank")
     }),
+
+    // ---- DSIR importance resampling (X90) ------------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023), the
+    // hashed-n-gram form used for LLM pretraining corpora: score each
+    // RAW document by how target-like its n-gram distribution is —
+    // Σ log(p_target(b)/p_raw(b)) over the doc's hashed n-gram buckets,
+    // under add-one smoothing. Buckets are the first 2 hex chars of
+    // md5(gram) (256 buckets — the engine-neutral feature hash the
+    // sampling family already rides); the target corpus here is the
+    // 'en' slice. Scale shape: one n-gram explode feeding two 256-group
+    // map-side-combined aggregations, the 256-row log-ratio table
+    // BROADCAST back, and one doc-keyed aggregation — no shuffle ever
+    // carries the corpus's n-grams to a non-combinable key. Per-doc
+    // score = mean bucket log-ratio, rounded (the q72 cross-engine
+    // log contract).
+    "q146_dsir_resample" -> ((s, dir) => {
+      import s.implicits._
+      val grams = Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          explode(TextOps.wordNgrams($"text", 2)).as("g"))
+        .withColumn("b", substring(md5($"g".cast("binary")), 1, 2))
+      val raw = grams.groupBy($"b").agg(count(lit(1)).as("rcnt"))
+      val tgt = grams.filter($"lang" === "en")
+        .groupBy($"b").agg(count(lit(1)).as("tcnt"))
+      val tots = raw.agg(sum($"rcnt").as("rtot"))
+        .crossJoin(tgt.agg(sum($"tcnt").as("ttot")))
+      val lam = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(tots))
+        .select($"b",
+          (log((coalesce($"tcnt", lit(0L)) + 1).cast("double") /
+              ($"ttot" + 256).cast("double")) -
+            log(($"rcnt" + 1).cast("double") /
+              ($"rtot" + 256).cast("double"))).as("lam"))
+      grams.join(broadcast(lam), "b")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          round(sum($"lam") / count(lit(1)), 4).as("dsir_score"))
+        .orderBy($"doc_id")
+    }),
   )
 
   private val MixSalt = "graft-mix-7:"
   private val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
 
   def oracleSql: Map[String, String] = Map(
+    // the same smoothed log-ratio replayed relationally; docs with no
+    // 2-gram (single-token texts) drop from both sides identically
+    "q146_dsir_resample" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, lang, substr(md5(toks[i] || ' ' || toks[i+1]), 1, 2) AS b
+         |  FROM docs, unnest(range(1, len(toks))) AS t(i)),
+         |raw AS (SELECT b, COUNT(*) AS rcnt FROM grams GROUP BY 1),
+         |tgt AS (SELECT b, COUNT(*) AS tcnt FROM grams WHERE lang = 'en' GROUP BY 1),
+         |tots AS (SELECT (SELECT SUM(rcnt) FROM raw) AS rtot,
+         |                (SELECT SUM(tcnt) FROM tgt) AS ttot),
+         |lam AS (
+         |  SELECT raw.b,
+         |    ln((COALESCE(tcnt, 0) + 1) / (ttot + 256.0)) -
+         |    ln((rcnt + 1) / (rtot + 256.0)) AS lam
+         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  ROUND(SUM(lam) / COUNT(*), 4) AS dsir_score
+         |FROM grams JOIN lam ON grams.b = lam.b
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the same greedy packing recurrence, replayed sequentially per
     // shard as a linear recursive CTE (depth = max docs per shard)
     "q120_seq_pack" ->

@@ -1029,6 +1029,9 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     case "untag" => "delete a snapshot tag"
     case "clone" => "shallow-clone a table (metadata-only: the new table " +
       "references the source's live files; optionally at a past version)"
+    case "analyze" => "recompute column NDV sketches from the current " +
+      "live data (CBO statistics) — CALL graft.system.analyze('ns.t' " +
+      "[, columns => 'a,b'])"
     case "evolve_partitioning" => "change the table's partition layout as " +
       "one metadata commit (Iceberg spec-evolution analog): existing files " +
       "keep their directory shape, new writes route under the new layout; " +
@@ -1078,6 +1081,10 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       case "evolve_partitioning" => Array(
         in("table", StringType).build(),
         in("layout", StringType).build())
+      case "analyze" => Array(
+        in("table", StringType).build(),
+        // default: the graft.ndvColumns property
+        in("columns", StringType).defaultValue("''").build())
     }
   }
 
@@ -1187,6 +1194,15 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
            .add("partition_by", StringType),
           InternalRow(c.version,
             UTF8String.fromString(layout.mkString(","))))
+      case "analyze" =>
+        // X88: recompute NDV sketches from the current live data (one
+        // column-pruned scan) and REPLACE the channel — the
+        // retroactive/reset path for CBO statistics
+        val c = t.analyzeNdv(cols(input.getUTF8String(1).toString))
+        (new StructType().add("version", LongType)
+           .add("columns", StringType),
+          InternalRow(c.map(_.version).getOrElse(-1L),
+            UTF8String.fromString(t.columnNdv().keys.toSeq.sorted.mkString(","))))
       case "clone" =>
         val destRel = input.getUTF8String(1).toString
         val destPath = cat.pathForName(destRel)
@@ -1212,7 +1228,7 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
 private[sources] object GraftProcedure {
   val names: Set[String] =
     Set("compact", "vacuum", "restore", "tag", "untag", "clone",
-      "evolve_partitioning")
+      "evolve_partitioning", "analyze")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

@@ -2618,6 +2618,34 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }.toMap
   }
 
+  /** ANALYZE (X88): recompute the NDV sketches from the CURRENT live
+    * data in one column-pruned scan and REPLACE the channel — the
+    * retroactive path for tables that adopt `graft.ndvColumns` with
+    * data already in place, and the reset that clears the
+    * delete-overestimate the incremental union accumulates. `columns`
+    * defaults to the table property. One metadata commit. */
+  def analyzeNdv(columns: Seq[String] = Nil): Option[Commit] = {
+    val cols0 =
+      if (columns.nonEmpty) columns
+      else tableProperties.get("graft.ndvColumns").toSeq
+        .flatMap(_.split(",")).map(_.trim)
+    val cols = cols0.filter(c => c.nonEmpty && !c.contains('.'))
+    require(cols.nonEmpty,
+      "analyzeNdv needs columns (argument or the graft.ndvColumns property)")
+    val stored = committedSchema
+    cols.foreach(c => require(stored.fieldNames.contains(c),
+      s"analyzeNdv: unknown column '$c'"))
+    val aggs = cols.map(c =>
+      org.apache.spark.sql.functions.expr(s"hll_sketch_agg(`$c`)"))
+    val row = read().agg(aggs.head, aggs.tail: _*).head
+    val meta = cols.zipWithIndex.map { case (c, i) =>
+      s"ndv/$c" -> (if (row.isNullAt(i)) ""
+        else java.util.Base64.getEncoder.encodeToString(
+          row.getAs[Array[Byte]](i)))
+    }.toMap
+    Some(commitMeta(meta))
+  }
+
   /** Column NDV estimates (X88): per `graft.ndvColumns` column, the
     * estimate of the running HLL sketch folded at every commit. An
     * OVERESTIMATE after deletes (unions never shrink) — the safe

@@ -59,6 +59,29 @@ class NdvStatsSpec extends SparkSpec {
     assert(t.columnNdv().get("k").contains(25L), t.columnNdv().toString)
   }
 
+  test("CALL analyze recomputes sketches retroactively and resets delete drift") {
+    spark.sql(s"CREATE TABLE $cat.lake.az (k BIGINT) " +
+      "TBLPROPERTIES ('graft.statsColumns'='k')")
+    spark.sql(s"INSERT INTO $cat.lake.az " +
+      "SELECT CAST(id % 50 AS BIGINT) FROM range(1000)")
+    val t = IncrementalTable(spark, s"$wh/lake/az")
+    assert(t.columnNdv().isEmpty) // no property, nothing folded
+    // retroactive: the scan covers data written before the opt-in
+    spark.sql(s"ALTER TABLE $cat.lake.az SET TBLPROPERTIES " +
+      "('graft.ndvColumns'='k')")
+    spark.sql(s"CALL $cat.system.analyze('lake.az')")
+    t.refresh()
+    assert(t.columnNdv().get("k").contains(50L), t.columnNdv().toString)
+    // the incremental union never shrinks after a delete...
+    spark.sql(s"DELETE FROM $cat.lake.az WHERE k >= 10")
+    t.refresh()
+    assert(t.columnNdv()("k") >= 50L)
+    // ...analyze resets it to the live truth
+    spark.sql(s"CALL $cat.system.analyze('lake.az')")
+    t.refresh()
+    assert(t.columnNdv().get("k").contains(10L), t.columnNdv().toString)
+  }
+
   test("under CBO, multi-join plans carry graft stats nodes with distinctCount") {
     spark.sql(s"CREATE TABLE $cat.lake.s1 (k BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('graft.ndvColumns'='k', 'graft.statsColumns'='k')")
