@@ -202,7 +202,10 @@ object QueriesCorpus {
       grams.join(broadcast(lam), "b")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_grams"),
-          round(sum($"lam") / count(lit(1)), 4).as("dsir_score"))
+          // + 0.0 normalizes IEEE signed zero: Spark's round() (BigDecimal)
+          // yields +0.0 where DuckDB's ROUND keeps -0.0; -0.0 + 0.0 = +0.0
+          // on both engines, so the bit-level hash gate agrees.
+          (round(sum($"lam") / count(lit(1)), 4) + lit(0.0)).as("dsir_score"))
         .orderBy($"doc_id")
     }),
   )
@@ -229,7 +232,7 @@ object QueriesCorpus {
          |    ln((rcnt + 1) / (rtot + 256.0)) AS lam
          |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-         |  ROUND(SUM(lam) / COUNT(*), 4) AS dsir_score
+         |  ROUND(SUM(lam) / COUNT(*), 4) + 0.0 AS dsir_score
          |FROM grams JOIN lam ON grams.b = lam.b
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the same greedy packing recurrence, replayed sequentially per

@@ -665,6 +665,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def changes(fromVersion: Long, toVersion: Long = latestVersion,
       includeRowId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    // row tracking (X87), hoisted (ADVICE r9): one log replay, not one
+    // per window commit — and the includeRowId requirement fires even
+    // on an empty window
+    val tracked = rowTracked
+    if (includeRowId) require(tracked,
+      s"includeRowId needs graft.rowTracking=true on $root")
     val crossesHorizon = commits().headOption
       .exists(h => h.action == "checkpoint" && fromVersion <= h.version)
     val cs =
@@ -716,9 +722,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty)
       // row tracking (X87): read both sides WITH their stable ids and
       // pair surviving pre/post rows into update_preimage/postimage
-      val tracked = rowTracked
-      if (includeRowId) require(tracked,
-        s"includeRowId needs graft.rowTracking=true on $root")
+      // (`tracked` hoisted above the loop)
       if (!inWindow) None
       else if (c.action == "dv" || c.action == "update") {
         // the commit's own sidecars ARE its logical delta: join their
@@ -2588,10 +2592,25 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * streaming sink's executor-staged fast path. */
   private def ndvMetaFor(stage: Path, staged: Seq[String],
       mapping: Map[String, String]): Map[String, String] = {
-    val ndvCols = tableProperties.get("graft.ndvColumns").toSeq
+    val ndvCols0 = tableProperties.get("graft.ndvColumns").toSeq
       .flatMap(_.split(",")).map(_.trim)
       .filter(c => c.nonEmpty && !c.contains('.'))
-    if (ndvCols.isEmpty || staged.isEmpty) return Map.empty
+    if (ndvCols0.isEmpty || staged.isEmpty) return Map.empty
+    // hll_sketch_agg only accepts int/long/string/binary — a
+    // double/decimal/boolean column in the property would otherwise
+    // throw INSIDE every write and streaming epoch until unset
+    // (ADVICE r9): filter with a warning instead of failing the
+    // write path
+    val schema = committedSchema
+    val ndvCols = ndvCols0.filter { c =>
+      val ok = schema.fields.find(_.name == c)
+        .forall(f => IncrementalTable.ndvSupported(f.dataType))
+      if (!ok) log.warn(s"table $root: graft.ndvColumns column '$c' has " +
+        s"a type hll_sketch_agg does not support — skipping its NDV " +
+        "sketch (unset or retype to silence)")
+      ok
+    }
+    if (ndvCols.isEmpty) return Map.empty
     val stagedSchema = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new Path(stage, staged.head), hadoopConf(spark)))
@@ -2629,12 +2648,19 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       if (columns.nonEmpty) columns
       else tableProperties.get("graft.ndvColumns").toSeq
         .flatMap(_.split(",")).map(_.trim)
-    val cols = cols0.filter(c => c.nonEmpty && !c.contains('.'))
-    require(cols.nonEmpty,
+    val cols1 = cols0.filter(c => c.nonEmpty && !c.contains('.'))
+    require(cols1.nonEmpty,
       "analyzeNdv needs columns (argument or the graft.ndvColumns property)")
     val stored = committedSchema
-    cols.foreach(c => require(stored.fieldNames.contains(c),
+    cols1.foreach(c => require(stored.fieldNames.contains(c),
       s"analyzeNdv: unknown column '$c'"))
+    val cols = cols1.filter { c =>
+      val ok = IncrementalTable.ndvSupported(stored(c).dataType)
+      if (!ok) log.warn(s"table $root: analyzeNdv skipping '$c' — type " +
+        s"${stored(c).dataType.simpleString} unsupported by hll_sketch_agg")
+      ok
+    }
+    if (cols.isEmpty) return None
     val aggs = cols.map(c =>
       org.apache.spark.sql.functions.expr(s"hll_sketch_agg(`$c`)"))
     val row = read().agg(aggs.head, aggs.tail: _*).head
@@ -3471,8 +3497,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // derived transforms are in play (the fan-out case the layout
     // guarantees is multi-dir) or opted in via
     // `graft.insertClusterDirs=true`; opt out with `=false`.
-    val clusterDirs = tableProperties.get("graft.insertClusterDirs")
-      .map(_.toBoolean).getOrElse(ptransforms.nonEmpty)
+    // Gated on userWrite: internal rewrites chose their OWN layout —
+    // compact's repartitionByRange(_graft_z)/clusterBy range + sort
+    // (which a hash repartition here would destroy, and whose
+    // targetFiles/targetBytes count it would override to one file per
+    // dir), and merge/delete/update rewrites of already-dir-local
+    // file contents.
+    val clusterDirs = userWrite &&
+      tableProperties.get("graft.insertClusterDirs")
+        .map(_.toBoolean).getOrElse(ptransforms.nonEmpty)
     val dirClustered =
       if (clusterDirs && partitionBy.nonEmpty)
         routed.repartition(partitionBy.map(routed(_)): _*)
@@ -3826,6 +3859,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // the log head this commit's add/remove sets were computed against
     var base = latestVersion
     var done = false
+    var cur = c
     var res = c
     while (!done) {
       // in-commit timestamp monotonicity (the Delta inCommitTimestamps
@@ -3834,8 +3868,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // commit's ts to at least its predecessor's so the sequence is
       // non-decreasing by construction, never trusting writer clocks
       // to agree
-      res = c.copy(version = base + 1,
-        ts = math.max(c.ts, commits().lastOption.map(_.ts).getOrElse(0L)))
+      res = cur.copy(version = base + 1,
+        ts = math.max(cur.ts, commits().lastOption.map(_.ts).getOrElse(0L)))
       val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
       try out.write(Serialization.write(res).getBytes("UTF-8")) finally out.close()
@@ -3860,10 +3894,33 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // always on disk (only vacuum deletes them, never this recent):
         // read exactly the contended window.
         val winners = deltasBetween(base, latestVersion)
-        winners.find(conflicts(c, _)).foreach { w =>
+        winners.find(conflicts(cur, _)).foreach { w =>
           throw new ConcurrentWriteException(
             s"table $root: ${c.action} of ${c.partitionFilter} computed against " +
               s"version $base conflicts with concurrent ${w.action} v${w.version}")
+        }
+        // NDV channel (X88, ADVICE r9): our ndv/ values were unioned
+        // against the PRE-race channel — publishing them as-is would
+        // overwrite a winner's union and silently DROP its distincts
+        // (an underestimate, the unsafe CBO direction). HLL unions
+        // commute, so instead of conflicting, re-union ours against
+        // the post-refresh channel. (An analyzeNdv reset that loses a
+        // race re-unions too — overestimate-safe; re-run quiescently
+        // for an exact reset.)
+        if (cur.meta.keysIterator.exists(k =>
+            k.startsWith("ndv/") && cur.meta(k).nonEmpty)) {
+          val chan = metaChannel("ndv/")
+          cur = cur.copy(meta = cur.meta.map {
+            case (k, v) if k.startsWith("ndv/") && v.nonEmpty =>
+              k -> chan.get(k.stripPrefix("ndv/")).filter(_.nonEmpty)
+                .fold(v) { w =>
+                  java.util.Base64.getEncoder.encodeToString(
+                    IncrementalTable.unionHll(
+                      Some(java.util.Base64.getDecoder.decode(w)),
+                      java.util.Base64.getDecoder.decode(v)))
+                }
+            case kv => kv
+          })
         }
         base = latestVersion
       }
@@ -4314,8 +4371,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val (topDirs, topFiles) = (
       topLevel.filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
         .map(_.getPath.toString),
+      // '_'-prefixed top-level files are excluded here too (ADVICE r9)
+      // so both listing paths agree with the driver walk's rel-path
+      // filter — a root-level '_x.parquet' is never an orphan candidate
       topLevel.filter(st => !st.isDirectory &&
-          st.getPath.getName.endsWith(".parquet"))
+          st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_"))
         .map(st => relativize(rootPath, st.getPath.toString)))
     val listThreshold = spark.conf
       .getOption("spark.graft.distributedListingThreshold")
@@ -4488,6 +4549,17 @@ object IncrementalTable {
     * the channel's running sketch. datasketches-java is the library
     * Spark's own `hll_sketch_agg` builds on, so the bytes round-trip;
     * lgMaxK 12 matches the aggregate's default. */
+  /** The input types Spark's `hll_sketch_agg` accepts (ADVICE r9):
+    * anything else in `graft.ndvColumns` is skipped with a warning
+    * instead of failing every write on the table. */
+  private[table] def ndvSupported(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.BinaryType => true
+    case _ => false
+  }
+
   private[table] def unionHll(prev: Option[Array[Byte]],
       fresh: Array[Byte]): Array[Byte] = {
     val u = new org.apache.datasketches.hll.Union(12)
