@@ -251,6 +251,33 @@ object QueriesSimilarity {
     // PqAnnSpec pins recall/volume floors.
     "q97_pq_ann" -> ((s, dir) =>
       pqAnn(s, Tables.embeddings(s, dir), cacheKey = Some(corpusKey(dir)))),
+
+    // ---- persisted, incrementally-maintained PQ index (X91) -----------
+    // Where q97 derives codebook + codes IN the query plan, this is the
+    // 100 TB shape: the embedding corpus lands in a graft table over two
+    // commits, a PqIndexStream materializes the PQ codes as a SECOND
+    // graft table maintained from the upstream commit log (codebook
+    // train-once, committed to the index's meta channel; each drain
+    // encodes only new commits' files), and the query is served FROM the
+    // index — ADC over the stored codes + exact re-rank, no training and
+    // no corpus-wide encode in the plan. Deterministic encode makes the
+    // served result bit-identical to q97's recompute on the same corpus;
+    // PqIndexSpec pins that equality plus incremental maintenance and
+    // crash-replay no-ops. Approximate by design (rows-only gate), same
+    // recall floors as q97.
+    "q147_pq_index_ann" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q147_")
+      val up = graft.table.IncrementalTable(s, s"$tmp/emb/v1")
+      val down = graft.table.IncrementalTable(s, s"$tmp/pqidx/v1")
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      up.append(e.filter($"vec_id" % 2 === 0), partitionBy = Nil)
+      up.append(e.filter($"vec_id" % 2 === 1), partitionBy = Nil)
+      val idx = new graft.streaming.PqIndexStream(s, up, down)
+      idx.drain()
+      idx.query(up.read().filter($"vec_id" < 10)
+        .select($"vec_id", $"embedding"))
+    }),
   )
 
   /** Memo key that names the CORPUS, not the path: the driver has
@@ -276,56 +303,84 @@ object QueriesSimilarity {
   private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int), Seq[(Int, Int, Seq[Double])]]()
 
-  private[graft] def pqAnn(s: SparkSession, raw: DataFrame,
-      cacheKey: Option[String] = None): DataFrame = {
+  // ---- PQ core, shared by the in-plan q97 and the PERSISTED index ----
+  // (streaming.PqIndexStream). All four stages are deterministic, so
+  // "maintained index" and "recompute" are bit-identical on the same
+  // corpus — PqIndexSpec pins that equality.
+  private[graft] val PqM = 8
+  private[graft] val PqKsub = 32
+  private val PqSubDim = 8
+  private val PqRerankC = 100
+
+  /** Unit-normalized per-subspace pieces: (vec_id, sub, subvec). Pure
+    * per-row — the shape both training and encoding consume. */
+  private[graft] def pqPieces(s: SparkSession, raw: DataFrame): DataFrame = {
     import s.implicits._
-    val M = 8; val Ksub = 32; val subDim = 8; val rerankC = 100
-    val e = raw.select($"vec_id", $"embedding",
+    val e = raw.select($"vec_id",
       transform($"embedding", x => x.cast("double") /
         sqrt(Vectors.dotNative($"embedding", $"embedding"))).as("ne"))
-    val pieces = e.select($"vec_id",
-        explode(array((0 until M).map(lit): _*)).as("sub"), $"ne")
-      .withColumn("subvec", slice($"ne", $"sub" * subDim + 1, lit(subDim)))
+    e.select($"vec_id",
+        explode(array((0 until PqM).map(lit): _*)).as("sub"), $"ne")
+      .withColumn("subvec", slice($"ne", $"sub" * PqSubDim + 1, lit(PqSubDim)))
       .select($"vec_id", $"sub", $"subvec")
+  }
 
-    // codebook build = index build: one bounded count + stride seeds,
-    // then ONE distributed refinement round with 6-decimal-rounded
-    // means (the ivfCodebook replay-identity contract); centroids are
-    // M×Ksub×subDim doubles — broadcastable at any corpus size
+  private def pqAssign(s: SparkSession, pieces: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import s.implicits._
+    pieces.join(broadcast(cents), Seq("sub"))
+      .withColumn("d2", aggregate(
+        zip_with($"subvec", $"cvec", (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x))
+      .groupBy($"vec_id", $"sub")
+      .agg(min(struct($"d2", $"cid")).getField("cid").as("cid"))
+  }
+
+  /** Codebook build = INDEX BUILD: one bounded count + stride seeds,
+    * then two refinement rounds with 6-decimal-rounded means (the
+    * ivfCodebook replay-identity contract); centroids are
+    * M×Ksub×subDim doubles — broadcastable at any corpus size. */
+  private[graft] def pqTrain(s: SparkSession,
+      raw: DataFrame): Seq[(Int, Int, Seq[Double])] = {
+    import s.implicits._
+    val pieces = pqPieces(s, raw)
     val n = raw.count()
-    val stride = math.max(1L, n / Ksub)
-    val seedMap = (0 until Ksub).map(i => (i * stride, i)).toDF("vec_id", "cid")
+    val stride = math.max(1L, n / PqKsub)
+    val seedMap = (0 until PqKsub).map(i => (i * stride, i)).toDF("vec_id", "cid")
     val cents0 = pieces.join(broadcast(seedMap), "vec_id")
       .select($"sub", $"cid", $"subvec".as("cvec"))
-    def assign(cents: DataFrame): DataFrame =
-      pieces.join(broadcast(cents), Seq("sub"))
-        .withColumn("d2", aggregate(
-          zip_with($"subvec", $"cvec", (a, b) => (a - b) * (a - b)),
-          lit(0.0d), (acc, x) => acc + x))
-        .groupBy($"vec_id", $"sub")
-        .agg(min(struct($"d2", $"cid")).getField("cid").as("cid"))
     def refine(cents: DataFrame): DataFrame =
-      assign(cents).join(pieces, Seq("vec_id", "sub"))
+      pqAssign(s, pieces, cents).join(pieces, Seq("vec_id", "sub"))
         .select($"sub", $"cid", posexplode($"subvec"))
         .groupBy($"sub", $"cid", $"pos").agg(round(avg($"col"), 6).as("m"))
         .groupBy($"sub", $"cid")
         .agg(array_sort(collect_list(struct($"pos", $"m"))).as("ms"))
         .select($"sub", $"cid", transform($"ms", p => p.getField("m")).as("cvec"))
-    def train(): Seq[(Int, Int, Seq[Double])] =
-      refine(refine(cents0))
-        .select($"sub", $"cid", $"cvec")
-        .as[(Int, Int, Seq[Double])].collect().toSeq
-    val centRows = cacheKey match {
-      case Some(k) =>
-        pqMemo.computeIfAbsent((k, M, Ksub), _ => train())
-      case None => train()
-    }
+    refine(refine(cents0))
+      .select($"sub", $"cid", $"cvec")
+      .as[(Int, Int, Seq[Double])].collect().toSeq
+  }
+
+  /** Encode vectors against a FIXED codebook → (vec_id, sub, cid).
+    * Pure per-row, so incremental batches encode independently — the
+    * index-maintenance transform. */
+  private[graft] def pqCodes(s: SparkSession, raw: DataFrame,
+      centRows: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    pqAssign(s, pqPieces(s, raw), centRows.toDF("sub", "cid", "cvec"))
+  }
+
+  /** ADC + exact re-rank over PRE-COMPUTED codes — the query-time path
+    * of the persisted index: no training and no corpus-wide encode in
+    * this plan; the corpus is touched as codes until the bounded
+    * re-rank reads the C=100 candidate float vectors. */
+  private[graft] def pqQueryCodes(s: SparkSession, queries: DataFrame,
+      corpus: DataFrame, codes: DataFrame,
+      centRows: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
     val cents1 = centRows.toDF("sub", "cid", "cvec")
-
-    val codes = assign(cents1) // the stored index: (vec_id, sub, cid)
-
     // ADC lookup tables: per (query, sub, cid) partial squared distance
-    val dtab = pieces.filter($"vec_id" < 10).join(broadcast(cents1), Seq("sub"))
+    val dtab = pqPieces(s, queries).join(broadcast(cents1), Seq("sub"))
       .withColumn("pd", aggregate(
         zip_with($"subvec", $"cvec", (a, b) => (a - b) * (a - b)),
         lit(0.0d), (acc, x) => acc + x))
@@ -342,15 +397,26 @@ object QueriesSimilarity {
 
     val scored = approx.select($"qid", $"vec_id".as("nid"), (-$"ad").as("sim"))
       .as[Scored]
-    val topc = new Vectors.TopK(rerankC).toColumn
+    val topc = new Vectors.TopK(PqRerankC).toColumn
     val cands = scored.groupByKey(_.qid).agg(topc.name("top"))
       .flatMap { case (qid, tops) => tops.map { case (_, nid) => (qid, nid) } }
       .toDF("qid", "vec_id")
-    val qe = raw.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val qe = queries.select($"vec_id".as("qid"), $"embedding".as("qe"))
     topkTail(s, cands
-      .join(e.select($"vec_id", $"embedding"), "vec_id")
+      .join(corpus.select($"vec_id", $"embedding"), "vec_id")
       .join(broadcast(qe), "qid"))
+  }
+
+  private[graft] def pqAnn(s: SparkSession, raw: DataFrame,
+      cacheKey: Option[String] = None): DataFrame = {
+    import s.implicits._
+    val centRows = cacheKey match {
+      case Some(k) =>
+        pqMemo.computeIfAbsent((k, PqM, PqKsub), _ => pqTrain(s, raw))
+      case None => pqTrain(s, raw)
+    }
+    val codes = pqCodes(s, raw, centRows) // the stored index: (vec_id, sub, cid)
+    pqQueryCodes(s, raw.filter($"vec_id" < 10), raw, codes, centRows)
   }
 
   /** SemDeDup core: assign every vector to its nearest codebook cell,

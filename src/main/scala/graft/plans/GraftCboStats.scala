@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap}
-import org.apache.spark.sql.catalyst.plans.logical.{ColumnStat, Join, LogicalPlan, Statistics, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{ColumnStat, Histogram, HistogramBin, Join, LogicalPlan, Statistics, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -67,6 +67,11 @@ final case class GraftCboStatsRule(spark: SparkSession)
     if (ndv.isEmpty) return None
     val rows = gt.table.liveRowCount(gt.asOf)
     if (rows.isEmpty) return None
+    // ANALYZE-committed equi-height histograms (X93): skew-aware
+    // selectivities — FilterEstimation estimates an equality on a
+    // Zipfian key from the bins' per-value mass instead of the
+    // uniform rows/ndv guess
+    val hists = gt.table.columnHistograms(gt.asOf)
     val attrStats = AttributeMap(output.flatMap(a =>
       ndv.get(a.name).map { n =>
         // [min,max] ride along from the metadata MIN/MAX fold (X71)
@@ -84,7 +89,10 @@ final case class GraftCboStatsRule(spark: SparkSession)
         a -> ColumnStat(
           distinctCount = Some(BigInt(n)),
           min = mm.flatMap(_._1).flatMap(typed),
-          max = mm.flatMap(_._2).flatMap(typed))
+          max = mm.flatMap(_._2).flatMap(typed),
+          histogram = hists.get(a.name).map { case (h, bins) =>
+            Histogram(h, bins.map(b => HistogramBin(b._1, b._2, b._3)).toArray)
+          })
       }))
     if (attrStats.isEmpty) return None
     Some(Statistics(

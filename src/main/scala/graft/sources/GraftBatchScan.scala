@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.TaskContext
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.table.IncrementalTable
+
+/** The DSv2 BATCH scan for catalog-addressed graft tables — the front
+  * door that unlocks RUNTIME FILTERING (VERDICT r9 #4).
+  *
+  * Why it exists: the V1 bridge ([[GraftV1Scan]]) plans through
+  * Spark's `V1ScanWrapper`, which forwards neither
+  * `SupportsRuntimeFiltering` nor `SupportsReportStatistics` — so a
+  * star-join's selective dim filter could never prune graft fact
+  * FILES at runtime (the skipping index only ever saw static
+  * predicates), the first join-perf wall at 100×. Planning as a true
+  * `Batch` puts the scan inside `BatchScanExec`, where Spark's
+  * dynamic partition pruning hands the dim side's materialized join
+  * keys to [[filter]] as an `In` filter; the re-planned partitions
+  * then flow through the SAME skipping-index prune + row-level filter
+  * as any static predicate. At 100 TB: the dim subquery is tiny, the
+  * In-list broadcast is tiny, and whole fact files drop before a
+  * byte is read.
+  *
+  * How it executes, without a second read path: `planInputPartitions`
+  * builds the exact same pruned Catalyst plan as the V1 bridge
+  * ([[GraftRelation.scanDf]] — survivor files, DV anti-join, column
+  * mapping, row-level predicate, pruned projection) and exposes the
+  * plan's own `InternalRow` RDD partition-by-partition. The plan is
+  * narrow by construction (parquet scan + broadcast DV anti-join —
+  * no shuffle), so each partition computes independently inside the
+  * reader's task; this also drops the V1 path's double
+  * InternalRow→Row→InternalRow bridge. Statistics and the streaming
+  * twin delegate to the V1 scan — one implementation of each.
+  *
+  * Escape hatch: `spark.graft.catalog.v1scan=true` restores the V1
+  * bridge. */
+private[graft] final class GraftBatchScan(spark: SparkSession,
+    table: IncrementalTable, asOf: Option[Long],
+    required: StructType, pushed: Array[Filter],
+    readOptions: Map[String, String] = Map.empty)
+    extends Scan with Batch
+    with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  // stats + streaming: the V1 scan is the single home of both
+  private val v1 = new GraftV1Scan(spark, table, asOf, required, pushed,
+    readOptions)
+
+  /** Runtime filters arrive between planning and execution
+    * (BatchScanExec calls [[filter]] then re-plans partitions);
+    * volatile because AQE may touch the scan from its own threads. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Every scanned column is fair game: the file prune is
+    * conservative for columns the skipping index has no stats for
+    * (they just don't drop files), and the row-level re-apply makes
+    * any translated runtime filter exact. */
+  override def filterAttributes(): Array[NamedReference] =
+    required.fieldNames.map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(f => GraftRelation.translate(f).isDefined)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val df = GraftRelation.scanDf(table, asOf,
+      required.fieldNames.toIndexedSeq, (pushed ++ runtime).toIndexedSeq)
+    val rdd = df.queryExecution.toRdd
+    // Populate every node's dependency chain on the DRIVER — the walk
+    // the DAGScheduler does for its own stages. UnionRDD.compute (an
+    // evolved-spec table reads old+new layout file sets as a union)
+    // resolves parents through `dependencies`, whose lazy init needs
+    // child `.partitions` — driver-only state (FileScanRDD's
+    // filePartitions is transient). With deps cached before
+    // serialization, executors never recompute them.
+    def force(r: RDD[_]): Unit = {
+      r.partitions
+      r.dependencies.foreach(d => force(d.rdd))
+    }
+    force(rdd)
+    rdd.partitions.map(p => GraftRddPartition(rdd, p))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftRddReaderFactory
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    v1.estimateStatistics()
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    v1.toMicroBatchStream(checkpointLocation)
+
+  override def description(): String =
+    s"GraftBatchScan ${table.root}${asOf.fold("")(v => s"@v$v")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"RuntimeGraftFilters: [${runtime.mkString(", ")}]"
+}
+
+/** One partition of the scan plan's own InternalRow RDD. Carries the
+  * RDD reference itself (standard task-closure serialization — the
+  * lineage is narrow: FileScanRDD + mapped projections + a broadcast
+  * DV anti-join, nothing shuffle-dependent), so the reader factory is
+  * stateless and immune to the plan/filter/re-plan call order. */
+private[sources] final case class GraftRddPartition(
+    rdd: RDD[InternalRow], split: org.apache.spark.Partition)
+    extends InputPartition
+
+private[sources] object GraftRddReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case GraftRddPartition(rdd, split) =>
+        new PartitionReader[InternalRow] {
+          private val it = rdd.iterator(split, TaskContext.get())
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (it.hasNext) { cur = it.next(); true } else false
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      case other => throw new IllegalStateException(
+        s"unexpected partition type ${other.getClass}")
+    }
+}

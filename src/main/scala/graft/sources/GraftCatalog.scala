@@ -619,10 +619,18 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
   private var required: StructType = fullSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, residual) =
+    val (accepted, _) =
       filters.partition(f => GraftRelation.translate(f).isDefined)
     pushed = accepted
-    residual
+    // Return EVERYTHING as post-scan filters (the Iceberg convention),
+    // even though the scan applies `pushed` exactly: absorbing a
+    // selective filter removes the Filter node from the logical plan,
+    // and PartitionPruning only offers a dim side as a runtime-filter
+    // SOURCE when it still sees one (probed: full absorption silently
+    // disabled DPP on every star-join). The re-evaluation above the
+    // scan is a codegen'd predicate over already-pruned rows — noise
+    // next to the file prune it buys.
+    filters
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -725,7 +733,14 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
 
   override def build(): Scan = pushedAgg match {
     case Some(fields) => new GraftAggScan(spark, table, fields)
-    case None => new GraftV1Scan(spark, table, asOf, required, pushed,
+    // default: the DSv2 Batch scan — same pruned plan, planned inside
+    // BatchScanExec where runtime filtering (DPP) reaches the skipping
+    // index (VERDICT r9 #4); `spark.graft.catalog.v1scan=true` restores
+    // the V1 bridge
+    case None if spark.conf.getOption("spark.graft.catalog.v1scan")
+        .exists(_.toBoolean) =>
+      new GraftV1Scan(spark, table, asOf, required, pushed, readOptions)
+    case None => new GraftBatchScan(spark, table, asOf, required, pushed,
       readOptions)
   }
 }

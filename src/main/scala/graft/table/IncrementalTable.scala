@@ -719,6 +719,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       val inWindow = c.version >= fromVersion &&
         c.action != "meta" && c.action != "checkpoint" &&
         c.action != "dvmerge" &&
+        // maintenance rewrites (X94, the Delta dataChange=false
+        // analog): compaction commits carry the marker and are
+        // logical no-ops — pre-marker they cost an O(rewrite)
+        // exceptAll that provably cancelled to zero rows; now the
+        // rewrite files are never read. dv-state folding above still
+        // applies their remove/dv effects.
+        !(c.action == "replace" &&
+          c.meta.get(IncrementalTable.MaintenanceKey).contains("1")) &&
         (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty)
       // row tracking (X87): read both sides WITH their stable ids and
       // pair surviving pre/post rows into update_preimage/postimage
@@ -2461,7 +2469,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         Seq(s"genexpr/$to" -> e, s"genexpr/$from" -> "")) ++
       // NDV sketches follow the rename (keyed logically, X88)
       metaChannel("ndv/").get(from).toSeq.flatMap(v =>
-        Seq(s"ndv/$to" -> v, s"ndv/$from" -> ""))
+        Seq(s"ndv/$to" -> v, s"ndv/$from" -> "")) ++
+      // equi-height histograms too (keyed logically, X93)
+      metaChannel("hist/").get(from).toSeq.flatMap(v =>
+        Seq(s"hist/$to" -> v, s"hist/$from" -> ""))
     commit(Commit(0, "meta", Nil, Nil, Map.empty, Nil,
       IncrementalTable.ddlOf(renamed),
       meta, None, now()))
@@ -2669,8 +2680,75 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         else java.util.Base64.getEncoder.encodeToString(
           row.getAs[Array[Byte]](i)))
     }.toMap
-    Some(commitMeta(meta))
+    Some(commitMeta(meta ++ analyzeHistograms(cols)))
   }
+
+  /** Equi-height histograms for CBO (X93, VERDICT r9 #6): per integral
+    * ANALYZE column, `numBins` percentile-bounded bins each carrying a
+    * per-bin NDV — the skew-aware selectivity input Spark's
+    * FilterEstimation consults when a ColumnStat carries a histogram
+    * (NDV alone estimates every equality at rows/ndv, wildly wrong on
+    * the Zipfian keys LLM corpora actually have). ANALYZE-only like
+    * Spark's own `ANALYZE ... FOR COLUMNS`: bounds come from one
+    * column-pruned `approx_percentile` job, per-bin NDVs from one
+    * grouped job per column (the bin index is an O(numBins) fold over
+    * the bounds array — fine for an explicit maintenance pass, never
+    * on the write path). Stored in the `hist/` meta channel (follows
+    * RENAME, rides clones/checkpoints); refreshed by the next ANALYZE,
+    * same staleness contract as any engine's histograms. */
+  private def analyzeHistograms(cols: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.functions.{aggregate => arrAgg, approx_count_distinct, array, col, expr, lit, when}
+    val stored = committedSchema
+    val histCols = cols.filter(c => stored(c).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    if (histCols.isEmpty) return Map.empty
+    val nb = spark.conf.getOption("spark.sql.statistics.histogram.numBins")
+      .map(_.toInt).getOrElse(64)
+    val df0 = read()
+    val fracs = (0 to nb).map(i => i.toDouble / nb)
+    val pAggs = histCols.map(c =>
+      expr(s"approx_percentile(`$c`, array(${fracs.mkString(",")}), 10000)"))
+    val cAggs = histCols.map(c =>
+      org.apache.spark.sql.functions.count(col(c)))
+    val prow = df0.agg(pAggs.head, (pAggs.tail ++ cAggs): _*).head
+    histCols.zipWithIndex.flatMap { case (c, i) =>
+      if (prow.isNullAt(i)) Some(s"hist/$c" -> "") // all-null: clear
+      else {
+        val bs = prow.getSeq[Any](i).map(_.toString.toDouble)
+        val nonNull = prow.getLong(histCols.size + i)
+        // bin index = how many INTERIOR bounds the value exceeds
+        val interior = bs.slice(1, nb)
+        val binCol = arrAgg(array(interior.map(lit): _*), lit(0),
+          (acc, b) => acc + when(col(c).cast("double") > b, 1).otherwise(0))
+        val ndvByBin = df0.filter(col(c).isNotNull)
+          .groupBy(binCol.as("_b"))
+          .agg(approx_count_distinct(col(c)).as("_ndv"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val height = nonNull.toDouble / nb
+        val bins = (0 until nb).map(b =>
+          s"${bs(b)},${bs(b + 1)},${ndvByBin.getOrElse(b, 1L)}")
+        Some(s"hist/$c" -> s"$height|${bins.mkString(";")}")
+      }
+    }.toMap
+  }
+
+  /** The ANALYZE-committed equi-height histograms (X93):
+    * column → (bin height, bins as (lo, hi, ndv)). */
+  def columnHistograms(asOf: Option[Long] = None)
+      : Map[String, (Double, Seq[(Double, Double, Long)])] =
+    metaChannelOf(commitsAsOf(asOf), "hist/").view.mapValues { v =>
+      val Array(h, binsStr) = v.split("\\|", 2)
+      val bins = binsStr.split(";").toIndexedSeq.map { b =>
+        val Array(lo, hi, n) = b.split(",", 3)
+        (lo.toDouble, hi.toDouble, n.toLong)
+      }
+      (h.toDouble, bins: Seq[(Double, Double, Long)])
+    }.toMap
 
   /** Column NDV estimates (X88): per `graft.ndvColumns` column, the
     * estimate of the running HLL sketch folded at every commit. An
@@ -4182,7 +4260,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         .repartitionByRange(nFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     write(df, "replace", partitionBy, Map.empty, partitionFilter,
-      Map.empty, None,
+      // logical no-op marker (the Delta dataChange=false analog, X94):
+      // compaction rewrites the CURRENT rows unchanged (standing dv
+      // deletes materialize, but those rows were already emitted as
+      // deletes by their own dv commits), so the change feed skips
+      // the commit without reading a byte of the rewrite
+      Map(IncrementalTable.MaintenanceKey -> "1"), None,
       statsColumns = (statsColumns ++ zorderBy).distinct,
       bloomColumns = bloomColumns)
   }
@@ -4204,7 +4287,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     if (files.isEmpty) return None
     write(filesDf(files, committedSchemaAt(), liveDv(), columnMapping(),
         keepRowId = rowTracked).repartition(targetFiles), "replace",
-      committedPartitionBy, Map.empty, Map.empty, Map.empty, None,
+      committedPartitionBy, Map.empty, Map.empty,
+      Map(IncrementalTable.MaintenanceKey -> "1"), None,
       statsColumns = statsColumns, removeExact = Some(files))
   }
 
@@ -4549,6 +4633,12 @@ object IncrementalTable {
     * the channel's running sketch. datasketches-java is the library
     * Spark's own `hll_sketch_agg` builds on, so the bytes round-trip;
     * lgMaxK 12 matches the aggregate's default. */
+  /** Commit-meta marker for logical no-op maintenance rewrites (X94,
+    * the Delta `dataChange=false` analog): compact/compactWhere stamp
+    * it so the change feed skips the commit without reading the
+    * rewrite. Refresh/restore/DML replaces never carry it. */
+  private[graft] val MaintenanceKey = "maintenance/rewrite"
+
   /** The input types Spark's `hll_sketch_agg` accepts (ADVICE r9):
     * anything else in `graft.ndvColumns` is skipped with a warning
     * instead of failing every write on the table. */

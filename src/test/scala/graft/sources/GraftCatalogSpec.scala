@@ -732,4 +732,41 @@ class GraftCatalogSpec extends SparkSpec {
       .filter(col("key") === "graft.spec.evolved").count() == 1)
     ()
   }
+
+  test("runtime filtering (DPP): a dim filter prunes fact FILES with no static fact predicate") {
+    // the VERDICT r9 #4 shape: a star-join where the only selective
+    // predicate lives on the DIM side — the skipping index used to see
+    // nothing (static pushdown only), so the fact scanned all files
+    spark.sql(s"CREATE TABLE $cat.lake.rtf_fact (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.statsColumns'='k')")
+    // four k-clustered file generations, disjoint ranges
+    Seq((0, 100), (100, 200), (200, 300), (300, 400)).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO $cat.lake.rtf_fact " +
+        s"SELECT /*+ COALESCE(1) */ id, id * 3 FROM range($lo, $hi)")
+    }
+    spark.sql(s"CREATE TABLE $cat.lake.rtf_dim (dk BIGINT, name STRING)")
+    spark.sql(s"INSERT INTO $cat.lake.rtf_dim VALUES " +
+      "(5, 'one'), (7, 'one'), (150, 'two'), (250, 'three'), (350, 'four')")
+    val root = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/rtf_fact"
+    val q = s"SELECT f.k, f.v FROM $cat.lake.rtf_fact f " +
+      s"JOIN $cat.lake.rtf_dim d ON f.k = d.dk WHERE d.name = 'one'"
+    val out = spark.sql(q).as[(Long, Long)].collect().toSeq.sorted
+    // exact result, no static fact predicate anywhere
+    assert(out == Seq((5L, 15L), (7L, 21L)), out.toString)
+    val scan = GraftRelation.lastScan(root).get
+    assert(scan.filesLive == 4, scan.toString)
+    // the dim's materialized keys {5,7} reached the fact scan as a
+    // runtime In-filter and dropped the other three file generations
+    assert(scan.filesScanned == 1,
+      s"runtime filter did not prune fact files: $scan")
+    // ...through Spark's own DPP machinery on the BatchScan node
+    val plan = spark.sql(q).queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"), plan)
+    // and the result is identical through the V1 escape hatch
+    spark.conf.set("spark.graft.catalog.v1scan", "true")
+    try {
+      val v1 = spark.sql(q).as[(Long, Long)].collect().toSeq.sorted
+      assert(v1 == out)
+    } finally spark.conf.unset("spark.graft.catalog.v1scan")
+  }
 }

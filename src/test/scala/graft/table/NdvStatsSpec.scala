@@ -161,4 +161,65 @@ class NdvStatsSpec extends SparkSpec {
     // and the answer is the same either way
     assert(spark.sql(q).as[Long].head == 20000000L)
   }
+
+  test("histograms (X93): a skewed equality flips a join order NDV-uniform gets wrong") {
+    // ha.s is Zipfian-shaped: value 0 holds 19,900 of 20,000 rows,
+    // values 1..100 one row each — NDV(s)=101, so the uniform estimate
+    // for s=0 is rows/ndv ~ 198 while the truth is ~19,900 (100x off,
+    // in the direction that picks the WRONG first join)
+    spark.sql(s"CREATE TABLE $cat.lake.ha (s BIGINT, j BIGINT) " +
+      "TBLPROPERTIES ('graft.ndvColumns'='s,j', 'graft.statsColumns'='s')")
+    spark.sql(s"INSERT INTO $cat.lake.ha " +
+      "SELECT CASE WHEN id < 19900 THEN 0L ELSE id - 19899 END, " +
+      "CAST(id % 1000 AS BIGINT) FROM range(20000)")
+    spark.sql(s"CREATE TABLE $cat.lake.hb (j BIGINT, m BIGINT) " +
+      "TBLPROPERTIES ('graft.ndvColumns'='j,m', 'graft.statsColumns'='j')")
+    spark.sql(s"INSERT INTO $cat.lake.hb SELECT id, id FROM range(1000)")
+    spark.sql(s"CREATE TABLE $cat.lake.hc (m BIGINT) " +
+      "TBLPROPERTIES ('graft.ndvColumns'='m', 'graft.statsColumns'='m')")
+    spark.sql(s"INSERT INTO $cat.lake.hc SELECT id FROM range(1000)")
+    val q = s"SELECT count(*) FROM $cat.lake.ha a " +
+      s"JOIN $cat.lake.hb b ON a.j = b.j " +
+      s"JOIN $cat.lake.hc c ON b.m = c.m WHERE a.s = 0"
+    def leafOrder(): Seq[String] = {
+      val prevC = spark.conf.get("spark.sql.cbo.enabled")
+      val prevR = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      try spark.sql(q).queryExecution.optimizedPlan.collectLeaves()
+        .map(_.toString)
+        .map { s =>
+          if (s.contains("ha")) "a" else if (s.contains("hb")) "b"
+          else if (s.contains("hc")) "c" else "?"
+        }
+      finally {
+        spark.conf.set("spark.sql.cbo.enabled", prevC)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevR)
+      }
+    }
+    // estimates: |σ(a)⋈b| scales with the s=0 estimate (~198 uniform vs
+    // ~19,700 histogram) while |b⋈c| is fixed at 1,000 — so NDV-uniform
+    // joins the (supposedly tiny) filtered a first...
+    val uniform = leafOrder()
+    assert(uniform.indexOf("a") == 0, uniform.toString)
+    // ...and ANALYZE's equi-height histogram (percentile-bound bins:
+    // ~63 of 64 pinned at [0,0]) corrects the selectivity, flipping the
+    // plan to (b⋈c) first with the 19,900-row a joined LAST
+    spark.sql(s"CALL $cat.system.analyze('lake.ha')")
+    val t = IncrementalTable(spark, s"$wh/lake/ha")
+    val hist = t.columnHistograms().get("s")
+    assert(hist.isDefined, "ANALYZE did not commit a histogram for s")
+    assert(hist.get._2.count(b => b._1 == 0.0 && b._2 == 0.0) >= 32,
+      s"skew not captured: ${hist.get._2.take(5)}...")
+    val skewAware = leafOrder()
+    assert(skewAware.indexOf("a") > skewAware.indexOf("b") &&
+      skewAware.indexOf("a") > skewAware.indexOf("c"),
+      s"histogram did not flip the join order: $skewAware")
+    // exactness is untouched by planning: 19,900 a-rows x 1:1 joins
+    assert(spark.sql(q).as[Long].head == 19900L)
+    // histograms follow RENAME like every logically-keyed channel
+    t.renameColumn("s", "sk")
+    assert(t.columnHistograms().contains("sk"))
+    assert(!t.columnHistograms().contains("s"))
+  }
 }
