@@ -73,6 +73,33 @@ object QueriesDedup {
         .orderBy($"doc_id")
     }),
 
+    // ---- streaming NEAR-dup dedup with a persisted LSH index (X95) ----
+    // The near-dup twin of q90: documents arrive in two commits; a
+    // MinHashDedupStream maintains (a) the deduped corpus and (b) a
+    // banded-signature INDEX table from the commit log. Each batch
+    // probes the index on (band, bkey) for candidates against the KEPT
+    // corpus (never re-banded, never all-pairs), exact-verifies at
+    // Jaccard >= tau, and collapses its own near-dup clusters to their
+    // min-id representative (connected components). The oracle replays
+    // the same two-phase arrival relationally: per-batch transitive
+    // closure over the exact q22 pair graph + cross-batch drops against
+    // the first batch's keepers — hash-exact because the 16x4 banding's
+    // measured recall on this corpus is 1.0 (the q23 contract).
+    "q148_minhash_dedup_stream" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q148_")
+      val up = graft.table.IncrementalTable(s, s"$tmp/docs/v1")
+      val down = graft.table.IncrementalTable(s, s"$tmp/kept/v1")
+      val idx = graft.table.IncrementalTable(s, s"$tmp/bands/v1")
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text", $"source")
+      up.append(docs.filter($"doc_id" % 2 === 0), partitionBy = Nil)
+      up.append(docs.filter($"doc_id" % 2 === 1), partitionBy = Nil)
+      val st = new graft.streaming.MinHashDedupStream(up, down, idx,
+        n = N, tau = Tau)
+      st.drain()
+      down.read().select($"doc_id", $"source").orderBy($"doc_id")
+    }),
+
     // ---- Hamming-1 fuzzy pairs via deletion-neighborhood blocking ----
     // The scalable plan for edit-distance-1 matching on fixed-length
     // keys (IDs, codes, fixed-format names): each string explodes to L
@@ -174,7 +201,68 @@ object QueriesDedup {
        |SELECT id AS doc_id, MIN(r) AS component
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** q148: the two-phase near-dup arrival replayed relationally —
+    * batch 1 (even ids) collapses its components to min-id reps;
+    * batch 2 (odd ids) first drops docs pairing with a batch-1
+    * KEEPER, then collapses its own remaining components. */
+  private val neardupStreamSql =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS w
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM w),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS li,
+       |    CAST(len(a.sh) AS BIGINT) AS na, CAST(len(b.sh) AS BIGINT) AS nb
+       |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM p
+       |  WHERE CAST(li AS DOUBLE) / (na + nb - li) >= $Tau),
+       |e1 AS (
+       |  SELECT a_id AS s, b_id AS d FROM pairs
+       |  WHERE a_id % 2 = 0 AND b_id % 2 = 0
+       |  UNION ALL SELECT b_id, a_id FROM pairs
+       |  WHERE a_id % 2 = 0 AND b_id % 2 = 0),
+       |reach1(id, r) AS (
+       |  SELECT s, s FROM e1
+       |  UNION
+       |  SELECT reach1.id, e1.d FROM reach1 JOIN e1 ON reach1.r = e1.s),
+       |comp1 AS (SELECT id, MIN(r) AS c FROM reach1 GROUP BY id),
+       |kept1 AS (
+       |  SELECT doc_id FROM documents LEFT JOIN comp1 ON doc_id = comp1.id
+       |  WHERE doc_id % 2 = 0 AND (comp1.id IS NULL OR comp1.c = doc_id)),
+       |drop2 AS (
+       |  SELECT b_id AS doc_id FROM pairs
+       |    JOIN kept1 ON pairs.a_id = kept1.doc_id WHERE b_id % 2 = 1
+       |  UNION
+       |  SELECT a_id FROM pairs
+       |    JOIN kept1 ON pairs.b_id = kept1.doc_id WHERE a_id % 2 = 1),
+       |s2 AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+       |    AND doc_id NOT IN (SELECT doc_id FROM drop2)),
+       |e2 AS (
+       |  SELECT a_id AS s, b_id AS d FROM pairs
+       |  WHERE a_id IN (SELECT doc_id FROM s2) AND b_id IN (SELECT doc_id FROM s2)
+       |  UNION ALL SELECT b_id, a_id FROM pairs
+       |  WHERE a_id IN (SELECT doc_id FROM s2) AND b_id IN (SELECT doc_id FROM s2)),
+       |reach2(id, r) AS (
+       |  SELECT s, s FROM e2
+       |  UNION
+       |  SELECT reach2.id, e2.d FROM reach2 JOIN e2 ON reach2.r = e2.s),
+       |comp2 AS (SELECT id, MIN(r) AS c FROM reach2 GROUP BY id),
+       |kept2 AS (
+       |  SELECT s2.doc_id FROM s2 LEFT JOIN comp2 ON s2.doc_id = comp2.id
+       |  WHERE comp2.id IS NULL OR comp2.c = s2.doc_id)
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id IN (SELECT doc_id FROM kept1)
+       |   OR doc_id IN (SELECT doc_id FROM kept2)
+       |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q148_minhash_dedup_stream" -> neardupStreamSql,
     "q68_dedup_components" -> componentsSql,
     "q67_fuzzy_pairs" -> oracleSqlFuzzy,
     "q21_dedup_exact" ->

@@ -115,21 +115,22 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash+LSH near-dup pairs: `perms` seeded hash permutations
-    * (xxhash64 salted by permutation index), banded into `perms/r`
-    * buckets of `r` rows each; docs colliding on a full band become
-    * candidates, then exact-verified at `tau`. */
-  def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
-                      n: Int, tau: Double, perms: Int = 64, r: Int = 4): DataFrame = {
-    val e = edges(docs, id, TextOps.wordShingles(text, n))
-    // Wide one-pass signature in ONE native aggregate (long[64] buffer,
-    // map-side partial merge) — NO perms× row explosion (the naive
-    // explode shuffles |edges|×perms rows; 96M at sf0.1), and no 64
-    // separate min() buffer columns (past 50 slots HashAggregate drops
-    // its fast hash map). Permutation hashes are the 2-universal
-    // h1 + i*h2 family (Broder), so each edge row pays TWO shingle
-    // hashes + 64 adds instead of 64 seeded xxhash64 passes.
+  /** Banded LSH keys per doc: `(did, band, bkey)` — the 64-perm
+    * minhash signature sliced into `perms/r` md5 band keys. Pure
+    * per-doc, so incremental batches band independently: this is the
+    * INDEX UNIT the streaming near-dup dedup persists (X95).
+    *
+    * Wide one-pass signature in ONE native aggregate (long[64] buffer,
+    * map-side partial merge) — NO perms× row explosion (the naive
+    * explode shuffles |edges|×perms rows; 96M at sf0.1), and no 64
+    * separate min() buffer columns (past 50 slots HashAggregate drops
+    * its fast hash map). Permutation hashes are the 2-universal
+    * h1 + i*h2 family (Broder), so each edge row pays TWO shingle
+    * hashes + 64 adds instead of 64 seeded xxhash64 passes. */
+  def minhashBands(docs: DataFrame, id: Column, text: Column,
+      n: Int, perms: Int = 64, r: Int = 4): DataFrame = {
     require(perms == 64, s"minhash_agg is fixed at 64 permutations, got $perms")
+    val e = edges(docs, id, TextOps.wordShingles(text, n))
     val sig = e.groupBy(col("did")).agg(
       call_function("minhash_agg", xxhash64(col("sh")),
         xxhash64(col("sh"), lit(0x9E3779B97F4A7C15L))).as("sig"))
@@ -140,8 +141,17 @@ object Dedup {
             element_at(col("sig"), i + 1)): _*)
           .cast("binary")).as("bkey"))
     }: _*)
-    val bands = sig.select(col("did"), explode(bandCol).as("bk"))
+    sig.select(col("did"), explode(bandCol).as("bk"))
       .select(col("did"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** MinHash+LSH near-dup pairs: `perms` seeded hash permutations
+    * (xxhash64 salted by permutation index), banded into `perms/r`
+    * buckets of `r` rows each; docs colliding on a full band become
+    * candidates, then exact-verified at `tau`. */
+  def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
+                      n: Int, tau: Double, perms: Int = 64, r: Int = 4): DataFrame = {
+    val bands = minhashBands(docs, id, text, n, perms, r)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.did") < col("y.did"))

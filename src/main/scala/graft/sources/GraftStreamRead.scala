@@ -188,7 +188,12 @@ final class GraftMicroBatchStream(spark: SparkSession, table: IncrementalTable,
       val window = table.windowCommits(from, to)
       if (!skipChangeCommits) window.foreach { c =>
         require(c.action == "append" || c.action == "meta" ||
-            c.action == "dvmerge",
+            c.action == "dvmerge" ||
+            // maintenance rewrites (X94): a compaction preserves the
+            // logical rows — it never breaks the append-only contract
+            (c.action == "replace" && c.meta
+              .get(graft.table.IncrementalTable.MaintenanceKey)
+              .contains("1")),
           s"graft streaming source requires append-only history: version " +
             s"${c.version} is '${c.action}' — stream the change feed " +
             "(option readChangeFeed) or the library's rebuild-aware streams")

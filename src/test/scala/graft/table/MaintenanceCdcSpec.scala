@@ -59,4 +59,58 @@ class MaintenanceCdcSpec extends SparkSpec {
     assert(cw.meta.get("maintenance/rewrite").contains("1"))
     assert(t2.changes(cw.version, cw.version).count() == 0)
   }
+
+  test("stream consumers skip maintenance rewrites — no downstream recompute") {
+    val tmp = tmpDir("mcdc_ds")
+    val up = IncrementalTable(spark, s"$tmp/up")
+    val down = IncrementalTable(spark, s"$tmp/down")
+    up.append(spark.range(0, 30).toDF("id"), Nil)
+    up.append(spark.range(30, 60).toDF("id"), Nil)
+    val stream = new graft.streaming.DerivedStream(up, down, Nil,
+      df => df.select((col("id") * 2).as("d")), "m")
+    assert(stream.drain() == 2)
+    val dver = down.latestVersion
+    // compaction upstream: pre-X94 this forced a FULL downstream
+    // replace-recompute; now nothing is pending
+    up.compact(targetFiles = 1)
+    assert(stream.drain() == 0, "compaction triggered a derived recompute")
+    down.refresh()
+    assert(down.latestVersion == dver)
+    assert(down.read().count() == 60)
+    // a real append after the compaction still flows incrementally
+    up.append(spark.range(60, 70).toDF("id"), Nil)
+    assert(stream.drain() == 1)
+    assert(down.read().count() == 70)
+  }
+
+  test("plain streaming source streams THROUGH a compaction: no error, no duplicates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir("mcdc_src")
+    val t = IncrementalTable(spark, s"$root/t")
+    t.append(spark.range(0, 20).toDF("id"), Nil)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(s"$root/t")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(_.getLong(0))
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(got.sorted.toSeq == (0L until 20L))
+    // compaction mid-stream: pre-X94 the source REFUSED the history
+    // (append-only contract) without skipChangeCommits; the marked
+    // rewrite now passes and its files are NOT re-emitted
+    t.compact(targetFiles = 1)
+    t.append(spark.range(20, 25).toDF("id"), Nil)
+    drain()
+    assert(got.sorted.toSeq == (0L until 25L),
+      s"compaction duplicated or dropped rows: ${got.sorted.toSeq.size} rows")
+  }
 }
