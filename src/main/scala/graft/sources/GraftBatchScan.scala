@@ -71,9 +71,22 @@ private[graft] final class GraftBatchScan(spark: SparkSession,
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(f => GraftRelation.translate(f).isDefined)
 
+  // one prune + plan per distinct filter set: BatchScanExec may ask for
+  // partitions both before and after runtime filters arrive (and AQE
+  // may re-ask) — the skipping-index prune is a metadata job on
+  // checkpointed tables and must not re-run per ask
+  @transient private lazy val planMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[InputPartition]]()
+
   override def planInputPartitions(): Array[InputPartition] = {
+    val all = pushed ++ runtime
+    planMemo.computeIfAbsent(all.map(_.toString).sorted.mkString("&"),
+      _ => planPartitions(all))
+  }
+
+  private def planPartitions(all: Array[Filter]): Array[InputPartition] = {
     val df = GraftRelation.scanDf(table, asOf,
-      required.fieldNames.toIndexedSeq, (pushed ++ runtime).toIndexedSeq)
+      required.fieldNames.toIndexedSeq, all.toIndexedSeq)
     val rdd = df.queryExecution.toRdd
     // Populate every node's dependency chain on the DRIVER — the walk
     // the DAGScheduler does for its own stages. UnionRDD.compute (an

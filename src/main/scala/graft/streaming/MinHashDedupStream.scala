@@ -78,8 +78,26 @@ final class MinHashDedupStream(
   def drain(): Int = {
     up.refresh()
     val from = sourceVersion
-    val pending = up.commits().filter(c =>
-      c.version > from && c.action == "append" && c.add.nonEmpty)
+    val window = up.commits().filter(_.version > from)
+    // Append-only contract, enforced LOUDLY: a replace/dv upstream
+    // would invalidate the kept set (a kept doc's text may change or
+    // vanish under the index), and a checkpoint in the window means
+    // the consumer lagged past log compaction (appends folded away).
+    // Silently skipping either diverges; fail with guidance instead.
+    window.foreach { c =>
+      require(c.action == "append" || c.action == "meta" ||
+          c.action == "dvmerge" ||
+          (c.action == "replace" &&
+            c.meta.get(IncrementalTable.MaintenanceKey).contains("1")),
+        s"MinHashDedupStream($name) requires an append-only upstream: " +
+          s"version ${c.version} is '${c.action}'" +
+          (if (c.action == "checkpoint")
+            " — the consumer lagged past log compaction; rebuild the " +
+              "dedup output and index from the current snapshot"
+          else " — rebuild from the current snapshot after row-level " +
+            "changes"))
+    }
+    val pending = window.filter(c => c.action == "append" && c.add.nonEmpty)
     pending.foreach { c =>
       val batch = up.readCommit(c.version).localCheckpoint(true)
       // band ONCE per batch (the signature aggregate is the expensive

@@ -68,6 +68,26 @@ class MinHashDedupStreamSpec extends SparkSpec {
     assert(down.read().count() == kept.size, "a near-dup of a kept doc got in")
   }
 
+  test("append-only contract: maintenance rewrites tolerated, data rewrites refused loudly") {
+    val tmp = tmpDir("mhds_ct")
+    val (up, down, _, st) = build(tmp)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text", $"source")
+      .filter($"doc_id" < 100)
+    up.append(docs, Nil)
+    assert(st.drain() == 1)
+    val kept = down.read().count()
+    // a compaction upstream is a logical no-op (X94 marker): no error,
+    // nothing pending, output untouched
+    up.compact(targetFiles = 1)
+    assert(st.drain() == 0)
+    assert(down.read().count() == kept)
+    // a REAL rewrite invalidates the kept set: refuse with guidance
+    // instead of silently diverging
+    up.replaceWhere(docs.limit(1), Nil, Map.empty, Map.empty)
+    val e = intercept[IllegalArgumentException](st.drain())
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
   test("determinism: two independent runs produce identical kept sets") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text", $"source")
     def run(): Seq[Long] = {
