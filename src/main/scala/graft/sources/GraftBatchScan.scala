@@ -4,10 +4,12 @@ import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
 
 import graft.table.IncrementalTable
 
@@ -47,6 +49,7 @@ private[graft] final class GraftBatchScan(spark: SparkSession,
     readOptions: Map[String, String] = Map.empty)
     extends Scan with Batch
     with SupportsRuntimeFiltering
+    with SupportsReportPartitioning
     with SupportsReportStatistics {
 
   // stats + streaming: the V1 scan is the single home of both
@@ -61,12 +64,97 @@ private[graft] final class GraftBatchScan(spark: SparkSession,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  // ---- storage-partitioned joins (X96) --------------------------------
+  // When the user opts into Spark's v2 bucketing
+  // (`spark.sql.sources.v2.bucketing.enabled=true`), a scan of an
+  // IDENTITY-partitioned graft table reports KeyGroupedPartitioning and
+  // plans one task group per partition directory — two graft tables
+  // co-partitioned on the join key then join with NO shuffle on either
+  // side (Spark's storage-partitioned join). v1 scope: integral
+  // partition columns (dir tokens parse unambiguously to the exact
+  // values Spark's own partition discovery restores on read); hidden
+  // transforms, string/date dirs, and the null-partition dir fall back
+  // to the unpartitioned plan. Per-group plans reuse ONE prune — the
+  // group map is the survivor list split by dir tokens.
+  private case class SpjPlan(keyCols: Seq[String],
+      groups: Seq[(InternalRow, Seq[String])],
+      pred: Option[org.apache.spark.sql.Column])
+
+  @transient private lazy val spjPlan: Option[SpjPlan] = {
+    val armed = spark.conf
+      .getOption("spark.sql.sources.v2.bucketing.enabled")
+      .exists(_.toBoolean)
+    if (!armed) None
+    else {
+      val pcols = table.partitionColumns
+      val schema = table.schemaAt(asOf)
+      if (pcols.isEmpty || table.partitionTransforms(asOf).nonEmpty ||
+          schema.isEmpty) None
+      else {
+        val types = pcols.map(c => schema.get.fields.find(_.name == c)
+          .map(_.dataType))
+        val integral = types.forall {
+          case Some(ByteType | ShortType | IntegerType | LongType) => true
+          case _ => false
+        }
+        if (!integral) None
+        else {
+          val (pred, files) = GraftRelation.pruneFiles(table, asOf,
+            pushed.toIndexedSeq)
+          val maxGroups = spark.conf
+            .getOption("spark.graft.spjMaxPartitions")
+            .map(_.toInt).getOrElse(1024)
+          val parsed = files.map { f =>
+            val segs = IncrementalTable.hiveSegments(f)
+            val vals = pcols.zip(types).map { case (c, t) =>
+              segs.get(c).filter(_.forall(ch => ch.isDigit || ch == '-'))
+                .map { s =>
+                  t.get match {
+                    case ByteType => java.lang.Byte.valueOf(s.toByte)
+                    case ShortType => java.lang.Short.valueOf(s.toShort)
+                    case IntegerType => java.lang.Integer.valueOf(s.toInt)
+                    case _ => java.lang.Long.valueOf(s.toLong)
+                  }
+                }
+            }
+            f -> vals
+          }
+          // any file missing a typed token (pre-evolution layout, null
+          // partition dir) disarms — grouping must be total and exact
+          if (parsed.exists(_._2.exists(_.isEmpty)) ||
+              parsed.map(_._2).distinct.size > maxGroups) None
+          else {
+            val groups = parsed.groupBy(_._2).toSeq
+              .sortBy(_._1.map(_.get.toString).mkString("/"))
+              .map { case (vals, fs) =>
+                (new GenericInternalRow(
+                  vals.map(_.get.asInstanceOf[Any]).toArray): InternalRow,
+                  fs.map(_._1))
+              }
+            Some(SpjPlan(pcols, groups, pred))
+          }
+        }
+      }
+    }
+  }
+
+  override def outputPartitioning(): Partitioning = spjPlan match {
+    case Some(p) =>
+      new KeyGroupedPartitioning(
+        p.keyCols.map(c => Expressions.identity(c)).toArray,
+        planInputPartitions().length)
+    case None => new UnknownPartitioning(0)
+  }
+
   /** Every scanned column is fair game: the file prune is
     * conservative for columns the skipping index has no stats for
     * (they just don't drop files), and the row-level re-apply makes
-    * any translated runtime filter exact. */
+    * any translated runtime filter exact. Under SPJ, runtime
+    * filtering is disabled — Spark requires the key grouping to be
+    * stable across runtime re-planning. */
   override def filterAttributes(): Array[NamedReference] =
-    required.fieldNames.map(Expressions.column)
+    if (spjPlan.isDefined) Array.empty
+    else required.fieldNames.map(Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(f => GraftRelation.translate(f).isDefined)
@@ -81,7 +169,30 @@ private[graft] final class GraftBatchScan(spark: SparkSession,
   override def planInputPartitions(): Array[InputPartition] = {
     val all = pushed ++ runtime
     planMemo.computeIfAbsent(all.map(_.toString).sorted.mkString("&"),
-      _ => planPartitions(all))
+      _ => spjPlan match {
+        case Some(p) => planKeyed(p)
+        case None => planPartitions(all)
+      })
+  }
+
+  /** One sub-plan per partition-dir group, every wrapped partition
+    * carrying its group's key row — what BatchScanExec's key grouping
+    * consumes. Reuses the single prune (the group map IS the survivor
+    * list); runtime filters are off in this mode. */
+  private def planKeyed(p: SpjPlan): Array[InputPartition] = {
+    val cols = required.fieldNames.toIndexedSeq
+    p.groups.flatMap { case (key, files) =>
+      val df = GraftRelation.scanDf(table, asOf, cols,
+        pushed.toIndexedSeq, Some((p.pred, files)))
+      val rdd = df.queryExecution.toRdd
+      forceDeps(rdd)
+      rdd.partitions.map(sp => GraftKeyedRddPartition(rdd, sp, key))
+    }.toArray
+  }
+
+  private def forceDeps(r: RDD[_]): Unit = {
+    r.partitions
+    r.dependencies.foreach(d => forceDeps(d.rdd))
   }
 
   private def planPartitions(all: Array[Filter]): Array[InputPartition] = {
@@ -95,11 +206,7 @@ private[graft] final class GraftBatchScan(spark: SparkSession,
     // child `.partitions` — driver-only state (FileScanRDD's
     // filePartitions is transient). With deps cached before
     // serialization, executors never recompute them.
-    def force(r: RDD[_]): Unit = {
-      r.partitions
-      r.dependencies.foreach(d => force(d.rdd))
-    }
-    force(rdd)
+    forceDeps(rdd)
     rdd.partitions.map(p => GraftRddPartition(rdd, p))
   }
 
@@ -128,18 +235,32 @@ private[sources] final case class GraftRddPartition(
     rdd: RDD[InternalRow], split: org.apache.spark.Partition)
     extends InputPartition
 
+/** [[GraftRddPartition]] plus the partition-dir key row — the
+  * `HasPartitionKey` unit Spark's storage-partitioned join groups
+  * tasks by (X96). */
+private[sources] final case class GraftKeyedRddPartition(
+    rdd: RDD[InternalRow], split: org.apache.spark.Partition,
+    key: InternalRow)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 private[sources] object GraftRddReaderFactory extends PartitionReaderFactory {
+  private def over(rdd: RDD[InternalRow],
+      split: org.apache.spark.Partition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = rdd.iterator(split, TaskContext.get())
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case GraftRddPartition(rdd, split) =>
-        new PartitionReader[InternalRow] {
-          private val it = rdd.iterator(split, TaskContext.get())
-          private var cur: InternalRow = _
-          override def next(): Boolean =
-            if (it.hasNext) { cur = it.next(); true } else false
-          override def get(): InternalRow = cur
-          override def close(): Unit = ()
-        }
+      case GraftRddPartition(rdd, split) => over(rdd, split)
+      case GraftKeyedRddPartition(rdd, split, _) => over(rdd, split)
       case other => throw new IllegalStateException(
         s"unexpected partition type ${other.getClass}")
     }
