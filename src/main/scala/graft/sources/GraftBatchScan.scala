@@ -76,7 +76,8 @@ private[graft] final class GraftBatchScan(spark: SparkSession,
   // transforms, string/date dirs, and the null-partition dir fall back
   // to the unpartitioned plan. Per-group plans reuse ONE prune — the
   // group map is the survivor list split by dir tokens.
-  private case class SpjPlan(keyCols: Seq[String],
+  private case class SpjPlan(
+      keys: Array[org.apache.spark.sql.connector.expressions.Expression],
       groups: Seq[(InternalRow, Seq[String])],
       pred: Option[org.apache.spark.sql.Column])
 
@@ -88,17 +89,44 @@ private[graft] final class GraftBatchScan(spark: SparkSession,
     else {
       val pcols = table.partitionColumns
       val schema = table.schemaAt(asOf)
-      if (pcols.isEmpty || table.partitionTransforms(asOf).nonEmpty ||
-          schema.isEmpty) None
+      if (pcols.isEmpty || schema.isEmpty) None
       else {
-        val types = pcols.map(c => schema.get.fields.find(_.name == c)
-          .map(_.dataType))
-        val integral = types.forall {
-          case Some(ByteType | ShortType | IntegerType | LongType) => true
-          case _ => false
+        val transforms = table.partitionTransforms(asOf)
+        // per partition column: the reported V2 key expression + the
+        // dir-token parser producing the exact catalyst value the key
+        // row must carry. Identity integral columns report identity(c)
+        // in the column's type; bucket(n, base) dirs report the
+        // bucket transform (resolved through the catalog's
+        // FunctionCatalog, semantics pinned == the write router) with
+        // an Int bucket-number key. Anything else disarms.
+        type Spec = (org.apache.spark.sql.connector.expressions.Expression,
+          String => Option[Any])
+        def integralParse(dt: org.apache.spark.sql.types.DataType)
+            : String => Option[Any] = s =>
+          if (s.nonEmpty && s.forall(ch => ch.isDigit || ch == '-'))
+            scala.util.Try[Any](dt match {
+              case ByteType => java.lang.Byte.valueOf(s.toByte)
+              case ShortType => java.lang.Short.valueOf(s.toShort)
+              case IntegerType => java.lang.Integer.valueOf(s.toInt)
+              case _ => java.lang.Long.valueOf(s.toLong)
+            }).toOption
+          else None
+        val specs: Seq[Option[Spec]] = pcols.map { c =>
+          transforms.get(c) match {
+            case None =>
+              schema.get.fields.find(_.name == c).map(_.dataType).collect {
+                case dt @ (ByteType | ShortType | IntegerType | LongType) =>
+                  (Expressions.identity(c), integralParse(dt))
+              }
+            case Some(b: graft.table.PartitionTransform.Bucket) =>
+              Some((Expressions.bucket(b.n, b.base),
+                integralParse(IntegerType)))
+            case Some(_) => None
+          }
         }
-        if (!integral) None
+        if (specs.exists(_.isEmpty)) None
         else {
+          val parsers = specs.map(_.get._2)
           val (pred, files) = GraftRelation.pruneFiles(table, asOf,
             pushed.toIndexedSeq)
           val maxGroups = spark.conf
@@ -106,18 +134,9 @@ private[graft] final class GraftBatchScan(spark: SparkSession,
             .map(_.toInt).getOrElse(1024)
           val parsed = files.map { f =>
             val segs = IncrementalTable.hiveSegments(f)
-            val vals = pcols.zip(types).map { case (c, t) =>
-              segs.get(c).filter(_.forall(ch => ch.isDigit || ch == '-'))
-                .map { s =>
-                  t.get match {
-                    case ByteType => java.lang.Byte.valueOf(s.toByte)
-                    case ShortType => java.lang.Short.valueOf(s.toShort)
-                    case IntegerType => java.lang.Integer.valueOf(s.toInt)
-                    case _ => java.lang.Long.valueOf(s.toLong)
-                  }
-                }
+            f -> pcols.zip(parsers).map { case (c, parse) =>
+              segs.get(c).flatMap(parse)
             }
-            f -> vals
           }
           // any file missing a typed token (pre-evolution layout, null
           // partition dir) disarms — grouping must be total and exact
@@ -131,7 +150,7 @@ private[graft] final class GraftBatchScan(spark: SparkSession,
                   vals.map(_.get.asInstanceOf[Any]).toArray): InternalRow,
                   fs.map(_._1))
               }
-            Some(SpjPlan(pcols, groups, pred))
+            Some(SpjPlan(specs.map(_.get._1).toArray, groups, pred))
           }
         }
       }
@@ -140,9 +159,7 @@ private[graft] final class GraftBatchScan(spark: SparkSession,
 
   override def outputPartitioning(): Partitioning = spjPlan match {
     case Some(p) =>
-      new KeyGroupedPartitioning(
-        p.keyCols.map(c => Expressions.identity(c)).toArray,
-        planInputPartitions().length)
+      new KeyGroupedPartitioning(p.keys, planInputPartitions().length)
     case None => new UnknownPartitioning(0)
   }
 

@@ -58,7 +58,18 @@ import graft.table.IncrementalTable
   * `InputPartition`.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
+
+  /** FunctionCatalog (X96): `bucket` is the one catalog function —
+    * Spark resolves scan-reported bucket transforms through it when
+    * validating storage-partitioned-join compatibility. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
 
   private var catalogName: String = _
   private var warehouse: String = _

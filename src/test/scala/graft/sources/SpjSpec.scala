@@ -71,6 +71,50 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("co-BUCKETED tables (hidden bucket transform) join with zero shuffles") {
+    // the canonical 100 TB shape: both sides bucket(8, k) — the scan
+    // reports the bucket transform, resolved through the catalog's
+    // FunctionCatalog (graft.bucket == the write-path murmur3 router)
+    spark.sql(s"CREATE TABLE $cat.lake.ba (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"CREATE TABLE $cat.lake.bb (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $cat.lake.ba SELECT id, id * 2 FROM range(400)")
+    spark.sql(s"INSERT INTO $cat.lake.bb SELECT id, id * 3 FROM range(400)")
+    val q = s"SELECT /*+ MERGE(a) */ count(*) AS n, sum(a.v + b.w) AS s " +
+      s"FROM $cat.lake.ba a JOIN $cat.lake.bb b ON a.k = b.k"
+    val base = spark.sql(q)
+    val expect = base.as[(Long, Long)].head()
+    base.collect()
+    assert(collectShuffles(base.queryExecution.executedPlan).nonEmpty)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val spj = spark.sql(q)
+      assert(spj.as[(Long, Long)].head() == expect, "bucket SPJ changed the answer")
+      spj.collect()
+      val shuffles = collectShuffles(spj.queryExecution.executedPlan)
+        .filterNot(_.toString.contains("SinglePartition")) // the 1-row final agg funnel
+      assert(shuffles.isEmpty,
+        s"expected a shuffle-free bucketed join, found:\n" +
+          shuffles.mkString("\n") + "\n" +
+          spj.queryExecution.executedPlan.toString)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
+  test("graft.bucket catalog function is bit-equal to the write-path router") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    val f = GraftBucketFunction.bind(
+      new StructType().add("n", IntegerType).add("c", LongType))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    val router = graft.table.PartitionTransform.Bucket(8, "k", LongType)
+    (-50L to 500L).foreach { v =>
+      assert(f.produceResult(InternalRow(8, v)).toString == router.eval(v),
+        s"divergence at $v")
+    }
+    assert(f.produceResult(InternalRow(8, null)) == null)
+  }
+
   test("SPJ disarms safely off the supported surface (transforms, strings, no opt-in)") {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     try {
