@@ -24,6 +24,26 @@ import graft.functions.{Dedup, TextOps, Vectors}
 object QueriesCuration {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- per-domain cap (C4/RefinedWeb-style source balancing) -------
+    // At most K docs per source, best-first: a handful of crawl domains
+    // otherwise dominate a pretraining mix. "Best" = longest text
+    // (ties by doc_id — deterministic on both engines); one window per
+    // source group, the standard rank-and-filter plan. Scale shape:
+    // shuffle keyed on source with map-side projection to (source,
+    // length, id) — never the text bytes; a skewed mega-domain is
+    // bounded by the per-partition TopK the rank filter plans to.
+    "q149_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source")
+        .orderBy(length($"text").desc, $"doc_id")
+      Tables.documents(s, dir)
+        .withColumn("cap_rank", row_number().over(w).cast("long"))
+        .filter($"cap_rank" <= 10)
+        .select($"doc_id", $"source", $"cap_rank")
+        .orderBy($"doc_id")
+    }),
+
     "q35_curation" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
@@ -75,6 +95,13 @@ object QueriesCuration {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q149_domain_cap" ->
+      """SELECT doc_id, source, cap_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY length(text) DESC, doc_id) AS BIGINT) AS cap_rank
+        |  FROM documents)
+        |WHERE cap_rank <= 10 ORDER BY doc_id""".stripMargin,
     "q35_curation" ->
       """WITH w AS (
         |  SELECT doc_id, lang, text,

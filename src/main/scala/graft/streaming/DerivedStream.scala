@@ -49,7 +49,15 @@ final class DerivedStream(
     partitionBy: Seq[String],
     transform: DataFrame => DataFrame,
     name: String = "src",
-    replayScope: Seq[String] = Seq("year", "month", "day"))
+    replayScope: Seq[String] = Seq("year", "month", "day"),
+    // X97: set when `transform` is ROW-WISE and KEY-PRESERVING on these
+    // downstream columns (each upstream row derives exactly the rows
+    // carrying its keys, independent of other rows). An upstream dv
+    // commit (row-level delete) then deletes the downstream rows by
+    // key — O(deleted rows), no recompute; the deleted keys come from
+    // the commit's own exact CDC delta run through `transform`. Unset
+    // (the default), dv commits take the sound recompute path.
+    keyedBy: Seq[String] = Nil)
     extends CommitConsumer {
 
   private val srcKey = s"src_version/$name"
@@ -85,6 +93,23 @@ final class DerivedStream(
       c.action match {
         case "append" =>
           down.append(transform(up.readCommit(c.version)), partitionBy,
+            meta = Map(srcKey -> c.version.toString),
+            batchId = Some(c.version), appId = Some(appId))
+        case "dv" if keyedBy.nonEmpty && down.exists =>
+          // X97: the dv commit IS its own exact delta — derive the
+          // deleted rows' downstream keys and delete by key,
+          // O(deleted rows), never a recompute. Replay-guarded like
+          // the append path.
+          val deletedRaw = up.changes(c.version, c.version)
+            .filter(org.apache.spark.sql.functions
+              .col("_change_type") === "delete")
+            .drop("_change_type", "_commit_version")
+          val keys = transform(deletedRaw)
+            .select(keyedBy.map(org.apache.spark.sql.functions.col): _*)
+          down.deleteInsert(keys, keyedBy,
+            org.apache.spark.sql.functions.lit(true),
+            inserts = down.read().limit(0),
+            partitionBy = partitionBy,
             meta = Map(srcKey -> c.version.toString),
             batchId = Some(c.version), appId = Some(appId))
         case _ => // replace | checkpoint: recompute the touched scopes

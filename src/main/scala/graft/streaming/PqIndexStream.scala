@@ -101,8 +101,12 @@ final class PqIndexStream(s: SparkSession, up: IncrementalTable,
     * returns how many were applied (0 = up to date / replay no-op). */
   def drain(): Int = {
     val cb = codebook()
+    // keyedBy (X97): encode is per-vector under the fixed codebook, so
+    // an upstream dv delete (forget-user over the embedding corpus)
+    // deletes exactly those vec_ids' code rows — O(deleted vectors),
+    // never a corpus re-encode
     new DerivedStream(up, down, Nil, encode(cb), s"pqidx-$name",
-      replayScope = Nil).drain()
+      replayScope = Nil, keyedBy = Seq("vec_id")).drain()
   }
 
   /** Serve `queries` (`vec_id`, `embedding`) from the maintained

@@ -62,6 +62,38 @@ class PqIndexSpec extends SparkSpec {
     assert(idx.codebook() == cb)
   }
 
+  test("upstream row-level deletes propagate by key — O(change), codes match a recompute") {
+    val tmp = tmpDir("pqidx_dv")
+    val up = IncrementalTable(spark, s"$tmp/emb/v1")
+    val down = IncrementalTable(spark, s"$tmp/idx/v1")
+    val e = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .filter($"vec_id" < 200)
+    up.append(e, Nil)
+    val idx = new PqIndexStream(spark, up, down)
+    idx.drain()
+    val cb = idx.codebook()
+    // forget-user shape: MOR delete of a vec_id slice upstream
+    up.deleteVectorized($"vec_id" % 10 === 0)
+    assert(idx.drain() == 1)
+    val served = down.read().select($"vec_id").as[Long].collect().toSet
+    assert(served == (0L until 200L).filter(_ % 10 != 0).toSet,
+      s"index kept deleted ids or lost live ones: ${served.size}")
+    // codes of the survivors are untouched (keyed delete, not re-encode)
+    val full = graft.QueriesSimilarity.pqCodes(spark, up.read(), cb)
+      .groupBy($"vec_id")
+      .agg(org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.array_sort(
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct($"sub", $"cid"))),
+        p => p.getField("cid")).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val have = down.read().select($"vec_id", $"codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(have == full)
+    // and the query path serves the post-delete corpus
+    assert(idx.query(up.read().filter($"vec_id" < 3)).count() > 0)
+  }
+
   test("drain replays are no-ops, across instances too; query never mutates") {
     val tmp = tmpDir("pqidx2")
     val up = IncrementalTable(spark, s"$tmp/emb/v1")
