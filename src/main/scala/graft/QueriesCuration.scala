@@ -24,6 +24,53 @@ import graft.functions.{Dedup, TextOps, Vectors}
 object QueriesCuration {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- write-audit-publish ingest (X98) -----------------------------
+    // The staged-ingest contract a production corpus needs: a risky
+    // crawl batch stages INVISIBLY (`stageAppend` — real files, no
+    // visible commit), the audit runs against the would-be table
+    // (`readWap`), the raw batch is rejected (`abortWap`), a
+    // quality-gated restage publishes in ONE O(metadata) commit
+    // (`publishWap`). Three legs pin the lifecycle relationally:
+    // `before` proves staging is invisible (pre-publish snapshot = base
+    // only), `audit` proves readWap sees the staged rows (per-lang
+    // reject counts computed FROM the audit frame), `after` is the
+    // published state. Scale shape: publish moves no data; the audit
+    // legs are per-lang aggregates (bounded rows); nothing corpus-sized
+    // touches the driver except the bounded audit-leg rows.
+    "q150_wap_publish" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q150_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/corpus/v1")
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+      t.append(docs.filter($"doc_id" % 3 =!= 0), partitionBy = Nil)
+      t.stageAppend(docs.filter($"doc_id" % 3 === 0), "crawl-raw")
+      def legOf(df: DataFrame, leg: String) = df.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+        .select(lit(leg).as("leg"), $"lang", $"n_docs", $"n_chars")
+      // staging is invisible: the pre-publish snapshot is base only
+      // (read() pins its live-file list eagerly, so the leg stays
+      // `before` even when evaluated after the publish below)
+      val before = legOf(t.read(), "before")
+      // the audit reads the WOULD-BE table; its rows are materialized
+      // NOW (bounded: one row per language) because the abort below
+      // deletes the staged files this frame reads
+      val auditRows = legOf(
+        t.readWap("crawl-raw")
+          .filter($"doc_id" % 3 === 0 && !$"n_chars".between(80, 2000)),
+        "audit").collect().toSeq
+      val audit = s.createDataFrame(
+        s.sparkContext.parallelize(auditRows, 1), before.schema)
+      t.abortWap("crawl-raw")
+      t.stageAppend(
+        docs.filter($"doc_id" % 3 === 0 && $"n_chars".between(80, 2000)),
+        "crawl-clean")
+      t.publishWap("crawl-clean")
+      val after = legOf(t.read(), "after")
+      after.unionByName(audit).unionByName(before)
+        .orderBy($"leg", $"lang")
+    }),
+
     // ---- per-domain cap (C4/RefinedWeb-style source balancing) -------
     // At most K docs per source, best-first: a handful of crawl domains
     // otherwise dominate a pretraining mix. "Best" = longest text
@@ -95,6 +142,30 @@ object QueriesCuration {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q150_wap_publish" ->
+      """WITH base AS (
+        |  SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        |raw AS (
+        |  SELECT * FROM documents WHERE doc_id % 3 = 0),
+        |bad AS (
+        |  SELECT * FROM raw WHERE n_chars NOT BETWEEN 80 AND 2000),
+        |clean AS (
+        |  SELECT * FROM raw WHERE n_chars BETWEEN 80 AND 2000)
+        |SELECT leg, lang, n_docs, n_chars FROM (
+        |  SELECT 'after' AS leg, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM clean)
+        |  GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'audit' AS leg, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM bad GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'before' AS leg, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM base GROUP BY lang)
+        |ORDER BY leg, lang""".stripMargin,
+
     "q149_domain_cap" ->
       """SELECT doc_id, source, cap_rank FROM (
         |  SELECT doc_id, source,

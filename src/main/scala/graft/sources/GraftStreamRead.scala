@@ -189,6 +189,10 @@ final class GraftMicroBatchStream(spark: SparkSession, table: IncrementalTable,
       if (!skipChangeCommits) window.foreach { c =>
         require(c.action == "append" || c.action == "meta" ||
             c.action == "dvmerge" ||
+            // WAP stagings (X98) are logical no-ops until published;
+            // the publish itself lands as a plain append (streamed
+            // then) or a replace (correctly rejected here)
+            c.action == "staged" ||
             // maintenance rewrites (X94): a compaction preserves the
             // logical rows — it never breaks the append-only contract
             (c.action == "replace" && c.meta

@@ -132,6 +132,31 @@ final case class StatMeta(key: String, column: String, floor: Long = 0L)
   * unreferenced orphans reclaimed by vacuum(). */
 final class ConcurrentWriteException(msg: String) extends java.io.IOException(msg)
 
+/** A staged-but-unpublished write's full intent (X98 — the Iceberg
+  * `wap.id` write-audit-publish analog): everything `write` would have
+  * committed, deferred. Serialized into the staging commit's single
+  * `wap/<id>` metadata entry, so the pending registry rides the same
+  * atomic commit log as everything else — checkpoint folding carries
+  * the channel forward, publish/abort tombstone it, and a crashed
+  * stager leaves either nothing (orphan files, vacuumed) or a fully
+  * replayable pending entry.
+  *
+  *  - `baseline`: identity / row-id high-water channel values OBSERVED
+  *    at stage time ("" = absent). The staged files bake values minted
+  *    from these; publish refuses if the channel has since advanced
+  *    (colliding mints) — the cherry-pick-conflict analog.
+  *  - `schemaDdl`: the stage-time merged schema; publish re-merges it
+  *    against whatever the schema has evolved to by then. */
+final case class WapPayload(
+    action: String, // "append" | "replace"
+    add: Seq[String],
+    partitionFilter: Map[String, String],
+    partitionBy: Seq[String],
+    schemaDdl: String,
+    meta: Map[String, String],
+    baseline: Map[String, String],
+    fileStats: Map[String, Map[String, ColStat]])
+
 /** Transactional, hive-partitioned parquet table with a minimal JSON
   * commit log. Provides the three Delta behaviors the reference actually
   * uses — append (delta_io.py:91,112-116), partition-scoped overwrite
@@ -1054,6 +1079,159 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     require(partitionBy.nonEmpty, "dynamicReplace needs partition columns")
     write(df, "replace", partitionBy, partitionValues, Map.empty, meta,
       batchId, appId, dynamic = true, userWrite = true)
+  }
+
+  // ------------------------------------------- write-audit-publish (X98)
+
+  /** Stage an append under a WAP id (the Iceberg `wap.id`
+    * write-audit-publish analog): the rows are fully written, routed,
+    * and stat-harvested like a normal append, but the only record that
+    * commits is an invisible `staged` one carrying the write's intent —
+    * readers, streams, CDC, and CBO stats see NOTHING until
+    * [[publishWap]]. Audit the would-be table with [[readWap]]; drop the
+    * staging with [[abortWap]]. The training-data ingest contract: a
+    * risky crawl batch lands, the quality/dedup audits run against the
+    * staged state, and only a clean batch ever becomes visible. */
+  def stageAppend(df: DataFrame, wapId: String,
+      partitionBy: Seq[String] = Nil,
+      partitionValues: Map[String, String] = Map.empty,
+      meta: Map[String, String] = Map.empty,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Option[Commit] =
+    write(df, "append", partitionBy, partitionValues, Map.empty, meta,
+      None, None, statsColumns = statsColumns, bloomColumns = bloomColumns,
+      userWrite = true, wapId = Some(wapId))
+
+  /** Stage a partition-scoped overwrite under a WAP id. The REMOVAL set
+    * is computed at PUBLISH time against the then-current live files, so
+    * a scope that keeps moving (today's partition re-ingested while the
+    * audit runs) is replaced exactly as of publish. */
+  def stageReplaceWhere(df: DataFrame, wapId: String,
+      partitionBy: Seq[String],
+      partitionValues: Map[String, String],
+      partitionFilter: Map[String, String],
+      meta: Map[String, String] = Map.empty,
+      statsColumns: Seq[String] = Nil): Option[Commit] =
+    write(df, "replace", partitionBy, partitionValues, partitionFilter, meta,
+      None, None, statsColumns = statsColumns,
+      userWrite = true, wapId = Some(wapId))
+
+  /** Pending (staged, neither published nor aborted) WAP entries. */
+  def pendingWaps: Map[String, WapPayload] =
+    metaChannel(IncrementalTable.WapPrefix).view
+      .mapValues(Serialization.read[WapPayload](_)).toMap
+
+  private def pendingWap(id: String): Option[WapPayload] =
+    metaChannel(IncrementalTable.WapPrefix).get(id)
+      .map(Serialization.read[WapPayload](_))
+
+  /** The table AS IF the staged write were published now — the audit
+    * frame, read under the stage-time merged schema (files written
+    * before a staged-added column null-fill it, the evolution
+    * contract). Replace scopes subtract at read time. Pure read: never
+    * mutates the staging. */
+  def readWap(id: String): DataFrame = {
+    val p = pendingWap(id).getOrElse(
+      throw new IllegalArgumentException(s"no pending wap '$id' on $root"))
+    val schema = Some(StructType.fromDDL(p.schemaDdl))
+    val survivors =
+      if (p.action == "replace")
+        liveFiles().filterNot(matchesPartition(_, p.partitionFilter))
+      else liveFiles()
+    filesDf(survivors ++ p.add, schema, liveDv(), columnMapping())
+  }
+
+  /** Publish a staged write: ONE atomic commit adopts the staged files
+    * (and, for replace, removes the scope's then-current live files) and
+    * tombstones the pending entry — O(metadata), no data moves or
+    * rewrites. Conflict rules (the cherry-pick-conflict analog):
+    *
+    *  - identity / row-id high-water channels must not have advanced
+    *    since stage — the staged files bake minted values, and a
+    *    concurrent mint from the same base may collide: abort and
+    *    restage;
+    *  - the partition spec must not have evolved since stage (the
+    *    staged files' routing would be stale);
+    *  - replace scopes re-check spec uniformity and recompute their
+    *    removal set at publish time;
+    *  - NDV sketches re-union against the CURRENT channel (HLL unions
+    *    commute — never a conflict).
+    *
+    * Crash-safe by construction: publish is a single commit, so a crash
+    * before it leaves the wap pending and a crash after leaves it
+    * published; re-publishing a published id fails loudly. */
+  def publishWap(id: String): Commit = {
+    val p = pendingWap(id).getOrElse(
+      throw new IllegalArgumentException(s"no pending wap '$id' on $root"))
+    p.baseline.foreach { case (k, v) =>
+      val cur = latestMeta(k).getOrElse("")
+      if (cur != v)
+        throw new ConcurrentWriteException(
+          s"table $root: wap '$id' was staged against $k='$v' but the " +
+            s"channel has advanced to '$cur' — its minted values may " +
+            "collide; abortWap and restage")
+    }
+    // spec evolution since stage invalidates the staged files' routing
+    // (X81's evolve-conflicts-with-everything rule, deferred): locate
+    // the staging commit (raw records if checkpointing folded it) and
+    // scan the window for an evolve
+    val key = IncrementalTable.WapPrefix + id
+    val stagedVersion = (commits().reverse.iterator ++
+        archivedDeltas(latestVersion).reverse.iterator)
+      .find(c => c.action == "staged" && c.meta.get(key).exists(_.nonEmpty))
+      .map(_.version)
+      .getOrElse(throw new IllegalStateException(
+        s"pending wap '$id' has no staging record on $root"))
+    if (deltasBetween(stagedVersion, latestVersion).exists(_.action == "evolve"))
+      throw new ConcurrentWriteException(
+        s"table $root: the partition spec evolved after wap '$id' was " +
+          "staged — its files' routing is stale; abortWap and restage")
+    val removed =
+      if (p.action != "replace") Seq.empty[String]
+      else {
+        requireUniformSpec(p.partitionFilter.keys, "WAP publish of replaceWhere")
+        p.add.foreach { f =>
+          require(matchesPartition(f, p.partitionFilter),
+            s"staged file '$f' falls outside the replace scope " +
+              s"${p.partitionFilter} — refusing an unsound publish")
+        }
+        liveFiles(p.partitionFilter)
+      }
+    // ndv advances were unioned against the STAGE-time channel; a write
+    // published in between would have its distincts silently dropped by
+    // latest-value-wins — re-union against the current channel (the
+    // commit() retry path re-unions again on a publish race, which is
+    // idempotent for HLL)
+    val ndvChan = metaChannel("ndv/")
+    val metaOut = p.meta.map {
+      case (k, v) if k.startsWith("ndv/") && v.nonEmpty =>
+        k -> ndvChan.get(k.stripPrefix("ndv/")).filter(_.nonEmpty)
+          .fold(v) { w =>
+            java.util.Base64.getEncoder.encodeToString(
+              IncrementalTable.unionHll(
+                Some(java.util.Base64.getDecoder.decode(w)),
+                java.util.Base64.getDecoder.decode(v)))
+          }
+      case kv => kv
+    } + (key -> "")
+    val schemaDdl =
+      IncrementalTable.ddlOf(mergedSchema(StructType.fromDDL(p.schemaDdl)))
+    if (p.add.isEmpty && removed.isEmpty) commitMeta(metaOut)
+    else commit(Commit(0, p.action, p.add, removed, p.partitionFilter,
+      p.partitionBy, schemaDdl, metaOut, None, now(),
+      fileStats = p.fileStats))
+  }
+
+  /** Abort a staged write: tombstone the pending entry (one meta
+    * commit), then best-effort delete the staged files — no published
+    * commit ever referenced them, so a crash mid-delete just leaves
+    * orphans for [[vacuum]]. Returns the dropped files. */
+  def abortWap(id: String): Seq[String] = {
+    val p = pendingWap(id).getOrElse(
+      throw new IllegalArgumentException(s"no pending wap '$id' on $root"))
+    commitMeta(Map(IncrementalTable.WapPrefix + id -> ""))
+    p.add.foreach(f => fs.delete(new Path(rootPath, f), false))
+    p.add
   }
 
   /** Delta-style MERGE (upsert), copy-on-write at file granularity:
@@ -3492,7 +3670,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // INSERT OVERWRITE, dynamic replace): GENERATED ALWAYS identity
       // columns refuse supplied values there; internal rewrites carry
       // existing rows through untouched
-      userWrite: Boolean = false): Option[Commit] = {
+      userWrite: Boolean = false,
+      // write-audit-publish (X98): when set, the files are written and
+      // promoted normally but the commit that lands is an invisible
+      // `staged` record carrying the write's intent — nothing is
+      // visible until publishWap(id)
+      wapId: Option[String] = None): Option[Commit] = {
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
     // Spec evolution (X81): a replace whose REMOVAL SET is addressed by
     // partition tokens (replaceWhere's filter, dynamic replace's touched
@@ -3738,6 +3921,53 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       if (statsIdx.isEmpty) Map.empty[String, Map[String, ColStat]]
       else perFile.view.mapValues(_.view.filterKeys(statsIdx).toMap)
         .filter(_._2.nonEmpty).toMap
+    // Write-audit-publish staging (X98): promote the files NOW (same
+    // crash story as a normal write — until a commit references them
+    // they are invisible orphans), but the commit that lands is an
+    // `action="staged"` no-op: empty add/remove/dv, no channel meta
+    // except the single `wap/<id>` payload entry — so every fold (live
+    // set, schema, watermark channels, CDC, streams, CBO stats) is
+    // unchanged until publishWap(). The payload carries everything the
+    // deferred commit needs, INCLUDING the idhw/rowhw/ndv channel
+    // advances this write computed; publish re-validates them.
+    if (wapId.isDefined) {
+      val id = wapId.get
+      require(batchId.isEmpty, "WAP staging takes no streaming batchId")
+      require(statMeta.isEmpty,
+        "WAP staging does not advance watermark channels — commit " +
+          "cursors with the publishing pipeline, not the staged write")
+      require(extraDv.isEmpty && removeExact.isEmpty && !dynamic,
+        "WAP staging supports plain append and replaceWhere only")
+      require(pendingWap(id).isEmpty, s"wap id '$id' is already staged on $root")
+      // W6 elision applies to staging too: an empty batch stages no
+      // files (replace semantics still publish the scope's removal)
+      val added =
+        if (partitionBy.isEmpty && stagedRows == 0) Nil
+        else staged.map { rel =>
+          val from = new Path(stage, rel)
+          val to = new Path(rootPath, rel)
+          fs.mkdirs(to.getParent)
+          if (!fs.rename(from, to))
+            throw new java.io.IOException(s"rename failed: $from -> $to")
+          rel
+        }
+      fs.delete(stage, true)
+      val baseline = (idhwMeta ++ rowHwMeta).map { case (k, _) =>
+        k -> latestMeta(k).getOrElse("")
+      }.toMap
+      val stagedSchemaDdl = IncrementalTable.ddlOf(
+        mergedSchema(StructType(withParts.schema.fields
+          .filterNot(f => ptransforms.contains(f.name) ||
+            f.name == IncrementalTable.RowIdCol))))
+      val payload = WapPayload(action, added, partitionFilter, partitionBy,
+        stagedSchemaDdl, allMeta, baseline,
+        fileStats.view.filterKeys(added.toSet).toMap)
+      val prevSchema = commits().lastOption.map(_.schemaJson).getOrElse("")
+      return Some(commit(Commit(0, "staged", Nil, Nil, Map.empty,
+        committedPartitionBy, prevSchema,
+        Map(IncrementalTable.WapPrefix + id -> Serialization.write(payload)),
+        None, now())))
+    }
     if (staged.isEmpty || (partitionBy.isEmpty && stagedRows == 0)) {
       fs.delete(stage, true)
       // A filter-scoped replace that recomputed to ZERO rows must still
@@ -4489,17 +4719,22 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           out.result()
         }.toDF("file").unionByName(topFiles.toDF("file"))
       }
+    // pending write-audit-publish stagings (X98): their files are
+    // referenced by no published commit yet — protected until the wap
+    // is published (adopting commit references them) or aborted
+    // (tombstone + eager delete makes them reclaimable)
+    val wapFiles = pendingWaps.values.flatMap(_.add).toSeq
     val orphans = parquetCkpt(cs) match {
       case Some(ck) =>
         // orphan detection as a distributed anti-join: the referenced
         // set (checkpoint rows ∪ tail adds) never folds on the driver;
         // only the (small) orphan list comes back.
         val refDF = ckptRowsDF(ck).select("file")
-          .unionByName((cs.flatMap(_.add) ++ cdcFiles).toDF("file"))
+          .unionByName((cs.flatMap(_.add) ++ cdcFiles ++ wapFiles).toDF("file"))
         allDF.join(refDF, Seq("file"), "left_anti")
           .as[String].collect().toSeq
       case None =>
-        val referenced = cs.flatMap(_.add).toSet ++ cdcFiles
+        val referenced = cs.flatMap(_.add).toSet ++ cdcFiles ++ wapFiles
         val refDF = referenced.toSeq.toDF("file")
         allDF.join(refDF, Seq("file"), "left_anti")
           .as[String].collect().toSeq
@@ -4638,6 +4873,9 @@ object IncrementalTable {
     * it so the change feed skips the commit without reading the
     * rewrite. Refresh/restore/DML replaces never carry it. */
   private[graft] val MaintenanceKey = "maintenance/rewrite"
+  /** Meta-channel prefix of the pending write-audit-publish registry
+    * (X98): `wap/<id>` → serialized [[WapPayload]], "" = tombstone. */
+  private[graft] val WapPrefix = "wap/"
 
   /** The input types Spark's `hll_sketch_agg` accepts (ADVICE r9):
     * anything else in `graft.ndvColumns` is skipped with a warning
