@@ -1062,6 +1062,11 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       "one metadata commit (Iceberg spec-evolution analog): existing files " +
       "keep their directory shape, new writes route under the new layout; " +
       "layout is 'col, days(ts), bucket(8, id), truncate(4, s)' syntax"
+    case "wap_publish" => "publish a staged write-audit-publish ingest " +
+      "(stageAppend / INSERT under spark.graft.wap.id): one atomic " +
+      "metadata commit adopts the staged files"
+    case "wap_abort" => "abort a staged write-audit-publish ingest: " +
+      "tombstone the pending entry and drop its files"
   }
   override def bind(inputType: org.apache.spark.sql.types.StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -1111,6 +1116,9 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         in("table", StringType).build(),
         // default: the graft.ndvColumns property
         in("columns", StringType).defaultValue("''").build())
+      case "wap_publish" | "wap_abort" => Array(
+        in("table", StringType).build(),
+        in("id", StringType).build())
     }
   }
 
@@ -1229,6 +1237,16 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
            .add("columns", StringType),
           InternalRow(c.map(_.version).getOrElse(-1L),
             UTF8String.fromString(t.columnNdv().keys.toSeq.sorted.mkString(","))))
+      case "wap_publish" =>
+        val c = t.publishWap(input.getUTF8String(1).toString)
+        (new StructType().add("version", LongType)
+           .add("files_added", IntegerType)
+           .add("files_removed", IntegerType),
+          InternalRow(c.version, c.add.size, c.remove.size))
+      case "wap_abort" =>
+        val dropped = t.abortWap(input.getUTF8String(1).toString)
+        (new StructType().add("files_dropped", IntegerType),
+          InternalRow(dropped.size))
       case "clone" =>
         val destRel = input.getUTF8String(1).toString
         val destPath = cat.pathForName(destRel)
@@ -1254,7 +1272,7 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
 private[sources] object GraftProcedure {
   val names: Set[String] =
     Set("compact", "vacuum", "restore", "tag", "untag", "clone",
-      "evolve_partitioning", "analyze")
+      "evolve_partitioning", "analyze", "wap_publish", "wap_abort")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a
@@ -1341,7 +1359,27 @@ private[sources] final class GraftWriteBuilder(spark: SparkSession,
                 .getOrElse(data.sparkSession.sessionState.conf.numShufflePartitions)
               data.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
             }
+          // write-audit-publish (X98, the Iceberg `spark.wap.id` UX):
+          // with the session conf set, every catalog write STAGES under
+          // that id instead of committing — plain `INSERT INTO` from a
+          // pure-SQL ingest job becomes auditable without touching its
+          // statements; CALL graft.system.wap_publish/wap_abort close
+          // the loop
+          val wap = data.sparkSession.conf.getOption("spark.graft.wap.id")
+            .map(_.trim).filter(_.nonEmpty)
           overwriteScope match {
+            case _ if wap.isDefined =>
+              val scope = overwriteScope match {
+                case None | Some(Nil) => Map.empty[String, String]
+                case Some(filters) => filters.flatMap(partEq)
+                  .map { case (a, v) => a -> v.toString }.toMap
+              }
+              if (overwriteScope.isEmpty)
+                table.stageAppend(shaped, wap.get, partitionBy,
+                  statsColumns = stats)
+              else
+                table.stageReplaceWhere(shaped, wap.get, partitionBy,
+                  Map.empty, scope, statsColumns = stats)
             case None =>
               table.append(shaped, partitionBy, statsColumns = stats)
               // write-time compaction (`graft.autoCompact.maxFiles`,

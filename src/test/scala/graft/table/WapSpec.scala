@@ -156,6 +156,54 @@ class WapSpec extends SparkSpec {
     assert(t.read().filter(col("lang") === "en").count() == 2)
   }
 
+  test("SQL front door: INSERT under spark.graft.wap.id stages; " +
+      "CALL wap_publish / wap_abort close the loop") {
+    val wh = tmpDir("wap_wh")
+    spark.conf.set("spark.sql.catalog.wapcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wapcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wapcat.lake")
+    spark.sql("CREATE TABLE wapcat.lake.w (id BIGINT)")
+    spark.sql("INSERT INTO wapcat.lake.w SELECT id FROM range(5)")
+    try {
+      // the UNTOUCHED ingest statement stages once the session opts in
+      spark.conf.set("spark.graft.wap.id", "nightly")
+      spark.sql("INSERT INTO wapcat.lake.w SELECT id + 5 FROM range(5)")
+      assert(spark.sql("SELECT * FROM wapcat.lake.w").count() == 5)
+    } finally spark.conf.unset("spark.graft.wap.id")
+    val pub = spark.sql(
+      "CALL wapcat.system.wap_publish('lake.w', 'nightly')").collect().head
+    assert(pub.getAs[Int]("files_added") >= 1)
+    assert(spark.sql("SELECT * FROM wapcat.lake.w").count() == 10)
+    // abort path: a staged batch that never becomes visible
+    try {
+      spark.conf.set("spark.graft.wap.id", "bad")
+      spark.sql("INSERT INTO wapcat.lake.w SELECT id + 100 FROM range(3)")
+    } finally spark.conf.unset("spark.graft.wap.id")
+    assert(spark.sql("SELECT * FROM wapcat.lake.w").count() == 10)
+    val ab = spark.sql(
+      "CALL wapcat.system.wap_abort('lake.w', 'bad')").collect().head
+    assert(ab.getAs[Int]("files_dropped") >= 1)
+    assert(spark.sql("SELECT * FROM wapcat.lake.w").count() == 10)
+    // staged INSERT OVERWRITE of a partition scope publishes as the scope
+    spark.sql("CREATE TABLE wapcat.lake.wp (id BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg)")
+    spark.sql("INSERT INTO wapcat.lake.wp " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END FROM range(10)")
+    try {
+      spark.conf.set("spark.graft.wap.id", "refresh-a")
+      spark.sql("INSERT OVERWRITE wapcat.lake.wp PARTITION (seg = 'A') " +
+        "SELECT id + 1000 FROM range(2)")
+    } finally spark.conf.unset("spark.graft.wap.id")
+    assert(spark.sql(
+      "SELECT * FROM wapcat.lake.wp WHERE seg = 'A'").count() == 5)
+    spark.sql("CALL wapcat.system.wap_publish('lake.wp', 'refresh-a')")
+    assert(spark.sql("SELECT id FROM wapcat.lake.wp WHERE seg = 'A'")
+      .as[Long].collect().sorted.toSeq == Seq(1000L, 1001L))
+    assert(spark.sql(
+      "SELECT * FROM wapcat.lake.wp WHERE seg = 'B'").count() == 5)
+  }
+
   test("derived streams skip stagings and apply the publish") {
     val dir = tmpDir("wap") + "/stream"
     val up = IncrementalTable(spark, dir + "/up")
