@@ -155,10 +155,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"time travel is not supported on metadata table ${other.name()}")
     }
 
-  /** `VERSION AS OF v` time travel — a commit version, or a snapshot
-    * TAG name (`VERSION AS OF 'stable'`, [[IncrementalTable.setTag]]). */
+  /** `VERSION AS OF v` time travel — a commit version, a snapshot TAG
+    * name (`VERSION AS OF 'stable'`, [[IncrementalTable.setTag]]), or a
+    * pending WAP audit frame (`VERSION AS OF 'wap:<id>'`, X98). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val base = dataTable(ident)
+    if (version.startsWith("wap:")) {
+      val id = version.stripPrefix("wap:")
+      return new GraftWapTable(spark, base.table, id,
+        (catalogName +: ident.namespace.toIndexedSeq :+ ident.name).mkString("."))
+    }
     val v =
       if (version.nonEmpty && version.forall(_.isDigit))
         try version.toLong catch {
@@ -967,6 +973,51 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
 private[sources] object GraftMetaTable {
   val views: Set[String] =
     Set("history", "detail", "files", "partitions", "properties", "changes")
+}
+
+/** Pure-SQL audit read of a pending write-audit-publish staging (X98):
+  * `SELECT … FROM graft.ns.t VERSION AS OF 'wap:<id>'` — the table AS
+  * IF the staged write were published now ([[IncrementalTable.readWap]]).
+  * Read-only (the write/delete builders are absent by construction) and
+  * scoped to audits: filters stay Spark-side residuals above the frame
+  * (no skipping-index prune — an audit reads the staged slice it is
+  * judging, not a 100 TB scan). */
+private[sources] final class GraftWapTable(spark: SparkSession,
+    table: IncrementalTable, wapId: String, ident: String)
+    extends Table with SupportsRead {
+
+  private lazy val frame: DataFrame = table.readWap(wapId)
+
+  override def name(): String = s"$ident@wap:$wapId"
+  override def schema(): StructType = frame.schema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"GraftWapScan ${table.root} wap:$wapId"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val req = required
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = spark.sqlContext
+            override def schema: StructType = req
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val df = frame
+              (if (req.isEmpty) df.select()
+               else df.select(req.fieldNames.toIndexedSeq.map(
+                 org.apache.spark.sql.functions.col): _*)).rdd
+            }
+          }.asInstanceOf[T]
+        }
+      }
+    }
 }
 
 /** The change-data-feed relation of a graft table, addressable by name:

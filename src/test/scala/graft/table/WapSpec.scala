@@ -171,6 +171,11 @@ class WapSpec extends SparkSpec {
       spark.sql("INSERT INTO wapcat.lake.w SELECT id + 5 FROM range(5)")
       assert(spark.sql("SELECT * FROM wapcat.lake.w").count() == 5)
     } finally spark.conf.unset("spark.graft.wap.id")
+    // the audit itself runs in pure SQL against the staged state
+    assert(spark.sql(
+      "SELECT * FROM wapcat.lake.w VERSION AS OF 'wap:nightly'").count() == 10)
+    assert(spark.sql("SELECT max(id) AS m FROM wapcat.lake.w " +
+      "VERSION AS OF 'wap:nightly'").as[Long].head() == 9L)
     val pub = spark.sql(
       "CALL wapcat.system.wap_publish('lake.w', 'nightly')").collect().head
     assert(pub.getAs[Int]("files_added") >= 1)
