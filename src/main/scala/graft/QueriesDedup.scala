@@ -23,6 +23,44 @@ object QueriesDedup {
   private val Tau = 0.5  // near-dup Jaccard threshold
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm): per doc, the min k-gram hash of every w-window is
+    // selected — a ~2/(w+1)-density fingerprint set with a GUARANTEE
+    // MinHash/SimHash lack: any shared run of >= w+k-1 tokens shares a
+    // fingerprint (the window over the run picks the same min on both
+    // sides). Pairs = docs sharing >= 3 fingerprints, via a df-capped
+    // inverted-index self-join. Hashes are md5 hex; the min is
+    // lexicographic over ASCII hex, which Spark's array_min and
+    // DuckDB's list_min order identically — hash-exact oracle. Scale
+    // shape: one token pass per doc, fingerprints explode at ~2/(w+1)
+    // of the gram count, ubiquitous fingerprints (boilerplate) are
+    // df-capped before the self-join — never all-pairs, skew bounded
+    // by the cap.
+    "q151_winnow_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val withH = Tables.documents(s, dir)
+        .filter(size(TextOps.tokens($"text")) >= N)
+        .select($"doc_id",
+          // materialized ATTRIBUTE before the window transform: a
+          // captured computed expression would re-evaluate the whole
+          // gram-hash array per window element (the q22 lesson)
+          transform(TextOps.wordNgrams($"text", N),
+            g => md5(g.cast("binary"))).as("h"))
+      val fps = withH.select($"doc_id", explode(array_distinct(
+          transform(sequence(lit(1), greatest(size($"h") - 3, lit(1))),
+            i => array_min(slice($"h", i, lit(4)))))).as("f"))
+      val rare = fps.groupBy($"f")
+        .agg(count(lit(1)).as("d")).filter($"d" <= 50).select($"f")
+      val xs = fps.join(rare, "f")
+      xs.select($"f", $"doc_id".as("doc_a"))
+        .join(xs.select($"f", $"doc_id".as("doc_b")), Seq("f"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 3)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // ---- exact dedup: content-hash groups, keep-first ------------------
     "q21_dedup_exact" -> ((s, dir) => {
       import s.implicits._
@@ -262,6 +300,26 @@ object QueriesDedup {
        |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q151_winnow_fingerprint" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_transform(range(1, len(w) - 1),
+        |    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS h
+        |  FROM docs WHERE len(w) >= 3),
+        |fps AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(h) - 2, 2)),
+        |      i -> list_min(h[i:i+3])))) AS f
+        |  FROM grams),
+        |rare AS (SELECT f FROM fps GROUP BY f HAVING COUNT(*) <= 50),
+        |xs AS (SELECT fps.* FROM fps JOIN rare USING (f))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM xs a JOIN xs b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q148_minhash_dedup_stream" -> neardupStreamSql,
     "q68_dedup_components" -> componentsSql,
     "q67_fuzzy_pairs" -> oracleSqlFuzzy,
