@@ -141,12 +141,15 @@ final class ConcurrentWriteException(msg: String) extends java.io.IOException(ms
   * stager leaves either nothing (orphan files, vacuumed) or a fully
   * replayable pending entry.
   *
-  *  - `baseline`: identity / row-id high-water channel values OBSERVED
-  *    at stage time ("" = absent). The staged files bake values minted
-  *    from these; publish refuses if the channel has since advanced
-  *    (colliding mints) — the cherry-pick-conflict analog.
-  *  - `schemaDdl`: the stage-time merged schema; publish re-merges it
-  *    against whatever the schema has evolved to by then. */
+  * Identity / row-id high-waters are NOT deferred: the staging commit
+  * carries its `idhw/`/`rowhw/` advances directly (a RESERVATION), so
+  * every later mint — staged or published, any writer — lands above the
+  * staged files' baked values and publish can never collide. An aborted
+  * staging leaves a gap in the id space, which the "unique, not dense"
+  * contract allows. `schemaDdl` is the stage-time merged schema;
+  * publish re-merges it against whatever the schema has evolved to by
+  * then. Staging again under the SAME id stacks: the payloads merge and
+  * one publish adopts every batch atomically. */
 final case class WapPayload(
     action: String, // "append" | "replace"
     add: Seq[String],
@@ -154,7 +157,6 @@ final case class WapPayload(
     partitionBy: Seq[String],
     schemaDdl: String,
     meta: Map[String, String],
-    baseline: Map[String, String],
     fileStats: Map[String, Map[String, ColStat]])
 
 /** Transactional, hive-partitioned parquet table with a minimal JSON
@@ -1089,9 +1091,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * commits is an invisible `staged` one carrying the write's intent —
     * readers, streams, CDC, and CBO stats see NOTHING until
     * [[publishWap]]. Audit the would-be table with [[readWap]]; drop the
-    * staging with [[abortWap]]. The training-data ingest contract: a
-    * risky crawl batch lands, the quality/dedup audits run against the
-    * staged state, and only a clean batch ever becomes visible. */
+    * staging with [[abortWap]]. Staging again under the same id STACKS
+    * (a multi-batch backfill audited and published as one atomic
+    * commit). The training-data ingest contract: a risky crawl batch
+    * lands, the quality/dedup audits run against the staged state, and
+    * only a clean batch ever becomes visible. */
   def stageAppend(df: DataFrame, wapId: String,
       partitionBy: Seq[String] = Nil,
       partitionValues: Map[String, String] = Map.empty,
@@ -1146,16 +1150,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * tombstones the pending entry — O(metadata), no data moves or
     * rewrites. Conflict rules (the cherry-pick-conflict analog):
     *
-    *  - identity / row-id high-water channels must not have advanced
-    *    since stage — the staged files bake minted values, and a
-    *    concurrent mint from the same base may collide: abort and
-    *    restage;
     *  - the partition spec must not have evolved since stage (the
     *    staged files' routing would be stale);
     *  - replace scopes re-check spec uniformity and recompute their
     *    removal set at publish time;
     *  - NDV sketches re-union against the CURRENT channel (HLL unions
-    *    commute — never a conflict).
+    *    commute — never a conflict);
+    *  - identity / row-id mints can NEVER collide: the staging commit
+    *    reserved its high-waters in the channel, so every later mint
+    *    landed above the staged files' baked values.
     *
     * Crash-safe by construction: publish is a single commit, so a crash
     * before it leaves the wap pending and a crash after leaves it
@@ -1163,25 +1166,27 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def publishWap(id: String): Commit = {
     val p = pendingWap(id).getOrElse(
       throw new IllegalArgumentException(s"no pending wap '$id' on $root"))
-    p.baseline.foreach { case (k, v) =>
-      val cur = latestMeta(k).getOrElse("")
-      if (cur != v)
-        throw new ConcurrentWriteException(
-          s"table $root: wap '$id' was staged against $k='$v' but the " +
-            s"channel has advanced to '$cur' — its minted values may " +
-            "collide; abortWap and restage")
-    }
     // spec evolution since stage invalidates the staged files' routing
     // (X81's evolve-conflicts-with-everything rule, deferred): locate
-    // the staging commit (raw records if checkpointing folded it) and
-    // scan the window for an evolve
+    // the EARLIEST staging commit of this id (stacked stagings — every
+    // batch's routing must be current) and scan the window for an
+    // evolve. Raw archived records — never deleted, so the anchor is
+    // exact even past checkpoint folding; O(history) driver JSON parse,
+    // the established audit-path cost.
     val key = IncrementalTable.WapPrefix + id
-    val stagedVersion = (commits().reverse.iterator ++
-        archivedDeltas(latestVersion).reverse.iterator)
-      .find(c => c.action == "staged" && c.meta.get(key).exists(_.nonEmpty))
-      .map(_.version)
-      .getOrElse(throw new IllegalStateException(
-        s"pending wap '$id' has no staging record on $root"))
+    var anchor: Option[Long] = None
+    archivedDeltas(latestVersion).foreach { c =>
+      c.meta.get(key) match {
+        // a tombstone (publish/abort) closes the previous cycle: a
+        // REUSED id anchors at its newest cycle's first staging
+        case Some(v) if v.isEmpty => anchor = None
+        case Some(_) if c.action == "staged" && anchor.isEmpty =>
+          anchor = Some(c.version)
+        case _ => ()
+      }
+    }
+    val stagedVersion = anchor.getOrElse(throw new IllegalStateException(
+      s"pending wap '$id' has no staging record on $root"))
     if (deltasBetween(stagedVersion, latestVersion).exists(_.action == "evolve"))
       throw new ConcurrentWriteException(
         s"table $root: the partition spec evolved after wap '$id' was " +
@@ -3938,7 +3943,6 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           "cursors with the publishing pipeline, not the staged write")
       require(extraDv.isEmpty && removeExact.isEmpty && !dynamic,
         "WAP staging supports plain append and replaceWhere only")
-      require(pendingWap(id).isEmpty, s"wap id '$id' is already staged on $root")
       // W6 elision applies to staging too: an empty batch stages no
       // files (replace semantics still publish the scope's removal)
       val added =
@@ -3952,20 +3956,59 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           rel
         }
       fs.delete(stage, true)
-      val baseline = (idhwMeta ++ rowHwMeta).map { case (k, _) =>
-        k -> latestMeta(k).getOrElse("")
-      }.toMap
       val stagedSchemaDdl = IncrementalTable.ddlOf(
         mergedSchema(StructType(withParts.schema.fields
           .filterNot(f => ptransforms.contains(f.name) ||
             f.name == IncrementalTable.RowIdCol))))
-      val payload = WapPayload(action, added, partitionFilter, partitionBy,
-        stagedSchemaDdl, allMeta, baseline,
+      val fresh = WapPayload(action, added, partitionFilter, partitionBy,
+        stagedSchemaDdl, allMeta,
         fileStats.view.filterKeys(added.toSet).toMap)
+      // stacking: a second staging under the same id MERGES — one
+      // publish later adopts every batch atomically (the multi-batch
+      // backfill shape). idhw/rowhw latest-wins (this write minted past
+      // the previous reservation), ndv sketches union, schemas merge
+      // add-column-only.
+      val payload = pendingWap(id) match {
+        case None => fresh
+        case Some(prev) =>
+          require(prev.action == action &&
+              prev.partitionFilter == partitionFilter &&
+              prev.partitionBy == partitionBy,
+            s"wap '$id' is already staged as ${prev.action} " +
+              s"(filter ${prev.partitionFilter}, layout ${prev.partitionBy})" +
+              " — stacked stagings must match it")
+          val mergedDdl = {
+            val a = StructType.fromDDL(prev.schemaDdl)
+            val extra = StructType.fromDDL(stagedSchemaDdl).fields
+              .filterNot(f => a.fieldNames.contains(f.name))
+            IncrementalTable.ddlOf(StructType(a.fields ++ extra))
+          }
+          val mergedMeta = prev.meta ++ allMeta.map {
+            case (k, v) if k.startsWith("ndv/") && v.nonEmpty =>
+              k -> prev.meta.get(k).filter(_.nonEmpty).fold(v) { w =>
+                java.util.Base64.getEncoder.encodeToString(
+                  IncrementalTable.unionHll(
+                    Some(java.util.Base64.getDecoder.decode(w)),
+                    java.util.Base64.getDecoder.decode(v)))
+              }
+            case kv => kv
+          }
+          WapPayload(action, prev.add ++ added, partitionFilter,
+            partitionBy, mergedDdl, mergedMeta,
+            prev.fileStats ++ fresh.fileStats)
+      }
       val prevSchema = commits().lastOption.map(_.schemaJson).getOrElse("")
+      // the staging commit carries its identity/row-id high-water
+      // advances DIRECTLY (a reservation): every later mint reads the
+      // channel and lands above the staged files' baked values, so
+      // publish can never mint-collide — and the OCC idhw/rowhw
+      // conflict rule covers stage-vs-write races like any other
+      // commit. ndv/ stays deferred in the payload (statistics must
+      // not count unpublished rows).
       return Some(commit(Commit(0, "staged", Nil, Nil, Map.empty,
         committedPartitionBy, prevSchema,
-        Map(IncrementalTable.WapPrefix + id -> Serialization.write(payload)),
+        (idhwMeta ++ rowHwMeta).toMap +
+          (IncrementalTable.WapPrefix + id -> Serialization.write(payload)),
         None, now())))
     }
     if (staged.isEmpty || (partitionBy.isEmpty && stagedRows == 0)) {

@@ -40,11 +40,27 @@ class WapSpec extends SparkSpec {
     assert(feed.filter(col("_change_type") === "insert").count() == 5)
     assert(t.pendingWaps.isEmpty)
     intercept[IllegalArgumentException](t.publishWap("crawl-1"))
-    // double-stage of a LIVE id refuses; a published id is reusable
-    t.stageAppend(spark.range(15, 16).toDF("id"), "crawl-1")
-    intercept[IllegalArgumentException](
-      t.stageAppend(spark.range(16, 17).toDF("id"), "crawl-1"))
-    t.abortWap("crawl-1")
+  }
+
+  test("stacked stagings under one id publish as ONE atomic commit") {
+    val t = IncrementalTable(spark, tmpDir("wap") + "/stack")
+    t.append(spark.range(0, 5).toDF("id"), Nil)
+    t.stageAppend(spark.range(5, 10).toDF("id"), "backfill")
+    t.stageAppend(spark.range(10, 15).toDF("id"), "backfill")
+    // the audit frame sees BOTH staged batches
+    assert(t.readWap("backfill").count() == 15)
+    assert(t.pendingWaps("backfill").add.size >= 2)
+    // a mismatched stacking refuses
+    intercept[IllegalArgumentException](t.stageReplaceWhere(
+      spark.range(0, 1).toDF("id"), "backfill", Nil, Map.empty, Map.empty))
+    val pub = t.publishWap("backfill")
+    assert(pub.add.size >= 2)
+    assert(t.read().as[Long].collect().sorted.toSeq == (0L until 15L))
+    // both batches land at ONE commit version in the change feed
+    assert(t.changes(pub.version, pub.version).count() == 10)
+    // a published id is reusable
+    t.stageAppend(spark.range(15, 16).toDF("id"), "backfill")
+    t.abortWap("backfill")
   }
 
   test("abort tombstones the staging and drops its files") {
@@ -108,22 +124,20 @@ class WapSpec extends SparkSpec {
     t.abortWap("wrong-scope")
   }
 
-  test("row-id channel advance since stage refuses publish (mint collision)") {
+  test("row-id mints never collide: the staging commit reserves its high-water") {
     val t = IncrementalTable(spark, tmpDir("wap") + "/rid")
     t.create(org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"),
       meta = Map("prop/graft.rowTracking" -> "true"))
     t.append(spark.range(0, 5).toDF("id"), Nil)
     t.stageAppend(spark.range(5, 8).toDF("id"), "race")
-    // a concurrent append mints row ids from the same high-water the
-    // staged files baked theirs from
+    // a write AFTER the staging mints above the staged reservation —
+    // no collision, and the later publish needs no restage
     t.append(spark.range(100, 103).toDF("id"), Nil)
-    intercept[ConcurrentWriteException](t.publishWap("race"))
-    // abort + restage against the advanced channel, then publish
-    t.abortWap("race")
-    t.stageAppend(spark.range(5, 8).toDF("id"), "race")
+    // a second stacked staging mints above both
+    t.stageAppend(spark.range(8, 10).toDF("id"), "race")
     t.publishWap("race")
-    assert(t.read().count() == 11)
-    // published row ids are unique — the invariant the refusal protects
+    assert(t.read().count() == 13)
+    // every row id unique across published + staged-then-published rows
     val ids = t.changes(0, includeRowId = true)
       .filter(col("_change_type") === "insert")
       .select("_row_id").as[Long].collect().toSeq
