@@ -938,6 +938,18 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
     case "properties" =>
       import spark.implicits._
       table.tableProperties.toSeq.toDF("key", "value").orderBy("key")
+    case "waps" =>
+      // pending write-audit-publish stagings (X98): what an operator
+      // checks before a publish/abort decision
+      import spark.implicits._
+      table.pendingWaps.toSeq
+        .map { case (id, p) =>
+          (id, p.action, p.add.size.toLong,
+            p.partitionFilter.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+              .mkString(","))
+        }
+        .toDF("id", "action", "n_files", "partition_filter")
+        .orderBy("id")
   }
 
   override def name(): String = ident
@@ -972,7 +984,8 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
 
 private[sources] object GraftMetaTable {
   val views: Set[String] =
-    Set("history", "detail", "files", "partitions", "properties", "changes")
+    Set("history", "detail", "files", "partitions", "properties", "changes",
+      "waps")
 }
 
 /** Pure-SQL audit read of a pending write-audit-publish staging (X98):

@@ -190,6 +190,11 @@ class WapSpec extends SparkSpec {
       "SELECT * FROM wapcat.lake.w VERSION AS OF 'wap:nightly'").count() == 10)
     assert(spark.sql("SELECT max(id) AS m FROM wapcat.lake.w " +
       "VERSION AS OF 'wap:nightly'").as[Long].head() == 9L)
+    // pending stagings are discoverable: the `waps` metadata table
+    val waps = spark.sql("SELECT id, action, n_files FROM wapcat.lake.w.waps")
+      .as[(String, String, Long)].collect().toSeq
+    assert(waps.map(w => (w._1, w._2)) == Seq(("nightly", "append")))
+    assert(waps.head._3 >= 1)
     val pub = spark.sql(
       "CALL wapcat.system.wap_publish('lake.w', 'nightly')").collect().head
     assert(pub.getAs[Int]("files_added") >= 1)
