@@ -87,16 +87,34 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
     val stats = parameters.get("statsColumns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(GraftCatalog.statsColumnsOf(t))
-    mode match {
-      case SaveMode.Append => t.append(data, partitionBy, statsColumns = stats)
-      case SaveMode.Overwrite =>
+    // write-audit-publish (X98): the `wapId` write option or the
+    // session-wide `spark.graft.wap.id` conf stages instead of
+    // committing — path-door parity with the catalog's INSERT staging
+    val wap = parameters.get("wapId").orElse(
+        sqlContext.sparkSession.conf.getOption("spark.graft.wap.id"))
+      .map(_.trim).filter(_.nonEmpty)
+    (mode, wap) match {
+      case (SaveMode.Append, Some(id)) =>
+        t.stageAppend(data, id, partitionBy, statsColumns = stats)
+      case (SaveMode.Overwrite, Some(id)) =>
+        t.stageReplaceWhere(data, id, partitionBy, Map.empty, Map.empty,
+          statsColumns = stats)
+      case (SaveMode.Append, None) =>
+        t.append(data, partitionBy, statsColumns = stats)
+      case (SaveMode.Overwrite, None) =>
         t.replaceWhere(data, partitionBy, Map.empty, Map.empty,
           statsColumns = stats)
-      case SaveMode.ErrorIfExists =>
+      case (SaveMode.ErrorIfExists, _) =>
         require(!t.exists, s"graft table ${t.root} already exists (mode=ErrorIfExists)")
+        require(wap.isEmpty,
+          "WAP staging needs an existing table (stage after CREATE)")
         t.append(data, partitionBy, statsColumns = stats)
-      case SaveMode.Ignore =>
-        if (!t.exists) t.append(data, partitionBy, statsColumns = stats)
+      case (SaveMode.Ignore, _) =>
+        if (!t.exists) {
+          require(wap.isEmpty,
+            "WAP staging needs an existing table (stage after CREATE)")
+          t.append(data, partitionBy, statsColumns = stats)
+        }
     }
     GraftRelation(sqlContext.sparkSession, t, None)
   }

@@ -228,6 +228,19 @@ class WapSpec extends SparkSpec {
       "SELECT * FROM wapcat.lake.wp WHERE seg = 'B'").count() == 5)
   }
 
+  test("path front door: the wapId write option stages") {
+    val dir = tmpDir("wap") + "/path"
+    val t = IncrementalTable(spark, dir)
+    t.append(spark.range(0, 4).toDF("id"), Nil)
+    spark.range(4, 7).toDF("id").write.format("graft")
+      .mode("append").option("wapId", "opt-staged").save(dir)
+    t.refresh()
+    assert(t.read().count() == 4)
+    assert(t.pendingWaps.keySet == Set("opt-staged"))
+    t.publishWap("opt-staged")
+    assert(t.read().count() == 7)
+  }
+
   test("derived streams skip stagings and apply the publish") {
     val dir = tmpDir("wap") + "/stream"
     val up = IncrementalTable(spark, dir + "/up")
