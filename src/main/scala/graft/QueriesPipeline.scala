@@ -1901,6 +1901,35 @@ object QueriesPipeline {
               |FROM graft.lake.nmap WHERE okey <= 3000
               |ORDER BY snap, okey""".stripMargin)
     }),
+
+    // ---- log-level BLOOM-FILTER file index (X100, round 10) -----------
+    // The point-lookup path minmax cannot serve: orderkeys land in files
+    // UNCLUSTERED (repartition spreads every key range across every
+    // file), so each file's [min,max] spans every literal and the stats
+    // index keeps everything — this table deliberately sets NO
+    // statsColumns, so every pruned file below is pruned by the
+    // per-file bloom sidecar alone (`graft.bloomIndexColumns`, one
+    // membership filter per file per column, harvested at write in one
+    // column-pruned pass). The equality/IN literals hash once on the
+    // driver; a file whose filter misses every point never enumerates.
+    // The oracle is the plain relational filter: the index is an
+    // optimization, never semantics — a wrongly-pruned file breaks the
+    // hash loudly.
+    "q152_bloom_point_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q152_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/orders/v1")
+      t.create(org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"),
+        meta = Map("prop/graft.bloomIndexColumns" -> "o_orderkey"))
+      t.append(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartition(16), partitionBy = Nil)
+      t.readWhere($"o_orderkey".isin(7L, 193L, 1154L, 2951L, 4000L,
+          8417L, 12000L, 19333L, 26500L, 31744L, 40961L, 52000L))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2550,5 +2579,10 @@ object QueriesPipeline {
       """SELECT c_custkey AS ck, md5(c_name) AS digest,
         |  CAST(length(c_name) AS BIGINT) AS len
         |FROM customer ORDER BY ck""".stripMargin,
+    "q152_bloom_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (7, 193, 1154, 2951, 4000, 8417, 12000,
+        |  19333, 26500, 31744, 40961, 52000)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -45,10 +45,20 @@ object DataSkipping {
       // float/double bounds (X75): no "next double", so strictness is
       // carried explicitly like the string side
       lowerD: Option[Double] = None, upperD: Option[Double] = None,
-      lowerDStrict: Boolean = false, upperDStrict: Boolean = false) {
+      lowerDStrict: Boolean = false, upperDStrict: Boolean = false,
+      // Point sets (X100, the bloom-index feed): the EXACT value set an
+      // equality/IN conjunct pins the column to — None = the predicate
+      // is not a pure point constraint on this column. [min,max] bounds
+      // carry the same information collapsed to a range; the bloom
+      // prune needs the members themselves. Strings here are
+      // unrestricted (hashes carry no ordering assumption, unlike the
+      // ASCII-gated lowerS/upperS). AND intersects; an empty set is a
+      // provably-false conjunct (col=5 AND col=6) and prunes freely.
+      eqLongs: Option[Set[Long]] = None,
+      eqStrs: Option[Set[String]] = None) {
     def hasValueBound: Boolean =
       lower.nonEmpty || upper.nonEmpty || lowerS.nonEmpty || upperS.nonEmpty ||
-        lowerD.nonEmpty || upperD.nonEmpty
+        lowerD.nonEmpty || upperD.nonEmpty || eqLongs.nonEmpty || eqStrs.nonEmpty
   }
 
   /** Per-column bounds implied by `predicate` against `schema`
@@ -225,6 +235,15 @@ object DataSkipping {
     case _ => None
   }
 
+  /** Any non-null string literal — the bloom point-set domain (X100):
+    * hashes carry no ordering assumption, so non-ASCII equality points
+    * are fair game even where [min,max] bounds are not. */
+  private def litStrAny(e: Expression): Option[String] = e match {
+    case Literal(null, _) => None
+    case Literal(v, StringType) => Option(v).map(_.toString)
+    case _ => None
+  }
+
   private def asLong(v: Any): Option[Long] = v match {
     case b: Byte => Some(b.toLong)
     case s: Short => Some(s.toLong)
@@ -247,8 +266,18 @@ object DataSkipping {
         (x.upper.toSeq ++ y.upper.toSeq).minOption,
         loS, hiS, loStrict, hiStrict,
         x.reqNull || y.reqNull, x.reqNotNull || y.reqNotNull,
-        loD, hiD, loDStrict, hiDStrict)
+        loD, hiD, loDStrict, hiDStrict,
+        intersectPoints(x.eqLongs, y.eqLongs),
+        intersectPoints(x.eqStrs, y.eqStrs))
     }.toMap
+
+  // both conjuncts must hold: a value pinned by both point sets must be
+  // in their intersection; one-sided stays as-is
+  private def intersectPoints[A](a: Option[Set[A]], b: Option[Set[A]]): Option[Set[A]] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(x.intersect(y))
+      case _ => a.orElse(b)
+    }
 
   private def tighterS(a: Option[String], aStrict: Boolean,
       b: Option[String], bStrict: Boolean, takeMax: Boolean): (Option[String], Boolean) =
@@ -277,9 +306,11 @@ object DataSkipping {
     case And(l, r) => merge(extract(l), extract(r))
     // ---- integral ----
     case EqualTo(a, v) if litLong(v).nonEmpty =>
-      one(attrName(a), Bounds(litLong(v), litLong(v)))
+      one(attrName(a), Bounds(litLong(v), litLong(v),
+        eqLongs = Some(litLong(v).toSet)))
     case EqualTo(v, a) if litLong(v).nonEmpty && attrName(a).nonEmpty =>
-      one(attrName(a), Bounds(litLong(v), litLong(v)))
+      one(attrName(a), Bounds(litLong(v), litLong(v),
+        eqLongs = Some(litLong(v).toSet)))
     case GreaterThan(a, v) if litLong(v).nonEmpty => // a > v
       one(attrName(a), Bounds(lower = litLong(v).filter(_ != Long.MaxValue).map(_ + 1)))
     case GreaterThan(v, a) if litLong(v).nonEmpty && attrName(a).nonEmpty => // v > a
@@ -318,10 +349,15 @@ object DataSkipping {
     case LessThanOrEqual(v, a) if litDbl(v).nonEmpty && attrNameD(a).nonEmpty =>
       one(attrNameD(a), Bounds(lowerD = litDbl(v)))
     // ---- string ----
-    case EqualTo(a, v) if litStr(v).nonEmpty =>
-      one(attrNameS(a), Bounds(lowerS = litStr(v), upperS = litStr(v)))
-    case EqualTo(v, a) if litStr(v).nonEmpty =>
-      one(attrNameS(a), Bounds(lowerS = litStr(v), upperS = litStr(v)))
+    // equality carries its point into eqStrs for the bloom prune even
+    // when the value is non-ASCII (where the ordered bounds must stay
+    // empty — see litStr's doc)
+    case EqualTo(a, v) if litStrAny(v).nonEmpty && attrNameS(a).nonEmpty =>
+      one(attrNameS(a), Bounds(lowerS = litStr(v), upperS = litStr(v),
+        eqStrs = Some(litStrAny(v).toSet)))
+    case EqualTo(v, a) if litStrAny(v).nonEmpty && attrNameS(a).nonEmpty =>
+      one(attrNameS(a), Bounds(lowerS = litStr(v), upperS = litStr(v),
+        eqStrs = Some(litStrAny(v).toSet)))
     case GreaterThan(a, v) if litStr(v).nonEmpty => // a > v
       one(attrNameS(a), Bounds(lowerS = litStr(v), lowerSStrict = true))
     case GreaterThan(v, a) if litStr(v).nonEmpty => // v > a  ==  a < v
@@ -341,25 +377,33 @@ object DataSkipping {
     // ---- IN lists: a member must land inside [min,max] of the list ----
     case In(a, vs) if vs.nonEmpty =>
       val longs = vs.map(litLong)
-      val strs = vs.map(litStr)
+      val strs = vs.map(litStrAny)
       if (longs.forall(_.nonEmpty))
-        one(attrName(a), Bounds(Some(longs.flatten.min), Some(longs.flatten.max)))
-      else if (strs.forall(_.nonEmpty))
-        one(attrNameS(a), Bounds(lowerS = Some(strs.flatten.min),
-          upperS = Some(strs.flatten.max)))
-      else Map.empty
+        one(attrName(a), Bounds(Some(longs.flatten.min), Some(longs.flatten.max),
+          eqLongs = Some(longs.flatten.toSet)))
+      else if (strs.forall(_.nonEmpty) && attrNameS(a).nonEmpty) {
+        val ss = strs.flatten
+        val ascii = ss.forall(_.forall(_ < 0x80))
+        one(attrNameS(a), Bounds(
+          lowerS = if (ascii) Some(ss.min) else None,
+          upperS = if (ascii) Some(ss.max) else None,
+          eqStrs = Some(ss.toSet)))
+      } else Map.empty
     case InSet(a, hset) if hset.nonEmpty =>
       // the optimizer's large-IN form; values are internal types
       val vals = hset.toSeq
       if (vals.forall(_.isInstanceOf[java.lang.Number]) &&
           vals.forall(v => asLong(longOf(v)).nonEmpty)) {
         val ls = vals.map(v => asLong(longOf(v)).get)
-        one(attrName(a), Bounds(Some(ls.min), Some(ls.max)))
+        one(attrName(a), Bounds(Some(ls.min), Some(ls.max),
+          eqLongs = Some(ls.toSet)))
       } else if (vals.forall(_.isInstanceOf[org.apache.spark.unsafe.types.UTF8String])) {
         val ss = vals.map(_.toString)
-        if (ss.forall(_.forall(_ < 0x80)))
-          one(attrNameS(a), Bounds(lowerS = Some(ss.min), upperS = Some(ss.max)))
-        else Map.empty
+        val ascii = ss.forall(_.forall(_ < 0x80))
+        one(attrNameS(a), Bounds(
+          lowerS = if (ascii) Some(ss.min) else None,
+          upperS = if (ascii) Some(ss.max) else None,
+          eqStrs = Some(ss.toSet)))
       } else Map.empty
     // ---- null checks against the null-count index ---------------------
     // type-agnostic: the null tally is recorded even for columns whose

@@ -583,12 +583,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           else statPruned.filter(dirBounds.map { case (p, tb) =>
             tb.keepsExpr(p)
           }.reduce(_ && _))
-        pruned.select("file").as[String].collect().toSeq
+        // bloom prune (X100) composes after the stat/dir prune, still
+        // inside the job — only the final survivors' names reach the
+        // driver
+        bloomPruneDF(pruned.select("file"), bloomPoints(b))
+          .select("file").as[String].collect().toSeq
       case None =>
         if (b.isEmpty && dirBounds.isEmpty) liveFiles(filters, asOf)
         else {
           val stats = liveFileStats(asOf)
-          liveFiles(filters, asOf).filter { f =>
+          val statPruned = liveFiles(filters, asOf).filter { f =>
             val dirOk = dirBounds.isEmpty || {
               val segs = IncrementalTable.hiveSegments(f)
               dirBounds.forall { case (p, tb) => tb.keeps(segs.get(p)) }
@@ -596,6 +600,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
             dirOk && stats.get(f).forall(fs => b.forall { case (col, bd) =>
               fs.get(col).forall(DataSkipping.overlaps(bd, _))
             })
+          }
+          val points = bloomPoints(b)
+          if (points.isEmpty || statPruned.isEmpty ||
+              !fs.exists(bloomIdxPath)) statPruned
+          else {
+            import spark.implicits._
+            bloomPruneDF(statPruned.toDF("file"), points)
+              .select("file").as[String].collect().toSeq
           }
         }
     }
@@ -2831,6 +2843,142 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }.toMap
   }
 
+  // ---- X100: log-level bloom-filter file index ----------------------
+
+  private def bloomIdxPath = new Path(logPath, "bloomidx")
+
+  private def bloomIndexColumns: Seq[String] =
+    tableProperties.get("graft.bloomIndexColumns").toSeq
+      .flatMap(_.split(",")).map(_.trim)
+      .filter(c => c.nonEmpty && !c.contains('.'))
+
+  /** Per-FILE bloom-filter index harvest (X100, the Delta bloom-index
+    * analog at LOG level): for each `graft.bloomIndexColumns` column,
+    * one column-pruned job groups the staged rows by file and folds a
+    * [[graft.functions.BloomAgg]] filter per file, written as a sidecar
+    * parquet `_graft_log/bloomidx/<uuid>/` of (file, column, bits)
+    * rows. The [min,max] index answers RANGE questions; on a
+    * high-cardinality unclustered key (doc ids, urls, content hashes —
+    * the 100 TB point-lookup reality) every file's span covers every
+    * literal and minmax prunes nothing, while the bloom answers
+    * membership directly: [[liveFilesWhere]] drops any file whose
+    * filter provably misses every equality/IN point. Sidecars are
+    * keyed by file name — rename-proof (physical column keys), commit-
+    * log-truncation-proof, and consulted only for files still live, so
+    * a failed write's sidecar is inert garbage until [[vacuum]]
+    * reclaims dirs whose files are all unreferenced.
+    *
+    * Supported types: integrals (cast to long — one hash domain) and
+    * strings (UTF-8 bytes, no ASCII restriction — hashes carry no
+    * ordering assumption). Others warn-and-skip (ADVICE r9 precedent:
+    * never fail the write path over a property).
+    *
+    * Scale shape: the harvest is ONE extra scan of the staged batch
+    * (opt-in, the point-lookup tax), partial aggregation merges
+    * split-local filters with a word-wise OR so a multi-split file
+    * shuffles filter buffers, never rows; the sidecar write stays
+    * distributed (never folds on the driver). */
+  private def bloomSidecarFor(stage: Path, staged: Seq[String],
+      mapping: Map[String, String]): Unit = {
+    val cols0 = bloomIndexColumns
+    if (cols0.isEmpty || staged.isEmpty) return
+    val df0 = spark.read.parquet(staged.map(r => new Path(stage, r).toString): _*)
+    val types = df0.schema.fields.map(f => f.name -> f.dataType).toMap
+    val present = cols0.map(c => c -> physPath(c, mapping))
+      .filter { case (_, p) => types.contains(p) }
+      .filter { case (c, p) =>
+        val ok = types(p) match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.StringType => true
+          case _ => false
+        }
+        if (!ok) log.warn(s"table $root: graft.bloomIndexColumns column " +
+          s"'$c' has type ${types(p).simpleString} — the bloom index " +
+          "supports integral and string keys; skipping")
+        ok
+      }
+    if (present.isEmpty) return
+    val numItems = tableProperties.get("graft.bloomNumItems")
+      .map(_.toLong).getOrElse(100000L)
+    val fpp = tableProperties.get("graft.bloomFpp")
+      .map(_.toDouble).getOrElse(0.03)
+    import org.apache.spark.sql.functions.{col, element_at, explode, input_file_name, lit, map => mapFn, split}
+    import org.apache.spark.sql.graftshim.DmlShim
+    // rel path in-job: split on the stage dir's globally-unique uuid
+    // segment — exact, no URI-prefix guessing; hive partition subdirs
+    // ride along in the suffix
+    val sep = java.util.regex.Pattern.quote("/" + stage.getName + "/")
+    val aggs = present.map { case (_, p) =>
+      val child = types(p) match {
+        case org.apache.spark.sql.types.StringType => col(p)
+        case _ => col(p).cast(org.apache.spark.sql.types.LongType)
+      }
+      DmlShim.column(graft.functions.BloomAgg(
+        DmlShim.expression(child), numItems, fpp).toAggregateExpression()).as(p)
+    }
+    val perFile = df0
+      .withColumn("file", element_at(split(input_file_name(), sep), 2))
+      .groupBy("file").agg(aggs.head, aggs.tail: _*)
+    val melted = perFile.select(col("file"),
+      explode(mapFn(present.flatMap { case (_, p) =>
+        Seq(lit(p), col(p)) }: _*)).as(Seq("column", "bits")))
+    melted.write.mode("overwrite")
+      .parquet(new Path(bloomIdxPath, UUID.randomUUID().toString).toString)
+  }
+
+  /** Bloom-prune the survivor files against the sidecar index: for each
+    * column with an extracted point set, a file whose filter misses
+    * EVERY point cannot hold a matching row and drops. Files without an
+    * entry (written before the property, unsupported type, or a clone's
+    * foreign files) are conservatively kept. Runs as a metadata-plane
+    * job over the sidecar rows — on the columnar-checkpoint path the
+    * survivor set itself never folds on the driver first. */
+  private def bloomPruneDF(survivors: org.apache.spark.sql.DataFrame,
+      points: Map[String, Array[Long]]): org.apache.spark.sql.DataFrame = {
+    if (points.isEmpty || !fs.exists(bloomIdxPath)) return survivors
+    val dirs = fs.listStatus(bloomIdxPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.toString)
+    if (dirs.isEmpty) return survivors
+    import org.apache.spark.sql.functions.{col, lit, min, when}
+    import org.apache.spark.sql.graftshim.DmlShim
+    val idx = spark.read.schema(IncrementalTable.bloomIdxSchema)
+      .parquet(dirs: _*)
+      .filter(col("column").isin(points.keys.toSeq: _*))
+    // per-entry membership: CASE on the entry's column; min() over a
+    // file's entries = AND (every constrained, indexed column must
+    // possibly contain one of its points)
+    val ok = points.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (c, pairs)) =>
+        acc.when(col("column") === lit(c), DmlShim.column(
+          graft.functions.BloomMightContainAny(
+            DmlShim.expression(col("bits")), pairs)))
+    }.otherwise(lit(true))
+    val pass = idx.groupBy("file").agg(min(ok).as("_bloom_ok"))
+    survivors.join(pass, Seq("file"), "left")
+      .filter(col("_bloom_ok").isNull || col("_bloom_ok"))
+      .drop("_bloom_ok")
+  }
+
+  /** Pre-hashed bloom points per PHYSICAL column from the extracted
+    * bounds: flat [h1, h2, …] pairs, hashed once on the driver. The
+    * hash domain mirrors the write side — longs for integral columns,
+    * UTF-8 strings as-is. Date/timestamp point sets hash too but no
+    * sidecar ever indexes those types, so they are never consulted. */
+  private def bloomPoints(b: Map[String, DataSkipping.Bounds]): Map[String, Array[Long]] =
+    b.flatMap { case (c, bd) =>
+      val pairs: Option[Array[Long]] = (bd.eqLongs, bd.eqStrs) match {
+        case (Some(ls), _) => Some(ls.toArray.flatMap { v =>
+          val (h1, h2) = graft.functions.BloomBits.hashLong(v); Array(h1, h2) })
+        case (_, Some(ss)) => Some(ss.toArray.flatMap { s =>
+          val (h1, h2) = graft.functions.BloomBits.hashString(s); Array(h1, h2) })
+        case _ => None
+      }
+      pairs.map(c -> _)
+    }
+
   /** ANALYZE (X88): recompute the NDV sketches from the CURRENT live
     * data in one column-pruned scan and REPLACE the channel — the
     * retroactive path for tables that adopt `graft.ndvColumns` with
@@ -3623,6 +3771,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // NDV sketches fold on the streaming fast path too (X88) — a
     // micro-batch-ingested table's estimates track its growth
     val streamNdvMeta = ndvMetaFor(stage, rels, columnMapping())
+    // ...and so does the bloom index (X100): a micro-batch-ingested
+    // table stays point-lookup-prunable epoch by epoch
+    bloomSidecarFor(stage, rels, columnMapping())
     val statsIdx = statsColumns.toSet
     val fileStats =
       if (statsIdx.isEmpty) Map.empty[String, Map[String, ColStat]]
@@ -3807,7 +3958,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // (where [min,max] spans are useless unless perfectly clustered) —
     // both applied before any row decodes. Standard parquet metadata:
     // any reader benefits; Spark pushes eq/IN predicates to it.
-    val writer0 = bloomColumns.map(physPath(_, mapping))
+    // log-level bloom-index columns (X100) get the in-file parquet
+    // bloom too: the sidecar prunes FILES, this prunes ROW GROUPS of
+    // the survivors — the two levels compose
+    val writer0 = (bloomColumns ++ bloomIndexColumns).distinct
+        .map(physPath(_, mapping))
         .foldLeft(physParts.write.mode("overwrite")) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
@@ -3903,6 +4058,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // safe direction for join planning. Keys are LOGICAL; rename
     // migrates them.
     val ndvMeta: Map[String, String] = ndvMetaFor(stage, staged, mapping)
+    // per-file bloom index (X100): harvested from the staged files
+    // (same rel paths after promote), one opt-in column-pruned job;
+    // WAP stagings harvest too — the sidecar is inert until the files
+    // go live at publish
+    bloomSidecarFor(stage, staged, mapping)
     // row-id high-water (X87): monotone clamp, same shape as idhw
     val rowHwMeta =
       if (!tracked) None
@@ -4808,13 +4968,65 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         st.getPath.getName.endsWith(".checkpoint.parquet") &&
           !refCkpts.contains(st.getPath.getName))
     staleCkpts.foreach(st => fs.delete(st.getPath, true))
+    // bloom-index sidecars (X100): a sidecar dir reclaims when NONE of
+    // the files it indexes is referenced in the replayable window —
+    // entries are consulted only for live file names, so a dir whose
+    // files are all gone (compacted away, failed writes, aborted WAPs)
+    // can never influence a prune again. One metadata-plane job tags
+    // each entry with its sidecar dir and anti-checks the referenced
+    // set; pending-WAP files count as referenced like everywhere else.
+    val staleBloom: Seq[String] = {
+      val bloomRoot = bloomIdxPath
+      if (!fs.exists(bloomRoot)) Seq.empty
+      else {
+        val dirs = fs.listStatus(bloomRoot).toSeq.filter(_.isDirectory)
+        if (dirs.isEmpty) Seq.empty
+        else {
+          import org.apache.spark.sql.functions.{col, element_at, input_file_name, lit, max => maxFn, split}
+          val refDF = parquetCkpt(cs) match {
+            case Some(ck) => ckptRowsDF(ck).select("file")
+              .unionByName((cs.flatMap(_.add) ++ cdcFiles ++ wapFiles).toDF("file"))
+            case None =>
+              (cs.flatMap(_.add) ++ cdcFiles ++ wapFiles).toDF("file")
+          }
+          val entries = spark.read
+            .schema(IncrementalTable.bloomIdxSchema)
+            .parquet(dirs.map(_.getPath.toString): _*)
+            .select(element_at(split(input_file_name(), "/"), -2).as("dir"),
+              col("file"))
+          val referencedDirs = entries
+            .join(refDF.withColumn("_ref", lit(1)).dropDuplicates("file"),
+              Seq("file"), "left")
+            .groupBy("dir").agg(maxFn(col("_ref")).as("refs"))
+            .filter(col("refs").isNotNull)
+            .select("dir").as[String].collect().toSet
+          // an all-empty dir yields no entries, hence no reference —
+          // reclaimed as the crash stray it is
+          dirs.map(_.getPath.getName).filterNot(referencedDirs)
+        }
+      }
+    }
+    staleBloom.foreach(d => fs.delete(new Path(bloomIdxPath, d), true))
     orphans ++ staleGens.map(st => s"$dvPrefix/${st.getPath.getName}") ++
-      staleCkpts.map(st => s"_graft_log/${st.getPath.getName}")
+      staleCkpts.map(st => s"_graft_log/${st.getPath.getName}") ++
+      staleBloom.map(d => s"_graft_log/bloomidx/$d")
   }
 }
 
 object IncrementalTable {
   val checkpointInterval = 100
+
+  /** Bloom-index sidecar row shape (X100): explicit on every read so an
+    * empty (crash-stray) sidecar dir reads as zero rows instead of
+    * failing schema inference. */
+  private[table] val bloomIdxSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("column",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bits",
+        org.apache.spark.sql.types.BinaryType)))
 
   /** Row tracking (X87): the reserved PHYSICAL column carrying each
     * row's stable id on tables with `graft.rowTracking=true`. Never
