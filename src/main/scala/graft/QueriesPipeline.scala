@@ -1930,6 +1930,37 @@ object QueriesPipeline {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .orderBy($"o_orderkey")
     }),
+
+    // ---- DURABLE snapshot tags (X101, round 10) ------------------------
+    // The training-run reproducibility contract: tag the exact corpus
+    // snapshot a run trained on, then rewrite the table at will — the
+    // tagged read survives full-table replaces, checkpoint horizon
+    // moves, AND a vacuum (raw-delta replay past the horizon; vacuum
+    // keeps every tagged snapshot's files referenced until the tag
+    // drops — the Iceberg expire-snapshots-honors-refs semantic). The
+    // query reads the tag leg and the head leg from the SAME table
+    // after 8 replaces + vacuum; the oracle recomputes both slices
+    // relationally.
+    "q153_durable_tag" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q153_")
+      val t = new graft.table.IncrementalTable(s, s"$tmp/cust/v1",
+        checkpointEvery = 3)
+      val src = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      t.append(src.filter($"c_custkey" <= 600), Nil) // v0: the pinned corpus
+      t.setTag("train-2026-01", 0)
+      // 8 full rewrites march the checkpoint horizon past v0
+      (1 to 8).foreach { i =>
+        t.replaceWhere(src.filter($"c_custkey" % 7 === i % 7), Nil,
+          Map.empty, Map.empty)
+      }
+      t.vacuum()
+      t.readAt(0).withColumn("leg", lit("tag"))
+        .unionByName(t.read().withColumn("leg", lit("head")))
+        .select($"leg", $"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"leg", $"c_custkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2584,5 +2615,12 @@ object QueriesPipeline {
         |WHERE o_orderkey IN (7, 193, 1154, 2951, 4000, 8417, 12000,
         |  19333, 26500, 31744, 40961, 52000)
         |ORDER BY o_orderkey""".stripMargin,
+    "q153_durable_tag" ->
+      """SELECT 'tag' AS leg, c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey <= 600
+        |UNION ALL
+        |SELECT 'head' AS leg, c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey % 7 = 1
+        |ORDER BY leg, c_custkey""".stripMargin,
   )
 }

@@ -472,12 +472,29 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     case None => commits()
     case Some(v) =>
       val cs = commits()
-      require(cs.headOption.forall(_.version <= v),
-        s"version $v predates the replay horizon " +
-          s"(history before checkpoint ${cs.headOption.map(_.version).getOrElse(-1L)} is compacted)")
-      require(v <= cs.lastOption.map(_.version).getOrElse(-1L),
-        s"version $v does not exist yet (latest: $latestVersion)")
-      cs.filter(_.version <= v)
+      if (cs.headOption.exists(_.version > v)) {
+        // Beyond the replay horizon, TAGGED versions stay readable
+        // (X101, the Iceberg expire-snapshots-honors-refs semantic):
+        // vacuum provably retains a tagged snapshot's files and DV
+        // generations, and raw delta records are never deleted, so the
+        // replay runs straight off the archived log — an O(v) driver
+        // JSON parse, the same audit-path cost as the CDC-retention
+        // walk. Untagged versions keep failing loudly: their files may
+        // be vacuumed and a silent partial read would be worse.
+        require(tags.values.exists(_ == v),
+          s"version $v predates the replay horizon (history before " +
+            s"checkpoint ${cs.headOption.map(_.version).getOrElse(-1L)} " +
+            "is compacted; only TAGGED versions stay readable past it — " +
+            "setTag / CALL graft.system.tag pins one)")
+        val raw = deltasBetween(-1L, v)
+        require(raw.lastOption.exists(_.version == v),
+          s"no archived commit at version $v of $root")
+        raw
+      } else {
+        require(v <= cs.lastOption.map(_.version).getOrElse(-1L),
+          s"version $v does not exist yet (latest: $latestVersion)")
+        cs.filter(_.version <= v)
+      }
   }
 
   /** Committed data-skipping index of the live set: rel path → column →
@@ -3098,11 +3115,17 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   /** Snapshot tags (Iceberg-ref analog): name → pinned commit version,
     * riding the same `tag/<name>` metadata channel as properties —
     * atomic, replayable, checkpoint-folded. `VERSION AS OF '<name>'`
-    * resolves through [[tags]] in the catalog front door. Vacuum
-    * retention note: a tag pins a VERSION, not files — files replaced
-    * before the newest checkpoint stay readable per the documented
-    * time-travel horizon, beyond it a tagged read fails like any
-    * readAt past retention. */
+    * resolves through [[tags]] in the catalog front door.
+    *
+    * Tags are DURABLE reproducibility pins (X101, the Iceberg
+    * expire-snapshots-honors-refs semantic): a tagged version stays
+    * readable past the checkpoint replay horizon (commitsAsOf replays
+    * the never-deleted raw delta records — O(v) driver JSON parse, an
+    * audit-path cost), and [[vacuum]] keeps every tagged snapshot's
+    * files and in-force DV generations referenced until the tag is
+    * dropped. The training-run contract: tag the exact corpus snapshot
+    * a run trained on; arbitrary later rewrites, compactions, and
+    * vacuums cannot invalidate it. */
   def tags: Map[String, Long] =
     metaChannel("tag/").view.mapValues(_.toLong).toMap
 
@@ -4875,6 +4898,36 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         }
         (files.result(), gens.result())
       }
+    // Tagged-snapshot retention (X101): every tagged version's live set
+    // — and the DV generations in force at it — stays referenced, so a
+    // tag is a durable reproducibility pin (the training-run contract:
+    // the exact corpus snapshot a run trained on survives arbitrary
+    // rewrites until the tag is dropped). One O(history) archived-log
+    // walk shared by all tags, the same audit-path cost as the CDC
+    // retention walk above.
+    val (tagFiles, tagGens) = {
+      val tagVersions = tags.values.toSet
+      if (tagVersions.isEmpty) (Set.empty[String], Set.empty[String])
+      else {
+        val files = Set.newBuilder[String]
+        val gens = Set.newBuilder[String]
+        val live = scala.collection.mutable.LinkedHashSet.empty[String]
+        var dvState = Map.empty[String, Seq[String]]
+        archivedDeltas(tagVersions.max).foreach { c =>
+          c.remove.foreach { f => live -= f; dvState -= f }
+          live ++= c.add
+          c.dv.foreach { case (f, g) =>
+            dvState += f -> (if (c.action == "dvmerge") g
+              else (dvState.getOrElse(f, Nil) ++ g).distinct)
+          }
+          if (tagVersions.contains(c.version)) {
+            files ++= live
+            gens ++= dvState.values.flatten
+          }
+        }
+        (files.result(), gens.result())
+      }
+    }
     // Candidate listing: driver walk below a top-level dir-count
     // threshold; ABOVE it the per-dir recursive walks run as a Spark
     // job (VERDICT r8 #5) — on a many-partition table over object
@@ -4933,11 +4986,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // set (checkpoint rows ∪ tail adds) never folds on the driver;
         // only the (small) orphan list comes back.
         val refDF = ckptRowsDF(ck).select("file")
-          .unionByName((cs.flatMap(_.add) ++ cdcFiles ++ wapFiles).toDF("file"))
+          .unionByName((cs.flatMap(_.add) ++ cdcFiles ++ wapFiles ++ tagFiles).toDF("file"))
         allDF.join(refDF, Seq("file"), "left_anti")
           .as[String].collect().toSeq
       case None =>
-        val referenced = cs.flatMap(_.add).toSet ++ cdcFiles ++ wapFiles
+        val referenced = cs.flatMap(_.add).toSet ++ cdcFiles ++ wapFiles ++ tagFiles
         val refDF = referenced.toSeq.toDF("file")
         allDF.join(refDF, Seq("file"), "left_anti")
           .as[String].collect().toSeq
@@ -4951,7 +5004,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // in-force DVs always survive)
     val refGens = cs.flatMap(_.dv.values.flatten).toSet ++
       parquetCkpt(cs).map(ckptDvMap(_).values.flatten.toSet).getOrElse(Set.empty) ++
-      cdcGens
+      cdcGens ++ tagGens
     val dvRoot = new Path(rootPath, dvPrefix)
     val staleGens =
       if (!fs.exists(dvRoot)) Seq.empty
@@ -4985,9 +5038,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           import org.apache.spark.sql.functions.{col, element_at, input_file_name, lit, max => maxFn, split}
           val refDF = parquetCkpt(cs) match {
             case Some(ck) => ckptRowsDF(ck).select("file")
-              .unionByName((cs.flatMap(_.add) ++ cdcFiles ++ wapFiles).toDF("file"))
+              .unionByName((cs.flatMap(_.add) ++ cdcFiles ++ wapFiles ++ tagFiles).toDF("file"))
             case None =>
-              (cs.flatMap(_.add) ++ cdcFiles ++ wapFiles).toDF("file")
+              (cs.flatMap(_.add) ++ cdcFiles ++ wapFiles ++ tagFiles).toDF("file")
           }
           val entries = spark.read
             .schema(IncrementalTable.bloomIdxSchema)
