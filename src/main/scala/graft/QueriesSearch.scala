@@ -143,6 +143,44 @@ object QueriesSearch {
         .filter($"n_shared" >= 2)
         .orderBy($"doc_id")
     }),
+
+    // ---- CCNet perplexity-stratified corpus selection (round 10) -------
+    // The CCNet pipeline's head/middle/tail split: score every doc with
+    // the corpus unigram LM (q72's machinery), rank PER LANGUAGE, and
+    // keep the most-fluent two thirds — the standard pretraining
+    // selection stage between language-ID and dedup. Ranking key is the
+    // ROUNDED score (1e-4, the q72-proven cross-engine agreement band)
+    // with a doc_id tie-break, so bucket boundaries can never tie-flip
+    // between Spark and the oracle on last-ulp libm differences.
+    // Scale: the LM join broadcasts vocabulary-bounded term stats; the
+    // per-language window shards by lang (CCNet's own parallelism axis);
+    // at extreme per-language volumes the same split runs on broadcast
+    // approx-percentile thresholds instead of a full rank — the window
+    // form is the exact one the oracle can replay.
+    "q154_ccnet_select" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", explode(TextOps.tokens($"text")).as("term"))
+      val tf = terms.groupBy($"doc_id", $"lang", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val corpus = terms.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val total = corpus.agg(sum($"cnt").as("t_tokens"))
+      val scored = tf.join(broadcast(corpus), "term")
+        .crossJoin(broadcast(total))
+        .groupBy($"doc_id", $"lang")
+        .agg(round(sum($"tf" * log($"cnt")) / sum($"tf")
+          - log(max($"t_tokens")), 4).as("lm_score"))
+      val w = Window.partitionBy($"lang")
+        .orderBy($"lm_score".desc, $"doc_id")
+      val n = Window.partitionBy($"lang")
+      scored.withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .withColumn("bucket", when($"r" * 3 <= $"n", "head")
+          .when($"r" * 3 <= $"n" * 2, "middle").otherwise("tail"))
+        .filter($"bucket" =!= "tail")
+        .select($"doc_id", $"lang", $"lm_score", $"bucket")
+        .orderBy($"doc_id")
+    }),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t != '')"
@@ -209,5 +247,28 @@ object QueriesSearch {
          |FROM tr JOIN ev USING (g)
          |GROUP BY tr.doc_id HAVING COUNT(*) >= 2
          |ORDER BY tr.doc_id""".stripMargin,
+    "q154_ccnet_select" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, lang, term, COUNT(*) AS tf
+         |  FROM terms GROUP BY 1, 2, 3),
+         |corpus AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY 1),
+         |total AS (SELECT SUM(cnt) AS t_tokens FROM corpus),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.lang,
+         |    round(SUM(tf.tf * ln(corpus.cnt)) / SUM(tf.tf)
+         |      - ln(MAX(total.t_tokens)), 4) AS lm_score
+         |  FROM tf JOIN corpus USING (term) CROSS JOIN total
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT doc_id, lang, lm_score,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY lm_score DESC, doc_id) AS r,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM scored)
+         |SELECT doc_id, lang, lm_score,
+         |  CASE WHEN r * 3 <= n THEN 'head' ELSE 'middle' END AS bucket
+         |FROM ranked WHERE r * 3 <= n * 2
+         |ORDER BY doc_id""".stripMargin,
   )
 }
