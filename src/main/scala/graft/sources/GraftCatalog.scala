@@ -1119,6 +1119,9 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     case "untag" => "delete a snapshot tag"
     case "clone" => "shallow-clone a table (metadata-only: the new table " +
       "references the source's live files; optionally at a past version)"
+    case "bloom_index" => "build bloom-index sidecar entries for the " +
+      "current live files (X100 retrofit: tables adopting " +
+      "graft.bloomIndexColumns with data in place, shallow clones)"
     case "analyze" => "recompute column NDV sketches from the current " +
       "live data (CBO statistics) — CALL graft.system.analyze('ns.t' " +
       "[, columns => 'a,b'])"
@@ -1179,6 +1182,10 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       case "analyze" => Array(
         in("table", StringType).build(),
         // default: the graft.ndvColumns property
+        in("columns", StringType).defaultValue("''").build())
+      case "bloom_index" => Array(
+        in("table", StringType).build(),
+        // default: the graft.bloomIndexColumns property
         in("columns", StringType).defaultValue("''").build())
       case "wap_publish" | "wap_abort" => Array(
         in("table", StringType).build(),
@@ -1301,6 +1308,12 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
            .add("columns", StringType),
           InternalRow(c.map(_.version).getOrElse(-1L),
             UTF8String.fromString(t.columnNdv().keys.toSeq.sorted.mkString(","))))
+      case "bloom_index" =>
+        // X100 retrofit: one column-pruned job over the live files
+        val requested = cols(input.getUTF8String(1).toString)
+        t.buildBloomIndex(requested)
+        (new StructType().add("files_indexed", LongType),
+          InternalRow(t.liveFiles().size.toLong))
       case "wap_publish" =>
         val c = t.publishWap(input.getUTF8String(1).toString)
         (new StructType().add("version", LongType)
@@ -1336,7 +1349,8 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
 private[sources] object GraftProcedure {
   val names: Set[String] =
     Set("compact", "vacuum", "restore", "tag", "untag", "clone",
-      "evolve_partitioning", "analyze", "wap_publish", "wap_abort")
+      "evolve_partitioning", "analyze", "bloom_index", "wap_publish",
+      "wap_abort")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

@@ -2979,6 +2979,87 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .drop("_bloom_ok")
   }
 
+  /** ANALYZE-style bloom-index retrofit (CALL graft.system.bloom_index):
+    * build sidecar entries for the CURRENT live files in one
+    * column-pruned job — the adoption path for tables that set
+    * `graft.bloomIndexColumns` with data already in place, and for
+    * shallow clones whose foreign files carry no local sidecar. The
+    * in-plan file key mirrors [[relativizeUri]] exactly: decode the
+    * scan's URI-rendered `_metadata.file_path` ('+' protected first —
+    * url_decode is form-decoding, file paths are URI-encoded), strip
+    * the root prefix for under-root files, keep foreign (clone) paths
+    * absolute — so retrofit entries join the same log keys write-time
+    * entries do. Columns missing from the data files (partition
+    * columns; pre-evolution generations read them as null) simply
+    * contribute no values — their files' filters answer "no non-null
+    * value here", which is exactly right for equality pruning. */
+  def buildBloomIndex(columns: Seq[String] = Nil): Unit = {
+    val cols0 =
+      (if (columns.nonEmpty) columns else bloomIndexColumns)
+        .map(_.trim).filter(c => c.nonEmpty && !c.contains('.'))
+    require(cols0.nonEmpty,
+      "buildBloomIndex needs columns (argument or graft.bloomIndexColumns)")
+    val live = liveFiles()
+    if (live.isEmpty) return
+    val mapping = columnMapping()
+    val stored = committedSchema
+    val present = cols0.filter(stored.fieldNames.contains)
+      .map(c => c -> physPath(c, mapping))
+      .filter { case (c, _) =>
+        val ok = stored(c).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.StringType => true
+          case _ => false
+        }
+        if (!ok) log.warn(s"table $root: buildBloomIndex skipping '$c' — " +
+          "the bloom index supports integral and string keys")
+        ok
+      }
+    if (present.isEmpty) return
+    val numItems = tableProperties.get("graft.bloomNumItems")
+      .map(_.toLong).getOrElse(100000L)
+    val fpp = tableProperties.get("graft.bloomFpp")
+      .map(_.toDouble).getOrElse(0.03)
+    import org.apache.spark.sql.functions.{col, explode, expr, lit, map => mapFn, regexp_replace, when}
+    import org.apache.spark.sql.graftshim.DmlShim
+    val physOnly = org.apache.spark.sql.types.StructType(
+      physicalSchema(stored, mapping).fields
+        .filter(f => present.exists(_._2 == f.name)))
+    val groups = live.groupBy(f =>
+      if (f.startsWith("/")) IncrementalTable.foreignBase(f) else root)
+    val rootDec = rootPath.toUri.getPath.stripSuffix("/") + "/"
+    val scans = groups.toSeq.sortBy(_._1).map { case (_, fs) =>
+      spark.read.schema(physOnly)
+        .parquet(fs.map(f => new Path(rootPath, f).toString): _*)
+        .select(col("_metadata.file_path").as("_graft_bp") +:
+          present.map { case (_, p) => col(p) }: _*)
+    }
+    val df0 = scans.reduce(_.unionByName(_))
+    val dec = expr("url_decode(" +
+      "regexp_replace(regexp_replace(_graft_bp, '^[a-zA-Z][a-zA-Z0-9+.-]*:/+', '/')" +
+      ", '\\\\+', '%2B'))")
+    val key = when(dec.startsWith(rootDec),
+      dec.substr(lit(rootDec.length + 1), lit(Int.MaxValue))).otherwise(dec)
+    val aggs = present.map { case (c, p) =>
+      val child = stored(c).dataType match {
+        case org.apache.spark.sql.types.StringType => col(p)
+        case _ => col(p).cast(org.apache.spark.sql.types.LongType)
+      }
+      DmlShim.column(graft.functions.BloomAgg(
+        DmlShim.expression(child), numItems, fpp).toAggregateExpression()).as(p)
+    }
+    val perFile = df0.withColumn("file", key)
+      .groupBy("file").agg(aggs.head, aggs.tail: _*)
+    val melted = perFile.select(col("file"),
+      explode(mapFn(present.flatMap { case (_, p) =>
+        Seq(lit(p), col(p)) }: _*)).as(Seq("column", "bits")))
+    melted.write.mode("overwrite")
+      .parquet(new Path(bloomIdxPath, UUID.randomUUID().toString).toString)
+  }
+
   /** Pre-hashed bloom points per PHYSICAL column from the extracted
     * bounds: flat [h1, h2, …] pairs, hashed once on the driver. The
     * hash domain mirrors the write side — longs for integral columns,

@@ -769,4 +769,31 @@ class GraftCatalogSpec extends SparkSpec {
       assert(v1 == out)
     } finally spark.conf.unset("spark.graft.catalog.v1scan")
   }
+
+  test("runtime filtering x bloom index: join keys prune UNCLUSTERED fact files") {
+    // the X92 x X100 composition: the dim's materialized join keys
+    // arrive as a runtime In-filter, whose point set the BLOOM index
+    // can answer even though the fact files are interleaved on k —
+    // every file's [min,max] spans every key (and this table has no
+    // statsColumns at all), so minmax could never prune here
+    spark.sql(s"CREATE TABLE $cat.lake.rtb_fact (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.bloomIndexColumns'='k')")
+    (0 until 4).foreach { r =>
+      spark.sql(s"INSERT INTO $cat.lake.rtb_fact " +
+        s"SELECT /*+ COALESCE(1) */ id * 4 + $r, id FROM range(0, 100)")
+    }
+    spark.sql(s"CREATE TABLE $cat.lake.rtb_dim (dk BIGINT, name STRING)")
+    spark.sql(s"INSERT INTO $cat.lake.rtb_dim VALUES " +
+      "(8, 'one'), (16, 'one'), (33, 'two')")
+    val root = spark.conf.get("spark.sql.catalog.gcat.warehouse") + "/lake/rtb_fact"
+    val q = s"SELECT f.k, f.v FROM $cat.lake.rtb_fact f " +
+      s"JOIN $cat.lake.rtb_dim d ON f.k = d.dk WHERE d.name = 'one'"
+    val out = spark.sql(q).as[(Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((8L, 2L), (16L, 4L)), out.toString)
+    val scan = GraftRelation.lastScan(root).get
+    assert(scan.filesLive == 4, scan.toString)
+    // keys {8,16} are both residue-0: the bloom keeps exactly that file
+    assert(scan.filesScanned == 1,
+      s"runtime In-filter did not bloom-prune fact files: $scan")
+  }
 }

@@ -157,6 +157,46 @@ class BloomIndexSpec extends SparkSpec {
     assert(t.readWhere(col("id") === 5L).count() == 2) // replace row + loop row
   }
 
+  test("buildBloomIndex retrofits existing files; pruning fires on them") {
+    val t = IncrementalTable(spark, tmpDir("bloom") + "/t8")
+    interleaved(t) // 8 files, NO property at write time
+    t.setProperties(Map("graft.bloomIndexColumns" -> "id,url"))
+    // before the retrofit: no sidecar entries, everything kept
+    assert(t.liveFilesWhere(col("id") === 17L).size == 8)
+    t.buildBloomIndex()
+    val kept = t.liveFilesWhere(col("id") === 17L)
+    assert(kept.size < 8, s"retrofit did not enable pruning: ${kept.size}")
+    assert(t.readWhere(col("id") === 17L).count() == 1)
+    val keptS = t.liveFilesWhere(col("url") === "doc-33")
+    assert(keptS.size < 8, s"string retrofit: ${keptS.size}")
+    (0 until 800 by 61).foreach { v =>
+      assert(t.readWhere(col("id") === v.toLong).count() == 1, s"lost id=$v")
+      assert(t.readWhere(col("url") === s"doc-$v").count() == 1, s"lost doc-$v")
+    }
+  }
+
+  test("CALL graft.system.bloom_index retrofits through the SQL front door") {
+    val wh = tmpDir("bloom_wh")
+    spark.conf.set("spark.sql.catalog.bidx",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bidx.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bidx.lake")
+    spark.sql("CREATE TABLE bidx.lake.pts (k BIGINT, v BIGINT)")
+    (0 until 4).foreach { r =>
+      spark.sql("INSERT INTO bidx.lake.pts " +
+        s"SELECT /*+ COALESCE(1) */ id * 4 + $r, id FROM range(0, 200)")
+    }
+    spark.sql("ALTER TABLE bidx.lake.pts " +
+      "SET TBLPROPERTIES ('graft.bloomIndexColumns' = 'k')")
+    val n = spark.sql("CALL bidx.system.bloom_index('lake.pts')")
+      .head.getLong(0)
+    assert(n == 4L, s"files_indexed = $n")
+    val t = IncrementalTable(spark, s"$wh/lake/pts")
+    assert(t.liveFilesWhere(col("k") === 9L).size < 4)
+    assert(spark.sql("SELECT v FROM bidx.lake.pts WHERE k = 9")
+      .head.getLong(0) == 2L)
+  }
+
   test("BloomBits: geometry, membership, and false-positive sanity") {
     val (m, k) = BloomBits.geometry(100000L, 0.03)
     assert(m % 64 == 0 && m > 600000 && m < 800000, s"m=$m")
