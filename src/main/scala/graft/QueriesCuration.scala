@@ -71,6 +71,45 @@ object QueriesCuration {
         .orderBy($"leg", $"lang")
     }),
 
+    // ---- branch lifecycle (X102, the Iceberg branch-ref analog) ------
+    // A corpus re-curation developed on a BRANCH while main serves
+    // readers: fork, land an append AND a partition-scoped re-curation
+    // of lang=de on the fork (the replace resolves against the
+    // branch's OWN live set — it must subtract the branch's earlier de
+    // adds too), then fast-forward main to the branch head in ONE
+    // O(metadata) commit. Three legs pin the lifecycle relationally:
+    // `before` proves branch writes are invisible to main, `branch` is
+    // the fork head, `after` proves fast-forward reproduced it exactly
+    // on main. Scale shape: the publish moves no data; legs are
+    // per-lang aggregates (bounded rows).
+    "q155_branch_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q155_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/corpus/main")
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"n_chars")
+      t.append(docs.filter($"doc_id" % 4 =!= 0), partitionBy = Seq("lang"))
+      t.createBranch("recurate")
+      t.appendBranch(docs.filter($"doc_id" % 4 === 0), "recurate",
+        partitionBy = Seq("lang"))
+      t.replaceWhereBranch(
+        docs.filter($"lang" === "de" && $"n_chars".between(100, 400)),
+        "recurate", Seq("lang"), Map.empty, Map("lang" -> "de"))
+      def legOf(df: DataFrame, leg: String) = df.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+        .select(lit(leg).as("leg"), $"lang", $"n_docs", $"n_chars")
+      // main is blind to the chain (read() pins its live list eagerly,
+      // so the leg stays `before` even when evaluated after the ff)
+      val before = legOf(t.read(), "before")
+      // the fork head — file list pinned now; ff below only ADOPTS
+      // these files (never deletes), so the frame stays valid
+      val branchLeg = legOf(t.readBranch("recurate"), "branch")
+      t.fastForward("recurate")
+      val after = legOf(t.read(), "after")
+      after.unionByName(branchLeg).unionByName(before)
+        .orderBy($"leg", $"lang")
+    }),
+
     // ---- per-domain cap (C4/RefinedWeb-style source balancing) -------
     // At most K docs per source, best-first: a handful of crawl domains
     // otherwise dominate a pretraining mix. "Best" = longest text
@@ -160,6 +199,31 @@ object QueriesCuration {
         |  SELECT 'audit' AS leg, lang, COUNT(*) AS n_docs,
         |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |  FROM bad GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'before' AS leg, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM base GROUP BY lang)
+        |ORDER BY leg, lang""".stripMargin,
+
+    "q155_branch_lifecycle" ->
+      """WITH base AS (
+        |  SELECT * FROM documents WHERE doc_id % 4 <> 0),
+        |forked AS (
+        |  SELECT * FROM documents),
+        |de_clean AS (
+        |  SELECT * FROM documents
+        |  WHERE lang = 'de' AND n_chars BETWEEN 100 AND 400),
+        |head AS (
+        |  SELECT * FROM forked WHERE lang <> 'de'
+        |  UNION ALL SELECT * FROM de_clean)
+        |SELECT leg, lang, n_docs, n_chars FROM (
+        |  SELECT 'after' AS leg, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM head GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'branch' AS leg, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM head GROUP BY lang
         |  UNION ALL
         |  SELECT 'before' AS leg, lang, COUNT(*) AS n_docs,
         |    CAST(SUM(n_chars) AS BIGINT) AS n_chars

@@ -156,13 +156,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
 
   /** `VERSION AS OF v` time travel — a commit version, a snapshot TAG
-    * name (`VERSION AS OF 'stable'`, [[IncrementalTable.setTag]]), or a
-    * pending WAP audit frame (`VERSION AS OF 'wap:<id>'`, X98). */
+    * name (`VERSION AS OF 'stable'`, [[IncrementalTable.setTag]]), a
+    * pending WAP audit frame (`VERSION AS OF 'wap:<id>'`, X98), or a
+    * branch head (`VERSION AS OF 'branch:<name>'`, X102). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val base = dataTable(ident)
     if (version.startsWith("wap:")) {
       val id = version.stripPrefix("wap:")
       return new GraftWapTable(spark, base.table, id,
+        (catalogName +: ident.namespace.toIndexedSeq :+ ident.name).mkString("."))
+    }
+    if (version.startsWith("branch:")) {
+      val bn = version.stripPrefix("branch:")
+      return new GraftBranchTable(spark, base.table, bn,
         (catalogName +: ident.namespace.toIndexedSeq :+ ident.name).mkString("."))
     }
     val v =
@@ -950,6 +956,17 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
         }
         .toDF("id", "action", "n_files", "partition_filter")
         .orderBy("id")
+    case "branches" =>
+      // live branch refs (X102): base version, chain length, pending
+      // file volume — what an operator checks before a fast-forward
+      import spark.implicits._
+      table.branches.toSeq
+        .map { case (n, p) =>
+          (n, p.base, p.commits.size.toLong,
+            p.commits.flatMap(_.add).distinct.size.toLong)
+        }
+        .toDF("name", "base_version", "n_commits", "n_files")
+        .orderBy("name")
   }
 
   override def name(): String = ident
@@ -985,7 +1002,7 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
 private[sources] object GraftMetaTable {
   val views: Set[String] =
     Set("history", "detail", "files", "partitions", "properties", "changes",
-      "waps")
+      "waps", "branches")
 }
 
 /** Pure-SQL audit read of a pending write-audit-publish staging (X98):
@@ -1015,6 +1032,51 @@ private[sources] final class GraftWapTable(spark: SparkSession,
         override def readSchema(): StructType = required
         override def description(): String =
           s"GraftWapScan ${table.root} wap:$wapId"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val req = required
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = spark.sqlContext
+            override def schema: StructType = req
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val df = frame
+              (if (req.isEmpty) df.select()
+               else df.select(req.fieldNames.toIndexedSeq.map(
+                 org.apache.spark.sql.functions.col): _*)).rdd
+            }
+          }.asInstanceOf[T]
+        }
+      }
+    }
+}
+
+/** `SELECT … FROM graft.ns.t VERSION AS OF 'branch:<name>'` — the
+  * branch head ([[IncrementalTable.readBranch]]): base snapshot plus
+  * the branch's own chain, blind to main's later commits. Read-only
+  * through this spelling (branch WRITES go through the session conf
+  * `spark.graft.branch` or the library API) and scoped like the WAP
+  * audit frame: filters stay Spark-side residuals above the frame —
+  * a branch review reads the line of development it is judging. */
+private[sources] final class GraftBranchTable(spark: SparkSession,
+    table: IncrementalTable, branchName: String, ident: String)
+    extends Table with SupportsRead {
+
+  private lazy val frame: DataFrame = table.readBranch(branchName)
+
+  override def name(): String = s"$ident@branch:$branchName"
+  override def schema(): StructType = frame.schema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"GraftBranchScan ${table.root} branch:$branchName"
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
           val req = required
@@ -1134,6 +1196,13 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       "metadata commit adopts the staged files"
     case "wap_abort" => "abort a staged write-audit-publish ingest: " +
       "tombstone the pending entry and drop its files"
+    case "branch" => "fork a writable branch at a version (default: " +
+      "head); write to it under spark.graft.branch, read it with " +
+      "VERSION AS OF 'branch:<name>'"
+    case "fast_forward" => "publish a branch's commit chain onto main " +
+      "as one atomic commit (fails if main diverged since the fork)"
+    case "drop_branch" => "abandon a branch: tombstone the ref and " +
+      "drop its unpublished files"
   }
   override def bind(inputType: org.apache.spark.sql.types.StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -1190,6 +1259,13 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       case "wap_publish" | "wap_abort" => Array(
         in("table", StringType).build(),
         in("id", StringType).build())
+      case "branch" => Array(
+        in("table", StringType).build(),
+        in("name", StringType).build(),
+        in("version", LongType).defaultValue("-1").build())
+      case "fast_forward" | "drop_branch" => Array(
+        in("table", StringType).build(),
+        in("name", StringType).build())
     }
   }
 
@@ -1324,6 +1400,25 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         val dropped = t.abortWap(input.getUTF8String(1).toString)
         (new StructType().add("files_dropped", IntegerType),
           InternalRow(dropped.size))
+      case "branch" =>
+        val bn = input.getUTF8String(1).toString
+        val v = input.getLong(2) match {
+          case -1L => t.latestVersion
+          case v2 => v2
+        }
+        t.createBranch(bn, v)
+        (new StructType().add("branch", StringType).add("base", LongType),
+          InternalRow(UTF8String.fromString(bn), v))
+      case "fast_forward" =>
+        val c = t.fastForward(input.getUTF8String(1).toString)
+        (new StructType().add("version", LongType)
+           .add("files_added", IntegerType)
+           .add("files_removed", IntegerType),
+          InternalRow(c.version, c.add.size, c.remove.size))
+      case "drop_branch" =>
+        val dropped = t.dropBranch(input.getUTF8String(1).toString)
+        (new StructType().add("files_dropped", IntegerType),
+          InternalRow(dropped.size))
       case "clone" =>
         val destRel = input.getUTF8String(1).toString
         val destPath = cat.pathForName(destRel)
@@ -1350,7 +1445,7 @@ private[sources] object GraftProcedure {
   val names: Set[String] =
     Set("compact", "vacuum", "restore", "tag", "untag", "clone",
       "evolve_partitioning", "analyze", "bloom_index", "wap_publish",
-      "wap_abort")
+      "wap_abort", "branch", "fast_forward", "drop_branch")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a
@@ -1445,7 +1540,27 @@ private[sources] final class GraftWriteBuilder(spark: SparkSession,
           // the loop
           val wap = data.sparkSession.conf.getOption("spark.graft.wap.id")
             .map(_.trim).filter(_.nonEmpty)
+          // branch writes (X102, the Iceberg branch UX): with the
+          // session conf set, every catalog write lands on that branch
+          // — a pure-SQL pipeline develops against a fork and CALL
+          // graft.system.fast_forward publishes the whole line
+          val branchTo = data.sparkSession.conf.getOption("spark.graft.branch")
+            .map(_.trim).filter(_.nonEmpty)
+          require(wap.isEmpty || branchTo.isEmpty,
+            "spark.graft.wap.id and spark.graft.branch are mutually exclusive")
           overwriteScope match {
+            case _ if branchTo.isDefined =>
+              val scope = overwriteScope match {
+                case None | Some(Nil) => Map.empty[String, String]
+                case Some(filters) => filters.flatMap(partEq)
+                  .map { case (a, v) => a -> v.toString }.toMap
+              }
+              if (overwriteScope.isEmpty)
+                table.appendBranch(shaped, branchTo.get, partitionBy,
+                  statsColumns = stats)
+              else
+                table.replaceWhereBranch(shaped, branchTo.get, partitionBy,
+                  Map.empty, scope, statsColumns = stats)
             case _ if wap.isDefined =>
               val scope = overwriteScope match {
                 case None | Some(Nil) => Map.empty[String, String]

@@ -93,7 +93,20 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
     val wap = parameters.get("wapId").orElse(
         sqlContext.sparkSession.conf.getOption("spark.graft.wap.id"))
       .map(_.trim).filter(_.nonEmpty)
+    // branch writes (X102): the `branch` write option or the
+    // session-wide `spark.graft.branch` conf lands the write on the
+    // named branch's chain — path-door parity with the catalog
+    val branchTo = parameters.get("branch").orElse(
+        sqlContext.sparkSession.conf.getOption("spark.graft.branch"))
+      .map(_.trim).filter(_.nonEmpty)
+    require(wap.isEmpty || branchTo.isEmpty,
+      "a write stages under a WAP id OR a branch, not both")
     (mode, wap) match {
+      case (SaveMode.Append, _) if branchTo.isDefined =>
+        t.appendBranch(data, branchTo.get, partitionBy, statsColumns = stats)
+      case (SaveMode.Overwrite, _) if branchTo.isDefined =>
+        t.replaceWhereBranch(data, branchTo.get, partitionBy, Map.empty,
+          Map.empty, statsColumns = stats)
       case (SaveMode.Append, Some(id)) =>
         t.stageAppend(data, id, partitionBy, statsColumns = stats)
       case (SaveMode.Overwrite, Some(id)) =>
@@ -106,13 +119,13 @@ final class GraftSource extends RelationProvider with SchemaRelationProvider
           statsColumns = stats)
       case (SaveMode.ErrorIfExists, _) =>
         require(!t.exists, s"graft table ${t.root} already exists (mode=ErrorIfExists)")
-        require(wap.isEmpty,
-          "WAP staging needs an existing table (stage after CREATE)")
+        require(wap.isEmpty && branchTo.isEmpty,
+          "WAP staging / branch writes need an existing table")
         t.append(data, partitionBy, statsColumns = stats)
       case (SaveMode.Ignore, _) =>
         if (!t.exists) {
-          require(wap.isEmpty,
-            "WAP staging needs an existing table (stage after CREATE)")
+          require(wap.isEmpty && branchTo.isEmpty,
+            "WAP staging / branch writes need an existing table")
           t.append(data, partitionBy, statsColumns = stats)
         }
     }

@@ -159,6 +159,36 @@ final case class WapPayload(
     meta: Map[String, String],
     fileStats: Map[String, Map[String, ColStat]])
 
+/** One write landed on a BRANCH (X102 — the Iceberg branch-ref analog):
+  * the state transition a branch write would have committed to main,
+  * deferred. Unlike a WAP staging (one pending write, publish-time
+  * removal scopes), a branch is an ORDERED CHAIN of commits layered on
+  * a pinned base snapshot — each replace's removal set was resolved at
+  * write time against the branch's own then-current live set, so the
+  * chain replays deterministically regardless of what main does.
+  * Identity / row-id high-waters are reserved at write time exactly
+  * like WAP stagings (the branch commit carries `idhw/`/`rowhw/`
+  * directly); `ndv/` advances stay deferred here — statistics must not
+  * count rows main cannot see — and re-union at fast-forward. */
+final case class BranchCommit(
+    action: String, // "append" | "replace"
+    add: Seq[String],
+    remove: Seq[String], // names removed from the BRANCH's live set
+    partitionFilter: Map[String, String],
+    schemaDdl: String,
+    meta: Map[String, String],
+    fileStats: Map[String, Map[String, ColStat]])
+
+/** A branch ref: the main version it forked from plus its commit chain.
+  * Serialized into the `branch/<name>` metadata channel — the pending
+  * registry rides the same atomic commit log as everything else, so
+  * branches replay, fold through checkpoints, and tombstone on
+  * fast-forward / drop like tags and WAP entries do. */
+final case class BranchPayload(
+    base: Long,
+    partitionBy: Seq[String],
+    commits: Seq[BranchCommit])
+
 /** Transactional, hive-partitioned parquet table with a minimal JSON
   * commit log. Provides the three Delta behaviors the reference actually
   * uses — append (delta_io.py:91,112-116), partition-scoped overwrite
@@ -481,11 +511,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // JSON parse, the same audit-path cost as the CDC-retention
         // walk. Untagged versions keep failing loudly: their files may
         // be vacuumed and a silent partial read would be worse.
-        require(tags.values.exists(_ == v),
+        require(tags.values.exists(_ == v) ||
+            branches.values.exists(_.base == v),
           s"version $v predates the replay horizon (history before " +
             s"checkpoint ${cs.headOption.map(_.version).getOrElse(-1L)} " +
-            "is compacted; only TAGGED versions stay readable past it — " +
-            "setTag / CALL graft.system.tag pins one)")
+            "is compacted; only TAGGED versions — and live branches' " +
+            "base snapshots — stay readable past it; setTag / CALL " +
+            "graft.system.tag pins one)")
         val raw = deltasBetween(-1L, v)
         require(raw.lastOption.exists(_.version == v),
           s"no archived commit at version $v of $root")
@@ -1267,6 +1299,157 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     p.add.foreach(f => fs.delete(new Path(rootPath, f), false))
     p.add
   }
+
+  // ------------------------------------------------------------ branches
+
+  /** Live branch refs: name → payload (X102, the Iceberg branch analog).
+    * A branch is a named, writable fork of a pinned snapshot: writes to
+    * it land as invisible `staged` commits that extend its chain, reads
+    * of `branch:<name>` replay base + chain, and [[fastForward]]
+    * publishes the whole chain onto main as ONE atomic commit — the
+    * ingest-isolation contract WAP gives one write, generalized to a
+    * multi-write line of development. */
+  def branches: Map[String, BranchPayload] =
+    metaChannel(IncrementalTable.BranchPrefix).view
+      .mapValues(Serialization.read[BranchPayload](_)).toMap
+
+  private def branchPayload(name: String): BranchPayload =
+    metaChannel(IncrementalTable.BranchPrefix).get(name)
+      .map(Serialization.read[BranchPayload](_))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no branch '$name' on $root (branches: ${branches.keys.mkString(", ")})"))
+
+  /** Fork a branch at `version` (default: head). Metadata-only commit. */
+  def createBranch(name: String, version: Long = latestVersion): Commit = {
+    require(name.nonEmpty && !name.forall(_.isDigit) && !name.contains(':'),
+      s"branch name '$name' must be non-numeric and ':'-free")
+    require(version >= 0 && version <= latestVersion,
+      s"branch '$name' forks version $version outside [0, $latestVersion]")
+    require(!branches.contains(name),
+      s"branch '$name' already exists on $root — drop it first")
+    val partsAt = commitsAsOf(Some(version)).reverseIterator
+      .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
+    commitMeta(Map(IncrementalTable.BranchPrefix + name ->
+      Serialization.write(BranchPayload(version, partsAt, Nil))))
+  }
+
+  /** The branch's live file set: base snapshot files folded through the
+    * chain. Order-preserving, so replay is deterministic. */
+  private def branchLive(p: BranchPayload): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    live ++= liveFiles(asOf = Some(p.base))
+    p.commits.foreach { c => live --= c.remove; live ++= c.add }
+    live.toSeq
+  }
+
+  /** The branch head's schema: the last chain commit's (stage-time
+    * merged) schema, or the base snapshot's when the chain is empty. */
+  private def branchSchema(p: BranchPayload): Option[StructType] =
+    p.commits.lastOption.map(c => StructType.fromDDL(c.schemaDdl))
+      .orElse(schemaDdlAt(Some(p.base)).map(StructType.fromDDL))
+
+  /** Read the branch head — base snapshot plus the branch's own writes,
+    * blind to anything main committed after the fork. Deletion vectors
+    * in force AT THE BASE still apply to surviving base files (branch
+    * replaces drop their files' DVs with the files). Pure read. */
+  def readBranch(name: String): DataFrame = {
+    val p = branchPayload(name)
+    val files = branchLive(p)
+    val dv = liveDv(Some(p.base)).view.filterKeys(files.toSet).toMap
+    filesDf(files, branchSchema(p), dv, columnMapping(Some(p.base)))
+  }
+
+  /** Fast-forward main to the branch head: ONE atomic commit adopts the
+    * chain's net file delta (adds minus self-cancelled, base removals)
+    * and tombstones the ref — O(metadata), no data moves. Requires main
+    * NOT to have diverged: any data or spec commit after the fork fails
+    * loudly (the Iceberg fast-forward ancestor rule; rebase = drop and
+    * re-branch). Meta-only commits (tags, properties, other branches'
+    * stagings) never block. The commit lands as a whole-table-scoped
+    * `replace`, so the OCC conflict rule catches a data write racing
+    * this very publish. */
+  def fastForward(name: String): Commit = {
+    val p = branchPayload(name)
+    val diverged = deltasBetween(p.base, latestVersion).filter(c =>
+      c.action == "evolve" ||
+        c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty)
+    if (diverged.nonEmpty)
+      throw new ConcurrentWriteException(
+        s"table $root: main diverged from branch '$name' (base v${p.base}) — " +
+          s"${diverged.map(c => s"${c.action} v${c.version}").mkString(", ")}; " +
+          "drop the branch and re-fork to rebase")
+    val baseLive = liveFiles(asOf = Some(p.base)).toSet
+    val headLive = branchLive(p)
+    val adds = headLive.filterNot(baseLive)
+    val removes = (baseLive -- headLive).toSeq
+    // ndv/ advances were deferred in the chain (stats must not count
+    // unpublished rows) and were unioned against fork-time channels —
+    // re-union against the CURRENT channel at publish (same rule as
+    // publishWap; HLL unions commute, the retry path re-unions again)
+    val ndvChan = metaChannel("ndv/")
+    val foldedMeta = p.commits.foldLeft(Map.empty[String, String]) {
+      (acc, c) =>
+        acc ++ c.meta.map {
+          case (k, v) if k.startsWith("ndv/") && v.nonEmpty =>
+            k -> acc.get(k).orElse(ndvChan.get(k.stripPrefix("ndv/")))
+              .filter(_.nonEmpty).fold(v) { w =>
+                java.util.Base64.getEncoder.encodeToString(
+                  IncrementalTable.unionHll(
+                    Some(java.util.Base64.getDecoder.decode(w)),
+                    java.util.Base64.getDecoder.decode(v)))
+              }
+          case kv => kv
+        }
+    }
+    val tombstone = IncrementalTable.BranchPrefix + name -> ""
+    if (adds.isEmpty && removes.isEmpty)
+      return commitMeta(foldedMeta + tombstone)
+    val schemaDdl = IncrementalTable.ddlOf(
+      mergedSchema(branchSchema(p).getOrElse(new StructType())))
+    val addSet = adds.toSet
+    val stats = p.commits.flatMap(_.fileStats).filter(kv => addSet(kv._1)).toMap
+    commit(Commit(0, "replace", adds, removes, Map.empty, p.partitionBy,
+      schemaDdl, foldedMeta + tombstone, None, now(), fileStats = stats))
+  }
+
+  /** Drop a branch: tombstone the ref (one meta commit), then
+    * best-effort delete the chain's added files — no published commit
+    * ever referenced them, so a crash mid-delete just leaves orphans
+    * for [[vacuum]]. Returns the dropped files. */
+  def dropBranch(name: String): Seq[String] = {
+    val p = branchPayload(name)
+    commitMeta(Map(IncrementalTable.BranchPrefix + name -> ""))
+    val files = p.commits.flatMap(_.add).distinct
+    files.foreach(f => fs.delete(new Path(rootPath, f), false))
+    files
+  }
+
+  /** Append to a branch: files are written, routed, and stat-harvested
+    * like a normal append, but the only record that commits is an
+    * invisible `staged` one extending the branch chain. */
+  def appendBranch(df: DataFrame, branch: String,
+      partitionBy: Seq[String] = Nil,
+      partitionValues: Map[String, String] = Map.empty,
+      meta: Map[String, String] = Map.empty,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Option[Commit] =
+    write(df, "append", partitionBy, partitionValues, Map.empty, meta,
+      None, None, statsColumns = statsColumns, bloomColumns = bloomColumns,
+      userWrite = true, branch = Some(branch))
+
+  /** Partition-scoped overwrite ON the branch: the removal set is
+    * resolved NOW against the branch's own live set (base survivors
+    * plus earlier chain adds), so the chain replays deterministically
+    * no matter what main does before fast-forward. */
+  def replaceWhereBranch(df: DataFrame, branch: String,
+      partitionBy: Seq[String],
+      partitionValues: Map[String, String],
+      partitionFilter: Map[String, String],
+      meta: Map[String, String] = Map.empty,
+      statsColumns: Seq[String] = Nil): Option[Commit] =
+    write(df, "replace", partitionBy, partitionValues, partitionFilter, meta,
+      None, None, statsColumns = statsColumns,
+      userWrite = true, branch = Some(branch))
 
   /** Delta-style MERGE (upsert), copy-on-write at file granularity:
     * a `source` row whose `keys` match an existing row REPLACES that
@@ -3935,8 +4118,22 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // promoted normally but the commit that lands is an invisible
       // `staged` record carrying the write's intent — nothing is
       // visible until publishWap(id)
-      wapId: Option[String] = None): Option[Commit] = {
+      wapId: Option[String] = None,
+      // branch write (X102): like a WAP staging, but the record extends
+      // the named branch's commit CHAIN — visible to readBranch /
+      // `VERSION AS OF 'branch:<name>'`, published by fastForward(name)
+      branch: Option[String] = None): Option[Commit] = {
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
+    // branch writes (X102) fail FAST — before any file is staged — on
+    // an unknown ref or a spec evolution since the fork (the chain's
+    // files must all route under one spec; fastForward would refuse)
+    branch.foreach { bname =>
+      val p = branchPayload(bname)
+      if (deltasBetween(p.base, latestVersion).exists(_.action == "evolve"))
+        throw new ConcurrentWriteException(
+          s"table $root: the partition spec evolved after branch '$bname' " +
+            s"forked (base v${p.base}) — drop the branch and re-fork")
+    }
     // Spec evolution (X81): a replace whose REMOVAL SET is addressed by
     // partition tokens (replaceWhere's filter, dynamic replace's touched
     // dirs — the latter includes the full current layout, derived names
@@ -4199,6 +4396,61 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // unchanged until publishWap(). The payload carries everything the
     // deferred commit needs, INCLUDING the idhw/rowhw/ndv channel
     // advances this write computed; publish re-validates them.
+    // Branch write (X102): promote the files like any write, but the
+    // commit that lands is an invisible `staged` record whose single
+    // channel entry extends the branch's chain. replaceWhere removal
+    // sets resolve NOW against the branch's own live set; identity /
+    // row-id high-waters reserve directly (the WAP rule); ndv/ defers
+    // in the chain entry and re-unions at fast-forward.
+    if (branch.isDefined) {
+      val bname = branch.get
+      require(wapId.isEmpty, "a write stages under a WAP id OR a branch, not both")
+      require(batchId.isEmpty, "branch writes take no streaming batchId")
+      require(statMeta.isEmpty,
+        "branch writes do not advance watermark channels — commit " +
+          "cursors with the publishing pipeline, not the branch write")
+      require(extraDv.isEmpty && removeExact.isEmpty && !dynamic,
+        "branch writes support plain append and replaceWhere only")
+      // re-read the chain here (the fail-fast guard above validated the
+      // ref before staging); a concurrent evolve between then and the
+      // commit is caught by the OCC evolve-vs-staged conflict rule
+      val p = branchPayload(bname)
+      val removed =
+        if (action != "replace") Seq.empty[String]
+        else {
+          requireUniformSpec(partitionFilter.keys, "replaceWhere on a branch")
+          branchLive(p).filter(matchesPartition(_, partitionFilter))
+        }
+      val added =
+        if (partitionBy.isEmpty && stagedRows == 0) Nil
+        else staged.map { rel =>
+          val from = new Path(stage, rel)
+          val to = new Path(rootPath, rel)
+          fs.mkdirs(to.getParent)
+          if (!fs.rename(from, to))
+            throw new java.io.IOException(s"rename failed: $from -> $to")
+          rel
+        }
+      fs.delete(stage, true)
+      // W6 elision on the branch: an empty append extends nothing
+      if (added.isEmpty && removed.isEmpty) return None
+      val stagedSchemaDdl = IncrementalTable.ddlOf(
+        mergedSchema(StructType(withParts.schema.fields
+          .filterNot(f => ptransforms.contains(f.name) ||
+            f.name == IncrementalTable.RowIdCol))))
+      val chainMeta = allMeta.view.filterKeys(k =>
+        !k.startsWith("idhw/") && !k.startsWith("rowhw/")).toMap
+      val bc = BranchCommit(action, added, removed, partitionFilter,
+        stagedSchemaDdl, chainMeta,
+        fileStats.view.filterKeys(added.toSet).toMap)
+      val prevSchema = commits().lastOption.map(_.schemaJson).getOrElse("")
+      return Some(commit(Commit(0, "staged", Nil, Nil, Map.empty,
+        committedPartitionBy, prevSchema,
+        (idhwMeta ++ rowHwMeta).toMap +
+          (IncrementalTable.BranchPrefix + bname ->
+            Serialization.write(p.copy(commits = p.commits :+ bc))),
+        None, now())))
+    }
     if (wapId.isDefined) {
       val id = wapId.get
       require(batchId.isEmpty, "WAP staging takes no streaming batchId")
@@ -4569,6 +4821,22 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     if (ours.meta.keysIterator.exists(k =>
         (k.startsWith("idhw/") || k.startsWith("rowhw/")) &&
           winner.meta.contains(k))) return true
+    // branch refs (X102): two commits touching the SAME branch key
+    // raced — a chain extension built from a stale chain would
+    // overwrite the winner's entry (lost update), and a fast-forward /
+    // drop tombstone would silently discard a concurrent chain
+    // extension. Fail; the caller re-reads the chain and re-runs.
+    if (ours.meta.keysIterator.exists(k =>
+        k.startsWith(IncrementalTable.BranchPrefix) &&
+          winner.meta.contains(k))) return true
+    // fast-forward publish (X102): the chain was validated against a
+    // non-diverged main — ANY intervening data or spec commit (not
+    // just a dir-overlapping one) invalidates that check. The ff
+    // commit is the only "replace" carrying a branch tombstone.
+    if (ours.action == "replace" && ours.meta.exists { case (k, v) =>
+          k.startsWith(IncrementalTable.BranchPrefix) && v.isEmpty } &&
+        (winner.add.nonEmpty || winner.remove.nonEmpty ||
+          winner.dv.nonEmpty || winner.action == "evolve")) return true
     val winnerFiles = winner.add ++ winner.remove ++ winner.dv.keys
     ours.action match {
       case "replace" =>
@@ -4987,7 +5255,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // walk shared by all tags, the same audit-path cost as the CDC
     // retention walk above.
     val (tagFiles, tagGens) = {
-      val tagVersions = tags.values.toSet
+      // live branches (X102) pin their BASE snapshot exactly like a
+      // tag: the fork must stay readable (and fast-forwardable) no
+      // matter what main rewrites in the meantime
+      val tagVersions = tags.values.toSet ++ branches.values.map(_.base)
       if (tagVersions.isEmpty) (Set.empty[String], Set.empty[String])
       else {
         val files = Set.newBuilder[String]
@@ -5060,7 +5331,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // referenced by no published commit yet — protected until the wap
     // is published (adopting commit references them) or aborted
     // (tombstone + eager delete makes them reclaimable)
-    val wapFiles = pendingWaps.values.flatMap(_.add).toSeq
+    val wapFiles = pendingWaps.values.flatMap(_.add).toSeq ++
+      // live branch chains (X102): their files are referenced by no
+      // published commit until fastForward adopts them — protected
+      // while the ref lives (dropBranch tombstones + eager-deletes)
+      branches.values.flatMap(_.commits).flatMap(_.add)
     val orphans = parquetCkpt(cs) match {
       case Some(ck) =>
         // orphan detection as a distributed anti-join: the referenced
@@ -5265,6 +5540,7 @@ object IncrementalTable {
   /** Meta-channel prefix of the pending write-audit-publish registry
     * (X98): `wap/<id>` → serialized [[WapPayload]], "" = tombstone. */
   private[graft] val WapPrefix = "wap/"
+  private[graft] val BranchPrefix = "branch/"
 
   /** The input types Spark's `hll_sketch_agg` accepts (ADVICE r9):
     * anything else in `graft.ndvColumns` is skipped with a warning
