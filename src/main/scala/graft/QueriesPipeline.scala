@@ -1931,6 +1931,43 @@ object QueriesPipeline {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- TOP-N / LIMIT pushdown through the catalog scan (X103) --------
+    // The interactive-query contract on an append-ordered 100 TB log:
+    // `ORDER BY <key> DESC LIMIT k` reads the newest few FILES, not the
+    // table — the DSv2 scan's pushTopN drops every file whose committed
+    // [min,max] provably cannot reach the top k (threshold = k-th best
+    // of the per-file worst values weighted by exact tallies; DV'd and
+    // stat-less files never prune, nulls honor the sort's ordering).
+    // The ingest commits 8 id-ranged batches so file bounds are
+    // disjoint; at this shape the top-50 plans 1 file of 8. Pushdown is
+    // PARTIAL — Spark's Sort+Limit re-applies — so the oracle is the
+    // plain relational top-k; the index is an optimization, never
+    // semantics.
+    "q156_topn_limit" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.evlog")
+      s.sql("""CREATE TABLE graft.lake.evlog
+              |  (event_id BIGINT, user_id BIGINT, event_type STRING)
+              |TBLPROPERTIES ('graft.statsColumns' = 'event_id')""".stripMargin)
+      val t = graft.table.IncrementalTable(s,
+        s.conf.get("spark.sql.catalog.graft.warehouse") + "/lake/evlog")
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"event_type")
+      val n = ev.agg(max($"event_id")).head.getLong(0) + 1
+      // 8 disjoint id ranges partition the log: file bounds never overlap
+      (0 until 8).foreach { i =>
+        val lo = i * n / 8
+        val hi = if (i == 7) n else (i + 1) * n / 8
+        t.append(ev.filter($"event_id" >= lo && $"event_id" < hi)
+            .repartition(1), Nil, statsColumns = Seq("event_id"))
+      }
+      s.sql("""SELECT event_id, user_id, event_type FROM graft.lake.evlog
+              |ORDER BY event_id DESC LIMIT 50""".stripMargin)
+        .orderBy($"event_id")
+    }),
+
     // ---- DURABLE snapshot tags (X101, round 10) ------------------------
     // The training-run reproducibility contract: tag the exact corpus
     // snapshot a run trained on, then rewrite the table at will — the
@@ -2610,6 +2647,11 @@ object QueriesPipeline {
       """SELECT c_custkey AS ck, md5(c_name) AS digest,
         |  CAST(length(c_name) AS BIGINT) AS len
         |FROM customer ORDER BY ck""".stripMargin,
+    "q156_topn_limit" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  ORDER BY event_id DESC LIMIT 50)
+        |ORDER BY event_id""".stripMargin,
     "q152_bloom_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey IN (7, 193, 1154, 2951, 4000, 8417, 12000,

@@ -46,7 +46,13 @@ import graft.table.IncrementalTable
 private[graft] final class GraftBatchScan(spark: SparkSession,
     table: IncrementalTable, asOf: Option[Long],
     required: StructType, pushed: Array[Filter],
-    readOptions: Map[String, String] = Map.empty)
+    readOptions: Map[String, String] = Map.empty,
+    // X103: pushed LIMIT / TOP-N — both PARTIAL (Spark re-applies);
+    // the scan only plans fewer files. topN = (column, descending,
+    // nullsFirst, k). Armed only with no pushed filters; the prune
+    // additionally stands down when runtime filters arrive.
+    limitN: Option[Int] = None,
+    topN: Option[(String, Boolean, Boolean, Int)] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning
@@ -213,8 +219,26 @@ private[graft] final class GraftBatchScan(spark: SparkSession,
   }
 
   private def planPartitions(all: Array[Filter]): Array[InputPartition] = {
-    val df = GraftRelation.scanDf(table, asOf,
-      required.fieldNames.toIndexedSeq, all.toIndexedSeq)
+    // X103 LIMIT/TOP-N file reduction: only on a filterless plan (the
+    // builder declined under pushed filters; a runtime filter arriving
+    // here could drop rows the reduction counted on, so it stands the
+    // reduction down rather than compose unsoundly with it)
+    val reduced: Option[Seq[String]] =
+      if (all.nonEmpty || (limitN.isEmpty && topN.isEmpty)) None
+      else {
+        val (_, files) = GraftRelation.pruneFiles(table, asOf, Nil)
+        topN match {
+          case Some((c, desc, nf, k)) =>
+            table.topNFiles(files, c, k.toLong, desc, nf, asOf)
+          case None => Some(table.limitFiles(files, limitN.get.toLong, asOf))
+        }
+      }
+    val df = reduced match {
+      case Some(files) => GraftRelation.scanDf(table, asOf,
+        required.fieldNames.toIndexedSeq, Nil, Some((None, files)))
+      case None => GraftRelation.scanDf(table, asOf,
+        required.fieldNames.toIndexedSeq, all.toIndexedSeq)
+    }
     val rdd = df.queryExecution.toRdd
     // Populate every node's dependency chain on the DRIVER — the walk
     // the DAGScheduler does for its own stages. UnionRDD.compute (an
@@ -240,7 +264,12 @@ private[graft] final class GraftBatchScan(spark: SparkSession,
   override def description(): String =
     s"GraftBatchScan ${table.root}${asOf.fold("")(v => s"@v$v")} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
-      s"RuntimeGraftFilters: [${runtime.mkString(", ")}]"
+      s"RuntimeGraftFilters: [${runtime.mkString(", ")}]" +
+      limitN.fold("")(n => s", PushedLimit: $n") +
+      topN.fold("") { case (c, desc, nf, k) =>
+        s", PushedTopN: $c ${if (desc) "DESC" else "ASC"}" +
+          s"${if (nf) " NULLS FIRST" else ""} LIMIT $k"
+      }
 }
 
 /** One partition of the scan plan's own InternalRow RDD. Carries the

@@ -636,10 +636,58 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
     readOptions: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var limitN: Option[Int] = None
+  private var topN: Option[(String, Boolean, Boolean, Int)] = None
+
+  /** LIMIT pushdown (X103): PARTIAL — the scan plans only the file
+    * prefix whose committed row tallies cover the limit ([[
+    * IncrementalTable.limitFiles]]); Spark's own Limit stays above and
+    * re-applies exactly. Declines under pushed filters (per-file
+    * tallies say nothing about how many rows MATCH) — the file prune
+    * those filters buy is usually the bigger lever anyway. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushed.nonEmpty || limit <= 0) false
+    else { limitN = Some(limit); true }
+  }
+
+  /** TOP-N pushdown (X103): PARTIAL — the scan drops files whose
+    * committed [min,max] provably cannot reach the top k ([[
+    * IncrementalTable.topNFiles]]); Spark's Sort+Limit stays above.
+    * Scope mirrors the MIN/MAX agg pushdown: one bare top-level
+    * INTEGRAL sort column (the skipping index's exact domain). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    if (pushed.nonEmpty || limit <= 0 || orders.length != 1) return false
+    val o = orders.head
+    o.expression() match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        val c = nr.fieldNames.head
+        fullSchema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(org.apache.spark.sql.types.ByteType |
+              org.apache.spark.sql.types.ShortType |
+              org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.LongType) =>
+            topN = Some((c,
+              o.direction() == SortDirection.DESCENDING,
+              o.nullOrdering() == NullOrdering.NULLS_FIRST, limit))
+            true
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  /** Both pushdowns are reductions, never complete answers. */
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, _) =
@@ -764,7 +812,7 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
         .exists(_.toBoolean) =>
       new GraftV1Scan(spark, table, asOf, required, pushed, readOptions)
     case None => new GraftBatchScan(spark, table, asOf, required, pushed,
-      readOptions)
+      readOptions, limitN, topN)
   }
 }
 

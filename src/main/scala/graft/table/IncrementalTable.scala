@@ -2414,6 +2414,89 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * worse than a slow exact one. Footer integral min/max are exact by
     * construction (never truncated, unlike binary stats), which is why
     * the surface is integral-only. Cost mirrors [[liveRowCount]]. */
+  /** LIMIT file selection (X103): the shortest PREFIX of `files` whose
+    * guaranteed live-row tally reaches `limit` — a `SELECT … LIMIT n`
+    * on a 100k-file table plans a handful of files instead of all of
+    * them. Sound by construction: a file counts toward the guarantee
+    * only with an exact committed tally and no standing deletion
+    * vector (its contribution is else 0 and MORE files are taken);
+    * when the guarantee never reaches `limit`, every file returns. */
+  private[graft] def limitFiles(files: Seq[String], limit: Long,
+      asOf: Option[Long] = None): Seq[String] = {
+    val stats = liveFileStats(asOf)
+    val dv = liveDv(asOf)
+    val out = Seq.newBuilder[String]
+    var acc = 0L
+    val it = files.iterator
+    while (it.hasNext && acc < limit) {
+      val f = it.next(); out += f
+      if (!dv.contains(f))
+        acc += stats.get(f)
+          .flatMap(_.valuesIterator.flatMap(_.rows).nextOption())
+          .getOrElse(0L)
+    }
+    out.result()
+  }
+
+  /** TOP-N file selection (X103): the subset of `files` that can
+    * possibly hold a row of the top `k` under `ORDER BY column [DESC]`
+    * — an `ORDER BY ts DESC LIMIT 100` over a time-ordered 100 TB log
+    * reads its newest files only. The bound: accumulate per-file
+    * WORST-case values (min for DESC, max for ASC) weighted by each
+    * file's guaranteed non-null row count, in best-first order, until
+    * `k` rows are covered — that value is a threshold at least `k`
+    * rows provably beat, so a file whose BEST value misses it cannot
+    * contribute and drops. Nulls: under NULLS FIRST they are top-k
+    * candidates, so only a provably null-free file may drop; under
+    * NULLS LAST the k-row value guarantee already excludes them.
+    * Deletion vectors only shrink a file, so its committed bounds stay
+    * valid for pruning — but a DV'd file guarantees nothing and
+    * contributes 0 to the threshold. Returns None (caller scans
+    * everything) when no threshold is provable. */
+  private[graft] def topNFiles(files: Seq[String], column0: String, k: Long,
+      descending: Boolean, nullsFirst: Boolean,
+      asOf: Option[Long] = None): Option[Seq[String]] = {
+    val column = physPath(column0, columnMapping(asOf))
+    val stats = liveFileStats(asOf)
+    val dv = liveDv(asOf)
+    def usable(f: String): Option[ColStat] =
+      stats.get(f).flatMap(_.get(column)).filter(s =>
+        !s.isString && !s.isDouble && !s.allNull &&
+          !(s.min == Long.MinValue && s.max == Long.MaxValue))
+    def contrib(f: String): Long =
+      if (dv.contains(f)) 0L
+      else usable(f).flatMap(s =>
+        for { r <- s.rows; n <- s.nulls } yield r - n).getOrElse(0L)
+    val weighted = files.flatMap(f => usable(f).map(s =>
+        (if (descending) s.min else s.max, contrib(f))))
+      .filter(_._2 > 0)
+    val ordered =
+      if (descending) weighted.sortBy(v => (-v._1, v._2))
+      else weighted.sortBy(v => (v._1, v._2))
+    var acc = 0L
+    var threshold: Option[Long] = None
+    val it = ordered.iterator
+    while (it.hasNext && acc < k) {
+      val (v, c) = it.next(); acc += c
+      if (acc >= k) threshold = Some(v)
+    }
+    threshold.map { t =>
+      files.filter { f =>
+        stats.get(f).flatMap(_.get(column)) match {
+          // an ALL-null file holds no value row at all: under NULLS
+          // LAST the k-row value guarantee excludes it outright
+          case Some(s) if s.allNull => nullsFirst
+          case _ => usable(f) match {
+            case Some(s) =>
+              val beaten = if (descending) s.max < t else s.min > t
+              !(beaten && (!nullsFirst || s.nulls.contains(0L)))
+            case None => true // no sound bounds — keep conservatively
+          }
+        }
+      }
+    }
+  }
+
   def liveMinMax(column0: String,
       asOf: Option[Long] = None): Option[(Option[Long], Option[Long])] = {
     if (liveDv(asOf).nonEmpty) return None
