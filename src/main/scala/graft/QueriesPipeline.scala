@@ -1968,6 +1968,43 @@ object QueriesPipeline {
         .orderBy($"event_id")
     }),
 
+    // ---- EQUALITY DELETES (X104, the Iceberg v2 MOR analog) ------------
+    // The streaming-upsert/retraction contract at 100 TB: a delete BY
+    // KEY commits O(metadata) — distinct key tuples to a sidecar, one
+    // log record — no scan, no touched-file detection, no rewrite.
+    // Applicability is by VERSION ordering (files added after the
+    // delete's base snapshot escape), so delete-then-append IS an
+    // upsert; readers pay one broadcast anti-join per standing delete
+    // and compaction materializes + retires them. The query drives the
+    // full lifecycle: key-delete, upsert re-insert, a second delete on
+    // a DIFFERENT key column (covering the upserted rows — they
+    // predate it), a post-delete append that escapes, and a compact
+    // that must change nothing logically. Two legs pin the mid and
+    // final states; the oracle replays the version ordering
+    // relationally.
+    "q157_equality_delete" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q157_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/cust/v1")
+      val src = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+      t.append(src, Nil)
+      t.deleteByKey(src.filter($"c_custkey" % 7 === 3)
+        .select($"c_custkey"), Seq("c_custkey"))
+      t.append(src.filter($"c_custkey" % 14 === 3)
+        .withColumn("c_acctbal", $"c_acctbal" + 10000), Nil)
+      val leg1 = t.read().withColumn("leg", lit("mid"))
+      t.deleteByKey(src.select($"c_mktsegment").distinct()
+        .filter($"c_mktsegment" === "BUILDING"), Seq("c_mktsegment"))
+      t.append(src.filter($"c_mktsegment" === "BUILDING" &&
+        $"c_custkey" % 5 === 0).withColumn("c_acctbal", lit(0.0)), Nil)
+      t.compact() // applies both deletes physically; logical no-op
+      val leg2 = t.read().withColumn("leg", lit("final"))
+      leg2.unionByName(leg1)
+        .select($"leg", $"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+        .orderBy($"leg", $"c_custkey", $"c_acctbal")
+    }),
+
     // ---- DURABLE snapshot tags (X101, round 10) ------------------------
     // The training-run reproducibility contract: tag the exact corpus
     // snapshot a run trained on, then rewrite the table at will — the
@@ -2647,6 +2684,28 @@ object QueriesPipeline {
       """SELECT c_custkey AS ck, md5(c_name) AS digest,
         |  CAST(length(c_name) AS BIGINT) AS len
         |FROM customer ORDER BY ck""".stripMargin,
+    "q157_equality_delete" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |after_del1 AS (
+        |  SELECT * FROM src WHERE c_custkey % 7 <> 3),
+        |upserted AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 10000 AS c_acctbal,
+        |    c_mktsegment FROM src WHERE c_custkey % 14 = 3),
+        |mid AS (
+        |  SELECT * FROM after_del1 UNION ALL SELECT * FROM upserted),
+        |after_del2 AS (
+        |  SELECT * FROM mid WHERE c_mktsegment <> 'BUILDING'),
+        |late AS (
+        |  SELECT c_custkey, c_name, 0.0 AS c_acctbal, c_mktsegment
+        |  FROM src WHERE c_mktsegment = 'BUILDING' AND c_custkey % 5 = 0),
+        |fin AS (
+        |  SELECT * FROM after_del2 UNION ALL SELECT * FROM late)
+        |SELECT leg, c_custkey, c_name, c_acctbal, c_mktsegment FROM (
+        |  SELECT 'final' AS leg, * FROM fin
+        |  UNION ALL
+        |  SELECT 'mid' AS leg, * FROM mid)
+        |ORDER BY leg, c_custkey, c_acctbal""".stripMargin,
     "q156_topn_limit" ->
       """SELECT event_id, user_id, event_type FROM (
         |  SELECT event_id, user_id, event_type FROM events

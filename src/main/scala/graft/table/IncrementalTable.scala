@@ -179,6 +179,18 @@ final case class BranchCommit(
     meta: Map[String, String],
     fileStats: Map[String, Map[String, ColStat]])
 
+/** An EQUALITY DELETE in force (X104 — the Iceberg v2 equality-delete
+  * analog): rows matching any key tuple in the `_graft_eqdel/<gen>/`
+  * sidecar are logically deleted from every file ADDED AT OR BEFORE
+  * `baseVersion` (the snapshot the delete was computed against).
+  * Files added later escape by version ordering — which is exactly the
+  * upsert contract: delete key k, append the new k row, and the new
+  * row lives. `cols` are PHYSICAL column names (rename-proof, like the
+  * stats index keys). Serialized into the `eqdel/<gen>` metadata
+  * channel; a tombstone retires the delete once no live file predates
+  * it (compaction/rewrites apply it physically). */
+final case class EqDelPayload(baseVersion: Long, cols: Seq[String])
+
 /** A branch ref: the main version it forked from plus its commit chain.
   * Serialized into the `branch/<name>` metadata channel — the pending
   * registry rides the same atomic commit log as everything else, so
@@ -673,7 +685,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def readWhere(predicate: org.apache.spark.sql.Column,
       filters: Map[String, String] = Map.empty): DataFrame = {
     val files = liveFilesWhere(predicate, filters)
-    filesDf(files, committedSchemaAt(), liveDv(), columnMapping())
+    withEqDel(files, None)(fs =>
+      filesDf(fs, committedSchemaAt(), liveDv(), columnMapping()))
       .filter(predicate)
   }
 
@@ -795,13 +808,44 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // as spurious CDC inserts. (The archived walk starts at version 0:
     // empty seed is exact.)
     var dvState = parquetCkpt(cs).map(ckptDvMap).getOrElse(Map.empty[String, Seq[String]])
+    // equality-delete channel state (X104) folds over the same walk —
+    // a checkpoint head seeds it through its folded meta (it is cs
+    // .head, whose meta the fold below consumes first); each window
+    // commit reads under the state as of just before itself, and an
+    // `eqdelete` commit emits its own delete rows. Emission needs the
+    // then-live file set, so the walk additionally folds live files —
+    // only when the window actually contains an eqdelete commit.
+    var eqState = Seq.empty[(String, EqDelPayload)]
+    def foldEq(c: Commit): Unit = {
+      val upd = c.meta.filter(_._1.startsWith(IncrementalTable.EqDelPrefix))
+      if (upd.nonEmpty) {
+        val m = eqState.toMap ++ upd.collect {
+          case (k, v) if v.nonEmpty =>
+            k.stripPrefix(IncrementalTable.EqDelPrefix) ->
+              Serialization.read[EqDelPayload](v)
+        }
+        val dropped = upd.collect { case (k, v) if v.isEmpty =>
+          k.stripPrefix(IncrementalTable.EqDelPrefix) }.toSet
+        eqState = (m -- dropped).toSeq.sortBy(p => (p._2.baseVersion, p._1))
+      }
+    }
+    val needLive = cs.exists(_.action == "eqdelete")
+    val liveState = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (needLive) parquetCkpt(cs).foreach { ck =>
+      import spark.implicits._
+      liveState ++= ckptRowsDF(ck).select("file").as[String].collect()
+    }
     val cdc = cs.flatMap { c =>
       val dvBefore = dvState
+      val eqBefore = eqState
+      val liveBefore = if (needLive) liveState.toList else Nil
       c.remove.foreach(f => dvState -= f)
       c.dv.foreach { case (f, gens) =>
         dvState += f -> (if (c.action == "dvmerge") gens
           else (dvState.getOrElse(f, Nil) ++ gens).distinct)
       }
+      foldEq(c)
+      if (needLive) { c.remove.foreach(liveState -= _); liveState ++= c.add }
       // dvmerge rewrites sidecar METADATA only — the logical table is
       // unchanged, so it contributes no CDC rows (like a checkpoint)
       val inWindow = c.version >= fromVersion &&
@@ -815,11 +859,43 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // applies their remove/dv effects.
         !(c.action == "replace" &&
           c.meta.get(IncrementalTable.MaintenanceKey).contains("1")) &&
-        (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty)
+        (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty ||
+          c.action == "eqdelete")
       // row tracking (X87): read both sides WITH their stable ids and
       // pair surviving pre/post rows into update_preimage/postimage
       // (`tracked` hoisted above the loop)
       if (!inWindow) None
+      else if (c.action == "eqdelete") {
+        // an equality-delete commit's logical delta: the rows its key
+        // tuples match in files the delete APPLIES to (live just
+        // before the commit, added at or before its base snapshot) —
+        // minus rows an EARLIER equality delete already removed.
+        // O(applicable files) read, the Delta-CDF-on-a-big-delete cost
+        // class; position deletes in force still apply via dvBefore.
+        val dels = c.meta.collect {
+          case (k, v) if k.startsWith(IncrementalTable.EqDelPrefix) &&
+            v.nonEmpty =>
+            k.stripPrefix(IncrementalTable.EqDelPrefix) ->
+              Serialization.read[EqDelPayload](v)
+        }.toSeq
+        if (dels.isEmpty) None
+        else {
+          val frames = dels.map { case (gen, p) =>
+            val newer = deltasBetween(p.baseVersion, c.version - 1)
+              .flatMap(_.add).toSet
+            val appFiles = liveBefore.filterNot(newer)
+            val base = withEqDel(appFiles, None,
+              Some((eqBefore, c.version - 1)), Some(mapping))(fs =>
+              filesDf(fs, stored, dvBefore, mapping, keepRowId = tracked))
+            val keys = eqDelKeys(Seq(gen), p.cols, mapping)
+            base.join(broadcast(keys), keys.columns.toIndexedSeq, "left_semi")
+          }
+          Some(exposeRowId(frames.reduce(_.unionByName(_)), tracked,
+            includeRowId)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(c.version)))
+        }
+      }
       else if (c.action == "dv" || c.action == "update") {
         // the commit's own sidecars ARE its logical delta: join their
         // positions back to the touched files' rows (under the PRIOR
@@ -828,18 +904,30 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // files in the same commit: exact delete (pre-image) + insert
         // (post-image) rows — paired into updates by row id when the
         // table is row-tracked (X87), the post-image carries the
-        // pre-image's id through updateVectorized.
+        // pre-image's id through updateVectorized. Rows an earlier
+        // EQUALITY delete (X104) already removed cannot delete again:
+        // touched files group by applicable deletes, anti-joined
+        // before tagging — same discipline as dvBefore.
         val pos = dvPositions(c.dv.values.flatten.toSeq.distinct)
-        val deleted = filesDfWithPos(c.dv.keys.toSeq, stored, dvBefore,
-            mapping, keepRowId = tracked)
-          .join(broadcast(pos),
-            col("_dv_file") === pos("_dv_sc_file") &&
-              col("_dv_pos") === pos("_dv_sc_pos"))
         val ridExtra = if (tracked)
           Seq(col(IncrementalTable.RowIdCol)) else Nil
-        val rows = stored.map(s => deleted.select(
-          s.fields.toIndexedSeq.map(logicalCol(_, mapping)) ++ ridExtra: _*))
-          .getOrElse(dropPosCols(deleted.drop("_dv_sc_file", "_dv_sc_pos")))
+        val rows = eqDelGroups(c.dv.keys.toSeq, eqBefore, c.version - 1)
+          .map { case (applicable, fsG) =>
+            val deleted = filesDfWithPos(fsG, stored, dvBefore,
+                mapping, keepRowId = tracked)
+              .join(broadcast(pos),
+                col("_dv_file") === pos("_dv_sc_file") &&
+                  col("_dv_pos") === pos("_dv_sc_pos"))
+            val sel = stored.map(s => deleted.select(
+              s.fields.toIndexedSeq.map(logicalCol(_, mapping)) ++ ridExtra: _*))
+              .getOrElse(dropPosCols(deleted.drop("_dv_sc_file", "_dv_sc_pos")))
+            applicable.groupBy(_._2.cols).toSeq.sortBy(_._1.mkString(","))
+              .foldLeft(sel) { case (df, (physCols, grpDels)) =>
+                val keys = eqDelKeys(grpDels.map(_._1), physCols, mapping)
+                df.join(broadcast(keys), keys.columns.toIndexedSeq,
+                  "left_anti")
+              }
+          }.reduce(_.unionByName(_))
         if (c.add.isEmpty)
           Some(exposeRowId(rows, tracked, includeRowId)
             .withColumn("_change_type", lit("delete"))
@@ -863,8 +951,19 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // cancel against the (dv-applied) rewrite. Untouched rewritten
         // rows cancel through exceptAll (same id, same values, when
         // row-tracked); surviving same-id rows pair into updates.
-        val a = filesDf(c.add, stored, dvState, mapping, keepRowId = tracked)
-        val r = filesDf(c.remove, stored, dvBefore, mapping, keepRowId = tracked)
+        // both sides evaluate under their LOGICAL row sets: removed
+        // files still contain rows standing equality deletes (X104)
+        // had already removed (pre-commit state), and added files
+        // apply the post-commit state — a no-op for plain appends
+        // (new files escape by version ordering) but exact for a
+        // restore() that re-adds files together with re-issued
+        // deletes (the own-commit rule in eqDelGroups)
+        val a = withEqDel(c.add, None,
+          Some((eqState, c.version)), Some(mapping))(fs =>
+          filesDf(fs, stored, dvState, mapping, keepRowId = tracked))
+        val r = withEqDel(c.remove, None,
+          Some((eqBefore, c.version - 1)), Some(mapping))(fs =>
+          filesDf(fs, stored, dvBefore, mapping, keepRowId = tracked))
         val ins = a.exceptAll(r)
         val del = r.exceptAll(a)
         Some(
@@ -925,8 +1024,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // strings on disk) are cast back to their declared types, and a
     // partition column that is also a data column (e.g. word_length)
     // keeps its original type and position.
-    filesDf(files, committedSchemaAt(asOf), liveDv(asOf), columnMapping(asOf),
-      keepRowId = keepRowId)
+    withEqDel(files, asOf)(fs =>
+      filesDf(fs, committedSchemaAt(asOf), liveDv(asOf), columnMapping(asOf),
+        keepRowId = keepRowId))
   }
 
   /** Read `files` applying `dv` deletion vectors, projected to the
@@ -1203,7 +1303,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       if (p.action == "replace")
         liveFiles().filterNot(matchesPartition(_, p.partitionFilter))
       else liveFiles()
-    filesDf(survivors ++ p.add, schema, liveDv(), columnMapping())
+    // equality deletes (X104) apply to the BASE side only: staged adds
+    // postdate every standing delete (they publish at a later version)
+    withEqDel(survivors, None)(fs =>
+      filesDf(fs, schema, liveDv(), columnMapping()))
+      .unionByName(filesDf(p.add, schema, liveDv(), columnMapping()))
   }
 
   /** Publish a staged write: ONE atomic commit adopts the staged files
@@ -1356,7 +1460,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val p = branchPayload(name)
     val files = branchLive(p)
     val dv = liveDv(Some(p.base)).view.filterKeys(files.toSet).toMap
-    filesDf(files, branchSchema(p), dv, columnMapping(Some(p.base)))
+    // equality deletes in force AT THE BASE apply to surviving base
+    // files; the chain's own adds postdate the fork and escape (X104)
+    val baseSet = liveFiles(asOf = Some(p.base)).toSet
+    val (baseFiles, chainAdds) = files.partition(baseSet)
+    val schema = branchSchema(p)
+    withEqDel(baseFiles, Some(p.base))(fs =>
+      filesDf(fs, schema, dv, columnMapping(Some(p.base))))
+      .unionByName(filesDf(chainAdds, schema, dv, columnMapping(Some(p.base))))
   }
 
   /** Fast-forward main to the branch head: ONE atomic commit adopts the
@@ -1450,6 +1561,133 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     write(df, "replace", partitionBy, partitionValues, partitionFilter, meta,
       None, None, statsColumns = statsColumns,
       userWrite = true, branch = Some(branch))
+
+  // ------------------------------------------------------- equality deletes
+
+  /** Equality deletes in force (X104), sorted by base version then gen
+    * — the read path's application order. Each entry: gen →
+    * (baseVersion, PHYSICAL key columns). */
+  def eqDeletes(asOf: Option[Long] = None): Seq[(String, EqDelPayload)] =
+    metaChannelOf(commitsAsOf(asOf), IncrementalTable.EqDelPrefix).toSeq
+      .map { case (g, v) => g -> Serialization.read[EqDelPayload](v) }
+      .sortBy(p => (p._2.baseVersion, p._1))
+
+  /** MERGE-ON-READ delete by KEY (X104, the Iceberg v2 equality-delete
+    * analog — the missing piece between copy-on-write [[deleteInsert]]
+    * and position-based [[deleteVectorized]]): ONE small job writes the
+    * distinct key tuples as a sidecar parquet and ONE metadata commit
+    * puts the delete in force — no table scan, no touched-file
+    * detection, no rewrite. The write cost is O(keys) at ANY table
+    * size, which is what a high-rate streaming upsert/retraction sink
+    * needs: the scan-and-rewrite moves to the readers (an anti-join
+    * per standing delete — the documented MOR read tax) and to the next
+    * compaction, which applies deletes physically and retires them.
+    *
+    * Semantics: the delete applies to rows of files added AT OR BEFORE
+    * the current version (the snapshot it was computed against); later
+    * appends escape by version ordering, so delete-then-append IS an
+    * upsert. SQL NULL never matches a key (join semantics) — a null
+    * key tuple deletes nothing. Restore re-adds files at the restore
+    * version, so restoring to a pre-delete snapshot revives its rows —
+    * exactly what time travel promises.
+    *
+    * Concurrency: conflicts with intervening rewrites both ways (a
+    * rewrite moves rows into post-delete files where they would
+    * escape; see [[conflicts]]); appends and position deletes compose
+    * without conflict. */
+  def deleteByKey(keys: DataFrame, cols: Seq[String],
+      meta: Map[String, String] = Map.empty): Option[Commit] = {
+    require(exists, s"deleteByKey target $root does not exist")
+    require(cols.nonEmpty, "deleteByKey needs key columns")
+    val stored = committedSchemaAt().getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteByKey target $root has no committed schema"))
+    cols.foreach(c => require(stored.fieldNames.contains(c),
+      s"deleteByKey key '$c' is not a column of $root " +
+        s"(${stored.fieldNames.mkString(", ")})"))
+    val fn = org.apache.spark.sql.functions.col _
+    val mapping = columnMapping()
+    val phys = cols.map(c => physPath(c, mapping))
+    val dk = keys.select(cols.map(fn): _*).toDF(phys: _*).distinct()
+    if (dk.isEmpty) return None // W6 elision: nothing to put in force
+    val gen = UUID.randomUUID().toString
+    val dir = new Path(rootPath, s"${IncrementalTable.EqDelDir}/$gen")
+    dk.coalesce(1).write.parquet(dir.toString)
+    val base = latestVersion
+    val prevSchema = commits().lastOption.map(_.schemaJson).getOrElse("")
+    // a lost OCC race throws to the caller (the base version must be
+    // re-read); the written sidecar is then an unreferenced dir that
+    // vacuum() reclaims
+    Some(commit(Commit(0, "eqdelete", Nil, Nil, Map.empty,
+      committedPartitionBy, prevSchema,
+      meta + (IncrementalTable.EqDelPrefix + gen ->
+        Serialization.write(EqDelPayload(base, phys))),
+      None, now())))
+  }
+
+  /** Split `files` into groups by the SUFFIX of [[eqDeletes]] that
+    * applies to them. Applicability is by version ordering — a file
+    * added after a delete's base version escapes it — and the
+    * added-after sets are computed from the archived delta records
+    * (never deleted, so exact past any checkpoint folding). Because
+    * the sets nest, there are at most |deletes|+1 groups. */
+  private def eqDelGroups(files: Seq[String],
+      eq: Seq[(String, EqDelPayload)],
+      head: Long): Seq[(Seq[(String, EqDelPayload)], Seq[String])] = {
+    if (eq.isEmpty || files.isEmpty) return Seq((Nil, files))
+    // own-commit rule: files added by the very commit that (re)issued
+    // an entry are COVERED by it — what lets restore() re-add a
+    // snapshot's files and re-issue its in-force deletes atomically
+    val window = deltasBetween(
+      eq.iterator.map(_._2.baseVersion).min, head)
+    val newer: Seq[Set[String]] = eq.map { case (gen, p) =>
+      window.iterator
+        .filter(c => c.version > p.baseVersion &&
+          !c.meta.get(IncrementalTable.EqDelPrefix + gen).exists(_.nonEmpty))
+        .flatMap(_.add).toSet
+    }
+    files.groupBy { f =>
+      val i = newer.indexWhere(s => !s.contains(f))
+      if (i == -1) eq.length else i
+    }.toSeq.sortBy(_._1).map { case (g, fs) => (eq.drop(g), fs) }
+  }
+
+  /** The sidecar key tuples of `gens`, projected to LOGICAL names. */
+  private def eqDelKeys(gens: Seq[String], physCols: Seq[String],
+      mapping: Map[String, String]): DataFrame = {
+    val fn = org.apache.spark.sql.functions.col _
+    val inv = mapping.map(_.swap)
+    spark.read.parquet(gens.map(g =>
+        new Path(rootPath, s"${IncrementalTable.EqDelDir}/$g").toString): _*)
+      .select(physCols.map(fn): _*)
+      .toDF(physCols.map(c => inv.getOrElse(c, c)): _*)
+      .distinct()
+  }
+
+  /** Apply the given equality deletes to a frame-per-file-group read:
+    * `mk` builds the (logical-schema) frame for a file subset; each
+    * group anti-joins the key sets that apply to it — build sides are
+    * the (small) sidecar key lists, broadcast, so the data side never
+    * shuffles. The choke point [[readInternal]]/[[readFiles]] and every
+    * DML rewrite route through this, so deleted rows can neither be
+    * read nor resurrected by a rewrite. */
+  private def withEqDel(files: Seq[String], asOf: Option[Long],
+      eqOverride: Option[(Seq[(String, EqDelPayload)], Long)] = None,
+      mappingOverride: Option[Map[String, String]] = None)(
+      mk: Seq[String] => DataFrame): DataFrame = {
+    val (eq, head) = eqOverride.getOrElse(
+      (eqDeletes(asOf), asOf.getOrElse(latestVersion)))
+    if (eq.isEmpty) return mk(files)
+    val mapping = mappingOverride.getOrElse(columnMapping(asOf))
+    import org.apache.spark.sql.functions.broadcast
+    eqDelGroups(files, eq, head).map { case (applicable, fs) =>
+      applicable.groupBy(_._2.cols).toSeq.sortBy(_._1.mkString(","))
+        .foldLeft(mk(fs)) { case (df, (physCols, dels)) =>
+          val keys = eqDelKeys(dels.map(_._1), physCols, mapping)
+          df.join(broadcast(keys), keys.columns.toIndexedSeq, "left_anti")
+        }
+    }.reduce(_.unionByName(_))
+  }
 
   /** Delta-style MERGE (upsert), copy-on-write at file granularity:
     * a `source` row whose `keys` match an existing row REPLACES that
@@ -1547,8 +1785,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // into the one replacement), so CDC pairs the upsert into
         // update_preimage/postimage; unmatched inserts mint fresh
         val tracked = rowTracked
-        val keptAll = filesDf(touched, Some(stored), liveDv(), columnMapping(),
-          keepRowId = tracked)
+        val keptAll = withEqDel(touched, None)(fs =>
+          filesDf(fs, Some(stored), liveDv(), columnMapping(),
+            keepRowId = tracked))
         val kept = keptAll.join(src, keys.toSeq, "left_anti")
         val srcRid =
           if (!tracked) src
@@ -1729,8 +1968,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val rewritten: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
-        val tRows = filesDf(touched, Some(stored), liveDv(), columnMapping(),
-          keepRowId = tracked)
+        val tRows = withEqDel(touched, None)(fs =>
+          filesDf(fs, Some(stored), liveDv(), columnMapping(),
+            keepRowId = tracked))
         // without matched clauses the join exists ONLY to compute the
         // matched marker — join distinct KEYS, not the full source: a
         // duplicate-keyed source (legal when no matched clause consumes
@@ -1821,8 +2061,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // SQL DELETE semantics: rows where the predicate is NULL are NOT
       // deleted — keep everything whose predicate is not strictly TRUE.
       // Row-tracked tables carry each kept row's stable id (X87).
-      val kept = filesDf(touched, Some(stored), liveDv(), columnMapping(),
-          keepRowId = rowTracked)
+      val kept = withEqDel(touched, None)(fs =>
+          filesDf(fs, Some(stored), liveDv(), columnMapping(),
+            keepRowId = rowTracked))
         .filter(!org.apache.spark.sql.functions.coalesce(predicate,
           org.apache.spark.sql.functions.lit(false)))
       write(kept, "replace", partitionBy, Map.empty, Map.empty, Map.empty,
@@ -1859,8 +2100,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // the post-image keeps the pre-image's id, which is what lets
       // changes() pair them into an update (X87)
       val tracked = rowTracked
-      val base = filesDf(touched, Some(stored), liveDv(), columnMapping(),
-        keepRowId = tracked)
+      val base = withEqDel(touched, None)(fs =>
+        filesDf(fs, Some(stored), liveDv(), columnMapping(),
+          keepRowId = tracked))
       val ridExtra = if (tracked) Seq(fn(IncrementalTable.RowIdCol)) else Nil
       val rewritten =
         if (recompute.isEmpty)
@@ -1982,8 +2224,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // row tracking (X87): kept rows carry ids, inserts mint fresh
       val tracked = rowTracked
       val ridExtra = if (tracked) Seq(fn(IncrementalTable.RowIdCol)) else Nil
-      val kept = filesDf(touched, Some(stored), liveDv(), columnMapping(),
-          keepRowId = tracked)
+      val kept = withEqDel(touched, None)(fs =>
+          filesDf(fs, Some(stored), liveDv(), columnMapping(),
+            keepRowId = tracked))
         .join(dk.withColumn("_graft_m", lit(true)), keys, "left")
         .filter(not(coalesce(fn("_graft_m"), lit(false)) && condTrue))
         .select(stored.fieldNames.map(fn).toSeq ++ ridExtra: _*)
@@ -2181,14 +2424,35 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val target = liveFiles(asOf = Some(version))
     val cur = liveFiles()
     val targetDv = liveDv(Some(version))
-    if (target == cur && targetDv == liveDv()) return None
+    // equality deletes (X104): the restored snapshot's logical state
+    // includes the deletes in force AT it. Entries issued after the
+    // target tombstone (their rows revive — the re-added files escape
+    // them anyway); entries in force at the target RE-ISSUE on this
+    // very commit, so the own-commit rule covers the re-added files
+    // and the snapshot reproduces exactly. A re-issue whose sidecar
+    // was since vacuumed refuses loudly — a silent partial restore
+    // would be worse.
+    val eqNow = eqDeletes().toMap
+    val eqAt = eqDeletes(Some(version)).toMap
+    if (target == cur && targetDv == liveDv() && eqNow == eqAt) return None
+    eqAt.keys.foreach { g =>
+      require(fs.exists(new Path(rootPath,
+          s"${IncrementalTable.EqDelDir}/$g")),
+        s"restore($version) needs equality-delete sidecar '$g' which " +
+          s"vacuum has reclaimed — the snapshot is no longer reproducible")
+    }
+    val eqMeta: Map[String, String] =
+      (eqNow.keySet -- eqAt.keySet).iterator
+        .map(g => IncrementalTable.EqDelPrefix + g -> "").toMap ++
+      eqAt.map { case (g, p) =>
+        IncrementalTable.EqDelPrefix + g -> Serialization.write(p) }
     val schemaAt = schemaDdlAt(Some(version)).getOrElse("")
     val partsAt = commitsAsOf(Some(version)).reverse.iterator
       .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
     val statsAt = liveFileStats(Some(version)).view.filterKeys(target.toSet).toMap
     Some(commit(Commit(0, "replace", target, cur, Map.empty, partsAt,
-      schemaAt, Map("restored_from" -> version.toString), None, now(),
-      fileStats = statsAt, dv = targetDv)))
+      schemaAt, Map("restored_from" -> version.toString) ++ eqMeta, None,
+      now(), fileStats = statsAt, dv = targetDv)))
   }
 
   /** Live-snapshot file inventory (the Iceberg `t.files` metadata-table
@@ -2267,6 +2531,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val cs = commitsAsOf(Some(v)) // validates the replay horizon
     require(liveDv(Some(v)).isEmpty,
       s"clone source $root has deletion vectors in force at v$v — " +
+        "compact() to materialize them first")
+    require(eqDeletes(Some(v)).isEmpty,
+      s"clone source $root has equality deletes in force at v$v — " +
         "compact() to materialize them first")
     val srcBase = rootPath.toUri.getPath.stripSuffix("/")
     require(!srcBase.split("/").exists(_.contains('=')),
@@ -2349,6 +2616,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * checkpoint rows (columnar tables) or a driver fold (small
     * tables), plus a sidecar-sized count job when DVs are standing. */
   def liveRowCount(asOf: Option[Long] = None): Option[Long] = {
+    // standing equality deletes (X104) hide an unknown number of rows
+    // — the metadata answer would overcount; decline to a real scan
+    if (eqDeletes(asOf).nonEmpty) return None
     val cs = commitsAsOf(asOf)
     val fileRows: Option[Long] = parquetCkpt(cs) match {
       case Some(_) =>
@@ -2425,17 +2695,29 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       asOf: Option[Long] = None): Seq[String] = {
     val stats = liveFileStats(asOf)
     val dv = liveDv(asOf)
+    val eqAffected = eqDelAffected(files, asOf)
     val out = Seq.newBuilder[String]
     var acc = 0L
     val it = files.iterator
     while (it.hasNext && acc < limit) {
       val f = it.next(); out += f
-      if (!dv.contains(f))
+      if (!dv.contains(f) && !eqAffected(f))
         acc += stats.get(f)
           .flatMap(_.valuesIterator.flatMap(_.rows).nextOption())
           .getOrElse(0L)
     }
     out.result()
+  }
+
+  /** Files some standing equality delete (X104) applies to: their
+    * committed tallies overcount, so they guarantee nothing to the
+    * limit/top-N planners (bounds stay valid — deletes only shrink). */
+  private def eqDelAffected(files: Seq[String],
+      asOf: Option[Long]): Set[String] = {
+    val eq = eqDeletes(asOf)
+    if (eq.isEmpty) Set.empty
+    else eqDelGroups(files, eq, asOf.getOrElse(latestVersion))
+      .filter(_._1.nonEmpty).flatMap(_._2).toSet
   }
 
   /** TOP-N file selection (X103): the subset of `files` that can
@@ -2459,12 +2741,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val column = physPath(column0, columnMapping(asOf))
     val stats = liveFileStats(asOf)
     val dv = liveDv(asOf)
+    val eqAffected = eqDelAffected(files, asOf)
     def usable(f: String): Option[ColStat] =
       stats.get(f).flatMap(_.get(column)).filter(s =>
         !s.isString && !s.isDouble && !s.allNull &&
           !(s.min == Long.MinValue && s.max == Long.MaxValue))
     def contrib(f: String): Long =
-      if (dv.contains(f)) 0L
+      if (dv.contains(f) || eqAffected(f)) 0L
       else usable(f).flatMap(s =>
         for { r <- s.rows; n <- s.nulls } yield r - n).getOrElse(0L)
     val weighted = files.flatMap(f => usable(f).map(s =>
@@ -2500,6 +2783,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def liveMinMax(column0: String,
       asOf: Option[Long] = None): Option[(Option[Long], Option[Long])] = {
     if (liveDv(asOf).nonEmpty) return None
+    // an equality delete may have removed exactly the extreme row
+    if (eqDeletes(asOf).nonEmpty) return None
     val column = physPath(column0, columnMapping(asOf)) // index keys are physical
     val cs = commitsAsOf(asOf)
     parquetCkpt(cs) match {
@@ -2717,7 +3002,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * guarantees `files` ⊆ the live set at `asOf`, same as the internal
     * read path. */
   def readFiles(files: Seq[String], asOf: Option[Long] = None): DataFrame =
-    filesDf(files, committedSchemaAt(asOf), liveDv(asOf), columnMapping(asOf))
+    withEqDel(files, asOf)(fs =>
+      filesDf(fs, committedSchemaAt(asOf), liveDv(asOf), columnMapping(asOf)))
 
   /** Latest non-empty partitionBy (the write-path default: rewrites of
     * a partitioned table keep its layout unless told otherwise). */
@@ -4920,6 +5206,17 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           k.startsWith(IncrementalTable.BranchPrefix) && v.isEmpty } &&
         (winner.add.nonEmpty || winner.remove.nonEmpty ||
           winner.dv.nonEmpty || winner.action == "evolve")) return true
+    // equality deletes (X104) apply by VERSION ordering, so rewrites
+    // and eqdeletes invalidate each other across a race: a rewrite
+    // moves old rows into post-delete files where the delete would
+    // silently stop applying (resurrection). Both directions fail;
+    // the caller re-reads and re-runs. Appends and position deletes
+    // compose without conflict (new data legitimately escapes; a
+    // doubly-deleted position is still deleted).
+    if (ours.action == "eqdelete")
+      return winner.remove.nonEmpty || winner.action == "evolve"
+    if (winner.action == "eqdelete" &&
+        (ours.action == "replace" || ours.action == "update")) return true
     val winnerFiles = winner.add ++ winner.remove ++ winner.dv.keys
     ours.action match {
       case "replace" =>
@@ -5173,8 +5470,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       statsColumns: Seq[String] = Nil): Option[Commit] = {
     val files = liveFilesWhere(predicate)
     if (files.isEmpty) return None
-    write(filesDf(files, committedSchemaAt(), liveDv(), columnMapping(),
-        keepRowId = rowTracked).repartition(targetFiles), "replace",
+    write(withEqDel(files, None)(fs =>
+        filesDf(fs, committedSchemaAt(), liveDv(), columnMapping(),
+          keepRowId = rowTracked)).repartition(targetFiles), "replace",
       committedPartitionBy, Map.empty, Map.empty,
       Map(IncrementalTable.MaintenanceKey -> "1"), None,
       statsColumns = statsColumns, removeExact = Some(files))
@@ -5230,8 +5528,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         case None => liveFiles(filters).filter(f => parentDir(f) == d)
       }
       if (inDir.nonEmpty)
-        write(filesDf(inDir, committedSchemaAt(), liveDv(), columnMapping(),
-            keepRowId = rowTracked).repartition(targetFiles), "replace",
+        write(withEqDel(inDir, None)(fs =>
+            filesDf(fs, committedSchemaAt(), liveDv(), columnMapping(),
+              keepRowId = rowTracked)).repartition(targetFiles), "replace",
           committedPartitionBy, Map.empty, Map.empty, Map.empty, None,
           statsColumns = statsColumns, removeExact = Some(inDir))
     }
@@ -5270,6 +5569,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     require(liveDv().isEmpty,
       s"table $root has deletion vectors in force — external readers " +
         "cannot apply them; compact() to materialize before exporting")
+    require(eqDeletes().isEmpty,
+      s"table $root has equality deletes in force — external readers " +
+        "cannot apply them; compact() to materialize before exporting")
     val dir = new Path(rootPath, "_symlink_format_manifest")
     val byPartition = liveFiles().groupBy(parentDir)
     val written = byPartition.toSeq.sortBy(_._1).map { case (part, files) =>
@@ -5303,32 +5605,63 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   }
 
   def vacuum(): Seq[String] = {
+    // retire equality deletes (X104) nothing can apply to anymore —
+    // every file that predated them was since rewritten or removed, so
+    // the entry is inert at head. One metadata tombstone; the sidecar
+    // dir reclaims in a LATER vacuum, once the entry has also left the
+    // replayable window, the CDC retention walk, and every tagged /
+    // branch-base snapshot (until then, as-of reads still consult it).
+    {
+      val eqNow = eqDeletes()
+      if (eqNow.nonEmpty) {
+        val live = liveFiles()
+        val applied = eqDelGroups(live, eqNow, latestVersion)
+          .flatMap { case (app, fs) => if (fs.nonEmpty) app.map(_._1) else Nil }
+          .toSet
+        val inert = eqNow.map(_._1).filterNot(applied)
+        if (inert.nonEmpty) commitMeta(
+          inert.map(g => IncrementalTable.EqDelPrefix + g -> "").toMap)
+      }
+    }
     val cs = commits()
     // CDC retention: a changes() window inside the last `cdcRetention`
     // commits may replay ARCHIVED deltas — keep every data file its
     // emission reads (adds, removes, dv-touched) and every sidecar
     // generation in force at or through the window (dvBefore state
     // included, so pre-window deletes still apply during emission)
-    val (cdcFiles, cdcGens) =
-      if (cdcRetention <= 0) (Set.empty[String], Set.empty[String])
+    val (cdcFiles, cdcGens, cdcEqGens) =
+      if (cdcRetention <= 0)
+        (Set.empty[String], Set.empty[String], Set.empty[String])
       else {
         val cutoff = math.max(0L, latestVersion - cdcRetention)
         val files = Set.newBuilder[String]
         val gens = Set.newBuilder[String]
+        val eqGens = Set.newBuilder[String]
         var dvState = Map.empty[String, Seq[String]]
+        var eqInForce = Set.empty[String]
         archivedDeltas(latestVersion).foreach { c =>
           if (c.version >= cutoff) {
             files ++= c.add; files ++= c.remove; files ++= c.dv.keys
             gens ++= c.dv.values.flatten
             gens ++= dvState.values.flatten
+            // equality deletes (X104): a window replay reads every
+            // sidecar in force at or through the window
+            eqGens ++= eqInForce
           }
           c.remove.foreach(f => dvState -= f)
           c.dv.foreach { case (f, g) =>
             dvState += f -> (if (c.action == "dvmerge") g
               else (dvState.getOrElse(f, Nil) ++ g).distinct)
           }
+          c.meta.foreach { case (k, v) =>
+            if (k.startsWith(IncrementalTable.EqDelPrefix)) {
+              val g = k.stripPrefix(IncrementalTable.EqDelPrefix)
+              eqInForce = if (v.isEmpty) eqInForce - g else eqInForce + g
+              if (v.nonEmpty && c.version >= cutoff) eqGens += g
+            }
+          }
         }
-        (files.result(), gens.result())
+        (files.result(), gens.result(), eqGens.result())
       }
     // Tagged-snapshot retention (X101): every tagged version's live set
     // — and the DV generations in force at it — stays referenced, so a
@@ -5337,17 +5670,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // rewrites until the tag is dropped). One O(history) archived-log
     // walk shared by all tags, the same audit-path cost as the CDC
     // retention walk above.
-    val (tagFiles, tagGens) = {
+    val (tagFiles, tagGens, tagEqGens) = {
       // live branches (X102) pin their BASE snapshot exactly like a
       // tag: the fork must stay readable (and fast-forwardable) no
       // matter what main rewrites in the meantime
       val tagVersions = tags.values.toSet ++ branches.values.map(_.base)
-      if (tagVersions.isEmpty) (Set.empty[String], Set.empty[String])
+      if (tagVersions.isEmpty)
+        (Set.empty[String], Set.empty[String], Set.empty[String])
       else {
         val files = Set.newBuilder[String]
         val gens = Set.newBuilder[String]
+        val eqGens = Set.newBuilder[String]
         val live = scala.collection.mutable.LinkedHashSet.empty[String]
         var dvState = Map.empty[String, Seq[String]]
+        var eqInForce = Set.empty[String]
         archivedDeltas(tagVersions.max).foreach { c =>
           c.remove.foreach { f => live -= f; dvState -= f }
           live ++= c.add
@@ -5355,12 +5691,21 @@ final class IncrementalTable(spark: SparkSession, val root: String,
             dvState += f -> (if (c.action == "dvmerge") g
               else (dvState.getOrElse(f, Nil) ++ g).distinct)
           }
+          c.meta.foreach { case (k, v) =>
+            if (k.startsWith(IncrementalTable.EqDelPrefix)) {
+              val g = k.stripPrefix(IncrementalTable.EqDelPrefix)
+              eqInForce = if (v.isEmpty) eqInForce - g else eqInForce + g
+            }
+          }
           if (tagVersions.contains(c.version)) {
             files ++= live
             gens ++= dvState.values.flatten
+            // a pinned snapshot's read applies its in-force equality
+            // deletes (X104) — keep their sidecars
+            eqGens ++= eqInForce
           }
         }
-        (files.result(), gens.result())
+        (files.result(), gens.result(), eqGens.result())
       }
     }
     // Candidate listing: driver walk below a top-level dir-count
@@ -5499,9 +5844,27 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       }
     }
     staleBloom.foreach(d => fs.delete(new Path(bloomIdxPath, d), true))
+    // equality-delete sidecars (X104): a gen dir reclaims only when
+    // nothing can consult it again — no commit in the replayable
+    // window carries it IN FORCE (as-of reads inside the window fold
+    // the channel from those commits; a tombstone-only mention does
+    // not reference), it is outside the CDC retention walk, and it is
+    // not in force at any tagged / branch-base snapshot. Crash strays
+    // from a lost deleteByKey race reclaim here too.
+    val refEq: Set[String] = cs.flatMap(_.meta.collect {
+        case (k, v) if k.startsWith(IncrementalTable.EqDelPrefix) &&
+          v.nonEmpty => k.stripPrefix(IncrementalTable.EqDelPrefix)
+      }).toSet ++ cdcEqGens ++ tagEqGens
+    val eqRoot = new Path(rootPath, IncrementalTable.EqDelDir)
+    val staleEq =
+      if (!fs.exists(eqRoot)) Seq.empty
+      else fs.listStatus(eqRoot).toSeq
+        .filterNot(st => refEq.contains(st.getPath.getName))
+    staleEq.foreach(st => fs.delete(st.getPath, true))
     orphans ++ staleGens.map(st => s"$dvPrefix/${st.getPath.getName}") ++
       staleCkpts.map(st => s"_graft_log/${st.getPath.getName}") ++
-      staleBloom.map(d => s"_graft_log/bloomidx/$d")
+      staleBloom.map(d => s"_graft_log/bloomidx/$d") ++
+      staleEq.map(st => s"${IncrementalTable.EqDelDir}/${st.getPath.getName}")
   }
 }
 
@@ -5624,6 +5987,8 @@ object IncrementalTable {
     * (X98): `wap/<id>` → serialized [[WapPayload]], "" = tombstone. */
   private[graft] val WapPrefix = "wap/"
   private[graft] val BranchPrefix = "branch/"
+  private[graft] val EqDelPrefix = "eqdel/"
+  private[graft] val EqDelDir = "_graft_eqdel"
 
   /** The input types Spark's `hll_sketch_agg` accepts (ADVICE r9):
     * anything else in `graft.ndvColumns` is skipped with a warning
