@@ -110,6 +110,53 @@ object QueriesCuration {
         .orderBy($"leg", $"lang")
     }),
 
+    // ---- model-based quality classifier (fastText-filter analog) -----
+    // The standard pretraining curation stage DSIR/CCNet bracket: train
+    // a tiny logistic-regression quality model ON the corpus (weak
+    // supervision: "en, mid-length" as the positive class) and score
+    // every document. Training is FULL-BATCH gradient descent, 3 fixed
+    // iterations — each ONE map-side-combined aggregation over the
+    // corpus with the current weights BROADCAST as literals (at 100 TB:
+    // 3 scans, no shuffle wider than 4 partial sums, no driver data).
+    // Gradient sums go through DECIMAL (the exactSum rule): fp addition
+    // is order-sensitive and Spark's partial aggregation order is not
+    // deterministic — decimal sums are exact and engine-agnostic, so
+    // the trained weights match DuckDB's sequential replay bit-for-bit
+    // and the scores hash-compare. The sigmoid's exp differs by at most
+    // an ulp across engines; the 1e-4 score rounding absorbs it.
+    "q158_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val toks = TextOps.tokens($"text")
+      val nTok = size(toks)
+      val feats = Tables.documents(s, dir).select(
+        $"doc_id",
+        (least($"n_chars", lit(600L)).cast("double") / 600.0).as("x1"),
+        (least(nTok, lit(120)).cast("double") / 120.0).as("x2"),
+        when(nTok > 0, TextOps.tokensIn(toks, TextOps.stopwords)
+          .cast("double") / nTok).otherwise(0.0).as("x3"),
+        ($"lang" === "en" && $"n_chars".between(120, 450))
+          .cast("double").as("y"))
+      val n = feats.count().toDouble
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      def z = lit(w(0)) + lit(w(1)) * $"x1" + lit(w(2)) * $"x2" +
+        lit(w(3)) * $"x3"
+      (1 to 3).foreach { _ =>
+        val err = lit(1.0) / (lit(1.0) + exp(-z)) - $"y"
+        val g = feats.agg(
+          sum(err.cast(DecimalType(28, 14))).as("g0"),
+          sum((err * $"x1").cast(DecimalType(28, 14))).as("g1"),
+          sum((err * $"x2").cast(DecimalType(28, 14))).as("g2"),
+          sum((err * $"x3").cast(DecimalType(28, 14))).as("g3")).head
+        w = w.indices.map(j =>
+          w(j) - 4.0 * g.getDecimal(j).doubleValue() / n).toArray
+      }
+      feats.select($"doc_id",
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("quality"),
+        $"y".cast("long").as("label"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- per-domain cap (C4/RefinedWeb-style source balancing) -------
     // At most K docs per source, best-first: a handful of crawl domains
     // otherwise dominate a pretraining mix. "Best" = longest text
@@ -204,6 +251,56 @@ object QueriesCuration {
         |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |  FROM base GROUP BY lang)
         |ORDER BY leg, lang""".stripMargin,
+
+    // the training loop replayed relationally: one CTE per gradient
+    // aggregation + weight update, decimal-exact sums, same sigmoid
+    "q158_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    least(n_chars, 600) / 600.0 AS x1,
+        |    least(len(toks), 120) / 120.0 AS x2,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_filter(toks, t -> list_contains(
+        |        ['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+        |        / len(toks)
+        |      ELSE 0.0 END AS x3,
+        |    CASE WHEN lang = 'en' AND n_chars BETWEEN 120 AND 450
+        |      THEN 1.0 ELSE 0.0 END AS y
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |        FROM documents)),
+        |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+        |g1 AS (SELECT
+        |    CAST(SUM(CAST(1.0/(1.0+exp(0.0)) - y AS DECIMAL(28,14))) AS DOUBLE) AS g0,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(0.0)) - y) * x1 AS DECIMAL(28,14))) AS DOUBLE) AS g1,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(0.0)) - y) * x2 AS DECIMAL(28,14))) AS DOUBLE) AS g2,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(0.0)) - y) * x3 AS DECIMAL(28,14))) AS DOUBLE) AS g3
+        |  FROM f),
+        |w1 AS (SELECT 0.0 - 4.0*g0/n AS b, 0.0 - 4.0*g1/n AS wa,
+        |              0.0 - 4.0*g2/n AS wb, 0.0 - 4.0*g3/n AS wc
+        |       FROM g1, c),
+        |g2 AS (SELECT
+        |    CAST(SUM(CAST(1.0/(1.0+exp(-(b + wa*x1 + wb*x2 + wc*x3))) - y AS DECIMAL(28,14))) AS DOUBLE) AS g0,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wa*x1 + wb*x2 + wc*x3))) - y) * x1 AS DECIMAL(28,14))) AS DOUBLE) AS g1,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wa*x1 + wb*x2 + wc*x3))) - y) * x2 AS DECIMAL(28,14))) AS DOUBLE) AS g2,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wa*x1 + wb*x2 + wc*x3))) - y) * x3 AS DECIMAL(28,14))) AS DOUBLE) AS g3
+        |  FROM f, w1),
+        |w2 AS (SELECT b - 4.0*g0/n AS b, wa - 4.0*g1/n AS wa,
+        |              wb - 4.0*g2/n AS wb, wc - 4.0*g3/n AS wc
+        |       FROM g2, w1, c),
+        |g3 AS (SELECT
+        |    CAST(SUM(CAST(1.0/(1.0+exp(-(b + wa*x1 + wb*x2 + wc*x3))) - y AS DECIMAL(28,14))) AS DOUBLE) AS g0,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wa*x1 + wb*x2 + wc*x3))) - y) * x1 AS DECIMAL(28,14))) AS DOUBLE) AS g1,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wa*x1 + wb*x2 + wc*x3))) - y) * x2 AS DECIMAL(28,14))) AS DOUBLE) AS g2,
+        |    CAST(SUM(CAST((1.0/(1.0+exp(-(b + wa*x1 + wb*x2 + wc*x3))) - y) * x3 AS DECIMAL(28,14))) AS DOUBLE) AS g3
+        |  FROM f, w2),
+        |w3 AS (SELECT b - 4.0*g0/n AS b, wa - 4.0*g1/n AS wa,
+        |              wb - 4.0*g2/n AS wb, wc - 4.0*g3/n AS wc
+        |       FROM g3, w2, c)
+        |SELECT doc_id,
+        |  ROUND(1.0/(1.0+exp(-(b + wa*x1 + wb*x2 + wc*x3))), 4) AS quality,
+        |  CAST(y AS BIGINT) AS label
+        |FROM f, w3 ORDER BY doc_id""".stripMargin,
 
     "q155_branch_lifecycle" ->
       """WITH base AS (

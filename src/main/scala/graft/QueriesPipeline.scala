@@ -2005,6 +2005,39 @@ object QueriesPipeline {
         .orderBy($"leg", $"c_custkey", $"c_acctbal")
     }),
 
+    // ---- atomic MOR upsert pipeline (X105) -----------------------------
+    // The CDC-ingest steady state: each batch upserts the latest state
+    // per key — ONE commit per batch puts the batch's keys in force as
+    // an equality delete AND appends the new rows (no scan, no rewrite,
+    // no touched-file detection; the write cost is O(batch) at any
+    // table size). Four event chunks drive per-user state; the final
+    // read pays the standing deletes as broadcast anti-joins. The
+    // oracle replays per-key last-writer-wins with window functions.
+    "q159_upsert_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tmp = graft.QueryTmp.dir("graft_q159_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/state/v1")
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      val n = ev.agg(max($"event_id")).head.getLong(0) + 1
+      val chunked = ev.withColumn("chunk", ($"event_id" * 4 / n).cast("int"))
+      // per batch: the latest event per user IS the upsert row
+      val wBatch = Window.partitionBy($"chunk", $"user_id")
+        .orderBy($"event_id".desc)
+      val batches = chunked
+        .withColumn("rn", row_number().over(wBatch)).filter($"rn" === 1)
+        .drop("rn")
+      t.append(batches.filter($"chunk" === 0)
+        .select($"user_id", $"event_id", $"event_type", $"value"), Nil)
+      (1 to 3).foreach { i =>
+        t.upsertByKey(batches.filter($"chunk" === i)
+          .select($"user_id", $"event_id", $"event_type", $"value"),
+          Seq("user_id"))
+      }
+      t.read().orderBy($"user_id")
+    }),
+
     // ---- DURABLE snapshot tags (X101, round 10) ------------------------
     // The training-run reproducibility contract: tag the exact corpus
     // snapshot a run trained on, then rewrite the table at will — the
@@ -2684,6 +2717,24 @@ object QueriesPipeline {
       """SELECT c_custkey AS ck, md5(c_name) AS digest,
         |  CAST(length(c_name) AS BIGINT) AS len
         |FROM customer ORDER BY ck""".stripMargin,
+    "q159_upsert_pipeline" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(event_id * 4 / (SELECT MAX(event_id) + 1 FROM events)
+        |      AS INT) AS chunk
+        |  FROM events),
+        |batches AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY chunk, user_id
+        |      ORDER BY event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |final AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY chunk DESC) AS rn2 FROM batches)
+        |  WHERE rn2 = 1)
+        |SELECT user_id, event_id, event_type, value FROM final
+        |ORDER BY user_id""".stripMargin,
     "q157_equality_delete" ->
       """WITH src AS (
         |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),

@@ -1251,6 +1251,10 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       "as one atomic commit (fails if main diverged since the fork)"
     case "drop_branch" => "abandon a branch: tombstone the ref and " +
       "drop its unpublished files"
+    case "delete_by_key" => "merge-on-read DELETE by key (equality " +
+      "delete): one O(metadata) commit puts the keys of `query`'s " +
+      "result in force — no scan, no rewrite; readers anti-join, " +
+      "compaction materializes"
   }
   override def bind(inputType: org.apache.spark.sql.types.StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -1314,6 +1318,13 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       case "fast_forward" | "drop_branch" => Array(
         in("table", StringType).build(),
         in("name", StringType).build())
+      case "delete_by_key" => Array(
+        in("table", StringType).build(),
+        // comma-separated key columns of the TABLE
+        in("keys", StringType).build(),
+        // any SQL whose result supplies the key tuples (same column
+        // names) — the compact `where_expr` pattern
+        in("query", StringType).build())
     }
   }
 
@@ -1467,6 +1478,13 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         val dropped = t.dropBranch(input.getUTF8String(1).toString)
         (new StructType().add("files_dropped", IntegerType),
           InternalRow(dropped.size))
+      case "delete_by_key" =>
+        val keyCols = cols(input.getUTF8String(1).toString)
+        val keys = org.apache.spark.sql.SparkSession.active
+          .sql(input.getUTF8String(2).toString)
+        val c = t.deleteByKey(keys, keyCols)
+        (new StructType().add("version", LongType),
+          InternalRow(c.map(_.version).getOrElse(-1L)))
       case "clone" =>
         val destRel = input.getUTF8String(1).toString
         val destPath = cat.pathForName(destRel)
@@ -1493,7 +1511,8 @@ private[sources] object GraftProcedure {
   val names: Set[String] =
     Set("compact", "vacuum", "restore", "tag", "untag", "clone",
       "evolve_partitioning", "analyze", "bloom_index", "wap_publish",
-      "wap_abort", "branch", "fast_forward", "drop_branch")
+      "wap_abort", "branch", "fast_forward", "drop_branch",
+      "delete_by_key")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a
@@ -1554,7 +1573,9 @@ private[sources] final class GraftWriteBuilder(spark: SparkSession,
         info.schema(), GraftCatalog.statsColumnsOf(table),
         truncate = overwriteScope.contains(Nil),
         new graft.parquet.RowParquet.SerializableConf(
-          IncrementalTable.hadoopConf(spark)))
+          IncrementalTable.hadoopConf(spark)),
+        upsertKeys = Option(info.options().get("upsertKeys")).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
     }
 
     override def toInsertableRelation: InsertableRelation =

@@ -384,7 +384,8 @@ private[sources] final class GraftStreamWriteBuilder(spark: SparkSession,
         new GraftStreamingWrite(table, partitionBy, appId, info.schema(),
           stats, replaceEachEpoch,
           new graft.parquet.RowParquet.SerializableConf(
-            IncrementalTable.hadoopConf(spark)))
+            IncrementalTable.hadoopConf(spark)),
+          upsertKeys = params.get("upsertKeys").map(split).getOrElse(Nil))
       }
       override def description(): String = s"GraftStreamingWrite ${table.root}"
     }

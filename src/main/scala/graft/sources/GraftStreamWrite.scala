@@ -48,7 +48,10 @@ final case class GraftTaskFiles(rels: Seq[String]) extends WriterCommitMessage
 final class GraftStreamingWrite(table: IncrementalTable,
     partitionBy: Seq[String], appId: String, writeSchema: StructType,
     statsColumns: Seq[String], truncate: Boolean,
-    conf: RowParquet.SerializableConf) extends StreamingWrite {
+    conf: RowParquet.SerializableConf,
+    // X105 streaming MOR upsert: each epoch's key tuples go in force
+    // as an equality delete inside the epoch's own commit
+    upsertKeys: Seq[String] = Nil) extends StreamingWrite {
 
   // one staging namespace per writer identity: deterministic, so a
   // crashed epoch's re-attempt lands in the same place and the commit
@@ -83,7 +86,7 @@ final class GraftStreamingWrite(table: IncrementalTable,
       .flatMap(m => m.asInstanceOf[GraftTaskFiles].rels)
     table.commitStagedStream(epochStage(epochId), rels, writeSchema,
       partitionBy, replace = truncate, batchId = epochId, appId = appId,
-      statsColumns = statsColumns)
+      statsColumns = statsColumns, upsertKeys = upsertKeys)
     ()
   }
 

@@ -188,8 +188,14 @@ final case class BranchCommit(
   * row lives. `cols` are PHYSICAL column names (rename-proof, like the
   * stats index keys). Serialized into the `eqdel/<gen>` metadata
   * channel; a tombstone retires the delete once no live file predates
-  * it (compaction/rewrites apply it physically). */
-final case class EqDelPayload(baseVersion: Long, cols: Seq[String])
+  * it (compaction/rewrites apply it physically).
+  * `coverOwnCommit` disambiguates the two commit shapes that carry an
+  * entry TOGETHER with added files: a restore() re-issue covers its
+  * re-added snapshot files (true), an atomic MOR upsert's own adds are
+  * the NEW versions of the deleted keys and escape (false — also the
+  * default every pre-flag log decodes to). */
+final case class EqDelPayload(baseVersion: Long, cols: Seq[String],
+    coverOwnCommit: Boolean = false)
 
 /** A branch ref: the main version it forked from plus its commit chain.
   * Serialized into the `branch/<name>` metadata channel — the pending
@@ -829,7 +835,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         eqState = (m -- dropped).toSeq.sortBy(p => (p._2.baseVersion, p._1))
       }
     }
-    val needLive = cs.exists(_.action == "eqdelete")
+    val needLive = cs.exists(_.meta.exists { case (k, v) =>
+      k.startsWith(IncrementalTable.EqDelPrefix) && v.nonEmpty })
     val liveState = scala.collection.mutable.LinkedHashSet.empty[String]
     if (needLive) parquetCkpt(cs).foreach { ck =>
       import spark.implicits._
@@ -864,37 +871,42 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // row tracking (X87): read both sides WITH their stable ids and
       // pair surviving pre/post rows into update_preimage/postimage
       // (`tracked` hoisted above the loop)
+      // an equality delete's logical delta: the rows its key tuples
+      // match in files the delete APPLIES to (live just before the
+      // commit, added at or before its base snapshot) — minus rows an
+      // EARLIER equality delete already removed. O(applicable files)
+      // read, the Delta-CDF-on-a-big-delete cost class; position
+      // deletes in force still apply via dvBefore. Shared between the
+      // standalone "eqdelete" commit and the X105 atomic upsert append
+      // (whose own adds are not in liveBefore — they escape). A
+      // restore's RE-ISSUED entries never emit here: gens already in
+      // eqBefore are not fresh, and tombstoned-then-reissued gens ride
+      // a "replace", whose exceptAll cancellation is already exact.
+      def eqDelEmission(dels: Seq[(String, EqDelPayload)]): DataFrame = {
+        val frames = dels.map { case (gen, p) =>
+          val newer = deltasBetween(p.baseVersion, c.version - 1)
+            .flatMap(_.add).toSet
+          val appFiles = liveBefore.filterNot(newer)
+          val base = withEqDel(appFiles, None,
+            Some((eqBefore, c.version - 1)), Some(mapping))(fs =>
+            filesDf(fs, stored, dvBefore, mapping, keepRowId = tracked))
+          val keys = eqDelKeys(Seq(gen), p.cols, mapping)
+          base.join(broadcast(keys), keys.columns.toIndexedSeq, "left_semi")
+        }
+        exposeRowId(frames.reduce(_.unionByName(_)), tracked, includeRowId)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(c.version))
+      }
+      def freshDels: Seq[(String, EqDelPayload)] = c.meta.collect {
+        case (k, v) if k.startsWith(IncrementalTable.EqDelPrefix) &&
+          v.nonEmpty =>
+          k.stripPrefix(IncrementalTable.EqDelPrefix) ->
+            Serialization.read[EqDelPayload](v)
+      }.toSeq.filterNot { case (g, _) => eqBefore.exists(_._1 == g) }
       if (!inWindow) None
       else if (c.action == "eqdelete") {
-        // an equality-delete commit's logical delta: the rows its key
-        // tuples match in files the delete APPLIES to (live just
-        // before the commit, added at or before its base snapshot) —
-        // minus rows an EARLIER equality delete already removed.
-        // O(applicable files) read, the Delta-CDF-on-a-big-delete cost
-        // class; position deletes in force still apply via dvBefore.
-        val dels = c.meta.collect {
-          case (k, v) if k.startsWith(IncrementalTable.EqDelPrefix) &&
-            v.nonEmpty =>
-            k.stripPrefix(IncrementalTable.EqDelPrefix) ->
-              Serialization.read[EqDelPayload](v)
-        }.toSeq
-        if (dels.isEmpty) None
-        else {
-          val frames = dels.map { case (gen, p) =>
-            val newer = deltasBetween(p.baseVersion, c.version - 1)
-              .flatMap(_.add).toSet
-            val appFiles = liveBefore.filterNot(newer)
-            val base = withEqDel(appFiles, None,
-              Some((eqBefore, c.version - 1)), Some(mapping))(fs =>
-              filesDf(fs, stored, dvBefore, mapping, keepRowId = tracked))
-            val keys = eqDelKeys(Seq(gen), p.cols, mapping)
-            base.join(broadcast(keys), keys.columns.toIndexedSeq, "left_semi")
-          }
-          Some(exposeRowId(frames.reduce(_.unionByName(_)), tracked,
-            includeRowId)
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(c.version)))
-        }
+        val dels = freshDels
+        if (dels.isEmpty) None else Some(eqDelEmission(dels))
       }
       else if (c.action == "dv" || c.action == "update") {
         // the commit's own sidecars ARE its logical delta: join their
@@ -966,11 +978,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           filesDf(fs, stored, dvBefore, mapping, keepRowId = tracked))
         val ins = a.exceptAll(r)
         val del = r.exceptAll(a)
-        Some(
+        val base =
           if (tracked) pairOnRowId(ins, del, c.version, includeRowId)
           else ins.withColumn("_change_type", lit("insert"))
             .unionByName(del.withColumn("_change_type", lit("delete")))
-            .withColumn("_commit_version", lit(c.version)))
+            .withColumn("_commit_version", lit(c.version))
+        // X105 atomic upsert: the append ALSO put fresh equality
+        // deletes in force — emit the rows they remove alongside the
+        // commit's inserts (its own adds escape and are not re-listed)
+        val dels = if (c.action == "append") freshDels else Nil
+        Some(if (dels.isEmpty) base else base.unionByName(eqDelEmission(dels)))
       }
     }
     cdc.reduceOption(_.unionByName(_)).getOrElse {
@@ -1625,6 +1642,26 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       None, now())))
   }
 
+  /** Atomic MOR UPSERT (X105): ONE commit puts the batch's distinct
+    * key tuples in force as an equality delete AND appends the batch —
+    * the old versions of every key vanish, the new rows land, nothing
+    * is scanned or rewritten, and the whole thing rides one `batchId`
+    * replay guard. This is the exactly-once streaming CDC-upsert sink
+    * shape: a crashed epoch either committed (replayed batch elides)
+    * or left orphans (vacuumed); there is no window where the delete
+    * landed without its inserts. Keys must not be partition columns
+    * (their values are dir-encoded, not in the staged bytes). */
+  def upsertByKey(df: DataFrame, keys: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty,
+      batchId: Option[Long] = None, appId: Option[String] = None,
+      statsColumns: Seq[String] = Nil): Option[Commit] = {
+    require(keys.nonEmpty, "upsertByKey needs key columns")
+    write(df, "append", partitionBy, Map.empty, Map.empty, meta, batchId,
+      appId, statsColumns = statsColumns, userWrite = true,
+      eqDeleteKeys = keys)
+  }
+
   /** Split `files` into groups by the SUFFIX of [[eqDeletes]] that
     * applies to them. Applicability is by version ordering — a file
     * added after a delete's base version escapes it — and the
@@ -1635,15 +1672,19 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       eq: Seq[(String, EqDelPayload)],
       head: Long): Seq[(Seq[(String, EqDelPayload)], Seq[String])] = {
     if (eq.isEmpty || files.isEmpty) return Seq((Nil, files))
-    // own-commit rule: files added by the very commit that (re)issued
-    // an entry are COVERED by it — what lets restore() re-add a
-    // snapshot's files and re-issue its in-force deletes atomically
+    // own-commit rule (gated by coverOwnCommit): files added by the
+    // very commit that (re)issued an entry are COVERED by it — what
+    // lets restore() re-add a snapshot's files and re-issue its
+    // in-force deletes atomically. An atomic MOR upsert (X105) leaves
+    // the flag false: its own adds are the new versions of the deleted
+    // keys and escape like any later append.
     val window = deltasBetween(
       eq.iterator.map(_._2.baseVersion).min, head)
     val newer: Seq[Set[String]] = eq.map { case (gen, p) =>
       window.iterator
         .filter(c => c.version > p.baseVersion &&
-          !c.meta.get(IncrementalTable.EqDelPrefix + gen).exists(_.nonEmpty))
+          !(p.coverOwnCommit &&
+            c.meta.get(IncrementalTable.EqDelPrefix + gen).exists(_.nonEmpty)))
         .flatMap(_.add).toSet
     }
     files.groupBy { f =>
@@ -2445,7 +2486,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       (eqNow.keySet -- eqAt.keySet).iterator
         .map(g => IncrementalTable.EqDelPrefix + g -> "").toMap ++
       eqAt.map { case (g, p) =>
-        IncrementalTable.EqDelPrefix + g -> Serialization.write(p) }
+        IncrementalTable.EqDelPrefix + g ->
+          Serialization.write(p.copy(coverOwnCommit = true)) }
     val schemaAt = schemaDdlAt(Some(version)).getOrElse("")
     val partsAt = commitsAsOf(Some(version)).reverse.iterator
       .map(_.partitionBy).find(_.nonEmpty).getOrElse(Seq.empty)
@@ -4364,7 +4406,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * append (the Complete-output-mode shape). */
   def commitStagedStream(stage: Path, rels: Seq[String], incoming: StructType,
       partitionBy: Seq[String], replace: Boolean, batchId: Long,
-      appId: String, statsColumns: Seq[String] = Nil): Option[Commit] = {
+      appId: String, statsColumns: Seq[String] = Nil,
+      // X105 streaming MOR upsert: each epoch's keys go in force as an
+      // equality delete IN the epoch's commit — the exactly-once
+      // CDC-upsert sink (`.option("upsertKeys", "id")`)
+      upsertKeys: Seq[String] = Nil): Option[Commit] = {
+    require(upsertKeys.isEmpty || !replace,
+      "upsertKeys and Complete-mode truncate are mutually exclusive")
     if (hasBatch(batchId, Some(appId))) {
       fs.delete(stage, true) // replayed epoch: stage is redundant
       return None
@@ -4397,6 +4445,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
             .select(incoming.fields.toIndexedSeq.map(logicalCol(_, mapping)): _*)
           if (replace)
             replaceWhere(staged, partitionBy, Map.empty, Map.empty,
+              batchId = Some(batchId), appId = Some(appId),
+              statsColumns = statsColumns)
+          else if (upsertKeys.nonEmpty)
+            upsertByKey(staged, upsertKeys, partitionBy,
               batchId = Some(batchId), appId = Some(appId),
               statsColumns = statsColumns)
           else append(staged, partitionBy, batchId = Some(batchId),
@@ -4435,6 +4487,30 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       if (statsIdx.isEmpty) Map.empty[String, Map[String, ColStat]]
       else perFile.view.mapValues(_.view.filterKeys(statsIdx).toMap)
         .filter(_._2.nonEmpty).toMap
+    // X105: the epoch's distinct keys (read off the staged files —
+    // physical names, basePath restores dir-encoded values) go in
+    // force with fence = current head; the epoch's own adds escape
+    val upsertMeta: Map[String, String] =
+      if (upsertKeys.isEmpty || rels.isEmpty) Map.empty
+      else {
+        val mapping = columnMapping()
+        val storedNow = committedSchemaAt().getOrElse(
+          throw new IllegalArgumentException(
+            s"streaming upsert target $root has no committed schema"))
+        upsertKeys.foreach(c => require(storedNow.fieldNames.contains(c),
+          s"upsertKeys column '$c' is not a column of $root"))
+        val phys = upsertKeys.map(physPath(_, mapping))
+        val fn = org.apache.spark.sql.functions.col _
+        val dk = spark.read.option("basePath", stage.toString)
+          .schema(physicalSchema(incoming, mapping))
+          .parquet(rels.map(r => new Path(stage, r).toString): _*)
+          .select(phys.map(fn): _*).distinct()
+        val gen = UUID.randomUUID().toString
+        dk.coalesce(1).write.parquet(
+          new Path(rootPath, s"${IncrementalTable.EqDelDir}/$gen").toString)
+        Map(IncrementalTable.EqDelPrefix + gen ->
+          Serialization.write(EqDelPayload(latestVersion, phys)))
+      }
     val out =
       if (rels.isEmpty) {
         // empty epoch: elide (W6) — a replayed empty epoch re-elides,
@@ -4459,7 +4535,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         val removed = if (replace) liveFiles() else Seq.empty
         val schemaDdl = IncrementalTable.ddlOf(mergedSchema(incoming))
         Some(commit(Commit(0, if (replace) "replace" else "append", added,
-          removed, Map.empty, partitionBy, schemaDdl, streamNdvMeta,
+          removed, Map.empty, partitionBy, schemaDdl,
+          streamNdvMeta ++ upsertMeta,
           Some(batchId), now(), appId = Some(appId), fileStats = fileStats)))
       }
     fs.delete(stage, true)
@@ -4491,7 +4568,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // branch write (X102): like a WAP staging, but the record extends
       // the named branch's commit CHAIN — visible to readBranch /
       // `VERSION AS OF 'branch:<name>'`, published by fastForward(name)
-      branch: Option[String] = None): Option[Commit] = {
+      branch: Option[String] = None,
+      // atomic MOR upsert (X105): the batch's distinct key tuples go in
+      // force as an equality delete IN THE SAME COMMIT as the adds —
+      // delete-the-old + insert-the-new under one batchId guard
+      eqDeleteKeys: Seq[String] = Nil): Option[Commit] = {
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
     // branch writes (X102) fail FAST — before any file is staged — on
     // an unknown ref or a spec evolution since the fork (the chain's
@@ -4747,10 +4828,47 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           Some("rowhw/rid" -> math.max(prev.getOrElse(Long.MinValue), mx.max).toString)
         }
       }
+    // atomic MOR upsert (X105): put the batch's distinct keys in force
+    // as an equality delete riding THIS very commit. The fence is the
+    // current head, and coverOwnCommit stays false, so the commit's own
+    // adds — the new versions of the deleted keys — escape while every
+    // earlier file is covered. Keys come back off the STAGED files
+    // (physical names, one small job), never by recomputing the input.
+    val eqMeta: Map[String, String] =
+      if (eqDeleteKeys.isEmpty) Map.empty
+      else {
+        require(action == "append" && wapId.isEmpty && branch.isEmpty &&
+            extraDv.isEmpty && removeExact.isEmpty && !dynamic,
+          "upsertByKey supports plain appends only")
+        val storedNow = committedSchemaAt().getOrElse(
+          throw new IllegalArgumentException(
+            s"upsertByKey target $root has no committed schema — seed " +
+              "with append()"))
+        eqDeleteKeys.foreach { c =>
+          require(storedNow.fieldNames.contains(c),
+            s"upsertByKey key '$c' is not a column of $root")
+          require(!partitionBy.contains(c) && !ptransforms.contains(c),
+            s"upsertByKey key '$c' is a partition column — its values " +
+              "are dir-encoded, not in the staged file bytes")
+        }
+        if (staged.isEmpty || stagedRows == 0) Map.empty
+        else {
+          val phys = eqDeleteKeys.map(physPath(_, mapping))
+          val fn = org.apache.spark.sql.functions.col _
+          val dk = spark.read
+            .parquet(staged.map(r => new Path(stage, r).toString): _*)
+            .select(phys.map(fn): _*).distinct()
+          val gen = UUID.randomUUID().toString
+          dk.coalesce(1).write.parquet(
+            new Path(rootPath, s"${IncrementalTable.EqDelDir}/$gen").toString)
+          Map(IncrementalTable.EqDelPrefix + gen ->
+            Serialization.write(EqDelPayload(latestVersion, phys)))
+        }
+      }
     val allMeta = meta ++ statMeta.zip(physStatMetaCols).map { case (sm, pc) =>
       sm.key ->
         math.max(sm.floor, stagedMax.get(pc).map(_ + 1).getOrElse(sm.floor)).toString
-    } ++ idhwMeta ++ rowHwMeta ++ ndvMeta
+    } ++ idhwMeta ++ rowHwMeta ++ ndvMeta ++ eqMeta
     val statsIdx = physStatsColumns.toSet
     val fileStats =
       if (statsIdx.isEmpty) Map.empty[String, Map[String, ColStat]]
@@ -5207,16 +5325,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         (winner.add.nonEmpty || winner.remove.nonEmpty ||
           winner.dv.nonEmpty || winner.action == "evolve")) return true
     // equality deletes (X104) apply by VERSION ordering, so rewrites
-    // and eqdeletes invalidate each other across a race: a rewrite
-    // moves old rows into post-delete files where the delete would
-    // silently stop applying (resurrection). Both directions fail;
-    // the caller re-reads and re-runs. Appends and position deletes
-    // compose without conflict (new data legitimately escapes; a
-    // doubly-deleted position is still deleted).
-    if (ours.action == "eqdelete")
-      return winner.remove.nonEmpty || winner.action == "evolve"
-    if (winner.action == "eqdelete" &&
+    // and eqdelete-carrying commits (the standalone "eqdelete" action
+    // AND the X105 atomic upsert append) invalidate each other across
+    // a race: a rewrite moves old rows into post-delete files where
+    // the delete would silently stop applying (resurrection). Both
+    // directions fail; the caller re-reads and re-runs. Plain appends
+    // and position deletes compose without conflict (new data
+    // legitimately escapes; a doubly-deleted position stays deleted).
+    def carriesEqDel(c: Commit): Boolean = c.meta.exists { case (k, v) =>
+      k.startsWith(IncrementalTable.EqDelPrefix) && v.nonEmpty }
+    if (carriesEqDel(ours) &&
+        (winner.remove.nonEmpty || winner.action == "evolve")) return true
+    if (carriesEqDel(winner) &&
         (ours.action == "replace" || ours.action == "update")) return true
+    if (ours.action == "eqdelete") return false
     val winnerFiles = winner.add ++ winner.remove ++ winner.dv.keys
     ours.action match {
       case "replace" =>

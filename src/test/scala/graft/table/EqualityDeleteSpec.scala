@@ -149,6 +149,29 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(t.read().count() == 1)
   }
 
+  private lazy val cat: String = {
+    val wh = tmpDir("eqdel_wh")
+    spark.conf.set("spark.sql.catalog.ecat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ecat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ecat.ns")
+    "ecat"
+  }
+
+  test("SQL front door: CALL delete_by_key with a key-supplying query") {
+    spark.sql(s"CREATE TABLE $cat.ns.k (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.ns.k VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    val out = spark.sql(s"CALL $cat.system.delete_by_key('ns.k', 'id', " +
+      "'SELECT id FROM range(2, 4) AS t(id)')").collect()
+    assert(out(0).getLong(0) >= 0)
+    assert(spark.sql(s"SELECT id FROM $cat.ns.k ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 4L))
+    // upsert through the same door: a later INSERT escapes
+    spark.sql(s"INSERT INTO $cat.ns.k VALUES (2, 'b2')")
+    assert(spark.sql(s"SELECT v FROM $cat.ns.k WHERE id = 2")
+      .as[String].collect().toSeq == Seq("b2"))
+  }
+
   test("reads through the catalog/path doors apply deletes") {
     val t = seeded("doors")
     t.deleteByKey(Seq(Tuple1(3L)).toDF("id"), Seq("id"))
