@@ -2005,6 +2005,35 @@ object QueriesPipeline {
         .orderBy($"leg", $"c_custkey", $"c_acctbal")
     }),
 
+    // ---- GROUP-BY-partition metadata aggregates (X106) -----------------
+    // The partition-stats dashboard query at 100 TB: COUNT(*) and
+    // integral MIN/MAX grouped by an identity partition column answer
+    // from the commit log's per-file tallies and [min,max] index —
+    // ZERO data files open (GroupAggPushdownSpec asserts filesScanned
+    // == 0 on this plan shape). The pushdown is complete-or-nothing:
+    // DVs, equality deletes, filters, or stat-less files decline to a
+    // real scan. The oracle is the plain relational aggregate — the
+    // index is an optimization, never semantics.
+    "q160_partition_stats" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.li")
+      s.sql("""CREATE TABLE graft.lake.li
+              |  (l_orderkey BIGINT, l_quantity DOUBLE, l_linenumber INT)
+              |PARTITIONED BY (l_linenumber)
+              |TBLPROPERTIES ('graft.statsColumns' = 'l_orderkey')""".stripMargin)
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_linenumber")
+        .createOrReplaceTempView("q160_src")
+      s.sql("INSERT INTO graft.lake.li SELECT * FROM q160_src WHERE l_orderkey % 2 = 0")
+      s.sql("INSERT INTO graft.lake.li SELECT * FROM q160_src WHERE l_orderkey % 2 = 1")
+      s.sql("""SELECT l_linenumber, COUNT(*) AS n_rows,
+              |  MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key
+              |FROM graft.lake.li GROUP BY l_linenumber
+              |ORDER BY l_linenumber""".stripMargin)
+    }),
+
     // ---- atomic MOR upsert pipeline (X105) -----------------------------
     // The CDC-ingest steady state: each batch upserts the latest state
     // per key — ONE commit per batch puts the batch's keys in force as
@@ -2717,6 +2746,11 @@ object QueriesPipeline {
       """SELECT c_custkey AS ck, md5(c_name) AS digest,
         |  CAST(length(c_name) AS BIGINT) AS len
         |FROM customer ORDER BY ck""".stripMargin,
+    "q160_partition_stats" ->
+      """SELECT l_linenumber, COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key
+        |FROM lineitem GROUP BY l_linenumber
+        |ORDER BY l_linenumber""".stripMargin,
     "q159_upsert_pipeline" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -790,20 +790,165 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
     if (outs.forall(_.isDefined)) Some(outs.map(_.get)) else None
   }
 
+  /** GROUP-BY-partition aggregate pushdown (X106): `COUNT(*)` /
+    * integral `MIN`/`MAX` GROUPED BY identity INTEGRAL partition
+    * columns answer from the commit log — per-file tallies and
+    * [min,max] roll up under the dir-token group keys, ZERO data files
+    * open (the partition-stats dashboard query at 100 TB). The
+    * complete-or-nothing rule is per TABLE: any file with a missing
+    * tally/bound, any standing deletion vector or equality delete, a
+    * null/unparseable dir token, a transformed or non-integral group
+    * column, or any filter declines the whole pushdown — a wrong fast
+    * answer is worse than a slow exact one. */
+  private def analyzedGrouped(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val gb = agg.groupByExpressions
+    if (pushed.nonEmpty || gb.isEmpty || agg.aggregateExpressions.isEmpty)
+      return None
+    val transforms = table.partitionTransforms(asOf)
+    val pcols = table.partitionColumns
+    val groupCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      gb.toIndexedSeq.map {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if nr.fieldNames.length == 1 &&
+              pcols.contains(nr.fieldNames.head) &&
+              !transforms.contains(nr.fieldNames.head) =>
+          fullSchema.fields.find(_.name == nr.fieldNames.head) match {
+            case Some(f) if f.dataType == ByteType || f.dataType == ShortType ||
+                f.dataType == IntegerType || f.dataType == LongType =>
+              (f.name, f.dataType)
+            case _ => return None
+          }
+        case _ => return None
+      }
+    // aggregate shapes first (cheap) — then the metadata rollup
+    sealed trait Spec
+    case object CStar extends Spec
+    final case class MinC(c: String, dt: org.apache.spark.sql.types.DataType) extends Spec
+    final case class MaxC(c: String, dt: org.apache.spark.sql.types.DataType) extends Spec
+    val specs: Seq[Spec] = agg.aggregateExpressions.toIndexedSeq.map {
+      case _: CountStar => CStar
+      case m: Min => integralCol(m.column) match {
+        case Some((n, dt)) => MinC(n, dt)
+        case None => return None
+      }
+      case m: Max => integralCol(m.column) match {
+        case Some((n, dt)) => MaxC(n, dt)
+        case None => return None
+      }
+      case _ => return None
+    }
+    if (table.liveDv(asOf).nonEmpty || table.eqDeletes(asOf).nonEmpty)
+      return None
+    val stats = table.liveFileStats(asOf)
+    val statCols = specs.collect {
+      case MinC(c, _) => c
+      case MaxC(c, _) => c
+    }.distinct
+    // stats index keys are PHYSICAL (column mapping, X72)
+    val physOf: Map[String, String] = statCols.map { c =>
+      c -> table.physicalSchemaOf(new StructType()
+        .add(c, org.apache.spark.sql.types.LongType)).fields.head.name
+    }.toMap
+    def parseTok(s: String, dt: org.apache.spark.sql.types.DataType): Option[Any] =
+      if (s.isEmpty || !s.forall(ch => ch.isDigit || ch == '-')) None
+      else scala.util.Try[Any](dt match {
+        case ByteType => java.lang.Byte.valueOf(s.toByte)
+        case ShortType => java.lang.Short.valueOf(s.toShort)
+        case IntegerType => java.lang.Integer.valueOf(s.toInt)
+        case _ => java.lang.Long.valueOf(s.toLong)
+      }).toOption
+    // rollup state per group key: (rows, per-column (min, max, sawAny))
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], (Long, Map[String, (Long, Long)])]
+    table.liveFiles(Map.empty, asOf).foreach { f =>
+      val segs = IncrementalTable.hiveSegments(f)
+      val key = groupCols.map { case (c, dt) =>
+        segs.get(c).flatMap(parseTok(_, dt)).getOrElse(return None)
+      }
+      val fstats = stats.getOrElse(f, return None)
+      val rows = fstats.valuesIterator.flatMap(_.rows).nextOption()
+        .getOrElse(return None)
+      val bounds: Map[String, (Long, Long)] = statCols.map { c =>
+        fstats.get(physOf(c)) match {
+          case Some(s) if s.allNull => c -> null
+          case Some(s) if !s.isString && !s.isDouble && s.nulls.contains(0L) &&
+            !(s.min == Long.MinValue && s.max == Long.MaxValue) =>
+            c -> ((s.min, s.max))
+          // nulls under MIN/MAX are skipped by SQL — a file with SOME
+          // nulls still bounds its non-null values exactly; a file
+          // with UNKNOWN null count is still sound for min/max (stats
+          // cover non-null values only)
+          case Some(s) if !s.isString && !s.isDouble &&
+            !(s.min == Long.MinValue && s.max == Long.MaxValue) =>
+            c -> ((s.min, s.max))
+          case _ => return None
+        }
+      }.filter(_._2 != null).toMap
+      val (r0, b0) = groups.getOrElse(key, (0L, Map.empty[String, (Long, Long)]))
+      val merged = (b0.keySet ++ bounds.keySet).map { c =>
+        (b0.get(c), bounds.get(c)) match {
+          case (Some((a, b)), Some((x, y))) =>
+            c -> ((math.min(a, x), math.max(b, y)))
+          case (Some(v), None) => c -> v
+          case (None, Some(v)) => c -> v
+          case _ => c -> ((0L, 0L)) // unreachable
+        }
+      }.toMap
+      groups(key) = (r0 + rows, merged)
+    }
+    val outSchema = StructType(
+      groupCols.map { case (c, dt) =>
+        org.apache.spark.sql.types.StructField(c, dt, nullable = true) } ++
+      specs.zipWithIndex.map {
+        case (CStar, i) => org.apache.spark.sql.types.StructField(
+          s"count_star_$i", LongType, nullable = false)
+        case (MinC(c, dt), _) => org.apache.spark.sql.types.StructField(
+          s"min_$c", dt, nullable = true)
+        case (MaxC(c, dt), _) => org.apache.spark.sql.types.StructField(
+          s"max_$c", dt, nullable = true)
+      })
+    val rows = groups.toSeq.map { case (key, (n, bounds)) =>
+      val aggVals: Seq[Any] = specs.map {
+        case CStar => java.lang.Long.valueOf(n)
+        case MinC(c, dt) => box(bounds.get(c).map(_._1), dt)
+        case MaxC(c, dt) => box(bounds.get(c).map(_._2), dt)
+      }
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        (key ++ aggVals).map(
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst))
+    }
+    Some((outSchema, rows))
+  }
+
   private var pushedAgg: Option[Seq[AggField]] = None
+  private var pushedGroupAgg: Option[(StructType,
+    Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    analyzed(agg).isDefined
+    if (agg.groupByExpressions.isEmpty) analyzed(agg).isDefined
+    else analyzedGrouped(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    pushedAgg = analyzed(agg)
-    pushedAgg.isDefined
+    if (agg.groupByExpressions.isEmpty) {
+      pushedAgg = analyzed(agg)
+      pushedAgg.isDefined
+    } else {
+      pushedGroupAgg = analyzedGrouped(agg)
+      pushedGroupAgg.isDefined
+    }
   }
 
   override def build(): Scan = pushedAgg match {
     case Some(fields) => new GraftAggScan(spark, table, fields)
+    case None if pushedGroupAgg.isDefined =>
+      val (schema, rows) = pushedGroupAgg.get
+      new GraftGroupAggScan(table, schema, rows)
     // default: the DSv2 Batch scan — same pruned plan, planned inside
     // BatchScanExec where runtime filtering (DPP) reaches the skipping
     // index (VERDICT r9 #4); `spark.graft.catalog.v1scan=true` restores
@@ -845,6 +990,26 @@ private[sources] final class GraftAggScan(spark: SparkSession,
           Seq(org.apache.spark.sql.Row.fromSeq(fields.map(_._2))), 1)
     }.asInstanceOf[T]
   }
+}
+
+/** The pushed GROUP-BY-partition aggregate scan (X106): one row per
+  * partition group, straight from the log — group keys then COUNT(*) /
+  * integral MIN/MAX answers in declaration order. Executes as a
+  * LocalScan (LocalTableScanExec): zero data files, zero tasks. */
+private[sources] final class GraftGroupAggScan(table: IncrementalTable,
+    outSchema: StructType,
+    rows: Seq[org.apache.spark.sql.catalyst.InternalRow])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  GraftRelation.record(table.root,
+    GraftScanInfo(-1L, 0,
+      Seq(s"group-by-partition ${outSchema.fieldNames.mkString(",")} " +
+        "[metadata-only]")))
+  override def readSchema(): StructType = outSchema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    rows.toArray
+  override def description(): String =
+    s"GraftGroupAggScan ${table.root} ${outSchema.fieldNames.mkString(",")} " +
+      "(metadata-only)"
 }
 
 /** The stable V1 fallback bridge: Spark plans this scan as a
