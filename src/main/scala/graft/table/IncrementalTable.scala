@@ -2795,9 +2795,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val weighted = files.flatMap(f => usable(f).map(s =>
         (if (descending) s.min else s.max, contrib(f))))
       .filter(_._2 > 0)
+    // no arithmetic negation (Long.MinValue negates to itself): sort
+    // by the value under an explicitly reversed ordering
     val ordered =
-      if (descending) weighted.sortBy(v => (-v._1, v._2))
-      else weighted.sortBy(v => (v._1, v._2))
+      if (descending) weighted.sortBy(_._1)(Ordering[Long].reverse)
+      else weighted.sortBy(_._1)
     var acc = 0L
     var threshold: Option[Long] = None
     val it = ordered.iterator
