@@ -1180,6 +1180,13 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
         }
         .toDF("name", "base_version", "n_commits", "n_files")
         .orderBy("name")
+    case "eqdeletes" =>
+      // standing equality deletes (X104): what an operator checks to
+      // size the MOR read tax before scheduling a materializing compact
+      import spark.implicits._
+      table.eqDeletes().map { case (gen, p) =>
+        (gen, p.baseVersion, p.cols.mkString(","))
+      }.toDF("gen", "base_version", "key_columns").orderBy("base_version", "gen")
   }
 
   override def name(): String = ident
@@ -1215,7 +1222,7 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
 private[sources] object GraftMetaTable {
   val views: Set[String] =
     Set("history", "detail", "files", "partitions", "properties", "changes",
-      "waps", "branches")
+      "waps", "branches", "eqdeletes")
 }
 
 /** Pure-SQL audit read of a pending write-audit-publish staging (X98):

@@ -170,6 +170,10 @@ class EqualityDeleteSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.ns.k VALUES (2, 'b2')")
     assert(spark.sql(s"SELECT v FROM $cat.ns.k WHERE id = 2")
       .as[String].collect().toSeq == Seq("b2"))
+    // the standing delete is queryable: one row, keyed on id
+    val reg = spark.sql(s"SELECT key_columns FROM $cat.ns.k.eqdeletes")
+      .as[String].collect().toSeq
+    assert(reg == Seq("id"), reg.mkString(","))
   }
 
   test("reads through the catalog/path doors apply deletes") {
