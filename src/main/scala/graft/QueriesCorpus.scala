@@ -50,13 +50,19 @@ object QueriesCorpus {
     }),
 
     // ---- token-budget sharding (contiguous, per-stratum) --------------
+    // Budgets in TRUE BPE tokens (graft.functions.Bpe over the committed
+    // merges fixture), not whitespace/pre-tokenizer pieces — piece
+    // counts drift 10-30%+ from what the trainer actually consumes, so
+    // shard boundaries cut at the wrong documents. Same plan shape: the
+    // encode is a per-row projection; the only shuffle stays the
+    // per-stratum running-sum window.
     "q41_token_shards" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"lang").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, dir)
         .select($"doc_id", $"lang",
-          size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+          size(graft.functions.Bpe.tokens($"text")).cast("long").as("n_tokens"))
         .withColumn("cum", sum($"n_tokens").over(w))
         .withColumn("shard", floor(($"cum" - $"n_tokens") / 1000.0).cast("long"))
         .groupBy($"lang", $"shard")
@@ -277,7 +283,9 @@ object QueriesCorpus {
          |ORDER BY doc_id""".stripMargin,
     "q41_token_shards" ->
       s"""WITH t AS (
-         |  SELECT doc_id, lang, len($toksSql) AS n_tokens FROM documents),
+         |  SELECT doc_id, lang,
+         |    len(${graft.functions.Bpe.duckTokens("text")}) AS n_tokens
+         |  FROM documents),
          |c AS (
          |  SELECT doc_id, lang, n_tokens,
          |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id

@@ -71,6 +71,49 @@ object QueriesCuration {
         .orderBy($"leg", $"lang")
     }),
 
+    // ---- multi-table atomic publish (X107) ---------------------------
+    // The reference's derived-DAG shape (processed + backwards landing
+    // together, ingest_example/__init__.py:7-15) under ONE publish
+    // decision: epoch 2 stages on BOTH tables (invisible), a single
+    // MultiPublish intent + per-child O(metadata) publish makes it
+    // visible everywhere at once, crash-recovery re-drives half-done
+    // publishes (MultiPublishSpec kills the process between children).
+    // Legs pin the lifecycle relationally: `before` proves both
+    // stagings invisible, `after` proves the joint state; n_rev_ok
+    // (content fingerprint round-trip through the reversed twin) proves
+    // actual rows flowed, not just counts. Scale shape: publish moves
+    // no data; legs are per-lang aggregates over a doc_id equi-join AQE
+    // plans itself.
+    "q162_multi_publish" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q162_")
+      val proc = graft.table.IncrementalTable(s, s"$tmp/pipe/processed")
+      val back = graft.table.IncrementalTable(s, s"$tmp/pipe/backwards")
+      val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"text")
+      val procDf = docs.select($"doc_id", $"lang",
+        length($"text").cast("long").as("n_chars"),
+        md5($"text".cast("binary")).as("fp"))
+      val backDf = docs.select($"doc_id", reverse($"text").as("rtext"))
+      proc.append(procDf.filter($"doc_id" % 2 === 0), Nil)
+      back.append(backDf.filter($"doc_id" % 2 === 0), Nil)
+      proc.stageAppend(procDf.filter($"doc_id" % 2 =!= 0), "epoch2")
+      back.stageAppend(backDf.filter($"doc_id" % 2 =!= 0), "epoch2")
+      def legOf(leg: String) = proc.read()
+        .join(back.read(), Seq("doc_id"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
+          sum(when(md5(reverse($"rtext").cast("binary")) === $"fp", 1L)
+            .otherwise(0L)).as("n_rev_ok"))
+        .select(lit(leg).as("leg"), $"lang", $"n_docs", $"n_chars", $"n_rev_ok")
+      // pre-publish joint view — both stagings invisible (file lists
+      // pin eagerly, so the leg survives the publish below)
+      val before = legOf("before")
+      val mp = new graft.table.MultiPublish(s, s"$tmp/pipe/_publish")
+      mp.publish("epoch2", Seq(proc, back))
+      val after = legOf("after")
+      after.unionByName(before).orderBy($"leg", $"lang")
+    }),
+
     // ---- branch lifecycle (X102, the Iceberg branch-ref analog) ------
     // A corpus re-curation developed on a BRANCH while main serves
     // readers: fork, land an append AND a partition-scoped re-curation
@@ -250,6 +293,21 @@ object QueriesCuration {
         |  SELECT 'before' AS leg, lang, COUNT(*) AS n_docs,
         |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |  FROM base GROUP BY lang)
+        |ORDER BY leg, lang""".stripMargin,
+
+    "q162_multi_publish" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, length(text) AS n_chars FROM documents)
+        |SELECT leg, lang, n_docs, n_chars, n_rev_ok FROM (
+        |  SELECT 'after' AS leg, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    COUNT(*) AS n_rev_ok
+        |  FROM p GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'before' AS leg, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    COUNT(*) AS n_rev_ok
+        |  FROM p WHERE doc_id % 2 = 0 GROUP BY lang)
         |ORDER BY leg, lang""".stripMargin,
 
     // the training loop replayed relationally: one CTE per gradient

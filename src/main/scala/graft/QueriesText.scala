@@ -150,6 +150,29 @@ object QueriesText {
         .orderBy($"doc_id")
     }),
 
+    // ---- TRUE BPE encode (merges application over the committed vocab)
+    // q69 stops at the pre-tokenizer; this applies the committed merges
+    // fixture (graft/bpe_merges.txt) with the classic greedy rank-order
+    // rule — see graft.functions.Bpe for why the whole encode is ONE
+    // aggregate(merges, replace) fold of built-in expressions (no UDF,
+    // no shuffle, per-row O(|merges| × chars)), and why the DuckDB
+    // oracle generated from the SAME fixture replays it bit-exactly.
+    // n_pieces rides along so the piece-vs-token budget drift (the
+    // 10-30% the pre-tokenizer underestimates by) is directly visible.
+    "q161_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val pieces = regexp_extract_all($"text", lit(TextOps.bpePretokenRe), lit(0))
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          size(pieces).cast("long").as("n_pieces"),
+          graft.functions.Bpe.tokens($"text").as("toks"))
+        .select($"doc_id", $"lang", $"n_pieces",
+          size($"toks").cast("long").as("n_tokens"),
+          element_at($"toks", 1).as("first_token"),
+          element_at($"toks", -1).as("last_token"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- Gopher-style repetition filters -----------------------------
     // (Rae et al. 2021 §A1.1 shape.) The repetition signals that catch
     // boilerplate/spam documents: duplicate-token fraction, the
@@ -295,6 +318,17 @@ object QueriesText {
          |FROM base b LEFT JOIN bigtop t USING (doc_id)
          |  LEFT JOIN bigagg ba USING (doc_id) LEFT JOIN triagg ta USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q161_bpe_encode" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, lang,
+         |    len(regexp_extract_all(text, '${TextOps.bpePretokenRe}'))
+         |      AS n_pieces,
+         |    ${graft.functions.Bpe.duckTokens("text")} AS toks
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(n_pieces AS BIGINT) AS n_pieces,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  toks[1] AS first_token, toks[-1] AS last_token
+         |FROM e ORDER BY doc_id""".stripMargin,
     "q69_bpe_pretokenize" ->
       s"""WITH p AS (
          |  SELECT doc_id,

@@ -928,10 +928,32 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
   private var pushedGroupAgg: Option[(StructType,
     Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
 
+  // memoize the FULL grouped rollup per aggregation shape:
+  // supportCompletePushDown and pushAggregation each trigger it, and
+  // unlike the scalar path (whose probes are individually memoized
+  // above) the grouped path is a driver walk over every live file —
+  // keying on the describe()d shape keeps a later, different
+  // aggregation from riding an earlier answer
+  private var groupedMemo: Option[(String, Option[(StructType,
+    Seq[org.apache.spark.sql.catalyst.InternalRow])])] = None
+  private def analyzedGroupedMemo(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
+    val key = (agg.groupByExpressions.map(_.describe()) ++
+      agg.aggregateExpressions.map(_.describe())).mkString(" ")
+    groupedMemo match {
+      case Some((k, r)) if k == key => r
+      case _ =>
+        val r = analyzedGrouped(agg)
+        groupedMemo = Some((key, r))
+        r
+    }
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     if (agg.groupByExpressions.isEmpty) analyzed(agg).isDefined
-    else analyzedGrouped(agg).isDefined
+    else analyzedGroupedMemo(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
@@ -939,7 +961,7 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
       pushedAgg = analyzed(agg)
       pushedAgg.isDefined
     } else {
-      pushedGroupAgg = analyzedGrouped(agg)
+      pushedGroupAgg = analyzedGroupedMemo(agg)
       pushedGroupAgg.isDefined
     }
   }

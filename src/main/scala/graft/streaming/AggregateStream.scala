@@ -189,8 +189,13 @@ final class AggregateStream(
     prepare: DataFrame => DataFrame = identity,
     partitionBy: Seq[String] = Nil,
     name: String = "src",
-    replayScope: Seq[String] = Seq("year", "month", "day"))
+    replayScope: Seq[String] = Seq("year", "month", "day"),
+    // rate control: at most this many pending commits per drain() —
+    // catch-up from a deep backlog runs in bounded steps (see
+    // DerivedStream; same contract, identical final state)
+    maxCommitsPerDrain: Int = Int.MaxValue)
     extends CommitConsumer {
+  require(maxCommitsPerDrain > 0, "maxCommitsPerDrain must be positive")
   require(groupKeys.nonEmpty, "AggregateStream needs group keys")
   require(aggs.nonEmpty, "AggregateStream needs aggregate columns")
   require(partitionBy.forall(groupKeys.contains),
@@ -245,6 +250,9 @@ final class AggregateStream(
         // trigger or that folded commit is silently skipped
         (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty ||
           c.filesParquet.isDefined))
+      // earliest-first bound: the remainder stays pending for the next
+      // drain(), so a deep backlog catches up in bounded steps
+      .take(maxCommitsPerDrain)
     pending.foreach { c =>
       val cursor = Map(srcKey -> c.version.toString)
       c.action match {

@@ -66,8 +66,13 @@ final class DedupStream(
     fingerprint: DataFrame => DataFrame,
     keyCol: String,
     partitionBy: Seq[String] = Nil,
-    name: String = "src")
+    name: String = "src",
+    // rate control: at most this many pending commits per drain() —
+    // catch-up from a deep backlog runs in bounded steps (see
+    // DerivedStream; same contract, identical final state)
+    maxCommitsPerDrain: Int = Int.MaxValue)
     extends CommitConsumer {
+  require(maxCommitsPerDrain > 0, "maxCommitsPerDrain must be positive")
 
   private val srcKey = s"src_version/$name"
   private val appId = s"dedup:$name"
@@ -107,6 +112,9 @@ final class DedupStream(
         // trigger or that folded commit is silently skipped
         (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty ||
           c.filesParquet.isDefined))
+      // earliest-first bound: the remainder stays pending for the next
+      // drain(), so a deep backlog catches up in bounded steps
+      .take(maxCommitsPerDrain)
     pending.foreach { c =>
       c.action match {
         case "append" =>

@@ -57,8 +57,17 @@ final class DerivedStream(
     // key — O(deleted rows), no recompute; the deleted keys come from
     // the commit's own exact CDC delta run through `transform`. Unset
     // (the default), dv commits take the sound recompute path.
-    keyedBy: Seq[String] = Nil)
+    keyedBy: Seq[String] = Nil,
+    // Rate control (the GraftStreamRead maxCommitsPerTrigger analog):
+    // one drain() applies at most this many pending upstream commits,
+    // so a consumer catching up from a deep backlog works in bounded
+    // memory/time per call instead of folding the whole lag into one
+    // giant batch. Catch-up loops drain() until it returns 0; the final
+    // state is identical by construction (same per-commit processing,
+    // same cursors, just more calls).
+    maxCommitsPerDrain: Int = Int.MaxValue)
     extends CommitConsumer {
+  require(maxCommitsPerDrain > 0, "maxCommitsPerDrain must be positive")
 
   private val srcKey = s"src_version/$name"
   private val appId = s"derived:$name"
@@ -89,6 +98,9 @@ final class DerivedStream(
         // trigger or that folded commit is silently skipped
         (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty ||
           c.filesParquet.isDefined))
+      // earliest-first bound: the remainder stays pending for the next
+      // drain(), so a deep backlog catches up in bounded steps
+      .take(maxCommitsPerDrain)
     pending.foreach { c =>
       c.action match {
         case "append" =>

@@ -85,8 +85,15 @@ final class JoinStream(
     prepareRight: DataFrame => DataFrame = identity,
     partitionBy: Seq[String] = Nil,
     name: String = "join",
-    joinType: String = "inner")
+    joinType: String = "inner",
+    // rate control: at most this many pending commits PER SIDE per
+    // drain() — catch-up from a deep backlog runs in bounded steps
+    // (see DerivedStream; same contract, identical final state — the
+    // non-append rebuild path just rebuilds at the bounded head and
+    // the next drain continues)
+    maxCommitsPerDrain: Int = Int.MaxValue)
     extends CommitConsumer {
+  require(maxCommitsPerDrain > 0, "maxCommitsPerDrain must be positive")
   require(joinKeys.nonEmpty, "JoinStream needs join keys")
   require(Set("inner", "left_outer", "full_outer")(joinType),
     s"unsupported joinType '$joinType' (inner | left_outer | full_outer)")
@@ -127,6 +134,7 @@ final class JoinStream(
         // trigger or that folded commit is silently skipped
         (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty ||
           c.filesParquet.isDefined))
+      .take(maxCommitsPerDrain)
   }
 
   private def checkCollisions(l: DataFrame, r: DataFrame): Unit = {

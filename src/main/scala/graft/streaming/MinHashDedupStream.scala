@@ -49,7 +49,13 @@ import graft.table.IncrementalTable
 final class MinHashDedupStream(
     up: IncrementalTable, down: IncrementalTable, index: IncrementalTable,
     idCol: String = "doc_id", textCol: String = "text",
-    n: Int = 3, tau: Double = 0.8, name: String = "neardup") {
+    n: Int = 3, tau: Double = 0.8, name: String = "neardup",
+    // rate control: at most this many pending APPEND commits per
+    // drain() — catch-up from a deep backlog runs in bounded steps
+    // (the append-only guard still validates every commit up to the
+    // cut, so nothing is skipped over silently)
+    maxCommitsPerDrain: Int = Int.MaxValue) {
+  require(maxCommitsPerDrain > 0, "maxCommitsPerDrain must be positive")
 
   private val srcKey = s"src_version/$name"
   private val appId = s"minhashdedup:$name"
@@ -78,7 +84,18 @@ final class MinHashDedupStream(
   def drain(): Int = {
     up.refresh()
     val from = sourceVersion
-    val window = up.commits().filter(_.version > from)
+    val fullWindow = up.commits().filter(_.version > from)
+    // bound the window at the (max+1)-th append: everything up to the
+    // cut — interleaved meta/maintenance included — still goes through
+    // the append-only guard below, so bounding can never skip OVER an
+    // invalidating commit
+    val window = {
+      var seen = 0
+      fullWindow.takeWhile { c =>
+        if (c.action == "append" && c.add.nonEmpty) seen += 1
+        seen <= maxCommitsPerDrain
+      }
+    }
     // Append-only contract, enforced LOUDLY: a replace/dv upstream
     // would invalidate the kept set (a kept doc's text may change or
     // vanish under the index), and a checkpoint in the window means

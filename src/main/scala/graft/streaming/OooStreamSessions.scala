@@ -203,6 +203,15 @@ object OooStreamSessions {
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+  /** Dial for the q113 watch (VERDICT r10 #5): changelog checkpointing
+    * uploads per-batch RocksDB changelogs instead of full snapshots —
+    * checkpoint cost tracks the batch's state DELTA, not total state
+    * size (the shape that matters when per-key session state grows).
+    * Default ON; `spark.graft.ooo.changelog=false` restores full
+    * snapshots (the r1-r10 behavior) for A/B runs. */
+  private val DialKey = "spark.graft.ooo.changelog"
 }
 
 final class OooStreamSessions(
@@ -265,11 +274,20 @@ final class OooStreamSessions(
   def run(events: DataFrame): Unit = {
     val conf = events.sparkSession.conf
     val prev = conf.getOption(ProviderKey)
+    val prevCl = conf.getOption(ChangelogKey)
     conf.set(ProviderKey, RocksDbProvider)
+    conf.set(ChangelogKey,
+      conf.getOption(DialKey).getOrElse("true"))
     try start(events).awaitTermination()
-    finally prev match {
-      case Some(p) => conf.set(ProviderKey, p)
-      case None => conf.unset(ProviderKey)
+    finally {
+      prev match {
+        case Some(p) => conf.set(ProviderKey, p)
+        case None => conf.unset(ProviderKey)
+      }
+      prevCl match {
+        case Some(p) => conf.set(ChangelogKey, p)
+        case None => conf.unset(ChangelogKey)
+      }
     }
   }
 

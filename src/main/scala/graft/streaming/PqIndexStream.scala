@@ -42,7 +42,9 @@ import graft.table.IncrementalTable
   * data distribution drifts, and a rebuild is an explicit
   * [[retrain]] + full re-encode, never an implicit per-query one. */
 final class PqIndexStream(s: SparkSession, up: IncrementalTable,
-    down: IncrementalTable, name: String = "pq") {
+    down: IncrementalTable, name: String = "pq",
+    // rate control, passed through to the underlying DerivedStream
+    maxCommitsPerDrain: Int = Int.MaxValue) {
   import s.implicits._
 
   private val CbKey = "pqcb/cb"
@@ -106,7 +108,8 @@ final class PqIndexStream(s: SparkSession, up: IncrementalTable,
     // deletes exactly those vec_ids' code rows — O(deleted vectors),
     // never a corpus re-encode
     new DerivedStream(up, down, Nil, encode(cb), s"pqidx-$name",
-      replayScope = Nil, keyedBy = Seq("vec_id")).drain()
+      replayScope = Nil, keyedBy = Seq("vec_id"),
+      maxCommitsPerDrain = maxCommitsPerDrain).drain()
   }
 
   /** Serve `queries` (`vec_id`, `embedding`) from the maintained

@@ -890,8 +890,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           val base = withEqDel(appFiles, None,
             Some((eqBefore, c.version - 1)), Some(mapping))(fs =>
             filesDf(fs, stored, dvBefore, mapping, keepRowId = tracked))
-          val keys = eqDelKeys(Seq(gen), p.cols, mapping)
-          base.join(broadcast(keys), keys.columns.toIndexedSeq, "left_semi")
+          val keys = eqDelKeysGoverned(Seq(gen), p.cols, mapping)
+          base.join(keys, keys.columns.toIndexedSeq, "left_semi")
         }
         exposeRowId(frames.reduce(_.unionByName(_)), tracked, includeRowId)
           .withColumn("_change_type", lit("delete"))
@@ -920,14 +920,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // EQUALITY delete (X104) already removed cannot delete again:
         // touched files group by applicable deletes, anti-joined
         // before tagging — same discipline as dvBefore.
-        val pos = dvPositions(c.dv.values.flatten.toSeq.distinct)
+        val pos = dvPositionsGoverned(c.dv.values.flatten.toSeq.distinct)
         val ridExtra = if (tracked)
           Seq(col(IncrementalTable.RowIdCol)) else Nil
         val rows = eqDelGroups(c.dv.keys.toSeq, eqBefore, c.version - 1)
           .map { case (applicable, fsG) =>
             val deleted = filesDfWithPos(fsG, stored, dvBefore,
                 mapping, keepRowId = tracked)
-              .join(broadcast(pos),
+              .join(pos,
                 col("_dv_file") === pos("_dv_sc_file") &&
                   col("_dv_pos") === pos("_dv_sc_pos"))
             val sel = stored.map(s => deleted.select(
@@ -935,9 +935,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
               .getOrElse(dropPosCols(deleted.drop("_dv_sc_file", "_dv_sc_pos")))
             applicable.groupBy(_._2.cols).toSeq.sortBy(_._1.mkString(","))
               .foldLeft(sel) { case (df, (physCols, grpDels)) =>
-                val keys = eqDelKeys(grpDels.map(_._1), physCols, mapping)
-                df.join(broadcast(keys), keys.columns.toIndexedSeq,
-                  "left_anti")
+                val keys = eqDelKeysGoverned(grpDels.map(_._1), physCols,
+                  mapping)
+                df.join(keys, keys.columns.toIndexedSeq, "left_anti")
               }
           }.reduce(_.unionByName(_))
         if (c.add.isEmpty)
@@ -1095,6 +1095,31 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .select(org.apache.spark.sql.functions.col("file").as("_dv_sc_file"),
         org.apache.spark.sql.functions.col("pos").as("_dv_sc_pos"))
 
+  // deletion-vector sidecars are immutable once committed — their
+  // on-disk size (the broadcast-vs-shuffle input) caches forever
+  private val dvSizeCache = scala.collection.mutable.Map.empty[String, Long]
+  private def dvSidecarBytes(gen: String): Long =
+    dvSizeCache.getOrElseUpdate(gen,
+      fs.getContentSummary(new Path(rootPath, s"$dvPrefix/$gen")).getLength)
+
+  /** [[dvPositions]] with a SIZE-GOVERNED build side: the common case
+    * (point/partition deletes — KB-scale sidecars) broadcasts so the
+    * data side never shuffles; a mass position delete (10⁸⁺ positions,
+    * the X104-class OOM) exceeds `graft.dv.broadcastBytes` (table
+    * property, `spark.graft.dv.broadcastBytes` session fallback,
+    * default 32 MiB, <= 0 disables) and joins unhinted — Catalyst/AQE
+    * shuffles both sides on the (file, pos) key, the only shape that
+    * scales. */
+  private def dvPositionsGoverned(gens: Seq[String]): DataFrame = {
+    val pos = dvPositions(gens)
+    val bound = tableProperties.get("graft.dv.broadcastBytes")
+      .orElse(spark.conf.getOption("spark.graft.dv.broadcastBytes"))
+      .map(_.toLong).getOrElse(32L << 20)
+    if (bound > 0 && gens.iterator.map(dvSidecarBytes).sum <= bound)
+      org.apache.spark.sql.functions.broadcast(pos)
+    else pos
+  }
+
   /** [[rawFilesDf]] plus `_dv_file` (root-relative path in the
     * URI-ENCODED rendering of `_metadata.file_path` — sidecar rows and
     * this column live in encoded space together, so the position join
@@ -1115,8 +1140,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val gens = files.flatMap(dv.get).flatten.distinct
     if (gens.isEmpty) base
     else {
-      val pos = dvPositions(gens)
-      base.join(broadcast(pos),
+      val pos = dvPositionsGoverned(gens)
+      base.join(pos,
         col("_dv_file") === pos("_dv_sc_file") && col("_dv_pos") === pos("_dv_sc_pos"),
         "left_anti")
     }
@@ -1498,9 +1523,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * this very publish. */
   def fastForward(name: String): Commit = {
     val p = branchPayload(name)
+    // pure-meta equality deletes (action "eqdelete": no add/remove/dv)
+    // change the logical table exactly like a DV or copy-on-write
+    // delete would, so they block fast-forward the same way — a chain
+    // file publishing at a post-delete version would escape the delete
+    // by version ordering and resurrect the deleted keys
     val diverged = deltasBetween(p.base, latestVersion).filter(c =>
       c.action == "evolve" ||
-        c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty)
+        c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty ||
+        c.meta.exists { case (k, v) =>
+          k.startsWith(IncrementalTable.EqDelPrefix) && v.nonEmpty })
     if (diverged.nonEmpty)
       throw new ConcurrentWriteException(
         s"table $root: main diverged from branch '$name' (base v${p.base}) — " +
@@ -1628,18 +1660,19 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val dk = keys.select(cols.map(fn): _*).toDF(phys: _*).distinct()
     if (dk.isEmpty) return None // W6 elision: nothing to put in force
     val gen = UUID.randomUUID().toString
-    val dir = new Path(rootPath, s"${IncrementalTable.EqDelDir}/$gen")
-    dk.coalesce(1).write.parquet(dir.toString)
+    writeEqDelSidecar(dk, gen)
     val base = latestVersion
     val prevSchema = commits().lastOption.map(_.schemaJson).getOrElse("")
     // a lost OCC race throws to the caller (the base version must be
     // re-read); the written sidecar is then an unreferenced dir that
     // vacuum() reclaims
-    Some(commit(Commit(0, "eqdelete", Nil, Nil, Map.empty,
+    val c = commit(Commit(0, "eqdelete", Nil, Nil, Map.empty,
       committedPartitionBy, prevSchema,
       meta + (IncrementalTable.EqDelPrefix + gen ->
         Serialization.write(EqDelPayload(base, phys))),
-      None, now())))
+      None, now()))
+    maybeAutoApplyEqDeletes()
+    Some(c)
   }
 
   /** Atomic MOR UPSERT (X105): ONE commit puts the batch's distinct
@@ -1657,10 +1690,64 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       batchId: Option[Long] = None, appId: Option[String] = None,
       statsColumns: Seq[String] = Nil): Option[Commit] = {
     require(keys.nonEmpty, "upsertByKey needs key columns")
-    write(df, "append", partitionBy, Map.empty, Map.empty, meta, batchId,
-      appId, statsColumns = statsColumns, userWrite = true,
+    val c = write(df, "append", partitionBy, Map.empty, Map.empty, meta,
+      batchId, appId, statsColumns = statsColumns, userWrite = true,
       eqDeleteKeys = keys)
+    if (c.isDefined) maybeAutoApplyEqDeletes()
+    c
   }
+
+  /** Materialize every standing equality delete into the files it
+    * covers (the MOR→COW maintenance step): rewrite EXACTLY the
+    * covered file groups through the write choke point — the rewrite
+    * read applies the deletes (and any DV positions), `removeExact`
+    * swaps precisely those files — then retire the now-inert entries
+    * with one metadata tombstone. Cost scales with the covered file
+    * set, never table size; uncovered (post-delete) files keep their
+    * identity and their data-skipping stats. This is what bounds the
+    * per-read anti-join chain: after apply, readers pay zero. */
+  def applyEqDeletes(statsColumns: Seq[String] = Nil): Seq[Commit] = {
+    require(exists, s"applyEqDeletes target $root does not exist")
+    val eq = eqDeletes()
+    if (eq.isEmpty) return Nil
+    val covered = eqDelGroups(liveFiles(), eq, latestVersion)
+      .filter { case (app, fls) => app.nonEmpty && fls.nonEmpty }
+    val rewrites = covered.flatMap { case (_, inFiles) =>
+      write(withEqDel(inFiles, None)(f =>
+          filesDf(f, committedSchemaAt(), liveDv(), columnMapping(),
+            keepRowId = rowTracked)), "replace",
+        committedPartitionBy, Map.empty, Map.empty, Map.empty, None,
+        statsColumns = statsColumns, removeExact = Some(inFiles))
+    }
+    rewrites ++ retireInertEqDeletes().toSeq
+  }
+
+  /** Tombstone equality-delete entries no live file predates — inert
+    * at head, so readers stop paying their anti-join. The sidecar dir
+    * itself reclaims in a later [[vacuum]] once the entry also leaves
+    * the replay window, CDC retention, and every tagged snapshot. */
+  def retireInertEqDeletes(): Option[Commit] = {
+    val eqNow = eqDeletes()
+    if (eqNow.isEmpty) return None
+    val applied = eqDelGroups(liveFiles(), eqNow, latestVersion)
+      .flatMap { case (app, fls) => if (fls.nonEmpty) app.map(_._1) else Nil }
+      .toSet
+    val inert = eqNow.map(_._1).filterNot(applied)
+    if (inert.isEmpty) None
+    else Some(commitMeta(
+      inert.map(g => IncrementalTable.EqDelPrefix + g -> "").toMap))
+  }
+
+  /** Standing-delete ceiling (`graft.eqdel.maxStanding`, the
+    * `graft.autoCompact` analog for the MOR read tax): when a
+    * key-delete/upsert commit leaves MORE than N entries in force, the
+    * table auto-runs [[applyEqDeletes]] — so the per-read anti-join
+    * chain (one join per key-col-set × version-class) is bounded by
+    * construction, not by operator discipline. Unset = never. */
+  private def maybeAutoApplyEqDeletes(): Unit =
+    tableProperties.get("graft.eqdel.maxStanding").map(_.toInt).foreach { n =>
+      if (eqDeletes().size > n) applyEqDeletes()
+    }
 
   /** Split `files` into groups by the SUFFIX of [[eqDeletes]] that
     * applies to them. Applicability is by version ordering — a file
@@ -1673,24 +1760,71 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       head: Long): Seq[(Seq[(String, EqDelPayload)], Seq[String])] = {
     if (eq.isEmpty || files.isEmpty) return Seq((Nil, files))
     // own-commit rule (gated by coverOwnCommit): files added by the
-    // very commit that (re)issued an entry are COVERED by it — what
-    // lets restore() re-add a snapshot's files and re-issue its
-    // in-force deletes atomically. An atomic MOR upsert (X105) leaves
-    // the flag false: its own adds are the new versions of the deleted
-    // keys and escape like any later append.
+    // very commit that RE-issued an entry with the flag set are COVERED
+    // by it — what lets restore() re-add a snapshot's files and
+    // re-issue its in-force deletes atomically. The exemption is scoped
+    // to commits whose OWN carried payload has the flag (only restore
+    // writes coverOwnCommit=true) — never to the original issuing
+    // commit: an atomic MOR upsert (X105) carries the same gen with the
+    // flag false, and its adds are the NEW versions of the deleted keys,
+    // which must escape like any later append even after a later
+    // restore re-issues the gen flagged.
     val window = deltasBetween(
       eq.iterator.map(_._2.baseVersion).min, head)
     val newer: Seq[Set[String]] = eq.map { case (gen, p) =>
       window.iterator
         .filter(c => c.version > p.baseVersion &&
-          !(p.coverOwnCommit &&
-            c.meta.get(IncrementalTable.EqDelPrefix + gen).exists(_.nonEmpty)))
+          !c.meta.get(IncrementalTable.EqDelPrefix + gen).exists(v =>
+            v.nonEmpty && Serialization.read[EqDelPayload](v).coverOwnCommit))
         .flatMap(_.add).toSet
     }
     files.groupBy { f =>
       val i = newer.indexWhere(s => !s.contains(f))
       if (i == -1) eq.length else i
     }.toSeq.sortBy(_._1).map { case (g, fs) => (eq.drop(g), fs) }
+  }
+
+  /** Write an equality-delete key sidecar WITHOUT forcing one file:
+    * the `distinct()` upstream already shuffled, so AQE's size-based
+    * partition coalescing shards the output by bytes — a point delete
+    * still lands one small file, while a GDPR- or CDC-scale key set
+    * (10⁷-10⁸ tuples) fans out across advisory-sized shards instead of
+    * funnelling through a single writer task. */
+  private def writeEqDelSidecar(dk: DataFrame, gen: String): Unit =
+    dk.write.parquet(
+      new Path(rootPath, s"${IncrementalTable.EqDelDir}/$gen").toString)
+
+  // sidecar dirs are immutable once committed, so their on-disk size —
+  // the input to the broadcast-vs-shuffle choice below — caches forever
+  private val eqDelSizeCache = scala.collection.mutable.Map.empty[String, Long]
+  private def eqDelSidecarBytes(gen: String): Long =
+    eqDelSizeCache.getOrElseUpdate(gen,
+      fs.getContentSummary(new Path(rootPath,
+        s"${IncrementalTable.EqDelDir}/$gen")).getLength)
+
+  /** Byte bound under which a standing delete's key set is broadcast
+    * into the read's anti-join (`graft.eqdel.broadcastBytes` table
+    * property, `spark.graft.eqdel.broadcastBytes` session fallback;
+    * <= 0 disables forced broadcast). Parquet bytes understate the
+    * in-memory hash relation, so the default stays well inside
+    * driver/executor headroom. */
+  private def eqDelBroadcastBound: Long =
+    tableProperties.get("graft.eqdel.broadcastBytes")
+      .orElse(spark.conf.getOption("spark.graft.eqdel.broadcastBytes"))
+      .map(_.toLong).getOrElse(32L << 20)
+
+  /** [[eqDelKeys]] with the size-governed build side every key join in
+    * the library routes through: broadcast under [[eqDelBroadcastBound]]
+    * (the point-delete/CDC common case — data side never shuffles),
+    * unhinted above it (the GDPR-scale key set — Catalyst/AQE shuffles
+    * both sides; forcing a broadcast would OOM the driver). */
+  private def eqDelKeysGoverned(gens: Seq[String], physCols: Seq[String],
+      mapping: Map[String, String]): DataFrame = {
+    val keys = eqDelKeys(gens, physCols, mapping)
+    val bound = eqDelBroadcastBound
+    if (bound > 0 && gens.iterator.map(eqDelSidecarBytes).sum <= bound)
+      org.apache.spark.sql.functions.broadcast(keys)
+    else keys
   }
 
   /** The sidecar key tuples of `gens`, projected to LOGICAL names. */
@@ -1707,11 +1841,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
 
   /** Apply the given equality deletes to a frame-per-file-group read:
     * `mk` builds the (logical-schema) frame for a file subset; each
-    * group anti-joins the key sets that apply to it — build sides are
-    * the (small) sidecar key lists, broadcast, so the data side never
-    * shuffles. The choke point [[readInternal]]/[[readFiles]] and every
-    * DML rewrite route through this, so deleted rows can neither be
-    * read nor resurrected by a rewrite. */
+    * group anti-joins the key sets that apply to it. The build side is
+    * SIZE-GOVERNED by the sidecar's on-disk bytes (known without a
+    * job): under [[eqDelBroadcastBound]] the key set broadcasts and
+    * the data side never shuffles — the common point-delete/CDC case;
+    * above it (a GDPR-scale key set that would OOM the driver) the
+    * anti-join goes through Catalyst unhinted, which shuffles both
+    * sides on the key — the only shape that scales to 10⁸ keys. The
+    * choke point [[readInternal]]/[[readFiles]] and every DML rewrite
+    * route through this, so deleted rows can neither be read nor
+    * resurrected by a rewrite. */
   private def withEqDel(files: Seq[String], asOf: Option[Long],
       eqOverride: Option[(Seq[(String, EqDelPayload)], Long)] = None,
       mappingOverride: Option[Map[String, String]] = None)(
@@ -1720,12 +1859,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       (eqDeletes(asOf), asOf.getOrElse(latestVersion)))
     if (eq.isEmpty) return mk(files)
     val mapping = mappingOverride.getOrElse(columnMapping(asOf))
-    import org.apache.spark.sql.functions.broadcast
     eqDelGroups(files, eq, head).map { case (applicable, fs) =>
       applicable.groupBy(_._2.cols).toSeq.sortBy(_._1.mkString(","))
         .foldLeft(mk(fs)) { case (df, (physCols, dels)) =>
-          val keys = eqDelKeys(dels.map(_._1), physCols, mapping)
-          df.join(broadcast(keys), keys.columns.toIndexedSeq, "left_anti")
+          val keys = eqDelKeysGoverned(dels.map(_._1), physCols, mapping)
+          df.join(keys, keys.columns.toIndexedSeq, "left_anti")
         }
     }.reduce(_.unionByName(_))
   }
@@ -4508,8 +4646,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           .parquet(rels.map(r => new Path(stage, r).toString): _*)
           .select(phys.map(fn): _*).distinct()
         val gen = UUID.randomUUID().toString
-        dk.coalesce(1).write.parquet(
-          new Path(rootPath, s"${IncrementalTable.EqDelDir}/$gen").toString)
+        writeEqDelSidecar(dk, gen)
         Map(IncrementalTable.EqDelPrefix + gen ->
           Serialization.write(EqDelPayload(latestVersion, phys)))
       }
@@ -4542,6 +4679,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           Some(batchId), now(), appId = Some(appId), fileStats = fileStats)))
       }
     fs.delete(stage, true)
+    if (upsertMeta.nonEmpty && out.isDefined) maybeAutoApplyEqDeletes()
     out
   }
 
@@ -4861,8 +4999,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
             .parquet(staged.map(r => new Path(stage, r).toString): _*)
             .select(phys.map(fn): _*).distinct()
           val gen = UUID.randomUUID().toString
-          dk.coalesce(1).write.parquet(
-            new Path(rootPath, s"${IncrementalTable.EqDelDir}/$gen").toString)
+          writeEqDelSidecar(dk, gen)
           Map(IncrementalTable.EqDelPrefix + gen ->
             Serialization.write(EqDelPayload(latestVersion, phys)))
         }
@@ -5336,8 +5473,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // legitimately escapes; a doubly-deleted position stays deleted).
     def carriesEqDel(c: Commit): Boolean = c.meta.exists { case (k, v) =>
       k.startsWith(IncrementalTable.EqDelPrefix) && v.nonEmpty }
+    // the forward direction must mirror the reverse: a winning MOR
+    // "update" rewrites rows into fresh files with remove EMPTY
+    // (add + dv), so testing remove alone would let our stale-fenced
+    // eqdelete retry at a later version while the update's post-image
+    // rows escape it by version ordering (silent resurrection)
     if (carriesEqDel(ours) &&
-        (winner.remove.nonEmpty || winner.action == "evolve")) return true
+        (winner.remove.nonEmpty || winner.action == "update" ||
+          winner.action == "evolve")) return true
     if (carriesEqDel(winner) &&
         (ours.action == "replace" || ours.action == "update")) return true
     if (ours.action == "eqdelete") return false
@@ -5735,18 +5878,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // dir reclaims in a LATER vacuum, once the entry has also left the
     // replayable window, the CDC retention walk, and every tagged /
     // branch-base snapshot (until then, as-of reads still consult it).
-    {
-      val eqNow = eqDeletes()
-      if (eqNow.nonEmpty) {
-        val live = liveFiles()
-        val applied = eqDelGroups(live, eqNow, latestVersion)
-          .flatMap { case (app, fs) => if (fs.nonEmpty) app.map(_._1) else Nil }
-          .toSet
-        val inert = eqNow.map(_._1).filterNot(applied)
-        if (inert.nonEmpty) commitMeta(
-          inert.map(g => IncrementalTable.EqDelPrefix + g -> "").toMap)
-      }
-    }
+    retireInertEqDeletes()
     val cs = commits()
     // CDC retention: a changes() window inside the last `cdcRetention`
     // commits may replay ARCHIVED deltas — keep every data file its

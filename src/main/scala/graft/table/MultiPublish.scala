@@ -1,0 +1,150 @@
+package graft.table
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/** One multi-table publish decision: the id plus the table roots whose
+  * WAP stagings it covers, in publish order. */
+final case class PublishIntent(id: String, roots: Seq[String])
+
+/** Multi-table ATOMIC publish (X107) — the cross-table generalization
+  * of WAP (X98). A derived pipeline (the reference's linear DAG:
+  * processed + backwards land together, ingest_example/__init__.py:7-15)
+  * stages each table's write under ONE publish id, then commits the
+  * whole set with a write-ahead-intent protocol:
+  *
+  *  1. stage every child (per-table `stageAppend`/`stageReplaceWhere`
+  *     with the publish id — real files, invisible `staged` commits);
+  *  2. atomically create the INTENT file naming the id and the child
+  *     roots — writing the intent IS the commit decision;
+  *  3. publish the children in intent order (each ONE O(metadata)
+  *     commit per table);
+  *  4. delete the intent (finalize).
+  *
+  * Crash semantics are presumed-abort / decided-commit:
+  *  - crash BEFORE the intent exists → the publish never happened:
+  *    stagings are invisible orphans, [[abort]] retires them; readers
+  *    saw nothing at any point;
+  *  - crash AFTER the intent exists → the publish HAPPENED: [[recover]]
+  *    re-drives every child whose staging is still pending (publishing
+  *    is idempotent per child — a child already published is skipped by
+  *    its tombstoned staging) and then finalizes.
+  *
+  * Atomicity contract: each child's publish is individually atomic
+  * (snapshot isolation per table, always). Cross-table, any door that
+  * runs [[recover]] first — [[openAll]], or a scheduler calling
+  * recover() on startup — can never observe a torn set: by the time
+  * tables are handed out, every decided intent has been fully
+  * re-driven. A reader going straight at one table's log between a
+  * crash and the next recovery sees that table's consistent snapshot,
+  * with the cross-table guarantee restored at recovery — the same
+  * eventual-visibility window every per-table-log design (Delta,
+  * Iceberg without a catalog-level transaction) has; the intent file
+  * bounds it explicitly instead of leaving it implicit.
+  *
+  * Scale: intents are O(1) metadata; publish moves no data (WAP files
+  * were promoted at stage time); recovery cost is O(pending intents),
+  * never O(history). The coordinator root can live on any Hadoop
+  * filesystem; like the commit log, atomic create needs
+  * rename-no-overwrite (HDFS / single-writer local). */
+final class MultiPublish(spark: SparkSession, val coordRoot: String) {
+  private implicit val fmts: Formats = DefaultFormats
+  private val rootPath = new Path(coordRoot)
+  private val fs: FileSystem =
+    rootPath.getFileSystem(new Configuration())
+
+  private def intentPath(id: String) = new Path(rootPath, s"$id.intent")
+
+  /** Pending (decided, not yet finalized) intents. */
+  def pendingIntents: Seq[PublishIntent] =
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq
+      .filter(_.getPath.getName.endsWith(".intent"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try Serialization.read[PublishIntent](
+          new java.io.InputStreamReader(in, "UTF-8"))
+        finally in.close()
+      }
+
+  /** Publish every table's staging under `id` as one decision. Requires
+    * each table to hold a pending staging for the id (stage first). */
+  def publish(id: String, tables: Seq[IncrementalTable]): Seq[Commit] = {
+    require(tables.nonEmpty, "multi-table publish needs tables")
+    require(!fs.exists(intentPath(id)),
+      s"publish id '$id' already has a pending intent — recover() it")
+    tables.foreach(t => require(t.pendingWaps.contains(id),
+      s"table ${t.root} has no pending staging '$id' — stage before publish"))
+    writeIntent(PublishIntent(id, tables.map(_.root)))
+    val cs = publishChildren(id, tables)
+    finalizeIntent(id)
+    cs
+  }
+
+  /** Step 2 — the decision record. Atomic create (tmp + rename). */
+  private[table] def writeIntent(intent: PublishIntent): Unit = {
+    fs.mkdirs(rootPath)
+    val tmp = new Path(rootPath, s".${UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(Serialization.write(intent).getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, intentPath(intent.id))) {
+      fs.delete(tmp, false)
+      throw new ConcurrentWriteException(
+        s"publish intent '${intent.id}' already exists under $coordRoot")
+    }
+  }
+
+  /** Step 3 — child publishes in intent order. `failAfter` is the
+    * crash-injection hook the recovery spec uses: the "process dies
+    * between child publishes" case. */
+  private[table] def publishChildren(id: String,
+      tables: Seq[IncrementalTable], failAfter: Int = Int.MaxValue): Seq[Commit] =
+    tables.zipWithIndex.flatMap { case (t, i) =>
+      if (i >= failAfter)
+        throw new IllegalStateException(
+          s"injected crash before child $i of publish '$id'")
+      if (t.pendingWaps.contains(id)) Some(t.publishWap(id)) else None
+    }
+
+  private[table] def finalizeIntent(id: String): Unit =
+    fs.delete(intentPath(id), false)
+
+  /** Re-drive every decided intent to completion: publish each child
+    * whose staging is still pending (already-published children are
+    * skipped — their staging is tombstoned), then finalize. Idempotent;
+    * safe to run on every coordinator start. Returns the re-driven
+    * ids. */
+  def recover(): Seq[String] = pendingIntents.map { intent =>
+    val tables = intent.roots.map(r => IncrementalTable(spark, r))
+    publishChildren(intent.id, tables)
+    finalizeIntent(intent.id)
+    intent.id
+  }
+
+  /** Open tables through the recovery gate: after this returns, no
+    * decided-but-unfinalized intent exists, so the returned handles can
+    * never show a torn multi-table publish. */
+  def openAll(roots: Seq[String]): Seq[IncrementalTable] = {
+    recover()
+    roots.map(r => IncrementalTable(spark, r))
+  }
+
+  /** Abort an UNDECIDED publish (no intent on disk — a crash before the
+    * decision, or a caller-side rollback): retire each table's pending
+    * staging. Refuses when the intent exists — a decided publish must
+    * [[recover]], never abort (some children may already be visible). */
+  def abort(id: String, tables: Seq[IncrementalTable]): Unit = {
+    require(!fs.exists(intentPath(id)),
+      s"publish '$id' is decided (intent exists) — recover() it; " +
+        "aborting now could tear the committed set")
+    tables.foreach(t =>
+      if (t.pendingWaps.contains(id)) t.abortWap(id))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** True BPE encode (graft.functions.Bpe): the column fold — a pure
+  * aggregate(merges, replace) over the committed fixture — must be
+  * bit-identical to an independent pairwise reference implementation,
+  * and the fixture must exercise REAL sub-word segmentation (tokens
+  * strictly outnumber pre-tokenizer pieces on every language slice). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("fixture loads in rank order and no pattern contains a separator") {
+    assert(Bpe.merges.size == 64)
+    Bpe.merges.foreach { case (l, r) =>
+      assert(!l.contains(Bpe.Sep) && !l.contains(Bpe.PieceSep))
+      assert(!r.contains(Bpe.Sep) && !r.contains(Bpe.PieceSep))
+      assert(l.nonEmpty && r.nonEmpty)
+    }
+  }
+
+  test("column fold equals the pairwise reference on the whole corpus") {
+    val got = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", Bpe.tokens($"text").as("toks"))
+      .as[(Long, String, Seq[String])].collect()
+    assert(got.length == 500)
+    got.foreach { case (id, text, toks) =>
+      val ref = Bpe.encodeDocReference(text)
+      assert(toks == ref, s"doc $id: fold ${toks.take(8)} != ref ${ref.take(8)}")
+    }
+  }
+
+  test("greedy left-to-right overlap rule matches replace() semantics") {
+    // synthetic pieces that stress run-merging: repeated symbols only
+    // pair left-to-right (4 of a kind -> 2 merged, never 3), and the
+    // column fold must agree with the reference on every one
+    val weird = Seq("ssss", " sssss", "erer", " the the", "aaaa bbbb",
+      "mererer", "x", "", "  ", "a", " s s s")
+    val got = weird.toDF("text")
+      .select($"text", Bpe.tokens($"text").as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    weird.foreach { w =>
+      assert(got(w) == Bpe.encodeDocReference(w), s"'$w': ${got(w)}")
+    }
+    // control separators in the input are stripped, never token breaks
+    val adv = Seq("ab", "ab").toDF("text")
+      .select(Bpe.tokens($"text")).as[Seq[String]].collect()
+    assert(adv.forall(_ == Bpe.encodeDocReference("ab")))
+  }
+
+  test("token budgets drift from piece budgets on every language slice") {
+    val rows = Tables.documents(spark, dir)
+      .select($"lang",
+        size(regexp_extract_all($"text", lit(TextOps.bpePretokenRe), lit(0)))
+          .cast("long").as("n_pieces"),
+        size(Bpe.tokens($"text")).cast("long").as("n_tokens"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        avg($"n_tokens".cast("double") / $"n_pieces").as("ratio"),
+        min($"n_tokens" - $"n_pieces").as("min_gap"))
+      .as[(String, Long, Double, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("de", "en", "es", "fr", "zh"))
+    rows.foreach { case (lang, n, ratio, minGap) =>
+      assert(n > 0)
+      // with 64 merges words split into 2-4 tokens: the pre-tokenizer
+      // piece count UNDERSTATES the true token budget by >1.5x on every
+      // slice, and no document in the corpus is fully merged
+      assert(ratio > 1.5 && ratio < 4.0, s"$lang ratio $ratio")
+      assert(minGap > 0, s"$lang min gap $minGap")
+    }
+  }
+}

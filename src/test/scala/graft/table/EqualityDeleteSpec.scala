@@ -149,6 +149,88 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(t.read().count() == 1)
   }
 
+  test("size-governed apply: the anti-join broadcasts only under the byte bound") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def antiHints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType.sql.contains("ANTI") => j.hint }
+    // default bound (32 MiB): a point delete's key set broadcasts
+    val t = seeded("bound_bc")
+    t.deleteByKey(Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    val bc = antiHints(t.read())
+    assert(bc.nonEmpty && bc.forall(h => h.leftHint.isDefined || h.rightHint.isDefined),
+      s"under the bound the key side must carry a broadcast hint: $bc")
+    // bound of 1 byte (the GDPR-scale stand-in): NO forced broadcast —
+    // Catalyst plans the anti-join unhinted (shuffle at real scale)
+    val t2 = seeded("bound_sh")
+    t2.setProperties(Map("graft.eqdel.broadcastBytes" -> "1"))
+    t2.deleteByKey(Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    val sh = antiHints(t2.read())
+    assert(sh.nonEmpty && sh.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+      s"over the bound the anti-join must be unhinted: $sh")
+    // both plans return the same (correct) rows
+    assert(t2.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("sidecar write shards by size instead of coalescing to one file") {
+    val t = seeded("shard")
+    // a point delete still lands ONE small file (AQE coalesces the
+    // distinct's shuffle output)
+    t.deleteByKey(Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    val eqRoot = new java.io.File(t.root, "_graft_eqdel")
+    def parquets(d: java.io.File) = d.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquets(eqRoot.listFiles().head).length == 1)
+    // shrink the advisory size: a large key set fans out across shards
+    val adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    try {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      t.append(spark.range(1000, 9000).selectExpr("id", "'x' AS v"), Nil)
+      t.deleteByKey(spark.range(1000, 9000).toDF("id"), Seq("id"))
+      val newest = eqRoot.listFiles().maxBy(_.lastModified())
+      assert(parquets(newest).length > 1,
+        s"a large key set must shard: ${parquets(newest).length} file(s)")
+    } finally spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", adv)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L, 5L), "sharded sidecars must still apply")
+  }
+
+  test("applyEqDeletes materializes and retires; auto ceiling bounds the chain") {
+    val t = seeded("apply")
+    t.deleteByKey(Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    t.deleteByKey(Seq(Tuple1(4L)).toDF("id"), Seq("id"))
+    val preAppend = t.liveFiles().toSet
+    t.append(Seq((6L, "f")).toDF("id", "v"), Nil) // postdates BOTH deletes
+    val escapee = t.liveFiles().toSet -- preAppend
+    assert(t.eqDeletes().size == 2)
+    val cs = t.applyEqDeletes()
+    assert(cs.nonEmpty)
+    assert(t.eqDeletes().isEmpty, "apply must retire every standing entry")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 5L, 6L))
+    assert(escapee.subsetOf(t.liveFiles().toSet),
+      "files no delete covers must keep their identity through apply")
+    // the ceiling: with maxStanding=1, the 2nd standing delete
+    // auto-triggers apply — the chain can never exceed the bound
+    val t2 = seeded("ceiling")
+    t2.setProperties(Map("graft.eqdel.maxStanding" -> "1"))
+    t2.deleteByKey(Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    assert(t2.eqDeletes().size == 1, "at the bound: no auto-apply yet")
+    t2.deleteByKey(Seq(Tuple1(4L)).toDF("id"), Seq("id"))
+    assert(t2.eqDeletes().isEmpty,
+      "crossing the bound must auto-apply and retire")
+    assert(t2.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 5L))
+    // upsertByKey rides the same ceiling
+    t2.upsertByKey(Seq((2L, "b2")).toDF("id", "v"), Seq("id"))
+    assert(t2.eqDeletes().size == 1)
+    t2.upsertByKey(Seq((3L, "c2")).toDF("id", "v"), Seq("id"))
+    assert(t2.eqDeletes().isEmpty)
+    assert(t2.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((2L, "b2"), (3L, "c2"), (5L, "e")))
+  }
+
   private lazy val cat: String = {
     val wh = tmpDir("eqdel_wh")
     spark.conf.set("spark.sql.catalog.ecat",
