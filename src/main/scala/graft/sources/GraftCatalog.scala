@@ -1209,6 +1209,12 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
       table.eqDeletes().map { case (gen, p) =>
         (gen, p.baseVersion, p.cols.mkString(","))
       }.toDF("gen", "base_version", "key_columns").orderBy("base_version", "gen")
+    case "manifests" =>
+      // the head checkpoint's manifest list (X108): fragmentation,
+      // range spans, and row balance — checkpoint health at a glance
+      import spark.implicits._
+      table.manifestList().map(m => (m.name, m.lo, m.hi, m.n))
+        .toDF("manifest", "lo", "hi", "n_files").orderBy("lo", "manifest")
   }
 
   override def name(): String = ident
@@ -1244,7 +1250,7 @@ private[sources] final class GraftMetaTable(spark: SparkSession,
 private[sources] object GraftMetaTable {
   val views: Set[String] =
     Set("history", "detail", "files", "partitions", "properties", "changes",
-      "waps", "branches", "eqdeletes")
+      "waps", "branches", "eqdeletes", "manifests")
 }
 
 /** Pure-SQL audit read of a pending write-audit-publish staging (X98):

@@ -249,7 +249,7 @@ final class AggregateStream(
         // with EMPTY inline sets — it must stay visible as a rebuild
         // trigger or that folded commit is silently skipped
         (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty ||
-          c.filesParquet.isDefined))
+          c.columnarCkpt))
       // earliest-first bound: the remainder stays pending for the next
       // drain(), so a deep backlog catches up in bounded steps
       .take(maxCommitsPerDrain)

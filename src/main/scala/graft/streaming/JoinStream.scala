@@ -133,7 +133,7 @@ final class JoinStream(
         // with EMPTY inline sets — it must stay visible as a rebuild
         // trigger or that folded commit is silently skipped
         (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty ||
-          c.filesParquet.isDefined))
+          c.columnarCkpt))
       .take(maxCommitsPerDrain)
   }
 

@@ -76,7 +76,31 @@ final case class Commit(
     // `numFiles` is the exact live count, maintained incrementally
     // (previous count - base removes + adds), never by a job.
     filesParquet: Option[String] = None,
-    numFiles: Option[Long] = None)
+    numFiles: Option[Long] = None,
+    // Manifest-list tier (the Iceberg manifest-list analog, VERDICT r10
+    // #4): the checkpoint's live rows live in MANY immutable parquet
+    // manifests in the shared `_graft_log/manifests/` pool, each ref
+    // carrying its file-path range [lo, hi] and row count. A checkpoint
+    // REUSES every manifest untouched by its tail window (rewrite cost
+    // scales with the dirty subset, not the table), and readers prune
+    // whole manifests by partition-prefix-vs-range before any file row
+    // is read. Supersedes `filesParquet` for new checkpoints; old
+    // single-directory checkpoints (and old logs — the field defaults
+    // to None) stay readable.
+    manifests: Option[Seq[ManifestRef]] = None) {
+  /** Columnar checkpoint in either storage shape (single parquet dir or
+    * manifest list). Empty-table checkpoints (manifests = Some(Nil))
+    * count: the live set IS columnar, it just has zero rows. */
+  def columnarCkpt: Boolean = filesParquet.isDefined || manifests.isDefined
+}
+
+/** One immutable manifest in the `_graft_log/manifests/` pool: a
+  * parquet FILE of checkpoint live rows, sorted by `file`, covering
+  * exactly the path range [lo, hi] with `n` rows. Ranges let the
+  * checkpoint writer decide dirtiness (does any tail-removed /
+  * dv-touched / re-added path fall inside?) and let readers prune by
+  * partition prefix — both pure metadata, no manifest opened. */
+final case class ManifestRef(name: String, lo: String, hi: String, n: Long)
 
 /** Per-file column statistics entry ([min,max] over the file's rows).
   * Integral columns use `min`/`max`; string columns use `minS`/`maxS`
@@ -238,6 +262,10 @@ final case class BranchPayload(
 final class IncrementalTable(spark: SparkSession, val root: String,
     checkpointEvery: Int = IncrementalTable.checkpointInterval,
     parquetThreshold: Int = IncrementalTable.parquetCheckpointThreshold,
+    // ~rows per checkpoint manifest (VERDICT r10 #4): production keeps
+    // the 500k default (10⁷ files → ~20 base manifests); tests shrink
+    // it to exercise the dirty/reuse split at small scale
+    manifestTargetRows: Long = IncrementalTable.manifestTargetRowsDefault,
     // CDC retention (VERDICT r4 #5): how many commits back from the
     // CURRENT version changes() stays readable, independently of the
     // checkpoint cadence. Delta records are never deleted, so a window
@@ -252,6 +280,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
 
   private val rootPath = new Path(root)
   private val logPath = new Path(rootPath, "_graft_log")
+  private val manifestsPath = new Path(logPath, "manifests")
   private val stagingPath = new Path(rootPath, "_staging")
   private def fs: FileSystem = rootPath.getFileSystem(hadoopConf(spark))
 
@@ -435,11 +464,39 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * [[parquetThreshold]] live files, checkpoints flip to parquet and
     * never flip back (Delta's parquet-checkpoint shape). */
   private def parquetCkpt(cs: Seq[Commit]): Option[Commit] =
-    cs.headOption.filter(c => c.action == "checkpoint" && c.filesParquet.isDefined)
+    cs.headOption.filter(c => c.action == "checkpoint" && c.columnarCkpt)
 
-  private def ckptRowsDF(c: Commit): DataFrame =
-    spark.read.schema(IncrementalTable.ckptRowSchema)
-      .parquet(new Path(logPath, c.filesParquet.get).toString)
+  /** The checkpoint's live rows — all manifests (or the legacy single
+    * directory) as one multi-file parquet scan. */
+  private def ckptRowsDF(c: Commit): DataFrame = c.manifests match {
+    case Some(ms) => manifestRowsDF(ms)
+    case None =>
+      spark.read.schema(IncrementalTable.ckptRowSchema)
+        .parquet(new Path(logPath, c.filesParquet.get).toString)
+  }
+
+  private def manifestRowsDF(ms: Seq[ManifestRef]): DataFrame =
+    if (ms.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        IncrementalTable.ckptRowSchema)
+    else spark.read.schema(IncrementalTable.ckptRowSchema)
+      .parquet(ms.map(m => new Path(manifestsPath, m.name).toString): _*)
+
+  /** Manifest-level pruning (the Iceberg manifest-list prune): keep
+    * only manifests whose [lo, hi] path range can contain a file in the
+    * filtered partitions. Sound for the LEADING run of partition
+    * columns the filter pins (paths order by their hive dir prefix, and
+    * a manifest's rows all lie inside its range); deeper or partial
+    * filters fall back to all manifests — the per-row partition filter
+    * still applies either way, this only decides which manifest FILES
+    * open. */
+  private[table] def manifestPrune(ms: Seq[ManifestRef],
+      filters: Map[String, String], partitionBy: Seq[String]): Seq[ManifestRef] = {
+    val lead = partitionBy.takeWhile(filters.contains)
+    if (lead.isEmpty) return ms
+    val prefix = lead.map(k => s"$k=${filters(k)}").mkString("", "/", "/")
+    ms.filter(m => m.hi >= prefix && m.lo <= prefix + "\uffff")
+  }
 
   /** Deletion-vector map of a columnar checkpoint: only the dv-bearing
     * subset (bounded by standing delete volume, never file count)
@@ -461,11 +518,29 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * reads skip the per-file RPCs and carry -1. */
   private def liveRowsDF(filters: Map[String, String], asOf: Option[Long],
       sizedAdds: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{array_distinct, broadcast, coalesce, col, concat, typedLit}
-    import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val cs = commitsAsOf(asOf)
     val tf = new TailFold(cs.tail)
-    val base0 = ckptRowsDF(cs.head)
+    // manifest-tier reads prune whole manifest FILES by partition
+    // prefix before any row is scanned (legacy single-dir checkpoints
+    // read the one directory as before)
+    val base0 = cs.head.manifests match {
+      case Some(ms) =>
+        manifestRowsDF(manifestPrune(ms, filters, cs.head.partitionBy))
+      case None => ckptRowsDF(cs.head)
+    }
+    val withAdds = foldTail(base0, tf, sizedAdds)
+    IncrementalTable.partitionMatchExpr(filters).fold(withAdds)(withAdds.filter)
+  }
+
+  /** Fold a tail window over checkpoint base rows: drop removed (and
+    * re-added) files, merge tail dv generations, union tail adds. The
+    * base never materializes on the driver; the tail is
+    * O(checkpointInterval) driver state applied as broadcast joins. */
+  private def foldTail(base0: DataFrame, tf: TailFold,
+      sizedAdds: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{array_distinct, broadcast, coalesce, col, concat, typedLit}
+    import spark.implicits._
     val dead = (tf.removedFromBase ++ tf.adds.keys).toSeq
     val base1 =
       if (dead.isEmpty) base0
@@ -496,7 +571,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         }
         base2.unionByName(rows.toDS().toDF())
       }
-    IncrementalTable.partitionMatchExpr(filters).fold(withAdds)(withAdds.filter)
+    withAdds
   }
 
   /** Live files in the LOGICAL partitions of the given physical dirs —
@@ -3022,7 +3097,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // checkpoints fold this same rule forward
     val parts = cs.reverse.iterator
       .filter(c => c.add.nonEmpty || c.action == "replace" ||
-        c.action == "evolve" || c.filesParquet.isDefined)
+        c.action == "evolve" || c.columnarCkpt)
       .map(_.partitionBy).nextOption().getOrElse(Seq.empty)
     Seq((root, latestVersion, nFiles, bytes,
       parts.mkString(","), schemaDdl, constraints.size.toLong, nDv))
@@ -5511,6 +5586,46 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     }
   }
 
+  private def ManifestTargetRows: Long = manifestTargetRows
+
+  /** Range-partition `rows` by file path and write them as immutable
+    * pool manifests, one parquet FILE each, returning refs with exact
+    * [lo, hi] ranges and counts (one metadata job over the fresh rows —
+    * never the reused ones). Empty partitions yield no manifest. */
+  private def writeManifests(rows: DataFrame, estRows: Long): Seq[ManifestRef] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max => maxF, min => minF}
+    val nParts = math.max(1L,
+      (math.max(estRows, 0L) + ManifestTargetRows - 1) / ManifestTargetRows).toInt
+    val tmp = new Path(logPath, s".${UUID.randomUUID()}.mtmp")
+    rows.repartitionByRange(nParts, col("file"))
+      .sortWithinPartitions("file")
+      .write.parquet(tmp.toString)
+    val parts = spark.read.schema(IncrementalTable.ckptRowSchema)
+      .parquet(tmp.toString)
+      .groupBy(input_file_name().as("_pf"))
+      .agg(minF(col("file")).as("lo"), maxF(col("file")).as("hi"),
+        count(lit(1)).as("n"))
+      .as[(String, String, String, Long)].collect().toSeq
+    fs.mkdirs(manifestsPath)
+    val refs = parts.map { case (pf, lo, hi, n) =>
+      val src = new Path(new java.net.URI(pf))
+      val name = s"m-${UUID.randomUUID()}.parquet"
+      if (!fs.rename(src, new Path(manifestsPath, name)))
+        throw new java.io.IOException(s"manifest rename failed: $src")
+      ManifestRef(name, lo, hi, n)
+    }
+    fs.delete(tmp, true)
+    refs.sortBy(_.lo)
+  }
+
+  /** The head checkpoint's manifest list (X108) — empty when the head
+    * checkpoint is inline or legacy single-directory. What an operator
+    * checks for checkpoint health: fragmentation, range spans, row
+    * balance across manifests. */
+  def manifestList(): Seq[ManifestRef] =
+    parquetCkpt(commits()).flatMap(_.manifests).getOrElse(Nil)
+
   /** Snapshot the live set so replay cost stays O(checkpointInterval). */
   private def maybeCheckpoint(version: Long): Unit =
     if (version > 0 && version % checkpointEvery == 0) {
@@ -5535,7 +5650,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // same rule), so the value survives repeated compactions.
       val layoutParts = cs.reverse.iterator
         .filter(c => c.add.nonEmpty || c.action == "replace" ||
-          c.action == "evolve" || c.filesParquet.isDefined)
+          c.action == "evolve" || c.columnarCkpt)
         .map(_.partitionBy).nextOption().getOrElse(last.partitionBy)
       val foldedMeta = cs.foldLeft(Map.empty[String, String])(_ ++ _.meta)
 
@@ -5555,50 +5670,73 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       }
 
       if (prevParquet.isDefined || liveCount > parquetThreshold) {
-        // ---- columnar checkpoint: live rows to parquet, scalars to
-        // the JSON record. Once columnar, always columnar (the inline
-        // path would re-materialize the base to write its blob).
+        // ---- columnar checkpoint, MANIFEST tier (VERDICT r10 #4):
+        // live rows live in immutable pool manifests; a checkpoint
+        // REUSES by reference every manifest the tail window never
+        // touched and rewrites only the dirty subset + the tail's own
+        // adds — write cost scales with what changed, not table size.
+        // Once columnar, always columnar. Legacy single-dir checkpoints
+        // migrate wholesale on their first manifest checkpoint.
         import spark.implicits._
-        val dirName = f"$version%010d.checkpoint.parquet"
-        val rows: DataFrame = prevParquet match {
-          case Some(_) =>
-            // previous parquet + tail, sizes filled for tail adds —
-            // one Spark job, driver cost O(interval)
-            liveRowsDF(Map.empty, None, sizedAdds = true)
-          case None =>
-            // first crossing of the threshold: the inline fold (just
-            // computed, bounded by the crossing size) becomes the rows
-            val stats = liveFileStats()
-            val dvm = liveDv()
-            inlineLive.map { f =>
-              CkptFileRow(f, fs.getFileStatus(new Path(rootPath, f)).getLen,
-                stats.getOrElse(f, Map.empty).view
-                  .mapValues(IncrementalTable.toCkptStat).toMap,
-                dvm.getOrElse(f, Nil))
-            }.toDS().toDF()
+        val (reused, freshRows): (Seq[ManifestRef], DataFrame) =
+          prevParquet match {
+            case Some(ck) if ck.manifests.isDefined && tfOpt.isDefined =>
+              val tf = tfOpt.get
+              // a manifest is dirty iff its path range can hold a
+              // tail-removed, re-added, or dv-touched file — a pure
+              // metadata decision, no manifest opened to decide
+              val dirty: Set[String] = (tf.removedFromBase ++
+                tf.adds.keySet ++ tf.dvOnBase.keySet).toSet
+              val (dirtyRefs, clean) = ck.manifests.get.partition(m =>
+                dirty.exists(f => m.lo <= f && f <= m.hi))
+              (clean, foldTail(manifestRowsDF(dirtyRefs), tf,
+                sizedAdds = true))
+            case Some(_) =>
+              // legacy single-directory checkpoint: one full migration
+              // rewrite into the pool
+              (Nil, liveRowsDF(Map.empty, None, sizedAdds = true))
+            case None =>
+              // first crossing of the threshold: the inline fold (just
+              // computed, bounded by the crossing size) becomes the rows
+              val stats = liveFileStats()
+              val dvm = liveDv()
+              (Nil, inlineLive.map { f =>
+                CkptFileRow(f, fs.getFileStatus(new Path(rootPath, f)).getLen,
+                  stats.getOrElse(f, Map.empty).view
+                    .mapValues(IncrementalTable.toCkptStat).toMap,
+                  dvm.getOrElse(f, Nil))
+              }.toDS().toDF())
+          }
+        // reused manifests hold only live rows (else they'd be dirty),
+        // so the fresh row count is exact arithmetic — no count job
+        val freshCount = liveCount - reused.map(_.n).sum
+        var ms = (reused ++ writeManifests(freshRows, freshCount))
+          .sortBy(_.lo)
+        // anti-fragmentation: every checkpoint adds a tail-adds
+        // manifest, so small ones accumulate; when the list outgrows
+        // ~4x the ideal, fold just the small manifests together —
+        // bounded by the small subset's rows, never the table
+        val ideal = math.max(1L,
+          (liveCount + ManifestTargetRows - 1) / ManifestTargetRows)
+        if (ms.size > math.max(8L, 4L * ideal)) {
+          val (small, big) = ms.partition(_.n < ManifestTargetRows / 2)
+          if (small.size > 1)
+            ms = (big ++ writeManifests(manifestRowsDF(small),
+              small.map(_.n).sum)).sortBy(_.lo)
         }
-        // ~500k rows per output file keeps write parallelism and later
-        // scan planning sane at any table size
-        val nParts = math.max(1L, liveCount / 500000L).toInt
-        val tmpDir = new Path(logPath, s".${UUID.randomUUID()}.ckpt.tmp")
-        rows.repartition(nParts).write.parquet(tmpDir.toString)
-        val renamed = publish(tmpDir, new Path(logPath, dirName))
-        if (!renamed) fs.delete(tmpDir, true)
-        else {
-          val snap = Commit(version, "checkpoint", Nil, Nil, Map.empty,
-            layoutParts, last.schemaJson, foldedMeta, None, now(),
-            maxBatchId = maxBatch, appBatches = perApp,
-            filesParquet = Some(dirName), numFiles = Some(liveCount))
-          val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
-          val out = fs.create(tmp, false)
-          try out.write(Serialization.write(snap).getBytes("UTF-8")) finally out.close()
-          // two writers checkpointing the same version computed the
-          // same snapshot — losing either race is harmless; a crash
-          // between dir rename and record publish leaves an
-          // unreferenced dir that vacuum() reclaims
-          if (!publish(tmp, new Path(logPath, f"$version%010d.checkpoint.json")))
-            fs.delete(tmp, false)
-        }
+        val snap = Commit(version, "checkpoint", Nil, Nil, Map.empty,
+          layoutParts, last.schemaJson, foldedMeta, None, now(),
+          maxBatchId = maxBatch, appBatches = perApp,
+          numFiles = Some(liveCount), manifests = Some(ms))
+        val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(Serialization.write(snap).getBytes("UTF-8")) finally out.close()
+        // two writers checkpointing the same version computed the
+        // same snapshot — losing either race is harmless; a crash
+        // between manifest renames and record publish leaves
+        // unreferenced pool files that vacuum() reclaims
+        if (!publish(tmp, new Path(logPath, f"$version%010d.checkpoint.json")))
+          fs.delete(tmp, false)
       } else {
         val live = inlineLive
         // fold the live files' data-skipping stats into the checkpoint
@@ -6061,6 +6199,17 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         st.getPath.getName.endsWith(".checkpoint.parquet") &&
           !refCkpts.contains(st.getPath.getName))
     staleCkpts.foreach(st => fs.delete(st.getPath, true))
+    // manifest pool (VERDICT r10 #4): a pool file reclaims once no
+    // checkpoint record in the replayable window references it —
+    // superseded dirty manifests, folded small ones, and crash strays
+    // from a lost checkpoint race all land here
+    val refMs: Set[String] =
+      cs.flatMap(_.manifests).flatten.map(_.name).toSet
+    val staleMs =
+      if (!fs.exists(manifestsPath)) Seq.empty
+      else fs.listStatus(manifestsPath).toSeq
+        .filterNot(st => refMs.contains(st.getPath.getName))
+    staleMs.foreach(st => fs.delete(st.getPath, false))
     // bloom-index sidecars (X100): a sidecar dir reclaims when NONE of
     // the files it indexes is referenced in the replayable window —
     // entries are consulted only for live file names, so a dir whose
@@ -6119,6 +6268,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     staleEq.foreach(st => fs.delete(st.getPath, true))
     orphans ++ staleGens.map(st => s"$dvPrefix/${st.getPath.getName}") ++
       staleCkpts.map(st => s"_graft_log/${st.getPath.getName}") ++
+      staleMs.map(st => s"_graft_log/manifests/${st.getPath.getName}") ++
       staleBloom.map(d => s"_graft_log/bloomidx/$d") ++
       staleEq.map(st => s"${IncrementalTable.EqDelDir}/${st.getPath.getName}")
   }
@@ -6311,6 +6461,7 @@ object IncrementalTable {
     * metadata path stays a driver-side fold — faster for small tables
     * and byte-identical to the historical behavior. */
   val parquetCheckpointThreshold = 10000
+  val manifestTargetRowsDefault = 500000L
 
   /** One column's [min,max] in a columnar checkpoint row (the
     * [[ColStat]] shape as a parquet struct). */

@@ -120,7 +120,7 @@ class BloomIndexSpec extends SparkSpec {
       "id BIGINT, url STRING"),
       meta = Map("prop/graft.bloomIndexColumns" -> "id,url"))
     interleaved(t)
-    assert(t.commits().head.filesParquet.isDefined, "not on the columnar path")
+    assert(t.commits().head.columnarCkpt, "not on the columnar path")
     val kept = t.liveFilesWhere(col("url") === "doc-17")
     assert(kept.size < 8 && kept.nonEmpty, s"kept ${kept.size}")
     assert(t.readWhere(col("url") === "doc-17").count() == 1)

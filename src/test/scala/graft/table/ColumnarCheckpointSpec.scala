@@ -36,7 +36,7 @@ class ColumnarCheckpointSpec extends SparkSpec {
   private def assertAgree(inline: IncrementalTable, colr: IncrementalTable): Unit = {
     // the columnar twin really is columnar (the head checkpoint moved
     // its live set out of the inline JSON)
-    assert(colr.commits().head.filesParquet.isDefined,
+    assert(colr.commits().head.columnarCkpt,
       "columnar twin's head checkpoint is still inline")
     assert(colr.commits().head.add.isEmpty && colr.commits().head.dv.isEmpty)
     def rows(t: IncrementalTable) =
@@ -143,7 +143,7 @@ class ColumnarCheckpointSpec extends SparkSpec {
     // checkpoint-time value, maintained arithmetically)
     t.append(Seq((8L, "d2")).toDF("id", "day"), p)
     val head = t.commits().head
-    assert(head.filesParquet.isDefined)
+    assert(head.columnarCkpt)
     assert(head.version == t.latestVersion)
     assert(head.numFiles.contains(t.liveFiles().size.toLong))
     assert(t.detail().head.getAs[Long]("num_files") == t.liveFiles().size.toLong)
@@ -161,13 +161,15 @@ class ColumnarCheckpointSpec extends SparkSpec {
       t.append(Seq((i.toLong, "26")).toDF("id", "day"), p)
     }
     val fs = new Path(t.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val logDir = new Path(t.root, "_graft_log")
-    def ckptDirs() = fs.listStatus(logDir)
-      .map(_.getPath.getName).filter(_.endsWith(".checkpoint.parquet")).toSeq
-    assert(ckptDirs().size > 1, "script produced only one checkpoint")
+    val poolDir = new Path(t.root, "_graft_log/manifests")
+    def pool() = fs.listStatus(poolDir).map(_.getPath.getName).toSet
+    val referenced = t.commits().head.manifests.get.map(_.name).toSet
+    assert(pool().size > referenced.size,
+      "script left no superseded manifests to reclaim")
     val reclaimed = t.vacuum()
-    assert(reclaimed.exists(_.endsWith(".checkpoint.parquet")))
-    assert(ckptDirs() == Seq(t.commits().head.filesParquet.get))
+    assert(reclaimed.exists(_.startsWith("_graft_log/manifests/")))
+    assert(pool() == referenced,
+      "vacuum must keep exactly the referenced manifests")
     // merge-on-read state survived the reclaim
     assert(t.read().select($"id").as[Long].collect().toSet ==
       (0L until 7L).toSet - 2L)

@@ -275,4 +275,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ids(t) == expected - 11L)
     assert(t.liveDv().values.exists(_.size == 2))
   }
+
+  test("size-governed position apply: broadcast only under the byte bound") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def antiHints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType.sql.contains("ANTI") => j.hint }
+    // default bound (32 MiB): a point delete's positions broadcast
+    val t = seed(tmpDir("dv") + "/gov1")
+    t.deleteVectorized($"id" <= 3)
+    val bc = antiHints(t.read())
+    assert(bc.nonEmpty && bc.forall(h => h.leftHint.isDefined || h.rightHint.isDefined),
+      s"under the bound the position side must carry a broadcast hint: $bc")
+    // bound of 1 byte (the mass-delete stand-in): NO forced broadcast —
+    // Catalyst plans the anti-join unhinted (shuffle at real scale)
+    val t2 = seed(tmpDir("dv") + "/gov2")
+    t2.setProperties(Map("graft.dv.broadcastBytes" -> "1"))
+    t2.deleteVectorized($"id" <= 3)
+    val sh = antiHints(t2.read())
+    assert(sh.nonEmpty && sh.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+      s"over the bound the anti-join must be unhinted: $sh")
+    // both plans hide the same rows
+    assert(ids(t2) == (4L to 100L).toSet)
+  }
 }

@@ -1073,7 +1073,7 @@ class IncrementalTableSpec extends SparkSpec {
     t.append(spark.range(10).toDF("id"), Nil, statsColumns = Seq("id")) // v0
     t.append(spark.range(10, 15).toDF("id"), Nil, statsColumns = Seq("id")) // v1
     t.append(spark.range(15, 18).toDF("id"), Nil) // v2 → columnar ckpt, no stats
-    assert(t.commits().head.filesParquet.isDefined) // really on the ckpt branch
+    assert(t.commits().head.columnarCkpt) // really on the ckpt branch
     assert(t.liveRowCount().isEmpty) // falls back, does not throw
     assert(t.read().count() == 18) // the scan path the caller falls back to
     // once every live file carries a tally again, the fast path returns

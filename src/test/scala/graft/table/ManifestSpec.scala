@@ -1,0 +1,194 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+import graft.SparkSpec
+
+/** Manifest-list checkpoint tier (VERDICT r10 #4): checkpoints store
+  * live rows in immutable pool manifests with file-path ranges, so
+  *  - a checkpoint REWRITES only the manifests its tail window dirtied
+  *    (write cost scales with the changed subset — asserted by pool
+  *    file-write counts, the verdict's done-criterion);
+  *  - readers prune whole manifest FILES by partition prefix before
+  *    any row is scanned;
+  *  - legacy single-directory checkpoints migrate on their next
+  *    checkpoint and stay readable until then;
+  *  - fragmentation is bounded: small tail manifests fold together
+  *    when the list outgrows ~4x the ideal. */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pool(t: IncrementalTable): Set[String] = {
+    val fs = new Path(t.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(t.root, "_graft_log/manifests")
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSet
+  }
+
+  private def headMs(t: IncrementalTable): Seq[ManifestRef] =
+    t.commits().head.manifests.getOrElse(
+      fail(s"head checkpoint of ${t.root} is not manifest-based"))
+
+  private def batch(day: String, ids: Range) =
+    ids.map(i => (i.toLong, s"w$i", day)).toDF("id", "w", "day")
+
+  test("checkpoint rewrite cost scales with the dirty subset, not the table") {
+    val t = new IncrementalTable(spark, tmpDir("mani") + "/t",
+      checkpointEvery = 2, parquetThreshold = 0, manifestTargetRows = 4)
+    // 5 partitions x 4 files (one file per append through the
+    // dir-clustered write choke point); meta commits land a checkpoint
+    // boundary covering the full live set
+    for (d <- Seq("a", "b", "c", "d", "e"); j <- 0 until 4)
+      t.append(batch(d, (j * 2) until (j * 2 + 2)), Seq("day"))
+    t.commitMeta(Map("touch" -> "1"))
+    t.commitMeta(Map("touch" -> "1b"))
+    val nLive = t.liveFiles().size.toLong
+    assert(nLive >= 15L, s"need enough files for several manifests: $nLive")
+    val m1 = headMs(t)
+    assert(m1.size >= 3, s"need several manifests to observe reuse: $m1")
+    assert(m1.map(_.n).sum == nLive)
+    val pool1 = pool(t)
+
+    // touch ONLY day=e (one partition): replace it, cross a checkpoint
+    t.replaceWhere(batch("e", 100 until 104), Seq("day"),
+      Map("day" -> "e"), Map("day" -> "e"))
+    t.commitMeta(Map("touch" -> "2"))
+    t.commitMeta(Map("touch" -> "3"))
+    val m2 = headMs(t)
+    val reused = m2.map(_.name).toSet & m1.map(_.name).toSet
+    val fresh = m2.map(_.name).toSet -- m1.map(_.name).toSet
+    assert(reused.size >= 2,
+      s"untouched partitions' manifests must carry over by reference: " +
+        s"reused=$reused of ${m1.size}")
+    assert(fresh.size <= 2,
+      s"a one-partition change must not rewrite the table's manifests: $fresh")
+    // the POOL grew by exactly the fresh manifests (write counts — the
+    // verdict's done-criterion)
+    assert(pool(t) -- pool1 == fresh)
+    // correctness through the folded state
+    assert(t.read().count() == 36) // 4 days x 8 rows + 4 replaced rows
+    assert(t.read().filter($"day" === "e").select($"id").as[Long]
+      .collect().sorted.toSeq == (100L until 104L).toSeq)
+    assert(m2.map(_.n).sum == t.liveFiles().size.toLong)
+    assert(t.detail().head.getAs[Long]("num_files") ==
+      t.liveFiles().size.toLong)
+  }
+
+  test("readers prune whole manifests by partition prefix") {
+    val t = new IncrementalTable(spark, tmpDir("mani") + "/p",
+      checkpointEvery = 2, parquetThreshold = 0, manifestTargetRows = 4)
+    for (d <- Seq("a", "b", "c", "d"); j <- 0 until 4)
+      t.append(batch(d, (j * 2) until (j * 2 + 2)), Seq("day"))
+    t.commitMeta(Map("t" -> "1"))
+    t.commitMeta(Map("t" -> "2"))
+    val ms = headMs(t)
+    assert(ms.size >= 3)
+    // the pruning decision itself (pure metadata): a pinned leading
+    // partition keeps only range-overlapping manifests
+    val kept = t.manifestPrune(ms, Map("day" -> "a"), Seq("day"))
+    assert(kept.size < ms.size,
+      s"day=a must not consult every manifest (${kept.size} of ${ms.size})")
+    assert(kept.forall(m => m.lo <= "day=a/\uffff" && m.hi >= "day=a/"))
+    // soundness: the pruned read still answers exactly
+    assert(t.liveFiles(Map("day" -> "a")).size == t.liveFiles().size / 4)
+    assert(t.read(Map("day" -> "a")).count() == 8)
+    // non-leading / absent filters fall back to all manifests
+    assert(t.manifestPrune(ms, Map.empty, Seq("day")) == ms)
+    assert(t.manifestPrune(ms, Map("other" -> "x"), Seq("day")) == ms)
+  }
+
+  test("legacy single-directory checkpoints stay readable and migrate") {
+    implicit val fmts: Formats = DefaultFormats
+    val root = new Path(tmpDir("mani") + "/legacy")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_graft_log")
+    fs.mkdirs(logDir)
+    // a v2 legacy checkpoint whose rows live in ONE parquet directory
+    val dirName = "0000000002.checkpoint.parquet"
+    val files = (0 until 6).map(i => s"day=a/part-$i.parquet")
+    files.foreach { f =>
+      val out = fs.create(new Path(root, f), false)
+      try out.write(Array.fill(4)(0.toByte)) finally out.close()
+    }
+    files.map(f => (f, 4L,
+        Map.empty[String, IncrementalTable.CkptStatRow], Seq.empty[String]))
+      .toDF("file", "size", "stats", "dvGens")
+      .coalesce(1).write.parquet(new Path(logDir, dirName).toString)
+    val schemaDdl = "id BIGINT, day STRING"
+    def writeCommit(c: Commit, name: String): Unit = {
+      val out = fs.create(new Path(logDir, name), false)
+      try out.write(Serialization.write(c).getBytes("UTF-8")) finally out.close()
+    }
+    writeCommit(Commit(2, "checkpoint", Nil, Nil, Map.empty, Seq("day"),
+      schemaDdl, Map.empty, None, 1L, filesParquet = Some(dirName),
+      numFiles = Some(6L)), "0000000002.checkpoint.json")
+    val t = new IncrementalTable(spark, root.toString,
+      checkpointEvery = 2, parquetThreshold = 0, manifestTargetRows = 4)
+    assert(t.commits().head.filesParquet.isDefined)
+    assert(t.liveFiles().size == 6) // legacy read path
+    // two more commits cross the next boundary: the new checkpoint is
+    // manifest-based (full migration rewrite), same live set
+    t.append(batch("b", 0 until 2), Seq("day"))
+    t.append(batch("b", 2 until 4), Seq("day"))
+    t.refresh()
+    val head = t.commits().head
+    assert(head.manifests.isDefined && head.filesParquet.isEmpty,
+      s"migration checkpoint still legacy: $head")
+    assert(t.liveFiles().size == 6 + t.liveFiles(Map("day" -> "b")).size)
+    assert(headMs(t).map(_.n).sum == t.liveFiles().size.toLong)
+  }
+
+  test("emptying the table checkpoints to zero manifests; fragmentation folds") {
+    val t = new IncrementalTable(spark, tmpDir("mani") + "/frag",
+      checkpointEvery = 1, parquetThreshold = 0, manifestTargetRows = 4)
+    // checkpointEvery=1: EVERY commit checkpoints, so each append adds
+    // a fresh tail manifest — fragmentation pressure by construction
+    (0 until 12).foreach { i =>
+      t.append(batch("a", (i * 2) until (i * 2 + 2)), Seq("day"))
+    }
+    val ms = headMs(t)
+    val nLive = t.liveFiles().size.toLong
+    val ideal = math.max(1L, (nLive + 3L) / 4L)
+    assert(ms.size <= math.max(8L, 4L * ideal),
+      s"fragmentation unbounded: ${ms.size} manifests for $nLive files")
+    assert(ms.map(_.n).sum == nLive)
+    assert(t.read().count() == 24)
+    // empty the table; the next checkpoint carries zero manifests but
+    // stays columnar (the live set IS columnar, with zero rows)
+    t.delete(org.apache.spark.sql.functions.lit(true))
+    t.refresh()
+    val head = t.commits().head
+    assert(head.action == "checkpoint" && head.manifests.contains(Nil),
+      s"empty-table checkpoint: $head")
+    assert(t.read().count() == 0 && t.liveFiles().isEmpty)
+    assert(t.detail().head.getAs[Long]("num_files") == 0L)
+    // and the pool reclaims down to nothing referenced
+    t.vacuum()
+    assert(pool(t).isEmpty)
+  }
+
+  test("the t.manifests metadata table surfaces checkpoint health via SQL") {
+    val wh = tmpDir("mani_wh")
+    spark.conf.set("spark.sql.catalog.mcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcat.ns")
+    val t = new IncrementalTable(spark, s"$wh/ns/mm",
+      checkpointEvery = 2, parquetThreshold = 0, manifestTargetRows = 4)
+    for (d <- Seq("a", "b"); j <- 0 until 3)
+      t.append(batch(d, (j * 2) until (j * 2 + 2)), Seq("day"))
+    t.commitMeta(Map("t" -> "1"))
+    t.commitMeta(Map("t" -> "2"))
+    val rows = spark.sql(
+      "SELECT manifest, lo, hi, n_files FROM mcat.ns.mm.manifests")
+      .as[(String, String, String, Long)].collect().toSeq
+    val want = t.manifestList().map(m => (m.name, m.lo, m.hi, m.n))
+      .sortBy(r => (r._2, r._1))
+    assert(rows == want, s"sql door $rows != library $want")
+    assert(rows.nonEmpty && rows.map(_._4).sum == t.liveFiles().size.toLong)
+  }
+}
