@@ -73,12 +73,15 @@ object ConcurrentWriteProps extends Properties("occstress") {
 
   private val seedRows = Vector((-1L, 0, 0L), (-2L, 1, 0L), (-3L, 2, 0L))
 
-  private def run(scripts: List[List[Op]], columnar: Boolean): Prop = {
+  private def run(scripts: List[List[Op]], columnar: Boolean,
+      fragmented: Boolean = false): Prop = {
     val s = spark
     import s.implicits._
     val root = Files.createTempDirectory("occstress").toString + "/t/v1"
     def handle() =
-      if (columnar) new IncrementalTable(spark, root, checkpointEvery = 6,
+      if (fragmented) new IncrementalTable(spark, root, checkpointEvery = 6,
+        parquetThreshold = 0, cdcRetention = 1000, manifestTargetRows = 2)
+      else if (columnar) new IncrementalTable(spark, root, checkpointEvery = 6,
         parquetThreshold = 0, cdcRetention = 1000)
       else new IncrementalTable(spark, root, checkpointEvery = 6,
         cdcRetention = 1000)
@@ -203,4 +206,7 @@ object ConcurrentWriteProps extends Properties("occstress") {
 
   property("columnar checkpoints hold the same contract mid-race") =
     forAll(scripts)(run(_, columnar = true))
+
+  property("manifest-fragmented checkpoints (X108) hold the contract mid-race") =
+    forAll(scripts)(run(_, columnar = true, fragmented = true))
 }

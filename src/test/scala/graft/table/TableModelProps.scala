@@ -74,7 +74,8 @@ object TableModelProps extends Properties("tablemodel") {
       1 -> Gen.const(Vacuum)))
   } yield Append(List((1L, 1L), (2L, 2L), (3L, 3L))) :: list
 
-  private def run(script: List[Op], columnar: Boolean = false): Boolean = {
+  private def run(script: List[Op], columnar: Boolean = false,
+      fragmented: Boolean = false): Boolean = {
     val s = spark
     import s.implicits._
     val dir = Files.createTempDirectory("tablemodel").toString
@@ -82,7 +83,13 @@ object TableModelProps extends Properties("tablemodel") {
     // aggressive cadence, so every random script crosses compaction
     // boundaries on the 100×-scale representation
     val t =
-      if (columnar) new IncrementalTable(spark, dir + "/t/v1",
+      if (fragmented)
+        // X108 stress: 2-row manifests force EVERY checkpoint through
+        // the dirty/reuse split, prefix pruning, and fragmentation
+        // folding — the manifest algebra under random interleavings
+        new IncrementalTable(spark, dir + "/t/v1",
+          checkpointEvery = 2, parquetThreshold = 0, manifestTargetRows = 2)
+      else if (columnar) new IncrementalTable(spark, dir + "/t/v1",
         checkpointEvery = 2, parquetThreshold = 0)
       else IncrementalTable(spark, dir + "/t/v1")
 
@@ -215,4 +222,7 @@ object TableModelProps extends Properties("tablemodel") {
 
   property("columnar (parquet) checkpoints preserve the same algebra") =
     forAll(ops)(run(_, columnar = true))
+
+  property("manifest-fragmented checkpoints (X108) preserve the same algebra") =
+    forAll(ops)(run(_, fragmented = true))
 }
