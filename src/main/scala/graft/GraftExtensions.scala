@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{MinHashAgg, SimHashAgg, VectorDot, VectorLshBuckets, VectorMatDot}
+import graft.functions.{BpeTokens, MinHashAgg, SimHashAgg, VectorDot, VectorLshBuckets, VectorMatDot}
 
 /** Session extensions registering this engine's native expressions —
   * wire up with `spark.sql.extensions=graft.GraftExtensions` (or
@@ -78,6 +78,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorLshBuckets].getName, "vec_lsh_buckets"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorLshBuckets(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BpeTokens(children.head)))
     ext.injectFunction((
       FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),

@@ -62,7 +62,8 @@ object QueriesCorpus {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, dir)
         .select($"doc_id", $"lang",
-          size(graft.functions.Bpe.tokens($"text")).cast("long").as("n_tokens"))
+          size(graft.functions.Bpe.tokensNative($"text")).cast("long")
+            .as("n_tokens"))
         .withColumn("cum", sum($"n_tokens").over(w))
         .withColumn("shard", floor(($"cum" - $"n_tokens") / 1000.0).cast("long"))
         .groupBy($"lang", $"shard")

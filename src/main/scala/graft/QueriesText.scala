@@ -165,7 +165,7 @@ object QueriesText {
       Tables.documents(s, dir)
         .select($"doc_id", $"lang",
           size(pieces).cast("long").as("n_pieces"),
-          graft.functions.Bpe.tokens($"text").as("toks"))
+          graft.functions.Bpe.tokensNative($"text").as("toks"))
         .select($"doc_id", $"lang", $"n_pieces",
           size($"toks").cast("long").as("n_tokens"),
           element_at($"toks", 1).as("first_token"),

@@ -77,6 +77,56 @@ object Bpe {
       .otherwise(split(enc, boundaryRe))
   }
 
+  // ---- native encode (preference tier (b): the aggregate/replace
+  // fold above is semantically exact but interpreted — HOFs never
+  // enter whole-stage codegen — and 64 full-string replace passes per
+  // row made it the cost center of the new rows (q161 4.3 s / q41
+  // 2.3 s at sf0.1). The BpeTokens expression calls this instead: one
+  // regex pass + a per-PIECE memo (the corpus vocabulary is tiny, so
+  // almost every piece is a cache hit), bit-identical output by the
+  // rank-order/min-rank equivalence the spec pins corpus-wide.
+
+  private val pretokenPattern =
+    java.util.regex.Pattern.compile(TextOps.bpePretokenRe)
+  // bounded per-executor memo: distinct pre-tokenizer pieces are
+  // vocabulary-scale, not corpus-scale; stop inserting past the bound
+  // (never evict — the hot pieces are the ones already in)
+  private val pieceCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Array[org.apache.spark.unsafe.types.UTF8String]]()
+  private val PieceCacheBound = 1 << 16
+
+  /** Runtime entry for the native [[BpeTokens]] expression. */
+  def encodeDocFast(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val raw = s.toString
+    val text =
+      if (raw.indexOf('\u001e') < 0 && raw.indexOf('\u001f') < 0) raw
+      else raw.filterNot(c => c == '\u001e' || c == '\u001f')
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.unsafe.types.UTF8String]
+    val m = pretokenPattern.matcher(text)
+    while (m.find()) {
+      val piece = m.group()
+      var toks = pieceCache.get(piece)
+      if (toks == null) {
+        toks = encodeReference(piece).iterator
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+        if (pieceCache.size < PieceCacheBound) pieceCache.put(piece, toks)
+      }
+      var i = 0
+      while (i < toks.length) { out += toks(i); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray[Any])
+  }
+
+  /** The BPE token array as a Column, via the native codegen'd
+    * expression — what the queries use; [[tokens]] (the pure-built-in
+    * fold) stays as the in-plan cross-check implementation. */
+  def tokensNative(text: Column): Column =
+    call_function("bpe_tokens", text)
+
   /** Reference implementation (plain Scala, pairwise arrays — no string
     * trick): the independent cross-check the spec pins the column fold
     * against. Same greedy left-to-right, rank-order-exhaustive rule. */

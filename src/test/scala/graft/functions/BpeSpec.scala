@@ -34,6 +34,35 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("the native bpe_tokens expression is bit-identical to the fold") {
+    // three implementations, one answer: the codegen'd expression (what
+    // the queries run), the pure-built-in fold (what the DuckDB oracle
+    // replays), and the pairwise reference — corpus-wide
+    val rows = Tables.documents(spark, dir)
+      .select($"doc_id", $"text",
+        Bpe.tokensNative($"text").as("nat"),
+        Bpe.tokens($"text").as("fold"))
+      .as[(Long, String, Seq[String], Seq[String])].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (id, text, nat, fold) =>
+      assert(nat == fold, s"doc $id: native != fold")
+      assert(nat == Bpe.encodeDocReference(text), s"doc $id: native != ref")
+    }
+    // separator-stripping and empty-input parity
+    val edge = Seq("", "  ", "ab", "", " the")
+    val got = edge.toDF("text")
+      .select($"text", Bpe.tokensNative($"text").as("nat"),
+        Bpe.tokens($"text").as("fold"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    got.foreach { case (t, nat, fold) =>
+      assert(nat == fold && nat == Bpe.encodeDocReference(t), s"'$t'")
+    }
+    // SQL door parity (the extension-registered function)
+    val viaSql = spark.sql(
+      s"SELECT bpe_tokens(' the quick') AS t").as[Seq[String]].head()
+    assert(viaSql == Bpe.encodeDocReference(" the quick"))
+  }
+
   test("greedy left-to-right overlap rule matches replace() semantics") {
     // synthetic pieces that stress run-merging: repeated symbols only
     // pair left-to-right (4 of a kind -> 2 merged, never 3), and the
@@ -47,7 +76,7 @@ class BpeSpec extends SparkSpec {
       assert(got(w) == Bpe.encodeDocReference(w), s"'$w': ${got(w)}")
     }
     // control separators in the input are stripped, never token breaks
-    val adv = Seq("ab", "ab").toDF("text")
+    val adv = Seq("ab", "a\u001eb").toDF("text")
       .select(Bpe.tokens($"text")).as[Seq[String]].collect()
     assert(adv.forall(_ == Bpe.encodeDocReference("ab")))
   }
