@@ -1455,6 +1455,13 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       "delete): one O(metadata) commit puts the keys of `query`'s " +
       "result in force — no scan, no rewrite; readers anti-join, " +
       "compaction materializes"
+    case "apply_eq_deletes" => "materialize every standing equality " +
+      "delete into the files it covers (MOR -> COW maintenance) and " +
+      "retire the now-inert entries — rewrite cost scales with the " +
+      "covered file set, never table size"
+    case "rewrite_manifests" => "fold the checkpoint's live set into " +
+      "fresh, compact, range-balanced manifests (the Iceberg " +
+      "rewrite_manifests analog) — the explicit defragmentation pass"
   }
   override def bind(inputType: org.apache.spark.sql.types.StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
@@ -1525,6 +1532,8 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         // any SQL whose result supplies the key tuples (same column
         // names) — the compact `where_expr` pattern
         in("query", StringType).build())
+      case "apply_eq_deletes" | "rewrite_manifests" => Array(
+        in("table", StringType).build())
     }
   }
 
@@ -1685,6 +1694,17 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         val c = t.deleteByKey(keys, keyCols)
         (new StructType().add("version", LongType),
           InternalRow(c.map(_.version).getOrElse(-1L)))
+      case "apply_eq_deletes" =>
+        val cs = t.applyEqDeletes(
+          statsColumns = GraftCatalog.statsColumnsOf(t))
+        (new StructType().add("commits", IntegerType)
+           .add("standing_after", IntegerType),
+          InternalRow(cs.size, t.eqDeletes().size))
+      case "rewrite_manifests" =>
+        val ms = t.rewriteManifests()
+        (new StructType().add("manifests", IntegerType)
+           .add("rows", LongType),
+          InternalRow(ms.size, ms.map(_.n).sum))
       case "clone" =>
         val destRel = input.getUTF8String(1).toString
         val destPath = cat.pathForName(destRel)
@@ -1712,7 +1732,7 @@ private[sources] object GraftProcedure {
     Set("compact", "vacuum", "restore", "tag", "untag", "clone",
       "evolve_partitioning", "analyze", "bloom_index", "wap_publish",
       "wap_abort", "branch", "fast_forward", "drop_branch",
-      "delete_by_key")
+      "delete_by_key", "apply_eq_deletes", "rewrite_manifests")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

@@ -5626,9 +5626,42 @@ final class IncrementalTable(spark: SparkSession, val root: String,
   def manifestList(): Seq[ManifestRef] =
     parquetCkpt(commits()).flatMap(_.manifests).getOrElse(Nil)
 
+  /** REWRITE_MANIFESTS maintenance (the Iceberg rewrite-manifests
+    * procedure analog): fold the whole live set into fresh, compact,
+    * range-balanced manifests — the explicit defragmentation pass for
+    * a table whose incremental checkpoints accumulated many partial
+    * manifests faster than the automatic small-manifest folding
+    * reclaims them. Checkpoint records are immutable and share the
+    * version of the commit they fold, so this lands a maintenance meta
+    * no-op to get a fresh version and forces a FULL-REWRITE checkpoint
+    * onto it; superseded pool manifests reclaim at the next vacuum.
+    * No-op (returns the current list) on inline/legacy tables. */
+  // rewriteManifests routes its full-rewrite intent through this flag
+  // so a cadence checkpoint firing on the maintenance meta commit
+  // itself (checkpointEvery = 1) already does the full fold — records
+  // are immutable, a forced write after it would lose the publish race
+  @volatile private var fullRewriteNext = false
+
+  def rewriteManifests(): Seq[ManifestRef] = {
+    require(exists, s"rewrite_manifests target $root does not exist")
+    if (parquetCkpt(commits()).isEmpty) return Nil
+    fullRewriteNext = true
+    try {
+      commitMeta(Map("maintenance/manifest_rewrite" -> now().toString))
+      // cadence may have checkpointed the meta commit (with the full
+      // rewrite, via the flag); otherwise force one at this version
+      if (!(commits().head.version == latestVersion &&
+            commits().head.action == "checkpoint"))
+        maybeCheckpoint(latestVersion, force = true, fullRewrite = true)
+    } finally fullRewriteNext = false
+    refresh()
+    manifestList()
+  }
+
   /** Snapshot the live set so replay cost stays O(checkpointInterval). */
-  private def maybeCheckpoint(version: Long): Unit =
-    if (version > 0 && version % checkpointEvery == 0) {
+  private def maybeCheckpoint(version: Long, force: Boolean = false,
+      fullRewrite: Boolean = false): Unit =
+    if (force || (version > 0 && version % checkpointEvery == 0)) {
       val cs = commits()
       val last = cs.last
       // fold the replay horizon's batchIds into the checkpoint so the
@@ -5683,12 +5716,21 @@ final class IncrementalTable(spark: SparkSession, val root: String,
             case Some(ck) if ck.manifests.isDefined && tfOpt.isDefined =>
               val tf = tfOpt.get
               // a manifest is dirty iff its path range can hold a
-              // tail-removed, re-added, or dv-touched file — a pure
-              // metadata decision, no manifest opened to decide
+              // tail-removed or dv-touched file — a pure metadata
+              // decision, no manifest opened to decide. Tail ADDS never
+              // dirty a manifest: a genuinely new name (write-unique
+              // uuids) cannot be in any base manifest, and a RE-added
+              // base name must have been removed first, so it already
+              // sits in removedFromBase — adds go only to the fresh
+              // tail manifest. fullRewrite (rewriteManifests
+              // maintenance) treats the whole list as dirty:
+              // everything re-folds compactly.
               val dirty: Set[String] = (tf.removedFromBase ++
-                tf.adds.keySet ++ tf.dvOnBase.keySet).toSet
-              val (dirtyRefs, clean) = ck.manifests.get.partition(m =>
-                dirty.exists(f => m.lo <= f && f <= m.hi))
+                tf.dvOnBase.keySet).toSet
+              val (dirtyRefs, clean) =
+                if (fullRewrite || fullRewriteNext) (ck.manifests.get, Nil)
+                else ck.manifests.get.partition(m =>
+                  dirty.exists(f => m.lo <= f && f <= m.hi))
               (clean, foldTail(manifestRowsDF(dirtyRefs), tf,
                 sizedAdds = true))
             case Some(_) =>

@@ -258,6 +258,19 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(reg == Seq("id"), reg.mkString(","))
   }
 
+  test("CALL apply_eq_deletes materializes and retires via SQL") {
+    spark.sql(s"CREATE TABLE $cat.ns.ap (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.ns.ap VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql(s"CALL $cat.system.delete_by_key('ns.ap', 'id', 'SELECT 2 AS id')")
+    val out = spark.sql(s"CALL $cat.system.apply_eq_deletes('ns.ap')").collect()
+    assert(out(0).getInt(0) >= 1, "at least one rewrite commit")
+    assert(out(0).getInt(1) == 0, "no standing deletes survive the apply")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.ap.eqdeletes")
+      .as[Long].head() == 0)
+    assert(spark.sql(s"SELECT id FROM $cat.ns.ap ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
+  }
+
   test("reads through the catalog/path doors apply deletes") {
     val t = seeded("doors")
     t.deleteByKey(Seq(Tuple1(3L)).toDF("id"), Seq("id"))

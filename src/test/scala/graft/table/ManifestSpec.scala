@@ -191,4 +191,43 @@ class ManifestSpec extends SparkSpec {
     assert(rows == want, s"sql door $rows != library $want")
     assert(rows.nonEmpty && rows.map(_._4).sum == t.liveFiles().size.toLong)
   }
+
+  test("rewrite_manifests folds the list compactly; vacuum reclaims the old pool") {
+    val t = new IncrementalTable(spark, tmpDir("mani") + "/rw",
+      checkpointEvery = 1, parquetThreshold = 0, manifestTargetRows = 50)
+    // cadence-1 checkpoints: every append adds a tail manifest — the
+    // fragmentation rewrite_manifests exists to fold
+    (0 until 7).foreach { i =>
+      t.append(batch("a", (i * 2) until (i * 2 + 2)), Seq("day"))
+    }
+    val before = headMs(t)
+    assert(before.size > 1, s"no fragmentation to fold: $before")
+    val rows = t.read().collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val after = t.rewriteManifests()
+    assert(after.size < before.size,
+      s"rewrite must compact: ${after.size} vs ${before.size}")
+    assert(after.map(_.n).sum == before.map(_.n).sum)
+    assert(headMs(t) == after, "the forced checkpoint is the head")
+    assert(t.read().collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      == rows, "rewrite is metadata-only")
+    t.vacuum()
+    assert(pool(t) == after.map(_.name).toSet,
+      "vacuum must reclaim the superseded pool files")
+    // SQL front door
+    val wh2 = tmpDir("mani_wh2")
+    spark.conf.set("spark.sql.catalog.mcat2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mcat2.warehouse", wh2)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcat2.ns")
+    val t2 = new IncrementalTable(spark, s"$wh2/ns/rw",
+      checkpointEvery = 1, parquetThreshold = 0, manifestTargetRows = 50)
+    (0 until 5).foreach { i =>
+      t2.append(batch("a", (i * 2) until (i * 2 + 2)), Seq("day"))
+    }
+    val out = spark.sql(
+      "CALL mcat2.system.rewrite_manifests('ns.rw')").collect()
+    t2.refresh()
+    assert(out(0).getInt(0) == t2.manifestList().size)
+    assert(out(0).getLong(1) == t2.liveFiles().size.toLong)
+  }
 }
