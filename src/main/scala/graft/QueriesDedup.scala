@@ -68,6 +68,56 @@ object QueriesDedup {
         .orderBy($"fp")
     }),
 
+    // ---- SUB-DOCUMENT exact dedup (C4/CCNet paragraph-dedup shape) ----
+    // Corpus-wide dedup at SEGMENT granularity: split each doc into
+    // fixed 10-token windows, keep each distinct segment only at its
+    // FIRST corpus occurrence (min (doc_id, seg_idx)), and reassemble
+    // the cleaned document — boilerplate that q21's whole-doc hash
+    // can never catch (two distinct docs sharing a navigation header
+    // each keep their unique text, the shared header survives once).
+    //
+    // Scale shape: the first-occurrence rule is a MAP-SIDE-COMBINABLE
+    // min aggregation on the segment fingerprint (never a window over
+    // the fp partition — a boilerplate segment with 10^8 instances
+    // would funnel one reducer; min() partials absorb the skew), and
+    // the keep decision is an equi-join back on (fp, packed position).
+    // Two shuffles on natural keys (fp, then doc_id), both combined
+    // map-side; the explode is bounded by corpus token count.
+    "q163_segment_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val segLen = 10
+      val segs = Tables.documents(s, dir)
+        .select($"doc_id", TextOps.tokens($"text").as("w"))
+        .filter(size($"w") > 0)
+        .select($"doc_id",
+          posexplode(transform(
+            sequence(lit(0), floor((size($"w") - 1) / segLen).cast("int")),
+            i => array_join(slice($"w", i * segLen + 1, lit(segLen)), " "))))
+        .select($"doc_id", $"pos".cast("long").as("seg_idx"),
+          $"col".as("seg"))
+        .withColumn("fp", md5($"seg".cast("binary")))
+        // packed position: docs are ~100 tokens, seg_idx < 100000 by
+        // corpus construction — one long keeps min() a primitive agg
+        .withColumn("packed", $"doc_id" * 100000L + $"seg_idx")
+      val firsts = segs.groupBy($"fp")
+        .agg(min($"packed").as("keep_packed"),
+          count(lit(1)).as("n_copies"))
+      segs.join(firsts, Seq("fp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when($"packed" === $"keep_packed", 1L).otherwise(0L))
+            .as("n_kept"),
+          // kept segments reassemble IN ORDER: sort by seg_idx via the
+          // struct sort, then join — deterministic in both engines
+          array_join(transform(array_sort(collect_list(
+              when($"packed" === $"keep_packed",
+                struct($"seg_idx", $"seg")))),
+            p => p.getField("seg")), " ").as("clean_text"))
+        .withColumn("kept_ratio",
+          $"n_kept".cast("double") / $"n_segs".cast("double"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- exact near-dup: inverted-index candidates + exact Jaccard ----
     "q22_dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
@@ -326,6 +376,30 @@ object QueriesDedup {
     "q21_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+    "q163_segment_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS seg
+        |  FROM t, LATERAL unnest(
+        |    range(0, CAST(floor((len(w)-1)/10) AS BIGINT) + 1)) AS r(i)
+        |  WHERE len(w) > 0),
+        |f AS (SELECT doc_id, seg_idx, seg, md5(seg) AS fp,
+        |        doc_id*100000 + seg_idx AS packed FROM s),
+        |firsts AS (SELECT fp, MIN(packed) AS keep_packed FROM f GROUP BY fp)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(SUM(CASE WHEN packed = keep_packed THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(list_transform(list_sort(
+        |    list({'seg_idx': seg_idx, 'seg': seg})
+        |      FILTER (WHERE packed = keep_packed)),
+        |    p -> p.seg), ' '), '') AS clean_text,
+        |  CAST(SUM(CASE WHEN packed = keep_packed THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS kept_ratio
+        |FROM f JOIN firsts USING (fp)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q22_dedup_ngram_jaccard" -> pairsSql,
     "q23_dedup_minhash_lsh" -> pairsSql,
     "q24_dedup_simhash" -> pairsSql,
