@@ -96,9 +96,17 @@ object QueriesDedup {
         .select($"doc_id", $"pos".cast("long").as("seg_idx"),
           $"col".as("seg"))
         .withColumn("fp", md5($"seg".cast("binary")))
-        // packed position: docs are ~100 tokens, seg_idx < 100000 by
-        // corpus construction — one long keeps min() a primitive agg
-        .withColumn("packed", $"doc_id" * 100000L + $"seg_idx")
+        // packed position: one long keeps min() a primitive agg. The
+        // pack is only injective while seg_idx < 100000 (true of this
+        // corpus — docs are ~100 tokens — but not of text in general),
+        // so GUARD it: a violating row fails the query loudly instead
+        // of silently electing the wrong first occurrence (VERDICT r11)
+        .withColumn("packed",
+          when($"seg_idx" < 100000L && $"doc_id" >= 0L,
+            $"doc_id" * 100000L + $"seg_idx")
+            .otherwise(raise_error(concat(
+              lit("segment_dedup: packed-position overflow (doc_id="),
+              $"doc_id", lit(", seg_idx="), $"seg_idx", lit(")")))))
       val firsts = segs.groupBy($"fp")
         .agg(min($"packed").as("keep_packed"),
           count(lit(1)).as("n_copies"))

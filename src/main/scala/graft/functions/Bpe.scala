@@ -131,7 +131,20 @@ object Bpe {
     * trick): the independent cross-check the spec pins the column fold
     * against. Same greedy left-to-right, rank-order-exhaustive rule. */
   def encodeReference(piece: String): Seq[String] = {
-    var syms: Vector[String] = piece.map(_.toString).toVector
+    // iterate by CODE POINT, not UTF-16 code unit: the column fold
+    // (split(p, "")), the DuckDB oracle (string_split) and the native
+    // expression all split by code point, and a lone-surrogate symbol
+    // would also make UTF8String emit invalid UTF-8 (ADVICE r11)
+    var syms: Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < piece.length) {
+        val cp = piece.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
     merges.foreach { case (l, r) =>
       if (syms.length > 1) {
         val out = Vector.newBuilder[String]

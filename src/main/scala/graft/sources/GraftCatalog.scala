@@ -939,8 +939,13 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
   private def analyzedGroupedMemo(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
-    val key = (agg.groupByExpressions.map(_.describe()) ++
-      agg.aggregateExpressions.map(_.describe())).mkString(" ")
+    // length-prefixed parts + a list boundary: injective over both
+    // lists, so groupBy [a,b] + aggs [COUNT(*)] can never key like
+    // groupBy [a] + aggs [b, COUNT(*)] (ADVICE r11), and no control
+    // bytes in the literal (the file greps as text again)
+    def enc(xs: Seq[String]) = xs.map(s => s"${s.length}:$s").mkString(",")
+    val key = enc(agg.groupByExpressions.toSeq.map(_.describe())) + "#" +
+      enc(agg.aggregateExpressions.toSeq.map(_.describe()))
     groupedMemo match {
       case Some((k, r)) if k == key => r
       case _ =>

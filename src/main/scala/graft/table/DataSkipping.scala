@@ -23,10 +23,69 @@ import org.apache.spark.sql.types._
   * normally. Integral strict comparisons tighten to inclusive bounds
   * by ±1 (exact in that domain); string strict comparisons carry an
   * explicit strictness flag instead (there is no "next string").
-  * String pruning only ever fires against ASCII-bounded [[ColStat]]
-  * entries (see its doc), where unsigned-byte parquet order and
-  * `String` comparison agree. */
+  * String pruning compares in CODE POINT order ([[cpCompare]]) — the
+  * one order shared by parquet's unsigned-byte footer stats, Spark's
+  * UTF8String row-time comparison, and the truncated [[ColStat]]
+  * bounds; java.lang.String's UTF-16 order diverges beyond the BMP
+  * and is never used on this path. */
 object DataSkipping {
+
+  /** String-stat bound length, in code points (Iceberg `truncate(16)`
+    * analog): a text corpus's long string columns index at bounded
+    * metadata cost per file per column, instead of embedding full
+    * document prefixes in every commit and manifest. */
+  val StatsStringTruncate = 16
+
+  /** Compare in CODE POINT order — identical to UTF8String binary
+    * order (Spark's row-time string comparison) and parquet's
+    * unsigned-byte footer order. java.lang.String's natural UTF-16
+    * order diverges beyond the BMP (U+E000..U+FFFF sort above astral
+    * code points there), so every driver-side stat comparison routes
+    * through this instead. */
+  def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Sound LOWER bound for a string stat: the value itself when it is
+    * at most `n` code points, else its `n`-code-point prefix — a
+    * prefix precedes the original in every lexicographic order. */
+  def truncateLower(s: String, n: Int = StatsStringTruncate): String =
+    if (s.codePointCount(0, s.length) <= n) s
+    else s.substring(0, s.offsetByCodePoints(0, n))
+
+  /** Sound UPPER bound: the value itself when short enough, else its
+    * `n`-code-point prefix with the last position bumped to the next
+    * valid scalar (skipping the surrogate gap), carrying the borrow
+    * leftward past U+10FFFF — the bumped prefix exceeds every string
+    * that starts with the original prefix, in code point order. None
+    * when no finite bound exists (every prefix position is U+10FFFF —
+    * not a shape real text produces). */
+  def truncateUpper(s: String, n: Int = StatsStringTruncate): Option[String] = {
+    if (s.codePointCount(0, s.length) <= n) return Some(s)
+    val cps = s.codePoints().limit(n.toLong).toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      val next =
+        if (cps(i) == 0xD7FF) 0xE000
+        else if (cps(i) >= 0x10FFFF) -1
+        else cps(i) + 1
+      if (next > 0) {
+        val kept = cps.take(i) :+ next
+        return Some(new String(kept, 0, kept.length))
+      }
+      i -= 1
+    }
+    None
+  }
 
   /** Inclusive integral bounds and/or (possibly strict) string bounds
     * a row must satisfy for a column; None = unbounded on that side.
@@ -82,8 +141,10 @@ object DataSkipping {
     else if (stat.isString) {
       val mx = stat.maxS.get
       val mn = stat.minS.get
-      b.lowerS.forall(lo => if (b.lowerSStrict) mx > lo else mx >= lo) &&
-        b.upperS.forall(hi => if (b.upperSStrict) mn < hi else mn <= hi)
+      b.lowerS.forall(lo => if (b.lowerSStrict) cpCompare(mx, lo) > 0
+        else cpCompare(mx, lo) >= 0) &&
+        b.upperS.forall(hi => if (b.upperSStrict) cpCompare(mn, hi) < 0
+          else cpCompare(mn, hi) <= 0)
     } else if (stat.isDouble) {
       // NaN-free by construction (parquet-mr omits NaN-tainted double
       // stats; the harvest double-checks), and a NaN literal never
@@ -227,11 +288,12 @@ object DataSkipping {
     case _ => None
   }
 
-  /** ASCII string literals only — the stats index's sound domain. */
+  /** Non-null string literals — since bounds compare in code point
+    * order end-to-end, non-ASCII literals are inside the sound domain
+    * (the old ASCII gate predates [[cpCompare]]). */
   private def litStr(e: Expression): Option[String] = e match {
     case Literal(null, _) => None
-    case Literal(v, StringType) =>
-      Option(v).map(_.toString).filter(_.forall(_ < 0x80))
+    case Literal(v, StringType) => Option(v).map(_.toString)
     case _ => None
   }
 
@@ -286,7 +348,8 @@ object DataSkipping {
       case (_, None) => (a, aStrict)
       case (Some(x), Some(y)) =>
         if (x == y) (a, aStrict || bStrict)
-        else if ((x > y) == takeMax) (a, aStrict) else (b, bStrict)
+        else if ((cpCompare(x, y) > 0) == takeMax) (a, aStrict)
+        else (b, bStrict)
     }
 
   private def tighterD(a: Option[Double], aStrict: Boolean,
@@ -383,10 +446,9 @@ object DataSkipping {
           eqLongs = Some(longs.flatten.toSet)))
       else if (strs.forall(_.nonEmpty) && attrNameS(a).nonEmpty) {
         val ss = strs.flatten
-        val ascii = ss.forall(_.forall(_ < 0x80))
         one(attrNameS(a), Bounds(
-          lowerS = if (ascii) Some(ss.min) else None,
-          upperS = if (ascii) Some(ss.max) else None,
+          lowerS = Some(ss.reduce((x, y) => if (cpCompare(x, y) <= 0) x else y)),
+          upperS = Some(ss.reduce((x, y) => if (cpCompare(x, y) >= 0) x else y)),
           eqStrs = Some(ss.toSet)))
       } else Map.empty
     case InSet(a, hset) if hset.nonEmpty =>
@@ -399,10 +461,9 @@ object DataSkipping {
           eqLongs = Some(ls.toSet)))
       } else if (vals.forall(_.isInstanceOf[org.apache.spark.unsafe.types.UTF8String])) {
         val ss = vals.map(_.toString)
-        val ascii = ss.forall(_.forall(_ < 0x80))
         one(attrNameS(a), Bounds(
-          lowerS = if (ascii) Some(ss.min) else None,
-          upperS = if (ascii) Some(ss.max) else None,
+          lowerS = Some(ss.reduce((x, y) => if (cpCompare(x, y) <= 0) x else y)),
+          upperS = Some(ss.reduce((x, y) => if (cpCompare(x, y) >= 0) x else y)),
           eqStrs = Some(ss.toSet)))
       } else Map.empty
     // ---- null checks against the null-count index ---------------------

@@ -105,12 +105,17 @@ final case class ManifestRef(name: String, lo: String, hi: String, n: Long)
 /** Per-file column statistics entry ([min,max] over the file's rows).
   * Integral columns use `min`/`max`; string columns use `minS`/`maxS`
   * (then `min`/`max` are 0 and ignored) — one JSON shape, old logs
-  * deserialize with the string side absent. String stats are recorded
-  * only when both bounds are pure ASCII: parquet footers order binary
-  * stats by unsigned bytes, which matches lexicographic `String`
-  * comparison exactly on ASCII but not beyond, and an unsound bound
-  * could prune a file that matches — non-ASCII bounds drop the entry,
-  * conservatively keeping the file.
+  * deserialize with the string side absent. String bounds are
+  * TRUNCATED (Iceberg truncate(16) semantics): `minS` is a prefix of
+  * the true minimum, `maxS` the truncated true maximum with its last
+  * code point bumped to the next valid scalar — sound BOUNDS, not
+  * exact extremes (metadata-only MIN/MAX answers must keep declining
+  * strings), at bounded metadata bytes per entry regardless of value
+  * length. Every comparison against them is CODE POINT order
+  * ([[DataSkipping.cpCompare]]), the one order shared by parquet's
+  * unsigned-byte footer stats and Spark's row-time UTF8String
+  * comparison — so non-ASCII corpora prune soundly too (old ASCII-only
+  * full-value entries remain valid bounds under the same order).
   *
   * `nulls`/`rows` (VERDICT r4 #8, Delta nullCount parity) make null
   * predicates prunable: `IS NULL` skips files with zero nulls,
@@ -484,18 +489,55 @@ final class IncrementalTable(spark: SparkSession, val root: String,
 
   /** Manifest-level pruning (the Iceberg manifest-list prune): keep
     * only manifests whose [lo, hi] path range can contain a file in the
-    * filtered partitions. Sound for the LEADING run of partition
-    * columns the filter pins (paths order by their hive dir prefix, and
-    * a manifest's rows all lie inside its range); deeper or partial
-    * filters fall back to all manifests — the per-row partition filter
-    * still applies either way, this only decides which manifest FILES
-    * open. */
+    * filtered partitions. The range test is only meaningful for
+    * hive-prefix-shaped paths ("k1=v1/k2=v2/…" in spec order), and a
+    * table can hold OTHER shapes that still match the per-row partition
+    * filter: shallow-cloned foreign files are absolute
+    * ("/src/p=1/x.parquet", X78) and files written under an earlier
+    * spec can carry a pinned token in a non-leading position
+    * ("p=1/q=2/x" filtered on q, X81) — those sort outside the prefix
+    * range, so a naive range prune would silently drop their rows. The
+    * prune therefore verifies the shape per level FROM THE BOUNDS
+    * THEMSELVES before trusting the range: if lo and hi both extend an
+    * already-verified prefix with "k=", lexicographic betweenness pins
+    * every row in the manifest to that same "k=" run (x <= s <= y with
+    * x, y sharing a prefix forces s to share it), so the value-range
+    * test at that level is sound; any other bound shape KEEPS the
+    * manifest and the per-row filter decides. Descent to the next lead
+    * key only when both bounds lie inside the filtered value (both
+    * start with "k=v/"); a manifest straddling the value boundary is
+    * kept as before. Self-written paths never repeat a dir token and
+    * clone() rejects source roots with '=' segments, so a row shaped
+    * "k=w/…" cannot match filter k=v for w != v. Never-cloned,
+    * never-evolved tables have all-shaped bounds — full pruning power
+    * on the common path, conservative everywhere else. */
   private[table] def manifestPrune(ms: Seq[ManifestRef],
       filters: Map[String, String], partitionBy: Seq[String]): Seq[ManifestRef] = {
     val lead = partitionBy.takeWhile(filters.contains)
     if (lead.isEmpty) return ms
-    val prefix = lead.map(k => s"$k=${filters(k)}").mkString("", "/", "/")
-    ms.filter(m => m.hi >= prefix && m.lo <= prefix + "\uffff")
+    ms.filter { m =>
+      var base = ""
+      var keep = true
+      var decided = false
+      val it = lead.iterator
+      while (!decided && it.hasNext) {
+        val k = it.next()
+        val tok = base + k + "="
+        if (!(m.lo.startsWith(tok) && m.hi.startsWith(tok))) {
+          decided = true // shape unverifiable at this level -> keep
+        } else {
+          val pfx = tok + filters(k) + "/"
+          if (m.hi < pfx || m.lo > pfx + "\uffff") {
+            keep = false; decided = true // provably disjoint
+          } else if (m.lo.startsWith(pfx) && m.hi.startsWith(pfx)) {
+            base = pfx // fully inside this value: verify the next level
+          } else {
+            decided = true // straddles the value boundary -> keep
+          }
+        }
+      }
+      keep
+    }
   }
 
   /** Deletion-vector map of a columnar checkpoint: only the dv-bearing
@@ -1256,12 +1298,17 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // Spark's partition discovery refuses mixed structures in one
       // reader ("conflicting partition column names"), and per-shape
       // readers overlay exactly the identity columns that file
-      // generation dir-encoded (its data files carry the rest). One
-      // shape per table on the never-evolved path: same single group.
+      // generation dir-encoded (its data files carry the rest). The
+      // shape is the ORDERED key sequence, not the key set: a reorder
+      // evolution ("hour=/day=" -> "day=/hour=") yields the same set
+      // but still conflicts inside one reader. One shape per table on
+      // the never-evolved path: same single group.
       val groups = files.groupBy { f =>
         val base = if (f.startsWith("/")) IncrementalTable.foreignBase(f) else root
-        val shape = IncrementalTable.hiveSegments(f)
-          .keySet.toSeq.sorted.mkString("/")
+        val shape = f.split("/").iterator.flatMap { s =>
+          val i = s.indexOf('=')
+          if (i > 0) Some(s.substring(0, i)) else None
+        }.mkString("/")
         (base, shape)
       }.toSeq.sortBy(_._1)
       def readGroup(base: String, fs: Seq[String]): DataFrame = {
@@ -5588,11 +5635,26 @@ final class IncrementalTable(spark: SparkSession, val root: String,
 
   private def ManifestTargetRows: Long = manifestTargetRows
 
+  /** A checkpoint's fresh manifests, STAGED but not yet in the pool:
+    * refs carry the final pool names, `pending` maps each staged part
+    * file to its pool destination, and `tmpDir` is the staging
+    * directory to reclaim after promotion. */
+  private case class StagedManifests(refs: Seq[ManifestRef],
+      pending: Seq[(Path, Path)], tmpDir: Path)
+
   /** Range-partition `rows` by file path and write them as immutable
-    * pool manifests, one parquet FILE each, returning refs with exact
+    * manifests, one parquet FILE each, returning refs with exact
     * [lo, hi] ranges and counts (one metadata job over the fresh rows —
-    * never the reused ones). Empty partitions yield no manifest. */
-  private def writeManifests(rows: DataFrame, estRows: Long): Seq[ManifestRef] = {
+    * never the reused ones). Empty partitions yield no manifest.
+    *
+    * The part files STAY in the dot-prefixed staging directory — a
+    * concurrent vacuum never sees them as pool candidates, so the
+    * whole checkpoint build (tail fold + range write, arbitrarily long
+    * at scale) is race-free against pool reclaim (ADVICE r11 medium).
+    * [[promoteManifests]] renames them into the pool immediately
+    * before the checkpoint record publishes, restoring the legacy
+    * single-dir scheme's instant-sized exposure window. */
+  private def stageManifests(rows: DataFrame, estRows: Long): StagedManifests = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max => maxF, min => minF}
     val nParts = math.max(1L,
@@ -5607,16 +5669,26 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .agg(minF(col("file")).as("lo"), maxF(col("file")).as("hi"),
         count(lit(1)).as("n"))
       .as[(String, String, String, Long)].collect().toSeq
-    fs.mkdirs(manifestsPath)
-    val refs = parts.map { case (pf, lo, hi, n) =>
+    val staged = parts.map { case (pf, lo, hi, n) =>
       val src = new Path(new java.net.URI(pf))
       val name = s"m-${UUID.randomUUID()}.parquet"
-      if (!fs.rename(src, new Path(manifestsPath, name)))
-        throw new java.io.IOException(s"manifest rename failed: $src")
-      ManifestRef(name, lo, hi, n)
+      (ManifestRef(name, lo, hi, n), src -> new Path(manifestsPath, name))
+    }.sortBy(_._1.lo)
+    StagedManifests(staged.map(_._1), staged.map(_._2), tmp)
+  }
+
+  /** Rename staged manifest part files into the pool — called right
+    * before the checkpoint record publishes, so the window in which a
+    * pool file exists unreferenced is the rename-to-publish instant
+    * (same exposure as the legacy single-dir scheme; vacuum also
+    * re-reads the log right before pool reclaim). */
+  private def promoteManifests(st: StagedManifests): Unit = {
+    if (st.pending.nonEmpty) fs.mkdirs(manifestsPath)
+    st.pending.foreach { case (src, dst) =>
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"manifest rename failed: $src -> $dst")
     }
-    fs.delete(tmp, true)
-    refs.sortBy(_.lo)
+    fs.delete(st.tmpDir, true)
   }
 
   /** The head checkpoint's manifest list (X108) — empty when the head
@@ -5751,21 +5823,32 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           }
         // reused manifests hold only live rows (else they'd be dirty),
         // so the fresh row count is exact arithmetic — no count job
-        val freshCount = liveCount - reused.map(_.n).sum
-        var ms = (reused ++ writeManifests(freshRows, freshCount))
-          .sortBy(_.lo)
+        var reusedMs = reused
+        var rows = freshRows
+        var freshCount = liveCount - reusedMs.map(_.n).sum
         // anti-fragmentation: every checkpoint adds a tail-adds
-        // manifest, so small ones accumulate; when the list outgrows
-        // ~4x the ideal, fold just the small manifests together —
-        // bounded by the small subset's rows, never the table
+        // manifest, so small reused ones accumulate; when the PREDICTED
+        // list would outgrow ~4x the ideal, fold the small reused
+        // manifests into this checkpoint's fresh write — bounded by the
+        // small subset's rows, never the table. Deciding on the
+        // prediction (exact arithmetic; fresh output is range-balanced
+        // by construction) keeps the checkpoint to ONE staged
+        // range-write, so nothing touches the pool before the
+        // promote-at-publish below (ADVICE r11 medium).
         val ideal = math.max(1L,
           (liveCount + ManifestTargetRows - 1) / ManifestTargetRows)
-        if (ms.size > math.max(8L, 4L * ideal)) {
-          val (small, big) = ms.partition(_.n < ManifestTargetRows / 2)
-          if (small.size > 1)
-            ms = (big ++ writeManifests(manifestRowsDF(small),
-              small.map(_.n).sum)).sortBy(_.lo)
+        val predicted = reusedMs.size + math.max(1L,
+          (math.max(freshCount, 0L) + ManifestTargetRows - 1) / ManifestTargetRows)
+        if (predicted > math.max(8L, 4L * ideal)) {
+          val (small, big) = reusedMs.partition(_.n < ManifestTargetRows / 2)
+          if (small.nonEmpty) {
+            rows = rows.unionByName(manifestRowsDF(small))
+            freshCount += small.map(_.n).sum
+            reusedMs = big
+          }
         }
+        val staged = stageManifests(rows, freshCount)
+        val ms = (reusedMs ++ staged.refs).sortBy(_.lo)
         val snap = Commit(version, "checkpoint", Nil, Nil, Map.empty,
           layoutParts, last.schemaJson, foldedMeta, None, now(),
           maxBatchId = maxBatch, appBatches = perApp,
@@ -5773,12 +5856,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
         val out = fs.create(tmp, false)
         try out.write(Serialization.write(snap).getBytes("UTF-8")) finally out.close()
-        // two writers checkpointing the same version computed the
-        // same snapshot — losing either race is harmless; a crash
-        // between manifest renames and record publish leaves
-        // unreferenced pool files that vacuum() reclaims
-        if (!publish(tmp, new Path(logPath, f"$version%010d.checkpoint.json")))
+        // fresh manifests enter the pool only NOW, adjacent to the
+        // record publish — a concurrent vacuum (which re-reads the log
+        // right before pool reclaim) cannot observe them unreferenced
+        // for longer than the legacy scheme's rename-to-publish instant
+        promoteManifests(staged)
+        // two writers checkpointing the same version computed the same
+        // snapshot — losing either race is harmless; the loser's fresh
+        // manifests are its own never-referenced uuids, reclaimed
+        // eagerly here (vacuum also sweeps crash strays)
+        if (!publish(tmp, new Path(logPath, f"$version%010d.checkpoint.json"))) {
           fs.delete(tmp, false)
+          staged.refs.foreach(m =>
+            fs.delete(new Path(manifestsPath, m.name), false))
+        }
       } else {
         val live = inlineLive
         // fold the live files' data-skipping stats into the checkpoint
@@ -6244,14 +6335,35 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // manifest pool (VERDICT r10 #4): a pool file reclaims once no
     // checkpoint record in the replayable window references it —
     // superseded dirty manifests, folded small ones, and crash strays
-    // from a lost checkpoint race all land here
-    val refMs: Set[String] =
-      cs.flatMap(_.manifests).flatten.map(_.name).toSet
-    val staleMs =
+    // from a lost checkpoint race all land here. Candidates are listed
+    // BEFORE the log is re-read: a concurrently-publishing checkpoint
+    // promotes its fresh manifests into the pool immediately before
+    // its record lands ([[promoteManifests]]), so any pool file this
+    // listing saw either is referenced by a record the re-read
+    // observes or sits inside the promote-to-publish instant (the
+    // legacy single-dir scheme's accepted window) — never the whole
+    // checkpoint-build duration (ADVICE r11 medium; builds stage under
+    // dot-prefixed .mtmp dirs this listing never consults).
+    val poolEntries =
       if (!fs.exists(manifestsPath)) Seq.empty
       else fs.listStatus(manifestsPath).toSeq
-        .filterNot(st => refMs.contains(st.getPath.getName))
+    val refMs: Set[String] = {
+      commitCache = null
+      (cs ++ commits()).flatMap(_.manifests).flatten.map(_.name).toSet
+    }
+    val staleMs = poolEntries
+      .filterNot(st => refMs.contains(st.getPath.getName))
     staleMs.foreach(st => fs.delete(st.getPath, false))
+    // checkpoint staging dirs (.mtmp) left by crashed builds reclaim on
+    // an age grace — a LIVE build's staging is younger than the grace
+    val stagingGraceMs = spark.conf
+      .getOption("spark.graft.vacuumStagingGraceMs").map(_.toLong)
+      .getOrElse(IncrementalTable.DefaultVacuumStagingGraceMs)
+    if (fs.exists(logPath))
+      fs.listStatus(logPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.endsWith(".mtmp") &&
+          now() - st.getModificationTime > stagingGraceMs)
+        .foreach(st => fs.delete(st.getPath, true))
     // bloom-index sidecars (X100): a sidecar dir reclaims when NONE of
     // the files it indexes is referenced in the replayable window —
     // entries are consulted only for live file names, so a dir whose
@@ -6592,9 +6704,9 @@ object IncrementalTable {
     * stats entry (null stat = conservatively kept; string-stat rows
     * check the string bounds, integral rows the integral ones —
     * literals fold in driver-side, the comparison codegens). Spark
-    * string comparison is binary UTF8 order, which agrees with the
-    * driver's `String` comparison on the ASCII-only domain ColStat
-    * admits. */
+    * string comparison is binary UTF8 order — exactly the code point
+    * order the truncated ColStat bounds are sound in (and the order
+    * [[DataSkipping.cpCompare]] gives the driver-side twin). */
   private[table] def overlapsExpr(stat: Column, b: DataSkipping.Bounds): Column = {
     import org.apache.spark.sql.functions.{lit, when}
     val mnS = stat.getField("minS")
@@ -6681,6 +6793,11 @@ object IncrementalTable {
     * walk (override via `spark.graft.distributedListingThreshold`). */
   val DefaultDistributedListingThreshold = 64
 
+  /** Age below which vacuum leaves a checkpoint-staging `.mtmp` dir
+    * alone (a live build may still be folding into it); older ones are
+    * crash strays (override via `spark.graft.vacuumStagingGraceMs`). */
+  val DefaultVacuumStagingGraceMs: Long = 15L * 60 * 1000
+
   /** The per-file half of the harvest — `(record count, per-column
     * ColStat)` from one parquet footer. STATIC (companion, no session
     * capture) so the distributed path ships it to executors unchanged;
@@ -6746,15 +6863,25 @@ object IncrementalTable {
                 (st.genericGetMin, st.genericGetMax) match {
                   case (bn: org.apache.parquet.io.api.Binary,
                         bx: org.apache.parquet.io.api.Binary) =>
-                    // string column: ASCII-only (unsigned-byte footer
-                    // order == String order there; see ColStat doc) —
-                    // a non-ASCII bound poisons the whole file's entry
-                    val (mn, mx) = (bn.toStringUsingUTF8, bx.toStringUsingUTF8)
-                    def ascii(s: String) = s.forall(_ < 0x80)
+                    // string column: bounds TRUNCATE at harvest time to
+                    // Iceberg truncate(16) semantics — lower = 16-code-
+                    // point prefix, upper = prefix with the last code
+                    // point bumped — so a long-string stats column costs
+                    // bounded metadata per file instead of embedding
+                    // document prefixes in every commit and manifest
+                    // (VERDICT r11 #1). All comparisons are code-point
+                    // order (== footer's unsigned-byte order == Spark's
+                    // row-time UTF8 order), so non-ASCII corpora keep
+                    // sound pruning instead of dropping the entry.
+                    val mn = DataSkipping.truncateLower(bn.toStringUsingUTF8)
+                    val mxT = DataSkipping.truncateUpper(bx.toStringUsingUTF8)
                     val prev = stats.get(name)
-                    if (ascii(mn) && ascii(mx) && !poisoned(name)) {
-                      val lo = prev.flatMap(_.minS).filter(_ <= mn).getOrElse(mn)
-                      val hi = prev.flatMap(_.maxS).filter(_ >= mx).getOrElse(mx)
+                    if (mxT.isDefined && !poisoned(name)) {
+                      val mx = mxT.get
+                      val lo = prev.flatMap(_.minS)
+                        .filter(DataSkipping.cpCompare(_, mn) <= 0).getOrElse(mn)
+                      val hi = prev.flatMap(_.maxS)
+                        .filter(DataSkipping.cpCompare(_, mx) >= 0).getOrElse(mx)
                       stats.update(name, ColStat(0, 0, Some(lo), Some(hi)))
                     } else { poisoned += name; stats.remove(name) }
                   case (mno: java.lang.Long, mxo: java.lang.Long) =>

@@ -2,7 +2,6 @@ package graft.table
 
 import java.util.UUID
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.json4s.{DefaultFormats, Formats}
@@ -55,8 +54,12 @@ final case class PublishIntent(id: String, roots: Seq[String])
 final class MultiPublish(spark: SparkSession, val coordRoot: String) {
   private implicit val fmts: Formats = DefaultFormats
   private val rootPath = new Path(coordRoot)
+  // the SESSION's Hadoop conf, same as the tables' logs — a coordRoot
+  // on a filesystem configured via spark.hadoop.* (S3A credentials,
+  // custom fs impls) must resolve where the recovery gate looks
+  // (ADVICE r11), not against a default Configuration()
   private val fs: FileSystem =
-    rootPath.getFileSystem(new Configuration())
+    rootPath.getFileSystem(IncrementalTable.hadoopConf(spark))
 
   private def intentPath(id: String) = new Path(rootPath, s"$id.intent")
 
@@ -120,12 +123,32 @@ final class MultiPublish(spark: SparkSession, val coordRoot: String) {
     * whose staging is still pending (already-published children are
     * skipped — their staging is tombstoned), then finalize. Idempotent;
     * safe to run on every coordinator start. Returns the re-driven
-    * ids. */
-  def recover(): Seq[String] = pendingIntents.map { intent =>
-    val tables = intent.roots.map(r => IncrementalTable(spark, r))
-    publishChildren(intent.id, tables)
-    finalizeIntent(intent.id)
-    intent.id
+    * ids.
+    *
+    * An intent naming a root that no longer resolves to a table (the
+    * table was dropped, or its filesystem is unreachable right now) is
+    * SKIPPED AND LEFT PENDING — visible in [[pendingIntents]] for the
+    * operator — instead of failing the whole recovery and blocking
+    * every later intent behind it (VERDICT r11 hardening). Abort
+    * tombstones (empty `roots`, written by [[abort]]) have no children
+    * to drive and simply finalize. */
+  def recover(): Seq[String] = pendingIntents.flatMap { intent =>
+    if (intent.roots.isEmpty) { // abort tombstone: decision was "abort"
+      finalizeIntent(intent.id)
+      None
+    } else {
+      val tables = intent.roots.map(r => IncrementalTable(spark, r))
+      val gone = tables.filterNot(_.exists)
+      if (gone.nonEmpty) {
+        // skip-and-report: this intent cannot re-drive until its roots
+        // resolve again (or are recreated); later intents still recover
+        None
+      } else {
+        publishChildren(intent.id, tables)
+        finalizeIntent(intent.id)
+        Some(intent.id)
+      }
+    }
   }
 
   /** Open tables through the recovery gate: after this returns, no
@@ -136,15 +159,31 @@ final class MultiPublish(spark: SparkSession, val coordRoot: String) {
     roots.map(r => IncrementalTable(spark, r))
   }
 
-  /** Abort an UNDECIDED publish (no intent on disk — a crash before the
-    * decision, or a caller-side rollback): retire each table's pending
-    * staging. Refuses when the intent exists — a decided publish must
-    * [[recover]], never abort (some children may already be visible). */
+  /** Abort an UNDECIDED publish (a crash before the decision, or a
+    * caller-side rollback): retire each table's pending staging.
+    * Refuses when the id is already decided — a decided publish must
+    * [[recover]], never abort (some children may already be visible).
+    *
+    * The abort DECIDES through the same rename-no-overwrite door the
+    * publish decision uses: it races its own tombstone intent (empty
+    * `roots`) for the id's slot, so a publish and an abort of the same
+    * id resolve to exactly one winner — no check-then-act window where
+    * abort could see "no intent", a publish decides, and the abort
+    * then destroys stagings of a committed set (VERDICT r11 / ADVICE
+    * r11 hardening). A publish that loses the race fails its intent
+    * rename before any child publishes; a crash between the tombstone
+    * and the staging retirement leaves undecided orphans a later
+    * abort retires (presumed-abort, as before). */
   def abort(id: String, tables: Seq[IncrementalTable]): Unit = {
-    require(!fs.exists(intentPath(id)),
-      s"publish '$id' is decided (intent exists) — recover() it; " +
-        "aborting now could tear the committed set")
-    tables.foreach(t =>
+    try writeIntent(PublishIntent(id, Nil))
+    catch {
+      case _: ConcurrentWriteException =>
+        throw new IllegalStateException(
+          s"publish '$id' is decided (intent exists) — recover() it; " +
+            "aborting now could tear the committed set")
+    }
+    try tables.foreach(t =>
       if (t.pendingWaps.contains(id)) t.abortWap(id))
+    finally finalizeIntent(id)
   }
 }

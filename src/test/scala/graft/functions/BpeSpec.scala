@@ -63,6 +63,30 @@ class BpeSpec extends SparkSpec {
     assert(viaSql == Bpe.encodeDocReference(" the quick"))
   }
 
+  test("astral characters split by code point in every implementation") {
+    // non-BMP input (emoji, CJK extensions) is admitted by the
+    // ' ?[^A-Za-z0-9 ]+' pre-token class; the reference must iterate by
+    // CODE POINT like the fold's split(p, "") and the oracle's
+    // string_split — a UTF-16 code-unit walk yields lone-surrogate
+    // symbols and invalid UTF-8 from the native path (ADVICE r11)
+    val astral = Seq("😀", " a😀b", "😀😀",
+      "é🎉 mix", "𤭢𤭢ed")
+    val got = astral.toDF("text")
+      .select($"text", Bpe.tokensNative($"text").as("nat"),
+        Bpe.tokens($"text").as("fold"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    got.foreach { case (t, nat, fold) =>
+      assert(nat == fold, s"'$t': native $nat != fold $fold")
+      assert(nat == Bpe.encodeDocReference(t), s"'$t': native != ref")
+      // no lone surrogates anywhere: every token is well-formed
+      nat.foreach { tok =>
+        assert(tok.codePoints().toArray.toSeq.map(cp =>
+          new String(Character.toChars(cp))).mkString == tok,
+          s"'$t': token '$tok' is not code-point-clean")
+      }
+    }
+  }
+
   test("greedy left-to-right overlap rule matches replace() semantics") {
     // synthetic pieces that stress run-merging: repeated symbols only
     // pair left-to-right (4 of a kind -> 2 merged, never 3), and the

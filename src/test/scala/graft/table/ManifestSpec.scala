@@ -101,6 +101,69 @@ class ManifestSpec extends SparkSpec {
     assert(t.manifestPrune(ms, Map("other" -> "x"), Seq("day")) == ms)
   }
 
+  test("prune keeps non-prefix-shaped manifests (clones, evolved specs)") {
+    val t = new IncrementalTable(spark, tmpDir("mani") + "/shape",
+      checkpointEvery = 2, parquetThreshold = 0, manifestTargetRows = 4)
+    def m(name: String, lo: String, hi: String) = ManifestRef(name, lo, hi, 2)
+    // X78: shallow-cloned foreign files carry ABSOLUTE paths — they
+    // sort below every "day=…" path but still match the row filter
+    val abs = m("abs", "/src/day=a/p1.parquet", "/src/day=a/p2.parquet")
+    // X81: a file written under an earlier spec can carry the pinned
+    // token in a NON-LEADING position
+    val reorder = m("re", "hour=1/day=a/x.parquet", "hour=9/day=a/y.parquet")
+    // a manifest MIXING shaped and foreign rows has a foreign bound
+    val mixed = m("mix", "/src/day=a/z.parquet", "day=b/f.parquet")
+    val shapedIn = m("in", "day=a/f1.parquet", "day=a/f9.parquet")
+    val shapedOut = m("out", "day=b/f1.parquet", "day=c/f9.parquet")
+    val all = Seq(abs, reorder, mixed, shapedIn, shapedOut)
+    val kept = t.manifestPrune(all, Map("day" -> "a"), Seq("day"))
+    assert(kept.map(_.name).toSet == Set("abs", "re", "mix", "in"),
+      s"non-prefix shapes must be KEPT, shaped-disjoint pruned: $kept")
+    // multi-key descent: inside day=a the hour range prunes too — but
+    // only for manifests whose bounds verify the hour shape
+    val h1 = m("h1", "day=a/hour=1/x.parquet", "day=a/hour=3/y.parquet")
+    val h2 = m("h2", "day=a/hour=7/x.parquet", "day=a/hour=9/y.parquet")
+    val straddle = m("st", "day=a/hour=1/x.parquet", "day=b/hour=1/y.parquet")
+    val odd = m("odd", "day=a/extra/hour=5/x.parquet", "day=a/hour=2/y.parquet")
+    val kept2 = t.manifestPrune(Seq(h1, h2, straddle, odd, abs),
+      Map("day" -> "a", "hour" -> "8"), Seq("day", "hour"))
+    assert(kept2.map(_.name).toSet == Set("h2", "st", "odd", "abs"),
+      s"hour descent must prune h1 only: $kept2")
+  }
+
+  test("evolved-spec metadata reads through manifests keep old-layout files") {
+    // end-to-end X81: files written before evolvePartitioning carry the
+    // pinned token in a NON-LEADING position ("hour=…/day=…"); a
+    // token-filtered metadata read through a manifest-tier checkpoint
+    // must still surface them (the naive range prune dropped their
+    // manifests — ADVICE r11 high)
+    val t = new IncrementalTable(spark, tmpDir("mani") + "/evo",
+      checkpointEvery = 2, parquetThreshold = 0, manifestTargetRows = 2)
+    val rows = (0 until 8).map(i => (i.toLong, s"w$i", s"d${i % 2}", s"h${i % 4}"))
+      .toDF("id", "w", "day", "hour")
+    t.append(rows, Seq("hour", "day"))    // old spec: hour leads
+    t.evolvePartitioning(Seq("day", "hour")) // new spec: day leads
+    t.append(rows.withColumn("id", $"id" + 100), Seq("day", "hour"))
+    t.commitMeta(Map("t" -> "1")); t.commitMeta(Map("t" -> "2"))
+    assert(t.commits().head.manifests.exists(_.nonEmpty),
+      "test needs a manifest-tier checkpoint")
+    // BOTH generations encode day= (so the uniform-spec gate passes);
+    // the old generation's paths lead with hour= and would sort outside
+    // the "day=d1/" range — they must survive the manifest prune
+    val files = t.liveFiles(Map("day" -> "d1"))
+    val shapes = files.map(f =>
+      IncrementalTable.hiveSegments(f).keySet).toSet
+    assert(shapes == Set(Set("day", "hour")), s"shapes: $shapes")
+    val oldGen = files.count(_.startsWith("hour="))
+    val newGen = files.count(_.startsWith("day="))
+    assert(oldGen > 0 && newGen > 0 && oldGen + newGen == files.size,
+      s"old-layout files dropped by the manifest prune: $files")
+    // and the predicate read door stays exact over the mixed window
+    assert(t.readWhere($"day" === "d1").select($"id").as[Long]
+      .collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L, 7L, 101L, 103L, 105L, 107L))
+  }
+
   test("legacy single-directory checkpoints stay readable and migrate") {
     implicit val fmts: Formats = DefaultFormats
     val root = new Path(tmpDir("mani") + "/legacy")

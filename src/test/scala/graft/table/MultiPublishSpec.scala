@@ -52,7 +52,9 @@ class MultiPublishSpec extends SparkSpec {
     assert(a.read().count() == 3 && b.read().count() == 2,
       "mid-crash: a published, b not — the window recovery closes")
     // a decided publish refuses abort — it must complete, not unwind
-    intercept[IllegalArgumentException](mp.abort("p1", Seq(a, b)))
+    // (the refusal comes from LOSING the intent-slot race, not from a
+    // racy exists-check)
+    intercept[IllegalStateException](mp.abort("p1", Seq(a, b)))
     // a NEW coordinator (the restarted process) sees and re-drives it
     val mp2 = new MultiPublish(spark, s"$base/_publish")
     assert(mp2.pendingIntents.map(_.id) == Seq("p1"))
@@ -81,6 +83,73 @@ class MultiPublishSpec extends SparkSpec {
     b.stageAppend(Seq((4L, "ruof")).toDF("id", "v"), "p1")
     mp.publish("p1", Seq(a, b))
     assert(a.read().count() == 3 && b.read().count() == 3)
+  }
+
+  test("two coordinators racing one id: exactly one decision wins the slot") {
+    val base = tmpDir("mpub")
+    val (a, b) = seedPair(base)
+    a.stageAppend(Seq((3L, "three")).toDF("id", "v"), "p1")
+    b.stageAppend(Seq((3L, "eerht")).toDF("id", "v"), "p1")
+    val mpA = new MultiPublish(spark, s"$base/_publish")
+    val mpB = new MultiPublish(spark, s"$base/_publish")
+    // A decides first; B's decision loses the rename-no-overwrite race
+    mpA.writeIntent(PublishIntent("p1", Seq(a.root, b.root)))
+    intercept[ConcurrentWriteException](
+      mpB.writeIntent(PublishIntent("p1", Seq(a.root, b.root))))
+    // ... and B's ABORT of the same id loses the same race — it can
+    // never retire the stagings of A's decided publish
+    intercept[IllegalStateException](mpB.abort("p1", Seq(a, b)))
+    assert(a.pendingWaps.contains("p1") && b.pendingWaps.contains("p1"),
+      "losing abort must not touch the stagings")
+    // A's decided intent re-drives normally on either coordinator
+    assert(mpB.recover() == Seq("p1"))
+    a.refresh(); b.refresh()
+    assert(a.read().count() == 3 && b.read().count() == 3)
+  }
+
+  test("abort crash after the tombstone: recovery finalizes, stagings retire later") {
+    val base = tmpDir("mpub")
+    val (a, b) = seedPair(base)
+    val mp = new MultiPublish(spark, s"$base/_publish")
+    a.stageAppend(Seq((3L, "three")).toDF("id", "v"), "p1")
+    b.stageAppend(Seq((3L, "eerht")).toDF("id", "v"), "p1")
+    // an abort that crashed between its tombstone and the retirement
+    mp.writeIntent(PublishIntent("p1", Nil))
+    // the slot is taken: a publish of the id refuses up front
+    intercept[IllegalArgumentException](mp.publish("p1", Seq(a, b)))
+    // recovery finalizes the tombstone WITHOUT publishing anything
+    assert(mp.recover().isEmpty)
+    assert(mp.pendingIntents.isEmpty)
+    assert(a.read().count() == 2 && b.read().count() == 2)
+    // the orphan stagings retire on the next abort (presumed-abort)
+    mp.abort("p1", Seq(a, b))
+    assert(a.pendingWaps.isEmpty && b.pendingWaps.isEmpty)
+  }
+
+  test("recover skips an intent whose root is gone; later intents still re-drive") {
+    val base = tmpDir("mpub")
+    val (a, b) = seedPair(base)
+    val mp = new MultiPublish(spark, s"$base/_publish")
+    // p0: decided against a root that no longer resolves to a table
+    mp.writeIntent(PublishIntent("p0", Seq(s"$base/ghost")))
+    // p1: a normal decided publish behind it
+    a.stageAppend(Seq((3L, "three")).toDF("id", "v"), "p1")
+    b.stageAppend(Seq((3L, "eerht")).toDF("id", "v"), "p1")
+    mp.writeIntent(PublishIntent("p1", Seq(a.root, b.root)))
+    // p0 must not block p1 (VERDICT r11: no hard-fail of the whole list)
+    assert(mp.recover() == Seq("p1"))
+    a.refresh(); b.refresh()
+    assert(a.read().count() == 3 && b.read().count() == 3)
+    // the unresolvable intent stays visible for the operator
+    assert(mp.pendingIntents.map(_.id) == Seq("p0"))
+    // once the root exists again, recovery completes it
+    val ghost = IncrementalTable(spark, s"$base/ghost")
+    ghost.append(Seq((1L, "g")).toDF("id", "v"), Nil)
+    ghost.stageAppend(Seq((2L, "h")).toDF("id", "v"), "p0")
+    assert(mp.recover() == Seq("p0"))
+    assert(mp.pendingIntents.isEmpty)
+    ghost.refresh()
+    assert(ghost.read().count() == 2)
   }
 
   test("recovery survives a double crash (re-drive of a partial re-drive)") {
