@@ -2014,6 +2014,35 @@ object QueriesPipeline {
     // DVs, equality deletes, filters, or stat-less files decline to a
     // real scan. The oracle is the plain relational aggregate — the
     // index is an optimization, never semantics.
+    // ---- i18n + long-string data skipping (VERDICT r11 #1) -------------
+    // The multilingual-corpus shape the truncated string-stat index
+    // exists for: a sort key that is non-ASCII AND far longer than the
+    // 16-code-point truncation bound. Bounds harvest as truncated
+    // prefixes (lower) / bumped prefixes (upper), compare in code point
+    // order end-to-end, and the pruned range read must stay exactly the
+    // relational filter — a file wrongly pruned by an unsound bound (or
+    // by the old entry-dropping non-ASCII rule reading zero stats)
+    // breaks the hash loudly. The discriminating zero-padded id sits
+    // inside the truncation window, so pruning stays selective.
+    "q165_string_prune_i18n" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q165_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/docs/v1")
+      t.append(Tables.documents(s, dir)
+        .select($"doc_id",
+          concat(lit("도큐"), lpad($"doc_id".cast("string"), 8, "0"),
+            substring($"text", 1, 80)).as("skey"),
+          $"lang")
+        .repartition(8), partitionBy = Nil)
+      t.compact(targetFiles = 8, clusterBy = Seq("skey"),
+        statsColumns = Seq("skey"))
+      // the pruned read (string range over the non-ASCII key)
+      t.readWhere($"skey" >= "도큐00000100" &&
+          $"skey" < "도큐00000400")
+        .select($"doc_id", $"skey", $"lang")
+        .orderBy($"doc_id")
+    }),
+
     "q160_partition_stats" -> ((s, dir) => {
       import s.implicits._
       graft.sources.GraftCatalogHarness.install(s)
@@ -2746,6 +2775,17 @@ object QueriesPipeline {
       """SELECT c_custkey AS ck, md5(c_name) AS digest,
         |  CAST(length(c_name) AS BIGINT) AS len
         |FROM customer ORDER BY ck""".stripMargin,
+    "q165_string_prune_i18n" ->
+      """SELECT doc_id,
+        |  concat('도큐', lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+        |         substr(text, 1, 80)) AS skey,
+        |  lang
+        |FROM documents
+        |WHERE concat('도큐', lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+        |             substr(text, 1, 80)) >= '도큐00000100'
+        |  AND concat('도큐', lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+        |             substr(text, 1, 80)) < '도큐00000400'
+        |ORDER BY doc_id""".stripMargin,
     "q160_partition_stats" ->
       """SELECT l_linenumber, COUNT(*) AS n_rows,
         |  MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key

@@ -1419,7 +1419,7 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
   import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
   import org.apache.spark.unsafe.types.UTF8String
 
   override def name(): String = pname
@@ -1427,7 +1427,14 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     case "compact" => "rewrite a table slice into target_files files, " +
       "optionally z-ordered or clustered; stats index preserved via " +
       "the graft.statsColumns table property"
-    case "vacuum" => "reclaim files no live or time-travelable commit references"
+    case "vacuum" => "reclaim files no live or time-travelable commit " +
+      "references; older_than_hours > 0 leaves younger candidates in " +
+      "place (Delta-style retention grace for in-flight readers)"
+    case "expire_snapshots" => "age out archived history: delete delta " +
+      "records older than older_than_hours (never past a tag, a live " +
+      "branch base, the CDC retention window, or the replay horizon); " +
+      "the floor checkpoint is kept and seeds archived replays — " +
+      "expired-only data files reclaim on the next vacuum"
     case "restore" => "roll the table back to a prior version as a new commit"
     case "tag" => "pin a snapshot name to a commit version (default: head) " +
       "for VERSION AS OF '<name>' reads"
@@ -1491,7 +1498,12 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         // X89: size output by BYTES (overrides target_files) — the
         // scale dial: ceil(slice bytes / target_bytes) output files
         in("target_bytes", LongType).defaultValue("0").build())
-      case "vacuum" => Array(in("table", StringType).build())
+      case "vacuum" => Array(
+        in("table", StringType).build(),
+        in("older_than_hours", DoubleType).defaultValue("0.0").build())
+      case "expire_snapshots" => Array(
+        in("table", StringType).build(),
+        in("older_than_hours", DoubleType).build())
       case "restore" => Array(
         in("table", StringType).build(),
         // one of: an explicit version, or an ISO timestamp resolved
@@ -1574,9 +1586,14 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
           commit.map(c => InternalRow(c.version, c.add.size, c.remove.size))
             .getOrElse(InternalRow(null, 0, 0)))
       case "vacuum" =>
-        val reclaimed = t.vacuum()
+        val reclaimed = t.vacuum(input.getDouble(1))
         (new StructType().add("files_reclaimed", IntegerType),
           InternalRow(reclaimed.size))
+      case "expire_snapshots" =>
+        val (floor, n) = t.expireSnapshots(input.getDouble(1))
+        (new StructType().add("expired_below_version", LongType)
+           .add("records_deleted", LongType),
+          InternalRow(floor, n))
       case "restore" =>
         val v0 = input.getLong(1)
         val tsStr = input.getUTF8String(2).toString.trim
@@ -1737,7 +1754,8 @@ private[sources] object GraftProcedure {
     Set("compact", "vacuum", "restore", "tag", "untag", "clone",
       "evolve_partitioning", "analyze", "bloom_index", "wap_publish",
       "wap_abort", "branch", "fast_forward", "drop_branch",
-      "delete_by_key", "apply_eq_deletes", "rewrite_manifests")
+      "delete_by_key", "apply_eq_deletes", "rewrite_manifests",
+      "expire_snapshots")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

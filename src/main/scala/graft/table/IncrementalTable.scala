@@ -358,8 +358,37 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * reading them). O(toV) driver JSON parse: an audit-path cost, used
     * only by CDC-retention reads and retention vacuum, never by the
     * hot read/write path. */
-  private def archivedDeltas(toV: Long): Seq[Commit] =
-    deltasBetween(-1L, toV)
+  /** Archived replay: every delta record up to `toV` — SEEDED by the
+    * retention floor's kept checkpoint record once [[expireSnapshots]]
+    * has run (records strictly below the floor are deleted; the floor
+    * checkpoint is a state snapshot every archived walk folds from
+    * instead of version 0, so expiry never changes a still-reachable
+    * answer). */
+  private def archivedDeltas(toV: Long): Seq[Commit] = expiredBelow match {
+    case Some(e) if e > 0 =>
+      val seed = checkpointRecordAt(e).getOrElse(throw new IllegalStateException(
+        s"history below version $e of $root was expired but the seed " +
+          "checkpoint record is missing"))
+      seed +: deltasBetween(e, toV)
+    case _ => deltasBetween(-1L, toV)
+  }
+
+  /** The retention floor [[expireSnapshots]] recorded, if any: archived
+    * records strictly below it are gone; the checkpoint record AT it is
+    * kept as the archived-replay seed. */
+  private def expiredBelow: Option[Long] =
+    tableProperties.get(IncrementalTable.ExpiredBelowProp).map(_.toLong)
+
+  private def checkpointRecordAt(v: Long): Option[Commit] = {
+    val p = new Path(logPath, f"$v%010d.checkpoint.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(Serialization.read[Commit](
+        new java.io.InputStreamReader(in, "UTF-8")))
+      finally in.close()
+    }
+  }
 
   /** Raw delta records with `fromExclusive < version <= toV`, read
     * straight off the log directory — sees history that checkpoint
@@ -550,6 +579,14 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .select("file", "dvGens").as[(String, Seq[String])].collect().toMap
   }
 
+  /** Live file paths of a columnar checkpoint, materialized on the
+    * driver — audit-path only (the expire_snapshots floor seed for
+    * vacuum's tag-protection walk); hot reads stay distributed. */
+  private def ckptLiveFiles(c: Commit): Seq[String] = {
+    import spark.implicits._
+    ckptRowsDF(c).select("file").as[String].collect().toSeq
+  }
+
   /** Live rows (file, size, stats, dvGens) of a columnar snapshot:
     * the checkpoint parquet minus the tail's removes, dv-merged, plus
     * the tail's adds. The tail fold is O(checkpointInterval) driver
@@ -638,14 +675,29 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     case Some(v) =>
       val cs = commits()
       if (cs.headOption.exists(_.version > v)) {
+        // Aged-out history (VERDICT r11 #2): expire_snapshots deleted
+        // the records below its floor — name the retention explicitly,
+        // because "missing file" errors hide the operator dial
+        expiredBelow.filter(v < _).foreach { e =>
+          throw new IllegalArgumentException(
+            s"version $v predates the retention horizon: history below " +
+              s"version $e was expired by expire_snapshots(" +
+              "older_than_hours=" +
+              s"${tableProperties.getOrElse(IncrementalTable.ExpiredHoursProp, "?")})" +
+              " — aged-out snapshots are unreadable by design; pin a " +
+              "snapshot with setTag / CALL graft.system.tag BEFORE " +
+              "expiry to retain it")
+        }
         // Beyond the replay horizon, TAGGED versions stay readable
         // (X101, the Iceberg expire-snapshots-honors-refs semantic):
         // vacuum provably retains a tagged snapshot's files and DV
-        // generations, and raw delta records are never deleted, so the
-        // replay runs straight off the archived log — an O(v) driver
-        // JSON parse, the same audit-path cost as the CDC-retention
-        // walk. Untagged versions keep failing loudly: their files may
-        // be vacuumed and a silent partial read would be worse.
+        // generations, and raw delta records survive until
+        // expire_snapshots ages them out, so the replay runs straight
+        // off the archived log (seeded at the retention floor) — an
+        // O(v) driver JSON parse, the same audit-path cost as the
+        // CDC-retention walk. Untagged versions keep failing loudly:
+        // their files may be vacuumed and a silent partial read would
+        // be worse.
         require(tags.values.exists(_ == v) ||
             branches.values.exists(_.base == v),
           s"version $v predates the replay horizon (history before " +
@@ -653,7 +705,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
             "is compacted; only TAGGED versions — and live branches' " +
             "base snapshots — stay readable past it; setTag / CALL " +
             "graft.system.tag pins one)")
-        val raw = deltasBetween(-1L, v)
+        val raw = archivedDeltas(v)
         require(raw.lastOption.exists(_.version == v),
           s"no archived commit at version $v of $root")
         raw
@@ -6142,7 +6194,77 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     written
   }
 
-  def vacuum(): Seq[String] = {
+  /** Age-based snapshot expiry (VERDICT r11 #2 — the Iceberg
+    * `expire_snapshots` / Delta retention surface): delete archived
+    * delta records older than `olderThanHours`, truncating how far
+    * back time travel and audit walks reach. The expiry floor E is the
+    * NEWEST checkpoint record that is (a) older than the cutoff, (b) at
+    * or below every tag and live-branch base (refs pin history,
+    * Iceberg-style — tag first, expire later), (c) at or below the CDC
+    * retention window's start, and (d) at or below the replay horizon.
+    * E's checkpoint record is KEPT and becomes the archived-replay seed
+    * ([[archivedDeltas]]): beyond-horizon tag reads, CDC walks and
+    * vacuum's protection walks fold state from that snapshot instead
+    * of version 0, so expiry never changes a still-reachable answer —
+    * only versions below E become unreadable (the horizon error names
+    * this retention). Data files referenced ONLY by expired history
+    * become unreferenced and reclaim on the next [[vacuum]]. The floor
+    * props commit BEFORE any record is deleted, so a crash mid-expiry
+    * still reports the retention. Returns (floor, records deleted);
+    * (-1, 0) when nothing is old enough to expire. */
+  def expireSnapshots(olderThanHours: Double): (Long, Long) = {
+    require(olderThanHours >= 0, "older_than_hours must be >= 0")
+    val cs = commits()
+    require(cs.nonEmpty, s"expire_snapshots target $root does not exist")
+    val cutoffTs = now() - (olderThanHours * 3600 * 1000).toLong
+    val pinFloor = (tags.values ++ branches.values.map(_.base))
+      .minOption.getOrElse(Long.MaxValue)
+    val cdcFloor =
+      if (cdcRetention > 0) math.max(0L, latestVersion - cdcRetention)
+      else Long.MaxValue
+    val replayFloor = cs.head.version
+    val ckptVs = fs.listStatus(logPath).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.json"))
+      .map(_.takeWhile(_.isDigit).toLong).sorted
+    val floor = ckptVs
+      .filter(v => v <= pinFloor && v <= cdcFloor && v <= replayFloor)
+      .filter(v => checkpointRecordAt(v).exists(_.ts < cutoffTs))
+      .lastOption
+    val cur = expiredBelow.getOrElse(-1L)
+    floor.filter(_ > cur) match {
+      case None => (-1L, 0L)
+      case Some(e) =>
+        commitMeta(Map(
+          "prop/" + IncrementalTable.ExpiredBelowProp -> e.toString,
+          "prop/" + IncrementalTable.ExpiredHoursProp -> olderThanHours.toString))
+        // delta records <= E fold into E's kept checkpoint; older
+        // checkpoint records are superseded by it
+        val doomed = fs.listStatus(logPath).map(_.getPath.getName)
+          .filter(_.endsWith(".json")).filter { n =>
+            val v = n.takeWhile(_.isDigit).toLong
+            if (n.endsWith(".checkpoint.json")) v < e else v <= e
+          }
+        doomed.foreach(n => fs.delete(new Path(logPath, n), false))
+        commitCache = null
+        (e, doomed.length.toLong)
+    }
+  }
+
+  /** Reclaim unreferenced storage. `olderThanHours > 0` adds a
+    * Delta-style retention grace: a reclaim candidate younger than the
+    * cutoff (by filesystem modification time) is LEFT IN PLACE — the
+    * in-flight-reader allowance (a long query planned against a
+    * recently superseded snapshot still finds its files) and the
+    * operator dial ops teams think in (`deletedFileRetentionDuration`).
+    * The default 0 keeps the strict reference-based reclaim: anything
+    * provably unreferenced by the replayable window, CDC retention,
+    * pending WAPs/branches and tagged snapshots goes immediately. */
+  def vacuum(olderThanHours: Double = 0.0): Seq[String] = {
+    val vacGraceMs = (olderThanHours * 3600 * 1000).toLong
+    def agedPath(p: Path): Boolean = vacGraceMs <= 0 || {
+      try now() - fs.getFileStatus(p).getModificationTime > vacGraceMs
+      catch { case _: java.io.FileNotFoundException => false }
+    }
     // retire equality deletes (X104) nothing can apply to anymore —
     // every file that predated them was since rewritten or removed, so
     // the entry is inert at head. One metadata tombstone; the sidecar
@@ -6167,6 +6289,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         var dvState = Map.empty[String, Seq[String]]
         var eqInForce = Set.empty[String]
         archivedDeltas(latestVersion).foreach { c =>
+          // retention-floor seed (expire_snapshots): a columnar
+          // checkpoint head is a STATE SNAPSHOT — its dv map lives in
+          // parquet rows, not inline; eqdel state folds naturally from
+          // its foldedMeta below
+          if (c.action == "checkpoint" && c.columnarCkpt)
+            dvState = ckptDvMap(c)
           if (c.version >= cutoff) {
             files ++= c.add; files ++= c.remove; files ++= c.dv.keys
             gens ++= c.dv.values.flatten
@@ -6212,6 +6340,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         var dvState = Map.empty[String, Seq[String]]
         var eqInForce = Set.empty[String]
         archivedDeltas(tagVersions.max).foreach { c =>
+          // retention-floor seed (expire_snapshots): fold the pinned
+          // snapshots from the floor checkpoint's live rows + dv map
+          // instead of version 0 (an inline checkpoint seeds naturally
+          // — its add IS the live set and its dv map is inline)
+          if (c.action == "checkpoint" && c.columnarCkpt) {
+            live.clear()
+            live ++= ckptLiveFiles(c)
+            dvState = ckptDvMap(c)
+          }
           c.remove.foreach { f => live -= f; dvState -= f }
           live ++= c.add
           c.dv.foreach { case (f, g) =>
@@ -6306,8 +6443,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         allDF.join(refDF, Seq("file"), "left_anti")
           .as[String].collect().toSeq
     }
-    orphans.foreach(rel => fs.delete(new Path(rootPath, rel), false))
-    fs.delete(stagingPath, true)
+    val agedOrphans = orphans.filter(rel => agedPath(new Path(rootPath, rel)))
+    agedOrphans.foreach(rel => fs.delete(new Path(rootPath, rel), false))
+    if (vacGraceMs <= 0) fs.delete(stagingPath, true)
     // deletion-vector sidecar generations: reclaim dirs no commit in
     // the replayable window references (crash strays from a dv writer,
     // and generations whose last reference was truncated by a
@@ -6321,16 +6459,23 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       if (!fs.exists(dvRoot)) Seq.empty
       else fs.listStatus(dvRoot).toSeq
         .filterNot(st => refGens.contains(st.getPath.getName))
+        .filter(st => agedPath(st.getPath))
     staleGens.foreach(st => fs.delete(st.getPath, true))
     // superseded columnar checkpoint directories: only the one the
     // current window's record names stays referenced; older dirs (and
     // crash strays from a lost checkpoint race) reclaim here
-    val refCkpts = cs.flatMap(_.filesParquet).toSet
+    // the expiry-floor seed checkpoint (expire_snapshots) must stay
+    // mechanically readable — archived replays and the protection walks
+    // above open its manifest/parquet rows — so its storage joins the
+    // referenced sets even though it predates the replay window
+    val seedCkpt = expiredBelow.flatMap(checkpointRecordAt)
+    val refCkpts = (cs.flatMap(_.filesParquet) ++
+      seedCkpt.flatMap(_.filesParquet)).toSet
     val staleCkpts =
       if (!fs.exists(logPath)) Seq.empty
       else fs.listStatus(logPath).toSeq.filter(st =>
         st.getPath.getName.endsWith(".checkpoint.parquet") &&
-          !refCkpts.contains(st.getPath.getName))
+          !refCkpts.contains(st.getPath.getName) && agedPath(st.getPath))
     staleCkpts.foreach(st => fs.delete(st.getPath, true))
     // manifest pool (VERDICT r10 #4): a pool file reclaims once no
     // checkpoint record in the replayable window references it —
@@ -6349,10 +6494,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       else fs.listStatus(manifestsPath).toSeq
     val refMs: Set[String] = {
       commitCache = null
-      (cs ++ commits()).flatMap(_.manifests).flatten.map(_.name).toSet
+      (cs ++ commits()).flatMap(_.manifests).flatten.map(_.name).toSet ++
+        seedCkpt.flatMap(_.manifests).toSeq.flatten.map(_.name)
     }
     val staleMs = poolEntries
       .filterNot(st => refMs.contains(st.getPath.getName))
+      .filter(st => vacGraceMs <= 0 ||
+        now() - st.getModificationTime > vacGraceMs)
     staleMs.foreach(st => fs.delete(st.getPath, false))
     // checkpoint staging dirs (.mtmp) left by crashed builds reclaim on
     // an age grace — a LIVE build's staging is younger than the grace
@@ -6402,7 +6550,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         }
       }
     }
-    staleBloom.foreach(d => fs.delete(new Path(bloomIdxPath, d), true))
+    val agedBloom = staleBloom.filter(d => agedPath(new Path(bloomIdxPath, d)))
+    agedBloom.foreach(d => fs.delete(new Path(bloomIdxPath, d), true))
     // equality-delete sidecars (X104): a gen dir reclaims only when
     // nothing can consult it again — no commit in the replayable
     // window carries it IN FORCE (as-of reads inside the window fold
@@ -6419,11 +6568,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       if (!fs.exists(eqRoot)) Seq.empty
       else fs.listStatus(eqRoot).toSeq
         .filterNot(st => refEq.contains(st.getPath.getName))
+        .filter(st => agedPath(st.getPath))
     staleEq.foreach(st => fs.delete(st.getPath, true))
-    orphans ++ staleGens.map(st => s"$dvPrefix/${st.getPath.getName}") ++
+    agedOrphans ++ staleGens.map(st => s"$dvPrefix/${st.getPath.getName}") ++
       staleCkpts.map(st => s"_graft_log/${st.getPath.getName}") ++
       staleMs.map(st => s"_graft_log/manifests/${st.getPath.getName}") ++
-      staleBloom.map(d => s"_graft_log/bloomidx/$d") ++
+      agedBloom.map(d => s"_graft_log/bloomidx/$d") ++
       staleEq.map(st => s"${IncrementalTable.EqDelDir}/${st.getPath.getName}")
   }
 }
@@ -7009,6 +7159,13 @@ object IncrementalTable {
   /** Table property (set by [[IncrementalTable.evolvePartitioning]])
     * flagging that the partition spec has evolved at least once. */
   private[graft] val SpecEvolvedProp = "graft.spec.evolved"
+
+  /** Table properties [[IncrementalTable.expireSnapshots]] records: the
+    * retention floor version (archived records strictly below it are
+    * deleted; its checkpoint record seeds archived replays) and the
+    * `older_than_hours` that set it (for the horizon error message). */
+  private[graft] val ExpiredBelowProp = "graft.retention.expiredBelow"
+  private[graft] val ExpiredHoursProp = "graft.retention.olderThanHours"
 
   /** Column test: does the `file` rel-path carry a `<name>=` dir token?
     * The distributed twin of `hiveSegments(f).contains(name)` for the

@@ -570,17 +570,21 @@ class IncrementalTableSpec extends SparkSpec {
     assert(t.readWhere($"k" >= "y").select($"k").as[String].collect().toSet == expect)
     assert(t.readWhere($"k" === "mm").count() == 1)
 
-    // non-ASCII data poisons the file's entry (kept conservatively),
-    // other files still prune; results stay exact
+    // non-ASCII data gets a SOUND truncated entry (code point order —
+    // StringStatsSpec pins the semantics); results stay exact
     t.append(Seq(("żż", 9999L), ("aa", 10000L)).toDF("k", "v").repartition(1),
       Nil, statsColumns = Seq("k"))
     assert(t.liveFiles().size == 5)
     val survivors = t.liveFilesWhere($"k" === "zz")
-    assert(survivors.size == 2, s"poisoned file kept + one pruned slice, got ${survivors.size}")
+    assert(survivors.size == 2,
+      s"mixed [aa,żż] file kept + one matching slice, got ${survivors.size}")
     assert(t.readWhere($"k" === "zz").count() == 1)
     assert(t.readWhere($"k" === "żż").select($"v").as[Long].collect().toSeq == Seq(9999L))
-    // non-ASCII literals extract no bound — full file set, exact result
-    assert(t.liveFilesWhere($"k" >= "ż").size == 5)
+    // non-ASCII literals now extract a bound (cpCompare order): every
+    // ASCII slice prunes, only the mixed file survives — exact result
+    assert(t.liveFilesWhere($"k" >= "ż").size == 1)
+    assert(t.readWhere($"k" >= "ż").select($"v").as[Long].collect().toSeq
+      == Seq(9999L))
   }
 
   test("data skipping on DATE and TIMESTAMP columns (time-series range prune)") {
