@@ -2014,6 +2014,45 @@ object QueriesPipeline {
     // DVs, equality deletes, filters, or stat-less files decline to a
     // real scan. The oracle is the plain relational aggregate — the
     // index is an optimization, never semantics.
+    // ---- SQL-owned materialized view over the IVM machinery ------------
+    // (VERDICT r11 #3) A SQL user creates, loads and refreshes an
+    // incrementally maintained daily aggregate WITHOUT touching the
+    // library: CALL create_view registers the definition on the view
+    // table's own meta channel, INSERTs append through the catalog, and
+    // each CALL refresh drains pending commits as O(delta) exactly-once
+    // merges (AggregateStream underneath). The oracle recomputes the
+    // same aggregate directly over all rows — a double-applied delta, a
+    // lost group, or a stale refresh all break the hash.
+    "q164_sql_matview" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.mv_src")
+      s.sql("DROP TABLE IF EXISTS graft.lake.mv_daily")
+      s.sql("""CREATE TABLE graft.lake.mv_src
+              |  (day STRING, event_type STRING, k BIGINT, value DOUBLE)""".stripMargin)
+      Tables.events(s, dir).select(
+        date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        $"value", $"event_id").createOrReplaceTempView("q164_src")
+      s.sql("""CALL graft.system.create_view('lake.mv_daily',
+              |  source => 'lake.mv_src', group_keys => 'day,event_type',
+              |  aggs => 'count:n;sum:sum_k:k;min:min_value:value;max:max_value:value')""".stripMargin)
+      s.sql("""INSERT INTO graft.lake.mv_src
+              |SELECT day, event_type, k, value FROM q164_src
+              |WHERE event_id % 3 = 0""".stripMargin)
+      s.sql("CALL graft.system.refresh('lake.mv_daily')")
+      s.sql("""INSERT INTO graft.lake.mv_src
+              |SELECT day, event_type, k, value FROM q164_src
+              |WHERE event_id % 3 = 1""".stripMargin)
+      s.sql("""INSERT INTO graft.lake.mv_src
+              |SELECT day, event_type, k, value FROM q164_src
+              |WHERE event_id % 3 = 2""".stripMargin)
+      s.sql("CALL graft.system.refresh('lake.mv_daily')")
+      s.sql("""SELECT day, event_type, n, sum_k, min_value, max_value
+              |FROM graft.lake.mv_daily ORDER BY day, event_type""".stripMargin)
+    }),
+
     // ---- i18n + long-string data skipping (VERDICT r11 #1) -------------
     // The multilingual-corpus shape the truncated string-stat index
     // exists for: a sort key that is non-ASCII AND far longer than the
@@ -2775,6 +2814,13 @@ object QueriesPipeline {
       """SELECT c_custkey AS ck, md5(c_name) AS digest,
         |  CAST(length(c_name) AS BIGINT) AS len
         |FROM customer ORDER BY ck""".stripMargin,
+    "q164_sql_matview" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q165_string_prune_i18n" ->
       """SELECT doc_id,
         |  concat('도큐', lpad(CAST(doc_id AS VARCHAR), 8, '0'),

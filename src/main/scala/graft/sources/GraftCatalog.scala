@@ -1430,6 +1430,15 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     case "vacuum" => "reclaim files no live or time-travelable commit " +
       "references; older_than_hours > 0 leaves younger candidates in " +
       "place (Delta-style retention grace for in-flight readers)"
+    case "create_view" => "register an incrementally-maintained " +
+      "materialized view: CALL graft.system.create_view('ns.mv', " +
+      "source => 'ns.src', group_keys => 'a,b', aggs => " +
+      "'count:n;sum:s:CAST(x AS BIGINT)' [, where => ..., " +
+      "partition_by => ...]); refresh drains upstream commits in " +
+      "O(delta) merges"
+    case "refresh" => "drain pending upstream commits into a " +
+      "materialized view (create_view registers one); exactly-once, " +
+      "O(delta), retraction/scoped-recompute on rewrites"
     case "expire_snapshots" => "age out archived history: delete delta " +
       "records older than older_than_hours (never past a tag, a live " +
       "branch base, the CDC retention window, or the replay horizon); " +
@@ -1549,8 +1558,16 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         // any SQL whose result supplies the key tuples (same column
         // names) — the compact `where_expr` pattern
         in("query", StringType).build())
-      case "apply_eq_deletes" | "rewrite_manifests" => Array(
+      case "apply_eq_deletes" | "rewrite_manifests" | "refresh" => Array(
         in("table", StringType).build())
+      case "create_view" => Array(
+        in("table", StringType).build(), // the view's name (created here)
+        in("source", StringType).build(),
+        in("group_keys", StringType).build(),
+        // ';'-separated kind:name[:expr]; kind in count|sum|min|max
+        in("aggs", StringType).build(),
+        in("where", StringType).defaultValue("''").build(),
+        in("partition_by", StringType).defaultValue("''").build())
     }
   }
 
@@ -1558,7 +1575,9 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     s.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
 
   override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
-    val t = cat.tableByName(input.getUTF8String(0).toString)
+    // lazy: create_view's first argument names a table that does not
+    // exist until the procedure itself registers it
+    lazy val t = cat.tableByName(input.getUTF8String(0).toString)
     val (schema, row) = pname match {
       case "compact" =>
         val scope = cols(input.getUTF8String(4).toString).map { kv =>
@@ -1589,6 +1608,27 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         val reclaimed = t.vacuum(input.getDouble(1))
         (new StructType().add("files_reclaimed", IntegerType),
           InternalRow(reclaimed.size))
+      case "create_view" =>
+        val viewRel = input.getUTF8String(0).toString
+        val view = graft.table.IncrementalTable(
+          org.apache.spark.sql.SparkSession.active, cat.pathForName(viewRel))
+        val srcRel = input.getUTF8String(1).toString
+        val srcPath = cat.tableByName(srcRel).root // must already exist
+        graft.streaming.MaterializedView.create(view, srcPath,
+          cols(input.getUTF8String(2).toString),
+          input.getUTF8String(3).toString,
+          where = input.getUTF8String(4).toString.trim,
+          partitionBy = cols(input.getUTF8String(5).toString))
+        (new StructType().add("view", StringType).add("source", StringType),
+          InternalRow(UTF8String.fromString(viewRel),
+            UTF8String.fromString(srcRel)))
+      case "refresh" =>
+        val applied = graft.streaming.MaterializedView.refresh(
+          org.apache.spark.sql.SparkSession.active, t)
+        t.refresh()
+        (new StructType().add("commits_applied", IntegerType)
+           .add("view_version", LongType),
+          InternalRow(applied, t.latestVersion))
       case "expire_snapshots" =>
         val (floor, n) = t.expireSnapshots(input.getDouble(1))
         (new StructType().add("expired_below_version", LongType)
@@ -1755,7 +1795,7 @@ private[sources] object GraftProcedure {
       "evolve_partitioning", "analyze", "bloom_index", "wap_publish",
       "wap_abort", "branch", "fast_forward", "drop_branch",
       "delete_by_key", "apply_eq_deletes", "rewrite_manifests",
-      "expire_snapshots")
+      "expire_snapshots", "create_view", "refresh")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

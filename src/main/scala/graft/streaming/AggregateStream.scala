@@ -224,6 +224,15 @@ final class AggregateStream(
       .otherwise(col(k)).as(k)
   }
 
+  /** "The view holds state" — data commits exist, not just metadata.
+    * A materialized view registered by CALL create_view (its mv/…
+    * definition is a META commit) exists as a table but has no schema
+    * or rows yet, so merge/retraction joins against down.read() would
+    * fail on a zero-column frame; the first data commit must seed it
+    * like a brand-new table. */
+  private def viewInitialized: Boolean =
+    down.exists && down.commits().exists(_.schemaJson.nonEmpty)
+
   private def aggOf(raw: DataFrame): DataFrame =
     prepare(raw).groupBy(guardedKeys: _*)
       .agg(aggs.head.delta.as(aggs.head.name),
@@ -268,7 +277,7 @@ final class AggregateStream(
         //    ONLY the touched groups from upstream and swap them in.
         // Both paths commit one atomic deleteInsert under the same
         // (appId, batchId = upstream version) replay guard.
-        case "dv" if down.exists =>
+        case "dv" if viewInitialized =>
           val deleted = up.changes(c.version, c.version)
             .filter(col("_change_type") === "delete")
             .drop("_change_type", "_commit_version")
@@ -308,7 +317,7 @@ final class AggregateStream(
               partitionBy, meta = cursor,
               batchId = Some(c.version), appId = Some(appId))
           }
-        case "append" if down.exists =>
+        case "append" if viewInitialized =>
           val delta = aggOf(up.readCommit(c.version))
           // current state of ONLY the delta's keys (semi join — the
           // view's other keys never enter the plan; AQE broadcasts the
@@ -354,7 +363,7 @@ final class AggregateStream(
           // re-read pruned through the stats index — unless the
           // rewrite spans most of the table, where the full recompute
           // is the cheaper plan
-          else if (c.action == "replace" && down.exists && c.remove.nonEmpty &&
+          else if (c.action == "replace" && viewInitialized && c.remove.nonEmpty &&
               2L * c.remove.size < up.liveFileCount(Some(c.version)))
             rewriteScopedRebuild(c, cursor)
           else
