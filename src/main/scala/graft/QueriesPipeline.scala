@@ -251,10 +251,11 @@ object QueriesPipeline {
     // ---- STRING data skipping under the oracle ------------------------
     // Customers clustered by name: each file covers a narrow
     // lexicographic slice, and the string [min,max] index prunes files
-    // for a name-range read before Spark enumerates them (sound only
-    // on ASCII bounds — non-ASCII stats drop, conservatively keeping
-    // the file). The oracle is the plain relational filter: skipping
-    // is an optimization, never semantics.
+    // for a name-range read before Spark enumerates them (bounds are
+    // truncate(16) prefixes compared in code point order — non-ASCII
+    // corpora prune soundly too; q165 is the i18n twin). The oracle is
+    // the plain relational filter: skipping is an optimization, never
+    // semantics.
     "q99_string_skipping" -> ((s, dir) => {
       import s.implicits._
       val tmp = graft.QueryTmp.dir("graft_q99_")
