@@ -2015,6 +2015,47 @@ object QueriesPipeline {
     // DVs, equality deletes, filters, or stat-less files decline to a
     // real scan. The oracle is the plain relational aggregate — the
     // index is an optimization, never semantics.
+    // ---- SQL-owned incrementally-maintained JOIN view ------------------
+    // (X31/JoinStream through the SQL door) Orders enrich with customer
+    // attributes as a MAINTAINED join: CALL create_join_view registers
+    // the definition, both sides land in interleaved catalog INSERTs,
+    // and each CALL refresh applies delta-join algebra with per-side
+    // cursors (dL x R@cursor + L@cursor x dR — every pair enters
+    // exactly once, even when its two halves arrive in different
+    // refresh windows). The oracle is the plain relational join over
+    // all rows — a double-entered pair, a lost late counterpart, or a
+    // replayed delta all break the hash.
+    "q166_sql_join_view" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      Seq("jv_ord", "jv_cust", "jv_enriched").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS graft.lake.$t"))
+      s.sql("CREATE TABLE graft.lake.jv_ord (ok BIGINT, ck BIGINT, total DOUBLE)")
+      s.sql("CREATE TABLE graft.lake.jv_cust (ck BIGINT, name STRING, seg STRING)")
+      Tables.orders(s, dir).select($"o_orderkey".as("ok"),
+        $"o_custkey".as("ck"), $"o_totalprice".as("total"))
+        .createOrReplaceTempView("q166_ord")
+      Tables.customer(s, dir).select($"c_custkey".as("ck"),
+        $"c_name".as("name"), $"c_mktsegment".as("seg"))
+        .createOrReplaceTempView("q166_cust")
+      s.sql("""CALL graft.system.create_join_view('lake.jv_enriched',
+              |  left => 'lake.jv_ord', right => 'lake.jv_cust',
+              |  join_keys => 'ck', join_type => 'inner')""".stripMargin)
+      // half the orders + half the customers, then refresh: pairs whose
+      // customer half is still missing must NOT enter yet
+      s.sql("INSERT INTO graft.lake.jv_ord SELECT * FROM q166_ord WHERE ok % 2 = 0")
+      s.sql("INSERT INTO graft.lake.jv_cust SELECT * FROM q166_cust WHERE ck % 2 = 0")
+      s.sql("CALL graft.system.refresh('lake.jv_enriched')")
+      // the late halves arrive; refresh must pair them with BOTH the
+      // new and the previously-seen counterparts, exactly once
+      s.sql("INSERT INTO graft.lake.jv_ord SELECT * FROM q166_ord WHERE ok % 2 = 1")
+      s.sql("INSERT INTO graft.lake.jv_cust SELECT * FROM q166_cust WHERE ck % 2 = 1")
+      s.sql("CALL graft.system.refresh('lake.jv_enriched')")
+      s.sql("""SELECT ck, ok, total, name, seg
+              |FROM graft.lake.jv_enriched ORDER BY ok""".stripMargin)
+    }),
+
     // ---- SQL-owned materialized view over the IVM machinery ------------
     // (VERDICT r11 #3) A SQL user creates, loads and refreshes an
     // incrementally maintained daily aggregate WITHOUT touching the
@@ -2815,6 +2856,11 @@ object QueriesPipeline {
       """SELECT c_custkey AS ck, md5(c_name) AS digest,
         |  CAST(length(c_name) AS BIGINT) AS len
         |FROM customer ORDER BY ck""".stripMargin,
+    "q166_sql_join_view" ->
+      """SELECT o_custkey AS ck, o_orderkey AS ok, o_totalprice AS total,
+        |  c_name AS name, c_mktsegment AS seg
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY ok""".stripMargin,
     "q164_sql_matview" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  COUNT(*) AS n,

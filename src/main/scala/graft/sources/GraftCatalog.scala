@@ -1437,8 +1437,15 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       "partition_by => ...]); refresh drains upstream commits in " +
       "O(delta) merges"
     case "refresh" => "drain pending upstream commits into a " +
-      "materialized view (create_view registers one); exactly-once, " +
-      "O(delta), retraction/scoped-recompute on rewrites"
+      "materialized view (create_view / create_join_view registers " +
+      "one); exactly-once, O(delta), retraction/scoped-recompute on " +
+      "rewrites"
+    case "create_join_view" => "register an incrementally-maintained " +
+      "JOIN view: CALL graft.system.create_join_view('ns.mv', " +
+      "left => 'ns.l', right => 'ns.r', join_keys => 'k', " +
+      "join_type => 'inner|left_outer|full_outer' [, left_where, " +
+      "right_where, partition_by]); refresh applies delta-join " +
+      "algebra with per-side cursors"
     case "expire_snapshots" => "age out archived history: delete delta " +
       "records older than older_than_hours (never past a tag, a live " +
       "branch base, the CDC retention window, or the replay horizon); " +
@@ -1564,9 +1571,19 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         in("table", StringType).build(), // the view's name (created here)
         in("source", StringType).build(),
         in("group_keys", StringType).build(),
-        // ';'-separated kind:name[:expr]; kind in count|sum|min|max
+        // ';'-separated kind:name[:expr]; kind in
+        // count|sum|min|max|avg[@scale]|hll|topk[@maxItems]
         in("aggs", StringType).build(),
         in("where", StringType).defaultValue("''").build(),
+        in("partition_by", StringType).defaultValue("''").build())
+      case "create_join_view" => Array(
+        in("table", StringType).build(), // the view's name (created here)
+        in("left", StringType).build(),
+        in("right", StringType).build(),
+        in("join_keys", StringType).build(),
+        in("join_type", StringType).defaultValue("'inner'").build(),
+        in("left_where", StringType).defaultValue("''").build(),
+        in("right_where", StringType).defaultValue("''").build(),
         in("partition_by", StringType).defaultValue("''").build())
     }
   }
@@ -1622,6 +1639,23 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         (new StructType().add("view", StringType).add("source", StringType),
           InternalRow(UTF8String.fromString(viewRel),
             UTF8String.fromString(srcRel)))
+      case "create_join_view" =>
+        val viewRel = input.getUTF8String(0).toString
+        val view = graft.table.IncrementalTable(
+          org.apache.spark.sql.SparkSession.active, cat.pathForName(viewRel))
+        val leftRel = input.getUTF8String(1).toString
+        val rightRel = input.getUTF8String(2).toString
+        graft.streaming.MaterializedView.createJoin(view,
+          cat.tableByName(leftRel).root, cat.tableByName(rightRel).root,
+          cols(input.getUTF8String(3).toString),
+          joinType = input.getUTF8String(4).toString.trim,
+          leftWhere = input.getUTF8String(5).toString.trim,
+          rightWhere = input.getUTF8String(6).toString.trim,
+          partitionBy = cols(input.getUTF8String(7).toString))
+        (new StructType().add("view", StringType)
+           .add("left", StringType).add("right", StringType),
+          InternalRow(UTF8String.fromString(viewRel),
+            UTF8String.fromString(leftRel), UTF8String.fromString(rightRel)))
       case "refresh" =>
         val applied = graft.streaming.MaterializedView.refresh(
           org.apache.spark.sql.SparkSession.active, t)
@@ -1795,7 +1829,7 @@ private[sources] object GraftProcedure {
       "evolve_partitioning", "analyze", "bloom_index", "wap_publish",
       "wap_abort", "branch", "fast_forward", "drop_branch",
       "delete_by_key", "apply_eq_deletes", "rewrite_manifests",
-      "expire_snapshots", "create_view", "refresh")
+      "expire_snapshots", "create_view", "create_join_view", "refresh")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

@@ -23,19 +23,35 @@ import graft.table.IncrementalTable
   * recomputing the table.
   *
   * Aggregate spec grammar (`aggs`): semicolon-separated
-  * `kind:name[:expr]`
-  * where `kind` ∈ count | sum | min | max, `name` is the view column,
-  * and `expr` is any SQL expression over the source row (required for
-  * all kinds but count). sum/min/max over exact carriers (longs,
-  * decimals, strings, dates) merge deterministically; double sums are
-  * accepted but carry the usual fp-association caveat — cast to
-  * DECIMAL in the expr for bit-stable results. */
+  * `kind:name[:expr]` where `name` is the view column and `expr` is
+  * any SQL expression over the source row (required for all kinds but
+  * count). Kinds:
+  *  - `count` — row count (retractable);
+  *  - `sum` / `min` / `max` — plain mergeable monoids; exact carriers
+  *    (longs, decimals, strings, dates) merge deterministically,
+  *    double sums carry the usual fp-association caveat (cast to
+  *    DECIMAL in the expr for bit-stable results);
+  *  - `avg[@scale]` — the DERIVED monoid: the view column is a
+  *    `struct(n, s)` state with an exact decimal sum at `scale`
+  *    (default 4); read the value in SQL as
+  *    `CAST(col.s AS DOUBLE) / col.n` (null-guard on n = 0), i.e.
+  *    [[IncAgg.avgValue]];
+  *  - `hll` — approximate COUNT DISTINCT as a maintained datasketches
+  *    HLL binary (X18 sketch views through the SQL door); read with
+  *    `hll_sketch_estimate(col)`;
+  *  - `topk[@maxItems]` — approximate frequent items (default 1024
+  *    tracked); read with `approx_top_k_estimate(col, k)`. */
 object MaterializedView {
   private[graft] val SourceKey = "mv/source"
   private[graft] val KeysKey = "mv/group_keys"
   private[graft] val AggsKey = "mv/aggs"
   private[graft] val WhereKey = "mv/where"
   private[graft] val PartKey = "mv/partition_by"
+  private[graft] val LeftKey = "mv/left"
+  private[graft] val RightKey = "mv/right"
+  private[graft] val JoinTypeKey = "mv/join_type"
+  private[graft] val WhereLeftKey = "mv/left_where"
+  private[graft] val WhereRightKey = "mv/right_where"
 
   /** Register `view` as a maintained aggregate over the table at
     * `sourcePath`. Pure metadata — one meta commit on the view table;
@@ -44,7 +60,8 @@ object MaterializedView {
       groupKeys: Seq[String], aggSpec: String, where: String = "",
       partitionBy: Seq[String] = Nil): Unit = {
     require(groupKeys.nonEmpty, "create_view needs group_keys")
-    require(view.latestMeta(SourceKey).isEmpty,
+    require(view.latestMeta(SourceKey).isEmpty &&
+        view.latestMeta(LeftKey).isEmpty,
       s"${view.root} is already a materialized view — drop it first")
     require(partitionBy.forall(groupKeys.contains),
       "partition_by must be a subset of group_keys")
@@ -63,9 +80,11 @@ object MaterializedView {
     * rides the view's meta channel, the merge fencing rides the
     * stream's appId. */
   def refresh(spark: SparkSession, view: IncrementalTable): Int = {
+    view.latestMeta(LeftKey).foreach(l => return refreshJoin(spark, view, l))
     val src = view.latestMeta(SourceKey).getOrElse(throw new IllegalArgumentException(
-      s"${view.root} is not a materialized view (no ${SourceKey} registered " +
-        "— CALL graft.system.create_view first)"))
+      s"${view.root} is not a materialized view (no ${SourceKey} or " +
+        s"${LeftKey} registered — CALL graft.system.create_view / " +
+        "create_join_view first)"))
     val keys = split(view.latestMeta(KeysKey).getOrElse(""))
     val aggs = parseAggs(view.latestMeta(AggsKey).getOrElse(""))
     val where = view.latestMeta(WhereKey).getOrElse("")
@@ -80,6 +99,55 @@ object MaterializedView {
       name = "mv",
       replayScope = if (parts.nonEmpty) parts else Seq("year", "month", "day"))
     stream.drain()
+  }
+
+  /** Register `view` as an incrementally maintained JOIN of the tables
+    * at `leftPath` and `rightPath` (X31/JoinStream through the SQL
+    * door): delta-join algebra with per-side cursors, every pair enters
+    * exactly once; left_outer / full_outer retract their placeholders
+    * atomically. Same meta-channel registry as [[create]] — [[refresh]]
+    * dispatches on which definition keys are present. */
+  def createJoin(view: IncrementalTable, leftPath: String,
+      rightPath: String, joinKeys: Seq[String], joinType: String = "inner",
+      leftWhere: String = "", rightWhere: String = "",
+      partitionBy: Seq[String] = Nil): Unit = {
+    require(joinKeys.nonEmpty, "create_join_view needs join_keys")
+    require(Set("inner", "left_outer", "full_outer")(joinType),
+      s"unsupported join_type '$joinType' (inner | left_outer | full_outer)")
+    require(view.latestMeta(SourceKey).isEmpty &&
+        view.latestMeta(LeftKey).isEmpty,
+      s"${view.root} is already a materialized view — drop it first")
+    view.commitMeta(Map(
+      LeftKey -> leftPath,
+      RightKey -> rightPath,
+      KeysKey -> joinKeys.mkString(","),
+      JoinTypeKey -> joinType,
+      WhereLeftKey -> leftWhere,
+      WhereRightKey -> rightWhere,
+      PartKey -> partitionBy.mkString(",")))
+  }
+
+  private def refreshJoin(spark: SparkSession, view: IncrementalTable,
+      left: String): Int = {
+    val right = view.latestMeta(RightKey).getOrElse(throw new IllegalStateException(
+      s"${view.root}: join view lacks ${RightKey}"))
+    val keys = split(view.latestMeta(KeysKey).getOrElse(""))
+    val jt = view.latestMeta(JoinTypeKey).getOrElse("inner")
+    val lw = view.latestMeta(WhereLeftKey).getOrElse("")
+    val rw = view.latestMeta(WhereRightKey).getOrElse("")
+    val parts = split(view.latestMeta(PartKey).getOrElse(""))
+    def prep(w: String): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => if (w.isEmpty) df else df.filter(expr(w))
+    new JoinStream(
+      upLeft = IncrementalTable(spark, left),
+      upRight = IncrementalTable(spark, right),
+      down = view,
+      joinKeys = keys,
+      prepareLeft = prep(lw),
+      prepareRight = prep(rw),
+      partitionBy = parts,
+      name = "mv",
+      joinType = jt).drain()
   }
 
   private def split(s: String): Seq[String] =
@@ -99,14 +167,23 @@ object MaterializedView {
           s"agg '$a' needs an expression (kind:name:expr)")
         expr(parts(2).trim)
       }
-      kind match {
+      // `kind@arg` carries the one numeric dial some kinds take
+      val (base, arg) = kind.split("@", 2) match {
+        case Array(k, v) => (k, Some(v.toInt))
+        case _ => (kind, None)
+      }
+      base match {
         case "count" => IncAgg.countAll(name)
         case "sum" => IncAgg.sumOf(exprOf, name)
         case "min" => IncAgg.minOf(exprOf, name)
         case "max" => IncAgg.maxOf(exprOf, name)
+        case "avg" => IncAgg.avgOf(exprOf, name, scale = arg.getOrElse(4))
+        case "hll" => IncAgg.approxDistinct(exprOf, name)
+        case "topk" =>
+          IncAgg.approxTopK(exprOf, name, maxItemsTracked = arg.getOrElse(1024))
         case other => throw new IllegalArgumentException(
-          s"unknown aggregate kind '$other' in '$a' — " +
-            "supported: count, sum, min, max")
+          s"unknown aggregate kind '$other' in '$a' — supported: " +
+            "count, sum, min, max, avg[@scale], hll, topk[@maxItems]")
       }
     }
 }

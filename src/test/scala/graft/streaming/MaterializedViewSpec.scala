@@ -68,6 +68,72 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got(view) == expect(up))
   }
 
+  test("sketch and derived-monoid kinds: hll estimates, avg struct state") {
+    val base = tmpDir("mv")
+    val up = IncrementalTable(spark, s"$base/src")
+    val view = IncrementalTable(spark, s"$base/view")
+    (0 until 3).foreach(i => up.append(batch(i * 20 until (i + 1) * 20), Nil))
+    MaterializedView.create(view, up.root, Seq("typ"),
+      "hll:uniq_k:k;avg@4:avg_k:k;count:n")
+    assert(MaterializedView.refresh(spark, view) == 3)
+    view.refresh()
+    val got = view.read().select($"typ",
+      expr("CAST(hll_sketch_estimate(uniq_k) AS BIGINT)").as("uniq"),
+      expr("CAST(avg_k.s AS DOUBLE) / avg_k.n").as("avg_k"), $"n")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val want = up.read().groupBy($"typ")
+      .agg(countDistinct($"k").as("uniq"), avg($"k").as("avg_k"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(0 + 1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (t, (uniq, avgK, n)) =>
+      // HLL is exact at these cardinalities (sparse mode)
+      assert(got(t)._1 == uniq, s"$t hll: ${got(t)._1} != $uniq")
+      assert(math.abs(got(t)._2 - avgK) < 1e-9, s"$t avg")
+      assert(got(t)._3 == n, s"$t count")
+    }
+  }
+
+  test("join views: per-side cursors pair late halves exactly once") {
+    val base = tmpDir("mv")
+    val l = IncrementalTable(spark, s"$base/orders")
+    val r = IncrementalTable(spark, s"$base/cust")
+    val view = IncrementalTable(spark, s"$base/joined")
+    def ords(ids: Range) = ids.map(i => (i.toLong, (i % 10).toLong, i * 1.5))
+      .toDF("ok", "ck", "total")
+    def custs(ids: Range) = ids.map(i => (i.toLong, s"c$i")).toDF("ck", "cname")
+    MaterializedView.createJoin(view, l.root, r.root, Seq("ck"),
+      joinType = "inner")
+    // halves interleave across refreshes: pairs whose counterpart is
+    // missing must not enter, and must enter EXACTLY ONCE when it lands
+    l.append(ords(0 until 40).filter($"ok" % 2 === 0), Nil)
+    r.append(custs(0 until 10).filter($"ck" % 2 === 0), Nil)
+    assert(MaterializedView.refresh(spark, view) == 2) // one per side
+    view.refresh()
+    val mid = view.read().count()
+    assert(mid > 0 && mid < 40, s"partial pairing expected: $mid")
+    l.append(ords(0 until 40).filter($"ok" % 2 === 1), Nil)
+    r.append(custs(0 until 10).filter($"ck" % 2 === 1), Nil)
+    MaterializedView.refresh(spark, view)
+    view.refresh()
+    val got = view.read().select($"ok", $"ck", $"total", $"cname")
+      .collect().map(_.toSeq).toSet
+    val want = ords(0 until 40).join(custs(0 until 10), Seq("ck"))
+      .select($"ok", $"ck", $"total", $"cname")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    // double-registration across the two flavors refuses
+    intercept[IllegalArgumentException](
+      MaterializedView.create(view, l.root, Seq("ck"), "count:n"))
+    intercept[IllegalArgumentException](
+      MaterializedView.createJoin(view, l.root, r.root, Seq("ck")))
+    intercept[IllegalArgumentException](
+      MaterializedView.createJoin(IncrementalTable(spark, s"$base/v9"),
+        l.root, r.root, Seq("ck"), joinType = "cross"))
+  }
+
   test("where filter and partitioned views; bad specs fail loudly") {
     val base = tmpDir("mv")
     val up = IncrementalTable(spark, s"$base/src")
