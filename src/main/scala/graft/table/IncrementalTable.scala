@@ -555,8 +555,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         if (!(m.lo.startsWith(tok) && m.hi.startsWith(tok))) {
           decided = true // shape unverifiable at this level -> keep
         } else {
+          // code point order — the order Spark's binary sort gave the
+          // manifest bounds; java.lang.String order diverges for
+          // astral partition values (see DataSkipping.cpCompare)
           val pfx = tok + filters(k) + "/"
-          if (m.hi < pfx || m.lo > pfx + "\uffff") {
+          if (DataSkipping.cpCompare(m.hi, pfx) < 0 ||
+              DataSkipping.cpCompare(m.lo, pfx + "\uffff") > 0) {
             keep = false; decided = true // provably disjoint
           } else if (m.lo.startsWith(pfx) && m.hi.startsWith(pfx)) {
             base = pfx // fully inside this value: verify the next level
@@ -5854,7 +5858,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
               val (dirtyRefs, clean) =
                 if (fullRewrite || fullRewriteNext) (ck.manifests.get, Nil)
                 else ck.manifests.get.partition(m =>
-                  dirty.exists(f => m.lo <= f && f <= m.hi))
+                  dirty.exists(f => DataSkipping.cpCompare(m.lo, f) <= 0 &&
+                    DataSkipping.cpCompare(f, m.hi) <= 0))
               (clean, foldTail(manifestRowsDF(dirtyRefs), tf,
                 sizedAdds = true))
             case Some(_) =>
