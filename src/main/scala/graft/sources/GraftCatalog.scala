@@ -1419,7 +1419,7 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
   import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+  import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType}
   import org.apache.spark.unsafe.types.UTF8String
 
   override def name(): String = pname
@@ -1429,7 +1429,8 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       "the graft.statsColumns table property"
     case "vacuum" => "reclaim files no live or time-travelable commit " +
       "references; older_than_hours > 0 leaves younger candidates in " +
-      "place (Delta-style retention grace for in-flight readers)"
+      "place (Delta-style retention grace for in-flight readers); " +
+      "dry_run => true lists the reclaim set without deleting"
     case "create_view" => "register an incrementally-maintained " +
       "materialized view: CALL graft.system.create_view('ns.mv', " +
       "source => 'ns.src', group_keys => 'a,b', aggs => " +
@@ -1516,7 +1517,8 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         in("target_bytes", LongType).defaultValue("0").build())
       case "vacuum" => Array(
         in("table", StringType).build(),
-        in("older_than_hours", DoubleType).defaultValue("0.0").build())
+        in("older_than_hours", DoubleType).defaultValue("0.0").build(),
+        in("dry_run", BooleanType).defaultValue("false").build())
       case "expire_snapshots" => Array(
         in("table", StringType).build(),
         in("older_than_hours", DoubleType).build())
@@ -1622,7 +1624,7 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
           commit.map(c => InternalRow(c.version, c.add.size, c.remove.size))
             .getOrElse(InternalRow(null, 0, 0)))
       case "vacuum" =>
-        val reclaimed = t.vacuum(input.getDouble(1))
+        val reclaimed = t.vacuum(input.getDouble(1), dryRun = input.getBoolean(2))
         (new StructType().add("files_reclaimed", IntegerType),
           InternalRow(reclaimed.size))
       case "create_view" =>

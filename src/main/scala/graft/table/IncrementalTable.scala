@@ -6263,20 +6263,28 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * operator dial ops teams think in (`deletedFileRetentionDuration`).
     * The default 0 keeps the strict reference-based reclaim: anything
     * provably unreferenced by the replayable window, CDC retention,
-    * pending WAPs/branches and tagged snapshots goes immediately. */
-  def vacuum(olderThanHours: Double = 0.0): Seq[String] = {
+    * pending WAPs/branches and tagged snapshots goes immediately.
+    * `dryRun = true` (the Delta `VACUUM ... DRY RUN` surface) computes
+    * and returns the reclaim list WITHOUT deleting anything or
+    * committing maintenance tombstones — the audit-before-delete step
+    * for an operator pointing a new retention dial at a 100 TB
+    * table. */
+  def vacuum(olderThanHours: Double = 0.0,
+      dryRun: Boolean = false): Seq[String] = {
     val vacGraceMs = (olderThanHours * 3600 * 1000).toLong
     def agedPath(p: Path): Boolean = vacGraceMs <= 0 || {
       try now() - fs.getFileStatus(p).getModificationTime > vacGraceMs
       catch { case _: java.io.FileNotFoundException => false }
     }
+    def reclaim(p: Path, recursive: Boolean): Unit =
+      if (!dryRun) fs.delete(p, recursive)
     // retire equality deletes (X104) nothing can apply to anymore —
     // every file that predated them was since rewritten or removed, so
     // the entry is inert at head. One metadata tombstone; the sidecar
     // dir reclaims in a LATER vacuum, once the entry has also left the
     // replayable window, the CDC retention walk, and every tagged /
     // branch-base snapshot (until then, as-of reads still consult it).
-    retireInertEqDeletes()
+    if (!dryRun) retireInertEqDeletes()
     val cs = commits()
     // CDC retention: a changes() window inside the last `cdcRetention`
     // commits may replay ARCHIVED deltas — keep every data file its
@@ -6449,8 +6457,8 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           .as[String].collect().toSeq
     }
     val agedOrphans = orphans.filter(rel => agedPath(new Path(rootPath, rel)))
-    agedOrphans.foreach(rel => fs.delete(new Path(rootPath, rel), false))
-    if (vacGraceMs <= 0) fs.delete(stagingPath, true)
+    agedOrphans.foreach(rel => reclaim(new Path(rootPath, rel), false))
+    if (vacGraceMs <= 0 && !dryRun) fs.delete(stagingPath, true)
     // deletion-vector sidecar generations: reclaim dirs no commit in
     // the replayable window references (crash strays from a dv writer,
     // and generations whose last reference was truncated by a
@@ -6465,7 +6473,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       else fs.listStatus(dvRoot).toSeq
         .filterNot(st => refGens.contains(st.getPath.getName))
         .filter(st => agedPath(st.getPath))
-    staleGens.foreach(st => fs.delete(st.getPath, true))
+    staleGens.foreach(st => reclaim(st.getPath, true))
     // superseded columnar checkpoint directories: only the one the
     // current window's record names stays referenced; older dirs (and
     // crash strays from a lost checkpoint race) reclaim here
@@ -6481,7 +6489,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       else fs.listStatus(logPath).toSeq.filter(st =>
         st.getPath.getName.endsWith(".checkpoint.parquet") &&
           !refCkpts.contains(st.getPath.getName) && agedPath(st.getPath))
-    staleCkpts.foreach(st => fs.delete(st.getPath, true))
+    staleCkpts.foreach(st => reclaim(st.getPath, true))
     // manifest pool (VERDICT r10 #4): a pool file reclaims once no
     // checkpoint record in the replayable window references it —
     // superseded dirty manifests, folded small ones, and crash strays
@@ -6506,13 +6514,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       .filterNot(st => refMs.contains(st.getPath.getName))
       .filter(st => vacGraceMs <= 0 ||
         now() - st.getModificationTime > vacGraceMs)
-    staleMs.foreach(st => fs.delete(st.getPath, false))
+    staleMs.foreach(st => reclaim(st.getPath, false))
     // checkpoint staging dirs (.mtmp) left by crashed builds reclaim on
     // an age grace — a LIVE build's staging is younger than the grace
     val stagingGraceMs = spark.conf
       .getOption("spark.graft.vacuumStagingGraceMs").map(_.toLong)
       .getOrElse(IncrementalTable.DefaultVacuumStagingGraceMs)
-    if (fs.exists(logPath))
+    if (fs.exists(logPath) && !dryRun)
       fs.listStatus(logPath).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.endsWith(".mtmp") &&
           now() - st.getModificationTime > stagingGraceMs)
@@ -6556,7 +6564,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       }
     }
     val agedBloom = staleBloom.filter(d => agedPath(new Path(bloomIdxPath, d)))
-    agedBloom.foreach(d => fs.delete(new Path(bloomIdxPath, d), true))
+    agedBloom.foreach(d => reclaim(new Path(bloomIdxPath, d), true))
     // equality-delete sidecars (X104): a gen dir reclaims only when
     // nothing can consult it again — no commit in the replayable
     // window carries it IN FORCE (as-of reads inside the window fold
@@ -6574,7 +6582,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       else fs.listStatus(eqRoot).toSeq
         .filterNot(st => refEq.contains(st.getPath.getName))
         .filter(st => agedPath(st.getPath))
-    staleEq.foreach(st => fs.delete(st.getPath, true))
+    staleEq.foreach(st => reclaim(st.getPath, true))
     agedOrphans ++ staleGens.map(st => s"$dvPrefix/${st.getPath.getName}") ++
       staleCkpts.map(st => s"_graft_log/${st.getPath.getName}") ++
       staleMs.map(st => s"_graft_log/manifests/${st.getPath.getName}") ++

@@ -134,6 +134,36 @@ class MaterializedViewSpec extends SparkSpec {
         l.root, r.root, Seq("ck"), joinType = "cross"))
   }
 
+  test("views CHAIN: an aggregate view over a join view converges") {
+    // composability: the join view's own commit log is a changefeed any
+    // downstream consumer can maintain from — register an aggregate
+    // view whose SOURCE is the join view and refresh bottom-up
+    val base = tmpDir("mv")
+    val l = IncrementalTable(spark, s"$base/orders")
+    val r = IncrementalTable(spark, s"$base/cust")
+    val joined = IncrementalTable(spark, s"$base/joined")
+    val rollup = IncrementalTable(spark, s"$base/rollup")
+    def ords(ids: Range) = ids.map(i => (i.toLong, (i % 5).toLong, (i % 7).toLong))
+      .toDF("ok", "ck", "qty")
+    val custs = (0 until 5).map(i => (i.toLong, s"seg${i % 2}")).toDF("ck", "seg")
+    MaterializedView.createJoin(joined, l.root, r.root, Seq("ck"))
+    MaterializedView.create(rollup, joined.root, Seq("seg"),
+      "count:n;sum:qty_sum:qty")
+    r.append(custs, Nil)
+    (0 until 3).foreach { i =>
+      l.append(ords(i * 10 until (i + 1) * 10), Nil)
+      MaterializedView.refresh(spark, joined)
+      MaterializedView.refresh(spark, rollup)
+    }
+    rollup.refresh()
+    val got = rollup.read().select($"seg", $"n", $"qty_sum")
+      .collect().map(_.toSeq).toSet
+    val want = ords(0 until 30).join(custs, Seq("ck")).groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"qty").as("qty_sum"))
+      .select($"seg", $"n", $"qty_sum").collect().map(_.toSeq).toSet
+    assert(got == want, s"chained views diverged: $got vs $want")
+  }
+
   test("where filter and partitioned views; bad specs fail loudly") {
     val base = tmpDir("mv")
     val up = IncrementalTable(spark, s"$base/src")

@@ -147,6 +147,27 @@ class RetentionSpec extends SparkSpec {
     assert(after == before, "a CDC window inside retention must not change")
   }
 
+  test("vacuum dry run lists the exact reclaim set without touching disk") {
+    val t = new IncrementalTable(spark, tmpDir("ret") + "/dry",
+      checkpointEvery = 2, parquetThreshold = 0)
+    t.append(batch(0 until 4), Nil)
+    t.replaceWhere(batch(100 until 104), Nil, Map.empty, Map.empty)
+    t.commitMeta(Map("x" -> "1")); t.commitMeta(Map("x" -> "2"))
+    val before = dataFiles(t)
+    val version = t.latestVersion
+    val predicted = t.vacuum(dryRun = true)
+    assert(predicted.nonEmpty)
+    // nothing deleted, no maintenance commit landed
+    assert(dataFiles(t) == before, "dry run must not delete")
+    t.refresh()
+    assert(t.latestVersion == version, "dry run must not commit")
+    // the real run reclaims exactly what the dry run predicted
+    val real = t.vacuum()
+    assert(real.toSet == predicted.toSet,
+      s"dry run must equal the real reclaim: $predicted vs $real")
+    assert(t.read().count() == 4)
+  }
+
   test("SQL doors: CALL expire_snapshots / vacuum(older_than_hours)") {
     val wh = tmpDir("ret_wh")
     spark.conf.set("spark.sql.catalog.rcat",
