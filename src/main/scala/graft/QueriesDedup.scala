@@ -102,7 +102,11 @@ object QueriesDedup {
         // so GUARD it: a violating row fails the query loudly instead
         // of silently electing the wrong first occurrence (VERDICT r11)
         .withColumn("packed",
-          when($"seg_idx" < 100000L && $"doc_id" >= 0L,
+          // doc_id's UPPER bound too: doc_id*100000 must not overflow
+          // Long, or the pack silently wraps and elects a wrong first
+          // occurrence (ADVICE r12) — 92233720368547 = Long.MaxValue/100000
+          when($"seg_idx" < 100000L && $"doc_id" >= 0L &&
+              $"doc_id" <= 92233720368547L,
             $"doc_id" * 100000L + $"seg_idx")
             .otherwise(raise_error(concat(
               lit("segment_dedup: packed-position overflow (doc_id="),

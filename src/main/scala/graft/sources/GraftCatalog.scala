@@ -1440,7 +1440,12 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     case "refresh" => "drain pending upstream commits into a " +
       "materialized view (create_view / create_join_view registers " +
       "one); exactly-once, O(delta), retraction/scoped-recompute on " +
-      "rewrites"
+      "rewrites; max_commits bounds one call (rate control), " +
+      "until_current => true loops to lag 0"
+    case "view_status" => "per-source staleness of a materialized " +
+      "view, from pure metadata: consumed cursor version vs source " +
+      "head version, lag in data commits (exactly what the next " +
+      "refresh applies) and wall-time lag from in-commit timestamps"
     case "create_join_view" => "register an incrementally-maintained " +
       "JOIN view: CALL graft.system.create_join_view('ns.mv', " +
       "left => 'ns.l', right => 'ns.r', join_keys => 'k', " +
@@ -1567,8 +1572,17 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         // any SQL whose result supplies the key tuples (same column
         // names) — the compact `where_expr` pattern
         in("query", StringType).build())
-      case "apply_eq_deletes" | "rewrite_manifests" | "refresh" => Array(
+      case "apply_eq_deletes" | "rewrite_manifests" | "view_status" => Array(
         in("table", StringType).build())
+      case "refresh" => Array(
+        in("table", StringType).build(),
+        // rate control: at most this many upstream commits this call
+        // (-1 = unbounded); a deep backlog catches up in bounded,
+        // individually-committed steps
+        in("max_commits", IntegerType).defaultValue("-1").build(),
+        // the trigger-driven drain loop: keep refreshing (max_commits
+        // per step) until the view reports lag 0
+        in("until_current", BooleanType).defaultValue("false").build())
       case "create_view" => Array(
         in("table", StringType).build(), // the view's name (created here)
         in("source", StringType).build(),
@@ -1597,6 +1611,27 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     // lazy: create_view's first argument names a table that does not
     // exist until the procedure itself registers it
     lazy val t = cat.tableByName(input.getUTF8String(0).toString)
+    // view_status is the one MULTI-ROW procedure (left + right rows for
+    // a join view) — emitted directly, bypassing the single-row tuple
+    if (pname == "view_status") {
+      val statusRows = graft.streaming.MaterializedView.status(
+        org.apache.spark.sql.SparkSession.active, t).map { s =>
+        InternalRow(UTF8String.fromString(s.view),
+          UTF8String.fromString(s.role), UTF8String.fromString(s.source),
+          s.cursorVersion, s.headVersion, s.lagCommits, s.lagMs)
+      }.toArray
+      val vSchema = new StructType()
+        .add("view", StringType).add("role", StringType)
+        .add("source", StringType).add("cursor_version", LongType)
+        .add("head_version", LongType).add("lag_commits", LongType)
+        .add("lag_ms", LongType)
+      val vScan: org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = vSchema
+          override def rows(): Array[InternalRow] = statusRows
+        }
+      return java.util.Collections.singletonList(vScan).iterator()
+    }
     val (schema, row) = pname match {
       case "compact" =>
         val scope = cols(input.getUTF8String(4).toString).map { kv =>
@@ -1633,7 +1668,8 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
           org.apache.spark.sql.SparkSession.active, cat.pathForName(viewRel))
         val srcRel = input.getUTF8String(1).toString
         val srcPath = cat.tableByName(srcRel).root // must already exist
-        graft.streaming.MaterializedView.create(view, srcPath,
+        graft.streaming.MaterializedView.create(
+          org.apache.spark.sql.SparkSession.active, view, srcPath,
           cols(input.getUTF8String(2).toString),
           input.getUTF8String(3).toString,
           where = input.getUTF8String(4).toString.trim,
@@ -1647,7 +1683,8 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
           org.apache.spark.sql.SparkSession.active, cat.pathForName(viewRel))
         val leftRel = input.getUTF8String(1).toString
         val rightRel = input.getUTF8String(2).toString
-        graft.streaming.MaterializedView.createJoin(view,
+        graft.streaming.MaterializedView.createJoin(
+          org.apache.spark.sql.SparkSession.active, view,
           cat.tableByName(leftRel).root, cat.tableByName(rightRel).root,
           cols(input.getUTF8String(3).toString),
           joinType = input.getUTF8String(4).toString.trim,
@@ -1659,8 +1696,16 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
           InternalRow(UTF8String.fromString(viewRel),
             UTF8String.fromString(leftRel), UTF8String.fromString(rightRel)))
       case "refresh" =>
-        val applied = graft.streaming.MaterializedView.refresh(
-          org.apache.spark.sql.SparkSession.active, t)
+        val maxCommits = input.getInt(1) match {
+          case -1 => Int.MaxValue
+          case n => n
+        }
+        val applied =
+          if (input.getBoolean(2))
+            graft.streaming.MaterializedView.refreshUntilCurrent(
+              org.apache.spark.sql.SparkSession.active, t, maxCommits)
+          else graft.streaming.MaterializedView.refresh(
+            org.apache.spark.sql.SparkSession.active, t, maxCommits)
         t.refresh()
         (new StructType().add("commits_applied", IntegerType)
            .add("view_version", LongType),
@@ -1831,7 +1876,8 @@ private[sources] object GraftProcedure {
       "evolve_partitioning", "analyze", "bloom_index", "wap_publish",
       "wap_abort", "branch", "fast_forward", "drop_branch",
       "delete_by_key", "apply_eq_deletes", "rewrite_manifests",
-      "expire_snapshots", "create_view", "create_join_view", "refresh")
+      "expire_snapshots", "create_view", "create_join_view", "refresh",
+      "view_status")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

@@ -98,20 +98,7 @@ final class DedupStream(
     up.refresh()
     val from = sourceVersion
     val pending = up.commits().filter(c =>
-      c.version > from && c.action != "meta" &&
-        // dvmerge rewrites sidecar metadata only (same logical rows) —
-        // never a rebuild trigger
-        c.action != "dvmerge" &&
-        // maintenance rewrites (X94, the dataChange=false analog):
-        // compaction preserves the logical rows, so it must never
-        // trigger a downstream recompute — skipped like dvmerge
-        !(c.action == "replace" &&
-          c.meta.get(IncrementalTable.MaintenanceKey).contains("1")) &&
-        // a columnar checkpoint folds the same-version data commit
-        // with EMPTY inline sets — it must stay visible as a rebuild
-        // trigger or that folded commit is silently skipped
-        (c.add.nonEmpty || c.remove.nonEmpty || c.dv.nonEmpty ||
-          c.columnarCkpt))
+      c.version > from && CommitConsumer.isDataCommit(c))
       // earliest-first bound: the remainder stays pending for the next
       // drain(), so a deep backlog catches up in bounded steps
       .take(maxCommitsPerDrain)

@@ -559,8 +559,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
           // manifest bounds; java.lang.String order diverges for
           // astral partition values (see DataSkipping.cpCompare)
           val pfx = tok + filters(k) + "/"
+          // upper sentinel is U+10FFFF (the MAX code point), not
+          // U+FFFF: a path continuing the prefix with an astral
+          // character sorts above "\uffff" in code point order, so the
+          // smaller sentinel would wrongly prune a matching manifest
+          // (ADVICE r12)
           if (DataSkipping.cpCompare(m.hi, pfx) < 0 ||
-              DataSkipping.cpCompare(m.lo, pfx + "\uffff") > 0) {
+              DataSkipping.cpCompare(m.lo, pfx + "\udbff\udfff") > 0) {
             keep = false; decided = true // provably disjoint
           } else if (m.lo.startsWith(pfx) && m.hi.startsWith(pfx)) {
             base = pfx // fully inside this value: verify the next level
@@ -6228,11 +6233,37 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       if (cdcRetention > 0) math.max(0L, latestVersion - cdcRetention)
       else Long.MaxValue
     val replayFloor = cs.head.version
+    // pending WAPs pin their raw `staged` records (ADVICE r12 medium):
+    // publishWap's evolve-conflict anchor scan locates the EARLIEST
+    // open-cycle staging commit in archivedDeltas, and the checkpoint
+    // fold preserves only the channel VALUE (the pending payload), not
+    // the staged record itself — expiring past it would make the
+    // staging permanently unpublishable. Floor strictly below the
+    // oldest pending staging (same anchor walk publishWap does).
+    val wapFloor = {
+      val pending = pendingWaps.keySet
+      if (pending.isEmpty) Long.MaxValue
+      else {
+        val anchors = scala.collection.mutable.Map.empty[String, Long]
+        archivedDeltas(latestVersion).foreach { c =>
+          pending.foreach { id =>
+            c.meta.get(IncrementalTable.WapPrefix + id) match {
+              case Some(v) if v.isEmpty => anchors.remove(id) // cycle closed
+              case Some(_) if c.action == "staged" && !anchors.contains(id) =>
+                anchors(id) = c.version
+              case _ => ()
+            }
+          }
+        }
+        anchors.values.minOption.map(_ - 1).getOrElse(Long.MaxValue)
+      }
+    }
     val ckptVs = fs.listStatus(logPath).map(_.getPath.getName)
       .filter(_.endsWith(".checkpoint.json"))
       .map(_.takeWhile(_.isDigit).toLong).sorted
     val floor = ckptVs
-      .filter(v => v <= pinFloor && v <= cdcFloor && v <= replayFloor)
+      .filter(v => v <= pinFloor && v <= cdcFloor && v <= replayFloor &&
+        v <= wapFloor)
       .filter(v => checkpointRecordAt(v).exists(_.ts < cutoffTs))
       .lastOption
     val cur = expiredBelow.getOrElse(-1L)

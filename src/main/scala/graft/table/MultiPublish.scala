@@ -77,17 +77,42 @@ final class MultiPublish(spark: SparkSession, val coordRoot: String) {
       }
 
   /** Publish every table's staging under `id` as one decision. Requires
-    * each table to hold a pending staging for the id (stage first). */
-  def publish(id: String, tables: Seq[IncrementalTable]): Seq[Commit] = {
+    * each table to hold a pending staging for the id (stage first).
+    * `afterCheck` is the race-injection hook the interleaving spec uses
+    * (the failAfter analog): "a concurrent abort lands between the
+    * precondition check and the intent rename". */
+  def publish(id: String, tables: Seq[IncrementalTable],
+      afterCheck: () => Unit = () => ()): Seq[Commit] = {
     require(tables.nonEmpty, "multi-table publish needs tables")
     require(!fs.exists(intentPath(id)),
       s"publish id '$id' already has a pending intent — recover() it")
     tables.foreach(t => require(t.pendingWaps.contains(id),
       s"table ${t.root} has no pending staging '$id' — stage before publish"))
+    afterCheck()
     writeIntent(PublishIntent(id, tables.map(_.root)))
-    val cs = publishChildren(id, tables)
+    val results = tables.map(t =>
+      t.root -> (if (t.pendingWaps.contains(id)) Some(t.publishWap(id)) else None))
     finalizeIntent(id)
-    cs
+    // the preconditions saw every staging pending, so a skipped child
+    // means a concurrent abort() retired its staging between the check
+    // and the intent rename (the abort's tombstone intent is deleted in
+    // its `finally`, freeing the slot) — the caller must NOT believe
+    // the set published (ADVICE r12: this was a silent no-op). The
+    // intent is finalized first — nothing more can publish and
+    // recover() has nothing to re-drive — then the error reports
+    // exactly what became visible.
+    val skipped = results.collect { case (r, None) => r }
+    if (skipped.nonEmpty)
+      throw new IllegalStateException(
+        s"publish '$id': staging already retired on ${skipped.mkString(", ")} " +
+          "— a concurrent abort won the decision after the precondition " +
+          "check; " +
+          (if (skipped.size == tables.size)
+             "nothing became visible (full abort)"
+           else "PARTIAL set visible (" +
+             results.collect { case (r, Some(_)) => r }.mkString(", ") +
+             ") — restage and republish the skipped children"))
+    results.flatMap(_._2)
   }
 
   /** Step 2 — the decision record. Atomic create (tmp + rename). */

@@ -129,6 +129,17 @@ class ManifestSpec extends SparkSpec {
       Map("day" -> "a", "hour" -> "8"), Seq("day", "hour"))
     assert(kept2.map(_.name).toSet == Set("h2", "st", "odd", "abs"),
       s"hour descent must prune h1 only: $kept2")
+    // ADVICE r12: the upper sentinel must be U+10FFFF, not U+FFFF — a
+    // path continuing "day=a/" with an ASTRAL code point (e.g. a
+    // file/key segment starting with U+10000+) sorts ABOVE
+    // "day=a/\uffff" in code point order, so the smaller sentinel
+    // wrongly pruned a manifest whose rows match the filter
+    val astral = m("astral",
+      "day=a/\ud800\udc00seg/x.parquet", "day=a/\ud800\udc00seg/y.parquet")
+    val keptAstral = t.manifestPrune(Seq(astral, shapedOut),
+      Map("day" -> "a"), Seq("day"))
+    assert(keptAstral.map(_.name) == Seq("astral"),
+      s"astral continuation of the filtered prefix must be KEPT: $keptAstral")
   }
 
   test("evolved-spec metadata reads through manifests keep old-layout files") {

@@ -177,4 +177,40 @@ class MultiPublishSpec extends SparkSpec {
       assert(t.pendingWaps.isEmpty, t.root)
     }
   }
+
+  test("abort-vs-publish interleaving: the loser fails LOUDLY, never a silent no-op (ADVICE r12)") {
+    val base = tmpDir("mpub")
+    val (a, b) = seedPair(base)
+    val mp = new MultiPublish(spark, s"$base/_publish")
+    a.stageAppend(Seq((3L, "three")).toDF("id", "v"), "p1")
+    b.stageAppend(Seq((3L, "eerht")).toDF("id", "v"), "p1")
+    // the ADVICE interleaving, via the race-injection hook: publish
+    // passes its pendingWaps preconditions, THEN an abort decides,
+    // fully retires the stagings and finalizes (freeing the intent
+    // slot). The late publish wins writeIntent on the freed slot but
+    // has nothing left to publish — it must THROW, not return an
+    // empty "success" the caller reads as "the set published".
+    val e = intercept[IllegalStateException](
+      mp.publish("p1", Seq(a, b), afterCheck = () => mp.abort("p1", Seq(a, b))))
+    assert(e.getMessage.contains("concurrent abort"), e.getMessage)
+    assert(e.getMessage.contains("nothing became visible"), e.getMessage)
+    a.refresh(); b.refresh()
+    assert(a.read().count() == 2 && b.read().count() == 2,
+      "nothing may become visible after the abort won")
+    assert(mp.pendingIntents.isEmpty, "the moot intent must finalize")
+    // the PARTIAL interleaving: one child's staging retired behind the
+    // decided publish — the published children stay visible (they
+    // cannot unwind) and the error names both halves exactly
+    a.stageAppend(Seq((4L, "four")).toDF("id", "v"), "p2")
+    b.stageAppend(Seq((4L, "ruof")).toDF("id", "v"), "p2")
+    val e2 = intercept[IllegalStateException](
+      mp.publish("p2", Seq(a, b), afterCheck = () => b.abortWap("p2")))
+    assert(e2.getMessage.contains("PARTIAL"), e2.getMessage)
+    assert(e2.getMessage.contains(b.root), e2.getMessage)
+    assert(e2.getMessage.contains(a.root), e2.getMessage)
+    a.refresh(); b.refresh()
+    assert(a.read().count() == 3, "a's publish is atomic and stays")
+    assert(b.read().count() == 2)
+    assert(mp.pendingIntents.isEmpty)
+  }
 }

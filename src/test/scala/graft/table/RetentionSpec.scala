@@ -196,4 +196,36 @@ class RetentionSpec extends SparkSpec {
     assert(v1(0).getInt(0) > 0, "strict vacuum reclaims the expired files")
     assert(t.read().count() == 4)
   }
+
+  test("a pending WAP pins expiry: the staged record survives and still publishes (ADVICE r12)") {
+    val t = new IncrementalTable(spark, tmpDir("ret") + "/wap",
+      checkpointEvery = 2, parquetThreshold = 0)
+    t.append(batch(0 until 4), Nil)                                  // v0
+    t.commitMeta(Map("r" -> "1"))                                    // v1
+    t.replaceWhere(batch(10 until 14), Nil, Map.empty, Map.empty)    // v2 (ckpt)
+    t.commitMeta(Map("r" -> "2"))                                    // v3
+    t.stageAppend(batch(50 until 54), "audit-1")                     // v4 (staged)
+    val staged = t.latestVersion
+    t.commitMeta(Map("r" -> "3"))                                    // v5
+    t.replaceWhere(batch(20 until 24), Nil, Map.empty, Map.empty)    // v6 (ckpt)
+    t.commitMeta(Map("r" -> "4"))                                    // v7
+    // cutoff "now": every record is old enough, but the floor must stop
+    // STRICTLY below the pending staging — publishWap's evolve-conflict
+    // anchor scan needs the raw `staged` record, which the checkpoint
+    // fold does not preserve (only the folded channel value)
+    val (floor, n) = t.expireSnapshots(olderThanHours = 0.0)
+    assert(floor >= 0 && n > 0, s"expiry must still make progress: ($floor, $n)")
+    assert(floor < staged,
+      s"floor $floor must stay below the pending staging at $staged")
+    // the pending WAP is intact AND publishable after the expiry
+    assert(t.pendingWaps.contains("audit-1"))
+    val c = t.publishWap("audit-1")
+    assert(c.add.nonEmpty)
+    assert(t.read().select($"id").as[Long].collect().sorted.toSeq ==
+      ((20L until 24L) ++ (50L until 54L)).sorted.toSeq)
+    // once published, the pin lifts: a later expiry advances past it
+    t.commitMeta(Map("r" -> "5")); t.commitMeta(Map("r" -> "6"))
+    val (floor2, _) = t.expireSnapshots(olderThanHours = 0.0)
+    assert(floor2 > floor, s"published WAP must unpin expiry: $floor2 <= $floor")
+  }
 }
