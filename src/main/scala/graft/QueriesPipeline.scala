@@ -2095,6 +2095,59 @@ object QueriesPipeline {
               |FROM graft.lake.mv_daily ORDER BY day, event_type""".stripMargin)
     }),
 
+    // ---- view staleness + trigger-driven drain (VERDICT r12 #1) --------
+    // The operational contract the reference's sensor loop gives its
+    // assets (sensors.py:21-80 — the orchestrator, not the user, drives
+    // materialization): view_status answers "how stale is this view"
+    // from pure metadata, with lag counted by the SAME predicate the
+    // drain applies (CommitConsumer.isDataCommit — lag 0 and "refresh
+    // applies nothing" can never disagree); refresh(max_commits) is the
+    // rate-controlled catch-up step; until_current => true is the
+    // trigger-driven drain loop. The whole trajectory is pinned as
+    // oracle-checked constants — a lag miscount, a drain over- or
+    // under-run, or a non-converging loop breaks the hash — and the
+    // converged view must equal the direct aggregate bit-exactly.
+    "q167_view_lag_drain" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.lag_src")
+      s.sql("DROP TABLE IF EXISTS graft.lake.lag_mv")
+      s.sql("""CREATE TABLE graft.lake.lag_src
+              |  (day STRING, event_type STRING, k BIGINT)""".stripMargin)
+      Tables.events(s, dir).select(
+        date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        $"event_id").createOrReplaceTempView("q167_src")
+      s.sql("""CALL graft.system.create_view('lake.lag_mv',
+              |  source => 'lake.lag_src', group_keys => 'day,event_type',
+              |  aggs => 'count:n;sum:sum_k:k')""".stripMargin)
+      (0 until 3).foreach(i => s.sql(
+        s"""INSERT INTO graft.lake.lag_src
+           |SELECT day, event_type, k FROM q167_src
+           |WHERE event_id % 3 = $i""".stripMargin))
+      def lag() = s.sql("CALL graft.system.view_status('lake.lag_mv')")
+        .select("lag_commits", "lag_ms").head
+      val lag0 = lag().getLong(0)
+      val applied1 = s.sql(
+        "CALL graft.system.refresh('lake.lag_mv', max_commits => 1)")
+        .select("commits_applied").head.getInt(0)
+      val lagMid = lag().getLong(0)
+      val applied2 = s.sql(
+        """CALL graft.system.refresh('lake.lag_mv',
+          |  max_commits => 1, until_current => true)""".stripMargin)
+        .select("commits_applied").head.getInt(0)
+      val fin = lag()
+      s.sql("SELECT day, event_type, n, sum_k FROM graft.lake.lag_mv")
+        .withColumn("lag_initial", lit(lag0))
+        .withColumn("applied_first", lit(applied1.toLong))
+        .withColumn("lag_mid", lit(lagMid))
+        .withColumn("applied_drain", lit(applied2.toLong))
+        .withColumn("lag_final", lit(fin.getLong(0)))
+        .withColumn("lag_ms_final", lit(fin.getLong(1)))
+        .orderBy($"day", $"event_type")
+    }),
+
     // ---- i18n + long-string data skipping (VERDICT r11 #1) -------------
     // The multilingual-corpus shape the truncated string-stat index
     // exists for: a sort key that is non-ASCII AND far longer than the
@@ -2867,6 +2920,15 @@ object QueriesPipeline {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS BIGINT) AS sum_k,
         |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q167_view_lag_drain" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(3 AS BIGINT) AS lag_initial, CAST(1 AS BIGINT) AS applied_first,
+        |  CAST(2 AS BIGINT) AS lag_mid, CAST(2 AS BIGINT) AS applied_drain,
+        |  CAST(0 AS BIGINT) AS lag_final, CAST(0 AS BIGINT) AS lag_ms_final
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q165_string_prune_i18n" ->
       """SELECT doc_id,
