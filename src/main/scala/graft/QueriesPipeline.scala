@@ -2148,6 +2148,49 @@ object QueriesPipeline {
         .orderBy($"day", $"event_type")
     }),
 
+    // ---- VARIANT / semi-structured columns (VERDICT r12 #5) ------------
+    // Spark 4 VariantType through the table format end to end, SQL-
+    // owned: CREATE TABLE ... VARIANT with a SHREDDED path — the X84
+    // stored generated column variant_get(payload,'$.k') joins the
+    // skipping-stats index like any column — then chunked INSERTs, a
+    // CoW DELETE, a compaction rewrite, and a range-filtered read on
+    // the shredded field. The oracle recomputes every extracted field
+    // relationally from the base columns, so a value mangled anywhere
+    // in the write→shred→rewrite→re-assemble chain breaks the hash.
+    "q168_variant_shred" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.var_ev")
+      s.sql("""CREATE TABLE graft.lake.var_ev (
+              |  event_id BIGINT, payload VARIANT,
+              |  k BIGINT GENERATED ALWAYS AS
+              |    (variant_get(payload, '$.k', 'bigint')))
+              |TBLPROPERTIES ('graft.statsColumns' = 'k')""".stripMargin)
+      Tables.events(s, dir).select($"event_id",
+        to_json(struct(
+          get_json_object($"props", "$.k").cast("long").as("k"),
+          $"user_id".as("u"),
+          struct($"event_type".as("t"),
+            floor($"value" * 1000).cast("long").as("mv")).as("d"))).as("pj"))
+        .createOrReplaceTempView("q168_src")
+      (0 until 2).foreach(i => s.sql(
+        s"""INSERT INTO graft.lake.var_ev (event_id, payload)
+           |SELECT event_id, parse_json(pj) FROM q168_src
+           |WHERE event_id % 2 = $i""".stripMargin))
+      // CoW delete keyed on the SHREDDED field — a plain stored column
+      // to the delete engine
+      s.sql("DELETE FROM graft.lake.var_ev WHERE k = 30")
+      s.sql("CALL graft.system.compact('lake.var_ev', target_files => 4)")
+      s.sql("""SELECT event_id, k,
+              |  variant_get(payload, '$.u', 'bigint') AS u,
+              |  variant_get(payload, '$.d.t', 'string') AS t,
+              |  variant_get(payload, '$.d.mv', 'bigint') AS mv
+              |FROM graft.lake.var_ev
+              |WHERE k BETWEEN 10 AND 60
+              |ORDER BY event_id""".stripMargin)
+    }),
+
     // ---- i18n + long-string data skipping (VERDICT r11 #1) -------------
     // The multilingual-corpus shape the truncated string-stat index
     // exists for: a sort key that is non-ASCII AND far longer than the
@@ -2921,6 +2964,16 @@ object QueriesPipeline {
         |    AS BIGINT) AS sum_k,
         |  MIN(value) AS min_value, MAX(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q168_variant_shred" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  user_id AS u, event_type AS t,
+        |  CAST(floor(value * 1000) AS BIGINT) AS mv
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) <> 30
+        |  AND CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    BETWEEN 10 AND 60
+        |ORDER BY event_id""".stripMargin,
     "q167_view_lag_drain" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  COUNT(*) AS n,
