@@ -1442,6 +1442,11 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       "one); exactly-once, O(delta), retraction/scoped-recompute on " +
       "rewrites; max_commits bounds one call (rate control), " +
       "until_current => true loops to lag 0"
+    case "export_iceberg" => "mirror the live snapshot as a " +
+      "structurally valid Iceberg v2 table (metadata.json + Avro " +
+      "manifest list + chunked Avro manifests referencing the live " +
+      "files in place); refuses under standing DV/equality deletes, " +
+      "hidden-partition transforms, or VARIANT columns"
     case "view_status" => "per-source staleness of a materialized " +
       "view, from pure metadata: consumed cursor version vs source " +
       "head version, lag in data commits (exactly what the next " +
@@ -1574,6 +1579,12 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         in("query", StringType).build())
       case "apply_eq_deletes" | "rewrite_manifests" | "view_status" => Array(
         in("table", StringType).build())
+      case "export_iceberg" => Array(
+        in("table", StringType).build(),
+        in("dest", StringType).build(),
+        // manifest chunk size: the list stays O(files / chunk), no
+        // single Avro file grows with the table
+        in("manifest_entries", IntegerType).defaultValue("10000").build())
       case "refresh" => Array(
         in("table", StringType).build(),
         // rate control: at most this many upstream commits this call
@@ -1843,6 +1854,18 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         (new StructType().add("commits", IntegerType)
            .add("standing_after", IntegerType),
           InternalRow(cs.size, t.eqDeletes().size))
+      case "export_iceberg" =>
+        val r = graft.table.IcebergExport.export(
+          org.apache.spark.sql.SparkSession.active, t,
+          input.getUTF8String(1).toString,
+          manifestTargetEntries = input.getInt(2))
+        (new StructType().add("snapshot_id", LongType)
+           .add("metadata_file", StringType)
+           .add("manifests", IntegerType)
+           .add("data_files", IntegerType)
+           .add("total_rows", LongType),
+          InternalRow(r.snapshotId, UTF8String.fromString(r.metadataFile),
+            r.manifests, r.dataFiles, r.totalRows))
       case "rewrite_manifests" =>
         val ms = t.rewriteManifests()
         (new StructType().add("manifests", IntegerType)
@@ -1877,7 +1900,7 @@ private[sources] object GraftProcedure {
       "wap_abort", "branch", "fast_forward", "drop_branch",
       "delete_by_key", "apply_eq_deletes", "rewrite_manifests",
       "expire_snapshots", "create_view", "create_join_view", "refresh",
-      "view_status")
+      "view_status", "export_iceberg")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

@@ -1,0 +1,386 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** What one [[IcebergExport.export]] call wrote. */
+final case class IcebergExportResult(snapshotId: Long, metadataFile: String,
+    manifests: Int, dataFiles: Int, totalRows: Long)
+
+/** Iceberg-v2-compatible snapshot export (VERDICT r12 #6, extending the
+  * X33 external-reader family): `CALL graft.system.export_iceberg(
+  * 'ns.t', dest)` mirrors the CURRENT live snapshot as a structurally
+  * valid Iceberg v2 table — `metadata/vN.metadata.json` +
+  * `version-hint.text` (the HadoopTables convention), an Avro manifest
+  * list, and chunked Avro manifests whose entries carry the live data
+  * files IN PLACE (absolute URIs — no data copies, the shallow-export
+  * analog of X78's clone). An Iceberg-capable engine points
+  * `HadoopTables.load(dest)` at it and reads exactly the committed
+  * snapshot.
+  *
+  * Scope and refusals (each loud, naming the remedy):
+  *  - deletion vectors / equality deletes in force refuse (external
+  *    readers cannot apply sidecars — compact()/apply_eq_deletes
+  *    first; the X33 rule);
+  *  - hidden-partitioning transforms refuse (the export maps identity
+  *    partitions only; transformed dir tokens would need the source
+  *    value, which the token no longer carries);
+  *  - VARIANT columns refuse (an Iceberg v3 type; v2 has no mapping);
+  *  - a file whose path does not carry every partition token in spec
+  *    order refuses (shallow-cloned foreign layouts, pre-evolution
+  *    shapes — rewrite into the current spec first).
+  *
+  * Fidelity notes: field-ids are assigned fresh (pre-order walk) and
+  * recorded BOTH in the schema and as a
+  * `schema.name-mapping.default` table property, because our parquet
+  * files carry no embedded field-ids — name mapping is exactly
+  * Iceberg's mechanism for adopting such files. Each export writes a
+  * fresh single-snapshot metadata version (a snapshot MIRROR, not an
+  * incremental sync — re-export after new commits bumps vN and the
+  * version hint).
+  *
+  * Scale: the only per-file work is the footer row-count + length
+  * harvest, which reuses the commit path's two-shape rule — inline on
+  * the driver up to `spark.graft.distributedStatsThreshold` files, one
+  * Spark job above it. Manifests chunk at `manifestTargetEntries`
+  * entries, so the manifest list stays O(files / chunk) and no single
+  * Avro file grows with the table. Validation without Iceberg jars is
+  * structural: IcebergExportSpec parses everything back (JSON +
+  * generic Avro) and asserts file sets, row counts and byte sizes
+  * exactly. */
+object IcebergExport {
+
+  def export(spark: SparkSession, t: IncrementalTable, dest: String,
+      manifestTargetEntries: Int = 10000): IcebergExportResult = {
+    require(t.exists, s"export_iceberg source $t does not exist")
+    require(t.liveDv().isEmpty,
+      s"table ${t.root} has deletion vectors in force — Iceberg readers " +
+        "of this export cannot apply them; compact() to materialize first")
+    require(t.eqDeletes().isEmpty,
+      s"table ${t.root} has equality deletes in force — " +
+        "apply_eq_deletes() / compact() to materialize first")
+    require(t.partitionTransforms().isEmpty,
+      s"table ${t.root} uses hidden-partitioning transforms — the " +
+        "export maps identity partitions only")
+    val schema = t.schemaAt().getOrElse(throw new IllegalArgumentException(
+      s"table ${t.root} has no schema (no data commits) — nothing to export"))
+    schema.foreach(f => requireNoVariant(f.name, f.dataType))
+    val partitionBy = t.partitionColumns
+
+    val conf = IncrementalTable.hadoopConf(spark)
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(conf)
+    val metaDir = new Path(destPath, "metadata")
+    fs.mkdirs(metaDir)
+
+    // ---- ids + schema/spec/name-mapping JSON --------------------------
+    var lastId = 0
+    def nextId(): Int = { lastId += 1; lastId }
+    val topIds = schema.fields.map(f => f.name -> nextId()).toMap
+    val fieldsJson = schema.fields.map { f =>
+      ("id" -> topIds(f.name)) ~ ("name" -> f.name) ~
+        ("required" -> !f.nullable) ~
+        ("type" -> icebergType(f.dataType, () => nextId()))
+    }.toList
+    val schemaJson: JObject =
+      ("type" -> "struct") ~ ("schema-id" -> 0) ~ ("fields" -> fieldsJson)
+    val specFields = partitionBy.zipWithIndex.map { case (c, i) =>
+      val srcId = topIds.getOrElse(c, throw new IllegalStateException(
+        s"partition column '$c' is not in the schema"))
+      ("name" -> c) ~ ("transform" -> "identity") ~
+        ("source-id" -> srcId) ~ ("field-id" -> (1000 + i))
+    }.toList
+    val specJson: JObject = ("spec-id" -> 0) ~ ("fields" -> specFields)
+    val nameMapping = JsonMethods.compact(JsonMethods.render(
+      JArray(schema.fields.map(f =>
+        (("field-id" -> topIds(f.name)) ~
+          ("names" -> List(f.name))): JValue).toList)))
+
+    // ---- per-file row counts + byte sizes (two-shape harvest) ---------
+    val rels = t.liveFiles().sorted
+    val rootStr = t.root
+    val threshold = spark.conf
+      .getOption("spark.graft.distributedStatsThreshold")
+      .map(_.toInt).getOrElse(IncrementalTable.DefaultDistributedStatsThreshold)
+    val fileMeta: Seq[(String, Long, Long)] = // (rel, rows, bytes)
+      if (rels.size <= threshold)
+        rels.map(rel =>
+          footerMeta(new Path(rootStr, rel), conf) match {
+            case (r, b) => (rel, r, b)
+          })
+      else {
+        val sconf = new graft.parquet.RowParquet.SerializableConf(conf)
+        val slices = math.min(rels.size,
+          spark.sparkContext.defaultParallelism * 2).max(1)
+        spark.sparkContext.parallelize(rels, slices).map { rel =>
+          val (r, b) = footerMeta(new Path(rootStr, rel), sconf.value)
+          (rel, r, b)
+        }.collect().toSeq.sortBy(_._1)
+      }
+    val totalRows = fileMeta.iterator.map(_._2).sum
+
+    // ---- partition tuple per file (identity tokens, spec order) -------
+    def partitionOf(rel: String): Seq[(String, String)] = {
+      val tokens = rel.split("/").dropRight(1).iterator.map { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) "" -> "" else seg.take(i) -> seg.drop(i + 1)
+      }.toMap
+      partitionBy.map(c => c -> tokens.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"file '$rel' does not carry partition token '$c=' — foreign " +
+            "or pre-evolution layout; rewrite into the current spec " +
+            "before exporting")))
+    }
+
+    // ---- snapshot identity --------------------------------------------
+    val head = t.commits().last
+    val snapshotId = t.latestVersion
+    val ts = head.ts
+    val tableFs = new Path(rootStr).getFileSystem(conf)
+    def absUri(rel: String): String =
+      tableFs.makeQualified(new Path(rootStr, rel)).toString
+
+    // ---- manifests (chunked Avro) -------------------------------------
+    val entrySchema = new Schema.Parser().parse(
+      manifestEntrySchemaJson(schema, partitionBy))
+    val partSchema = entrySchema.getField("data_file").schema()
+      .getField("partition").schema()
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val specJsonStr = JsonMethods.compact(JsonMethods.render(specFields))
+    val schemaJsonStr = JsonMethods.compact(JsonMethods.render(schemaJson))
+    val chunks = fileMeta.grouped(math.max(1, manifestTargetEntries)).toSeq
+    val manifests = chunks.zipWithIndex.map { case (chunk, i) =>
+      val name = f"m$i%05d-$snapshotId.avro"
+      val p = new Path(metaDir, name)
+      val out = fs.create(p, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.setMeta("schema", schemaJsonStr)
+      w.setMeta("partition-spec", specJsonStr)
+      w.setMeta("partition-spec-id", "0")
+      w.setMeta("format-version", "2")
+      w.setMeta("content", "data")
+      w.create(entrySchema, out)
+      try chunk.foreach { case (rel, rows, bytes) =>
+        val part = new GenericData.Record(partSchema)
+        partitionOf(rel).foreach { case (c, v) =>
+          part.put(c, partitionValue(schema(c).dataType, v))
+        }
+        val df = new GenericData.Record(dataFileSchema)
+        df.put("content", 0)
+        df.put("file_path", absUri(rel))
+        df.put("file_format", "PARQUET")
+        df.put("partition", part)
+        df.put("record_count", rows)
+        df.put("file_size_in_bytes", bytes)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED in this snapshot
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", 1L)
+        e.put("file_sequence_number", 1L)
+        e.put("data_file", df)
+        w.append(e)
+      } finally w.close()
+      (name, fs.getFileStatus(p).getLen, chunk.size,
+        chunk.iterator.map(_._2).sum)
+    }
+
+    // ---- manifest list (Avro) -----------------------------------------
+    val listName = s"snap-$snapshotId-manifest-list.avro"
+    val listSchema = new Schema.Parser().parse(ManifestListSchemaJson)
+    locally {
+      val out = fs.create(new Path(metaDir, listName), true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.setMeta("format-version", "2")
+      w.create(listSchema, out)
+      try manifests.foreach { case (name, len, nFiles, nRows) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path",
+          fs.makeQualified(new Path(metaDir, name)).toString)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("sequence_number", 1L)
+        r.put("min_sequence_number", 1L)
+        r.put("added_snapshot_id", snapshotId)
+        r.put("added_files_count", nFiles)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", nRows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        w.append(r)
+      } finally w.close()
+    }
+
+    // ---- vN.metadata.json + version-hint.text -------------------------
+    val version = 1 + fs.listStatus(metaDir)
+      .map(_.getPath.getName)
+      .count(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+    val snapshot: JObject =
+      ("snapshot-id" -> snapshotId) ~ ("sequence-number" -> 1) ~
+        ("timestamp-ms" -> ts) ~ ("schema-id" -> 0) ~
+        ("manifest-list" ->
+          fs.makeQualified(new Path(metaDir, listName)).toString) ~
+        ("summary" -> (("operation" -> "append") ~
+          ("added-data-files" -> rels.size.toString) ~
+          ("added-records" -> totalRows.toString) ~
+          ("total-data-files" -> rels.size.toString) ~
+          ("total-records" -> totalRows.toString)))
+    val metadata: JObject =
+      ("format-version" -> 2) ~
+        ("table-uuid" -> java.util.UUID.nameUUIDFromBytes(
+          s"graft-iceberg-export:${t.root}".getBytes(UTF_8)).toString) ~
+        ("location" -> dest) ~
+        ("last-sequence-number" -> 1) ~
+        ("last-updated-ms" -> ts) ~
+        ("last-column-id" -> lastId) ~
+        ("current-schema-id" -> 0) ~
+        ("schemas" -> List(schemaJson)) ~
+        ("default-spec-id" -> 0) ~
+        ("partition-specs" -> List(specJson)) ~
+        ("last-partition-id" -> (999 + partitionBy.size)) ~
+        ("default-sort-order-id" -> 0) ~
+        ("sort-orders" -> List(
+          (("order-id" -> 0) ~ ("fields" -> JArray(Nil))): JValue)) ~
+        ("properties" -> ("schema.name-mapping.default" -> nameMapping)) ~
+        ("current-snapshot-id" -> snapshotId) ~
+        ("snapshots" -> List(snapshot)) ~
+        ("snapshot-log" -> List(
+          (("timestamp-ms" -> ts) ~ ("snapshot-id" -> snapshotId)): JValue)) ~
+        ("metadata-log" -> JArray(Nil))
+    val metaName = s"v$version.metadata.json"
+    writeText(fs, new Path(metaDir, metaName),
+      JsonMethods.pretty(JsonMethods.render(metadata)))
+    writeText(fs, new Path(metaDir, "version-hint.text"), version.toString)
+    IcebergExportResult(snapshotId, s"metadata/$metaName",
+      manifests.size, rels.size, totalRows)
+  }
+
+  /** Footer row count + file length — the per-file body both harvest
+    * shapes share (the stagedFooterStats pattern). */
+  private def footerMeta(p: Path, conf: Configuration): (Long, Long) = {
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try (rd.getRecordCount, len) finally rd.close()
+  }
+
+  private def writeText(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(UTF_8)) finally out.close()
+  }
+
+  private def requireNoVariant(name: String, dt: DataType): Unit = dt match {
+    case _: VariantType => throw new IllegalArgumentException(
+      s"column '$name' is VARIANT — an Iceberg v3 type; v2 export has " +
+        "no mapping (shred the needed fields into generated columns)")
+    case s: StructType => s.foreach(f => requireNoVariant(s"$name.${f.name}", f.dataType))
+    case a: ArrayType => requireNoVariant(s"$name.element", a.elementType)
+    case m: MapType =>
+      requireNoVariant(s"$name.key", m.keyType)
+      requireNoVariant(s"$name.value", m.valueType)
+    case _ => ()
+  }
+
+  /** Spark type → Iceberg v2 schema-JSON type (nested ids minted from
+    * the shared counter). */
+  private def icebergType(dt: DataType, nextId: () => Int): JValue = dt match {
+    case BooleanType => JString("boolean")
+    case ByteType | ShortType | IntegerType => JString("int")
+    case LongType => JString("long")
+    case FloatType => JString("float")
+    case DoubleType => JString("double")
+    case StringType => JString("string")
+    case BinaryType => JString("binary")
+    case DateType => JString("date")
+    case TimestampType => JString("timestamptz")
+    case TimestampNTZType => JString("timestamp")
+    case d: DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
+    case s: StructType =>
+      ("type" -> "struct") ~ ("fields" -> s.fields.map { f =>
+        (("id" -> nextId()) ~ ("name" -> f.name) ~
+          ("required" -> !f.nullable) ~
+          ("type" -> icebergType(f.dataType, nextId))): JValue
+      }.toList)
+    case a: ArrayType =>
+      ("type" -> "list") ~ ("element-id" -> nextId()) ~
+        ("element" -> icebergType(a.elementType, nextId)) ~
+        ("element-required" -> !a.containsNull)
+    case m: MapType =>
+      ("type" -> "map") ~ ("key-id" -> nextId()) ~
+        ("key" -> icebergType(m.keyType, nextId)) ~
+        ("value-id" -> nextId()) ~
+        ("value" -> icebergType(m.valueType, nextId)) ~
+        ("value-required" -> !m.valueContainsNull)
+    case other => throw new IllegalArgumentException(
+      s"no Iceberg v2 mapping for Spark type ${other.simpleString}")
+  }
+
+  /** Identity partition token → the Avro value matching
+    * [[partitionAvroType]]. */
+  private def partitionValue(dt: DataType, token: String): Any = dt match {
+    case LongType => token.toLong
+    case ByteType | ShortType | IntegerType => token.toInt
+    case _ => token
+  }
+
+  private def partitionAvroType(dt: DataType): String = dt match {
+    case LongType => "long"
+    case ByteType | ShortType | IntegerType => "int"
+    case _ => "string" // identity dir tokens are strings already
+  }
+
+  /** Iceberg v2 manifest_entry Avro schema with the table's partition
+    * struct inlined (spec field-ids 1000+i, data_file ids per spec). */
+  private def manifestEntrySchemaJson(schema: StructType,
+      partitionBy: Seq[String]): String = {
+    val partFields = partitionBy.zipWithIndex.map { case (c, i) =>
+      s"""{"name":"${c}","type":"${partitionAvroType(schema(c).dataType)}","field-id":${1000 + i}}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |{"name":"status","type":"int","field-id":0},
+       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+       |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+       |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+       |{"name":"content","type":"int","field-id":134},
+       |{"name":"file_path","type":"string","field-id":100},
+       |{"name":"file_format","type":"string","field-id":101},
+       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
+       |{"name":"record_count","type":"long","field-id":103},
+       |{"name":"file_size_in_bytes","type":"long","field-id":104}
+       |]}}]}""".stripMargin
+  }
+
+  /** Iceberg v2 manifest_file (manifest list entry) Avro schema. */
+  private[table] val ManifestListSchemaJson: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin
+}

@@ -1,0 +1,184 @@
+package graft.table
+
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.SparkSpec
+
+/** Iceberg v2 snapshot export (VERDICT r12 #6). No Iceberg jars in the
+  * image, so validation is STRUCTURAL and exact: metadata.json parses
+  * back with the right wiring (snapshot → manifest list → manifests),
+  * the Avro files parse with generic readers, and the file set, row
+  * counts, byte sizes and partition tuples match the live snapshot
+  * bit-for-bit. */
+class IcebergExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private implicit val fmts: Formats = DefaultFormats
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def readAvro(p: Path): Seq[GenericRecord] = {
+    val in = p.getFileSystem(conf).open(p)
+    val rdr = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val buf = Seq.newBuilder[GenericRecord]
+      while (rdr.hasNext) buf += rdr.next()
+      buf.result()
+    } finally rdr.close()
+  }
+
+  private def readText(p: Path): String = {
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      new String(b, "UTF-8")
+    } finally in.close()
+  }
+
+  private def batch(day: String, ids: Range) =
+    ids.map(i => (i.toLong, day, s"w$i")).toDF("id", "day", "w")
+
+  test("export mirrors the live snapshot; every layer parses back exactly") {
+    val base = tmpDir("iceberg")
+    val t = IncrementalTable(spark, s"$base/t")
+    for (d <- Seq("a", "b", "c")) t.append(batch(d, 0 until 40), Seq("day"))
+    // dead files must be invisible: replace one partition
+    t.replaceWhere(batch("b", 100 until 120), Seq("day"),
+      Map("day" -> "b"), Map("day" -> "b"))
+    val dest = s"$base/ice"
+    val r = IcebergExport.export(spark, t, dest, manifestTargetEntries = 2)
+    assert(r.dataFiles == t.liveFiles().size)
+    assert(r.totalRows == t.read().count())
+    assert(r.manifests == (r.dataFiles + 1) / 2, s"chunking: $r")
+
+    // ---- metadata.json wiring ----------------------------------------
+    val metaDir = new Path(dest, "metadata")
+    assert(readText(new Path(metaDir, "version-hint.text")) == "1")
+    val md = JsonMethods.parse(readText(new Path(metaDir, r.metadataFile
+      .stripPrefix("metadata/"))))
+    assert((md \ "format-version").extract[Int] == 2)
+    assert((md \ "current-snapshot-id").extract[Long] == t.latestVersion)
+    val fields = (md \ "schemas")(0) \ "fields"
+    assert(fields.children.map(f => (f \ "name").extract[String]) ==
+      Seq("id", "day", "w"))
+    val ids = fields.children.map(f =>
+      (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+    val spec = ((md \ "partition-specs")(0) \ "fields")(0)
+    assert((spec \ "name").extract[String] == "day")
+    assert((spec \ "transform").extract[String] == "identity")
+    assert((spec \ "source-id").extract[Int] == ids("day"))
+    // name mapping rides properties (our parquet has no field-ids)
+    val nm = JsonMethods.parse(
+      (md \ "properties" \ "schema.name-mapping.default").extract[String])
+    assert(nm.children.map(e => (e \ "names")(0).extract[String]).toSet ==
+      Set("id", "day", "w"))
+
+    // ---- manifest list -----------------------------------------------
+    val listPath = new Path((((md \ "snapshots")(0)) \ "manifest-list")
+      .extract[String])
+    val list = readAvro(listPath)
+    assert(list.size == r.manifests)
+    assert(list.map(_.get("added_files_count").asInstanceOf[Int]).sum ==
+      r.dataFiles)
+    assert(list.map(_.get("added_rows_count").asInstanceOf[Long]).sum ==
+      r.totalRows)
+    val fs = listPath.getFileSystem(conf)
+    list.foreach { m =>
+      val mp = new Path(m.get("manifest_path").toString)
+      assert(fs.getFileStatus(mp).getLen ==
+        m.get("manifest_length").asInstanceOf[Long], mp)
+    }
+
+    // ---- manifests: exact file set, rows, bytes, partition tuples -----
+    val entries = list.flatMap(m =>
+      readAvro(new Path(m.get("manifest_path").toString)))
+    val tfs = new Path(t.root).getFileSystem(conf)
+    val wantFiles = t.liveFiles()
+      .map(rel => tfs.makeQualified(new Path(t.root, rel)).toString).toSet
+    val gotFiles = entries.map(
+      _.get("data_file").asInstanceOf[GenericRecord]
+        .get("file_path").toString).toSet
+    assert(gotFiles == wantFiles)
+    assert(entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum == t.read().count())
+    entries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val p = new Path(df.get("file_path").toString)
+      assert(tfs.getFileStatus(p).getLen ==
+        df.get("file_size_in_bytes").asInstanceOf[Long], p)
+      val day = df.get("partition").asInstanceOf[GenericRecord]
+        .get("day").toString
+      assert(df.get("file_path").toString.contains(s"day=$day/"),
+        s"partition tuple must match the dir token: $df")
+      assert(df.get("file_format").toString == "PARQUET")
+      assert(e.get("status").asInstanceOf[Int] == 1)
+    }
+
+    // ---- re-export after new commits bumps the metadata version -------
+    t.append(batch("d", 0 until 10), Seq("day"))
+    val r2 = IcebergExport.export(spark, t, dest)
+    assert(r2.metadataFile == "metadata/v2.metadata.json")
+    assert(readText(new Path(metaDir, "version-hint.text")) == "2")
+    assert(r2.snapshotId == t.latestVersion && r2.snapshotId > r.snapshotId)
+    assert(r2.dataFiles == t.liveFiles().size)
+  }
+
+  test("SQL door returns the export summary") {
+    val base = tmpDir("iceberg")
+    spark.conf.set("spark.sql.catalog.icat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.icat.warehouse", s"$base/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS icat.lake")
+    spark.sql("CREATE TABLE icat.lake.exp (id BIGINT, w STRING)")
+    spark.sql("INSERT INTO icat.lake.exp SELECT id, CAST(id AS STRING) FROM range(50)")
+    val row = spark.sql(
+      s"CALL icat.system.export_iceberg('lake.exp', '$base/ice2')").head
+    assert(row.getAs[Int]("data_files") >= 1)
+    assert(row.getAs[Long]("total_rows") == 50L)
+    assert(row.getAs[String]("metadata_file") == "metadata/v1.metadata.json")
+    // unpartitioned: the partition struct is EMPTY, not absent
+    val md = JsonMethods.parse(readText(
+      new Path(s"$base/ice2/metadata/v1.metadata.json")))
+    assert((((md \ "partition-specs")(0)) \ "fields").children.isEmpty)
+  }
+
+  test("refusals: standing DVs, hidden transforms, VARIANT columns") {
+    val base = tmpDir("iceberg")
+    // deletion vectors in force → refuse; compact() re-enables
+    val t = IncrementalTable(spark, s"$base/dv")
+    t.append((0 until 50).map(i => (i.toLong, s"w$i")).toDF("id", "w"), Nil)
+    t.deleteVectorized($"id" < 5)
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.export(spark, t, s"$base/dv_ice"))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    t.compact(targetFiles = 1)
+    assert(IcebergExport.export(spark, t, s"$base/dv_ice").totalRows == 45L)
+    // hidden-partitioning transforms → refuse
+    spark.conf.set("spark.sql.catalog.icat2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.icat2.warehouse", s"$base/wh2")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS icat2.lake")
+    spark.sql("""CREATE TABLE icat2.lake.ht (id BIGINT, ts TIMESTAMP)
+      |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql("""INSERT INTO icat2.lake.ht
+      |SELECT id, TIMESTAMP'2026-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT))
+      |FROM range(5)""".stripMargin)
+    val ht = IncrementalTable(spark, s"$base/wh2/lake/ht")
+    val e2 = intercept[IllegalArgumentException](
+      IcebergExport.export(spark, ht, s"$base/ht_ice"))
+    assert(e2.getMessage.contains("hidden-partitioning"), e2.getMessage)
+    // VARIANT column → refuse, naming the shredding remedy
+    val tv = IncrementalTable(spark, s"$base/var")
+    tv.append(spark.range(3).selectExpr("id", "parse_json('{\"a\":1}') AS v"), Nil)
+    val e3 = intercept[IllegalArgumentException](
+      IcebergExport.export(spark, tv, s"$base/var_ice"))
+    assert(e3.getMessage.contains("VARIANT"), e3.getMessage)
+  }
+}
