@@ -56,4 +56,23 @@ class DedupSpec extends SparkSpec {
         .as[(String, Long, Long)].collect().toSet
     assert(rows(hashKey = true) == rows(hashKey = false))
   }
+
+  test("uncapped co-occurrence candidates are QUADRATIC in shingle df; the cap bounds them (sf1 scaling audit)") {
+    // the q68 sf1 finding's cause, pinned with counted asserts: D docs
+    // sharing one hot shingle make the exact-recall (uncapped) variant
+    // emit every pair — D(D-1)/2, quadratic in df by construction. The
+    // df cap excludes the hot shingle from CANDIDATE GENERATION and
+    // bounds the per-key fan-out; q22 (capped) and q23 (LSH) are the
+    // scale paths, q68's uncapped run is the exactness oracle.
+    def corpus(d: Int) = (0 until d).map(i =>
+      (i.toLong, s"hot shared shingle unique$i tail$i")).toDF("doc_id", "text")
+    def pairs(d: Int, cap: Option[Long]) =
+      Dedup.ngramJaccardPairs(corpus(d), $"doc_id", $"text", 3, 0.0, cap)
+        .filter($"jaccard" > 0).count()
+    assert(pairs(20, None) == 190L) // 20*19/2
+    assert(pairs(40, None) == 780L) // 2x docs -> 4.1x pairs: the quadratic
+    // capped: the df-40 hot shingle leaves candidate generation; the
+    // remaining shingles are df=1 -> zero co-occurrence, zero pairs
+    assert(pairs(40, Some(10L)) == 0L)
+  }
 }
