@@ -1862,10 +1862,13 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         (new StructType().add("snapshot_id", LongType)
            .add("metadata_file", StringType)
            .add("manifests", IntegerType)
+           .add("manifests_reused", IntegerType)
            .add("data_files", IntegerType)
+           .add("footers_read", IntegerType)
            .add("total_rows", LongType),
           InternalRow(r.snapshotId, UTF8String.fromString(r.metadataFile),
-            r.manifests, r.dataFiles, r.totalRows))
+            r.manifests, r.manifestsReused, r.dataFiles, r.footersRead,
+            r.totalRows))
       case "rewrite_manifests" =>
         val ms = t.rewriteManifests()
         (new StructType().add("manifests", IntegerType)

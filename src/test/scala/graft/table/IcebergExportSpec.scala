@@ -181,4 +181,54 @@ class IcebergExportSpec extends SparkSpec {
       IcebergExport.export(spark, tv, s"$base/var_ice"))
     assert(e3.getMessage.contains("VARIANT"), e3.getMessage)
   }
+
+  test("incremental re-export: clean manifests reused by reference, footers read only for new files") {
+    val base = tmpDir("iceberg")
+    val t = IncrementalTable(spark, s"$base/t")
+    for (d <- Seq("a", "b", "c")) t.append(batch(d, 0 until 40), Seq("day"))
+    val dest = s"$base/ice"
+    val r1 = IcebergExport.export(spark, t, dest, manifestTargetEntries = 2)
+    assert(r1.manifestsReused == 0 && r1.footersRead == r1.dataFiles)
+    // append-only: ALL previous manifests reuse, ONLY new files' footers read
+    val before = t.liveFiles().size
+    t.append(batch("d", 0 until 20), Seq("day"))
+    val newFiles = t.liveFiles().size - before
+    val r2 = IcebergExport.export(spark, t, dest, manifestTargetEntries = 2)
+    assert(r2.manifestsReused == r1.manifests, s"append-only must reuse all: $r2 vs $r1")
+    assert(r2.footersRead == newFiles, s"footers only for the new files: $r2")
+    assert(r2.dataFiles == t.liveFiles().size)
+    // partition replace: exactly the manifests holding day=b files
+    // rewrite; replaced files re-harvest, everything else carries over
+    t.replaceWhere(batch("b", 100 until 140), Seq("day"),
+      Map("day" -> "b"), Map("day" -> "b"))
+    val bFiles = t.liveFiles().count(_.startsWith("day=b/"))
+    val r3 = IcebergExport.export(spark, t, dest, manifestTargetEntries = 2)
+    assert(r3.footersRead == bFiles, s"only the replaced partition harvests: $r3 bFiles=$bFiles")
+    assert(r3.manifestsReused > 0 && r3.manifestsReused < r2.manifests,
+      s"day=b manifests rewrite, the rest reuse: $r3 vs $r2")
+    // the incremental export still parses back EXACT — carried row
+    // counts and byte sizes must equal filesystem truth
+    val md = JsonMethods.parse(readText(new Path(s"$dest/metadata/v3.metadata.json")))
+    val listPath = new Path((((md \ "snapshots")(0)) \ "manifest-list").extract[String])
+    val entries = readAvro(listPath).flatMap(m =>
+      readAvro(new Path(m.get("manifest_path").toString)))
+    val tfs = new Path(t.root).getFileSystem(conf)
+    val wantFiles = t.liveFiles()
+      .map(rel => tfs.makeQualified(new Path(t.root, rel)).toString).toSet
+    assert(entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("file_path").toString).toSet == wantFiles)
+    assert(entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum == t.read().count())
+    entries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      assert(tfs.getFileStatus(new Path(df.get("file_path").toString)).getLen
+        == df.get("file_size_in_bytes").asInstanceOf[Long])
+    }
+    // a schema change invalidates reuse — the next export starts fresh
+    import org.apache.spark.sql.functions.lit
+    t.append(batch("e", 0 until 5).withColumn("extra", lit(1L)), Seq("day"))
+    val r4 = IcebergExport.export(spark, t, dest)
+    assert(r4.manifestsReused == 0 && r4.footersRead == t.liveFiles().size,
+      s"schema evolution must start a fresh export: $r4")
+  }
 }
