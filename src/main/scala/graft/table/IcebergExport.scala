@@ -48,9 +48,11 @@ final case class IcebergExportResult(snapshotId: Long, metadataFile: String,
   * `schema.name-mapping.default` table property, because our parquet
   * files carry no embedded field-ids — name mapping is exactly
   * Iceberg's mechanism for adopting such files. Each export writes a
-  * fresh single-snapshot metadata version (a snapshot MIRROR, not an
-  * incremental sync — re-export after new commits bumps vN and the
-  * version hint).
+  * fresh single-snapshot metadata version (re-export after new commits
+  * bumps vN and the version hint) but is INCREMENTAL against the
+  * previous version when schema and spec are unchanged: clean
+  * manifests are referenced, not rewritten, and previously harvested
+  * per-file stats carry forward (see the reuse block in [[export]]).
   *
   * Scale: the only per-file work is the footer row-count + length
   * harvest, which reuses the commit path's two-shape rule — inline on

@@ -5548,8 +5548,15 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     if (logOnLocalFs) {
       val t = java.nio.file.Paths.get(tmp.toUri.getPath)
       val d = java.nio.file.Paths.get(dest.toUri.getPath)
-      try { java.nio.file.Files.createLink(d, t); java.nio.file.Files.delete(t); true }
-      catch {
+      try {
+        java.nio.file.Files.createLink(d, t)
+        // the record IS published once the link exists — tmp cleanup is
+        // best-effort (a leftover tmp is an invisible orphan vacuum
+        // reclaims), never a reason to fail a landed commit
+        try java.nio.file.Files.delete(t)
+        catch { case _: java.io.IOException => () }
+        true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: UnsupportedOperationException => publishFc(tmp, dest)
       }
