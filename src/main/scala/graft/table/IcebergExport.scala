@@ -127,10 +127,10 @@ object IcebergExport {
     val specJsonStr = JsonMethods.compact(JsonMethods.render(specFields))
     val prevManifests = readPrevious(fs, metaDir, schemaJsonStr, specJsonStr)
     val liveAbsSet = rels.map(absUri).toSet
-    val reused = prevManifests.filter(_._2.forall(e => liveAbsSet(e._1)))
+    val reused = prevManifests.filter(_.entries.forall(e => liveAbsSet(e._1)))
     val carried: Map[String, (Long, Long)] =
-      prevManifests.flatMap(_._2).map(e => e._1 -> (e._2, e._3)).toMap
-    val coveredAbs = reused.flatMap(_._2).map(_._1).toSet
+      prevManifests.flatMap(_.entries).map(e => e._1 -> (e._2, e._3)).toMap
+    val coveredAbs = reused.flatMap(_.entries).map(_._1).toSet
     val leftover = rels.filterNot(r => coveredAbs(absUri(r)))
     val needFooter = leftover.filterNot(r => carried.contains(absUri(r)))
 
@@ -156,7 +156,7 @@ object IcebergExport {
       (rel, r, b)
     }
     val totalRows = fileMeta.iterator.map(_._2).sum +
-      reused.iterator.flatMap(_._2).map(_._2).sum
+      reused.iterator.flatMap(_.entries).map(_._2).sum
 
     // ---- partition tuple per file (identity tokens, spec order) -------
     def partitionOf(rel: String): Seq[(String, String)] = {
@@ -229,20 +229,22 @@ object IcebergExport {
       w.setMeta("format-version", "2")
       w.create(listSchema, out)
       try {
-      reused.foreach { case (mpath, entries) =>
+      reused.foreach { pm =>
         val r = new GenericData.Record(listSchema)
-        r.put("manifest_path", mpath)
+        r.put("manifest_path", pm.path)
         r.put("manifest_length",
-          fs.getFileStatus(new Path(new java.net.URI(mpath))).getLen)
+          fs.getFileStatus(new Path(new java.net.URI(pm.path))).getLen)
         r.put("partition_spec_id", 0)
         r.put("content", 0)
         r.put("sequence_number", 1L)
         r.put("min_sequence_number", 1L)
-        r.put("added_snapshot_id", snapshotId)
-        r.put("added_files_count", entries.size)
+        // fidelity: the files were ADDED by the snapshot that first
+        // exported them — a reused manifest keeps that id
+        r.put("added_snapshot_id", pm.addedSnapshotId)
+        r.put("added_files_count", pm.entries.size)
         r.put("existing_files_count", 0)
         r.put("deleted_files_count", 0)
-        r.put("added_rows_count", entries.iterator.map(_._2).sum)
+        r.put("added_rows_count", pm.entries.iterator.map(_._2).sum)
         r.put("existing_rows_count", 0L)
         r.put("deleted_rows_count", 0L)
         w.append(r)
@@ -312,13 +314,18 @@ object IcebergExport {
       manifestsReused = reused.size, footersRead = needFooter.size)
   }
 
+  /** One previous-export manifest: its path, the snapshot that first
+    * added its files, and (file URI, rows, bytes) per entry. */
+  private final case class PrevManifest(path: String, addedSnapshotId: Long,
+      entries: Seq[(String, Long, Long)])
+
   /** Previous export state for incremental reuse: each manifest of the
     * last metadata version (same schema + spec ONLY — an evolved export
-    * starts fresh) with its (file URI, rows, bytes) entries. Metadata-
-    * plane reads only; O(previous files) Avro decode, zero data access. */
+    * starts fresh). Metadata-plane reads only; O(previous files) Avro
+    * decode, zero data access. */
   private def readPrevious(fs: org.apache.hadoop.fs.FileSystem,
       metaDir: Path, schemaJsonStr: String,
-      specJsonStr: String): Seq[(String, Seq[(String, Long, Long)])] = {
+      specJsonStr: String): Seq[PrevManifest] = {
     import org.apache.avro.file.DataFileStream
     import org.apache.avro.generic.GenericDatumReader
     implicit val fmts: Formats = DefaultFormats
@@ -357,7 +364,8 @@ object IcebergExport {
           df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long])
       }
-      mpath -> entries
+      PrevManifest(mpath,
+        m.get("added_snapshot_id").asInstanceOf[Long], entries)
     }
   }
 
