@@ -43,27 +43,50 @@ final case class IcebergExportResult(snapshotId: Long, metadataFile: String,
   *    order refuses (shallow-cloned foreign layouts, pre-evolution
   *    shapes — rewrite into the current spec first).
   *
-  * Fidelity notes: field-ids are assigned fresh (pre-order walk) and
-  * recorded BOTH in the schema and as a
-  * `schema.name-mapping.default` table property, because our parquet
-  * files carry no embedded field-ids — name mapping is exactly
-  * Iceberg's mechanism for adopting such files. Each export writes a
-  * fresh single-snapshot metadata version (re-export after new commits
-  * bumps vN and the version hint) but is INCREMENTAL against the
-  * previous version when schema and spec are unchanged: clean
-  * manifests are referenced, not rewritten, and previously harvested
-  * per-file stats carry forward (see the reuse block in [[export]]).
+  * Fidelity notes:
+  *  - Field-ids are assigned fresh (top-level first, then a nested
+  *    walk) and recorded BOTH in the schema and as a FULL recursive
+  *    `schema.name-mapping.default` table property (struct members,
+  *    list elements, map keys/values), because our parquet files carry
+  *    no embedded field-ids — name mapping is exactly Iceberg's
+  *    mechanism for adopting such files.
+  *  - Column mapping (X72 rename) is honored: a renamed column's
+  *    mapping entry lists BOTH the logical and the immutable PHYSICAL
+  *    name (`names: [logical, physical]`), because the parquet bytes
+  *    are written under the physical name — without the alias an
+  *    Iceberg reader resolving by name finds no column and silently
+  *    reads NULL (ADVICE r13 high).
+  *  - Identity partition values are recovered from the hive dir tokens
+  *    with the writer's own unescape ('%3A' → ':', …) and the
+  *    `__HIVE_DEFAULT_PARTITION__` marker maps to an Avro null
+  *    (partition fields are nullable in the manifest schema) — raw
+  *    escaped tokens would export silently wrong string values and
+  *    throw on null numeric partitions (ADVICE r13 medium).
+  *  - The new metadata version is max(existing vN)+1 and the file is
+  *    created no-overwrite, so a gap in the version sequence can never
+  *    silently clobber an existing version (ADVICE r13 low).
+  *  - Prior snapshots carry FORWARD into the new metadata's
+  *    `snapshots` / `snapshot-log` (and the prior metadata file into
+  *    `metadata-log`) whenever schema+spec are unchanged, so reused
+  *    manifests' original `added_snapshot_id`s always resolve — no
+  *    dangling ids for metadata-table readers (ADVICE r13 low). A
+  *    schema/spec change starts a fresh single-snapshot history (the
+  *    carried snapshots would otherwise mis-bind to the new schema-id).
   *
   * Scale: the only per-file work is the footer row-count + length
   * harvest, which reuses the commit path's two-shape rule — inline on
   * the driver up to `spark.graft.distributedStatsThreshold` files, one
-  * Spark job above it. Manifests chunk at `manifestTargetEntries`
-  * entries, so the manifest list stays O(files / chunk) and no single
-  * Avro file grows with the table. Validation without Iceberg jars is
-  * structural: IcebergExportSpec parses everything back (JSON +
-  * generic Avro) and asserts file sets, row counts and byte sizes
-  * exactly. */
+  * Spark job above it. Re-export is INCREMENTAL when schema and spec
+  * are unchanged: clean manifests are referenced, not rewritten, and
+  * previously harvested per-file stats carry forward. Manifests chunk
+  * at `manifestTargetEntries` entries, so the manifest list stays
+  * O(files / chunk) and no single Avro file grows with the table.
+  * Validation without Iceberg jars is structural: IcebergExportSpec
+  * parses everything back (JSON + generic Avro) and asserts file sets,
+  * row counts and byte sizes exactly. */
 object IcebergExport {
+
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
   def export(spark: SparkSession, t: IncrementalTable, dest: String,
       manifestTargetEntries: Int = 10000): IcebergExportResult = {
@@ -81,6 +104,7 @@ object IcebergExport {
       s"table ${t.root} has no schema (no data commits) — nothing to export"))
     schema.foreach(f => requireNoVariant(f.name, f.dataType))
     val partitionBy = t.partitionColumns
+    val cmap = t.columnMapping()
 
     val conf = IncrementalTable.hadoopConf(spark)
     val destPath = new Path(dest)
@@ -89,14 +113,18 @@ object IcebergExport {
     fs.mkdirs(metaDir)
 
     // ---- ids + schema/spec/name-mapping JSON --------------------------
+    // Top-level ids first (stable source-ids for the spec), then each
+    // field's nested ids from the shared counter. The name-mapping walk
+    // shares the SAME traversal, so every minted id gets a mapping entry.
     var lastId = 0
     def nextId(): Int = { lastId += 1; lastId }
     val topIds = schema.fields.map(f => f.name -> nextId()).toMap
-    val fieldsJson = schema.fields.map { f =>
-      ("id" -> topIds(f.name)) ~ ("name" -> f.name) ~
-        ("required" -> !f.nullable) ~
-        ("type" -> icebergType(f.dataType, () => nextId()))
-    }.toList
+    val (fieldsJson, mappingJson) = schema.fields.map { f =>
+      val (tJson, childMap) = typeAndMapping(f.dataType, f.name, cmap, nextId)
+      val sf: JValue = ("id" -> topIds(f.name)) ~ ("name" -> f.name) ~
+        ("required" -> !f.nullable) ~ ("type" -> tJson)
+      (sf, mappingEntry(topIds(f.name), names(f.name, f.name, cmap), childMap))
+    }.toList.unzip
     val schemaJson: JObject =
       ("type" -> "struct") ~ ("schema-id" -> 0) ~ ("fields" -> fieldsJson)
     val specFields = partitionBy.zipWithIndex.map { case (c, i) =>
@@ -106,10 +134,8 @@ object IcebergExport {
         ("source-id" -> srcId) ~ ("field-id" -> (1000 + i))
     }.toList
     val specJson: JObject = ("spec-id" -> 0) ~ ("fields" -> specFields)
-    val nameMapping = JsonMethods.compact(JsonMethods.render(
-      JArray(schema.fields.map(f =>
-        (("field-id" -> topIds(f.name)) ~
-          ("names" -> List(f.name))): JValue).toList)))
+    val nameMapping =
+      JsonMethods.compact(JsonMethods.render(JArray(mappingJson)))
 
     // ---- incremental reuse (the X108 pattern applied to the export):
     // a previous export of the SAME schema + spec contributes (a) its
@@ -125,7 +151,8 @@ object IcebergExport {
       tableFs.makeQualified(new Path(rootStr, rel)).toString
     val schemaJsonStr = JsonMethods.compact(JsonMethods.render(schemaJson))
     val specJsonStr = JsonMethods.compact(JsonMethods.render(specFields))
-    val prevManifests = readPrevious(fs, metaDir, schemaJsonStr, specJsonStr)
+    val prev = readPrevious(fs, metaDir, schemaJsonStr, specJsonStr)
+    val prevManifests = prev.map(_.manifests).getOrElse(Nil)
     val liveAbsSet = rels.map(absUri).toSet
     val reused = prevManifests.filter(_.entries.forall(e => liveAbsSet(e._1)))
     val carried: Map[String, (Long, Long)] =
@@ -159,16 +186,24 @@ object IcebergExport {
       reused.iterator.flatMap(_.entries).map(_._2).sum
 
     // ---- partition tuple per file (identity tokens, spec order) -------
-    def partitionOf(rel: String): Seq[(String, String)] = {
+    // Dir tokens carry the PHYSICAL column name (X72 renames never
+    // rewrite paths) and the writer's hive escaping; recover the real
+    // value via unescape, and map the hive null marker to None → an
+    // Avro null in the (nullable) partition struct.
+    def partitionOf(rel: String): Seq[(String, Option[String])] = {
       val tokens = rel.split("/").dropRight(1).iterator.map { seg =>
         val i = seg.indexOf('=')
         if (i <= 0) "" -> "" else seg.take(i) -> seg.drop(i + 1)
       }.toMap
-      partitionBy.map(c => c -> tokens.getOrElse(c,
-        throw new IllegalArgumentException(
-          s"file '$rel' does not carry partition token '$c=' — foreign " +
-            "or pre-evolution layout; rewrite into the current spec " +
-            "before exporting")))
+      partitionBy.map { c =>
+        val raw = tokens.get(cmap.getOrElse(c, c)).orElse(tokens.get(c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"file '$rel' does not carry partition token '$c=' — foreign " +
+              "or pre-evolution layout; rewrite into the current spec " +
+              "before exporting"))
+        c -> (if (raw == HiveDefaultPartition) None
+              else Some(graft.parquet.RowParquet.unescapePathName(raw)))
+      }
     }
 
     // ---- snapshot identity --------------------------------------------
@@ -198,7 +233,7 @@ object IcebergExport {
       try chunk.foreach { case (rel, rows, bytes) =>
         val part = new GenericData.Record(partSchema)
         partitionOf(rel).foreach { case (c, v) =>
-          part.put(c, partitionValue(schema(c).dataType, v))
+          part.put(c, v.map(partitionValue(schema(c).dataType, _)).orNull)
         }
         val df = new GenericData.Record(dataFileSchema)
         df.put("content", 0)
@@ -239,7 +274,8 @@ object IcebergExport {
         r.put("sequence_number", 1L)
         r.put("min_sequence_number", 1L)
         // fidelity: the files were ADDED by the snapshot that first
-        // exported them — a reused manifest keeps that id
+        // exported them — a reused manifest keeps that id (and the
+        // carried `snapshots` history below keeps the id resolvable)
         r.put("added_snapshot_id", pm.addedSnapshotId)
         r.put("added_files_count", pm.entries.size)
         r.put("existing_files_count", 0)
@@ -270,9 +306,14 @@ object IcebergExport {
     }
 
     // ---- vN.metadata.json + version-hint.text -------------------------
+    // Next version = max(existing vN) + 1, created NO-overwrite: a gap
+    // in the sequence (a manually deleted version) must never make a
+    // new export silently clobber a surviving one (ADVICE r13 low).
+    val VersionName = """v(\d+)\.metadata\.json""".r
     val version = 1 + fs.listStatus(metaDir)
-      .map(_.getPath.getName)
-      .count(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+      .iterator.map(_.getPath.getName)
+      .collect { case VersionName(n) => n.toInt }
+      .foldLeft(0)(math.max)
     val snapshot: JObject =
       ("snapshot-id" -> snapshotId) ~ ("sequence-number" -> 1) ~
         ("timestamp-ms" -> ts) ~ ("schema-id" -> 0) ~
@@ -283,6 +324,16 @@ object IcebergExport {
           ("added-records" -> totalRows.toString) ~
           ("total-data-files" -> rels.size.toString) ~
           ("total-records" -> totalRows.toString)))
+    // Same-shape history carries forward so reused manifests'
+    // added_snapshot_ids resolve; a re-export of the SAME snapshot id
+    // replaces its prior entry instead of duplicating it.
+    val priorSnapshots = prev.map(_.snapshots.filter(sn =>
+      snapshotIdOf(sn) != snapshotId)).getOrElse(Nil)
+    val priorLog = prev.map(_.snapshotLog.filter(e =>
+      snapshotIdOf(e) != snapshotId)).getOrElse(Nil)
+    val priorMetaLog = prev.map(p => p.metadataLog :+
+      ((("timestamp-ms" -> p.lastUpdatedMs) ~
+        ("metadata-file" -> p.metadataPath)): JValue)).getOrElse(Nil)
     val metadata: JObject =
       ("format-version" -> 2) ~
         ("table-uuid" -> java.util.UUID.nameUUIDFromBytes(
@@ -301,17 +352,22 @@ object IcebergExport {
           (("order-id" -> 0) ~ ("fields" -> JArray(Nil))): JValue)) ~
         ("properties" -> ("schema.name-mapping.default" -> nameMapping)) ~
         ("current-snapshot-id" -> snapshotId) ~
-        ("snapshots" -> List(snapshot)) ~
-        ("snapshot-log" -> List(
-          (("timestamp-ms" -> ts) ~ ("snapshot-id" -> snapshotId)): JValue)) ~
-        ("metadata-log" -> JArray(Nil))
+        ("snapshots" -> (priorSnapshots :+ (snapshot: JValue))) ~
+        ("snapshot-log" -> (priorLog :+
+          ((("timestamp-ms" -> ts) ~ ("snapshot-id" -> snapshotId)): JValue))) ~
+        ("metadata-log" -> priorMetaLog)
     val metaName = s"v$version.metadata.json"
     writeText(fs, new Path(metaDir, metaName),
-      JsonMethods.pretty(JsonMethods.render(metadata)))
+      JsonMethods.pretty(JsonMethods.render(metadata)), overwrite = false)
     writeText(fs, new Path(metaDir, "version-hint.text"), version.toString)
     IcebergExportResult(snapshotId, s"metadata/$metaName",
       reused.size + manifests.size, rels.size, totalRows,
       manifestsReused = reused.size, footersRead = needFooter.size)
+  }
+
+  private def snapshotIdOf(sn: JValue): Long = {
+    implicit val fmts: Formats = DefaultFormats
+    (sn \ "snapshot-id").extract[Long]
   }
 
   /** One previous-export manifest: its path, the snapshot that first
@@ -319,31 +375,37 @@ object IcebergExport {
   private final case class PrevManifest(path: String, addedSnapshotId: Long,
       entries: Seq[(String, Long, Long)])
 
+  /** Previous same-shape export state: manifests for incremental reuse,
+    * plus the snapshot history to carry forward. */
+  private final case class PrevState(manifests: Seq[PrevManifest],
+      snapshots: List[JValue], snapshotLog: List[JValue],
+      metadataLog: List[JValue], metadataPath: String, lastUpdatedMs: Long)
+
   /** Previous export state for incremental reuse: each manifest of the
     * last metadata version (same schema + spec ONLY — an evolved export
     * starts fresh). Metadata-plane reads only; O(previous files) Avro
     * decode, zero data access. */
   private def readPrevious(fs: org.apache.hadoop.fs.FileSystem,
       metaDir: Path, schemaJsonStr: String,
-      specJsonStr: String): Seq[PrevManifest] = {
+      specJsonStr: String): Option[PrevState] = {
     import org.apache.avro.file.DataFileStream
     import org.apache.avro.generic.GenericDatumReader
     implicit val fmts: Formats = DefaultFormats
     val hint = new Path(metaDir, "version-hint.text")
-    if (!fs.exists(hint)) return Nil
+    if (!fs.exists(hint)) return None
     val v = readToString(fs, hint).trim.toInt
     val mdPath = new Path(metaDir, s"v$v.metadata.json")
-    if (!fs.exists(mdPath)) return Nil
+    if (!fs.exists(mdPath)) return None
     val md = JsonMethods.parse(readToString(fs, mdPath))
     val sameShape =
       JsonMethods.compact(JsonMethods.render((md \ "schemas")(0))) == schemaJsonStr &&
         JsonMethods.compact(JsonMethods.render(
           ((md \ "partition-specs")(0)) \ "fields")) == specJsonStr
-    if (!sameShape) return Nil
+    if (!sameShape) return None
     val snapId = (md \ "current-snapshot-id").extract[Long]
     val snap = (md \ "snapshots").children
       .find(sn => (sn \ "snapshot-id").extract[Long] == snapId)
-      .getOrElse(return Nil)
+      .getOrElse(return None)
     def avroRecords(p: Path): Seq[GenericRecord] = {
       val in = fs.open(p)
       val rdr = new DataFileStream[GenericRecord](in,
@@ -356,7 +418,7 @@ object IcebergExport {
     }
     val listPath = new Path(new java.net.URI(
       (snap \ "manifest-list").extract[String]))
-    avroRecords(listPath).map { m =>
+    val manifests = avroRecords(listPath).map { m =>
       val mpath = m.get("manifest_path").toString
       val entries = avroRecords(new Path(new java.net.URI(mpath))).map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -367,6 +429,12 @@ object IcebergExport {
       PrevManifest(mpath,
         m.get("added_snapshot_id").asInstanceOf[Long], entries)
     }
+    Some(PrevState(manifests,
+      (md \ "snapshots").children,
+      (md \ "snapshot-log").children,
+      (md \ "metadata-log").children,
+      fs.makeQualified(mdPath).toString,
+      (md \ "last-updated-ms").extract[Long]))
   }
 
   private def readToString(fs: org.apache.hadoop.fs.FileSystem,
@@ -389,8 +457,8 @@ object IcebergExport {
   }
 
   private def writeText(fs: org.apache.hadoop.fs.FileSystem, p: Path,
-      s: String): Unit = {
-    val out = fs.create(p, true)
+      s: String, overwrite: Boolean = true): Unit = {
+    val out = fs.create(p, overwrite)
     try out.write(s.getBytes(UTF_8)) finally out.close()
   }
 
@@ -406,42 +474,72 @@ object IcebergExport {
     case _ => ()
   }
 
-  /** Spark type → Iceberg v2 schema-JSON type (nested ids minted from
-    * the shared counter). */
-  private def icebergType(dt: DataType, nextId: () => Int): JValue = dt match {
-    case BooleanType => JString("boolean")
-    case ByteType | ShortType | IntegerType => JString("int")
-    case LongType => JString("long")
-    case FloatType => JString("float")
-    case DoubleType => JString("double")
-    case StringType => JString("string")
-    case BinaryType => JString("binary")
-    case DateType => JString("date")
-    case TimestampType => JString("timestamptz")
-    case TimestampNTZType => JString("timestamp")
-    case d: DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
+  /** The `names` list for a name-mapping entry: the logical name, plus
+    * the immutable PHYSICAL name when a rename made them diverge —
+    * parquet bytes live under the physical name, so an Iceberg reader
+    * needs it to resolve the column at all (ADVICE r13 high). `lpath`
+    * is the logical dot-path (the columnMapping key). */
+  private def names(lpath: String, fname: String,
+      cmap: Map[String, String]): List[String] =
+    cmap.get(lpath).filter(_ != fname).fold(List(fname))(p => List(fname, p))
+
+  private def mappingEntry(id: Int, ns: List[String],
+      childFields: Option[JArray]): JValue = {
+    val base = ("field-id" -> id) ~ ("names" -> ns)
+    childFields.fold(base: JValue)(cf => base ~ ("fields" -> cf))
+  }
+
+  /** Spark type → (Iceberg v2 schema-JSON type, name-mapping `fields`
+    * for its children). Nested ids mint from the shared counter; the
+    * mapping walk shares the SAME traversal so ids and entries can
+    * never drift. */
+  private def typeAndMapping(dt: DataType, lpath: String,
+      cmap: Map[String, String],
+      nextId: () => Int): (JValue, Option[JArray]) = dt match {
+    case BooleanType => (JString("boolean"), None)
+    case ByteType | ShortType | IntegerType => (JString("int"), None)
+    case LongType => (JString("long"), None)
+    case FloatType => (JString("float"), None)
+    case DoubleType => (JString("double"), None)
+    case StringType => (JString("string"), None)
+    case BinaryType => (JString("binary"), None)
+    case DateType => (JString("date"), None)
+    case TimestampType => (JString("timestamptz"), None)
+    case TimestampNTZType => (JString("timestamp"), None)
+    case d: DecimalType => (JString(s"decimal(${d.precision}, ${d.scale})"), None)
     case s: StructType =>
-      ("type" -> "struct") ~ ("fields" -> s.fields.map { f =>
-        (("id" -> nextId()) ~ ("name" -> f.name) ~
-          ("required" -> !f.nullable) ~
-          ("type" -> icebergType(f.dataType, nextId))): JValue
-      }.toList)
+      val (fs, ms) = s.fields.map { f =>
+        val id = nextId()
+        val (tJson, childMap) =
+          typeAndMapping(f.dataType, s"$lpath.${f.name}", cmap, nextId)
+        val sf: JValue = ("id" -> id) ~ ("name" -> f.name) ~
+          ("required" -> !f.nullable) ~ ("type" -> tJson)
+        (sf, mappingEntry(id, names(s"$lpath.${f.name}", f.name, cmap), childMap))
+      }.toList.unzip
+      ((("type" -> "struct") ~ ("fields" -> fs)): JValue, Some(JArray(ms)))
     case a: ArrayType =>
-      ("type" -> "list") ~ ("element-id" -> nextId()) ~
-        ("element" -> icebergType(a.elementType, nextId)) ~
-        ("element-required" -> !a.containsNull)
+      val eid = nextId()
+      val (et, em) = typeAndMapping(a.elementType, s"$lpath.element", cmap, nextId)
+      ((("type" -> "list") ~ ("element-id" -> eid) ~
+        ("element" -> et) ~ ("element-required" -> !a.containsNull)): JValue,
+        Some(JArray(List(mappingEntry(eid, List("element"), em)))))
     case m: MapType =>
-      ("type" -> "map") ~ ("key-id" -> nextId()) ~
-        ("key" -> icebergType(m.keyType, nextId)) ~
-        ("value-id" -> nextId()) ~
-        ("value" -> icebergType(m.valueType, nextId)) ~
-        ("value-required" -> !m.valueContainsNull)
+      val kid = nextId()
+      val (kt, km) = typeAndMapping(m.keyType, s"$lpath.key", cmap, nextId)
+      val vid = nextId()
+      val (vt, vm) = typeAndMapping(m.valueType, s"$lpath.value", cmap, nextId)
+      ((("type" -> "map") ~ ("key-id" -> kid) ~ ("key" -> kt) ~
+        ("value-id" -> vid) ~ ("value" -> vt) ~
+        ("value-required" -> !m.valueContainsNull)): JValue,
+        Some(JArray(List(
+          mappingEntry(kid, List("key"), km),
+          mappingEntry(vid, List("value"), vm)))))
     case other => throw new IllegalArgumentException(
       s"no Iceberg v2 mapping for Spark type ${other.simpleString}")
   }
 
-  /** Identity partition token → the Avro value matching
-    * [[partitionAvroType]]. */
+  /** Identity partition token (already unescaped, non-null) → the Avro
+    * value matching [[partitionAvroType]]. */
   private def partitionValue(dt: DataType, token: String): Any = dt match {
     case LongType => token.toLong
     case ByteType | ShortType | IntegerType => token.toInt
@@ -455,11 +553,13 @@ object IcebergExport {
   }
 
   /** Iceberg v2 manifest_entry Avro schema with the table's partition
-    * struct inlined (spec field-ids 1000+i, data_file ids per spec). */
+    * struct inlined (spec field-ids 1000+i, data_file ids per spec).
+    * Partition fields are nullable: `__HIVE_DEFAULT_PARTITION__`
+    * dir tokens export as Avro null. */
   private def manifestEntrySchemaJson(schema: StructType,
       partitionBy: Seq[String]): String = {
     val partFields = partitionBy.zipWithIndex.map { case (c, i) =>
-      s"""{"name":"${c}","type":"${partitionAvroType(schema(c).dataType)}","field-id":${1000 + i}}"""
+      s"""{"name":"${c}","type":["null","${partitionAvroType(schema(c).dataType)}"],"default":null,"field-id":${1000 + i}}"""
     }.mkString(",")
     s"""{"type":"record","name":"manifest_entry","fields":[
        |{"name":"status","type":"int","field-id":0},

@@ -5543,9 +5543,16 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * JVM only) and three orders of magnitude cheaper than the Hadoop
     * local rename path (measured 37 ms vs ~10 µs per publish — the
     * dominant term of the per-commit OCC floor). Mounts without hard
-    * links fall back to the FileContext path. */
+    * links fall back to the FileContext path — both the API-level
+    * signal (UnsupportedOperationException) and the syscall-level one
+    * (EPERM/EACCES on FUSE/CIFS/overlay mounts, which Linux surfaces
+    * as a scheme-'file' FileSystemException — ADVICE r13 medium);
+    * either latches [[noHardLinks]] so later commits skip the doomed
+    * syscall and go straight to FileContext. */
+  @volatile private var noHardLinks = false
+
   private def publish(tmp: Path, dest: Path): Boolean =
-    if (logOnLocalFs) {
+    if (logOnLocalFs && !noHardLinks) {
       val t = java.nio.file.Paths.get(tmp.toUri.getPath)
       val d = java.nio.file.Paths.get(dest.toUri.getPath)
       try {
@@ -5557,8 +5564,13 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         catch { case _: java.io.IOException => () }
         true
       } catch {
+        // order matters: FileAlreadyExists IS a FileSystemException —
+        // the version race must stay a clean `false`, not a fallback
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException => publishFc(tmp, dest)
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          noHardLinks = true
+          publishFc(tmp, dest)
       }
     } else publishFc(tmp, dest)
 
@@ -5590,7 +5602,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     *
     * A failed replace's promoted files stay as unreferenced orphans,
     * invisible to readers and reclaimed by vacuum(). */
-  private def commit(c: Commit): Commit = lockFor(rootPath.toString).synchronized {
+  private[table] def commit(c: Commit): Commit = lockFor(rootPath.toString).synchronized {
     fs.mkdirs(logPath)
     // the log head this commit's add/remove sets were computed against
     var base = latestVersion

@@ -207,9 +207,21 @@ class IcebergExportSpec extends SparkSpec {
     assert(r3.manifestsReused > 0 && r3.manifestsReused < r2.manifests,
       s"day=b manifests rewrite, the rest reuse: $r3 vs $r2")
     // the incremental export still parses back EXACT — carried row
-    // counts and byte sizes must equal filesystem truth
+    // counts and byte sizes must equal filesystem truth. Prior
+    // snapshots carry forward, so resolve the CURRENT one by id.
     val md = JsonMethods.parse(readText(new Path(s"$dest/metadata/v3.metadata.json")))
-    val listPath = new Path((((md \ "snapshots")(0)) \ "manifest-list").extract[String])
+    val curId = (md \ "current-snapshot-id").extract[Long]
+    val curSnap = (md \ "snapshots").children
+      .find(sn => (sn \ "snapshot-id").extract[Long] == curId).get
+    // ADVICE r13 low: reused manifests keep their ORIGINAL
+    // added_snapshot_id — every such id must resolve in `snapshots`
+    val knownIds = (md \ "snapshots").children
+      .map(sn => (sn \ "snapshot-id").extract[Long]).toSet
+    val listPath = new Path((curSnap \ "manifest-list").extract[String])
+    readAvro(listPath).foreach { m =>
+      assert(knownIds(m.get("added_snapshot_id").asInstanceOf[Long]),
+        s"dangling added_snapshot_id in $m — history must carry forward")
+    }
     val entries = readAvro(listPath).flatMap(m =>
       readAvro(new Path(m.get("manifest_path").toString)))
     val tfs = new Path(t.root).getFileSystem(conf)
@@ -230,5 +242,88 @@ class IcebergExportSpec extends SparkSpec {
     val r4 = IcebergExport.export(spark, t, dest)
     assert(r4.manifestsReused == 0 && r4.footersRead == t.liveFiles().size,
       s"schema evolution must start a fresh export: $r4")
+  }
+
+  test("renamed columns export BOTH logical and physical names in the name mapping") {
+    // ADVICE r13 high: parquet bytes live under the immutable PHYSICAL
+    // name; without the alias an Iceberg reader resolving by name
+    // mapping silently reads NULL for every renamed column.
+    val base = tmpDir("iceberg")
+    val t = IncrementalTable(spark, s"$base/t")
+    t.append(batch("a", 0 until 20), Seq("day"))
+    t.renameColumn("w", "word")
+    assert(t.columnMapping() == Map("word" -> "w"))
+    val r = IcebergExport.export(spark, t, s"$base/ice")
+    val md = JsonMethods.parse(readText(new Path(
+      s"$base/ice/metadata/${r.metadataFile.stripPrefix("metadata/")}")))
+    val nm = JsonMethods.parse(
+      (md \ "properties" \ "schema.name-mapping.default").extract[String])
+    val byFirst = nm.children.map(e =>
+      (e \ "names")(0).extract[String] ->
+        (e \ "names").children.map(_.extract[String])).toMap
+    assert(byFirst("word") == List("word", "w"),
+      s"renamed column must alias its physical parquet name: $byFirst")
+    assert(byFirst("id") == List("id") && byFirst("day") == List("day"))
+    // schema itself carries ONLY the logical name
+    val fieldNames = ((md \ "schemas")(0) \ "fields").children
+      .map(f => (f \ "name").extract[String])
+    assert(fieldNames == Seq("id", "day", "word"))
+  }
+
+  test("partition values unescape and nulls export as Avro null") {
+    // ADVICE r13 medium: dir tokens are hive-ESCAPED ('%3A' = ':') and
+    // null renders as __HIVE_DEFAULT_PARTITION__; exporting raw tokens
+    // would silently corrupt string values and throw on numeric nulls.
+    val base = tmpDir("iceberg")
+    val t = IncrementalTable(spark, s"$base/t")
+    t.append(Seq((1L, "a:b c"), (2L, "x=y%z"), (3L, null: String))
+      .toDF("id", "tag"), Seq("tag"))
+    val r = IcebergExport.export(spark, t, s"$base/ice")
+    assert(r.dataFiles == 3 && r.totalRows == 3)
+    val md = JsonMethods.parse(readText(new Path(
+      s"$base/ice/metadata/${r.metadataFile.stripPrefix("metadata/")}")))
+    val listPath = new Path((((md \ "snapshots")(0)) \ "manifest-list")
+      .extract[String])
+    val tags = readAvro(listPath)
+      .flatMap(m => readAvro(new Path(m.get("manifest_path").toString)))
+      .map { e =>
+        val p = e.get("data_file").asInstanceOf[GenericRecord]
+          .get("partition").asInstanceOf[GenericRecord].get("tag")
+        Option(p).map(_.toString)
+      }.toSet
+    assert(tags == Set(Some("a:b c"), Some("x=y%z"), None),
+      s"partition tuple must carry the REAL values: $tags")
+    // numeric null partition must not throw mid-export either
+    val tn = IncrementalTable(spark, s"$base/tn")
+    tn.append(Seq((1L, java.lang.Long.valueOf(7L)), (2L, null: java.lang.Long))
+      .toDF("id", "bucket"), Seq("bucket"))
+    val rn = IcebergExport.export(spark, tn, s"$base/icen")
+    assert(rn.dataFiles == 2 && rn.totalRows == 2)
+  }
+
+  test("metadata version is max+1 and never silently clobbers across gaps") {
+    // ADVICE r13 low: 1+count(v*) collides after a gap (a manually
+    // deleted version) and the old overwrite=true silently destroyed
+    // the surviving version's snapshot history.
+    val base = tmpDir("iceberg")
+    val t = IncrementalTable(spark, s"$base/t")
+    t.append(batch("a", 0 until 10), Seq("day"))
+    IcebergExport.export(spark, t, s"$base/ice")
+    t.append(batch("b", 0 until 10), Seq("day"))
+    IcebergExport.export(spark, t, s"$base/ice")
+    val metaDir = new Path(s"$base/ice/metadata")
+    val fs = metaDir.getFileSystem(conf)
+    val v2Before = fs.getFileStatus(new Path(metaDir, "v2.metadata.json"))
+    // punch a gap: v1 goes away, count(v*)=1 but max(vN)=2
+    fs.delete(new Path(metaDir, "v1.metadata.json"), false)
+    t.append(batch("c", 0 until 10), Seq("day"))
+    val r3 = IcebergExport.export(spark, t, s"$base/ice")
+    assert(r3.metadataFile == "metadata/v3.metadata.json",
+      s"next version must be max+1 across gaps: $r3")
+    val v2After = fs.getFileStatus(new Path(metaDir, "v2.metadata.json"))
+    assert(v2After.getModificationTime == v2Before.getModificationTime &&
+      v2After.getLen == v2Before.getLen,
+      "a surviving metadata version must never be clobbered")
+    assert(readText(new Path(metaDir, "version-hint.text")) == "3")
   }
 }
