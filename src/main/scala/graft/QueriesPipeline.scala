@@ -2191,6 +2191,39 @@ object QueriesPipeline {
               |ORDER BY event_id""".stripMargin)
     }),
 
+    // ---- ICEBERG TWO-WAY INTEROP (X117, VERDICT r13 #2) -----------------
+    // export_iceberg mirrors the live snapshot as an Iceberg v2 table;
+    // import_iceberg adopts it back as a NEW graft table (metadata-only,
+    // files referenced in place — the shallow-clone shape). The source
+    // is RENAMED before export so the round-trip must carry the
+    // name-mapping alias into graft column mapping: if the import bound
+    // names instead of physical parquet columns, `quantity` would read
+    // NULL and the oracle hash breaks. The result aggregates the
+    // IMPORTED table only; the oracle replays lineitem relationally.
+    "q169_iceberg_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.GraftCatalogHarness.install(s)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+      s.sql("DROP TABLE IF EXISTS graft.lake.icesrc")
+      s.sql("DROP TABLE IF EXISTS graft.lake.iceadopt")
+      s.sql("""CREATE TABLE graft.lake.icesrc
+              |  (okey BIGINT, qty BIGINT, rf STRING)
+              |PARTITIONED BY (rf)""".stripMargin)
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("okey"),
+          $"l_quantity".cast("long").as("qty"), $"l_returnflag".as("rf"))
+        .createOrReplaceTempView("q169_src")
+      s.sql("INSERT INTO graft.lake.icesrc SELECT okey, qty, rf FROM q169_src")
+      s.sql("ALTER TABLE graft.lake.icesrc RENAME COLUMN qty TO quantity")
+      val dest = graft.QueryTmp.dir("graft_q169_ice_")
+      s.sql(s"CALL graft.system.export_iceberg('lake.icesrc', '$dest/ice')")
+      s.sql(s"CALL graft.system.import_iceberg('lake.iceadopt', '$dest/ice')")
+      s.sql("""SELECT rf, COUNT(*) AS n, SUM(quantity) AS sq,
+              |  SUM(okey) AS sk
+              |FROM graft.lake.iceadopt
+              |GROUP BY rf ORDER BY rf""".stripMargin)
+    }),
+
     // ---- i18n + long-string data skipping (VERDICT r11 #1) -------------
     // The multilingual-corpus shape the truncated string-stat index
     // exists for: a sort key that is non-ASCII AND far longer than the
@@ -2974,6 +3007,11 @@ object QueriesPipeline {
         |  AND CAST(json_extract_string(props, '$.k') AS BIGINT)
         |    BETWEEN 10 AND 60
         |ORDER BY event_id""".stripMargin,
+    "q169_iceberg_roundtrip" ->
+      """SELECT l_returnflag AS rf, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sk
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q167_view_lag_drain" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  COUNT(*) AS n,

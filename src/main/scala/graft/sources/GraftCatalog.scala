@@ -1447,6 +1447,11 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
       "manifest list + chunked Avro manifests referencing the live " +
       "files in place); refuses under standing DV/equality deletes, " +
       "hidden-partition transforms, or VARIANT columns"
+    case "import_iceberg" => "create a NEW graft table from an Iceberg " +
+      "v2 table's current snapshot (metadata.json -> manifests -> " +
+      "data files referenced in place, the shallow-clone shape; name " +
+      "mapping round-trips renames); refuses v1/v3, delete files " +
+      "(MOR), non-identity transforms, non-hive layouts"
     case "view_status" => "per-source staleness of a materialized " +
       "view, from pure metadata: consumed cursor version vs source " +
       "head version, lag in data commits (exactly what the next " +
@@ -1585,6 +1590,11 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         // manifest chunk size: the list stays O(files / chunk), no
         // single Avro file grows with the table
         in("manifest_entries", IntegerType).defaultValue("10000").build())
+      case "import_iceberg" => Array(
+        in("table", StringType).build(), // the NEW table (created here)
+        // Iceberg table root (resolved via metadata/version-hint.text)
+        // or an explicit …/vN.metadata.json path
+        in("source", StringType).build())
       case "refresh" => Array(
         in("table", StringType).build(),
         // rate control: at most this many upstream commits this call
@@ -1854,6 +1864,24 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         (new StructType().add("commits", IntegerType)
            .add("standing_after", IntegerType),
           InternalRow(cs.size, t.eqDeletes().size))
+      case "import_iceberg" =>
+        // the first argument names a table that does not exist yet —
+        // resolve its PATH without loading it (the create_view shape)
+        val destRel = input.getUTF8String(0).toString
+        val destT = graft.table.IncrementalTable(
+          org.apache.spark.sql.SparkSession.active, cat.pathForName(destRel))
+        val r = graft.table.IcebergImport.importTable(
+          org.apache.spark.sql.SparkSession.active, destT,
+          input.getUTF8String(1).toString)
+        (new StructType().add("dest", StringType)
+           .add("snapshot_id", LongType)
+           .add("metadata_file", StringType)
+           .add("data_files", IntegerType)
+           .add("total_rows", LongType)
+           .add("renamed_columns", IntegerType),
+          InternalRow(UTF8String.fromString(destRel), r.snapshotId,
+            UTF8String.fromString(r.metadataFile), r.dataFiles,
+            r.totalRows, r.renamedColumns))
       case "export_iceberg" =>
         val r = graft.table.IcebergExport.export(
           org.apache.spark.sql.SparkSession.active, t,
@@ -1903,7 +1931,7 @@ private[sources] object GraftProcedure {
       "wap_abort", "branch", "fast_forward", "drop_branch",
       "delete_by_key", "apply_eq_deletes", "rewrite_manifests",
       "expire_snapshots", "create_view", "create_join_view", "refresh",
-      "view_status", "export_iceberg")
+      "view_status", "export_iceberg", "import_iceberg")
 }
 
 /** INSERT INTO → append; INSERT OVERWRITE → truncate (full) or a

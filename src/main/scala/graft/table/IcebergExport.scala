@@ -268,7 +268,7 @@ object IcebergExport {
         val r = new GenericData.Record(listSchema)
         r.put("manifest_path", pm.path)
         r.put("manifest_length",
-          fs.getFileStatus(new Path(new java.net.URI(pm.path))).getLen)
+          fs.getFileStatus(new Path(pm.path)).getLen)
         r.put("partition_spec_id", 0)
         r.put("content", 0)
         r.put("sequence_number", 1L)
@@ -416,11 +416,11 @@ object IcebergExport {
         b.result()
       } finally rdr.close()
     }
-    val listPath = new Path(new java.net.URI(
-      (snap \ "manifest-list").extract[String]))
+    // Hadoop Path strings are not URI-encoded — parse with Path itself
+    val listPath = new Path((snap \ "manifest-list").extract[String])
     val manifests = avroRecords(listPath).map { m =>
       val mpath = m.get("manifest_path").toString
-      val entries = avroRecords(new Path(new java.net.URI(mpath))).map { e =>
+      val entries = avroRecords(new Path(mpath)).map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         (df.get("file_path").toString,
           df.get("record_count").asInstanceOf[Long],
