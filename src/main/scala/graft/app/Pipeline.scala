@@ -44,7 +44,11 @@ import graft.table.IncrementalTable
   *    to the transforms.
   */
 final class Pipeline(spark: SparkSession, ingestRoot: String, tablesRoot: String,
-    maxDriverPaths: Int = 10000) {
+    maxDriverPaths: Int = 10000,
+    // registered SQL materialized views the orchestrator maintains on
+    // every tick (drained to lag 0 after each graph materialization —
+    // the reference's sensor contract applied to X112/X114 views)
+    maintainedViews: Seq[String] = Nil) {
   import spark.implicits._
 
   private val grain = PartitionGrain.Daily
@@ -101,7 +105,8 @@ final class Pipeline(spark: SparkSession, ingestRoot: String, tablesRoot: String
     }
 
   val graph = new AssetGraph(spark, tablesRoot,
-    Seq(listingAsset, processedAsset, backwardsAsset))
+    Seq(listingAsset, processedAsset, backwardsAsset),
+    views = maintainedViews)
 
   val listing: IncrementalTable = graph.tableFor("listing")
   val processed: IncrementalTable = graph.tableFor("processed")

