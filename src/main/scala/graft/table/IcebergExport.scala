@@ -18,7 +18,8 @@ import org.json4s.jackson.JsonMethods
 /** What one [[IcebergExport.export]] call wrote. */
 final case class IcebergExportResult(snapshotId: Long, metadataFile: String,
     manifests: Int, dataFiles: Int, totalRows: Long,
-    manifestsReused: Int, footersRead: Int)
+    manifestsReused: Int, footersRead: Int,
+    posDeleteFiles: Int = 0, eqDeleteFiles: Int = 0)
 
 /** Iceberg-v2-compatible snapshot export (VERDICT r12 #6, extending the
   * X33 external-reader family): `CALL graft.system.export_iceberg(
@@ -31,10 +32,27 @@ final case class IcebergExportResult(snapshotId: Long, metadataFile: String,
   * `HadoopTables.load(dest)` at it and reads exactly the committed
   * snapshot.
   *
+  * MERGE-ON-READ snapshots export NATIVELY (VERDICT r13 #5 — Iceberg
+  * v2 delete files are the exact mapping, no forced compaction):
+  *  - deletion vectors (X10/X82 position sidecars) become Iceberg
+  *    POSITION delete files: the standing `(file, pos)` rows rewrite
+  *    to `(file_path, pos)` parquet (absolute data URIs, sorted), one
+  *    delete file per touched partition, carried by a `content=1`
+  *    delete manifest whose entries keep the data partition tuple;
+  *  - equality deletes (X104) become Iceberg EQUALITY delete files:
+  *    the immutable key-tuple sidecars are referenced IN PLACE (the
+  *    same zero-copy rule as data), `equality_ids` mapping the
+  *    physical key columns to their field-ids, in an UNPARTITIONED
+  *    spec manifest (global scope, exactly graft's semantics);
+  *  - graft's "files added after baseVersion escape" rule maps to
+  *    Iceberg SEQUENCE NUMBERS: data files take seq `group+1` from the
+  *    SAME `eqDelGroups` applicability fold the read path uses, the
+  *    i-th equality delete takes seq `i+2` (so it covers exactly data
+  *    seq < i+2), and position deletes take the head seq (they name
+  *    exact file paths). With no deletes in force everything stays at
+  *    the flat seq 1 of previous rounds.
+  *
   * Scope and refusals (each loud, naming the remedy):
-  *  - deletion vectors / equality deletes in force refuse (external
-  *    readers cannot apply sidecars — compact()/apply_eq_deletes
-  *    first; the X33 rule);
   *  - hidden-partitioning transforms refuse (the export maps identity
   *    partitions only; transformed dir tokens would need the source
   *    value, which the token no longer carries);
@@ -91,12 +109,6 @@ object IcebergExport {
   def export(spark: SparkSession, t: IncrementalTable, dest: String,
       manifestTargetEntries: Int = 10000): IcebergExportResult = {
     require(t.exists, s"export_iceberg source $t does not exist")
-    require(t.liveDv().isEmpty,
-      s"table ${t.root} has deletion vectors in force — Iceberg readers " +
-        "of this export cannot apply them; compact() to materialize first")
-    require(t.eqDeletes().isEmpty,
-      s"table ${t.root} has equality deletes in force — " +
-        "apply_eq_deletes() / compact() to materialize first")
     require(t.partitionTransforms().isEmpty,
       s"table ${t.root} uses hidden-partitioning transforms — the " +
         "export maps identity partitions only")
@@ -151,7 +163,15 @@ object IcebergExport {
       tableFs.makeQualified(new Path(rootStr, rel)).toString
     val schemaJsonStr = JsonMethods.compact(JsonMethods.render(schemaJson))
     val specJsonStr = JsonMethods.compact(JsonMethods.render(specFields))
-    val prev = readPrevious(fs, metaDir, schemaJsonStr, specJsonStr)
+    val eqs = t.eqDeletes() // ascending by (baseVersion, gen)
+    val dvMap = t.liveDv() // data rel path -> sidecar generations
+    // per-file sequence numbers vary once equality deletes are in
+    // force — previously written flat-seq manifests cannot be reused
+    // then (delete manifests are rewritten fresh every export either
+    // way; readPrevious already skips them for reuse/stats)
+    val prev =
+      if (eqs.nonEmpty) None
+      else readPrevious(fs, metaDir, schemaJsonStr, specJsonStr)
     val prevManifests = prev.map(_.manifests).getOrElse(Nil)
     val liveAbsSet = rels.map(absUri).toSet
     val reused = prevManifests.filter(_.entries.forall(e => liveAbsSet(e._1)))
@@ -211,26 +231,57 @@ object IcebergExport {
     val snapshotId = t.latestVersion
     val ts = head.ts
 
-    // ---- manifests (chunked Avro) -------------------------------------
+    // ---- sequence numbers (MOR fidelity) --------------------------------
+    // Data files take seq group+1 from the SAME applicability fold the
+    // read path uses (eqDelGroups — applicability is a suffix of the
+    // baseVersion-ascending delete list, so groups nest); the i-th
+    // equality delete takes seq i+2 (Iceberg applies an equality delete
+    // to data with data_seq < delete_seq — exactly graft's "added at or
+    // before baseVersion" rule); position deletes name exact file paths
+    // and take the top seq. With no deletes in force everything stays
+    // at the flat seq 1 of previous rounds.
+    val seqOf: String => Long =
+      if (eqs.isEmpty) _ => 1L
+      else t.eqDelGroups(rels, eqs, snapshotId).flatMap { case (suffix, fs0) =>
+        val g = eqs.length - suffix.length
+        fs0.map(_ -> (g + 1L))
+      }.toMap
+    val posDeleteSeq = eqs.length + 2L
+    val lastSeq =
+      if (dvMap.nonEmpty) posDeleteSeq
+      else if (eqs.nonEmpty) eqs.length + 1L
+      else 1L
+
+    // ---- manifests (chunked Avro; a chunk never mixes seqs) ------------
     val entrySchema = new Schema.Parser().parse(
       manifestEntrySchemaJson(schema, partitionBy))
     val partSchema = entrySchema.getField("data_file").schema()
       .getField("partition").schema()
     val dataFileSchema = entrySchema.getField("data_file").schema()
-    val chunks = fileMeta.grouped(math.max(1, manifestTargetEntries)).toSeq
-    val manifests = chunks.zipWithIndex.map { case (chunk, i) =>
-      val name = f"m$i%05d-$snapshotId.avro"
+    def writeManifest(name: String, schemaOfEntry: Schema, specId: Int,
+        content: String,
+        entries: Iterator[GenericRecord]): (String, Long) = {
       val p = new Path(metaDir, name)
       val out = fs.create(p, true)
       val w = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](entrySchema))
+        new GenericDatumWriter[GenericRecord](schemaOfEntry))
       w.setMeta("schema", schemaJsonStr)
-      w.setMeta("partition-spec", specJsonStr)
-      w.setMeta("partition-spec-id", "0")
+      w.setMeta("partition-spec",
+        if (specId == 0) specJsonStr else "[]")
+      w.setMeta("partition-spec-id", specId.toString)
       w.setMeta("format-version", "2")
-      w.setMeta("content", "data")
-      w.create(entrySchema, out)
-      try chunk.foreach { case (rel, rows, bytes) =>
+      w.setMeta("content", content)
+      w.create(schemaOfEntry, out)
+      try entries.foreach(w.append) finally w.close()
+      (name, fs.getFileStatus(p).getLen)
+    }
+    val chunks: Seq[(Long, Seq[(String, Long, Long)])] =
+      fileMeta.groupBy(f => seqOf(f._1)).toSeq.sortBy(_._1).flatMap {
+        case (sq, fm) =>
+          fm.grouped(math.max(1, manifestTargetEntries)).map(sq -> _)
+      }
+    val manifests = chunks.zipWithIndex.map { case ((sq, chunk), i) =>
+      val entries = chunk.iterator.map { case (rel, rows, bytes) =>
         val part = new GenericData.Record(partSchema)
         partitionOf(rel).foreach { case (c, v) =>
           part.put(c, v.map(partitionValue(schema(c).dataType, _)).orNull)
@@ -245,14 +296,149 @@ object IcebergExport {
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED in this snapshot
         e.put("snapshot_id", snapshotId)
-        e.put("sequence_number", 1L)
-        e.put("file_sequence_number", 1L)
+        e.put("sequence_number", sq)
+        e.put("file_sequence_number", sq)
         e.put("data_file", df)
-        w.append(e)
-      } finally w.close()
-      (name, fs.getFileStatus(p).getLen, chunk.size,
-        chunk.iterator.map(_._2).sum)
+        e
+      }
+      val (name, len) =
+        writeManifest(f"m$i%05d-$snapshotId.avro", entrySchema, 0, "data",
+          entries)
+      (name, len, chunk.size, chunk.iterator.map(_._2).sum, sq)
     }
+
+    // ---- POSITION delete files (DVs -> Iceberg, VERDICT r13 #5) --------
+    // The standing (file, pos) sidecar rows rewrite to (file_path, pos)
+    // parquet — absolute data URIs, sorted per the spec — ONE delete
+    // file per touched partition so each manifest entry carries the
+    // right partition tuple. Volume is the standing delete volume
+    // (bounded by compaction/auto-apply), and the rewrite is a Spark
+    // job per touched partition, never a driver fold over positions.
+    val absBase = tableFs.makeQualified(new Path(rootStr)).toString
+      .stripSuffix("/")
+    val schemePfx = {
+      val u = new Path(absBase).toUri
+      u.getScheme + ":" + Option(u.getAuthority).fold("")("//" + _)
+    }
+    val posDeletes: Seq[(String, Long, Long, String)] = // (uri,rows,bytes,sampleRel)
+      if (dvMap.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.{col, concat, lit, when}
+        val dvSchema = new StructType()
+          .add("file", StringType).add("pos", LongType)
+        dvMap.keys.toSeq.sorted.groupBy(partitionOf).toSeq
+          .sortBy(_._2.head).zipWithIndex.map { case ((_, files), i) =>
+            val gens = files.flatMap(dvMap(_)).distinct.sorted
+            val rows = spark.read.schema(dvSchema)
+              .parquet(gens.map(g =>
+                new Path(rootStr, s"${t.dvPrefix}/$g").toString): _*)
+              .filter(col("file").isin(files: _*))
+              .select(
+                when(col("file").startsWith("/"),
+                  concat(lit(schemePfx), col("file")))
+                  .otherwise(concat(lit(absBase + "/"), col("file")))
+                  .as("file_path"),
+                col("pos"))
+              .distinct()
+              .repartition(1).sortWithinPartitions("file_path", "pos")
+            val dir = new Path(destPath, f"deletes/pos-$snapshotId-$i%05d")
+            rows.write.mode("overwrite").parquet(dir.toString)
+            val part = fs.listStatus(dir).map(_.getPath)
+              .filter(_.getName.endsWith(".parquet")) match {
+              case Array(one) => one
+              case many => throw new IllegalStateException(
+                s"position-delete write produced ${many.length} files in $dir")
+            }
+            val (nRows, bytes) = footerMeta(part, conf)
+            (fs.makeQualified(part).toString, nRows, bytes, files.head)
+          }
+      }
+    val posDeleteManifests: Seq[(String, Long, Int, Long, Long)] =
+      if (posDeletes.isEmpty) Nil
+      else {
+        val entries = posDeletes.iterator.map { case (uri, rows, bytes, rel) =>
+          val part = new GenericData.Record(partSchema)
+          partitionOf(rel).foreach { case (c, v) =>
+            part.put(c, v.map(partitionValue(schema(c).dataType, _)).orNull)
+          }
+          val df = new GenericData.Record(dataFileSchema)
+          df.put("content", 1) // POSITION_DELETES
+          df.put("file_path", uri)
+          df.put("file_format", "PARQUET")
+          df.put("partition", part)
+          df.put("record_count", rows)
+          df.put("file_size_in_bytes", bytes)
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", posDeleteSeq)
+          e.put("file_sequence_number", posDeleteSeq)
+          e.put("data_file", df)
+          e
+        }
+        val (name, len) = writeManifest(s"del-pos-$snapshotId.avro",
+          entrySchema, 0, "deletes", entries)
+        Seq((name, len, posDeletes.size,
+          posDeletes.iterator.map(_._2).sum, posDeleteSeq))
+      }
+
+    // ---- EQUALITY delete files (X104 -> Iceberg) ------------------------
+    // The immutable key-tuple sidecars are referenced IN PLACE (the
+    // zero-copy rule); `equality_ids` maps the PHYSICAL key columns
+    // back through column mapping to their schema field-ids. Scope is
+    // global, so the entries ride an UNPARTITIONED spec (id 1) — the
+    // manifest-list entry names that spec.
+    val physToLogical: Map[String, String] = cmap.map(_.swap)
+    val eqEntrySchema =
+      if (eqs.isEmpty || partitionBy.isEmpty) entrySchema
+      else new Schema.Parser().parse(manifestEntrySchemaJson(schema, Nil))
+    val eqSpecId = if (partitionBy.isEmpty) 0 else 1
+    val eqDeletes: Seq[(String, Long, Long, List[Int], Long)] =
+      eqs.zipWithIndex.flatMap { case ((gen, p), i) =>
+        val ids = p.cols.map { phys =>
+          val logical = physToLogical.getOrElse(phys, phys)
+          topIds.getOrElse(logical, throw new IllegalStateException(
+            s"equality-delete column '$phys' (logical '$logical') is not " +
+              "a top-level schema field"))
+        }.toList
+        val dir = new Path(rootStr, s"${IncrementalTable.EqDelDir}/$gen")
+        tableFs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map { part =>
+            val (nRows, bytes) = footerMeta(part, conf)
+            (tableFs.makeQualified(part).toString, nRows, bytes, ids, i + 2L)
+          }
+      }
+    val eqDeleteManifests: Seq[(String, Long, Int, Long, Long)] =
+      if (eqDeletes.isEmpty) Nil
+      else {
+        val emptyPart = new GenericData.Record(
+          eqEntrySchema.getField("data_file").schema()
+            .getField("partition").schema())
+        val eqDataFileSchema = eqEntrySchema.getField("data_file").schema()
+        val entries = eqDeletes.iterator.map { case (uri, rows, bytes, ids, sq) =>
+          val df = new GenericData.Record(eqDataFileSchema)
+          df.put("content", 2) // EQUALITY_DELETES
+          df.put("file_path", uri)
+          df.put("file_format", "PARQUET")
+          df.put("partition", emptyPart)
+          df.put("record_count", rows)
+          df.put("file_size_in_bytes", bytes)
+          df.put("equality_ids",
+            java.util.Arrays.asList(ids.map(Int.box): _*))
+          val e = new GenericData.Record(eqEntrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", sq)
+          e.put("file_sequence_number", sq)
+          e.put("data_file", df)
+          e
+        }
+        val (name, len) = writeManifest(s"del-eq-$snapshotId.avro",
+          eqEntrySchema, eqSpecId, "deletes", entries)
+        Seq((name, len, eqDeletes.size, eqDeletes.iterator.map(_._2).sum,
+          eqDeletes.iterator.map(_._5).max))
+      }
 
     // ---- manifest list (Avro) -----------------------------------------
     val listName = s"snap-$snapshotId-manifest-list.avro"
@@ -285,15 +471,17 @@ object IcebergExport {
         r.put("deleted_rows_count", 0L)
         w.append(r)
       }
-      manifests.foreach { case (name, len, nFiles, nRows) =>
+      def listEntry(name: String, len: Long, nFiles: Int, nRows: Long,
+          sq: Long, content: Int, specId: Int,
+          minSq: Option[Long] = None): Unit = {
         val r = new GenericData.Record(listSchema)
         r.put("manifest_path",
           fs.makeQualified(new Path(metaDir, name)).toString)
         r.put("manifest_length", len)
-        r.put("partition_spec_id", 0)
-        r.put("content", 0)
-        r.put("sequence_number", 1L)
-        r.put("min_sequence_number", 1L)
+        r.put("partition_spec_id", specId)
+        r.put("content", content)
+        r.put("sequence_number", sq)
+        r.put("min_sequence_number", minSq.getOrElse(sq))
         r.put("added_snapshot_id", snapshotId)
         r.put("added_files_count", nFiles)
         r.put("existing_files_count", 0)
@@ -302,6 +490,19 @@ object IcebergExport {
         r.put("existing_rows_count", 0L)
         r.put("deleted_rows_count", 0L)
         w.append(r)
+      }
+      manifests.foreach { case (name, len, nFiles, nRows, sq) =>
+        listEntry(name, len, nFiles, nRows, sq, content = 0, specId = 0)
+      }
+      posDeleteManifests.foreach { case (name, len, nFiles, nRows, sq) =>
+        listEntry(name, len, nFiles, nRows, sq, content = 1, specId = 0)
+      }
+      eqDeleteManifests.foreach { case (name, len, nFiles, nRows, sq) =>
+        // the eq manifest holds entries at seqs 2..n+1: sq is the max,
+        // min_sequence_number the conservative lower bound readers prune by
+        listEntry(name, len, nFiles, nRows, sq, content = 1,
+          specId = eqSpecId,
+          minSq = Some(eqDeletes.iterator.map(_._5).min))
       } } finally w.close()
     }
 
@@ -315,7 +516,7 @@ object IcebergExport {
       .collect { case VersionName(n) => n.toInt }
       .foldLeft(0)(math.max)
     val snapshot: JObject =
-      ("snapshot-id" -> snapshotId) ~ ("sequence-number" -> 1) ~
+      ("snapshot-id" -> snapshotId) ~ ("sequence-number" -> lastSeq) ~
         ("timestamp-ms" -> ts) ~ ("schema-id" -> 0) ~
         ("manifest-list" ->
           fs.makeQualified(new Path(metaDir, listName)).toString) ~
@@ -323,7 +524,9 @@ object IcebergExport {
           ("added-data-files" -> rels.size.toString) ~
           ("added-records" -> totalRows.toString) ~
           ("total-data-files" -> rels.size.toString) ~
-          ("total-records" -> totalRows.toString)))
+          ("total-records" -> totalRows.toString) ~
+          ("total-delete-files" ->
+            (posDeletes.size + eqDeletes.size).toString)))
     // Same-shape history carries forward so reused manifests'
     // added_snapshot_ids resolve; a re-export of the SAME snapshot id
     // replaces its prior entry instead of duplicating it.
@@ -339,13 +542,19 @@ object IcebergExport {
         ("table-uuid" -> java.util.UUID.nameUUIDFromBytes(
           s"graft-iceberg-export:${t.root}".getBytes(UTF_8)).toString) ~
         ("location" -> dest) ~
-        ("last-sequence-number" -> 1) ~
+        ("last-sequence-number" -> lastSeq) ~
         ("last-updated-ms" -> ts) ~
         ("last-column-id" -> lastId) ~
         ("current-schema-id" -> 0) ~
         ("schemas" -> List(schemaJson)) ~
         ("default-spec-id" -> 0) ~
-        ("partition-specs" -> List(specJson)) ~
+        // the extra UNPARTITIONED spec (id 1) scopes global equality
+        // deletes on a partitioned table
+        ("partition-specs" ->
+          (List(specJson: JValue) ++
+            (if (eqDeleteManifests.nonEmpty && partitionBy.nonEmpty)
+               List((("spec-id" -> 1) ~ ("fields" -> JArray(Nil))): JValue)
+             else Nil))) ~
         ("last-partition-id" -> (999 + partitionBy.size)) ~
         ("default-sort-order-id" -> 0) ~
         ("sort-orders" -> List(
@@ -361,8 +570,11 @@ object IcebergExport {
       JsonMethods.pretty(JsonMethods.render(metadata)), overwrite = false)
     writeText(fs, new Path(metaDir, "version-hint.text"), version.toString)
     IcebergExportResult(snapshotId, s"metadata/$metaName",
-      reused.size + manifests.size, rels.size, totalRows,
-      manifestsReused = reused.size, footersRead = needFooter.size)
+      reused.size + manifests.size + posDeleteManifests.size +
+        eqDeleteManifests.size,
+      rels.size, totalRows,
+      manifestsReused = reused.size, footersRead = needFooter.size,
+      posDeleteFiles = posDeletes.size, eqDeleteFiles = eqDeletes.size)
   }
 
   private def snapshotIdOf(sn: JValue): Long = {
@@ -418,7 +630,11 @@ object IcebergExport {
     }
     // Hadoop Path strings are not URI-encoded — parse with Path itself
     val listPath = new Path((snap \ "manifest-list").extract[String])
-    val manifests = avroRecords(listPath).map { m =>
+    // delete manifests (content=1) never reuse — they are rewritten
+    // from the CURRENT standing-delete state every export, and their
+    // entries are not data files for the stats carry
+    val manifests = avroRecords(listPath).filter(m =>
+      Option(m.get("content")).fold(0)(_.asInstanceOf[Int]) == 0).map { m =>
       val mpath = m.get("manifest_path").toString
       val entries = avroRecords(new Path(mpath)).map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -572,7 +788,8 @@ object IcebergExport {
        |{"name":"file_format","type":"string","field-id":101},
        |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
        |{"name":"record_count","type":"long","field-id":103},
-       |{"name":"file_size_in_bytes","type":"long","field-id":104}
+       |{"name":"file_size_in_bytes","type":"long","field-id":104},
+       |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
        |]}}]}""".stripMargin
   }
 

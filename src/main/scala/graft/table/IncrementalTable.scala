@@ -1265,7 +1265,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
       else df.drop("_graft_path", "_graft_pos"))
   }
 
-  private val dvPrefix = "_graft_dv"
+  private[table] val dvPrefix = "_graft_dv"
   private def dropPosCols(df: DataFrame): DataFrame = df.drop("_dv_file", "_dv_pos")
 
   /** Sidecar rows of the given generations: (file rel path, row pos).
@@ -1943,7 +1943,7 @@ final class IncrementalTable(spark: SparkSession, val root: String,
     * added-after sets are computed from the archived delta records
     * (never deleted, so exact past any checkpoint folding). Because
     * the sets nest, there are at most |deletes|+1 groups. */
-  private def eqDelGroups(files: Seq[String],
+  private[table] def eqDelGroups(files: Seq[String],
       eq: Seq[(String, EqDelPayload)],
       head: Long): Seq[(Seq[(String, EqDelPayload)], Seq[String])] = {
     if (eq.isEmpty || files.isEmpty) return Seq((Nil, files))
