@@ -4055,15 +4055,32 @@ final class IncrementalTable(spark: SparkSession, val root: String,
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => true
+      // STRING/BINARY keys (VERDICT r13 #6): bins live in the
+      // DETERMINISTIC xxhash64 HASH SPACE (seed 42, the SQL function) —
+      // equal values share a hash, so a Zipfian hot key concentrates
+      // mass into singleton [h,h] bins exactly like a hot integer
+      // does in literal space. Both join sides hash identically, so
+      // JoinEstimation's bin-overlap math prices skewed string joins;
+      // string-equality FILTER selectivity reads the same bins through
+      // GraftCboStats' own override (Spark's FilterEstimation cannot
+      // convert a string literal into histogram space).
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType => true
       case _ => false
     })
     if (histCols.isEmpty) return Map.empty
+    def hx(c: String): String = stored(c).dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType =>
+        s"CAST(xxhash64(`$c`) AS DOUBLE)"
+      case _ => s"CAST(`$c` AS DOUBLE)"
+    }
     val nb = spark.conf.getOption("spark.sql.statistics.histogram.numBins")
       .map(_.toInt).getOrElse(64)
     val df0 = read()
     val fracs = (0 to nb).map(i => i.toDouble / nb)
     val pAggs = histCols.map(c =>
-      expr(s"approx_percentile(`$c`, array(${fracs.mkString(",")}), 10000)"))
+      expr(s"approx_percentile(${hx(c)}, array(${fracs.mkString(",")}), 10000)"))
     val cAggs = histCols.map(c =>
       org.apache.spark.sql.functions.count(col(c)))
     val prow = df0.agg(pAggs.head, (pAggs.tail ++ cAggs): _*).head
@@ -4075,10 +4092,10 @@ final class IncrementalTable(spark: SparkSession, val root: String,
         // bin index = how many INTERIOR bounds the value exceeds
         val interior = bs.slice(1, nb)
         val binCol = arrAgg(array(interior.map(lit): _*), lit(0),
-          (acc, b) => acc + when(col(c).cast("double") > b, 1).otherwise(0))
+          (acc, b) => acc + when(expr(hx(c)) > b, 1).otherwise(0))
         val ndvByBin = df0.filter(col(c).isNotNull)
           .groupBy(binCol.as("_b"))
-          .agg(approx_count_distinct(col(c)).as("_ndv"))
+          .agg(approx_count_distinct(expr(hx(c))).as("_ndv"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val height = nonNull.toDouble / nb
         val bins = (0 until nb).map(b =>

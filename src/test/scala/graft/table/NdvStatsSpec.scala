@@ -222,4 +222,82 @@ class NdvStatsSpec extends SparkSpec {
     assert(t.columnHistograms().contains("sk"))
     assert(!t.columnHistograms().contains("s"))
   }
+
+  test("STRING histograms (VERDICT r13 #6): a Zipfian string key flips the join order — the X93 twin") {
+    // sa.s is the string Zipfian: 'hot' holds 19,900 of 20,000 rows,
+    // 'u<i>' strings one row each — NDV(s)=101, so the uniform guess
+    // for s='hot' is rows/ndv ~ 198 while the truth is 19,900. Spark's
+    // FilterEstimation cannot price a string equality from a histogram
+    // (no literal->double conversion), so this exercises the rule's own
+    // hash-space override.
+    spark.sql(s"CREATE TABLE $cat.lake.sa (s STRING, j BIGINT) " +
+      "TBLPROPERTIES ('graft.ndvColumns'='s,j', 'graft.statsColumns'='j')")
+    spark.sql(s"INSERT INTO $cat.lake.sa " +
+      "SELECT CASE WHEN id < 19900 THEN 'hot' ELSE concat('u', id) END, " +
+      "CAST(id % 1000 AS BIGINT) FROM range(20000)")
+    spark.sql(s"CREATE TABLE $cat.lake.sb (j BIGINT, m BIGINT) " +
+      "TBLPROPERTIES ('graft.ndvColumns'='j,m', 'graft.statsColumns'='j')")
+    spark.sql(s"INSERT INTO $cat.lake.sb SELECT id, id FROM range(1000)")
+    spark.sql(s"CREATE TABLE $cat.lake.sc (m BIGINT) " +
+      "TBLPROPERTIES ('graft.ndvColumns'='m', 'graft.statsColumns'='m')")
+    spark.sql(s"INSERT INTO $cat.lake.sc SELECT id FROM range(1000)")
+    val q = s"SELECT count(*) FROM $cat.lake.sa a " +
+      s"JOIN $cat.lake.sb b ON a.j = b.j " +
+      s"JOIN $cat.lake.sc c ON b.m = c.m WHERE a.s = 'hot'"
+    def leafOrder(): Seq[String] = {
+      val prevC = spark.conf.get("spark.sql.cbo.enabled")
+      val prevR = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      try spark.sql(q).queryExecution.optimizedPlan.collectLeaves()
+        .map(_.toString)
+        .map { s =>
+          if (s.contains("sa")) "a" else if (s.contains("sb")) "b"
+          else if (s.contains("sc")) "c" else "?"
+        }
+      finally {
+        spark.conf.set("spark.sql.cbo.enabled", prevC)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevR)
+      }
+    }
+    // NDV-uniform: the "tiny" filtered a joins first
+    val uniform = leafOrder()
+    assert(uniform.indexOf("a") == 0, uniform.toString)
+    // ANALYZE commits hash-space bins; the hot string pins singleton
+    // [h,h] bins exactly like a hot integer pins [0,0] bins
+    spark.sql(s"CALL $cat.system.analyze('lake.sa')")
+    val t = IncrementalTable(spark, s"$wh/lake/sa")
+    val hist = t.columnHistograms().get("s")
+    assert(hist.isDefined, "ANALYZE did not commit a histogram for s")
+    assert(hist.get._2.count(b => b._1 == b._2) >= 32,
+      s"string skew not captured: ${hist.get._2.take(5)}...")
+    val skewAware = leafOrder()
+    assert(skewAware.indexOf("a") > skewAware.indexOf("b") &&
+      skewAware.indexOf("a") > skewAware.indexOf("c"),
+      s"string histogram did not flip the join order: $skewAware")
+    assert(spark.sql(q).as[Long].head == 19900L)
+
+    // a multi-join ON a skewed string key itself must PLAN and answer
+    // with histograms on both sides (JoinEstimation's bin-overlap path
+    // — and never FilterEstimation's literal conversion)
+    spark.sql(s"CREATE TABLE $cat.lake.sd (s STRING) " +
+      "TBLPROPERTIES ('graft.ndvColumns'='s')")
+    spark.sql(s"INSERT INTO $cat.lake.sd " +
+      "SELECT CASE WHEN id < 50 THEN 'hot' ELSE concat('v', id) END " +
+      "FROM range(100)")
+    spark.sql(s"CALL $cat.system.analyze('lake.sd')")
+    val qj = s"SELECT count(*) FROM $cat.lake.sa a " +
+      s"JOIN $cat.lake.sd d ON a.s = d.s " +
+      s"JOIN $cat.lake.sd e ON d.s = e.s"
+    val prevC = spark.conf.get("spark.sql.cbo.enabled")
+    val prevR = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try assert(spark.sql(qj).as[Long].head == 19900L * 50 * 50,
+      "string-key join with two-sided histograms must answer exactly")
+    finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevC)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevR)
+    }
+  }
 }
