@@ -1450,8 +1450,10 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
     case "import_iceberg" => "create a NEW graft table from an Iceberg " +
       "v2 table's current snapshot (metadata.json -> manifests -> " +
       "data files referenced in place, the shallow-clone shape; name " +
-      "mapping round-trips renames); refuses v1/v3, delete files " +
-      "(MOR), non-identity transforms, non-hive layouts"
+      "mapping round-trips renames; MOR snapshots replay natively — " +
+      "position deletes into a DV generation, equality deletes in " +
+      "sequence-number order); refuses v1/v3, non-identity " +
+      "transforms, non-hive layouts"
     case "view_status" => "per-source staleness of a materialized " +
       "view, from pure metadata: consumed cursor version vs source " +
       "head version, lag in data commits (exactly what the next " +
@@ -1881,10 +1883,14 @@ private[sources] final class GraftProcedure(cat: GraftCatalog, pname: String)
            .add("metadata_file", StringType)
            .add("data_files", IntegerType)
            .add("total_rows", LongType)
-           .add("renamed_columns", IntegerType),
+           .add("renamed_columns", IntegerType)
+           .add("pos_delete_files", IntegerType)
+           .add("eq_delete_files", IntegerType)
+           .add("commits", IntegerType),
           InternalRow(UTF8String.fromString(destRel), r.snapshotId,
             UTF8String.fromString(r.metadataFile), r.dataFiles,
-            r.totalRows, r.renamedColumns))
+            r.totalRows, r.renamedColumns, r.posDeleteFiles,
+            r.eqDeleteFiles, r.commits))
       case "export_iceberg" =>
         val r = graft.table.IcebergExport.export(
           org.apache.spark.sql.SparkSession.active, t,

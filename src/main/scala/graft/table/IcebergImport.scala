@@ -10,9 +10,14 @@ import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** What one [[IcebergImport.importTable]] call adopted. */
+/** What one [[IcebergImport.importTable]] call adopted. `totalRows` is
+  * the GROSS data-file row count (before standing deletes apply);
+  * `commits` counts the replayed graft commits (1 for a pure data
+  * snapshot; data-seq groups + equality deletes + one DV generation
+  * for a merge-on-read snapshot). */
 final case class IcebergImportResult(snapshotId: Long, metadataFile: String,
-    dataFiles: Int, totalRows: Long, renamedColumns: Int)
+    dataFiles: Int, totalRows: Long, renamedColumns: Int,
+    posDeleteFiles: Int = 0, eqDeleteFiles: Int = 0, commits: Int = 1)
 
 /** Iceberg v2 snapshot IMPORT (VERDICT r13 missing #1 — the reverse of
   * [[IcebergExport]], completing X116 into two-way interop):
@@ -27,12 +32,27 @@ final case class IcebergImportResult(snapshotId: Long, metadataFile: String,
   * immediately; subsequent graft writes land under dest's own root and
   * DML/compaction un-share the referenced files exactly like a clone.
   *
+  * MERGE-ON-READ snapshots import natively (completing the two-way MOR
+  * interop with [[IcebergExport]]): position delete files replay into
+  * ONE graft DV generation (the (file_path,pos) rows rewritten to the
+  * scan's own `_metadata.file_path` rendering — read back from a
+  * column-pruned metadata scan, rendering-proof), and equality delete
+  * files replay through [[IncrementalTable.deleteByKey]] with the data
+  * groups committed in Iceberg SEQUENCE-NUMBER order: an equality
+  * delete at seq s commits after the data groups it covers (data_seq
+  * < s) and before the groups that escape it, so graft's own
+  * "added at or before baseVersion" rule reproduces the Iceberg read
+  * exactly — an upsert's new rows survive the import like they survive
+  * an Iceberg reader. A pure data snapshot stays ONE commit; a MOR
+  * snapshot is a short deterministic commit replay (groups + deletes),
+  * documented non-atomic: a crash mid-import leaves a partial dest to
+  * drop and re-run.
+  *
   * Scope and refusals (each loud, naming the remedy):
   *  - format-version 1 and 3 refuse (v1: rewrite with a v2 writer;
   *    v3: downgrade or export a v2 snapshot);
-  *  - delete manifests / delete files (MOR position or equality
-  *    deletes) refuse — ask the source engine to rewrite data files
-  *    (e.g. Spark's rewrite_data_files) so the snapshot is pure data;
+  *  - a delete manifest whose entries are data files (or vice versa)
+  *    refuses as malformed;
   *  - non-identity partition transforms refuse (graft's import binds
   *    partition values from hive `k=v` dir tokens; a bucket/days
   *    transform value is not recoverable from the token);
@@ -176,31 +196,66 @@ object IcebergImport {
     // Hadoop's own Path, never java.net.URI
     def pathOf(uri: String): Path = new Path(uri)
     val listPath = pathOf((snap \ "manifest-list").extract[String])
-    val files = avroRecords(listPath).flatMap { m =>
-      val content = Option(m.get("content")).fold(0)(_.asInstanceOf[Int])
-      require(content == 0, s"manifest ${m.get("manifest_path")} holds " +
-        "DELETE files (merge-on-read) — graft import supports pure data " +
-        "snapshots; rewrite_data_files in the source engine first")
-      avroRecords(pathOf(m.get("manifest_path").toString)).flatMap { e =>
+    // (uri, rows, partition, sequence number); delete files collect
+    // separately — MERGE-ON-READ snapshots import natively (the
+    // delete files replay into graft DVs / equality deletes below)
+    val dataBuf = Seq.newBuilder[(String, Long, Option[GenericRecord], Long)]
+    val posBuf = Seq.newBuilder[String]
+    val eqBuf = Seq.newBuilder[(String, Seq[Int], Long)]
+    // writers vary: a field can be ABSENT from the writer schema (a
+    // minimal hand-built manifest) as well as null — treat both as
+    // default
+    def fieldOpt(r: GenericRecord, name: String): Option[Any] =
+      Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
+    avroRecords(listPath).foreach { m =>
+      val mContent = fieldOpt(m, "content").fold(0)(_.asInstanceOf[Int])
+      val mSeq = fieldOpt(m, "sequence_number").fold(1L)(_.asInstanceOf[Long])
+      avroRecords(pathOf(m.get("manifest_path").toString)).foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
-        if (status == 2) None // DELETED entry — not part of the snapshot
-        else {
+        if (status != 2) { // 2 = DELETED entry — not part of the snapshot
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val dfContent =
-            Option(df.get("content")).fold(0)(_.asInstanceOf[Int])
-          require(dfContent == 0, s"data_file ${df.get("file_path")} has " +
-            s"content=$dfContent (a delete file) — graft import supports " +
-            "pure data snapshots; rewrite_data_files first")
+            fieldOpt(df, "content").fold(0)(_.asInstanceOf[Int])
+          // Iceberg invariant: data manifests hold ONLY data files,
+          // delete manifests ONLY delete files
+          require(if (mContent == 0) dfContent == 0 else dfContent != 0,
+            s"malformed manifest ${m.get("manifest_path")}: list content " +
+              s"$mContent vs data_file content $dfContent")
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("PARQUET"),
-            s"data file ${df.get("file_path")} is $fmt — graft adopts " +
-              "PARQUET data files only")
-          Some((df.get("file_path").toString,
-            df.get("record_count").asInstanceOf[Long],
-            Option(df.get("partition")).map(_.asInstanceOf[GenericRecord])))
+            s"file ${df.get("file_path")} is $fmt — graft adopts " +
+              "PARQUET files only")
+          val uri = df.get("file_path").toString
+          // null entry seq inherits the manifest-list entry's (the
+          // Iceberg sequence-number-inheritance rule)
+          val seq = fieldOpt(e, "sequence_number")
+            .fold(mSeq)(_.asInstanceOf[Long])
+          dfContent match {
+            case 0 => dataBuf += ((uri,
+              df.get("record_count").asInstanceOf[Long],
+              Option(df.get("partition")).map(_.asInstanceOf[GenericRecord]),
+              seq))
+            case 1 => posBuf += uri
+            case 2 =>
+              val ids = fieldOpt(df, "equality_ids").map {
+                case l: java.util.List[_] =>
+                  l.asInstanceOf[java.util.List[Any]].toArray.toSeq
+                    .map(_.asInstanceOf[Int])
+                case o => throw new IllegalArgumentException(
+                  s"equality delete ${uri}: unreadable equality_ids $o")
+              }.getOrElse(throw new IllegalArgumentException(
+                s"equality delete $uri carries no equality_ids"))
+              eqBuf += ((uri, ids, seq))
+            case other => throw new IllegalArgumentException(
+              s"file $uri has unknown content=$other")
+          }
         }
       }
     }
+    val dataEntries = dataBuf.result()
+    val posDeleteUris = posBuf.result()
+    val eqDeleteEntries = eqBuf.result()
+    val files = dataEntries.map(d => (d._1, d._2, d._3))
     require(files.nonEmpty,
       s"snapshot $snapshotId of $mdPath lists no live data files")
 
@@ -240,15 +295,133 @@ object IcebergImport {
     }
     val totalRows = files.iterator.map(_._2).sum
 
-    // ---- the adopting commit (the cloneTo shape) ------------------------
+    // ---- the adopting commits (the cloneTo shape, replayed in Iceberg
+    // SEQUENCE-NUMBER order so MOR semantics survive) ---------------------
+    // An equality delete at seq s covers data with data_seq < s — so
+    // data groups commit ascending by seq, with each equality delete
+    // committed AFTER the groups it covers and BEFORE the groups that
+    // escape it (graft's own "added at or before baseVersion" rule then
+    // reproduces the Iceberg read exactly). Position deletes name
+    // explicit files and land last as one DV generation. A pure data
+    // snapshot stays the single-commit fast path of previous rounds.
     val meta = Map(
       "importedFrom" -> fs.makeQualified(mdPath).toString,
       "importedSnapshot" -> snapshotId.toString) ++
       cmap.map { case (l, p) => s"colmap/$l" -> p }
-    dest.commit(Commit(0, "append", absFiles, Nil, Map.empty, partitionBy,
-      struct.toDDL, meta, None, System.currentTimeMillis()))
+    val liveNameOf: Map[String, String] = // manifest uri -> live-set name
+      dataEntries.map(_._1).zip(absFiles).toMap
+    val dataBySeq: Seq[(Long, Seq[String])] = dataEntries.zip(absFiles)
+      .groupBy(_._1._4).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val minDataSeq = dataBySeq.head._1
+    // an equality delete covering NO data group is a no-op (everything
+    // escapes) — dropped, which also keeps the first commit a data one
+    val eqApplicable = eqDeleteEntries.filter(_._3 > minDataSeq)
+      .sortBy(e => (e._3, e._1))
+    var commits = 0
+    var first = true
+    def commitData(fs0: Seq[String]): Unit = {
+      dest.commit(Commit(0, "append", fs0, Nil, Map.empty, partitionBy,
+        struct.toDDL, if (first) meta else Map.empty, None,
+        System.currentTimeMillis()))
+      first = false
+      commits += 1
+    }
+    var eqIdx = 0
+    dataBySeq.foreach { case (sq, fs0) =>
+      // deletes with delete_seq <= this group's seq precede it (they
+      // cover strictly-earlier groups only; this group escapes them)
+      while (eqIdx < eqApplicable.length && eqApplicable(eqIdx)._3 <= sq) {
+        commitEqDelete(spark, dest, eqApplicable(eqIdx), idToName, cmap)
+        commits += 1
+        eqIdx += 1
+      }
+      commitData(fs0)
+    }
+    while (eqIdx < eqApplicable.length) {
+      commitEqDelete(spark, dest, eqApplicable(eqIdx), idToName, cmap)
+      commits += 1
+      eqIdx += 1
+    }
+    if (posDeleteUris.nonEmpty) {
+      commits += commitPositionDeletes(spark, dest, posDeleteUris,
+        liveNameOf, partitionBy, struct.toDDL)
+    }
     IcebergImportResult(snapshotId, fs.makeQualified(mdPath).toString,
-      files.size, totalRows, cmap.size)
+      files.size, totalRows, cmap.size,
+      posDeleteFiles = posDeleteUris.size,
+      eqDeleteFiles = eqDeleteEntries.size, commits = commits)
+  }
+
+  /** Replay one Iceberg equality delete file into a graft equality
+    * delete: the key tuples read from the delete parquet (PHYSICAL
+    * column names), relabelled to the logical names `equality_ids`
+    * resolve to, through the public [[IncrementalTable.deleteByKey]]
+    * door — baseVersion lands on the just-committed covered groups. */
+  private def commitEqDelete(spark: SparkSession, dest: IncrementalTable,
+      e: (String, Seq[Int], Long), idToName: Map[Int, String],
+      cmap: Map[String, String]): Unit = {
+    val (uri, ids, _) = e
+    val logical = ids.map(id => idToName.getOrElse(id,
+      throw new IllegalArgumentException(
+        s"equality delete $uri: equality_id $id is not a top-level " +
+          "schema field")))
+    val physical = logical.map(l => cmap.getOrElse(l, l))
+    val keys = spark.read.parquet(new Path(uri).toString)
+    physical.foreach(p => require(keys.columns.contains(p),
+      s"equality delete $uri carries no column '$p' " +
+        s"(${keys.columns.mkString(", ")})"))
+    val relabelled = keys.select(physical.map(
+      org.apache.spark.sql.functions.col): _*).toDF(logical: _*)
+    dest.deleteByKey(relabelled, logical)
+    ()
+  }
+
+  /** Replay the snapshot's position delete files into ONE graft DV
+    * generation. The sidecar rows must carry the SCAN's own encoded
+    * path rendering (`_metadata.file_path`), so the touched files'
+    * rendering is read back from one column-pruned metadata scan —
+    * O(standing delete volume), no data columns read. */
+  private def commitPositionDeletes(spark: SparkSession,
+      dest: IncrementalTable, posUris: Seq[String],
+      liveNameOf: Map[String, String], partitionBy: Seq[String],
+      schemaDdl: String): Int = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val posDf = spark.read
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("file_path", org.apache.spark.sql.types.StringType)
+        .add("pos", org.apache.spark.sql.types.LongType))
+      .parquet(posUris.map(new Path(_).toString): _*)
+    val touchedUris = posDf.select("file_path").distinct()
+      .as[String].collect().toSeq
+      // a delete row naming a file outside this snapshot is inert
+      .filter(liveNameOf.contains)
+    if (touchedUris.isEmpty) return 0
+    val touchedLive = touchedUris.map(liveNameOf)
+    // the scan's encoded rendering of each touched file, from the
+    // file's own metadata column (rendering-proof: whatever
+    // _metadata.file_path says IS what the DV anti-join matches)
+    val encPairs = spark.read.parquet(touchedLive: _*)
+      .select(col("_metadata.file_path")).distinct()
+      .as[String].collect()
+    val encOf: Map[String, String] = encPairs.map { enc =>
+      new java.net.URI(enc).getPath -> enc
+    }.toMap
+    val mapRows = touchedUris.map { u =>
+      val live = liveNameOf(u)
+      u -> encOf.getOrElse(live, throw new IllegalStateException(
+        s"position delete target $live has no metadata rendering"))
+    }
+    val mapDf = mapRows.toDF("_ice_fp", "file")
+    val gen = java.util.UUID.randomUUID().toString
+    val genDir = new Path(dest.root, s"${dest.dvPrefix}/$gen")
+    posDf.join(mapDf, posDf("file_path") === mapDf("_ice_fp"))
+      .select(col("file"), col("pos")).distinct()
+      .write.parquet(genDir.toString)
+    dest.commit(Commit(0, "dv", Nil, Nil, Map.empty, partitionBy,
+      schemaDdl, Map.empty, None, System.currentTimeMillis(),
+      dv = touchedLive.map(_ -> Seq(gen)).toMap))
+    1
   }
 
   /** Recursive name-mapping walk: entries whose `names` list has >1

@@ -265,7 +265,8 @@ class IcebergImportSpec extends SparkSpec {
         t.latestVersion.toString, "\"current-snapshot-id\" : -1")),
       "no current snapshot")
 
-    // delete manifest: rewrite the manifest list with content=1
+    // a content=1 (delete) manifest whose entries are DATA files is
+    // malformed — refused as such, never silently treated as either
     val deldir = variant("mor", identity)
     locally {
       val md = JsonMethods.parse(mdStr)
@@ -298,7 +299,7 @@ class IcebergImportSpec extends SparkSpec {
         fs.makeQualified(newList).toString)
       writeText(new Path(s"$deldir/metadata/v1.metadata.json"), edited)
     }
-    refused(deldir, "DELETE files")
+    refused(deldir, "malformed manifest")
 
     val t2 = IncrementalTable(spark, s"$base/existing")
     t2.append(batch("a", 0 until 3), Seq("day"))
@@ -336,6 +337,39 @@ class IcebergImportSpec extends SparkSpec {
       IcebergImport.importTable(spark, d, root))
     assert(e.getMessage.contains("does not match the manifest partition"),
       e.getMessage)
+  }
+
+  test("MERGE-ON-READ round-trip: DVs and sequence-ordered equality deletes replay exactly") {
+    val base = tmpDir("iceimp")
+    val t = IncrementalTable(spark, s"$base/src")
+    for (d <- Seq("a", "b")) t.append(batch(d, 0 until 40), Seq("day"))
+    t.deleteVectorized($"id" < 5) // position deletes, both partitions
+    // eq delete + UPSERT-shaped later append: the id=7 replacement was
+    // added AFTER the delete's base and must SURVIVE the import — only
+    // the sequence-ordered commit replay preserves that
+    t.deleteByKey(Seq(7L).toDF("id"), Seq("id"))
+    t.append(Seq((7L, "a", "w7_v2")).toDF("id", "day", "w"), Seq("day"))
+    val er = IcebergExport.export(spark, t, s"$base/ice")
+    assert(er.posDeleteFiles >= 1 && er.eqDeleteFiles >= 1)
+
+    val t2 = IncrementalTable(spark, s"$base/imp")
+    val r = IcebergImport.importTable(spark, t2, s"$base/ice")
+    assert(r.posDeleteFiles >= 1 && r.eqDeleteFiles >= 1, r.toString)
+    // data groups (2 seqs) + 1 eq delete + 1 dv generation
+    assert(r.commits == 4, r.toString)
+    val want = t.read().collect().map(_.toSeq).toSet
+    val got = t2.read().collect().map(_.toSeq).toSet
+    assert(got == want, s"MOR import diverged: ${got.size} vs ${want.size}")
+    // the escape row survived; the deleted originals did not
+    assert(got.exists(_.contains("w7_v2")))
+    assert(!got.exists(_.contains("w7")) || got.count(r0 =>
+      r0.head == 7L) == 1, "old id=7 rows must be gone")
+    assert(!got.exists(r0 => r0.head.asInstanceOf[Long] < 5L),
+      "position-deleted rows must be gone")
+    // the imported table is a full MOR graft table: its own standing
+    // state compacts away like native state
+    t2.compact(targetFiles = 2)
+    assert(t2.read().collect().map(_.toSeq).toSet == want)
   }
 
   test("SQL door: CALL graft.system.import_iceberg") {
