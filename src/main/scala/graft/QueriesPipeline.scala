@@ -2224,6 +2224,41 @@ object QueriesPipeline {
               |GROUP BY rf ORDER BY rf""".stripMargin)
     }),
 
+    // ---- ICEBERG MERGE-ON-READ ROUND-TRIP (X116/X117, round 14) --------
+    // The full MOR interop loop under the driver gate: standing
+    // deletion vectors export as Iceberg POSITION delete files,
+    // a standing equality delete as an EQUALITY delete file whose
+    // sequence number carries graft's added-after-baseVersion escape
+    // rule, and the import REPLAYS all of it (sequence-ordered data
+    // groups + deleteByKey + one DV generation). The result aggregates
+    // the ADOPTED table only; the oracle replays the delete/upsert
+    // algebra relationally — a lost position row, an eq delete applied
+    // to the escape rows, or a mis-sequenced replay all break the hash.
+    "q170_iceberg_mor_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = graft.QueryTmp.dir("graft_q170_")
+      val t = graft.table.IncrementalTable(s, s"$tmp/src/v1")
+      val src = Tables.lineitem(s, dir).select(
+        $"l_orderkey".as("okey"), $"l_quantity".cast("long").as("qty"),
+        $"l_returnflag".as("rf"))
+      t.append(src, partitionBy = Seq("rf"))
+      // merge-on-read position deletes (DV sidecar, no rewrite)
+      t.deleteVectorized($"okey" < 1000)
+      // merge-on-read equality delete + UPSERT-shaped escape append:
+      // the replacement rows are added AFTER the delete's base and
+      // must survive the export -> import round-trip
+      t.deleteByKey(src.filter($"okey".between(2000, 3000))
+        .select($"okey").distinct(), Seq("okey"))
+      t.append(src.filter($"okey".between(2000, 2099))
+        .withColumn("qty", $"qty" + 1000000L), partitionBy = Seq("rf"))
+      graft.table.IcebergExport.export(s, t, s"$tmp/ice")
+      val adopted = graft.table.IncrementalTable(s, s"$tmp/adopt/v1")
+      graft.table.IcebergImport.importTable(s, adopted, s"$tmp/ice")
+      adopted.read().groupBy($"rf").agg(
+        count(lit(1)).as("n"), sum($"qty").as("sq"), sum($"okey").as("sk"))
+        .orderBy($"rf")
+    }),
+
     // ---- i18n + long-string data skipping (VERDICT r11 #1) -------------
     // The multilingual-corpus shape the truncated string-stat index
     // exists for: a sort key that is non-ASCII AND far longer than the
@@ -3012,6 +3047,19 @@ object QueriesPipeline {
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
         |  CAST(SUM(l_orderkey) AS BIGINT) AS sk
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q170_iceberg_mor_roundtrip" ->
+      """WITH src AS (
+        |  SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty,
+        |    l_returnflag AS rf FROM lineitem),
+        |kept AS (
+        |  SELECT okey, qty, rf FROM src
+        |  WHERE okey >= 1000 AND okey NOT BETWEEN 2000 AND 3000
+        |  UNION ALL
+        |  SELECT okey, qty + 1000000 AS qty, rf FROM src
+        |  WHERE okey BETWEEN 2000 AND 2099)
+        |SELECT rf, COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS sq,
+        |  CAST(SUM(okey) AS BIGINT) AS sk
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "q167_view_lag_drain" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  COUNT(*) AS n,
