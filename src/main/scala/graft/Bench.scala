@@ -34,6 +34,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fork-free chmod on the local fs (no native libhadoop in this
+      // environment, so stock Hadoop shells out per created dir/file) —
+      // see graft.fs.NioLocalFileSystem; clusters with libhadoop or
+      // non-local storage simply don't set this
+      .config("spark.hadoop.fs.file.impl", "graft.fs.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -15,6 +15,8 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fork-free local-fs chmod (see graft.fs.NioLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", "graft.fs.NioLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

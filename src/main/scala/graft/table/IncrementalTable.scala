@@ -7328,14 +7328,39 @@ object IncrementalTable {
     }.toMap
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[String] = {
-    if (!fs.exists(dir)) return Seq.empty
-    val out = Seq.newBuilder[String]
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toString
+    // Local-fs fast path (round-14 profiling): Hadoop's recursive
+    // listFiles materializes each entry's PERMISSIONS, and without
+    // native libhadoop that is one forked `ls -ld` PER FILE
+    // (DeprecatedRawLocalFileStatus.loadPermissionInfoByNonNativeIO) —
+    // the per-commit staging list paid a process fork per staged file.
+    // A java.nio walk reads the same names with plain syscalls; sorted
+    // for a deterministic add order. Non-local stores keep the Hadoop
+    // iterator (their FileStatus carries permissions inline).
+    if ("file" == fs.getUri.getScheme) {
+      val root = java.nio.file.Paths.get(dir.toUri.getPath)
+      if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        val it = walk.iterator()
+        val out = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet") &&
+              java.nio.file.Files.isRegularFile(p))
+            out += p.toString
+        }
+        out.result().sorted
+      } finally walk.close()
+    } else {
+      if (!fs.exists(dir)) return Seq.empty
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toString
+      }
+      out.result()
     }
-    out.result()
   }
 
   /** Root-relative partition dir of a root-relative file path. */
