@@ -343,22 +343,31 @@ object QueriesSimilarity {
   private[graft] def pqTrain(s: SparkSession,
       raw: DataFrame): Seq[(Int, Int, Seq[Double])] = {
     import s.implicits._
-    val pieces = pqPieces(s, raw)
-    val n = raw.count()
-    val stride = math.max(1L, n / PqKsub)
-    val seedMap = (0 until PqKsub).map(i => (i * stride, i)).toDF("vec_id", "cid")
-    val cents0 = pieces.join(broadcast(seedMap), "vec_id")
-      .select($"sub", $"cid", $"subvec".as("cvec"))
-    def refine(cents: DataFrame): DataFrame =
-      pqAssign(s, pieces, cents).join(pieces, Seq("vec_id", "sub"))
-        .select($"sub", $"cid", posexplode($"subvec"))
-        .groupBy($"sub", $"cid", $"pos").agg(round(avg($"col"), 6).as("m"))
-        .groupBy($"sub", $"cid")
-        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("ms"))
-        .select($"sub", $"cid", transform($"ms", p => p.getField("m")).as("cvec"))
-    refine(refine(cents0))
-      .select($"sub", $"cid", $"cvec")
-      .as[(Int, Int, Seq[Double])].collect().toSeq
+    // pieces feeds FIVE downstream subtrees (seed join + 2×(assign +
+    // re-join) across the refinement rounds); unpersisted, each one
+    // re-read the corpus and re-ran normalize + 8-way explode —
+    // measured as the dominant leg of the q147 index build (guide §5:
+    // persist exactly when a frame is reused and recompute is the
+    // expensive side). Values are unchanged — persist is a plan
+    // boundary, not a semantic one; freed before return.
+    val pieces = pqPieces(s, raw).persist()
+    try {
+      val n = raw.count()
+      val stride = math.max(1L, n / PqKsub)
+      val seedMap = (0 until PqKsub).map(i => (i * stride, i)).toDF("vec_id", "cid")
+      val cents0 = pieces.join(broadcast(seedMap), "vec_id")
+        .select($"sub", $"cid", $"subvec".as("cvec"))
+      def refine(cents: DataFrame): DataFrame =
+        pqAssign(s, pieces, cents).join(pieces, Seq("vec_id", "sub"))
+          .select($"sub", $"cid", posexplode($"subvec"))
+          .groupBy($"sub", $"cid", $"pos").agg(round(avg($"col"), 6).as("m"))
+          .groupBy($"sub", $"cid")
+          .agg(array_sort(collect_list(struct($"pos", $"m"))).as("ms"))
+          .select($"sub", $"cid", transform($"ms", p => p.getField("m")).as("cvec"))
+      refine(refine(cents0))
+        .select($"sub", $"cid", $"cvec")
+        .as[(Int, Int, Seq[Double])].collect().toSeq
+    } finally { pieces.unpersist(); () }
   }
 
   /** Encode vectors against a FIXED codebook → (vec_id, sub, cid).

@@ -10,8 +10,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * select/filter as early as possible and let the optimizer prune.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Below this, a table is broadcast-lookup-sized and fan-out would
+    * only add a pointless exchange in front of trivial scans. */
+  private val FanOutFloorBytes = 256L << 10
+
+  /** Scale-adaptive input fan-out (guide §2.5 — "input skew: one huge
+    * unsplittable file … repartition immediately after the read").
+    * These tables are ONE parquet file each; below one split
+    * (`maxPartitionBytes`, and floored by `openCostInBytes`) the scan
+    * is a single task, and whole-stage codegen fuses all downstream
+    * per-row compute (tokenize/shingle/explode/hash) into that scan
+    * stage — measured: q22's shingle self-join stage ran as ONE task
+    * on 32 cores (row-group granularity means split tuning cannot
+    * help; the file is one row group). Repartition to the session's
+    * parallelism exactly when the file cannot naturally feed it:
+    * `bytes >= cores × maxPartitionBytes` at real scale makes this a
+    * no-op, so no shuffle is ever added to a large scan. Filters and
+    * column pruning push through Repartition, so PushedFilters/
+    * ReadSchema at the scan are unchanged. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    val df = spark.read.parquet(f.getPath)
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (f.length >= FanOutFloorBytes && f.length < cores.toLong * maxSplit)
+      df.repartition(cores)
+    else df
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")

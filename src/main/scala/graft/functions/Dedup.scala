@@ -103,8 +103,23 @@ object Dedup {
     * so the array join is cheap at any scale. */
   private def verify(cands: DataFrame, docs: DataFrame, id: Column,
                      text: Column, n: Int, tau: Double): DataFrame = {
-    val sets = docs.select(id.as("did"), TextOps.wordShingles(text, n).as("shs"))
-    cands
+    // semi-join FIRST, shingle second: candidates are few by
+    // construction, docs is the corpus — without the prune each `sets`
+    // leg re-tokenized and re-shingled EVERY document just to have the
+    // candidate join drop almost all of them (the join filters rows,
+    // not the projection work below it). At 100 TB this is the
+    // difference between shingling the corpus twice more and shingling
+    // only the colliding pairs. The candidate frame feeds TWO consumers
+    // now (the id prune and the final join), so it is materialized once
+    // — candidate generation is the expensive self-join leg and must
+    // not replay per consumer.
+    val pinned = cands.localCheckpoint(true)
+    val candIds = pinned.select(col("a_id").as("__cid"))
+      .unionByName(pinned.select(col("b_id").as("__cid"))).distinct()
+    val sets = docs.select(id.as("did"), text.as("__txt"))
+      .join(candIds.withColumnRenamed("__cid", "did"), Seq("did"), "left_semi")
+      .select(col("did"), TextOps.wordShingles(col("__txt"), n).as("shs"))
+    pinned
       .join(sets.select(col("did").as("a_id"), col("shs").as("sa")), "a_id")
       .join(sets.select(col("did").as("b_id"), col("shs").as("sb")), "b_id")
       .withColumn("li", size(array_intersect(col("sa"), col("sb"))).cast("long"))
@@ -220,12 +235,21 @@ object Dedup {
     val maxHamming = nChunks - 1
     val layout = chunkLayout(64, nChunks)
     val sh = simhash(docs, id, TextOps.wordShingles(text, n))
+    // the (c, v) self-join's INPUT is sketch-sized (8 B/doc) but its
+    // OUTPUT is the candidate stream — AQE coalesces the exchange by
+    // input bytes and collapsed the whole bucket-join + Hamming +
+    // verify cascade to ONE task (measured: the two dominant q24/q47
+    // stages ran single-threaded on 32 cores). An explicit keyed
+    // repartition at the session's parallelism pins the exchange;
+    // (c, v) is the join key, so no extra shuffle is introduced.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val chunks = sh.select(col("did"), col("simhash"),
         explode(array(layout.zipWithIndex.map { case ((off, w), c) =>
           val mask = (1L << w) - 1
           struct(lit(c).as("c"), expr(s"(simhash >> $off) & $mask").as("v"))
         }: _*)).as("ch"))
       .select(col("did"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+      .repartition(par, col("c"), col("v"))
     // Hamming filter runs INSIDE the join output, before the dedup
     // shuffle: chunk buckets collide freely (the price of the radius
     // guarantee), so the candidate stream is the big intermediate — only
@@ -275,10 +299,15 @@ object Dedup {
       struct(lit(wi * perWord.size + ci).as("c"),
         expr(s"($wordCol >> $off) & $mask").as("v"))
     }
+    // pin the bucket-join exchange at session parallelism — same
+    // input-small/output-explosive AQE coalescing trap as
+    // [[simhashPairs]] (see the comment there)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val chunks = sh.select(col("did"), col("sh0"), col("sh1"),
         explode(array(chunkCols: _*)).as("ch"))
       .select(col("did"), col("sh0"), col("sh1"),
         col("ch.c").as("c"), col("ch.v").as("v"))
+      .repartition(par, col("c"), col("v"))
     val cands = chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.did") < col("y.did"))

@@ -43,16 +43,18 @@ object ConnectedComponents {
       val viaNeighbors = sym
         .join(labels.select(col("id").as("dst"), col("component").as("ncomp")), "dst")
         .groupBy(col("src").as("id")).agg(min("ncomp").as("ncomp"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+      // carry OLD and NEW labels through one checkpointed frame: the
+      // convergence test is then a filter over already-materialized
+      // rows instead of a from-scratch next⋈labels shuffle join —
+      // one shuffle job per round, not two (round-14 profiling: the
+      // check job cost as much as the propagation it was checking)
+      val step = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels = next
+      converged = step.filter(col("component") =!= col("prev")).isEmpty
+      labels = step.select(col("id"), col("component"))
       i += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
