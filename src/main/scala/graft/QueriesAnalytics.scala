@@ -93,7 +93,7 @@ object QueriesAnalytics {
     // requires it; qty sums of ≤5 integral doubles stay exact).
     "q76_window_suite" -> ((s, dir) => {
       import s.implicits._
-      val base = Tables.lineitem(s, dir)
+      val base = Tables.lineitemWide(s, dir)
         .filter($"l_orderkey" % 50 === 0)
         .groupBy($"l_orderkey", $"l_linenumber")
         .agg(min($"l_returnflag").as("flag"), sum($"l_quantity").as("qty"))
@@ -162,7 +162,7 @@ object QueriesAnalytics {
     // rounded (per-node fp sums; ~1e6× margin at round-8).
     "q80_pagerank" -> ((s, dir) => {
       import s.implicits._
-      val edges = Tables.lineitem(s, dir)
+      val edges = Tables.lineitemWide(s, dir)
         .select(($"l_partkey" * 2).as("pa"), ($"l_suppkey" * 2 + 1).as("sb"))
         .distinct()
       graft.operators.PageRank.run(edges, "pa", "sb", iters = 10)
@@ -239,14 +239,14 @@ object QueriesAnalytics {
           col(s"${n}__mn").as("min_str"), col(s"${n}__mx").as("max_str"),
           col(s"${n}__av").as("avg_num"))
       }: _*)
-      val flat = Tables.lineitem(s, dir)
+      val flat = Tables.lineitemWide(s, dir)
         .agg(aggs.head, aggs.tail: _*)
         .select($"n_rows", explode(entries).as("e"))
         .select($"e.col_name", $"n_rows", $"e.n_nonnull",
           $"e.min_str", $"e.max_str", $"e.avg_num")
       val stackArgs = cols
         .map { case (n, _) => s"'$n', CAST($n AS STRING)" }.mkString(", ")
-      val nd = Tables.lineitem(s, dir)
+      val nd = Tables.lineitemWide(s, dir)
         .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
         .distinct()
         .groupBy($"col_name").agg(count($"v").as("n_distinct"))

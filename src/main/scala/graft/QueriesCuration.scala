@@ -222,7 +222,7 @@ object QueriesCuration {
 
     "q35_curation" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsWide(s, dir)
       // b-side of every near-dup pair drops; pair clusters in this corpus
       // are cliques, so min-id survivors are exactly the non-b docs.
       // No broadcast hint: the drop-set size is data-dependent (a
@@ -253,8 +253,8 @@ object QueriesCuration {
     // (n_chars), embeddings the relevance, joined 1:1 on doc_id=vec_id.
     "q37_crossmodal_rank" -> ((s, dir) => {
       import s.implicits._
-      val e = Tables.embeddings(s, dir)
-      val d = Tables.documents(s, dir)
+      val e = Tables.embeddingsWide(s, dir)
+      val d = Tables.documentsWide(s, dir)
       // reference vector: one row collected driver-side (any scale)
       val ref = e.filter($"vec_id" === 0).select($"embedding")
         .as[Array[Float]].head().toSeq

@@ -38,7 +38,7 @@ object QueriesDedup {
     // by the cap.
     "q151_winnow_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      val withH = Tables.documents(s, dir)
+      val withH = Tables.documentsWide(s, dir)
         .filter(size(TextOps.tokens($"text")) >= N)
         .select($"doc_id",
           // materialized ATTRIBUTE before the window transform: a
@@ -86,7 +86,7 @@ object QueriesDedup {
     "q163_segment_dedup" -> ((s, dir) => {
       import s.implicits._
       val segLen = 10
-      val segs = Tables.documents(s, dir)
+      val segs = Tables.documentsWide(s, dir)
         .select($"doc_id", TextOps.tokens($"text").as("w"))
         .filter(size($"w") > 0)
         .select($"doc_id",
@@ -133,28 +133,28 @@ object QueriesDedup {
     // ---- exact near-dup: inverted-index candidates + exact Jaccard ----
     "q22_dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), $"doc_id", $"text", N, Tau)
+      Dedup.ngramJaccardPairs(Tables.documentsWide(s, dir), $"doc_id", $"text", N, Tau)
         .orderBy($"a_id", $"b_id")
     }),
 
     // ---- MinHash+LSH near-dup: banded signature buckets + verify ------
     "q23_dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      Dedup.minhashLshPairs(Tables.documents(s, dir), $"doc_id", $"text", N, Tau)
+      Dedup.minhashLshPairs(Tables.documentsWide(s, dir), $"doc_id", $"text", N, Tau)
         .orderBy($"a_id", $"b_id")
     }),
 
     // ---- SimHash near-dup: 14-chunk buckets + Hamming + verify --------
     "q24_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simhashPairs(Tables.documents(s, dir), $"doc_id", $"text", N, Tau)
+      Dedup.simhashPairs(Tables.documentsWide(s, dir), $"doc_id", $"text", N, Tau)
         .orderBy($"a_id", $"b_id")
     }),
 
     // ---- 128-bit SimHash: the wide-sketch scale dial, same oracle -----
     "q47_dedup_simhash128" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simhash128Pairs(Tables.documents(s, dir), $"doc_id", $"text", N, Tau)
+      Dedup.simhash128Pairs(Tables.documentsWide(s, dir), $"doc_id", $"text", N, Tau)
         .orderBy($"a_id", $"b_id")
     }),
 
@@ -167,7 +167,7 @@ object QueriesDedup {
     "q68_dedup_components" -> ((s, dir) => {
       import s.implicits._
       val pairs = Dedup.ngramJaccardPairs(
-        Tables.documents(s, dir), $"doc_id", $"text", N, Tau)
+        Tables.documentsWide(s, dir), $"doc_id", $"text", N, Tau)
       graft.operators.ConnectedComponents.run(pairs, "a_id", "b_id")
         .select($"id".as("doc_id"), $"component")
         .orderBy($"doc_id")
@@ -236,7 +236,7 @@ object QueriesDedup {
     // group key, hence unique) so LIMIT is engine-stable.
     "q108_duplicate_spans" -> ((s, dir) => {
       import s.implicits._
-      Dedup.duplicateSpans(Tables.documents(s, dir), $"doc_id", $"text",
+      Dedup.duplicateSpans(Tables.documentsWide(s, dir), $"doc_id", $"text",
           k = 8, minDocs = 2)
         .orderBy($"n_docs".desc, $"n_occ".desc, $"span")
         .limit(100)

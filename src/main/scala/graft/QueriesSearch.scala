@@ -50,7 +50,7 @@ object QueriesSearch {
     // partitions by doc_id: at 100 TB that's the full-parallel axis.
     "q70_tfidf" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsWide(s, dir)
       val tf = docs
         .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
@@ -75,7 +75,7 @@ object QueriesSearch {
     // broadcast. Score sums ≤|query| doubles → rounded.
     "q71_bm25" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsWide(s, dir)
       val lens = docs.select($"doc_id",
         size(TextOps.tokens($"text")).cast("long").as("dl"))
       val stats = lens.agg(count(lit(1)).as("n_docs"),
@@ -107,7 +107,7 @@ object QueriesSearch {
     // integer compare, no threshold retune as the corpus grows).
     "q72_unigram_lm" -> ((s, dir) => {
       import s.implicits._
-      val terms = Tables.documents(s, dir)
+      val terms = Tables.documentsWide(s, dir)
         .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val corpus = terms.groupBy($"term").agg(count(lit(1)).as("cnt"))
@@ -132,7 +132,7 @@ object QueriesSearch {
     // (31-word vocab ⇒ 5-gram space ≈ 2.9e7 ≫ corpus shingles).
     "q73_decontaminate" -> ((s, dir) => {
       import s.implicits._
-      val sh = Tables.documents(s, dir)
+      val sh = Tables.documentsWide(s, dir)
         .select($"doc_id",
           explode(TextOps.wordShingles($"text", ShingleN)).as("g"))
       val evalSh = sh.filter(isEval($"doc_id")).select($"g").distinct()
@@ -159,7 +159,7 @@ object QueriesSearch {
     // form is the exact one the oracle can replay.
     "q154_ccnet_select" -> ((s, dir) => {
       import s.implicits._
-      val terms = Tables.documents(s, dir)
+      val terms = Tables.documentsWide(s, dir)
         .select($"doc_id", $"lang", explode(TextOps.tokens($"text")).as("term"))
       val tf = terms.groupBy($"doc_id", $"lang", $"term")
         .agg(count(lit(1)).as("tf"))

@@ -45,7 +45,7 @@ object QueriesSimilarity {
       // join (computing cosine whole per pair triples the interpreted
       // higher-order-function work: 2 of its 3 array folds depend on
       // one side only)
-      val e = Tables.embeddings(s, dir)
+      val e = Tables.embeddingsWide(s, dir)
         .select($"label", $"vec_id", $"embedding",
           sqrt(Vectors.dotNative($"embedding", $"embedding")).as("nrm"))
       val a = e.select($"label", $"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"))
@@ -59,7 +59,7 @@ object QueriesSimilarity {
     // ---- brute-force cosine top-k (typed TopK Aggregator) -------------
     "q26_cosine_topk" -> ((s, dir) => {
       import s.implicits._
-      val e = Tables.embeddings(s, dir)
+      val e = Tables.embeddingsWide(s, dir)
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"embedding".as("qe"))
       topkTail(s, e.crossJoin(broadcast(q)))
@@ -87,7 +87,7 @@ object QueriesSimilarity {
       import s.implicits._
       val nTables = 4; val nPlanes = 8; val nProbes = 37
       val tables = Vectors.lshTables(nTables, nPlanes, dim = 64)
-      val e = lshIndex(Tables.embeddings(s, dir), tables, nPlanes)
+      val e = lshIndex(Tables.embeddingsWide(s, dir), tables, nPlanes)
       val corpus = e.select($"vec_id", $"embedding", posexplode($"buckets"))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
       val patterns = Vectors.rankPatterns(nPlanes, nProbes, maxFlips = 4)
@@ -107,7 +107,7 @@ object QueriesSimilarity {
     // finer cells buys +0.2 recall AND less work per query.
     "q36_cosine_topk_ivf" -> ((s, dir) => {
       import s.implicits._
-      val e = Tables.embeddings(s, dir)
+      val e = Tables.embeddingsWide(s, dir)
       // cacheKey = corpus fingerprint: the codebook is built once per
       // corpus (an IVF index build) and reused by every probe, like a
       // persisted index — not retrained per query. corpusKey folds the
@@ -141,7 +141,7 @@ object QueriesSimilarity {
     // gate; the codebook is deterministic (stride seeds + decimal-exact
     // means), making the output replay-identical.
     "q82_semdedup" -> ((s, dir) =>
-      semDedup(Tables.embeddings(s, dir),
+      semDedup(Tables.embeddingsWide(s, dir),
         cacheKey = Some(corpusKey(dir)), tau = NearDupTau)),
 
     // ---- k-means (Lloyd) as a first-class clustering operator --------
@@ -214,7 +214,7 @@ object QueriesSimilarity {
       import s.implicits._
       def maxAbs(c: Column): Column = aggregate(c, lit(0.0d),
         (acc, x) => greatest(acc, abs(x.cast("double"))))
-      val base = Tables.embeddings(s, dir)
+      val base = Tables.embeddingsWide(s, dir)
         .withColumn("maxabs", maxAbs($"embedding"))
         .withColumn("scale",
           when($"maxabs" === 0.0d, lit(1.0d)).otherwise($"maxabs" / 127.0d))
@@ -250,7 +250,7 @@ object QueriesSimilarity {
     // replay-identical. Approximate by design (rows-only at the gate);
     // PqAnnSpec pins recall/volume floors.
     "q97_pq_ann" -> ((s, dir) =>
-      pqAnn(s, Tables.embeddings(s, dir), cacheKey = Some(corpusKey(dir)))),
+      pqAnn(s, Tables.embeddingsWide(s, dir), cacheKey = Some(corpusKey(dir)))),
 
     // ---- persisted, incrementally-maintained PQ index (X91) -----------
     // Where q97 derives codebook + codes IN the query plan, this is the

@@ -24,7 +24,7 @@ object QueriesText {
     "q17_text_stats" -> ((s, dir) => {
       import s.implicits._
       val toks = TextOps.tokens($"text")
-      Tables.documents(s, dir)
+      Tables.documentsWide(s, dir)
         .select(
           $"doc_id",
           length($"text").cast("long").as("n_chars"),
@@ -45,7 +45,7 @@ object QueriesText {
       val stopRatio = TextOps.tokensIn(toks, TextOps.stopwords) / nTok
       val shortRatio = size(filter(toks, t => length(t) <= 2)).cast("long") / nTok
       val lenOk = when(length($"text").between(100, 450), 1L).otherwise(0L)
-      Tables.documents(s, dir)
+      Tables.documentsWide(s, dir)
         .select(
           $"doc_id",
           lenOk.as("len_ok"),
@@ -71,7 +71,7 @@ object QueriesText {
         .when(score("en") >= greatest(score("es"), score("fr")), "en")
         .when(score("es") >= score("fr"), "es")
         .otherwise("fr")
-      Tables.documents(s, dir)
+      Tables.documentsWide(s, dir)
         .select($"doc_id", $"lang", pred.as("pred_lang"),
           score("de").as("s_de"), score("en").as("s_en"),
           score("es").as("s_es"), score("fr").as("s_fr"))
@@ -90,7 +90,7 @@ object QueriesText {
     // shingles once and partially aggregates map-side.
     "q20_text_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsWide(s, dir)
       val sketch = docs
         .select($"doc_id",
           explode_outer(TextOps.wordShingles($"text", 3)).as("sh"))
@@ -119,7 +119,7 @@ object QueriesText {
         lit(" user"), $"doc_id", lit("@mail.example.org 555-123-"),
         lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
         lit(" 10.0.0."), ($"doc_id" % 256).cast("string"))
-      Tables.documents(s, dir)
+      Tables.documentsWide(s, dir)
         .select($"doc_id", aug.as("aug"))
         .select(
           $"doc_id",
@@ -141,7 +141,7 @@ object QueriesText {
     "q69_bpe_pretokenize" -> ((s, dir) => {
       import s.implicits._
       val pieces = regexp_extract_all($"text", lit(TextOps.bpePretokenRe), lit(0))
-      Tables.documents(s, dir)
+      Tables.documentsWide(s, dir)
         .select($"doc_id",
           size(pieces).cast("long").as("n_pieces"),
           size(array_distinct(pieces)).cast("long").as("n_distinct_pieces"),
@@ -162,7 +162,7 @@ object QueriesText {
     "q161_bpe_encode" -> ((s, dir) => {
       import s.implicits._
       val pieces = regexp_extract_all($"text", lit(TextOps.bpePretokenRe), lit(0))
-      Tables.documents(s, dir)
+      Tables.documentsWide(s, dir)
         .select($"doc_id", $"lang",
           size(pieces).cast("long").as("n_pieces"),
           graft.functions.Bpe.tokensNative($"text").as("toks"))
@@ -192,7 +192,7 @@ object QueriesText {
     // cnt DESC, gram DESC row_number.
     "q83_repetition" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsWide(s, dir)
       val toks = TextOps.tokens($"text")
       def gramChars(g: Column, n: Int) = (length(g) - (n - 1)).cast("long")
       def gramCounts(n: Int) = docs
@@ -234,7 +234,7 @@ object QueriesText {
     // deterministic in both engines.
     "q57_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      Tables.documentsWide(s, dir)
         .select(explode(TextOps.wordNgrams($"text", 2)).as("gram"))
         .groupBy($"gram").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"gram").limit(30)
@@ -253,7 +253,7 @@ object QueriesText {
     // HeavyHittersSpec pins the superset guarantee.
     "q58_heavy_hitters_2pass" -> ((s, dir) => {
       import s.implicits._
-      val grams = Tables.documents(s, dir)
+      val grams = Tables.documentsWide(s, dir)
         .select(explode(TextOps.wordNgrams($"text", 2)).as("gram"))
       val candidates = grams.stat.freqItems(Array("gram"), 0.0005)
         .head.getSeq[String](0)

@@ -10,33 +10,64 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * select/filter as early as possible and let the optimizer prune.
   */
 object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   /** Below this, a table is broadcast-lookup-sized and fan-out would
     * only add a pointless exchange in front of trivial scans. */
   private val FanOutFloorBytes = 256L << 10
 
-  /** Scale-adaptive input fan-out (guide §2.5 — "input skew: one huge
-    * unsplittable file … repartition immediately after the read").
-    * These tables are ONE parquet file each; below one split
-    * (`maxPartitionBytes`, and floored by `openCostInBytes`) the scan
-    * is a single task, and whole-stage codegen fuses all downstream
-    * per-row compute (tokenize/shingle/explode/hash) into that scan
-    * stage — measured: q22's shingle self-join stage ran as ONE task
-    * on 32 cores (row-group granularity means split tuning cannot
-    * help; the file is one row group). Repartition to the session's
-    * parallelism exactly when the file cannot naturally feed it:
-    * `bytes >= cores × maxPartitionBytes` at real scale makes this a
-    * no-op, so no shuffle is ever added to a large scan. Filters and
-    * column pruning push through Repartition, so PushedFilters/
-    * ReadSchema at the scan are unchanged. */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val f = new java.io.File(s"$dir/$name.parquet")
-    val df = spark.read.parquet(f.getPath)
+  /** Scale-adaptive input fan-out for COMPUTE-ONLY consumers (guide
+    * §2.5 — "input skew: one huge unsplittable file … repartition
+    * immediately after the read"). These tables are ONE parquet file
+    * each, i.e. one row group below ~1 GB: the scan is a single task
+    * no matter the split config, and whole-stage codegen fuses all
+    * downstream per-row compute (tokenize/shingle/explode/hash) into
+    * that stage — measured: q22's shingle self-join ran as ONE task on
+    * 32 cores. Repartition to the session's parallelism exactly when
+    * the file cannot naturally feed it; at real scale
+    * (bytes >= cores × maxPartitionBytes) this is a no-op, so no
+    * shuffle is ever added to a large scan. Filters/pruning push
+    * through Repartition, so PushedFilters/ReadSchema are unchanged.
+    *
+    * Deliberately NOT applied by [[apply]]: a frame that flows into an
+    * IncrementalTable append inherits the fan-out as 32 staged files
+    * PER COMMIT, and the whole maintenance chain (footer harvest,
+    * promote renames, readCommit scans, copy-on-write probes) pays
+    * per-file costs — a global fan-out measured +1–5 s on every
+    * commit-class bench row. `wide` is therefore an explicit opt-in at
+    * the call sites whose frames are only ever scanned. */
+  private def fanOut(spark: SparkSession, bytes: Long, df: DataFrame): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    if (f.length >= FanOutFloorBytes && f.length < cores.toLong * maxSplit)
+    if (bytes >= FanOutFloorBytes && bytes < cores.toLong * maxSplit)
       df.repartition(cores)
     else df
   }
+
+  /** Total bytes of a table path — a single file by the driver's
+    * layout, but a part-file directory (e.g. in specs) sums. */
+  private def tableBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    else f.length
+  }
+
+  def wide(spark: SparkSession, dir: String, name: String): DataFrame =
+    fanOut(spark, tableBytes(s"$dir/$name.parquet"),
+      apply(spark, dir, name))
+
+  def documentsWide(spark: SparkSession, dir: String): DataFrame =
+    wide(spark, dir, "documents")
+  def embeddingsWide(spark: SparkSession, dir: String): DataFrame =
+    wide(spark, dir, "embeddings")
+  def lineitemWide(spark: SparkSession, dir: String): DataFrame =
+    wide(spark, dir, "lineitem")
+  /** [[events]] (footer-adaptive ts) with the compute-only fan-out. */
+  def eventsWide(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, tableBytes(s"$dir/events.parquet"), events(spark, dir))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
