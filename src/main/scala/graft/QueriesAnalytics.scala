@@ -162,7 +162,7 @@ object QueriesAnalytics {
     // rounded (per-node fp sums; ~1e6× margin at round-8).
     "q80_pagerank" -> ((s, dir) => {
       import s.implicits._
-      val edges = Tables.lineitemWide(s, dir)
+      val edges = Tables.lineitem(s, dir)
         .select(($"l_partkey" * 2).as("pa"), ($"l_suppkey" * 2 + 1).as("sb"))
         .distinct()
       graft.operators.PageRank.run(edges, "pa", "sb", iters = 10)

@@ -129,16 +129,20 @@ object QueriesPipeline {
           IncAgg.minOf($"value", "min_value"),
           IncAgg.maxOf($"value", "max_value")),
         partitionBy = Seq("month"), name = "events", replayScope = Seq("month"))
+      // one scan+JSON-parse feeds all three chunked appends (guide §5:
+      // persist when reused and recompute is the expensive side — the
+      // json path re-parsed the whole table per chunk otherwise)
       val ev = Tables.events(s, dir).select(
         date_format($"ts", "yyyy-MM").as("month"),
         date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
         get_json_object($"props", "$.k").cast("long").as("k"),
-        $"value", $"event_id")
+        $"value", $"event_id").persist()
       (0 until 3).foreach { chunk =>
         up.append(ev.filter(pmod($"event_id", lit(3)) === chunk)
           .drop("event_id"), Seq("month"))
         ivm.drain()
       }
+      ev.unpersist()
       val m0 = up.read().agg(min($"month")).head.getString(0)
       val f = Map("month" -> m0)
       up.replaceWhere(up.read(f), Seq("month"), f, partitionFilter = f)
@@ -178,15 +182,19 @@ object QueriesPipeline {
         aggs = Seq(IncAgg.countAll("n_rows"),
           IncAgg.avgOf($"k", "avg_st"), IncAgg.stddevOf($"k", "std_st")),
         partitionBy = Seq("month"), name = "events", replayScope = Seq("month"))
+      // one scan+JSON-parse feeds all three chunked appends (same
+      // persist rationale as q56)
       val ev = Tables.events(s, dir).select(
         date_format($"ts", "yyyy-MM").as("month"),
         date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
         get_json_object($"props", "$.k").cast("long").as("k"), $"event_id")
+        .persist()
       (0 until 3).foreach { chunk =>
         up.append(ev.filter(pmod($"event_id", lit(3)) === chunk)
           .drop("event_id"), Seq("month"))
         ivm.drain()
       }
+      ev.unpersist()
       val m0 = up.read().agg(min($"month")).head.getString(0)
       val f = Map("month" -> m0)
       up.replaceWhere(up.read(f), Seq("month"), f, partitionFilter = f)

@@ -58,12 +58,21 @@ object PageRank {
     * tolerates Spark-vs-DuckDB order differences at 8 decimals). */
   def run(edges: DataFrame, aCol: String, bCol: String,
       iters: Int = 10, broadcastRanks: Boolean = true): DataFrame = {
+    // ONE pinned exchange feeds dedup, degree, and the degree join:
+    // hash(src) satisfies the clustering of distinct(src,dst), of
+    // groupBy(src), and of the src equi-join, so none re-shuffles —
+    // and the explicit partition count keeps AQE from sizing this
+    // tiny-input/compute-heavy prep down to ~3 tasks (round-14
+    // profiling: the edge-prep jobs ran 3-way on 32 cores and
+    // dominated the operator). The count derives from the session.
+    val par = edges.sparkSession.sparkContext.defaultParallelism
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .repartition(par, col("src"))
       .distinct()
     val symDeg0 = sym
       .join(sym.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-    val symDeg = (if (broadcastRanks) symDeg0.repartition(col("dst")) else symDeg0)
+    val symDeg = (if (broadcastRanks) symDeg0.repartition(par, col("dst")) else symDeg0)
       .localCheckpoint(true)
     val nodes = symDeg.select(col("src").as("id")).distinct()
       .localCheckpoint(true)
